@@ -1,13 +1,513 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.extra.{Dedup, EmbeddingKnn, TextStats}
+import graft.ingest.{Embedder, Profiler, TermStats}
+import graft.search.{Bm25, CombinedScorer, DistanceJoin, Matcher, Sketches}
+import graft.streaming.EventWindows
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every oracle-checked query follows two parity rules with its DuckDB twin:
+  * (1) floats are rounded (4-6 decimals) ON BOTH SIDES before comparison and
+  * before any ranking that feeds a LIMIT, and (2) every ranking breaks ties
+  * down to a unique key so row sets are deterministic.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def T(s: SparkSession, d: String, name: String): DataFrame =
+    Tables.load(s, d, name)
+
+  /** Flagship: full dataset-similarity search for `customer` on sf0.001
+    * (danae's "Find Similar" — SURVEY.md §3.1).
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    CombinedScorer.search(spark, "/root/testdata/sf0.001", "customer")
+      .select("query_id", "c_dataset", "content_score", "metadata_score",
+        "overall_score")
+
+  /** doc_id bound for the quadratic-verify dedup pair queries — keeps the
+    * pair space fixed (~45k pairs) across scale factors.
+    */
+  private val DocBound = 300
+  private val KnnQueryIds: Seq[Long] = Seq(0L, 1L, 2L, 3L, 4L)
+  private val Bm25Terms = Seq("spark", "query", "join", "stream")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- classic relational coverage (free in Spark; §2.3/§2.4/§2.5/§2.6) ----
+    "q1_pricing_agg" -> ((s, d) =>
+      T(s, d, "lineitem").groupBy("l_returnflag", "l_linestatus").agg(
+        count(lit(1)).as("n"),
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"),
+        round(avg("l_discount"), 6).as("avg_disc"))),
+
+    "q3_segment_revenue" -> ((s, d) => {
+      val c = T(s, d, "customer").select("c_custkey", "c_mktsegment")
+      val o = T(s, d, "orders").select("o_orderkey", "o_custkey")
+      T(s, d, "lineitem")
+        .select(col("l_orderkey"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), round(sum("rev"), 2).as("revenue"))
+    }),
+
+    "q_topk_orders" -> ((s, d) =>
+      T(s, d, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(20)),
+
+    "q_window_running" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      T(s, d, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        round(sum("o_totalprice")
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)), 2).as("running"),
+        row_number().over(w).cast("long").as("rn"))
+    }),
+
+    // ---- profiling (danae A1-A4) ----
+    "profile_table_stats" -> ((s, d) =>
+      O.profiledTables.map { t => Profiler.tableStats(T(s, d, t), t) }
+        .reduce(_.unionAll(_))),
+
+    "profile_numeric_stats" -> ((s, d) =>
+      Tables.sketchTables.map { t => Profiler.numericStats(T(s, d, t), t) }
+        .reduce(_.unionAll(_))),
+
+    "profile_quantiles" -> ((s, d) =>
+      Tables.sketchTables.map { t => Profiler.quantileSketch(T(s, d, t), t) }
+        .reduce(_.unionAll(_))
+        .select(col("dataset_id"), col("col_name"), col("col_type"),
+          posexplode(col("vector")).as(Seq("dim0", "v")))
+        .select(col("dataset_id"), col("col_name"), col("col_type"),
+          (col("dim0") + 1).cast("long").as("dim"), col("v"))),
+
+    "profile_bbox" -> ((s, d) =>
+      Profiler.bboxSketch(T(s, d, "part"), "part", "p_retailprice", "p_size")
+        .select("dataset_id", "x_col", "y_col", "x_min", "y_min", "x_max", "y_max")),
+
+    "type_histogram" -> ((s, d) => {
+      import s.implicits._
+      Profiler.typeHistogram(Tables.sketchTables.map(t => (t, T(s, d, t))))
+        .toDF("dataset_id", "col_type", "n_cols")
+    }),
+
+    // ---- term stats (danae A5-A7) ----
+    "tf_topk_docs" -> ((s, d) =>
+      TermStats.tfTopK(TermStats.tokens(T(s, d, "documents"), "doc_id", "text"), 10)
+        .withColumn("rank", col("rank").cast("long"))),
+
+    "tfidf_topk_docs" -> ((s, d) =>
+      TermStats.tfIdfTopK(TermStats.tokens(T(s, d, "documents"), "doc_id", "text"), 10)
+        .withColumn("rank", col("rank").cast("long"))),
+
+    // ---- embedding pooling (danae A8) ----
+    "embed_pool_label" -> ((s, d) =>
+      Embedder.meanPoolLong(T(s, d, "embeddings"), "label", "embedding")
+        .select(col("grp").as("label"), col("dim").cast("long").as("dim"), col("v"))),
+
+    // ---- sketch kNN + similarity search (danae J1/W1/W2/T1-T5, G1-G2, M1) ----
+    "sketch_knn" -> ((s, d) =>
+      DistanceJoin.knn(Sketches.numericTemporal(s, d), "customer", 100, 50)
+        .select(col("q_col"), col("c_dataset"), col("c_col"), col("col_type"),
+          col("dist"), col("kth"), col("sim"), col("rank").cast("long").as("rank"))),
+
+    "content_scores" -> ((s, d) => {
+      val ranked = DistanceJoin.knn(Sketches.all(s, d), "customer", 100, 50)
+      Matcher.contentScores(DistanceJoin.weighted(ranked))
+        .select(col("c_dataset"), col("content_score"),
+          size(col("matching")).cast("long").as("n_matched"))
+    }),
+
+    "bm25_docs" -> ((s, d) =>
+      Bm25.scores(T(s, d, "documents"), "doc_id", "text", Bm25Terms)
+        .orderBy(col("score").desc, col("doc_id").asc).limit(100)),
+
+    "similarity_search" -> ((s, d) =>
+      CombinedScorer.search(s, d, "customer")
+        .select("query_id", "c_dataset", "content_score", "metadata_score",
+          "overall_score")),
+
+    // ---- dedup (LLM-pipeline extras) ----
+    "dedup_exact" -> ((s, d) =>
+      Dedup.exact(T(s, d, "documents"), "doc_id", "text")),
+
+    "dedup_jaccard" -> ((s, d) =>
+      Dedup.jaccardPairs(T(s, d, "documents").filter(col("doc_id") < DocBound),
+        "doc_id", "text", 0.95)),
+
+    "dedup_minhash" -> ((s, d) =>
+      Dedup.minhashLshPairs(T(s, d, "documents").filter(col("doc_id") < DocBound),
+        "doc_id", "text", 0.95)),
+
+    "dedup_simhash" -> ((s, d) =>
+      Dedup.simhashPairs(T(s, d, "documents").filter(col("doc_id") < DocBound),
+        "doc_id", "text", 3)),
+
+    // ---- embedding similarity search (extras) ----
+    "knn_cosine" -> ((s, d) =>
+      EmbeddingKnn.bruteForce(T(s, d, "embeddings"), KnnQueryIds, 5)
+        .withColumn("rank", col("rank").cast("long"))),
+
+    "knn_lsh" -> ((s, d) =>
+      EmbeddingKnn.signLsh(T(s, d, "embeddings"), KnnQueryIds, 5, 8)
+        .withColumn("rank", col("rank").cast("long"))),
+
+    // ---- text analysis (extras) ----
+    "text_stats" -> ((s, d) =>
+      TextStats.stats(T(s, d, "documents"), "doc_id", "text")),
+
+    "lang_id" -> ((s, d) =>
+      TextStats.langId(T(s, d, "documents"), "doc_id", "text")),
+
+    "doc_fingerprint" -> ((s, d) =>
+      TextStats.fingerprint(T(s, d, "documents"), "doc_id", "text")),
+
+    // ---- time windows (events table; §2.10 note) ----
+    "event_tumbling" -> ((s, d) =>
+      EventWindows.tumbling(T(s, d, "events"), "1 hour")),
+
+    "event_sessions" -> ((s, d) =>
+      EventWindows.sessions(T(s, d, "events"), "2 hours"))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_agg" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        | round(sum(l_quantity),2) AS sum_qty,
+        | round(sum(l_extendedprice*(1.0-l_discount)),2) AS revenue,
+        | round(avg(l_discount),6) AS avg_disc
+        |FROM lineitem GROUP BY 1,2""".stripMargin,
+
+    "q3_segment_revenue" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        | round(sum(l_extendedprice*(1.0-l_discount)),2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey=o_orderkey
+        |JOIN customer ON o_custkey=c_custkey GROUP BY 1""".stripMargin,
+
+    "q_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""".stripMargin,
+
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        | round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |   ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING),2) AS running,
+        | row_number() OVER (PARTITION BY o_custkey
+        |   ORDER BY o_orderdate, o_orderkey) AS rn
+        |FROM orders""".stripMargin,
+
+    "profile_table_stats" -> O.tableStatsSql,
+    "profile_numeric_stats" -> O.numericStatsSql,
+    "profile_quantiles" -> O.quantilesSql,
+
+    "profile_bbox" ->
+      """SELECT 'part' AS dataset_id, 'p_retailprice' AS x_col, 'p_size' AS y_col,
+        | round(CAST(min(p_retailprice) AS DOUBLE),6) AS x_min,
+        | round(CAST(min(p_size) AS DOUBLE),6) AS y_min,
+        | round(CAST(max(p_retailprice) AS DOUBLE),6) AS x_max,
+        | round(CAST(max(p_size) AS DOUBLE),6) AS y_max
+        |FROM part""".stripMargin,
+
+    "type_histogram" -> O.typeHistogramSql,
+
+    "tf_topk_docs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks WHERE term <> '' GROUP BY 1,2),
+        |r AS (SELECT doc_id, term, tf,
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, term ASC) AS rank FROM tf)
+        |SELECT doc_id, term, tf, rank FROM r WHERE rank <= 10""".stripMargin,
+
+    "tfidf_topk_docs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks WHERE term <> '' GROUP BY 1,2),
+        |corpus AS (SELECT term, sum(tf) AS ttf, count(*) AS df FROM tf GROUP BY 1),
+        |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf,
+        |    round(CAST(tf.tf AS DOUBLE)/corpus.ttf
+        |      * ln(CAST(nd.n_docs AS DOUBLE)/corpus.df), 6) AS score
+        |  FROM tf, corpus, nd WHERE tf.term = corpus.term),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |  ORDER BY score DESC, term ASC) AS rank FROM scored)
+        |SELECT doc_id, term, tf, score, rank FROM r WHERE rank <= 10""".stripMargin,
+
+    "embed_pool_label" ->
+      """WITH x AS (SELECT label, unnest(embedding) AS v,
+        |  unnest(range(1, len(embedding)+1)) AS dim FROM embeddings)
+        |SELECT label, dim, round(avg(CAST(v AS DOUBLE)),6) AS v
+        |FROM x GROUP BY 1,2""".stripMargin,
+
+    "sketch_knn" -> O.sketchKnnSql,
+
+    "bm25_docs" -> O.bm25Sql,
+
+    "dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+        | count(*) AS n_dups FROM documents GROUP BY 1""".stripMargin,
+
+    "dedup_jaccard" -> O.jaccardSql,
+
+    "knn_cosine" -> O.knnCosineSql,
+    "knn_lsh" -> O.knnLshSql,
+
+    "text_stats" ->
+      """SELECT doc_id,
+        | CAST(length(text) AS BIGINT) AS n_chars,
+        | CAST(len(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS BIGINT) AS n_tokens,
+        | round(CAST(length(text) AS DOUBLE)
+        |   / len(list_filter(string_split(lower(text), ' '), t -> t <> '')), 6) AS chars_per_token,
+        | round(CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+        |   / length(text), 6) AS punct_ratio,
+        | round(CAST(len(list_filter(string_split(lower(text), ' '),
+        |     t -> t IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+        |   / len(list_filter(string_split(lower(text), ' '), t -> t <> '')), 6) AS stopword_ratio,
+        | round(least(CAST(len(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS DOUBLE)/100.0, 1.0)
+        |   * (1.0 - least(CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+        |       / length(text), 1.0)), 6) AS quality
+        |FROM documents""".stripMargin,
+
+    "lang_id" -> O.langIdSql,
+
+    "doc_fingerprint" ->
+      """SELECT doc_id, md5(trim(regexp_replace(
+        | regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fingerprint
+        |FROM documents""".stripMargin,
+
+    "event_tumbling" ->
+      """SELECT CAST(floor(epoch(time_bucket(INTERVAL '1 hour', ts))) AS BIGINT) AS window_start,
+        | event_type, count(*) AS n, round(sum(value),4) AS total,
+        | round(avg(value),6) AS mean
+        |FROM events GROUP BY 1,2""".stripMargin,
+
+    "event_sessions" -> O.sessionsSql
+  )
+
+  /** DuckDB oracle SQL builders for the repetitive profile/sketch queries —
+    * generated from the same column-type config the Spark side derives from
+    * the schema, so the two sides cannot drift.
+    */
+  private object O {
+    val profiledTables = Seq("customer", "orders", "lineitem")
+
+    // (table, allCols, numericCols, temporalCols) — mirrors the parquet schemas
+    // (FIXTURES.md §A) in schema order.
+    val tables: Seq[(String, Seq[String], Seq[String], Seq[String])] = Seq(
+      ("region", Seq("r_regionkey", "r_name"), Seq("r_regionkey"), Nil),
+      ("nation", Seq("n_nationkey", "n_name", "n_regionkey"),
+        Seq("n_nationkey", "n_regionkey"), Nil),
+      ("customer", Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"),
+        Seq("c_custkey", "c_nationkey", "c_acctbal"), Nil),
+      ("supplier", Seq("s_suppkey", "s_name", "s_nationkey", "s_acctbal"),
+        Seq("s_suppkey", "s_nationkey", "s_acctbal"), Nil),
+      ("part", Seq("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"),
+        Seq("p_partkey", "p_size", "p_retailprice"), Nil),
+      ("orders", Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority"),
+        Seq("o_orderkey", "o_custkey", "o_totalprice"), Seq("o_orderdate")),
+      ("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate"),
+        Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+          "l_extendedprice", "l_discount", "l_tax"), Seq("l_shipdate")),
+      ("events", Seq("event_id", "ts", "user_id", "event_type", "value", "props"),
+        Seq("event_id", "user_id", "value"), Seq("ts")))
+
+    val tableStatsSql: String = profiledTables.map { t =>
+      val cols = tables.find(_._1 == t).get._2
+      val missing = cols.map(c => s"(count(*)-count($c))").mkString(" + ")
+      s"""SELECT dataset_id, n, n_var, n_cells_missing,
+         | round(CAST(n_cells_missing AS DOUBLE)/(n*n_var),6) AS p_cells_missing,
+         | n - nd AS n_duplicates,
+         | round(CAST(n - nd AS DOUBLE)/n,6) AS p_duplicates
+         |FROM (SELECT '$t' AS dataset_id, count(*) AS n,
+         |  CAST(${cols.size} AS BIGINT) AS n_var,
+         |  $missing AS n_cells_missing,
+         |  (SELECT count(*) FROM (SELECT DISTINCT * FROM $t)) AS nd
+         |  FROM $t)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+
+    val numericStatsSql: String = tables.flatMap { case (t, _, nums, _) =>
+      nums.map { c =>
+        s"""SELECT '$t' AS dataset_id, '$c' AS col_name, count($c) AS n,
+           | count(*)-count($c) AS n_missing, count(DISTINCT $c) AS n_distinct,
+           | round(avg(CAST($c AS DOUBLE)),6) AS mean,
+           | round(stddev_samp(CAST($c AS DOUBLE)),6) AS std,
+           | round(CAST(min($c) AS DOUBLE),6) AS vmin,
+           | round(CAST(max($c) AS DOUBLE),6) AS vmax
+           |FROM $t""".stripMargin
+      }
+    }.mkString("\nUNION ALL\n")
+
+    private val pcts = "[0.0,0.05,0.25,0.5,0.75,0.95,1.0]"
+
+    private def quantileBranch(t: String, c: String, colType: String): String = {
+      val v = if (colType == "Temporal") s"epoch($c)" else s"CAST($c AS DOUBLE)"
+      s"""SELECT '$t' AS dataset_id, '$c' AS col_name, '$colType' AS col_type,
+         | unnest(range(1,8)) AS dim,
+         | unnest(list_transform(q, x -> round(x,6))) AS v
+         |FROM (SELECT quantile_cont($v, $pcts) AS q FROM $t)""".stripMargin
+    }
+
+    val quantilesSql: String = tables.flatMap { case (t, _, nums, temps) =>
+      nums.map(c => quantileBranch(t, c, "Numeric")) ++
+        temps.map(c => quantileBranch(t, c, "Temporal"))
+    }.mkString("\nUNION ALL\n")
+
+    val typeHistogramSql: String = {
+      val rows = tables.filter(t => Tables.sketchTables.contains(t._1))
+        .flatMap { case (t, all, nums, temps) =>
+          val cat = all.size - nums.size - temps.size
+          Seq(
+            Some((t, "Numeric", nums.size)),
+            if (temps.nonEmpty) Some((t, "Temporal", temps.size)) else None,
+            if (cat > 0) Some((t, "Categorical", cat)) else None).flatten
+        }
+        .sortBy(r => (r._1, r._2))
+        .map { case (t, ty, n) => s"('$t', '$ty', CAST($n AS BIGINT))" }
+      s"SELECT * FROM (VALUES ${rows.mkString(", ")}) AS v(dataset_id, col_type, n_cols)"
+    }
+
+    val sketchSql: String = tables.flatMap { case (t, _, nums, temps) =>
+      (nums.map((_, "Numeric")) ++ temps.map((_, "Temporal"))).map { case (c, ty) =>
+        val v = if (ty == "Temporal") s"epoch($c)" else s"CAST($c AS DOUBLE)"
+        s"""SELECT '$t' AS dataset_id, '$c' AS col_name, '$ty' AS col_type,
+           | list_transform(quantile_cont($v, $pcts), x -> round(x,6)) AS vec
+           |FROM $t""".stripMargin
+      }
+    }.mkString("\nUNION ALL\n")
+
+    val sketchKnnSql: String = {
+      val sq = (1 to 7).map(i => s"(q_vec[$i]-c_vec[$i])*(q_vec[$i]-c_vec[$i])")
+        .mkString(" + ")
+      s"""WITH sk AS (
+         |$sketchSql
+         |),
+         |q AS (SELECT col_name AS q_col, col_type, vec AS q_vec FROM sk
+         |      WHERE dataset_id = 'customer'),
+         |c AS (SELECT dataset_id AS c_dataset, col_name AS c_col, col_type,
+         |        vec AS c_vec FROM sk WHERE dataset_id <> 'customer'),
+         |d AS (SELECT q_col, c_dataset, c_col, c.col_type,
+         |        round(sqrt($sq),6) AS dist
+         |      FROM c JOIN q USING (col_type)),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY q_col
+         |        ORDER BY dist ASC, c_dataset ASC, c_col ASC) AS rank FROM d),
+         |rm AS (SELECT * FROM r WHERE rank <= 100),
+         |nz AS (SELECT q_col, dist, row_number() OVER (PARTITION BY q_col
+         |        ORDER BY dist ASC, c_dataset ASC, c_col ASC) AS nzr
+         |       FROM rm WHERE dist > 0),
+         |kth AS (SELECT q_col, greatest(max(dist), 1e-12) AS kth FROM nz
+         |        WHERE nzr <= 50 GROUP BY 1)
+         |SELECT rm.q_col, rm.c_dataset, rm.c_col, rm.col_type, rm.dist,
+         |  coalesce(kth.kth, 1e-12) AS kth,
+         |  round(exp(-0.01 * rm.dist / coalesce(kth.kth, 1e-12)),6) AS sim,
+         |  rm.rank
+         |FROM rm LEFT JOIN kth USING (q_col)""".stripMargin
+    }
+
+    val bm25Sql: String = {
+      val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents),
+         |t2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM t2 GROUP BY 1,2),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM t2 GROUP BY 1),
+         |corpus AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+         |dfreq AS (SELECT term, count(*) AS df FROM tf WHERE term IN ($terms) GROUP BY 1)
+         |SELECT tf.doc_id, round(sum(
+         |   ln(1.0 + (corpus.n_docs - dfreq.df + 0.5)/(dfreq.df + 0.5))
+         |   * (tf.tf * (1.2 + 1.0))
+         |   / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / corpus.avgdl))
+         | ),6) AS score
+         |FROM tf
+         |JOIN dfreq ON tf.term = dfreq.term
+         |JOIN dl ON tf.doc_id = dl.doc_id
+         |CROSS JOIN corpus
+         |WHERE tf.term IN ($terms)
+         |GROUP BY tf.doc_id
+         |ORDER BY score DESC, tf.doc_id ASC LIMIT 100""".stripMargin
+    }
+
+    val jaccardSql: String =
+      s"""WITH toks AS (
+         |  SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS term
+         |  FROM documents WHERE doc_id < $DocBound),
+         |t2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM t2 GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |  FROM t2 a JOIN t2 b USING (term) WHERE a.doc_id < b.doc_id GROUP BY 1,2)
+         |SELECT id_a, id_b,
+         |  round(CAST(inter AS DOUBLE)/(sa.sz + sb.sz - inter),6) AS jac
+         |FROM inter
+         |JOIN sz sa ON inter.id_a = sa.doc_id
+         |JOIN sz sb ON inter.id_b = sb.doc_id
+         |WHERE CAST(inter AS DOUBLE)/(sa.sz + sb.sz - inter) >= 0.95""".stripMargin
+
+    private val knnIds = KnnQueryIds.mkString(", ")
+
+    val knnCosineSql: String =
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, vec AS q_vec FROM e WHERE vec_id IN ($knnIds)),
+         |s AS (SELECT q_id, vec_id AS c_id,
+         |        round(list_cosine_similarity(q_vec, vec),6) AS sim
+         |      FROM e CROSS JOIN q WHERE vec_id <> q_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+         |        ORDER BY sim DESC, c_id ASC) AS rank FROM s)
+         |SELECT q_id, c_id, sim, rank FROM r WHERE rank <= 5""".stripMargin
+
+    val knnLshSql: String = {
+      val bucket = (1 to 8).map(i =>
+        s"CASE WHEN vec[$i] >= 0 THEN '1' ELSE '0' END").mkString(" || ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec,
+         |        $bucket AS bucket FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, vec AS q_vec, bucket FROM e
+         |      WHERE vec_id IN ($knnIds)),
+         |s AS (SELECT q_id, e.vec_id AS c_id,
+         |        round(list_cosine_similarity(q_vec, e.vec),6) AS sim
+         |      FROM e JOIN q USING (bucket) WHERE e.vec_id <> q_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+         |        ORDER BY sim DESC, c_id ASC) AS rank FROM s)
+         |SELECT q_id, c_id, sim, rank FROM r WHERE rank <= 5""".stripMargin
+    }
+
+    val langIdSql: String = {
+      def hits(markers: Seq[String]) =
+        s"len(list_filter(string_split(lower(text), ' '), t -> t IN (${markers.map(m => s"'$m'").mkString(",")})))"
+      val scores = TextStats.langMarkers.map { case (l, m) =>
+        s"CAST(${hits(m)} AS BIGINT) AS score_$l"
+      }.mkString(",\n ")
+      val best = TextStats.langMarkers.map { case (l, _) => s"score_$l" }
+        .mkString("greatest(", ", ", ")")
+      val pick = TextStats.langMarkers.map { case (l, _) =>
+        s"WHEN score_$l = best AND best > 0 THEN '$l'"
+      }.mkString(" ")
+      s"""WITH s AS (SELECT doc_id,
+         | $scores
+         |FROM documents),
+         |b AS (SELECT *, $best AS best FROM s)
+         |SELECT doc_id, ${TextStats.langMarkers.map(_._1).map(l => s"score_$l").mkString(", ")},
+         | CASE $pick ELSE 'und' END AS lang_pred
+         |FROM b""".stripMargin
+    }
+
+    val sessionsSql: String =
+      """WITH x AS (SELECT user_id, ts, value,
+        |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |       OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL '2 hours'
+        |       THEN 1 ELSE 0 END AS new_s FROM events),
+        |y AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |  ROWS UNBOUNDED PRECEDING) AS sid FROM x)
+        |SELECT user_id, epoch_ms(min(ts)) AS session_start,
+        | count(*) AS n, round(sum(value),4) AS total
+        |FROM y GROUP BY user_id, sid""".stripMargin
+  }
 }

@@ -1,0 +1,169 @@
+package graft.extra
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for large-scale training-data pipelines: exact,
+  * n-gram/token Jaccard, MinHash-LSH, and SimHash near-dup. (Not part of the
+  * danae reference surface — these are the LLM-pipeline operators the driver
+  * contract adds; see BASELINE.json north_star.)
+  *
+  * Scale notes baked into each operator:
+  *  - exact: one hash-groupBy, map-side partial, no data movement beyond the
+  *    digest column.
+  *  - jaccard: exact pairwise verification is O(n²)-ish via the token
+  *    inverted index; at 100 TB use it only AFTER the LSH prefilter.
+  *  - minhashLsh: the scalable path — signatures are one groupBy over
+  *    (doc, perm), candidate pairs come from a band-bucket self-join, i.e.
+  *    shuffle keyed on (band, signature), never all-pairs.
+  *  - simhash: 64-bit fingerprints, candidates from band substrings.
+  */
+object Dedup {
+
+  /** Exact dedup groups: md5 over the content column; keeps the minimum id as
+    * the canonical representative.
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** (doc_id, term) distinct token sets. */
+  private def tokenSets(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        explode(split(lower(col(textCol)), " ")).as("term"))
+      .filter(col("term") =!= "").distinct()
+
+  /** Exact token-set Jaccard near-duplicate pairs (a < b, jac >= threshold)
+    * via inverted-index self-join: pairs only materialize for docs sharing at
+    * least one token.
+    */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                   threshold: Double): DataFrame = {
+    val toks = tokenSets(df, idCol, textCol).cache()
+    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = toks.as("a").join(toks.as("b"), "term")
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("jac", round(col("inter").cast("double")
+        / (col("sz_a") + col("sz_b") - col("inter")), 6))
+      .filter(col("jac") >= threshold)
+      .select("id_a", "id_b", "jac")
+  }
+
+  // MinHash machinery: base token hash from md5 (deterministic across runs and
+  // platforms), then numPerms universal-hash permutations h_i(x)=(a_i x+b_i) mod p.
+  // p prime > 2^32; a_i < 2^30 and x < 2^33 keep a_i*x inside a signed Long.
+  private val prime = 4294967311L
+
+  private def baseTokenHash = // 8 hex chars → [0, 2^32)
+    conv(substring(md5(col("term")), 1, 8), 16, 10).cast("long")
+
+  /** MinHash signatures: (doc_id, perm, minhash). One shuffle keyed on
+    * (doc_id, perm); the permutation table is a broadcast literal.
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        numPerms: Int = 32): DataFrame = {
+    val perms = (0 until numPerms).map { i =>
+      // deterministic "random" odd coefficients
+      val a = 1L + 2L * ((i * 1103515245L + 12345L) % (1L << 29))
+      val b = (i * 69069L + 1L) % prime
+      (i, math.abs(a), math.abs(b))
+    }
+    val permExprs = perms.map { case (i, a, b) =>
+      struct(lit(i).as("perm"),
+        ((lit(a) * col("h") + lit(b)) % lit(prime)).as("hv"))
+    }
+    tokenSets(df, idCol, textCol)
+      .withColumn("h", baseTokenHash)
+      .select(col("doc_id"), explode(array(permExprs: _*)).as("ph"))
+      .groupBy(col("doc_id"), col("ph.perm").as("perm"))
+      .agg(min(col("ph.hv")).as("minhash"))
+  }
+
+  /** LSH candidate pairs: band the signature (numPerms/rowsPerBand bands),
+    * bucket-join on (band, concatenated band signature), then verify with
+    * exact Jaccard. Returns (id_a, id_b, jac) with jac >= threshold.
+    */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      threshold: Double, numPerms: Int = 32,
+                      rowsPerBand: Int = 4): DataFrame = {
+    val sigs = minhashSignatures(df, idCol, textCol, numPerms)
+      .withColumn("band", (col("perm") / rowsPerBand).cast("int"))
+    val bandSigs = sigs.groupBy("doc_id", "band")
+      .agg(md5(concat_ws(",", sort_array(collect_list(
+        concat_ws(":", col("perm"), col("minhash")))))).as("band_sig"))
+    val candidates = bandSigs.as("a").join(bandSigs.as("b"), Seq("band", "band_sig"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    // verify candidates exactly (standard LSH verify step)
+    val toks = tokenSets(df, idCol, textCol).cache()
+    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    candidates
+      .join(toks.select(col("doc_id").as("id_a"), col("term")), "id_a")
+      .join(toks.select(col("doc_id").as("id_b"), col("term")), Seq("id_b", "term"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("jac", round(col("inter").cast("double")
+        / (col("sz_a") + col("sz_b") - col("inter")), 6))
+      .filter(col("jac") >= threshold)
+      .select("id_a", "id_b", "jac")
+  }
+
+  /** 60-bit SimHash fingerprints: per token, bits of a 60-bit md5-derived
+    * hash vote +tf/-tf per position; fingerprint bit i = sign of the vote sum.
+    * Returned as a bit string (readable, and band-sliceable for candidate
+    * generation). At production scale replace the posexplode with a typed
+    * Aggregator carrying a 64-int buffer (one pass, no 60× row blowup).
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String,
+              bits: Int = 60): DataFrame = {
+    val tf = df.select(col(idCol).as("doc_id"),
+        explode(split(lower(col(textCol)), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .withColumn("h", conv(substring(md5(col("term")), 1, 15), 16, 10).cast("long"))
+    tf.select(col("doc_id"), col("tf"), col("h"),
+        posexplode(sequence(lit(0), lit(bits - 1))).as(Seq("i", "bit_pos")))
+      .withColumn("vote",
+        when(expr("shiftright(h, bit_pos) & 1") === 1,
+          col("tf")).otherwise(-col("tf")))
+      .groupBy("doc_id", "bit_pos").agg(sum("vote").as("v"))
+      .groupBy("doc_id")
+      .agg(concat_ws("", reverse(transform(
+        array_sort(collect_list(struct(col("bit_pos"), col("v")))),
+        s => when(s.getField("v") > 0, "1").otherwise("0")))).as("fingerprint"))
+  }
+
+  /** Near-dup pairs by SimHash: candidates share one of `bands` fingerprint
+    * slices; verified by Hamming distance <= maxHamming.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+    val fp = simhash(df, idCol, textCol).cache()
+    val bitsLen = 60
+    val bandLen = bitsLen / bands
+    val banded = fp.select(col("doc_id"), col("fingerprint"),
+      posexplode(array((0 until bands).map(b =>
+        substring(col("fingerprint"), b * bandLen + 1, bandLen)): _*))
+        .as(Seq("band", "slice")))
+    val hamming = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      aggregate(zip_with(split(a, ""), split(b, ""),
+          (x, y) => when(x =!= y, 1).otherwise(0)),
+        lit(0), (acc, v) => acc + v)
+    banded.as("a").join(banded.as("b"), Seq("band", "slice"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.fingerprint").as("fp_a"), col("b.fingerprint").as("fp_b"))
+      .distinct()
+      .withColumn("hamming", hamming(col("fp_a"), col("fp_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+}

@@ -1,0 +1,61 @@
+package graft.extra
+
+import graft.functions.VectorOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`), for training-data similarity pipelines.
+  *
+  *  - [[bruteForce]]: exact cosine top-k. The query side broadcasts, the
+  *    candidate scan is embarrassingly parallel, the per-query top-k is a
+  *    window over rounded similarity (deterministic ties). Baseline + oracle.
+  *  - [[signLsh]]: the scale path — bucket vectors by the sign pattern of
+  *    their leading dimensions (a fixed-hyperplane LSH; deterministic, so the
+  *    DuckDB oracle can reproduce it exactly). Probing cost drops by ~2^bits;
+  *    at 100 TB swap the fixed hyperplanes for seeded random ones and/or an
+  *    IVF coarse quantizer — the plan shape (bucket equi-join + windowed
+  *    top-k) is unchanged, and it's a shuffle on bucket keys, never all-pairs.
+  */
+object EmbeddingKnn {
+
+  private def asDouble(c: org.apache.spark.sql.Column) =
+    transform(c, _.cast("double"))
+
+  /** Exact cosine top-k neighbors for the query vectors. */
+  def bruteForce(emb: DataFrame, queryIds: Seq[Long], k: Int = 5): DataFrame = {
+    val q = emb.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("q_id"), asDouble(col("embedding")).as("q_vec"))
+    val c = emb.select(col("vec_id").as("c_id"), asDouble(col("embedding")).as("c_vec"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id").asc)
+    c.crossJoin(broadcast(q))
+      .filter(col("c_id") =!= col("q_id"))
+      .withColumn("sim", round(VectorOps.cosine(col("q_vec"), col("c_vec")), 6))
+      .select("q_id", "c_id", "sim")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Sign-pattern bucket key over the first `bits` dimensions. */
+  private def bucketExpr(vecCol: org.apache.spark.sql.Column, bits: Int) =
+    concat_ws("", (0 until bits).map(i =>
+      when(element_at(vecCol, i + 1) >= 0, "1").otherwise("0")): _*)
+
+  /** LSH-bucketed cosine top-k: candidates restricted to the query's bucket. */
+  def signLsh(emb: DataFrame, queryIds: Seq[Long], k: Int = 5, bits: Int = 8): DataFrame = {
+    val withBucket = emb.select(col("vec_id"), asDouble(col("embedding")).as("vec"))
+      .withColumn("bucket", bucketExpr(col("vec"), bits))
+    val q = withBucket.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("q_id"), col("vec").as("q_vec"), col("bucket"))
+    val c = withBucket
+      .select(col("vec_id").as("c_id"), col("vec").as("c_vec"), col("bucket"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id").asc)
+    c.join(broadcast(q), "bucket")
+      .filter(col("c_id") =!= col("q_id"))
+      .withColumn("sim", round(VectorOps.cosine(col("q_vec"), col("c_vec")), 6))
+      .select("q_id", "c_id", "sim")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+}

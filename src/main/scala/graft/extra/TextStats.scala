@@ -1,0 +1,89 @@
+package graft.extra
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis operators for training-data curation: token counting,
+  * quality scoring, n-gram-heuristic language ID, and document
+  * fingerprinting. All pure column expressions (whole-stage codegen; no
+  * UDFs) — per-row work, no shuffle at all, so they scale linearly with
+  * input and can be pushed into the first pass over a 100 TB corpus.
+  * Formulas are deliberately written with primitives that DuckDB evaluates
+  * identically (string_split/list_filter/length arithmetic) so every one of
+  * them is oracle-checkable.
+  */
+object TextStats {
+
+  private def toks(c: Column): Column =
+    filter(split(lower(c), " "), t => t =!= "")
+
+  /** Per-document statistics + a composite quality score. */
+  def stats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val tokens = toks(t)
+    val nChars = length(t)
+    val nTokens = size(tokens)
+    // alphanumeric+space chars removed = punctuation/other
+    val punct = length(regexp_replace(t, "[a-z0-9 ]", ""))
+    val stop = size(filter(tokens, x => x.isin(stopwords: _*)))
+    df.select(
+      col(idCol).as("doc_id"),
+      nChars.cast("long").as("n_chars"),
+      nTokens.cast("long").as("n_tokens"),
+      round(nChars.cast("double") / nTokens, 6).as("chars_per_token"),
+      round(punct.cast("double") / nChars, 6).as("punct_ratio"),
+      round(stop.cast("double") / nTokens, 6).as("stopword_ratio"),
+      // quality: enough tokens × low punctuation share
+      round(least(nTokens.cast("double") / 100.0, lit(1.0))
+        * (lit(1.0) - least(punct.cast("double") / nChars, lit(1.0))), 6)
+        .as("quality"))
+  }
+
+  val stopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  /** Marker-word vocabularies for the n-gram/stopword language-ID heuristic.
+    * Deterministic scoring: count of marker hits per language, argmax with
+    * alphabetical tie-break, "und" (undetermined) when no marker hits.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht"),
+    "en" -> Seq("the", "and", "of", "to", "is", "a"),
+    "es" -> Seq("el", "la", "de", "y", "que", "los"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un"),
+    "zh" -> Seq("de", "shi", "le", "bu", "wo", "zai"))
+
+  def langId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tokens = toks(col(textCol))
+    val scored = langMarkers.foldLeft(
+      df.select(col(idCol).as("doc_id"), tokens.as("tokens"))) {
+      case (acc, (lang, markers)) =>
+        acc.withColumn(s"score_$lang",
+          size(filter(col("tokens"), t => t.isin(markers: _*))))
+    }
+    val best = langMarkers.map { case (lang, _) => col(s"score_$lang") }
+      .reduce((a, b) => greatest(a, b))
+    // argmax with alphabetical tie-break: first lang reaching the max wins
+    val pick = langMarkers.foldRight(lit("und")) { case ((lang, _), els) =>
+      when(col(s"score_$lang") === col("best") && col("best") > 0, lit(lang))
+        .otherwise(els)
+    }
+    // foldRight gives de-first precedence; evaluate in alphabetical order
+    val outCols = col("doc_id") +:
+      (langMarkers.map { case (l, _) => col(s"score_$l").cast("long").as(s"score_$l") }
+        :+ col("lang_pred"))
+    scored.withColumn("best", best)
+      .withColumn("lang_pred", pick)
+      .select(outCols: _*)
+  }
+
+  /** Document fingerprint: md5 of whitespace-normalized lowercase text with
+    * non-alphanumerics stripped — stable under formatting jitter; the
+    * building block for fuzzy exact-dedup.
+    */
+  def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+      md5(trim(regexp_replace(
+        regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", ""),
+        " +", " "))).as("fingerprint"))
+}

@@ -1,0 +1,99 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftShim}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Vector math over `array<double>` columns as native Catalyst expressions
+  * with whole-stage codegen — the hot path of the sketch kNN join
+  * (reference computes these in numpy: search/content_search.py:58-70
+  * euclidean; embedding cosine is implicit in the R-tree distance).
+  *
+  * A Scala UDF here would ser/de every array through the encoder on every
+  * probe of the distance join; these expressions instead read the unsafe
+  * array buffers in place and stay inside the generated loop, which is what
+  * makes the brute-force distance join viable before LSH kicks in at scale.
+  */
+/** Callers guarantee both children are `array<double>` (VectorOps casts at
+  * the Column layer), so no ExpectsInputTypes — that trait's signature is
+  * private[sql] in Spark 4.
+  */
+abstract class VectorBinaryExpression extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+}
+
+/** sqrt(sum((a_i - b_i)^2)) — search/content_search.py:58-70. */
+case class EuclideanDistance(left: Expression, right: Expression)
+    extends VectorBinaryExpression {
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { val d = x.getDouble(i) - y.getDouble(i); s += d * d; i += 1 }
+    math.sqrt(s)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double s = 0.0;
+         |for (int i = 0; i < n; i++) {
+         |  double d = $a.getDouble(i) - $b.getDouble(i);
+         |  s += d * d;
+         |}
+         |${ev.value} = java.lang.Math.sqrt(s);
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** dot(a,b) / (|a| * |b|); 0.0 when either norm is 0. */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends VectorBinaryExpression {
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = x.getDouble(i); val yv = y.getDouble(i)
+      dot += xv * yv; na += xv * xv; nb += yv * yv; i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double dot = 0.0, na = 0.0, nb = 0.0;
+         |for (int i = 0; i < n; i++) {
+         |  double xv = $a.getDouble(i);
+         |  double yv = $b.getDouble(i);
+         |  dot += xv * yv; na += xv * xv; nb += yv * yv;
+         |}
+         |${ev.value} = (na == 0.0 || nb == 0.0)
+         |  ? 0.0 : dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb));
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+object VectorOps {
+  import GraftShim.{column, expression}
+
+  /** Euclidean distance between two array<double> columns (codegen'd). */
+  def euclid(a: Column, b: Column): Column =
+    column(EuclideanDistance(expression(a), expression(b)))
+
+  /** Cosine similarity between two array<double> columns (codegen'd). */
+  def cosine(a: Column, b: Column): Column =
+    column(CosineSimilarity(expression(a), expression(b)))
+}

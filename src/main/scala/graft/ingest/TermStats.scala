@@ -1,0 +1,64 @@
+package graft.ingest
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Term-frequency / TF-IDF statistics over text columns — danae's
+  * "freqs" enrichment (reference: ingest/profiling/profiler_tfidf.py:9-68 +
+  * ingest/profiling/filters.py:137-158, which asks ES termvectors for
+  * term_freq, ttf, doc_freq and scores `(tf/ttf) * ln(N/df)`).
+  *
+  * Spark-first: tokenize with `explode(split(...))` (codegen'd, no UDF),
+  * aggregate TF with a hash aggregate (map-side partial combine), rank with a
+  * window. The corpus-level stats (ttf, df, N) are plain aggregations joined
+  * back — at 100 TB the term dimension is small relative to the corpus, and
+  * the (term)-keyed aggregates shuffle only distinct terms per partition.
+  */
+object TermStats {
+
+  /** (doc_id, term) token stream. Splits on single spaces and drops empties —
+    * deliberately mirrors DuckDB `string_split(text, ' ')` for oracle parity.
+    */
+  def tokens(df: DataFrame, docIdCol: String, textCol: String): DataFrame =
+    df.select(col(docIdCol).as("doc_id"),
+        explode(split(lower(col(textCol)), " ")).as("term"))
+      .filter(col("term") =!= "")
+
+  /** Per-document term frequencies. */
+  def termFreqs(tokensDf: DataFrame): DataFrame =
+    tokensDf.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+
+  /** Top-k terms per document by TF, deterministic tie-break on term
+    * (filters.py:156-158 keeps the top-10 list).
+    */
+  def tfTopK(tokensDf: DataFrame, k: Int = 10): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy(col("tf").desc, col("term").asc)
+    termFreqs(tokensDf)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Top-k terms per document by the reference's TF-IDF variant
+    * `(term_freq / ttf) * ln(N / doc_freq)` (filters.py:152-153), where
+    * ttf = total term frequency corpus-wide, df = #docs containing the term,
+    * N = #docs. Scores rounded to 6 decimals for oracle parity.
+    */
+  def tfIdfTopK(tokensDf: DataFrame, k: Int = 10): DataFrame = {
+    val tf = termFreqs(tokensDf)
+    val corpus = tf.groupBy("term")
+      .agg(sum("tf").as("ttf"), count(lit(1)).as("df"))
+    // Corpus size as a broadcast 1-row join — no driver-side action, the
+    // whole query stays one lazily-planned job.
+    val nDf = tf.agg(countDistinct("doc_id").as("n_docs"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term").asc)
+    tf.join(broadcast(corpus), "term")
+      .crossJoin(broadcast(nDf))
+      .withColumn("score",
+        round(col("tf").cast("double") / col("ttf")
+          * log(col("n_docs").cast("double") / col("df")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("doc_id", "term", "tf", "score", "rank")
+  }
+}

@@ -1,0 +1,65 @@
+package graft.search
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Weighted combination of content and metadata scores — the Spark version of
+  * danae's TA (threshold-algorithm) combiner (search/combined_search.py:44-111).
+  * TA's early termination is a single-query latency trick; in batch Spark the
+  * exact same top-k falls out of a full-outer join + weighted sum + top-k
+  * (SURVEY.md §4): missing scores are 0 (combined_search.py:59-63,87-93),
+  * tie-break on candidate id (content_search.py:423-429).
+  */
+object CombinedScorer {
+
+  /** contentScores: (c_dataset, content_score, matching);
+    * metadataScores: (c_dataset, metadata_score).
+    * overall = wContent * content + wMetadata * metadata, top-k.
+    */
+  def combine(contentScores: DataFrame, metadataScores: DataFrame,
+              wContent: Double = 0.5, wMetadata: Double = 0.5, k: Int = 15): DataFrame =
+    contentScores
+      .join(metadataScores, Seq("c_dataset"), "full_outer")
+      .na.fill(0.0, Seq("content_score", "metadata_score"))
+      .withColumn("overall_score",
+        round(lit(wContent) * col("content_score")
+          + lit(wMetadata) * col("metadata_score"), 6))
+      .orderBy(col("overall_score").desc, col("c_dataset").asc)
+      .limit(k)
+
+  /** Synthesized per-dataset metadata corpus for the fixture lake: title =
+    * table name, description = column names (the reference's metadata fields
+    * come from the catalogue CSV, eodp_publisher.py:21-36).
+    */
+  def datasetMetadata(spark: SparkSession, dir: String,
+                      tables: Seq[String] = Tables.sketchTables): DataFrame = {
+    import spark.implicits._
+    tables.map { t =>
+      val cols = Tables.load(spark, dir, t).columns
+      (t, t, cols.mkString(" ").replace("_", " "))
+    }.toDF("dataset_id", "title", "description")
+  }
+
+  /** End-to-end similarity search for one query dataset (flagship; mirrors
+    * search/combined_search.py:114-155's response shape: result id,
+    * content/metadata/overall scores + the column matching payload).
+    */
+  def search(spark: SparkSession, dir: String, queryId: String,
+             m: Int = 100, l: Int = 50, k: Int = 15,
+             wContent: Double = 0.5, wMetadata: Double = 0.5): DataFrame = {
+    val sketch = Sketches.all(spark, dir).cache()
+    val ranked = DistanceJoin.knn(sketch, queryId, m, l)
+    val content = Matcher.contentScores(DistanceJoin.weighted(ranked))
+    val meta = datasetMetadata(spark, dir)
+    val queryTerms = meta.filter(col("dataset_id") === queryId)
+      .select(concat_ws(" ", col("title"), col("description")))
+      .head().getString(0).toLowerCase.split(" ").filter(_.nonEmpty).distinct.toSeq
+    val metaScores = Bm25.multiField(
+        meta.filter(col("dataset_id") =!= queryId).withColumnRenamed("dataset_id", "doc_id"),
+        "doc_id", Seq("title" -> 2.0, "description" -> 1.0), queryTerms)
+      .select(col("doc_id").as("c_dataset"), col("score").as("metadata_score"))
+    combine(content, metaScores, wContent, wMetadata, k)
+      .withColumn("query_id", lit(queryId))
+  }
+}

@@ -1,0 +1,81 @@
+package graft.search
+
+import graft.functions.VectorOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Column-sketch kNN — the Spark version of danae's R-tree nearest-neighbor
+  * search over column vectors (search/content_search.py:72-116 +
+  * search/index.py:37-43), including the reference's kth-distance
+  * normalization (content_search.py:88-96: the L-th smallest NON-ZERO
+  * distance, floored at 1e-12) and exp-decay similarity
+  * `sim = w * exp(-decay * dist / kth)` (content_search.py:104).
+  *
+  * Plan shape: the query side is a handful of rows (one per query column) —
+  * broadcast it; the candidate side is the sketch table partitioned by
+  * col_type. Distance is a codegen'd native expression, ranking a window per
+  * query column. Distances are rounded to 6 decimals BEFORE ranking so the
+  * DuckDB oracle ranks identically; ties break on (dataset_id, col_name).
+  * At lake scale (millions of columns) swap the per-type brute-force join for
+  * an LSH bucket join — same interface, the ranked-list schema is unchanged.
+  */
+object DistanceJoin {
+
+  /** Per-query-column ranked candidate lists.
+    *
+    * @param sketch  sketch table (dataset_id, col_name, col_type, vector)
+    * @param queryId dataset whose columns are the query
+    * @param m       neighbors kept per query column (danae M, UI default 100)
+    * @param l       rank of the normalizing distance (danae L, UI default 50)
+    * @param decay   exp decay rate (content_search.py:28, default 0.01)
+    */
+  def knn(sketch: DataFrame, queryId: String, m: Int = 100, l: Int = 50,
+          decay: Double = 0.01): DataFrame = {
+    val query = sketch.filter(col("dataset_id") === queryId)
+      .select(col("col_name").as("q_col"), col("col_type"), col("vector").as("q_vec"))
+    val cands = sketch.filter(col("dataset_id") =!= queryId)
+      .select(col("dataset_id").as("c_dataset"), col("col_name").as("c_col"),
+        col("col_type"), col("vector").as("c_vec"))
+    val joined = cands.join(broadcast(query), "col_type")
+      .withColumn("dist", round(VectorOps.euclid(col("q_vec"), col("c_vec")), 6))
+      .drop("q_vec", "c_vec")
+
+    val rankW = Window.partitionBy("q_col")
+      .orderBy(col("dist").asc, col("c_dataset").asc, col("c_col").asc)
+    val ranked = joined.withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= m)
+
+    // kth = L-th smallest non-zero distance per query column (or the largest
+    // non-zero one if fewer than L), floored at 1e-12 (content_search.py:88-96).
+    val nzW = Window.partitionBy("q_col")
+      .orderBy(col("dist").asc, col("c_dataset").asc, col("c_col").asc)
+    val kth = ranked.filter(col("dist") > 0)
+      .withColumn("nz_rank", row_number().over(nzW))
+      .filter(col("nz_rank") <= l)
+      .groupBy("q_col")
+      .agg(greatest(max(col("dist")), lit(1e-12)).as("kth"))
+
+    ranked.join(broadcast(kth), Seq("q_col"), "left")
+      .withColumn("kth", coalesce(col("kth"), lit(1e-12)))
+      .withColumn("sim", round(exp(-lit(decay) * col("dist") / col("kth")), 6))
+  }
+
+  /** Ranked lists with per-query-column weights applied (the `w * sim` edge
+    * weight used by the matcher; weights pre-normalized to sum 1 like
+    * ui/dataset_graph.py:102-122). Uniform weights when none supplied.
+    */
+  def weighted(ranked: DataFrame, weights: Map[String, Double] = Map.empty): DataFrame = {
+    val withW =
+      if (weights.nonEmpty) {
+        val entries = weights.flatMap { case (k, v) => Seq(lit(k), lit(v)) }.toSeq
+        ranked.withColumn("w",
+          coalesce(element_at(map(entries: _*), col("q_col")), lit(0.0)))
+      } else {
+        val nDf = ranked.agg(countDistinct("q_col").as("n_qcols"))
+        ranked.crossJoin(broadcast(nDf))
+          .withColumn("w", lit(1.0) / col("n_qcols")).drop("n_qcols")
+      }
+    withW.withColumn("w_sim", col("w") * col("sim"))
+  }
+}

@@ -1,0 +1,59 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Time-window aggregation over the events table. The reference has no true
+  * streaming (its only incremental work is a poll-based status queue,
+  * ingest/profiling/profiler.py:9-41 — see SURVEY.md §2.10), so these
+  * operators exist in both batch form (oracle-checkable) and Structured
+  * Streaming form (same logical plan over readStream; demonstrated in tests
+  * with a memory sink).
+  *
+  * Window starts are emitted as epoch seconds so the DuckDB oracle
+  * (`time_bucket`) compares exactly; sums rounded to 4 decimals to absorb
+  * accumulation-order float noise.
+  */
+object EventWindows {
+
+  /** Tumbling-window aggregate: (window_start, event_type, n, total, mean). */
+  def tumbling(events: DataFrame, width: String = "1 hour"): DataFrame =
+    events.groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum("value"), 4).as("total"),
+        round(avg("value"), 6).as("mean"))
+      .select(unix_timestamp(col("w.start")).as("window_start"),
+        col("event_type"), col("n"), col("total"), col("mean"))
+
+  /** Sliding-window aggregate (no oracle — DuckDB lacks a direct equivalent;
+    * covered by unit tests against a manual expansion).
+    */
+  def sliding(events: DataFrame, width: String = "1 hour", slide: String = "30 minutes"): DataFrame =
+    events.groupBy(window(col("ts"), width, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total"))
+      .select(unix_timestamp(col("w.start")).as("window_start"),
+        col("event_type"), col("n"), col("total"))
+
+  /** Session windows per user with an inactivity gap; oracle = classic
+    * gaps-and-islands SQL (lag + running sum of session starts).
+    */
+  def sessions(events: DataFrame, gap: String = "5 minutes"): DataFrame =
+    events.groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total"))
+      .select(col("user_id"),
+        unix_millis(col("w.start")).as("session_start"),
+        col("n"), col("total"))
+
+  /** Streaming twin of [[tumbling]]: same aggregation over a file stream with
+    * a watermark for state cleanup. Caller attaches the sink.
+    */
+  def streamingTumbling(spark: SparkSession, dir: String, schema: StructType,
+                        width: String = "1 hour"): DataFrame =
+    spark.readStream.schema(schema).parquet(dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("total"))
+}
