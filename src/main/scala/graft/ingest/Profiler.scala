@@ -55,10 +55,14 @@ object Profiler {
     val nVar = cols.size
     val missing = cols.map(c => count(when(col(c).isNull, 1)))
       .reduce(_ + _).as("n_cells_missing")
+    // countDistinct over a struct, not bare columns: bare multi-column
+    // countDistinct silently drops rows where ANY column is null, which would
+    // count null-bearing rows as duplicates (the SQL `SELECT DISTINCT *`
+    // oracle keeps them).
     df.agg(
       count(lit(1)).as("n"),
       missing,
-      countDistinct(cols.head, cols.tail: _*).as("n_distinct_rows")
+      countDistinct(struct(cols.map(col): _*)).as("n_distinct_rows")
     ).select(
       lit(datasetId).as("dataset_id"),
       col("n"),

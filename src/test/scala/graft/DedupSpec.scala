@@ -1,0 +1,42 @@
+package graft
+
+import graft.extra.Dedup
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("exact dedup groups identical texts") {
+    val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("id", "t")
+    val got = Dedup.exact(df, "id", "t").orderBy("keep_id").collect()
+    assert(got.length == 2)
+    assert(got(0).getAs[Long]("keep_id") == 1L && got(0).getAs[Long]("n_dups") == 2L)
+  }
+
+  test("minhash LSH recall vs exact jaccard on fixture docs") {
+    val docs = Tables.load(spark, SparkTestSession.sf0001, "documents")
+      .filter(col("doc_id") < 150)
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 0.95)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", 0.95)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), "LSH must verify pairs exactly (no false positives)")
+    assert(exact.nonEmpty)
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall too low (${lsh.size}/${exact.size})")
+  }
+
+  test("simhash: identical docs at hamming 0, near docs close") {
+    val df = Seq(
+      (1L, "spark query join stream table scan"),
+      (2L, "spark query join stream table scan"),
+      (3L, "completely different words entirely here now")).toDF("id", "t")
+    val fps = Dedup.simhash(df, "id", "t").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fps(1L) == fps(2L))
+    val pairs = Dedup.simhashPairs(df, "id", "t", 0).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import graft.streaming.EventWindows
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class EventWindowsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("streaming tumbling (memory sink) equals batch tumbling") {
+    val batchEvents = Tables.load(spark, SparkTestSession.sf0001, "events")
+    val batch = EventWindows.tumbling(batchEvents, "1 hour")
+      .select(col("window_start"), col("event_type"), col("n"), col("total"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+
+    // stream the same parquet dir through the streaming twin; complete mode
+    // via the batch-equivalent: process all available then compare
+    // streaming parquet source needs a directory; re-write the fixture there
+    // (also normalizes the ns timestamps to Spark-native µs)
+    val dir = java.nio.file.Files.createTempDirectory("ev_stream").toString
+    batchEvents.write.mode("overwrite").parquet(dir)
+    val stream = EventWindows.streamingTumbling(
+      spark, dir, batchEvents.schema, "1 hour")
+    // complete mode: every window is in the sink after processAllAvailable,
+    // so the comparison with batch is exact equality
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName("ev_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("ev_out")
+      .select(unix_timestamp(col("window_start")).as("ws"), col("event_type"),
+        col("n"), col("total"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(streamed == batch)
+  }
+
+  test("sessions merge events within gap") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.0),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:03:00"), 2.0),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:10:00"), 3.0), // gap >= 5m → new
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 4.0)
+    ).toDF("user_id", "ts", "value")
+    val got = EventWindows.sessions(df, "5 minutes")
+      .orderBy("user_id", "session_start").collect()
+    assert(got.length == 3)
+    assert(got(0).getAs[Long]("n") == 2 && got(0).getAs[Double]("total") == 3.0)
+    assert(got(1).getAs[Long]("n") == 1 && got(1).getAs[Double]("total") == 3.0)
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import graft.ingest.Profiler
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ProfilerSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("danaeType mapping incl. spatial names and NTZ timestamps") {
+    assert(Profiler.danaeType(StructField("x", DoubleType)) == "Numeric")
+    assert(Profiler.danaeType(StructField("x", IntegerType)) == "Numeric")
+    assert(Profiler.danaeType(StructField("x", TimestampType)) == "Temporal")
+    assert(Profiler.danaeType(StructField("x", TimestampNTZType)) == "Temporal")
+    assert(Profiler.danaeType(StructField("x", StringType)) == "Categorical")
+    assert(Profiler.danaeType(StructField("x", BooleanType)) == "Unsupported")
+    // name-based spatial detection incl. the reference's 'lattitude' quirk
+    // (profiler.py:90-99)
+    assert(Profiler.danaeType(StructField("LAT", DoubleType)) == "Spatial")
+    assert(Profiler.danaeType(StructField("lattitude", StringType)) == "Spatial")
+    assert(Profiler.danaeType(StructField("longitude", DoubleType)) == "Spatial")
+  }
+
+  test("tableStats counts nulls and duplicate rows") {
+    val df = Seq(
+      ("a", Some(1)), ("a", Some(1)), ("b", None), ("c", Some(3))
+    ).toDF("k", "v")
+    val r = Profiler.tableStats(df, "t").collect()(0)
+    assert(r.getAs[Long]("n") == 4)
+    assert(r.getAs[Long]("n_var") == 2)
+    assert(r.getAs[Long]("n_cells_missing") == 1)
+    assert(r.getAs[Long]("n_duplicates") == 1)
+    assert(math.abs(r.getAs[Double]("p_duplicates") - 0.25) < 1e-9)
+  }
+
+  test("numericStats long format") {
+    val df = Seq((1.0, "x"), (2.0, "y"), (3.0, "z")).toDF("v", "s")
+    val rows = Profiler.numericStats(df, "t").collect()
+    assert(rows.length == 1)
+    val r = rows(0)
+    assert(r.getAs[String]("col_name") == "v")
+    assert(r.getAs[Long]("n_distinct") == 3)
+    assert(r.getAs[Double]("mean") == 2.0)
+    assert(r.getAs[Double]("vmin") == 1.0 && r.getAs[Double]("vmax") == 3.0)
+  }
+
+  test("quantileSketch produces 7-dim [min,5,25,50,75,95,max] vectors") {
+    val df = (1 to 100).map(_.toDouble).toDF("v")
+    val r = Profiler.quantileSketch(df, "t").collect()(0)
+    val vec = r.getSeq[Double](r.fieldIndex("vector"))
+    assert(vec.length == 7)
+    assert(vec.head == 1.0 && vec.last == 100.0)
+    assert(math.abs(vec(3) - 50.5) < 1e-9) // median of 1..100
+    assert(vec == vec.sorted)              // monotone percentiles
+  }
+
+  test("bboxSketch coerces decimal-comma strings (profiler.py:91-97)") {
+    val df = Seq(("1,5", 2.0), ("3,25", 4.0)).toDF("lng", "lat")
+    val r = Profiler.bboxSketch(df, "t", "lng", "lat").collect()(0)
+    assert(r.getAs[Double]("x_min") == 1.5)
+    assert(r.getAs[Double]("x_max") == 3.25)
+    assert(r.getAs[Double]("y_min") == 2.0 && r.getAs[Double]("y_max") == 4.0)
+  }
+}

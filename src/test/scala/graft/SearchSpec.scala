@@ -1,0 +1,68 @@
+package graft
+
+import graft.search.{Bm25, CombinedScorer, DistanceJoin, Matcher}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SearchSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** Hand-checkable sketch table (FIXTURES.md §B.2): query Q with one column,
+    * candidates at known distances 0, 3, 4, 5.
+    */
+  private def sketch = Seq(
+    ("Q", "qc", "Numeric", Seq(0.0, 0.0)),
+    ("A", "a1", "Numeric", Seq(0.0, 0.0)),  // dist 0 (excluded from kth)
+    ("B", "b1", "Numeric", Seq(3.0, 0.0)),  // dist 3
+    ("C", "c1", "Numeric", Seq(0.0, 4.0)),  // dist 4
+    ("D", "d1", "Numeric", Seq(3.0, 4.0)),  // dist 5
+    ("E", "e1", "Categorical", Seq(1.0, 1.0)) // different type → never joined
+  ).toDF("dataset_id", "col_name", "col_type", "vector")
+
+  test("knn: kth = L-th smallest NON-ZERO distance (content_search.py:88-96)") {
+    val r = DistanceJoin.knn(sketch, "Q", m = 10, l = 2).collect()
+    assert(r.map(_.getAs[String]("c_dataset")).toSet == Set("A", "B", "C", "D"))
+    val kth = r.head.getAs[Double]("kth")
+    assert(kth == 4.0, s"kth should be 2nd smallest non-zero (4.0), got $kth")
+    val simByCand = r.map(x => x.getAs[String]("c_dataset") -> x.getAs[Double]("sim")).toMap
+    // sim = exp(-0.01 * dist / kth), rounded to 6
+    assert(math.abs(simByCand("B") - math.exp(-0.01 * 3.0 / 4.0)) < 1e-6)
+    assert(simByCand("A") == 1.0) // dist 0 → exp(0)
+  }
+
+  test("knn: rank ties break on (dataset, col)") {
+    val r = DistanceJoin.knn(sketch, "Q", m = 10, l = 2)
+      .orderBy("rank").collect().map(_.getAs[String]("c_dataset"))
+    assert(r.toSeq == Seq("A", "B", "C", "D"))
+  }
+
+  test("weighted + contentScores end-to-end on tiny fixture") {
+    val ranked = DistanceJoin.knn(sketch, "Q", m = 10, l = 2)
+    val scored = Matcher.contentScores(DistanceJoin.weighted(ranked))
+      .collect().map(r => r.getAs[String]("c_dataset") -> r.getAs[Double]("content_score")).toMap
+    // single query column, uniform weight 1.0 → score = sim of best edge
+    assert(scored("A") == 1.0)
+    assert(scored.keySet == Set("A", "B", "C", "D"))
+  }
+
+  test("bm25 idf decreases with document frequency") {
+    val docs = Seq(
+      (1L, "rare common common"),
+      (2L, "common words here"),
+      (3L, "common again there")).toDF("doc_id", "text")
+    val s = Bm25.scores(docs, "doc_id", "text", Seq("rare", "common"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(s(1L) > s(2L), "doc with the rare term must outscore common-only docs")
+  }
+
+  test("combine: missing scores become 0, weighted sum, top-k ordering") {
+    val content = Seq(("A", 0.8, Seq.empty[String]), ("B", 0.5, Seq.empty[String]))
+      .toDF("c_dataset", "content_score", "matching")
+    val meta = Seq(("B", 1.0), ("C", 0.9)).toDF("c_dataset", "metadata_score")
+    val got = CombinedScorer.combine(content, meta, 0.5, 0.5, 10)
+      .select("c_dataset", "overall_score")
+      .collect().map(r => r.getString(0) -> r.getDouble(1))
+    assert(got.toSeq == Seq("B" -> 0.75, "C" -> 0.45, "A" -> 0.4))
+  }
+}

@@ -1,0 +1,39 @@
+package graft
+
+import graft.ingest.TermStats
+import org.scalatest.funsuite.AnyFunSuite
+
+class TermStatsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "a a a b c"),
+    (2L, "a b b"),
+    (3L, "c c  c") // double space → empty token must be dropped
+  ).toDF("doc_id", "text")
+
+  test("tokens lowercase, split on space, drop empties") {
+    val t = TermStats.tokens(docs, "doc_id", "text")
+    assert(t.count() == 11)
+    assert(t.filter($"term" === "").count() == 0)
+  }
+
+  test("tfTopK ranks by tf desc then term asc") {
+    val top = TermStats.tfTopK(TermStats.tokens(docs, "doc_id", "text"), 2)
+      .orderBy("doc_id", "rank").collect()
+    val d1 = top.filter(_.getLong(0) == 1L).map(r => (r.getString(1), r.getLong(2)))
+    assert(d1.toSeq == Seq(("a", 3L), ("b", 1L))) // b before c on tie by term asc
+  }
+
+  test("tfIdf formula (tf/ttf) * ln(N/df)") {
+    val scored = TermStats.tfIdfTopK(TermStats.tokens(docs, "doc_id", "text"), 10)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(3)).toMap
+    // term 'c': doc1 tf=1, doc3 tf=3 → ttf=4, df=2, N=3
+    val expected = (1.0 / 4.0) * math.log(3.0 / 2.0)
+    assert(math.abs(scored((1L, "c")) - BigDecimal(expected).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    // term 'a' in doc2: tf=1, ttf=4, df=2
+    assert(math.abs(scored((2L, "a")) - scored((1L, "c"))) < 1e-9)
+  }
+}
