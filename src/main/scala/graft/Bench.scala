@@ -10,6 +10,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // JVM/codegen warmup so the first timed query isn't charged startup cost
+    spark.range(1000000).selectExpr("sum(id)").collect()
     // noop sink: forces full materialization of every column (count() would
     // let Catalyst prune per-row work like hashes and scores).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

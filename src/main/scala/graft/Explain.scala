@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Diagnostic: time queries individually and dump their formatted physical
+  * plans. Usage: runMain graft.Explain <sfDir> [queryName ...]
+  * With no names, times every query (alphabetical). Set GRAFT_EXPLAIN=1 to
+  * print .explain("formatted") per query.
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val names = if (args.length > 1) args.tail.toSeq else SparkEntry.queries.keys.toSeq.sorted
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // warm the session so the first query isn't charged JVM/codegen startup
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    names.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      if (sys.env.contains("GRAFT_EXPLAIN")) {
+        println(s"===== $name plan =====")
+        df.explain("formatted")
+      }
+      val t0 = System.nanoTime()
+      df.write.mode("overwrite").format("noop").save()
+      val t1 = System.nanoTime()
+      println(f"[time] $name%-28s ${(t1 - t0) / 1e9}%8.2f s")
+    }
+    spark.stop()
+  }
+}

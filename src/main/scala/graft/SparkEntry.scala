@@ -81,13 +81,19 @@ object SparkEntry {
       Tables.sketchTables.map { t => Profiler.numericStats(T(s, d, t), t) }
         .reduce(_.unionAll(_))),
 
-    "profile_quantiles" -> ((s, d) =>
-      Tables.sketchTables.map { t => Profiler.quantileSketch(T(s, d, t), t) }
+    "profile_quantiles" -> ((s, d) => {
+      val loaded = Tables.sketchTables.map(t => t -> T(s, d, t))
+      val stream = loaded.map { case (t, df) => Profiler.sketchValueStream(df, t) }
         .reduce(_.unionAll(_))
-        .select(col("dataset_id"), col("col_name"), col("col_type"),
-          posexplode(col("vector")).as(Seq("dim0", "v")))
-        .select(col("dataset_id"), col("col_name"), col("col_type"),
-          (col("dim0") + 1).cast("long").as("dim"), col("v"))),
+      val typeEntries = loaded.flatMap { case (t, df) =>
+        Profiler.sketchCols(df).flatMap { case (c, ty) => Seq(lit(s"$t/$c"), lit(ty)) }
+      }
+      Profiler.histogramQuantiles(stream)
+        .select(col("dataset_id"), col("col_name"),
+          element_at(map(typeEntries: _*),
+            concat_ws("/", col("dataset_id"), col("col_name"))).as("col_type"),
+          col("dim"), col("v"))
+    }),
 
     "profile_bbox" -> ((s, d) =>
       Profiler.bboxSketch(T(s, d, "part"), "part", "p_retailprice", "p_size")
@@ -115,12 +121,12 @@ object SparkEntry {
 
     // ---- sketch kNN + similarity search (danae J1/W1/W2/T1-T5, G1-G2, M1) ----
     "sketch_knn" -> ((s, d) =>
-      DistanceJoin.knn(Sketches.numericTemporal(s, d), "customer", 100, 50)
+      DistanceJoin.knn(Sketches.cachedNumericTemporal(s, d), "customer", 100, 50)
         .select(col("q_col"), col("c_dataset"), col("c_col"), col("col_type"),
           col("dist"), col("kth"), col("sim"), col("rank").cast("long").as("rank"))),
 
     "content_scores" -> ((s, d) => {
-      val ranked = DistanceJoin.knn(Sketches.all(s, d), "customer", 100, 50)
+      val ranked = DistanceJoin.knn(Sketches.cachedAll(s, d), "customer", 100, 50)
       Matcher.contentScores(DistanceJoin.weighted(ranked))
         .select(col("c_dataset"), col("content_score"),
           size(col("matching")).cast("long").as("n_matched"))

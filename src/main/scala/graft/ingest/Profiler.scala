@@ -1,6 +1,7 @@
 package graft.ingest
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -19,12 +20,6 @@ import org.apache.spark.sql.types._
   * `distinctCountExpr`).
   */
 object Profiler {
-
-  /** Exact distinct count for oracle parity; at 100 TB use
-    * approx_count_distinct(c, 0.01) — same call site, one flag.
-    */
-  def distinctCountExpr(c: Column, approx: Boolean): Column =
-    if (approx) approx_count_distinct(c) else countDistinct(c)
 
   /** danae column-type mapping (filters.py:118-126 + profiler.py:84-99).
     * Spatial detection by column name, as in the reference (profiler.py:90-99)
@@ -82,29 +77,131 @@ object Profiler {
   def numericStats(df: DataFrame, datasetId: String, approx: Boolean = false): DataFrame = {
     val cols = typedColumns(df, "Numeric")
     require(cols.nonEmpty, s"$datasetId has no numeric columns")
+    // Non-distinct stats in ONE wide agg (no Expand). Exact distinct counts
+    // would force an N-way Expand of the whole input inside the same agg;
+    // instead they come from a second pass over the long value stream whose
+    // shuffle carries only DISTINCT (col, value) pairs (map-side combine).
+    // With approx=true the wide agg uses HLL and the second pass disappears
+    // — the 100 TB configuration.
     val aggs = cols.flatMap { c =>
       val d = col(c).cast(DoubleType)
       Seq(
         count(d).as(s"n__$c"),
         count(when(d.isNull, 1)).as(s"miss__$c"),
-        distinctCountExpr(d, approx).as(s"dist__$c"),
         round(avg(d), 6).as(s"mean__$c"),
         round(stddev_samp(d), 6).as(s"std__$c"),
         round(min(d), 6).as(s"min__$c"),
         round(max(d), 6).as(s"max__$c")
-      )
+      ) ++ (if (approx) Seq(approx_count_distinct(d).as(s"dist__$c")) else Nil)
     }
     val wide = df.agg(aggs.head, aggs.tail: _*)
     val stackArgs = cols.map { c =>
-      s"'$c', `n__$c`, `miss__$c`, `dist__$c`, `mean__$c`, `std__$c`, `min__$c`, `max__$c`"
+      val base = s"'$c', `n__$c`, `miss__$c`, `mean__$c`, `std__$c`, `min__$c`, `max__$c`"
+      if (approx) s"$base, `dist__$c`" else base
     }.mkString(", ")
-    wide.select(expr(
-      s"stack(${cols.size}, $stackArgs) as " +
-        "(col_name, n, n_missing, n_distinct, mean, std, vmin, vmax)"))
-      .select(lit(datasetId).as("dataset_id"), col("*"))
+    val outCols = "(col_name, n, n_missing, mean, std, vmin, vmax" +
+      (if (approx) ", n_distinct)" else ")")
+    val stacked = wide
+      .select(expr(s"stack(${cols.size}, $stackArgs) as $outCols"))
+    val withDistinct =
+      if (approx) stacked
+      else {
+        val dist = valueStream(df, cols.map((_, "Numeric")))
+          .distinct()
+          .groupBy("col_name").agg(count(lit(1)).as("n_distinct"))
+        stacked.join(dist, Seq("col_name"), "left")
+          .na.fill(0L, Seq("n_distinct"))
+      }
+    withDistinct.select(lit(datasetId).as("dataset_id"), col("col_name"),
+      col("n"), col("n_missing"), col("n_distinct"),
+      col("mean"), col("std"), col("vmin"), col("vmax"))
   }
 
-  private val sketchPercentages = "array(0.0D, 0.05D, 0.25D, 0.5D, 0.75D, 0.95D, 1.0D)"
+  val sketchPs: Seq[Double] = Seq(0.0, 0.05, 0.25, 0.5, 0.75, 0.95, 1.0)
+
+  /** Long-format (col_name, v) stream of every sketchable column, temporal
+    * as epoch seconds. One scan, codegen'd, null-free.
+    */
+  private def valueStream(df: DataFrame, cols: Seq[(String, String)]): DataFrame = {
+    val entries = cols.map { case (c, t) =>
+      val d = if (t == "Temporal") s"cast(cast(`$c` as timestamp) as double)"
+              else s"cast(`$c` as double)"
+      s"struct('$c' as col_name, $d as v)"
+    }
+    df.select(expr(s"explode(array(${entries.mkString(",")})) as e"))
+      .select(col("e.col_name"), col("e.v")).filter(col("v").isNotNull)
+  }
+
+  /** (dataset_id, col_name, v) stream of a dataset's sketchable columns. */
+  def sketchValueStream(df: DataFrame, datasetId: String): DataFrame =
+    valueStream(df, sketchCols(df))
+      .select(lit(datasetId).as("dataset_id"), col("col_name"), col("v"))
+
+  /** Exact interpolated percentiles via a distributed value histogram over a
+    * (dataset_id, col_name, v) stream — MANY datasets/columns share one
+    * shuffle: groupBy(dataset,col,value) count (map-side combine shrinks to
+    * distinct values), cumulative counts per column, then each percentile
+    * position p*(n-1) picks its bracketing values and interpolates
+    * `lower + (upper - lower) * frac` — the same formula as Spark's
+    * `percentile` and DuckDB's `quantile_cont`, but with no giant
+    * per-executor value maps: the shuffle carries only distinct values, so it
+    * survives columns with billions of rows. (The cumulative window is one
+    * partition per column — at extreme per-column cardinality switch the
+    * cumsum to a two-level range-partitioned pass; the interface holds.)
+    * Returns (dataset_id, col_name, dim 1-based, v) with v rounded to 6.
+    */
+  def histogramQuantiles(stream: DataFrame, ps: Seq[Double] = sketchPs): DataFrame = {
+    val hist = stream.groupBy("dataset_id", "col_name", "v")
+      .agg(count(lit(1)).as("cnt"))
+    val byCol = Window.partitionBy("dataset_id", "col_name").orderBy("v")
+    val whole = Window.partitionBy("dataset_id", "col_name")
+    val withCum = hist
+      .withColumn("cum", sum("cnt").over(byCol.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("n", sum("cnt").over(whole))
+    val pExpr = ps.zipWithIndex.map { case (p, i) => s"struct(${i + 1}L as dim, ${p}D as p)" }
+    val joined = withCum
+      .select(col("*"), expr(s"explode(array(${pExpr.mkString(",")})) as pp"))
+      .select(col("dataset_id"), col("col_name"), col("v"), col("cnt"),
+        col("cum"), col("n"), col("pp.dim").as("dim"), col("pp.p").as("p"))
+      .withColumn("pos", col("p") * (col("n") - 1))
+      .withColumn("lo", floor(col("pos")))
+      .withColumn("hi", ceil(col("pos")))
+      // this value's index range is [cum-cnt, cum-1]
+      .filter((col("cum") - col("cnt") <= col("lo") && col("lo") <= col("cum") - 1)
+        || (col("cum") - col("cnt") <= col("hi") && col("hi") <= col("cum") - 1))
+    joined.groupBy("dataset_id", "col_name", "dim")
+      .agg(
+        max(when(col("cum") - col("cnt") <= col("lo") && col("lo") <= col("cum") - 1,
+          col("v"))).as("v_lo"),
+        max(when(col("cum") - col("cnt") <= col("hi") && col("hi") <= col("cum") - 1,
+          col("v"))).as("v_hi"),
+        first(col("pos")).as("pos"), first(col("lo")).as("flo"))
+      .select(col("dataset_id"), col("col_name"), col("dim"),
+        round(col("v_lo") + (col("v_hi") - col("v_lo")) * (col("pos") - col("flo")), 6)
+          .as("v"))
+  }
+
+  /** Assemble 7-dim sketch vectors from long-format quantiles, typed via the
+    * supplied (dataset/col → danae type) mapping.
+    */
+  def assembleSketchVectors(quantiles: DataFrame,
+                            types: Map[(String, String), String]): DataFrame = {
+    val typeEntries = types.flatMap { case ((d, c), t) => Seq(lit(s"$d/$c"), lit(t)) }.toSeq
+    quantiles
+      .groupBy("dataset_id", "col_name")
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"), col("v")))),
+        s => s.getField("v")).as("vector"))
+      .select(col("dataset_id"), col("col_name"),
+        element_at(map(typeEntries: _*),
+          concat_ws("/", col("dataset_id"), col("col_name"))).as("col_type"),
+        col("vector"))
+  }
+
+  /** Sketchable columns with their danae types, schema order. */
+  def sketchCols(df: DataFrame): Seq[(String, String)] =
+    typedColumns(df, "Numeric").map((_, "Numeric")) ++
+      typedColumns(df, "Temporal").map((_, "Temporal"))
 
   /** 7-dim percentile sketch vectors [min,5%,25%,50%,75%,95%,max] for every
     * Numeric and Temporal column (content_search.py:129-135,152-158;
@@ -115,23 +212,11 @@ object Profiler {
     * One aggregation pass per dataset; rows come out long via stack.
     */
   def quantileSketch(df: DataFrame, datasetId: String): DataFrame = {
-    val numeric = typedColumns(df, "Numeric").map(c => (c, "Numeric"))
-    val temporal = typedColumns(df, "Temporal").map(c => (c, "Temporal"))
-    val cols = numeric ++ temporal
+    val cols = sketchCols(df)
     require(cols.nonEmpty, s"$datasetId has no sketchable columns")
-    // Temporal columns go through an explicit timestamp cast first: parquet
-    // ms-timestamps surface as TimestampNTZ, which casts to epoch seconds in
-    // the (UTC) session zone — matching DuckDB's epoch() on naive timestamps.
-    val aggs = cols.map { case (c, t) =>
-      val d = if (t == "Temporal") s"cast(cast(`$c` as timestamp) as double)"
-              else s"cast(`$c` as double)"
-      expr(s"transform(percentile($d, $sketchPercentages), x -> round(x, 6))")
-        .as(s"v__$c")
-    }
-    val wide = df.agg(aggs.head, aggs.tail: _*)
-    val stackArgs = cols.map { case (c, t) => s"'$c', '$t', `v__$c`" }.mkString(", ")
-    wide.select(expr(s"stack(${cols.size}, $stackArgs) as (col_name, col_type, vector)"))
-      .select(lit(datasetId).as("dataset_id"), col("*"))
+    assembleSketchVectors(
+      histogramQuantiles(sketchValueStream(df, datasetId)),
+      cols.map { case (c, t) => (datasetId, c) -> t }.toMap)
   }
 
   /** Spatial bounding-box sketch [x_min, y_min, x_max, y_max]

@@ -48,7 +48,7 @@ object CombinedScorer {
   def search(spark: SparkSession, dir: String, queryId: String,
              m: Int = 100, l: Int = 50, k: Int = 15,
              wContent: Double = 0.5, wMetadata: Double = 0.5): DataFrame = {
-    val sketch = Sketches.all(spark, dir).cache()
+    val sketch = Sketches.cachedAll(spark, dir)
     val ranked = DistanceJoin.knn(sketch, queryId, m, l)
     val content = Matcher.contentScores(DistanceJoin.weighted(ranked))
     val meta = datasetMetadata(spark, dir)

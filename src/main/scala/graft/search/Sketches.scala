@@ -22,12 +22,20 @@ import org.apache.spark.sql.functions._
   */
 object Sketches {
 
-  /** Numeric + temporal percentile sketches for the fixture tables. */
+  /** Numeric + temporal percentile sketches for the fixture tables. All
+    * tables feed ONE (dataset, col, value) stream, so the histogram-quantile
+    * pipeline runs as a single shuffle instead of one per table.
+    */
   def numericTemporal(spark: SparkSession, dir: String,
-                      tables: Seq[String] = Tables.sketchTables): DataFrame =
-    tables.map { t =>
-      Profiler.quantileSketch(Tables.load(spark, dir, t), t)
-    }.reduce(_.unionAll(_))
+                      tables: Seq[String] = Tables.sketchTables): DataFrame = {
+    val loaded = tables.map(t => t -> Tables.load(spark, dir, t))
+    val stream = loaded.map { case (t, df) => Profiler.sketchValueStream(df, t) }
+      .reduce(_.unionAll(_))
+    val types = loaded.flatMap { case (t, df) =>
+      Profiler.sketchCols(df).map { case (c, ty) => (t, c) -> ty }
+    }.toMap
+    Profiler.assembleSketchVectors(Profiler.histogramQuantiles(stream), types)
+  }
 
   /** Categorical sketches: per string column, top-10 TF terms of the cell
     * values, mapped to embedding vectors and mean-pooled (profiler.py:113-122
@@ -37,13 +45,19 @@ object Sketches {
                   tables: Seq[String] = Tables.sketchTables,
                   dim: Int = 64): DataFrame = {
     val embeddings = Tables.load(spark, dir, "embeddings")
-    val tokens = tables.map { t =>
+    // one scan per table: all categorical columns tokenized via a single
+    // explode(array(struct...)) instead of a per-column scan+union
+    val tokens = tables.flatMap { t =>
       val df = Tables.load(spark, dir, t)
-      Profiler.typedColumns(df, "Categorical").map { c =>
-        TermStats.tokens(df.select(col(c)), c, c)
-          .select(concat_ws("/", lit(t), lit(c)).as("doc_id"), col("term"))
-      }.reduceOption(_.unionAll(_))
-    }.flatten.reduce(_.unionAll(_))
+      val cats = Profiler.typedColumns(df, "Categorical")
+      if (cats.isEmpty) None
+      else Some(df
+        .select(explode(array(cats.map(c =>
+          struct(lit(s"$t/$c").as("doc_id"),
+            split(lower(col(c)), " ").as("toks"))): _*)).as("e"))
+        .select(col("e.doc_id").as("doc_id"), explode(col("e.toks")).as("term"))
+        .filter(col("term") =!= ""))
+    }.reduce(_.unionAll(_))
     val topTerms = TermStats.tfTopK(tokens, 10)
     val withVecs = Embedder.termVectors(topTerms, embeddings, "term")
       .withColumn("vec", transform(col("embedding"), _.cast("double")))
@@ -58,4 +72,30 @@ object Sketches {
   /** Full sketch table across column types. */
   def all(spark: SparkSession, dir: String): DataFrame =
     numericTemporal(spark, dir).unionAll(categorical(spark, dir))
+
+  // The sketch table is the INDEX: danae builds it once at service startup
+  // ("train", content_search.py:215-253) and serves every query from it.
+  // Mirror that: build + persist once per (session, dir), reuse across
+  // queries. In production this is a parquet/Delta table refreshed by the
+  // incremental profiling job, not a per-query computation.
+  private val cache = scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  def cachedAll(spark: SparkSession, dir: String): DataFrame =
+    cache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
+      // The built sketch is a union over dozens of shuffles — hundreds of
+      // near-empty partitions, so every downstream scan would pay hundreds
+      // of task launches. It is tiny (#datasets × #columns rows), so pin it
+      // as a single-partition cached table — the in-memory index, exactly
+      // like danae holds its R-trees in RAM after "train".
+      val built = all(spark, dir)
+      val rows = built.collect().toIndexedSeq
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), built.schema).persist()
+      df.count()
+      df
+    })
+
+  def cachedNumericTemporal(spark: SparkSession, dir: String): DataFrame =
+    cachedAll(spark, dir).filter(org.apache.spark.sql.functions.col("col_type")
+      .isin("Numeric", "Temporal"))
 }
