@@ -141,6 +141,30 @@ object SparkEntry {
         .select("query_id", "c_dataset", "content_score", "metadata_score",
           "overall_score")),
 
+    "bm25_multifield" -> ((s, d) =>
+      Bm25.multiField(
+        CombinedScorer.datasetMetadata(s, d)
+          .filter(col("dataset_id") =!= "customer")
+          .withColumnRenamed("dataset_id", "doc_id"),
+        "doc_id", Seq("title" -> 2.0, "description" -> 1.0), O.customerTerms)),
+
+    "autocomplete" -> ((s, d) =>
+      Bm25.autocomplete(CombinedScorer.datasetMetadata(s, d), "er", 10)),
+
+    "title_search" -> ((s, d) =>
+      Bm25.titleSearch(
+        CombinedScorer.datasetMetadata(s, d).filter(col("dataset_id") =!= "customer"),
+        O.titleTerms)),
+
+    "column_concat" -> ((s, d) =>
+      T(s, d, "nation").agg(
+        concat_ws(" ", sort_array(collect_list(col("n_name")))).as("doc"))
+        .select(lit("nation").as("dataset_id"), lit("n_name").as("col_name"),
+          col("doc"))),
+
+    "event_sliding" -> ((s, d) =>
+      EventWindows.sliding(T(s, d, "events"), "1 hour", "30 minutes")),
+
     // ---- dedup (LLM-pipeline extras) ----
     "dedup_exact" -> ((s, d) =>
       Dedup.exact(T(s, d, "documents"), "doc_id", "text")),
@@ -256,6 +280,24 @@ object SparkEntry {
     "sketch_knn" -> O.sketchKnnSql,
 
     "bm25_docs" -> O.bm25Sql,
+
+    "bm25_multifield" -> O.bm25MultifieldSql,
+    "autocomplete" -> O.autocompleteSql,
+    "title_search" -> O.titleSearchSql,
+
+    "column_concat" ->
+      """SELECT 'nation' AS dataset_id, 'n_name' AS col_name,
+        | string_agg(n_name, ' ' ORDER BY n_name) AS doc FROM nation""".stripMargin,
+
+    "event_sliding" ->
+      """WITH b AS (SELECT time_bucket(INTERVAL '30 minutes', ts) AS w30,
+        |  event_type, value FROM events),
+        |u AS (SELECT w30 AS ws, event_type, value FROM b
+        |  UNION ALL
+        |  SELECT w30 - INTERVAL '30 minutes' AS ws, event_type, value FROM b)
+        |SELECT CAST(floor(epoch(ws)) AS BIGINT) AS window_start, event_type,
+        | count(*) AS n, round(sum(value),4) AS total
+        |FROM u GROUP BY 1,2""".stripMargin,
 
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
@@ -503,6 +545,79 @@ object SparkEntry {
          |SELECT doc_id, ${TextStats.langMarkers.map(_._1).map(l => s"score_$l").mkString(", ")},
          | CASE $pick ELSE 'und' END AS lang_pred
          |FROM b""".stripMargin
+    }
+
+    /** Metadata corpus mirror of CombinedScorer.datasetMetadata. */
+    private val metaRows: Seq[(String, String, String)] =
+      tables.filter(t => Tables.sketchTables.contains(t._1)).map { case (t, all, _, _) =>
+        (t, t, all.mkString(" ").replace("_", " "))
+      }
+
+    private def metaValues(excludeId: Option[String]): String = {
+      val rows = metaRows.filter(r => !excludeId.contains(r._1))
+        .map { case (id, ti, de) => s"('$id', '$ti', '$de')" }
+      s"(VALUES ${rows.mkString(", ")}) AS meta(doc_id, title, description)"
+    }
+
+    val customerTerms: Seq[String] = {
+      val (_, ti, de) = metaRows.find(_._1 == "customer").get
+      s"$ti $de".toLowerCase.split(" ").filter(_.nonEmpty).distinct.toSeq
+    }
+
+    val titleTerms: Seq[String] = Seq("supplier", "nation", "region")
+
+    /** Single-field BM25 score CTEs over the metadata VALUES corpus,
+      * mirroring Bm25.scores (k1=1.2, b=0.75, Lucene idf, rounded 6).
+      */
+    private def fieldScoreSql(field: String, terms: Seq[String], alias: String): String = {
+      val termList = terms.map(t => s"'$t'").mkString(", ")
+      s"""${alias}_toks AS (SELECT doc_id, unnest(string_split(lower($field), ' ')) AS term
+         |  FROM meta_corpus),
+         |${alias}_t2 AS (SELECT doc_id, term FROM ${alias}_toks WHERE term <> ''),
+         |${alias}_tf AS (SELECT doc_id, term, count(*) AS tf FROM ${alias}_t2 GROUP BY 1,2),
+         |${alias}_dl AS (SELECT doc_id, count(*) AS dl FROM ${alias}_t2 GROUP BY 1),
+         |${alias}_corpus AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM ${alias}_dl),
+         |${alias}_dfreq AS (SELECT term, count(*) AS df FROM ${alias}_tf
+         |  WHERE term IN ($termList) GROUP BY 1),
+         |${alias}_score AS (
+         |  SELECT tf.doc_id, round(sum(
+         |     ln(1.0 + (c.n_docs - f.df + 0.5)/(f.df + 0.5))
+         |     * (tf.tf * (1.2 + 1.0))
+         |     / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / c.avgdl))),6) AS s
+         |  FROM ${alias}_tf tf
+         |  JOIN ${alias}_dfreq f ON tf.term = f.term
+         |  JOIN ${alias}_dl dl ON tf.doc_id = dl.doc_id
+         |  CROSS JOIN ${alias}_corpus c
+         |  WHERE tf.term IN ($termList)
+         |  GROUP BY tf.doc_id)""".stripMargin
+    }
+
+    val bm25MultifieldSql: String = {
+      s"""WITH meta_corpus AS (SELECT * FROM ${metaValues(Some("customer"))}),
+         |${fieldScoreSql("title", customerTerms, "ti")},
+         |${fieldScoreSql("description", customerTerms, "de")},
+         |j AS (SELECT coalesce(t.doc_id, d.doc_id) AS doc_id,
+         |        coalesce(t.s, 0.0) * 2.0 AS title_score,
+         |        coalesce(d.s, 0.0) * 1.0 AS description_score
+         |      FROM ti_score t FULL OUTER JOIN de_score d ON t.doc_id = d.doc_id),
+         |mx AS (SELECT max(title_score + description_score) AS m FROM j)
+         |SELECT doc_id, title_score, description_score,
+         |  round((title_score + description_score) / mx.m, 6) AS score
+         |FROM j CROSS JOIN mx
+         |ORDER BY score DESC, doc_id ASC LIMIT 100""".stripMargin
+    }
+
+    val autocompleteSql: String =
+      s"""SELECT doc_id AS dataset_id, title
+         |FROM ${metaValues(None)}
+         |WHERE contains(lower(title || ' ' || description), 'er')
+         |ORDER BY title ASC, doc_id ASC LIMIT 10""".stripMargin
+
+    val titleSearchSql: String = {
+      s"""WITH meta_corpus AS (SELECT * FROM ${metaValues(Some("customer"))}),
+         |${fieldScoreSql("title", titleTerms, "ti")}
+         |SELECT doc_id, s AS score FROM ti_score
+         |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin
     }
 
     val sessionsSql: String =

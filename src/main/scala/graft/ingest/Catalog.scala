@@ -1,0 +1,80 @@
+package graft.ingest
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The lake catalogue: one descriptor row per dataset, replacing danae's ES
+  * index (ingest/publishing/publishing_api.py:8-49) — and the poll-based
+  * profiling work queue over it (ingest/profiling/profiler.py:9-41,
+  * profiler_tfidf.py:9-68: fetch batch of status=pending, process, mark
+  * done/error).
+  *
+  * Spark-first shape: the catalogue is a parquet table; "publish" appends
+  * descriptors with status=pending; the work queue is an INCREMENTAL BATCH
+  * job — filter pending, profile those datasets, upsert statuses. No
+  * watermarks or session state are needed (SURVEY.md §2.10): the reference's
+  * only streaming is this status poll. The same `profilePending` body can be
+  * dropped into `foreachBatch` of a streaming source unchanged.
+  */
+object Catalog {
+
+  /** Descriptor columns (publishing_api.py:8-17, FIXTURES.md §B.1). */
+  val descriptorCols: Seq[String] = Seq(
+    "dataset_id", "title", "path", "dtype", "description", "keywords",
+    "status", "freqs_status", "time_created")
+
+  /** Publish: append descriptors (status=pending) to the catalogue table
+    * (S2; replaces the ES POST of publishing_api.py:33-49).
+    */
+  def publish(descriptors: DataFrame, catalogDir: String): Unit =
+    descriptors.write.mode(SaveMode.Append).parquet(catalogDir)
+
+  /** Build pending descriptors for the fixture tables (eodp_publisher.py:21-38
+    * builds them from the catalogue CSV; here the lake IS the fixture dir).
+    */
+  def fixtureDescriptors(spark: SparkSession, lakeDir: String,
+                         tables: Seq[String] = Tables.sketchTables): DataFrame = {
+    import spark.implicits._
+    tables.map { t =>
+      val cols = Tables.load(spark, lakeDir, t).columns.mkString(" ")
+      (t, t, s"$lakeDir/$t.parquet", "TABULAR", cols, t, "pending", "pending")
+    }.toDF("dataset_id", "title", "path", "dtype", "description", "keywords",
+        "status", "freqs_status")
+      .withColumn("time_created", current_timestamp())
+  }
+
+  /** Status predicate (P2: profiler.py:18-31's `match status: pending`). */
+  def pending(spark: SparkSession, catalogDir: String,
+              statusCol: String = "status"): DataFrame =
+    spark.read.parquet(catalogDir).filter(col(statusCol) === "pending")
+
+  /** One incremental profiling pass (ST1): profile every pending dataset
+    * into the sketch table, then flip its status to done (error on failure).
+    * Returns the new statuses. At scale this runs on a schedule or inside
+    * `foreachBatch`; each pass only touches pending work.
+    */
+  def profilePending(spark: SparkSession, catalogDir: String, lakeDir: String,
+                     sketchDir: String): DataFrame = {
+    import spark.implicits._
+    val todo = pending(spark, catalogDir).select("dataset_id").as[String].collect().toSeq
+    val results = todo.map { id =>
+      try {
+        val df = Tables.load(spark, lakeDir, id)
+        Profiler.quantileSketch(df, id).write.mode(SaveMode.Overwrite)
+          .parquet(s"$sketchDir/$id")
+        id -> "done"
+      } catch { case _: Exception => id -> "error" }
+    }
+    val statusDf = results.toDF("dataset_id", "new_status")
+    val cat = spark.read.parquet(catalogDir)
+    val updated = cat.join(broadcast(statusDf), Seq("dataset_id"), "left")
+      .withColumn("status", coalesce(col("new_status"), col("status")))
+      .drop("new_status")
+    // overwrite via staging (parquet has no in-place upsert; Delta would)
+    val staged = updated.cache()
+    staged.count()
+    staged.write.mode(SaveMode.Overwrite).parquet(catalogDir)
+    staged.select("dataset_id", "status")
+  }
+}

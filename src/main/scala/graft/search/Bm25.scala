@@ -42,6 +42,23 @@ object Bm25 {
       .agg(round(sum("term_score"), 6).as("score"))
   }
 
+  /** Autocomplete (ui/methods.py:21-42's multi_match + top-10): case-folded
+    * substring match over title+description, deterministic order, limit n.
+    */
+  def autocomplete(meta: DataFrame, kwd: String, n: Int = 10): DataFrame =
+    meta.filter(lower(concat_ws(" ", col("title"), col("description")))
+        .contains(kwd.toLowerCase))
+      .select(col("dataset_id"), col("title"))
+      .orderBy(col("title").asc, col("dataset_id").asc)
+      .limit(n)
+
+  /** Title-only search (ui/methods.py:44-69: `match metadata.title`). */
+  def titleSearch(meta: DataFrame, terms: Seq[String], topM: Int = 10): DataFrame =
+    scores(meta.select(col("dataset_id").as("doc_id"), col("title")),
+      "doc_id", "title", terms)
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(topM)
+
   /** Multi-field BM25 with per-field boosts, normalized by the max combined
     * score to [0,1] (metadata_search.py:37-46) — keeps per-field score
     * columns in place of ES explain-parsing (metadata_search.py:48-63).

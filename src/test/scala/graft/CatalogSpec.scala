@@ -1,0 +1,50 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.ingest.Catalog
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Publish → pending queue → incremental profile → status flip (ST1). */
+class CatalogSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("publish pending, profile, statuses flip to done; second pass is a no-op") {
+    val catalogDir = Files.createTempDirectory("catalog").toString + "/cat"
+    val sketchDir = Files.createTempDirectory("sketch").toString
+
+    val desc = Catalog.fixtureDescriptors(spark, SparkTestSession.sf0001,
+      Seq("nation", "region", "customer"))
+    Catalog.publish(desc, catalogDir)
+    assert(Catalog.pending(spark, catalogDir).count() == 3)
+
+    val statuses = Catalog.profilePending(spark, catalogDir, SparkTestSession.sf0001, sketchDir)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(statuses == Map("nation" -> "done", "region" -> "done", "customer" -> "done"))
+    assert(Catalog.pending(spark, catalogDir).count() == 0)
+
+    // sketches landed and are readable
+    val sk = spark.read.parquet(s"$sketchDir/customer")
+    assert(sk.filter(col("col_type") === "Numeric").count() == 3)
+
+    // incremental: nothing pending → no work, catalogue unchanged
+    val again = Catalog.profilePending(spark, catalogDir, SparkTestSession.sf0001, sketchDir)
+    assert(again.filter(col("status") === "done").count() == 3)
+  }
+
+  test("failed dataset marked error, others proceed") {
+    val catalogDir = Files.createTempDirectory("catalog2").toString + "/cat"
+    val sketchDir = Files.createTempDirectory("sketch2").toString
+    import spark.implicits._
+    val desc = Catalog.fixtureDescriptors(spark, SparkTestSession.sf0001, Seq("nation"))
+      .unionByName(Seq(("missing", "missing", "/nope.parquet", "TABULAR", "x", "x",
+        "pending", "pending")).toDF("dataset_id", "title", "path", "dtype",
+        "description", "keywords", "status", "freqs_status")
+        .withColumn("time_created", current_timestamp()))
+    Catalog.publish(desc, catalogDir)
+    val statuses = Catalog.profilePending(spark, catalogDir, SparkTestSession.sf0001, sketchDir)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(statuses("nation") == "done" && statuses("missing") == "error")
+  }
+}

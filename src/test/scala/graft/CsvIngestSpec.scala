@@ -1,0 +1,65 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+import java.util.zip.GZIPOutputStream
+
+import graft.ingest.CsvIngest
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CSV dialect fixtures per FIXTURES.md §B.7. */
+class CsvIngestSpec extends AnyFunSuite {
+
+  private def write(name: String, content: Array[Byte], gzip: Boolean = false): String = {
+    val dir = Files.createTempDirectory("csv")
+    val p = dir.resolve(name)
+    if (gzip) {
+      val out = new GZIPOutputStream(Files.newOutputStream(p))
+      out.write(content); out.close()
+    } else Files.write(p, content)
+    p.toString
+  }
+
+  test("encoding sniff: UTF-8 vs Latin-1") {
+    assert(CsvIngest.sniffEncoding("a;b\nä;ö\n".getBytes(StandardCharsets.UTF_8)) == "UTF-8")
+    assert(CsvIngest.sniffEncoding("a;b\nä;x\n".getBytes(StandardCharsets.ISO_8859_1)) == "ISO-8859-1")
+  }
+
+  test("separator sniff across ; , tab") {
+    assert(CsvIngest.sniffSeparator("a;b;c\n1;2;3\n") == ";")
+    assert(CsvIngest.sniffSeparator("a,b,c\n1,2,3\n") == ",")
+    assert(CsvIngest.sniffSeparator("a\tb\n1\t2\n") == "\t")
+    // decimal-comma fields don't fool it when ; is the consistent dialect
+    assert(CsvIngest.sniffSeparator("x;y\n1,5;2,25\n3,1;4,0\n") == ";")
+  }
+
+  test("header collection and readability gate (filters.py:35-50)") {
+    assert(CsvIngest.collectHeader("lat;long;name\r\n1;2;x", ";") ==
+      Seq("lat", "long", "name"))
+    assert(CsvIngest.isCsvReadable("a;b;c"))
+    assert(!CsvIngest.isCsvReadable("<html><body>"))
+    assert(!CsvIngest.isCsvReadable("""{"json": true}"""))
+    assert(!CsvIngest.isCsvReadable(""))
+  }
+
+  test("gzip end-to-end sniff + distributed read") {
+    val path = write("d.csv.gz",
+      "lattitude;longitude;v\n1,5;2,5;x\n3,0;4,0;y\n".getBytes(StandardCharsets.UTF_8),
+      gzip = true)
+    val d = CsvIngest.sniff(path)
+    assert(d.encoding == "UTF-8" && d.separator == ";" && d.readable)
+    assert(d.header == Seq("lattitude", "longitude", "v"))
+    val df = CsvIngest.read(SparkTestSession.spark, path)
+    assert(df.columns.toSeq == Seq("lattitude", "longitude", "v"))
+    assert(df.count() == 2)
+    // the misspelt 'lattitude' maps to Spatial (profiler.py:90-99 quirk)
+    assert(graft.ingest.Profiler.danaeType(df.schema("lattitude")) == "Spatial")
+  }
+
+  test("non-CSV file is rejected at read") {
+    val path = write("x.csv", "<html><table>".getBytes(StandardCharsets.UTF_8))
+    intercept[IllegalArgumentException] {
+      CsvIngest.read(SparkTestSession.spark, path)
+    }
+  }
+}

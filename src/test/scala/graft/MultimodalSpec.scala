@@ -1,0 +1,48 @@
+package graft
+
+import graft.extra.Multimodal
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def media = Multimodal.synthesize(
+    Tables.load(spark, SparkTestSession.sf0001, "documents").limit(60))
+
+  test("synthesize: binary payload + typed metadata schema") {
+    val m = media
+    assert(m.schema("media").dataType.typeName == "binary")
+    val r = m.filter(col("doc_id") === 3).collect()(0)
+    assert(r.getAs[String]("media_type") == "image") // 3 % 3 == 0 → image
+    val meta = r.getStruct(r.fieldIndex("meta"))
+    assert(meta.getAs[Long]("n_bytes") > 0)
+  }
+
+  test("extractFeatures: fixed dim, deterministic, batched per partition") {
+    val f1 = Multimodal.extractFeatures(media, 16).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](2)).toMap
+    val f2 = Multimodal.extractFeatures(media.repartition(7), 16).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](2)).toMap
+    assert(f1.values.forall(_.length == 16))
+    assert(f1 == f2, "features must not depend on partitioning")
+    assert(f1.values.exists(_.exists(_ != 0.0f)))
+  }
+
+  test("frameSample: one row per offset, only for timed media") {
+    val frames = Multimodal.frameSample(media, 1000L)
+    assert(frames.filter(col("media_type") === "image").count() == 0)
+    val one = frames.filter(col("doc_id") === 1).orderBy("frame_idx").collect()
+    assert(one.nonEmpty)
+    assert(one.head.getAs[Int]("frame_idx") == 0)
+    assert(one.map(_.getAs[Long]("offset_ms")).toSeq ==
+      one.indices.map(_ * 1000L).toSeq)
+  }
+
+  test("resizeMeta caps the longer side, keeps payload untouched") {
+    val resized = Multimodal.resizeMeta(media, 128)
+    val r = resized.select(col("meta.width"), col("meta.height")).collect()
+    assert(r.forall(x => x.getInt(0) <= 128 && x.getInt(1) <= 128))
+    assert(resized.filter(col("media").isNull).count() == 0)
+  }
+}
