@@ -125,6 +125,15 @@ object SparkEntry {
         .select(col("q_col"), col("c_dataset"), col("c_col"), col("col_type"),
           col("dist"), col("kth"), col("sim"), col("rank").cast("long").as("rank"))),
 
+    // bucketLength ~ the distance scale of interesting neighbors (collision
+    // probability ~ bucketLength/dist per table); percentile vectors span
+    // 1e2..1e9 here, so 1e5 keeps the near neighborhood while pruning the far
+    "sketch_knn_lsh" -> ((s, d) =>
+      DistanceJoin.knnLsh(Sketches.cachedNumericTemporal(s, d), "customer", 100, 50,
+          bucketLength = 1e5, numHashTables = 5)
+        .select(col("q_col"), col("c_dataset"), col("c_col"), col("col_type"),
+          col("dist"), col("kth"), col("sim"), col("rank").cast("long").as("rank"))),
+
     "content_scores" -> ((s, d) => {
       val ranked = DistanceJoin.knn(Sketches.cachedAll(s, d), "customer", 100, 50)
       Matcher.contentScores(DistanceJoin.weighted(ranked))

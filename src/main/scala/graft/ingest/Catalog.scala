@@ -77,4 +77,39 @@ object Catalog {
     staged.write.mode(SaveMode.Overwrite).parquet(catalogDir)
     staged.select("dataset_id", "status")
   }
+
+  /** The second work queue (ST2, profiler_tfidf.py:9-68): for every dataset
+    * with freqs_status=pending, compute top-10 TF terms per categorical
+    * column into the freqs table and flip freqs_status.
+    */
+  def enrichFreqsPending(spark: SparkSession, catalogDir: String, lakeDir: String,
+                         freqsDir: String, k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val todo = pending(spark, catalogDir, "freqs_status")
+      .select("dataset_id").as[String].collect().toSeq
+    val results = todo.map { id =>
+      try {
+        val df = Tables.load(spark, lakeDir, id)
+        val cats = Profiler.typedColumns(df, "Categorical")
+        val tokens = cats.map { c =>
+          TermStats.tokens(df.select(col(c)), c, c)
+            .select(lit(c).as("doc_id"), col("term"))
+        }.reduceOption(_.unionAll(_))
+          .getOrElse(Seq.empty[(String, String)].toDF("doc_id", "term"))
+        TermStats.tfTopK(tokens, k)
+          .withColumnRenamed("doc_id", "col_name")
+          .write.mode(SaveMode.Overwrite).parquet(s"$freqsDir/$id")
+        id -> "done"
+      } catch { case _: Exception => id -> "error" }
+    }
+    val statusDf = results.toDF("dataset_id", "new_freqs")
+    val cat = spark.read.parquet(catalogDir)
+    val updated = cat.join(broadcast(statusDf), Seq("dataset_id"), "left")
+      .withColumn("freqs_status", coalesce(col("new_freqs"), col("freqs_status")))
+      .drop("new_freqs")
+    val staged = updated.cache()
+    staged.count()
+    staged.write.mode(SaveMode.Overwrite).parquet(catalogDir)
+    staged.select("dataset_id", "freqs_status")
+  }
 }

@@ -40,7 +40,15 @@ object DistanceJoin {
     val joined = cands.join(broadcast(query), "col_type")
       .withColumn("dist", round(VectorOps.euclid(col("q_vec"), col("c_vec")), 6))
       .drop("q_vec", "c_vec")
+    rankAndScore(joined, m, l, decay)
+  }
 
+  /** Shared tail of both kNN paths: rank per query column, kth-distance
+    * normalization, exp-decay similarity. Input: (q_col, c_dataset, c_col,
+    * col_type, dist) candidate rows.
+    */
+  private[search] def rankAndScore(joined: DataFrame, m: Int, l: Int,
+                                   decay: Double): DataFrame = {
     val rankW = Window.partitionBy("q_col")
       .orderBy(col("dist").asc, col("c_dataset").asc, col("c_col").asc)
     val ranked = joined.withColumn("rank", row_number().over(rankW))
@@ -59,6 +67,43 @@ object DistanceJoin {
     ranked.join(broadcast(kth), Seq("q_col"), "left")
       .withColumn("kth", coalesce(col("kth"), lit(1e-12)))
       .withColumn("sim", round(exp(-lit(decay) * col("dist") / col("kth")), 6))
+  }
+
+  /** LSH-accelerated kNN — the planner's scale path for J1 (SURVEY §7.9):
+    * MLlib BucketedRandomProjectionLSH per column type; candidates come from
+    * hash-bucket co-location (a bucket equi-join under the hood) instead of
+    * the full per-type cross product, then the exact distance, rank, kth and
+    * sim pipeline runs only on candidates. Same output schema as [[knn]] —
+    * swap-in is a one-line change at the call site. Recall is tunable via
+    * numHashTables/bucketLength; results are a subset of the brute-force
+    * ranked lists with identical scores for every surviving pair.
+    */
+  def knnLsh(sketch: DataFrame, queryId: String, m: Int = 100, l: Int = 50,
+             decay: Double = 0.01, bucketLength: Double = 2.0,
+             numHashTables: Int = 3): DataFrame = {
+    import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+    import org.apache.spark.ml.linalg.Vectors
+    val toVec = udf((a: Seq[Double]) => Vectors.dense(a.toArray))
+    val types = sketch.select("col_type").distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    val perType = types.map { t =>
+      val typed = sketch.filter(col("col_type") === t)
+        .withColumn("features", toVec(col("vector")))
+      val lsh = new BucketedRandomProjectionLSH()
+        .setBucketLength(bucketLength).setNumHashTables(numHashTables)
+        .setInputCol("features").setOutputCol("hashes").setSeed(42)
+      val model = lsh.fit(typed)
+      val q = typed.filter(col("dataset_id") === queryId)
+      val c = typed.filter(col("dataset_id") =!= queryId)
+      model.approxSimilarityJoin(c, q, Double.MaxValue, "raw_dist")
+        .select(
+          col("datasetB.col_name").as("q_col"),
+          col("datasetA.dataset_id").as("c_dataset"),
+          col("datasetA.col_name").as("c_col"),
+          lit(t).as("col_type"),
+          round(col("raw_dist"), 6).as("dist"))
+    }
+    rankAndScore(perType.reduce(_.unionAll(_)), m, l, decay)
   }
 
   /** Ranked lists with per-query-column weights applied (the `w * sim` edge

@@ -31,6 +31,15 @@ class CatalogSpec extends AnyFunSuite {
     // incremental: nothing pending → no work, catalogue unchanged
     val again = Catalog.profilePending(spark, catalogDir, SparkTestSession.sf0001, sketchDir)
     assert(again.filter(col("status") === "done").count() == 3)
+
+    // second queue (ST2): term-frequency enrichment flips freqs_status
+    val freqsDir = Files.createTempDirectory("freqs").toString
+    val fstat = Catalog.enrichFreqsPending(spark, catalogDir, SparkTestSession.sf0001, freqsDir)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(fstat.values.forall(_ == "done"))
+    val freqs = spark.read.parquet(s"$freqsDir/customer")
+    assert(freqs.filter(col("col_name") === "c_mktsegment").count() > 0)
+    assert(freqs.agg(max("rank")).collect()(0).getInt(0) <= 10)
   }
 
   test("failed dataset marked error, others proceed") {

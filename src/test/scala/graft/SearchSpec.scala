@@ -46,6 +46,21 @@ class SearchSpec extends AnyFunSuite {
     assert(scored.keySet == Set("A", "B", "C", "D"))
   }
 
+  test("knnLsh: candidates are a subset of brute force with identical scores") {
+    val brute = DistanceJoin.knn(sketch, "Q", m = 10, l = 2).collect()
+      .map(r => (r.getAs[String]("q_col"), r.getAs[String]("c_dataset"),
+        r.getAs[String]("c_col")) -> (r.getAs[Double]("dist"), r.getAs[Double]("kth")))
+      .toMap
+    val lsh = DistanceJoin.knnLsh(sketch, "Q", m = 10, l = 2).collect()
+    assert(lsh.nonEmpty)
+    lsh.foreach { r =>
+      val k = (r.getAs[String]("q_col"), r.getAs[String]("c_dataset"),
+        r.getAs[String]("c_col"))
+      assert(brute.contains(k), s"LSH pair $k not in brute force")
+      assert(brute(k)._1 == r.getAs[Double]("dist"), s"dist mismatch for $k")
+    }
+  }
+
   test("bm25 idf decreases with document frequency") {
     val docs = Seq(
       (1L, "rare common common"),
