@@ -1,0 +1,73 @@
+package graft
+
+import graft.search.{Bm25, CombinedScorer, DistanceJoin, Matcher, Sketches}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** User-facing facade — the one-session replacement for danae's four
+  * services. A reference user's workflow maps 1:1:
+  *
+  *   publish catalogue → `ingest.Catalog.publish` + `profilePending`
+  *   "Find Similar" UI → `Engine.search(SearchRequest(...))`
+  *
+  * The request shape mirrors the UI's JSON spec (ui/ui.py:305-312,
+  * FIXTURES.md §B.5): per-column content weights, per-field metadata
+  * weights, a content/metadata split, and M/L/k knobs. Weights are
+  * normalized to sum 1 like ui/dataset_graph.py:102-122 (G4).
+  */
+object Engine {
+
+  case class ContentSpec(columns: Map[String, Double] = Map.empty,
+                         weight: Double = 0.5)
+  case class MetadataSpec(fields: Map[String, Double] =
+                            Map("title" -> 2.0, "description" -> 1.0),
+                          weight: Double = 0.5)
+  case class SearchRequest(queryId: String,
+                           content: ContentSpec = ContentSpec(),
+                           metadata: MetadataSpec = MetadataSpec(),
+                           m: Int = 100, l: Int = 50, k: Int = 15)
+
+  /** Normalize a weight map to sum 1 (ui/dataset_graph.py:102-122). */
+  def normalize(w: Map[String, Double]): Map[String, Double] = {
+    val s = w.values.sum
+    if (s <= 0) w else w.map { case (k, v) => k -> v / s }
+  }
+
+  /** Normalize the content/metadata split to sum 1. */
+  def normalizeSplit(req: SearchRequest): (Double, Double) = {
+    val s = req.content.weight + req.metadata.weight
+    if (s <= 0) (0.5, 0.5) else (req.content.weight / s, req.metadata.weight / s)
+  }
+
+  /** Full similarity search honoring per-column and per-field weights.
+    * Response rows mirror combined_search.py:152-155: result id, content /
+    * metadata / overall scores, and the column-matching payload.
+    */
+  def search(spark: SparkSession, dir: String, req: SearchRequest): DataFrame = {
+    val (wc, wm) = normalizeSplit(req)
+    val sketch0 = Sketches.cachedAll(spark, dir)
+    // restrict the query side to the selected columns (empty = all)
+    val sketch =
+      if (req.content.columns.isEmpty) sketch0
+      else sketch0.filter(col("dataset_id") =!= req.queryId ||
+        col("col_name").isin(req.content.columns.keys.toSeq: _*))
+    val ranked = DistanceJoin.knn(sketch, req.queryId, req.m, req.l)
+    val weighted = DistanceJoin.weighted(ranked,
+      if (req.content.columns.isEmpty) Map.empty
+      else normalize(req.content.columns))
+    val content = Matcher.contentScores(weighted)
+
+    val meta = CombinedScorer.datasetMetadata(spark, dir)
+    val queryTerms = meta.filter(col("dataset_id") === req.queryId)
+      .select(concat_ws(" ", col("title"), col("description")))
+      .head().getString(0).toLowerCase.split(" ").filter(_.nonEmpty).distinct.toSeq
+    val metaScores = Bm25.multiField(
+        meta.filter(col("dataset_id") =!= req.queryId)
+          .withColumnRenamed("dataset_id", "doc_id"),
+        "doc_id", req.metadata.fields.toSeq.sortBy(_._1), queryTerms)
+      .select(col("doc_id").as("c_dataset"), col("score").as("metadata_score"))
+
+    CombinedScorer.combine(content, metaScores, wc, wm, req.k)
+      .withColumn("query_id", lit(req.queryId))
+  }
+}

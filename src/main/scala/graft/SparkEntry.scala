@@ -199,6 +199,10 @@ object SparkEntry {
       EmbeddingKnn.signLsh(T(s, d, "embeddings"), KnnQueryIds, 5, 8)
         .withColumn("rank", col("rank").cast("long"))),
 
+    "knn_ivf" -> ((s, d) =>
+      EmbeddingKnn.ivf(T(s, d, "embeddings"), KnnQueryIds, 5)
+        .withColumn("rank", col("rank").cast("long"))),
+
     // ---- text analysis (extras) ----
     "text_stats" -> ((s, d) =>
       TextStats.stats(T(s, d, "documents"), "doc_id", "text")),

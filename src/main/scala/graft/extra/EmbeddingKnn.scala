@@ -37,6 +37,46 @@ object EmbeddingKnn {
       .filter(col("rank") <= k)
   }
 
+  /** IVF (inverted-file) ANN — the production pattern behind FAISS-style
+    * indexes: a KMeans coarse quantizer assigns every vector to one of
+    * `nlist` cells; a query probes only its `nprobe` nearest cells. The
+    * probe is a cluster-id equi-join (shuffle keyed on cell), never
+    * all-pairs; recall/cost trades off via nprobe. Deterministic via seed.
+    */
+  def ivf(emb: DataFrame, queryIds: Seq[Long], k: Int = 5,
+          nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.linalg.{Vector, Vectors}
+    val toVec = udf((a: Seq[Double]) => Vectors.dense(a.toArray))
+    val base = emb.select(col("vec_id"), asDouble(col("embedding")).as("vec"))
+      .withColumn("features", toVec(col("vec")))
+    val model = new KMeans().setK(nlist).setSeed(42).setFeaturesCol("features")
+      .fit(base)
+    val assigned = model.transform(base)
+      .select(col("vec_id"), col("vec"), col("prediction").as("cell"))
+    val centers = model.clusterCenters.zipWithIndex
+    // nprobe nearest cells per query vector (driver-side tiny math)
+    val probeUdf = udf((q: Seq[Double]) => {
+      centers.map { case (c, i) =>
+        var d = 0.0
+        var j = 0
+        while (j < q.length && j < c.size) { val x = q(j) - c(j); d += x * x; j += 1 }
+        (d, i)
+      }.sortBy(_._1).take(nprobe).map(_._2).toSeq
+    })
+    val q = assigned.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("q_id"), col("vec").as("q_vec"),
+        explode(probeUdf(col("vec"))).as("cell"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id").asc)
+    assigned.select(col("vec_id").as("c_id"), col("vec").as("c_vec"), col("cell"))
+      .join(broadcast(q), "cell")
+      .filter(col("c_id") =!= col("q_id"))
+      .withColumn("sim", round(VectorOps.cosine(col("q_vec"), col("c_vec")), 6))
+      .select("q_id", "c_id", "sim") // each candidate lives in exactly one cell → no dup pairs
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Sign-pattern bucket key over the first `bits` dimensions. */
   private def bucketExpr(vecCol: org.apache.spark.sql.Column, bits: Int) =
     concat_ws("", (0 until bits).map(i =>

@@ -28,6 +28,27 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall $recall too low (${lsh.size}/${exact.size})")
   }
 
+  test("ivf ANN: scores match brute force on overlapping pairs, decent recall") {
+    import graft.extra.EmbeddingKnn
+    val emb = Tables.load(spark, SparkTestSession.sf0001, "embeddings")
+    val qs = Seq(0L, 1L, 2L, 3L, 4L)
+    val brute = EmbeddingKnn.bruteForce(emb, qs, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ivf = EmbeddingKnn.ivf(emb, qs, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(ivf.nonEmpty)
+    // any pair IVF returns that brute force also ranked must agree on sim
+    ivf.foreach { case (k, v) =>
+      brute.get(k).foreach(b => assert(b == v, s"sim mismatch at $k"))
+    }
+    val recall = qs.map { q =>
+      val b = brute.keys.filter(_._1 == q).map(_._2).toSet
+      val i = ivf.keys.filter(_._1 == q).map(_._2).toSet
+      if (b.isEmpty) 1.0 else (b & i).size.toDouble / b.size
+    }.sum / qs.size
+    assert(recall >= 0.4, s"IVF recall@5 too low: $recall")
+  }
+
   test("simhash: identical docs at hamming 0, near docs close") {
     val df = Seq(
       (1L, "spark query join stream table scan"),
