@@ -62,6 +62,23 @@ object SparkEntry {
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
         .limit(20)),
 
+    "q_semi_anti" -> ((s, d) => {
+      val c = T(s, d, "customer").select("c_custkey")
+      val o = T(s, d, "orders").select("o_custkey")
+      val withO = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      val without = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      withO.agg(count(lit(1)).as("n")).select(lit("with_orders").as("grp"), col("n"))
+        .unionAll(without.agg(count(lit(1)).as("n"))
+          .select(lit("without_orders").as("grp"), col("n")))
+    }),
+
+    "q_rollup" -> ((s, d) =>
+      T(s, d, "orders").rollup("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
+          col("n"), col("total"))),
+
     "q_window_running" -> ((s, d) => {
       val w = Window.partitionBy("o_custkey")
         .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
@@ -81,19 +98,14 @@ object SparkEntry {
       Tables.sketchTables.map { t => Profiler.numericStats(T(s, d, t), t) }
         .reduce(_.unionAll(_))),
 
-    "profile_quantiles" -> ((s, d) => {
-      val loaded = Tables.sketchTables.map(t => t -> T(s, d, t))
-      val stream = loaded.map { case (t, df) => Profiler.sketchValueStream(df, t) }
-        .reduce(_.unionAll(_))
-      val typeEntries = loaded.flatMap { case (t, df) =>
-        Profiler.sketchCols(df).flatMap { case (c, ty) => Seq(lit(s"$t/$c"), lit(ty)) }
-      }
-      Profiler.histogramQuantiles(stream)
-        .select(col("dataset_id"), col("col_name"),
-          element_at(map(typeEntries: _*),
-            concat_ws("/", col("dataset_id"), col("col_name"))).as("col_type"),
-          col("dim"), col("v"))
-    }),
+    // long-format view of the (cached) sketch table — the profile IS the
+    // index content, so serve it from the pinned index
+    "profile_quantiles" -> ((s, d) =>
+      Sketches.cachedNumericTemporal(s, d)
+        .select(col("dataset_id"), col("col_name"), col("col_type"),
+          posexplode(col("vector")).as(Seq("dim0", "v")))
+        .select(col("dataset_id"), col("col_name"), col("col_type"),
+          (col("dim0") + 1).cast("long").as("dim"), col("v"))),
 
     "profile_bbox" -> ((s, d) =>
       Profiler.bboxSketch(T(s, d, "part"), "part", "p_retailprice", "p_size")
@@ -238,6 +250,19 @@ object SparkEntry {
     "q_topk_orders" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""".stripMargin,
+
+    "q_semi_anti" ->
+      """SELECT 'with_orders' AS grp, count(*) AS n FROM customer
+        | WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |UNION ALL
+        |SELECT 'without_orders' AS grp, count(*) AS n FROM customer
+        | WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+        | coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+        | count(*) AS n, round(sum(o_totalprice),2) AS total
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
 
     "q_window_running" ->
       """SELECT o_custkey, o_orderkey,

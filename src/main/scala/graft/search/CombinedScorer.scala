@@ -32,14 +32,20 @@ object CombinedScorer {
     * table name, description = column names (the reference's metadata fields
     * come from the catalogue CSV, eodp_publisher.py:21-36).
     */
+  private val metaCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
   def datasetMetadata(spark: SparkSession, dir: String,
-                      tables: Seq[String] = Tables.sketchTables): DataFrame = {
-    import spark.implicits._
-    tables.map { t =>
-      val cols = Tables.load(spark, dir, t).columns
-      (t, t, cols.mkString(" ").replace("_", " "))
-    }.toDF("dataset_id", "title", "description")
-  }
+                      tables: Seq[String] = Tables.sketchTables): DataFrame =
+    metaCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
+      import spark.implicits._
+      // schema-only reads (parquet footers); cached per session because many
+      // search queries consult the same tiny catalogue corpus
+      tables.map { t =>
+        val cols = Tables.load(spark, dir, t).columns
+        (t, t, cols.mkString(" ").replace("_", " "))
+      }.toDF("dataset_id", "title", "description").cache()
+    })
 
   /** End-to-end similarity search for one query dataset (flagship; mirrors
     * search/combined_search.py:114-155's response shape: result id,
