@@ -56,4 +56,30 @@ object EventWindows {
       .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total"))
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n"), col("total"))
+
+  case class UserTotal(user_id: Long, n: Long, total: Double)
+
+  /** Custom keyed state via mapGroupsWithState — the surface danae never
+    * needed (its queue is stateless) but a training-data pipeline does:
+    * per-user running totals maintained across micro-batches. State is one
+    * small struct per user, partitioned by key; update-mode emission.
+    */
+  def statefulUserTotals(spark: SparkSession, dir: String,
+                         schema: StructType): org.apache.spark.sql.Dataset[UserTotal] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    spark.readStream.schema(schema).parquet(dir)
+      .select(col("user_id").as[Long], col("value").as[Double])
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[UserTotal, UserTotal](GroupStateTimeout.NoTimeout) {
+        (user, rows, state) =>
+          val (dn, dv) = rows.foldLeft((0L, 0.0)) { case ((n, s), r) => (n + 1, s + r._2) }
+          val prev = state.getOption.getOrElse(UserTotal(user, 0L, 0.0))
+          val next = UserTotal(user, prev.n + dn,
+            BigDecimal(prev.total + dv).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          state.update(next)
+          next
+      }
+  }
 }

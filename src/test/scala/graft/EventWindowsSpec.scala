@@ -35,6 +35,29 @@ class EventWindowsSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("stateful per-user totals accumulate across micro-batches") {
+    import org.apache.spark.sql.functions.col
+    val batchEvents = Tables.load(spark, SparkTestSession.sf0001, "events")
+    val flat = java.nio.file.Files.createTempDirectory("ev_state").toString
+    batchEvents.filter(col("event_id") % 2 === 0).coalesce(1)
+      .write.mode("append").parquet(flat)
+    batchEvents.filter(col("event_id") % 2 === 1).coalesce(1)
+      .write.mode("append").parquet(flat)
+
+    val q = EventWindows.statefulUserTotals(spark, flat, batchEvents.schema)
+      .writeStream.outputMode("update").format("memory").queryName("user_state")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // last update per user must equal the batch totals
+    val expect = batchEvents.groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = spark.table("user_state").groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.max("n").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect)
+  }
+
   test("sessions merge events within gap") {
     import spark.implicits._
     val df = Seq(
