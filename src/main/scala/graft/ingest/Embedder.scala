@@ -65,8 +65,11 @@ object Embedder {
     * table: murmur3 hash of the term modulo table size.
     */
   def termVectors(terms: DataFrame, embeddings: DataFrame, termCol: String): DataFrame = {
-    val n = embeddings.select(max("vec_id")).as(Encoders.scalaLong).head() + 1
-    terms.withColumn("vec_id", pmod(hash(col(termCol)), lit(n)).cast("long"))
+    // table size as a broadcast 1-row join — keeps the whole pipeline lazy
+    val nDf = embeddings.agg((max("vec_id") + 1).as("n_vecs"))
+    terms.crossJoin(broadcast(nDf))
+      .withColumn("vec_id", pmod(hash(col(termCol)), col("n_vecs")).cast("long"))
+      .drop("n_vecs")
       .join(broadcast(embeddings.select(col("vec_id"), col("embedding"))), "vec_id")
   }
 }
