@@ -52,7 +52,8 @@ object Engine {
       else sketch0.filter(col("dataset_id") =!= req.queryId ||
         col("col_name").isin(req.content.columns.keys.toSeq: _*))
     val ranked = DistanceJoin.knn(sketch, req.queryId, req.m, req.l)
-    val weighted = DistanceJoin.weighted(ranked,
+    val edges = DistanceJoin.candidateEdges(sketch, req.queryId, ranked)
+    val weighted = DistanceJoin.weighted(edges,
       if (req.content.columns.isEmpty) Map.empty
       else normalize(req.content.columns))
     val content = Matcher.contentScores(weighted)

@@ -147,8 +147,10 @@ object SparkEntry {
           col("dist"), col("kth"), col("sim"), col("rank").cast("long").as("rank"))),
 
     "content_scores" -> ((s, d) => {
-      val ranked = DistanceJoin.knn(Sketches.cachedAll(s, d), "customer", 100, 50)
-      Matcher.contentScores(DistanceJoin.weighted(ranked))
+      val sk = Sketches.cachedAll(s, d)
+      val ranked = DistanceJoin.knn(sk, "customer", 100, 50)
+      val edges = DistanceJoin.candidateEdges(sk, "customer", ranked)
+      Matcher.contentScores(DistanceJoin.weighted(edges))
         .select(col("c_dataset"), col("content_score"),
           size(col("matching")).cast("long").as("n_matched"))
     }),

@@ -56,7 +56,10 @@ object CombinedScorer {
              wContent: Double = 0.5, wMetadata: Double = 0.5): DataFrame = {
     val sketch = Sketches.cachedAll(spark, dir)
     val ranked = DistanceJoin.knn(sketch, queryId, m, l)
-    val content = Matcher.contentScores(DistanceJoin.weighted(ranked))
+    // complete the bipartite edges for discovered candidates ("random
+    // access", content_search.py:358-405) before matching
+    val edges = DistanceJoin.candidateEdges(sketch, queryId, ranked)
+    val content = Matcher.contentScores(DistanceJoin.weighted(edges))
     val meta = datasetMetadata(spark, dir)
     val queryTerms = meta.filter(col("dataset_id") === queryId)
       .select(concat_ws(" ", col("title"), col("description")))

@@ -106,6 +106,30 @@ object DistanceJoin {
     rankAndScore(perType.reduce(_.unionAll(_)), m, l, decay)
   }
 
+  /** Complete bipartite edge set for the candidate datasets the kNN step
+    * discovered — the reference's "random access": for every discovered
+    * candidate, edges cover ALL same-type (query col, candidate col) pairs,
+    * computing distances directly for pairs that never made a ranked list
+    * (content_search.py:300-333 + search_missing 358-405). kth comes from
+    * the ranked lists. This is a join against the sketch table restricted to
+    * candidate datasets — a broadcast of candidate ids at scale.
+    */
+  def candidateEdges(sketch: DataFrame, queryId: String, ranked: DataFrame,
+                     decay: Double = 0.01): DataFrame = {
+    val kth = ranked.select("q_col", "kth").distinct()
+    val query = sketch.filter(col("dataset_id") === queryId)
+      .select(col("col_name").as("q_col"), col("col_type"), col("vector").as("q_vec"))
+    val candIds = ranked.select(col("c_dataset").as("dataset_id")).distinct()
+    val candCols = sketch.join(broadcast(candIds), "dataset_id")
+      .select(col("dataset_id").as("c_dataset"), col("col_name").as("c_col"),
+        col("col_type"), col("vector").as("c_vec"))
+    candCols.join(broadcast(query), "col_type")
+      .withColumn("dist", round(VectorOps.euclid(col("q_vec"), col("c_vec")), 6))
+      .drop("q_vec", "c_vec")
+      .join(broadcast(kth), "q_col")
+      .withColumn("sim", round(exp(-lit(decay) * col("dist") / col("kth")), 6))
+  }
+
   /** Ranked lists with per-query-column weights applied (the `w * sim` edge
     * weight used by the matcher; weights pre-normalized to sum 1 like
     * ui/dataset_graph.py:102-122). Uniform weights when none supplied.

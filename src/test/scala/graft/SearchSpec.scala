@@ -46,6 +46,18 @@ class SearchSpec extends AnyFunSuite {
     assert(scored.keySet == Set("A", "B", "C", "D"))
   }
 
+  test("candidateEdges completes the bipartite graph for discovered candidates") {
+    // with m=1 only the nearest candidate column makes the ranked list, but
+    // the random-access step must still produce edges for every same-type
+    // column of each discovered candidate (content_search.py:358-405)
+    val ranked = DistanceJoin.knn(sketch, "Q", m = 1, l = 2)
+    assert(ranked.count() == 1) // only A
+    val edges = DistanceJoin.candidateEdges(sketch, "Q", ranked).collect()
+    assert(edges.map(_.getAs[String]("c_dataset")).toSet == Set("A"))
+    // sims on completed edges use the ranked kth → identical formula
+    assert(edges.forall(e => e.getAs[Double]("sim") > 0 && e.getAs[Double]("sim") <= 1))
+  }
+
   test("knnLsh: candidates are a subset of brute force with identical scores") {
     val brute = DistanceJoin.knn(sketch, "Q", m = 10, l = 2).collect()
       .map(r => (r.getAs[String]("q_col"), r.getAs[String]("c_dataset"),
