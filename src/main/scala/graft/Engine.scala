@@ -52,11 +52,6 @@ object Engine {
       else sketch0.filter(col("dataset_id") =!= req.queryId ||
         col("col_name").isin(req.content.columns.keys.toSeq: _*))
     val ranked = DistanceJoin.knn(sketch, req.queryId, req.m, req.l)
-    val edges = DistanceJoin.candidateEdges(sketch, req.queryId, ranked)
-    val weighted = DistanceJoin.weighted(edges,
-      if (req.content.columns.isEmpty) Map.empty
-      else normalize(req.content.columns))
-    val content = Matcher.contentScores(weighted)
 
     val meta = CombinedScorer.datasetMetadata(spark, dir)
     val queryTerms = meta.filter(col("dataset_id") === req.queryId)
@@ -67,6 +62,13 @@ object Engine {
           .withColumnRenamed("dataset_id", "doc_id"),
         "doc_id", req.metadata.fields.toSeq.sortBy(_._1), queryTerms)
       .select(col("doc_id").as("c_dataset"), col("score").as("metadata_score"))
+
+    val edges = DistanceJoin.candidateEdges(sketch, req.queryId, ranked,
+      extraCandidates = Some(metaScores.select("c_dataset")))
+    val weighted = DistanceJoin.weighted(edges,
+      if (req.content.columns.isEmpty) Map.empty
+      else normalize(req.content.columns))
+    val content = Matcher.contentScores(weighted)
 
     CombinedScorer.combine(content, metaScores, wc, wm, req.k)
       .withColumn("query_id", lit(req.queryId))

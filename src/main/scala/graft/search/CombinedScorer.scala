@@ -56,10 +56,6 @@ object CombinedScorer {
              wContent: Double = 0.5, wMetadata: Double = 0.5): DataFrame = {
     val sketch = Sketches.cachedAll(spark, dir)
     val ranked = DistanceJoin.knn(sketch, queryId, m, l)
-    // complete the bipartite edges for discovered candidates ("random
-    // access", content_search.py:358-405) before matching
-    val edges = DistanceJoin.candidateEdges(sketch, queryId, ranked)
-    val content = Matcher.contentScores(DistanceJoin.weighted(edges))
     val meta = datasetMetadata(spark, dir)
     val queryTerms = meta.filter(col("dataset_id") === queryId)
       .select(concat_ws(" ", col("title"), col("description")))
@@ -68,6 +64,13 @@ object CombinedScorer {
         meta.filter(col("dataset_id") =!= queryId).withColumnRenamed("dataset_id", "doc_id"),
         "doc_id", Seq("title" -> 2.0, "description" -> 1.0), queryTerms)
       .select(col("doc_id").as("c_dataset"), col("score").as("metadata_score"))
+    // complete the bipartite edges for every discovered candidate — content
+    // AND metadata hits — mirroring the reference's random access
+    // (content_search.py:358-405; combined_search.py:87-93 computes content
+    // scores for metadata-only candidates rather than zero-filling)
+    val edges = DistanceJoin.candidateEdges(sketch, queryId, ranked,
+      extraCandidates = Some(metaScores.select("c_dataset")))
+    val content = Matcher.contentScores(DistanceJoin.weighted(edges))
     combine(content, metaScores, wContent, wMetadata, k)
       .withColumn("query_id", lit(queryId))
   }

@@ -115,11 +115,17 @@ object DistanceJoin {
     * candidate datasets — a broadcast of candidate ids at scale.
     */
   def candidateEdges(sketch: DataFrame, queryId: String, ranked: DataFrame,
-                     decay: Double = 0.01): DataFrame = {
+                     decay: Double = 0.01,
+                     extraCandidates: Option[DataFrame] = None): DataFrame = {
     val kth = ranked.select("q_col", "kth").distinct()
     val query = sketch.filter(col("dataset_id") === queryId)
       .select(col("col_name").as("q_col"), col("col_type"), col("vector").as("q_vec"))
-    val candIds = ranked.select(col("c_dataset").as("dataset_id")).distinct()
+    val rankedIds = ranked.select(col("c_dataset").as("dataset_id"))
+    val candIds = extraCandidates
+      .map(e => rankedIds.unionAll(e.toDF("dataset_id")))
+      .getOrElse(rankedIds)
+      .filter(col("dataset_id") =!= queryId)
+      .distinct()
     val candCols = sketch.join(broadcast(candIds), "dataset_id")
       .select(col("dataset_id").as("c_dataset"), col("col_name").as("c_col"),
         col("col_type"), col("vector").as("c_vec"))
