@@ -490,11 +490,9 @@ object SparkEntry {
          |r AS (SELECT *, row_number() OVER (PARTITION BY q_col
          |        ORDER BY dist ASC, c_dataset ASC, c_col ASC) AS rank FROM d),
          |rm AS (SELECT * FROM r WHERE rank <= 100),
-         |nz AS (SELECT q_col, dist, row_number() OVER (PARTITION BY q_col
-         |        ORDER BY dist ASC, c_dataset ASC, c_col ASC) AS nzr
-         |       FROM rm WHERE dist > 0),
-         |kth AS (SELECT q_col, greatest(max(dist), 1e-12) AS kth FROM nz
-         |        WHERE nzr <= 50 GROUP BY 1)
+         |nc AS (SELECT q_col, max(rank) AS n_cand FROM rm GROUP BY 1),
+         |kth AS (SELECT rm.q_col, min(dist) AS kth FROM rm JOIN nc USING (q_col)
+         |        WHERE rm.rank >= least(50, nc.n_cand) AND rm.dist > 0 GROUP BY 1)
          |SELECT rm.q_col, rm.c_dataset, rm.c_col, rm.col_type, rm.dist,
          |  coalesce(kth.kth, 1e-12) AS kth,
          |  round(exp(-0.01 * rm.dist / coalesce(kth.kth, 1e-12)),6) AS sim,

@@ -54,15 +54,14 @@ object DistanceJoin {
     val ranked = joined.withColumn("rank", row_number().over(rankW))
       .filter(col("rank") <= m)
 
-    // kth = L-th smallest non-zero distance per query column (or the largest
-    // non-zero one if fewer than L), floored at 1e-12 (content_search.py:88-96).
-    val nzW = Window.partitionBy("q_col")
-      .orderBy(col("dist").asc, col("c_dataset").asc, col("c_col").asc)
-    val kth = ranked.filter(col("dist") > 0)
-      .withColumn("nz_rank", row_number().over(nzW))
-      .filter(col("nz_rank") <= l)
-      .groupBy("q_col")
-      .agg(greatest(max(col("dist")), lit(1e-12)).as("kth"))
+    // kth (content_search.py:88-96): take the sorted distance at position
+    // min(L, n) COUNTING ZEROS, then advance past zeros — equivalently the
+    // smallest non-zero distance at rank >= min(L, n); 1e-12 when none.
+    // (NOT "the L-th smallest non-zero" — zeros occupy ranks.)
+    val nDf = ranked.groupBy("q_col").agg(max("rank").as("n_cand"))
+    val kth = ranked.join(broadcast(nDf), "q_col")
+      .filter(col("rank") >= least(lit(l), col("n_cand")) && col("dist") > 0)
+      .groupBy("q_col").agg(min("dist").as("kth"))
 
     ranked.join(broadcast(kth), Seq("q_col"), "left")
       .withColumn("kth", coalesce(col("kth"), lit(1e-12)))

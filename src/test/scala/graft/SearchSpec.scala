@@ -20,15 +20,27 @@ class SearchSpec extends AnyFunSuite {
     ("E", "e1", "Categorical", Seq(1.0, 1.0)) // different type → never joined
   ).toDF("dataset_id", "col_name", "col_type", "vector")
 
-  test("knn: kth = L-th smallest NON-ZERO distance (content_search.py:88-96)") {
+  test("knn kth semantics (content_search.py:88-96: position L counts zeros)") {
+    // sorted distances incl. zeros: [0, 3, 4, 5]; L=2 → vals[1] = 3 ≠ 0 → kth=3
     val r = DistanceJoin.knn(sketch, "Q", m = 10, l = 2).collect()
     assert(r.map(_.getAs[String]("c_dataset")).toSet == Set("A", "B", "C", "D"))
     val kth = r.head.getAs[Double]("kth")
-    assert(kth == 4.0, s"kth should be 2nd smallest non-zero (4.0), got $kth")
+    assert(kth == 3.0, s"kth should be vals[L-1] counting zeros (3.0), got $kth")
     val simByCand = r.map(x => x.getAs[String]("c_dataset") -> x.getAs[Double]("sim")).toMap
-    // sim = exp(-0.01 * dist / kth), rounded to 6
-    assert(math.abs(simByCand("B") - math.exp(-0.01 * 3.0 / 4.0)) < 1e-6)
+    assert(math.abs(simByCand("B") - math.exp(-0.01 * 3.0 / 3.0)) < 1e-6)
     assert(simByCand("A") == 1.0) // dist 0 → exp(0)
+
+    // L=1: vals[0] = 0 → advance past zeros → kth = 3
+    val r1 = DistanceJoin.knn(sketch, "Q", m = 10, l = 1).collect()
+    assert(r1.head.getAs[Double]("kth") == 3.0)
+
+    // all-zero list → floor at 1e-12
+    import spark.implicits._
+    val allZero = Seq(
+      ("Q", "qc", "Numeric", Seq(0.0, 0.0)),
+      ("Z", "z1", "Numeric", Seq(0.0, 0.0))).toDF("dataset_id", "col_name", "col_type", "vector")
+    val rz = DistanceJoin.knn(allZero, "Q", m = 10, l = 2).collect()
+    assert(rz.head.getAs[Double]("kth") == 1e-12)
   }
 
   test("knn: rank ties break on (dataset, col)") {
