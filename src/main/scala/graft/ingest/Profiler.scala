@@ -41,6 +41,20 @@ object Profiler {
   def typedColumns(df: DataFrame, t: String): Seq[String] =
     df.schema.fields.filter(f => danaeType(f) == t).map(_.name).toSeq
 
+  /** First (longitude, latitude) column pair by name — danae merges the two
+    * coordinate columns into one spatial variable (profiler.py:101-111,
+    * minus its single-column crash bug).
+    */
+  def spatialPair(df: DataFrame): Option[(String, String)] = {
+    val longNames = Set("long", "lng", "longitude")
+    val latNames = Set("latt", "lat", "lattitude", "latitude")
+    val cols = df.columns
+    for {
+      x <- cols.find(c => longNames.contains(c.toLowerCase))
+      y <- cols.find(c => latNames.contains(c.toLowerCase))
+    } yield (x, y)
+  }
+
   /** Table-level stats (profiler.py report.table; consumed ui/methods.py:108-118):
     * n, n_var, n_cells_missing, p_cells_missing, n_duplicates, p_duplicates.
     * One pass; duplicate count via multi-column distinct (map-side partial).

@@ -73,6 +73,36 @@ object Sketches {
   def all(spark: SparkSession, dir: String): DataFrame =
     numericTemporal(spark, dir).unionAll(categorical(spark, dir))
 
+  /** Sketch rows for one ad-hoc dataset (e.g. a freshly ingested CSV):
+    * numeric/temporal percentile vectors plus — when a (long, lat) column
+    * pair exists — the merged 4-d Spatial bbox variable named "location"
+    * (profiler.py:101-111). Output schema matches the sketch table, so the
+    * result unions straight into the index and is searchable by knn
+    * (Spatial distance is euclidean on the bbox vector,
+    * content_search.py:58-70).
+    */
+  def forDataFrame(df: org.apache.spark.sql.DataFrame, datasetId: String): DataFrame = {
+    val base =
+      if (Profiler.sketchCols(df).nonEmpty) Profiler.quantileSketch(df, datasetId)
+      else df.sparkSession.createDataFrame(
+        df.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("dataset_id", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("col_name", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("col_type", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("vector",
+            org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)))))
+    Profiler.spatialPair(df) match {
+      case Some((x, y)) =>
+        val bbox = Profiler.bboxSketch(df, datasetId, x, y)
+          .select(col("dataset_id"), lit("location").as("col_name"),
+            lit("Spatial").as("col_type"),
+            transform(col("vector"), _.cast("double")).as("vector"))
+        base.unionAll(bbox)
+      case None => base
+    }
+  }
+
   // The sketch table is the INDEX: danae builds it once at service startup
   // ("train", content_search.py:215-253) and serves every query from it.
   // Mirror that: build + persist once per (session, dir), reuse across

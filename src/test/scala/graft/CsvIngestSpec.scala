@@ -56,6 +56,24 @@ class CsvIngestSpec extends AnyFunSuite {
     assert(graft.ingest.Profiler.danaeType(df.schema("lattitude")) == "Spatial")
   }
 
+  test("CSV → spatial sketch → searchable by knn (5-type end-to-end)") {
+    val spark = SparkTestSession.spark
+    val p1 = write("geo1.csv",
+      "lattitude;longitude;name\n1,0;2,0;a\n3,0;4,0;b\n".getBytes(StandardCharsets.UTF_8))
+    val p2 = write("geo2.csv",
+      "lat;long;name\n1,5;2,5;c\n2,5;3,5;d\n".getBytes(StandardCharsets.UTF_8))
+    val s1 = graft.search.Sketches.forDataFrame(CsvIngest.read(spark, p1), "geo1")
+    val s2 = graft.search.Sketches.forDataFrame(CsvIngest.read(spark, p2), "geo2")
+    val rows = s1.collect()
+    assert(rows.length == 1 && rows(0).getAs[String]("col_type") == "Spatial")
+    assert(rows(0).getSeq[Double](rows(0).fieldIndex("vector")) == Seq(2.0, 1.0, 4.0, 3.0))
+    val knn = graft.search.DistanceJoin.knn(s1.unionAll(s2), "geo1", 10, 2).collect()
+    assert(knn.length == 1)
+    assert(knn(0).getAs[String]("c_dataset") == "geo2")
+    assert(knn(0).getAs[String]("col_type") == "Spatial")
+    assert(knn(0).getAs[Double]("dist") > 0)
+  }
+
   test("non-CSV file is rejected at read") {
     val path = write("x.csv", "<html><table>".getBytes(StandardCharsets.UTF_8))
     intercept[IllegalArgumentException] {
