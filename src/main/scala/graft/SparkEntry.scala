@@ -410,17 +410,33 @@ object SparkEntry {
       ("events", Seq("event_id", "ts", "user_id", "event_type", "value", "props"),
         Seq("event_id", "user_id", "value"), Seq("ts")))
 
+    /** String-typed columns per table (for the byte-size metric). */
+    private val stringCols: Map[String, Set[String]] = Map(
+      "region" -> Set("r_name"), "nation" -> Set("n_name"),
+      "customer" -> Set("c_name", "c_mktsegment"), "supplier" -> Set("s_name"),
+      "part" -> Set("p_name", "p_brand", "p_type"),
+      "orders" -> Set("o_orderstatus", "o_orderpriority"),
+      "lineitem" -> Set("l_returnflag", "l_linestatus"),
+      "events" -> Set("event_type", "props"))
+
     val tableStatsSql: String = profiledTables.map { t =>
       val cols = tables.find(_._1 == t).get._2
       val missing = cols.map(c => s"(count(*)-count($c))").mkString(" + ")
+      val bytes = cols.map { c =>
+        if (stringCols(t).contains(c)) s"CAST(coalesce(sum(length($c)),0) AS BIGINT)"
+        else s"CAST(count($c)*8 AS BIGINT)"
+      }.mkString(" + ")
       s"""SELECT dataset_id, n, n_var, n_cells_missing,
          | round(CAST(n_cells_missing AS DOUBLE)/(n*n_var),6) AS p_cells_missing,
          | n - nd AS n_duplicates,
-         | round(CAST(n - nd AS DOUBLE)/n,6) AS p_duplicates
+         | round(CAST(n - nd AS DOUBLE)/n,6) AS p_duplicates,
+         | memory_size,
+         | round(CAST(memory_size AS DOUBLE)/n,6) AS record_size
          |FROM (SELECT '$t' AS dataset_id, count(*) AS n,
          |  CAST(${cols.size} AS BIGINT) AS n_var,
          |  $missing AS n_cells_missing,
-         |  (SELECT count(*) FROM (SELECT DISTINCT * FROM $t)) AS nd
+         |  (SELECT count(*) FROM (SELECT DISTINCT * FROM $t)) AS nd,
+         |  $bytes AS memory_size
          |  FROM $t)""".stripMargin
     }.mkString("\nUNION ALL\n")
 
@@ -428,6 +444,8 @@ object SparkEntry {
       nums.map { c =>
         s"""SELECT '$t' AS dataset_id, '$c' AS col_name, count($c) AS n,
            | count(*)-count($c) AS n_missing, count(DISTINCT $c) AS n_distinct,
+           | round(CAST(count(DISTINCT $c) AS DOUBLE)/count($c),6) AS p_distinct,
+           | round(CAST(count(*)-count($c) AS DOUBLE)/count(*),6) AS p_missing,
            | round(avg(CAST($c AS DOUBLE)),6) AS mean,
            | round(stddev_samp(CAST($c AS DOUBLE)),6) AS std,
            | round(CAST(min($c) AS DOUBLE),6) AS vmin,

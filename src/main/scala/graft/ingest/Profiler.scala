@@ -64,6 +64,15 @@ object Profiler {
     val nVar = cols.size
     val missing = cols.map(c => count(when(col(c).isNull, 1)))
       .reduce(_ + _).as("n_cells_missing")
+    // Data size in bytes (ui/methods.py:116-117 shows pandas memory_size /
+    // record_size; re-defined here as a platform-neutral metric: 8 bytes per
+    // non-null fixed-width cell + string lengths).
+    val bytes = df.schema.fields.map { f =>
+      f.dataType match {
+        case StringType => coalesce(sum(length(col(f.name))), lit(0L)).cast(LongType)
+        case _          => (count(col(f.name)) * 8).cast(LongType)
+      }
+    }.reduce(_ + _).as("memory_size")
     // countDistinct over a struct, not bare columns: bare multi-column
     // countDistinct silently drops rows where ANY column is null, which would
     // count null-bearing rows as duplicates (the SQL `SELECT DISTINCT *`
@@ -71,7 +80,8 @@ object Profiler {
     df.agg(
       count(lit(1)).as("n"),
       missing,
-      countDistinct(struct(cols.map(col): _*)).as("n_distinct_rows")
+      countDistinct(struct(cols.map(col): _*)).as("n_distinct_rows"),
+      bytes
     ).select(
       lit(datasetId).as("dataset_id"),
       col("n"),
@@ -81,7 +91,9 @@ object Profiler {
         .as("p_cells_missing"),
       (col("n") - col("n_distinct_rows")).as("n_duplicates"),
       round((col("n") - col("n_distinct_rows")).cast(DoubleType) / col("n"), 6)
-        .as("p_duplicates")
+        .as("p_duplicates"),
+      col("memory_size"),
+      round(col("memory_size").cast(DoubleType) / col("n"), 6).as("record_size")
     )
   }
 
@@ -126,8 +138,14 @@ object Profiler {
         stacked.join(dist, Seq("col_name"), "left")
           .na.fill(0L, Seq("n_distinct"))
       }
+    // p_distinct / p_missing as consumed by the profile view
+    // (ui/methods.py:124-131); pandas-profiling definitions: distinct share
+    // of non-null values, missing share of all rows.
     withDistinct.select(lit(datasetId).as("dataset_id"), col("col_name"),
       col("n"), col("n_missing"), col("n_distinct"),
+      round(col("n_distinct").cast(DoubleType) / col("n"), 6).as("p_distinct"),
+      round(col("n_missing").cast(DoubleType) / (col("n") + col("n_missing")), 6)
+        .as("p_missing"),
       col("mean"), col("std"), col("vmin"), col("vmax"))
   }
 
