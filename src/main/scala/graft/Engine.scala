@@ -65,9 +65,11 @@ object Engine {
 
     val edges = DistanceJoin.candidateEdges(sketch, req.queryId, ranked,
       extraCandidates = Some(metaScores.select("c_dataset")))
+    val nQueryCols = sketch.filter(col("dataset_id") === req.queryId).count()
     val weighted = DistanceJoin.weighted(edges,
       if (req.content.columns.isEmpty) Map.empty
-      else normalize(req.content.columns))
+      else normalize(req.content.columns),
+      totalQueryCols = Some(nQueryCols))
     val content = Matcher.contentScores(weighted)
 
     CombinedScorer.combine(content, metaScores, wc, wm, req.k)

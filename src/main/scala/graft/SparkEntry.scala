@@ -150,7 +150,8 @@ object SparkEntry {
       val sk = Sketches.cachedAll(s, d)
       val ranked = DistanceJoin.knn(sk, "customer", 100, 50)
       val edges = DistanceJoin.candidateEdges(sk, "customer", ranked)
-      Matcher.contentScores(DistanceJoin.weighted(edges))
+      val nQ = sk.filter(col("dataset_id") === "customer").count()
+      Matcher.contentScores(DistanceJoin.weighted(edges, totalQueryCols = Some(nQ)))
         .select(col("c_dataset"), col("content_score"),
           size(col("matching")).cast("long").as("n_matched"))
     }),
@@ -501,7 +502,7 @@ object SparkEntry {
          |q AS (SELECT col_name AS q_col, col_type, vec AS q_vec FROM sk
          |      WHERE dataset_id = 'customer'),
          |c AS (SELECT dataset_id AS c_dataset, col_name AS c_col, col_type,
-         |        vec AS c_vec FROM sk WHERE dataset_id <> 'customer'),
+         |        vec AS c_vec FROM sk),
          |d AS (SELECT q_col, c_dataset, c_col, c.col_type,
          |        round(sqrt($sq),6) AS dist
          |      FROM c JOIN q USING (col_type)),
@@ -515,7 +516,8 @@ object SparkEntry {
          |  coalesce(kth.kth, 1e-12) AS kth,
          |  round(exp(-0.01 * rm.dist / coalesce(kth.kth, 1e-12)),6) AS sim,
          |  rm.rank
-         |FROM rm LEFT JOIN kth USING (q_col)""".stripMargin
+         |FROM rm LEFT JOIN kth USING (q_col)
+         |WHERE rm.c_dataset <> 'customer'""".stripMargin
     }
 
     val bm25Sql: String = {

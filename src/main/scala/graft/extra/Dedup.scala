@@ -49,10 +49,12 @@ object Dedup {
     inter
       .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sz_a")), "id_a")
       .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("sz_b")), "id_b")
-      .withColumn("jac", round(col("inter").cast("double")
-        / (col("sz_a") + col("sz_b") - col("inter")), 6))
-      .filter(col("jac") >= threshold)
-      .select("id_a", "id_b", "jac")
+      .withColumn("jac_raw", col("inter").cast("double")
+        / (col("sz_a") + col("sz_b") - col("inter")))
+      // threshold on the RAW ratio (rounding first would admit pairs just
+      // under it — the oracle thresholds raw and rounds only for output)
+      .filter(col("jac_raw") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jac_raw"), 6).as("jac"))
   }
 
   // MinHash machinery: base token hash from md5 (deterministic across runs and
@@ -110,10 +112,10 @@ object Dedup {
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
       .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sz_a")), "id_a")
       .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("sz_b")), "id_b")
-      .withColumn("jac", round(col("inter").cast("double")
-        / (col("sz_a") + col("sz_b") - col("inter")), 6))
-      .filter(col("jac") >= threshold)
-      .select("id_a", "id_b", "jac")
+      .withColumn("jac_raw", col("inter").cast("double")
+        / (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jac_raw") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jac_raw"), 6).as("jac"))
   }
 
   /** 60-bit SimHash fingerprints: per token, bits of a 60-bit md5-derived

@@ -90,6 +90,7 @@ object Multimodal {
   def frameSample(media: DataFrame, everyMs: Long = 1000L): DataFrame =
     media
       .filter(col("media_type").isin("video", "audio"))
+      .filter(col("meta.duration_ms") > 0) // sequence() rejects 0 → -1 ranges
       .select(col("doc_id"), col("media_type"), col("media"),
         col("meta.duration_ms").as("duration_ms"))
       .withColumn("offset_ms",

@@ -23,8 +23,9 @@ object TextStats {
     val tokens = toks(t)
     val nChars = length(t)
     val nTokens = size(tokens)
-    // alphanumeric+space chars removed = punctuation/other
-    val punct = length(regexp_replace(t, "[a-z0-9 ]", ""))
+    // alphanumeric+space chars removed = punctuation/other (over the
+    // lowercased text — the oracle lowercases too)
+    val punct = length(regexp_replace(lower(t), "[a-z0-9 ]", ""))
     val stop = size(filter(tokens, x => x.isin(stopwords: _*)))
     df.select(
       col(idCol).as("doc_id"),

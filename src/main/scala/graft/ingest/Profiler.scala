@@ -46,8 +46,11 @@ object Profiler {
     * minus its single-column crash bug).
     */
   def spatialPair(df: DataFrame): Option[(String, String)] = {
+    // exactly the danaeType spatial name sets (profiler.py:95 — note the
+    // correctly-spelt "latitude" is NOT spatial there, and a column must not
+    // be both Numeric-sketched and bbox-consumed)
     val longNames = Set("long", "lng", "longitude")
-    val latNames = Set("latt", "lat", "lattitude", "latitude")
+    val latNames = Set("latt", "lat", "lattitude")
     val cols = df.columns
     for {
       x <- cols.find(c => longNames.contains(c.toLowerCase))

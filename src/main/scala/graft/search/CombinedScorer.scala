@@ -37,7 +37,8 @@ object CombinedScorer {
 
   def datasetMetadata(spark: SparkSession, dir: String,
                       tables: Seq[String] = Tables.sketchTables): DataFrame =
-    metaCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
+    metaCache.getOrElseUpdate(
+      (spark.sparkContext.applicationId, dir + "|" + tables.mkString(",")), {
       import spark.implicits._
       // schema-only reads (parquet footers); cached per session because many
       // search queries consult the same tiny catalogue corpus
@@ -64,13 +65,20 @@ object CombinedScorer {
         meta.filter(col("dataset_id") =!= queryId).withColumnRenamed("dataset_id", "doc_id"),
         "doc_id", Seq("title" -> 2.0, "description" -> 1.0), queryTerms)
       .select(col("doc_id").as("c_dataset"), col("score").as("metadata_score"))
-    // complete the bipartite edges for every discovered candidate — content
+    // Complete the bipartite edges for every discovered candidate — content
     // AND metadata hits — mirroring the reference's random access
     // (content_search.py:358-405; combined_search.py:87-93 computes content
-    // scores for metadata-only candidates rather than zero-filling)
+    // scores for metadata-only candidates rather than zero-filling).
+    // Deliberate divergence: search_missing divides its score by the query
+    // column count (content_search.py:403 `score / r_len`) while the main
+    // content path's scale() is identity (content_search.py:434-438,
+    // normalization commented out) — an internal inconsistency; we score
+    // every candidate UNnormalized, consistently.
     val edges = DistanceJoin.candidateEdges(sketch, queryId, ranked,
       extraCandidates = Some(metaScores.select("c_dataset")))
-    val content = Matcher.contentScores(DistanceJoin.weighted(edges))
+    val nQueryCols = sketch.filter(col("dataset_id") === queryId).count()
+    val content = Matcher.contentScores(
+      DistanceJoin.weighted(edges, totalQueryCols = Some(nQueryCols)))
     combine(content, metaScores, wContent, wMetadata, k)
       .withColumn("query_id", lit(queryId))
   }

@@ -34,13 +34,19 @@ object DistanceJoin {
           decay: Double = 0.01): DataFrame = {
     val query = sketch.filter(col("dataset_id") === queryId)
       .select(col("col_name").as("q_col"), col("col_type"), col("vector").as("q_vec"))
-    val cands = sketch.filter(col("dataset_id") =!= queryId)
+    // The index contains the query dataset's own columns too
+    // (content_search.py:215-253 trains on every dataset): they occupy rank
+    // positions and can BE the kth distance (a sibling column at non-zero
+    // distance), and are only excluded at candidate level — so rank/kth are
+    // computed over everything and self rows drop at the end.
+    val cands = sketch
       .select(col("dataset_id").as("c_dataset"), col("col_name").as("c_col"),
         col("col_type"), col("vector").as("c_vec"))
     val joined = cands.join(broadcast(query), "col_type")
       .withColumn("dist", round(VectorOps.euclid(col("q_vec"), col("c_vec")), 6))
       .drop("q_vec", "c_vec")
     rankAndScore(joined, m, l, decay)
+      .filter(col("c_dataset") =!= queryId)
   }
 
   /** Shared tail of both kNN paths: rank per query column, kth-distance
@@ -72,10 +78,11 @@ object DistanceJoin {
     * MLlib BucketedRandomProjectionLSH per column type; candidates come from
     * hash-bucket co-location (a bucket equi-join under the hood) instead of
     * the full per-type cross product, then the exact distance, rank, kth and
-    * sim pipeline runs only on candidates. Same output schema as [[knn]] —
-    * swap-in is a one-line change at the call site. Recall is tunable via
-    * numHashTables/bucketLength; results are a subset of the brute-force
-    * ranked lists with identical scores for every surviving pair.
+    * sim pipeline runs only on candidates. Same output schema as [[knn]].
+    * Approximation caveat: distances of surviving pairs are exact, but rank
+    * and kth are computed over the REDUCED candidate set — when recall < 1
+    * the kth normalizer (and hence sims) can differ from brute force. That
+    * is inherent to LSH pruning, not an implementation detail.
     */
   def knnLsh(sketch: DataFrame, queryId: String, m: Int = 100, l: Int = 50,
              decay: Double = 0.01, bucketLength: Double = 2.0,
@@ -139,16 +146,25 @@ object DistanceJoin {
     * weight used by the matcher; weights pre-normalized to sum 1 like
     * ui/dataset_graph.py:102-122). Uniform weights when none supplied.
     */
-  def weighted(ranked: DataFrame, weights: Map[String, Double] = Map.empty): DataFrame = {
+  def weighted(ranked: DataFrame, weights: Map[String, Double] = Map.empty,
+               totalQueryCols: Option[Long] = None): DataFrame = {
     val withW =
       if (weights.nonEmpty) {
         val entries = weights.flatMap { case (k, v) => Seq(lit(k), lit(v)) }.toSeq
         ranked.withColumn("w",
           coalesce(element_at(map(entries: _*), col("q_col")), lit(0.0)))
       } else {
-        val nDf = ranked.agg(countDistinct("q_col").as("n_qcols"))
-        ranked.crossJoin(broadcast(nDf))
-          .withColumn("w", lit(1.0) / col("n_qcols")).drop("n_qcols")
+        // Uniform weights normalize over ALL selected query columns (the UI
+        // divides by the total selection, ui/dataset_graph.py:102-122) — a
+        // query column with no same-type candidates still consumes its
+        // share. Callers pass that total; fall back to the columns present.
+        totalQueryCols match {
+          case Some(n) => ranked.withColumn("w", lit(1.0 / n))
+          case None =>
+            val nDf = ranked.agg(countDistinct("q_col").as("n_qcols"))
+            ranked.crossJoin(broadcast(nDf))
+              .withColumn("w", lit(1.0) / col("n_qcols")).drop("n_qcols")
+        }
       }
     withW.withColumn("w_sim", col("w") * col("sim"))
   }

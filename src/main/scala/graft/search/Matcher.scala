@@ -26,6 +26,7 @@ object Matcher {
     val nRows = weights.length
     if (nRows == 0) return (0.0, Array.empty)
     val nCols = weights.map(_.length).max
+    if (nCols == 0) return (0.0, Array.fill(nRows)(-1))
     // pad to square: rows 1..n, cols 1..m with n <= m
     val transposed = nRows > nCols
     val a0 = if (transposed) {
