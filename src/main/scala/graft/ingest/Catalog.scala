@@ -44,6 +44,28 @@ object Catalog {
       .withColumn("time_created", current_timestamp())
   }
 
+  /** Descriptors from a metadata catalogue CSV — the reference's publisher
+    * walks a `;`-separated catalogue and registers one pending descriptor
+    * per row (eodp_publisher.py:16-38: title/notes/tags columns; dataset
+    * files live beside the catalogue as `<id>.csv.gz`). Columns missing from
+    * the catalogue become nulls; dtype is always TABULAR.
+    */
+  def fromCatalogueCsv(spark: SparkSession, csvPath: String, dataDir: String): DataFrame = {
+    val cat = CsvIngest.read(spark, csvPath)
+    def colOr(name: String) =
+      if (cat.columns.contains(name)) col(name).cast("string") else lit(null).cast("string")
+    cat.select(
+      colOr("id").as("dataset_id"),
+      colOr("title").as("title"),
+      concat(lit(s"$dataDir/"), colOr("id"), lit(".csv.gz")).as("path"),
+      lit("TABULAR").as("dtype"),
+      colOr("notes").as("description"),
+      colOr("tags").as("keywords"),
+      lit("pending").as("status"),
+      lit("pending").as("freqs_status"),
+      current_timestamp().as("time_created"))
+  }
+
   /** Status predicate (P2: profiler.py:18-31's `match status: pending`). */
   def pending(spark: SparkSession, catalogDir: String,
               statusCol: String = "status"): DataFrame =

@@ -42,6 +42,22 @@ class CatalogSpec extends AnyFunSuite {
     assert(freqs.agg(max("rank")).collect()(0).getInt(0) <= 10)
   }
 
+  test("catalogue CSV → pending descriptors (eodp_publisher path)") {
+    val dir = Files.createTempDirectory("cat_csv")
+    val csv = dir.resolve("catalogue.csv")
+    Files.write(csv,
+      "id;title;notes;tags;extra\nds1;First;Some notes;a,b;x\nds2;Second;;c;y\n"
+        .getBytes("UTF-8"))
+    val desc = Catalog.fromCatalogueCsv(spark, csv.toString, "/lake")
+    val rows = desc.orderBy("dataset_id").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[String]("dataset_id") == "ds1")
+    assert(rows(0).getAs[String]("path") == "/lake/ds1.csv.gz")
+    assert(rows(0).getAs[String]("keywords") == "a,b")
+    assert(rows(0).getAs[String]("status") == "pending")
+    assert(rows(1).getAs[String]("description") == null)
+  }
+
   test("failed dataset marked error, others proceed") {
     val catalogDir = Files.createTempDirectory("catalog2").toString + "/cat"
     val sketchDir = Files.createTempDirectory("sketch2").toString
