@@ -86,16 +86,41 @@ object CsvIngest {
   }
 
   /** Distributed CSV read with the sniffed dialect (profiler.py:79-86's
-    * pandas read becomes a splittable Spark scan; schema inference on).
+    * pandas read becomes a splittable Spark scan; schema inference on),
+    * followed by temporal inference on leftover string columns.
     */
   def read(spark: SparkSession, path: String): DataFrame = {
     val d = sniff(path)
     require(d.readable, s"$path rejected: not CSV (filters.py:44-50 semantics)")
-    spark.read
+    val df = spark.read
       .option("header", "true")
       .option("sep", d.separator)
       .option("encoding", d.encoding)
       .option("inferSchema", "true")
       .csv(path)
+    inferTemporal(df)
+  }
+
+  /** Temporal inference for string columns (profiler.py:84-88 probes each
+    * object column with pd.to_datetime): a column whose non-null values all
+    * parse as timestamps (and that has any values at all) is cast. One
+    * aggregation pass probes every string column together; only columns
+    * Spark's CSV inference left as plain strings are considered.
+    */
+  def inferTemporal(df: DataFrame, minRatio: Double = 1.0): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.StringType
+    val strCols = df.schema.fields.filter(_.dataType == StringType).map(_.name)
+    if (strCols.isEmpty) return df
+    val probes = strCols.flatMap { c =>
+      Seq(count(col(c)).as(s"n__$c"),
+        count(try_to_timestamp(col(c))).as(s"ts__$c"))
+    }
+    val row = df.agg(probes.head, probes.tail: _*).collect()(0)
+    val temporal = strCols.filter { c =>
+      val n = row.getAs[Long](s"n__$c")
+      n > 0 && row.getAs[Long](s"ts__$c") >= n * minRatio
+    }
+    temporal.foldLeft(df)((acc, c) => acc.withColumn(c, to_timestamp(col(c))))
   }
 }

@@ -74,6 +74,20 @@ class CsvIngestSpec extends AnyFunSuite {
     assert(knn(0).getAs[Double]("dist") > 0)
   }
 
+  test("temporal inference on string columns (profiler.py:84-88 analogue)") {
+    val p = write("dated.csv",
+      ("when;what;amount\n2024-01-01 10:00:00;x;1\n2024-02-03 11:30:00;y;2\n")
+        .getBytes(StandardCharsets.UTF_8))
+    val df = CsvIngest.read(SparkTestSession.spark, p)
+    assert(graft.ingest.Profiler.danaeType(df.schema("when")) == "Temporal")
+    assert(graft.ingest.Profiler.danaeType(df.schema("what")) == "Categorical")
+    assert(graft.ingest.Profiler.danaeType(df.schema("amount")) == "Numeric")
+    // and the temporal column sketches as epoch percentiles end-to-end
+    val sk = graft.search.Sketches.forDataFrame(df, "dated").collect()
+    assert(sk.exists(r => r.getAs[String]("col_name") == "when"
+      && r.getAs[String]("col_type") == "Temporal"))
+  }
+
   test("non-CSV file is rejected at read") {
     val path = write("x.csv", "<html><table>".getBytes(StandardCharsets.UTF_8))
     intercept[IllegalArgumentException] {
