@@ -189,10 +189,12 @@ object Profiler {
     val hist = stream.groupBy("dataset_id", "col_name", "v")
       .agg(count(lit(1)).as("cnt"))
     val byCol = Window.partitionBy("dataset_id", "col_name").orderBy("v")
-    val whole = Window.partitionBy("dataset_id", "col_name")
+    // total n per column via a tiny agg + broadcast join (a second
+    // whole-partition window would buffer every hist row again)
+    val totals = hist.groupBy("dataset_id", "col_name").agg(sum("cnt").as("n"))
     val withCum = hist
       .withColumn("cum", sum("cnt").over(byCol.rowsBetween(Window.unboundedPreceding, 0)))
-      .withColumn("n", sum("cnt").over(whole))
+      .join(broadcast(totals), Seq("dataset_id", "col_name"))
     val pExpr = ps.zipWithIndex.map { case (p, i) => s"struct(${i + 1}L as dim, ${p}D as p)" }
     val joined = withCum
       .select(col("*"), expr(s"explode(array(${pExpr.mkString(",")})) as pp"))
