@@ -37,13 +37,18 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- classic relational coverage (free in Spark; §2.3/§2.4/§2.5/§2.6) ----
+    // Rounding-grid safety: revenue terms are exact 4-decimal values
+    // (2-dec price × 2-dec discount factor), so a 4-decimal grid keeps the
+    // true sum ≥ 5e-5 from every boundary while a 2-decimal grid has
+    // reachable x.xx50 boundaries; avg derives from the rounded sum so both
+    // engines divide identical doubles (see EventWindows.tumbling).
     "q1_pricing_agg" -> ((s, d) =>
       T(s, d, "lineitem").groupBy("l_returnflag", "l_linestatus").agg(
         count(lit(1)).as("n"),
         round(sum("l_quantity"), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
           .as("revenue"),
-        round(avg("l_discount"), 6).as("avg_disc"))),
+        round(round(sum("l_discount"), 2) / count(lit(1)), 6).as("avg_disc"))),
 
     "q3_segment_revenue" -> ((s, d) => {
       val c = T(s, d, "customer").select("c_custkey", "c_mktsegment")
@@ -54,7 +59,7 @@ object SparkEntry {
         .join(o, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(c), col("o_custkey") === col("c_custkey"))
         .groupBy("c_mktsegment")
-        .agg(count(lit(1)).as("n"), round(sum("rev"), 2).as("revenue"))
+        .agg(count(lit(1)).as("n"), round(sum("rev"), 4).as("revenue"))
     }),
 
     "q_topk_orders" -> ((s, d) =>
@@ -240,13 +245,13 @@ object SparkEntry {
     "q1_pricing_agg" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         | round(sum(l_quantity),2) AS sum_qty,
-        | round(sum(l_extendedprice*(1.0-l_discount)),2) AS revenue,
-        | round(avg(l_discount),6) AS avg_disc
+        | round(sum(l_extendedprice*(1.0-l_discount)),4) AS revenue,
+        | round(round(sum(l_discount),2)/count(*),6) AS avg_disc
         |FROM lineitem GROUP BY 1,2""".stripMargin,
 
     "q3_segment_revenue" ->
       """SELECT c_mktsegment, count(*) AS n,
-        | round(sum(l_extendedprice*(1.0-l_discount)),2) AS revenue
+        | round(sum(l_extendedprice*(1.0-l_discount)),4) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey=o_orderkey
         |JOIN customer ON o_custkey=c_custkey GROUP BY 1""".stripMargin,
 
@@ -375,7 +380,7 @@ object SparkEntry {
     "event_tumbling" ->
       """SELECT CAST(floor(epoch(time_bucket(INTERVAL '1 hour', ts))) AS BIGINT) AS window_start,
         | event_type, count(*) AS n, round(sum(value),4) AS total,
-        | round(avg(value),6) AS mean
+        | round(round(sum(value),4)/count(*),6) AS mean
         |FROM events GROUP BY 1,2""".stripMargin,
 
     "event_sessions" -> O.sessionsSql
@@ -447,7 +452,7 @@ object SparkEntry {
            | count(*)-count($c) AS n_missing, count(DISTINCT $c) AS n_distinct,
            | round(CAST(count(DISTINCT $c) AS DOUBLE)/count($c),6) AS p_distinct,
            | round(CAST(count(*)-count($c) AS DOUBLE)/count(*),6) AS p_missing,
-           | round(avg(CAST($c AS DOUBLE)),6) AS mean,
+           | round(round(sum(CAST($c AS DOUBLE)),4)/count($c),6) AS mean,
            | round(stddev_samp(CAST($c AS DOUBLE)),6) AS std,
            | round(CAST(min($c) AS DOUBLE),6) AS vmin,
            | round(CAST(max($c) AS DOUBLE),6) AS vmax

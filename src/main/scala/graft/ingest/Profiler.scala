@@ -117,7 +117,9 @@ object Profiler {
       Seq(
         count(d).as(s"n__$c"),
         count(when(d.isNull, 1)).as(s"miss__$c"),
-        round(avg(d), 6).as(s"mean__$c"),
+        // mean from the rounded sum: keeps boundary-exact means (2-decimal
+        // data over round counts) from rounding differently than the oracle
+        round(round(sum(d), 4) / count(d), 6).as(s"mean__$c"),
         round(stddev_samp(d), 6).as(s"std__$c"),
         round(min(d), 6).as(s"min__$c"),
         round(max(d), 6).as(s"max__$c")

@@ -22,7 +22,13 @@ object EventWindows {
     events.groupBy(window(col("ts"), width).as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         round(sum("value"), 4).as("total"),
-        round(avg("value"), 6).as("mean"))
+        // mean derived from the ROUNDED total: means of 2-decimal values
+        // over small counts land exactly on rounding-grid boundaries
+        // (58.47375 at n=24 — observed at sf0.1), where accumulation-order
+        // noise flips the direction. The rounded total is boundary-safe
+        // (2-decimal-exact sums sit far from any 1e-4 half-step), and both
+        // engines then divide identical doubles.
+        round(round(sum("value"), 4) / count(lit(1)), 6).as("mean"))
       .select(unix_timestamp(col("w.start")).as("window_start"),
         col("event_type"), col("n"), col("total"), col("mean"))
 
