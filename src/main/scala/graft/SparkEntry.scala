@@ -210,6 +210,10 @@ object SparkEntry {
       Dedup.simhashPairs(T(s, d, "documents").filter(col("doc_id") < DocBound),
         "doc_id", "text", 3)),
 
+    "corpus_select" -> ((s, d) =>
+      graft.extra.CorpusPipeline.select(T(s, d, "documents"), "doc_id", "text",
+        0.5, Seq("en"))),
+
     // ---- embedding similarity search (extras) ----
     "knn_cosine" -> ((s, d) =>
       EmbeddingKnn.bruteForce(T(s, d, "embeddings"), KnnQueryIds, 5)
@@ -371,6 +375,7 @@ object SparkEntry {
         |FROM documents""".stripMargin,
 
     "lang_id" -> O.langIdSql,
+    "corpus_select" -> O.corpusSelectSql,
 
     "doc_fingerprint" ->
       """SELECT doc_id, md5(trim(regexp_replace(
@@ -682,6 +687,21 @@ object SparkEntry {
          |SELECT doc_id, s AS score FROM ti_score
          |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin
     }
+
+    val corpusSelectSql: String =
+      s"""WITH fp AS (SELECT doc_id, md5(trim(regexp_replace(
+         |  regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fingerprint
+         |  FROM documents),
+         |keep AS (SELECT fingerprint, min(doc_id) AS doc_id FROM fp GROUP BY 1),
+         |q AS (SELECT doc_id,
+         |  round(least(CAST(len(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS DOUBLE)/100.0, 1.0)
+         |    * (1.0 - least(CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+         |        / length(text), 1.0)), 6) AS quality
+         |  FROM documents),
+         |lg AS (SELECT doc_id, lang_pred FROM ($langIdSql) z)
+         |SELECT keep.doc_id, keep.fingerprint, q.quality, lg.lang_pred
+         |FROM keep JOIN q USING (doc_id) JOIN lg USING (doc_id)
+         |WHERE q.quality >= 0.5 AND lg.lang_pred IN ('en')""".stripMargin
 
     val sessionsSql: String =
       """WITH x AS (SELECT user_id, ts, value,
