@@ -21,7 +21,7 @@ object Explain {
     spark.sparkContext.setLogLevel("WARN")
     // warm the session so the first query isn't charged JVM/codegen startup
     spark.range(1000000).selectExpr("sum(id)").collect()
-    names.foreach { name =>
+    val times = names.map { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       if (sys.env.contains("GRAFT_EXPLAIN")) {
         println(s"===== $name plan =====")
@@ -30,8 +30,11 @@ object Explain {
       val t0 = System.nanoTime()
       df.write.mode("overwrite").format("noop").save()
       val t1 = System.nanoTime()
-      println(f"[time] $name%-28s ${(t1 - t0) / 1e9}%8.2f s")
+      val sec = (t1 - t0) / 1e9
+      println(f"[time] $name%-28s $sec%8.2f s")
+      sec
     }
+    println(f"[time] TOTAL ${times.sum}%.2f s over ${names.size} queries")
     spark.stop()
   }
 }
