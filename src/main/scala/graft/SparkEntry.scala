@@ -210,6 +210,9 @@ object SparkEntry {
       Dedup.simhashPairs(T(s, d, "documents").filter(col("doc_id") < DocBound),
         "doc_id", "text", 3)),
 
+    "dedup_embedding" -> ((s, d) =>
+      Dedup.embeddingPairs(T(s, d, "embeddings"), 0.45)),
+
     "corpus_select" -> ((s, d) =>
       graft.extra.CorpusPipeline.select(T(s, d, "documents"), "doc_id", "text",
         0.5, Seq("en"))),
@@ -354,6 +357,13 @@ object SparkEntry {
         | count(*) AS n_dups FROM documents GROUP BY 1""".stripMargin,
 
     "dedup_jaccard" -> O.jaccardSql,
+
+    "dedup_embedding" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        | round(list_cosine_similarity(a.vec, b.vec),6) AS cosine
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.vec, b.vec) >= 0.45""".stripMargin,
 
     "knn_cosine" -> O.knnCosineSql,
     "knn_lsh" -> O.knnLshSql,

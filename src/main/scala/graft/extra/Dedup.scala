@@ -118,6 +118,23 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jac_raw"), 6).as("jac"))
   }
 
+  /** Embedding-cosine near-duplicate pairs (a < b, cosine >= threshold).
+    * Brute-force inner join with the codegen'd cosine — correct at any
+    * scale but quadratic; at corpus scale run it AFTER a bucket prefilter
+    * (EmbeddingKnn.signLsh's sign buckets or IVF cells) exactly like the
+    * MinHash verify step.
+    */
+  def embeddingPairs(emb: DataFrame, threshold: Double): DataFrame = {
+    val e = emb.select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("vec"))
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos_raw",
+        graft.functions.VectorOps.cosine(col("a.vec"), col("b.vec")))
+      .filter(col("cos_raw") >= threshold)
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        round(col("cos_raw"), 6).as("cosine"))
+  }
+
   /** 60-bit SimHash fingerprints: per token, bits of a 60-bit md5-derived
     * hash vote +tf/-tf per position; fingerprint bit i = sign of the vote sum.
     * Returned as a bit string (readable, and band-sliceable for candidate
