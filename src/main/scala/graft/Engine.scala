@@ -20,7 +20,8 @@ object Engine {
   case class ContentSpec(columns: Map[String, Double] = Map.empty,
                          weight: Double = 0.5)
   case class MetadataSpec(fields: Map[String, Double] =
-                            Map("title" -> 2.0, "description" -> 1.0),
+                            Map("title" -> 1.0, "keywords" -> 1.0,
+                                "description" -> 1.0),
                           weight: Double = 0.5)
   case class SearchRequest(queryId: String,
                            content: ContentSpec = ContentSpec(),
@@ -45,27 +46,42 @@ object Engine {
     */
   def search(spark: SparkSession, dir: String, req: SearchRequest): DataFrame = {
     val (wc, wm) = normalizeSplit(req)
-    val sketch0 = Sketches.cachedAll(spark, dir)
-    // restrict the query side to the selected columns (empty = all)
-    val sketch =
-      if (req.content.columns.isEmpty) sketch0
-      else sketch0.filter(col("dataset_id") =!= req.queryId ||
-        col("col_name").isin(req.content.columns.keys.toSeq: _*))
-    val ranked = DistanceJoin.knn(sketch, req.queryId, req.m, req.l)
+    val sketch = Sketches.cachedAll(spark, dir)
+    // Column selection restricts the QUERY projection only; the index side is
+    // never filtered — the reference trains on every column, so rank/kth are
+    // computed over the full index regardless of the user's selection.
+    val queryCols =
+      if (req.content.columns.isEmpty) None
+      else Some(req.content.columns.keys.toSeq)
+    val ranked = DistanceJoin.knn(sketch, req.queryId, req.m, req.l,
+      queryCols = queryCols)
 
     val meta = CombinedScorer.datasetMetadata(spark, dir)
-    val queryTerms = meta.filter(col("dataset_id") === req.queryId)
-      .select(concat_ws(" ", col("title"), col("description")))
-      .head().getString(0).toLowerCase.split(" ").filter(_.nonEmpty).distinct.toSeq
+    // per-field query text: each selected metadata field is matched against
+    // the query dataset's own value for that field (metadata_search.py:14-24),
+    // with the user's normalized per-field weights (dataset_graph.py:102-112)
+    val qRow = meta.filter(col("dataset_id") === req.queryId)
+      .select("title", "keywords", "description").head()
+    val fieldText = Map(
+      "title" -> qRow.getString(0),
+      "keywords" -> qRow.getString(1),
+      "description" -> qRow.getString(2))
+    val fieldSpecs = normalize(req.metadata.fields).toSeq.sortBy(_._1).map {
+      case (f, w) =>
+        (f, w, fieldText(f).toLowerCase.split(" ").filter(_.nonEmpty).distinct.toSeq)
+    }
     val metaScores = Bm25.multiField(
         meta.filter(col("dataset_id") =!= req.queryId)
           .withColumnRenamed("dataset_id", "doc_id"),
-        "doc_id", req.metadata.fields.toSeq.sortBy(_._1), queryTerms)
+        "doc_id", fieldSpecs)
       .select(col("doc_id").as("c_dataset"), col("score").as("metadata_score"))
 
     val edges = DistanceJoin.candidateEdges(sketch, req.queryId, ranked,
-      extraCandidates = Some(metaScores.select("c_dataset")))
-    val nQueryCols = sketch.filter(col("dataset_id") === req.queryId).count()
+      extraCandidates = Some(metaScores.select("c_dataset")),
+      queryCols = queryCols)
+    val nQueryCols = sketch.filter(col("dataset_id") === req.queryId)
+      .filter(queryCols.fold(lit(true))(cs => col("col_name").isin(cs: _*)))
+      .count()
     val weighted = DistanceJoin.weighted(edges,
       if (req.content.columns.isEmpty) Map.empty
       else normalize(req.content.columns),

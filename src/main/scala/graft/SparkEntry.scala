@@ -170,12 +170,17 @@ object SparkEntry {
         .select("query_id", "c_dataset", "content_score", "metadata_score",
           "overall_score")),
 
+    // three fields, each queried with the query dataset's own field text and
+    // its own boost (metadata_search.py:12-26)
     "bm25_multifield" -> ((s, d) =>
       Bm25.multiField(
         CombinedScorer.datasetMetadata(s, d)
           .filter(col("dataset_id") =!= "customer")
           .withColumnRenamed("dataset_id", "doc_id"),
-        "doc_id", Seq("title" -> 2.0, "description" -> 1.0), O.customerTerms)),
+        "doc_id",
+        Seq(("title", 0.5, O.customerTitleTerms),
+            ("keywords", 0.3, O.customerKeywordTerms),
+            ("description", 0.2, O.customerDescTerms)))),
 
     "autocomplete" -> ((s, d) =>
       Bm25.autocomplete(CombinedScorer.datasetMetadata(s, d), "er", 10)),
@@ -625,30 +630,44 @@ object SparkEntry {
          |FROM b""".stripMargin
     }
 
-    /** Metadata corpus mirror of CombinedScorer.datasetMetadata. */
-    private val metaRows: Seq[(String, String, String)] =
+    /** Metadata corpus mirror of CombinedScorer.datasetMetadata:
+      * (id, title, keywords, description).
+      */
+    private val metaRows: Seq[(String, String, String, String)] =
       tables.filter(t => Tables.sketchTables.contains(t._1)).map { case (t, all, _, _) =>
-        (t, t, all.mkString(" ").replace("_", " "))
+        val de = all.mkString(" ").replace("_", " ")
+        (t, t, graft.search.CombinedScorer.keywordsOf(de), de)
       }
 
     private def metaValues(excludeId: Option[String]): String = {
       val rows = metaRows.filter(r => !excludeId.contains(r._1))
-        .map { case (id, ti, de) => s"('$id', '$ti', '$de')" }
-      s"(VALUES ${rows.mkString(", ")}) AS meta(doc_id, title, description)"
+        .map { case (id, ti, kw, de) => s"('$id', '$ti', '$kw', '$de')" }
+      s"(VALUES ${rows.mkString(", ")}) AS meta(doc_id, title, keywords, description)"
     }
 
-    val customerTerms: Seq[String] = {
-      val (_, ti, de) = metaRows.find(_._1 == "customer").get
-      s"$ti $de".toLowerCase.split(" ").filter(_.nonEmpty).distinct.toSeq
-    }
+    private def termsOf(s: String): Seq[String] =
+      s.toLowerCase.split(" ").filter(_.nonEmpty).distinct.toSeq
+
+    val customerTitleTerms: Seq[String] = termsOf(metaRows.find(_._1 == "customer").get._2)
+    val customerKeywordTerms: Seq[String] = termsOf(metaRows.find(_._1 == "customer").get._3)
+    val customerDescTerms: Seq[String] = termsOf(metaRows.find(_._1 == "customer").get._4)
 
     val titleTerms: Seq[String] = Seq("supplier", "nation", "region")
 
     /** Single-field BM25 score CTEs over the metadata VALUES corpus,
-      * mirroring Bm25.scores (k1=1.2, b=0.75, Lucene idf, rounded 6).
+      * mirroring Bm25.scores (k1=1.2, b=0.75, Lucene idf). `rounded` rounds
+      * the per-doc sum to 6 (Bm25.scores); multiField keeps raw sums and
+      * rounds only the final normalized outputs.
       */
-    private def fieldScoreSql(field: String, terms: Seq[String], alias: String): String = {
+    private def fieldScoreSql(field: String, terms: Seq[String], alias: String,
+                              rounded: Boolean = true): String = {
       val termList = terms.map(t => s"'$t'").mkString(", ")
+      val sumExpr =
+        """sum(
+          |     ln(1.0 + (c.n_docs - f.df + 0.5)/(f.df + 0.5))
+          |     * (tf.tf * (1.2 + 1.0))
+          |     / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / c.avgdl)))""".stripMargin
+      val scoreExpr = if (rounded) s"round($sumExpr,6)" else sumExpr
       s"""${alias}_toks AS (SELECT doc_id, unnest(string_split(lower($field), ' ')) AS term
          |  FROM meta_corpus),
          |${alias}_t2 AS (SELECT doc_id, term FROM ${alias}_toks WHERE term <> ''),
@@ -658,10 +677,7 @@ object SparkEntry {
          |${alias}_dfreq AS (SELECT term, count(*) AS df FROM ${alias}_tf
          |  WHERE term IN ($termList) GROUP BY 1),
          |${alias}_score AS (
-         |  SELECT tf.doc_id, round(sum(
-         |     ln(1.0 + (c.n_docs - f.df + 0.5)/(f.df + 0.5))
-         |     * (tf.tf * (1.2 + 1.0))
-         |     / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / c.avgdl))),6) AS s
+         |  SELECT tf.doc_id, $scoreExpr AS s
          |  FROM ${alias}_tf tf
          |  JOIN ${alias}_dfreq f ON tf.term = f.term
          |  JOIN ${alias}_dl dl ON tf.doc_id = dl.doc_id
@@ -672,15 +688,23 @@ object SparkEntry {
 
     val bm25MultifieldSql: String = {
       s"""WITH meta_corpus AS (SELECT * FROM ${metaValues(Some("customer"))}),
-         |${fieldScoreSql("title", customerTerms, "ti")},
-         |${fieldScoreSql("description", customerTerms, "de")},
-         |j AS (SELECT coalesce(t.doc_id, d.doc_id) AS doc_id,
-         |        coalesce(t.s, 0.0) * 2.0 AS title_score,
-         |        coalesce(d.s, 0.0) * 1.0 AS description_score
-         |      FROM ti_score t FULL OUTER JOIN de_score d ON t.doc_id = d.doc_id),
-         |mx AS (SELECT max(title_score + description_score) AS m FROM j)
-         |SELECT doc_id, title_score, description_score,
-         |  round((title_score + description_score) / mx.m, 6) AS score
+         |${fieldScoreSql("title", customerTitleTerms, "ti", rounded = false)},
+         |${fieldScoreSql("keywords", customerKeywordTerms, "kw", rounded = false)},
+         |${fieldScoreSql("description", customerDescTerms, "de", rounded = false)},
+         |u AS (SELECT doc_id, s * 0.5 AS raw, 'title' AS field FROM ti_score
+         |      UNION ALL SELECT doc_id, s * 0.3, 'keywords' FROM kw_score
+         |      UNION ALL SELECT doc_id, s * 0.2, 'description' FROM de_score),
+         |j AS (SELECT doc_id,
+         |        sum(CASE WHEN field = 'title' THEN raw ELSE 0 END) AS title_raw,
+         |        sum(CASE WHEN field = 'keywords' THEN raw ELSE 0 END) AS keywords_raw,
+         |        sum(CASE WHEN field = 'description' THEN raw ELSE 0 END) AS description_raw,
+         |        sum(raw) AS raw
+         |      FROM u GROUP BY 1),
+         |mx AS (SELECT max(raw) AS m FROM j)
+         |SELECT doc_id, round(title_raw / mx.m, 6) AS title_score,
+         |  round(keywords_raw / mx.m, 6) AS keywords_score,
+         |  round(description_raw / mx.m, 6) AS description_score,
+         |  round(raw / mx.m, 6) AS score
          |FROM j CROSS JOIN mx
          |ORDER BY score DESC, doc_id ASC LIMIT 100""".stripMargin
     }
@@ -688,7 +712,7 @@ object SparkEntry {
     val autocompleteSql: String =
       s"""SELECT doc_id AS dataset_id, title
          |FROM ${metaValues(None)}
-         |WHERE contains(lower(title || ' ' || description), 'er')
+         |WHERE contains(lower(title || ' ' || keywords || ' ' || description), 'er')
          |ORDER BY title ASC, doc_id ASC LIMIT 10""".stripMargin
 
     val titleSearchSql: String = {

@@ -6,8 +6,8 @@ import org.apache.spark.sql.functions._
 
 /** BM25 full-text scoring — the Spark replacement for danae's ES/Lucene
   * metadata search (search/metadata_search.py:12-46: bool/should `match` over
-  * metadata fields with per-field boosts, minimum_should_match=1, top-M,
-  * normalized by the max score).
+  * metadata fields, each field queried with its OWN query text and per-field
+  * boost, minimum_should_match=1, top-M, normalized by the max score).
   *
   * Implemented as plain aggregations + column expressions: document length
   * and term frequencies are one tokenize+aggregate pass, document frequencies
@@ -20,16 +20,17 @@ object Bm25 {
 
   /** BM25 scores of `queryTerms` against one text column. Returns
     * (doc_id, score) for docs matching ≥ 1 term, scores rounded to 6.
+    * Document length is derived from the tf aggregate (sum of tfs), so the
+    * corpus is tokenized exactly once.
     */
   def scores(docs: DataFrame, docIdCol: String, textCol: String,
              queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val toks = TermStats.tokens(docs, docIdCol, textCol)
-    val tf = TermStats.termFreqs(toks)
-    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val tf = TermStats.termFreqs(TermStats.tokens(docs, docIdCol, textCol))
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
     val corpus = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
-    val dfreq = tf.filter(col("term").isin(queryTerms: _*))
-      .groupBy("term").agg(count(lit(1)).as("df"))
-    tf.filter(col("term").isin(queryTerms: _*))
+    val qtf = tf.filter(col("term").isin(queryTerms: _*))
+    val dfreq = qtf.groupBy("term").agg(count(lit(1)).as("df"))
+    qtf
       .join(broadcast(dfreq), "term")
       .join(dl, "doc_id")
       .crossJoin(broadcast(corpus))
@@ -42,12 +43,14 @@ object Bm25 {
       .agg(round(sum("term_score"), 6).as("score"))
   }
 
-  /** Autocomplete (ui/methods.py:21-42's multi_match + top-10): case-folded
-    * substring match over title+description, deterministic order, limit n.
+  /** Autocomplete (ui/methods.py:21-42's multi_match over
+    * title/keywords/description + top-10): case-folded substring match,
+    * deterministic order, limit n.
     */
   def autocomplete(meta: DataFrame, kwd: String, n: Int = 10): DataFrame =
-    meta.filter(lower(concat_ws(" ", col("title"), col("description")))
-        .contains(kwd.toLowerCase))
+    meta.filter(
+        lower(concat_ws(" ", col("title"), col("keywords"), col("description")))
+          .contains(kwd.toLowerCase))
       .select(col("dataset_id"), col("title"))
       .orderBy(col("title").asc, col("dataset_id").asc)
       .limit(n)
@@ -59,26 +62,63 @@ object Bm25 {
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(topM)
 
-  /** Multi-field BM25 with per-field boosts, normalized by the max combined
-    * score to [0,1] (metadata_search.py:37-46) — keeps per-field score
-    * columns in place of ES explain-parsing (metadata_search.py:48-63).
-    * fields: (columnName, boost). Returns (doc_id, <field>_score..., score).
+  /** Multi-field BM25, each field scored against its OWN query-term list with
+    * its own boost (metadata_search.py:12-26 builds one `match` clause per
+    * field from the query dataset's own field text), combined and normalized
+    * by the max combined score (metadata_search.py:43-46); per-field score
+    * columns are normalized by the same max, mirroring the reference's
+    * explain-parsing (metadata_search.py:48-56 `s['value'] / max_score`).
+    *
+    * Single-pass plan: the fields are unpivoted to one (doc_id, field, term)
+    * stream, so the corpus is tokenized ONCE and every per-field statistic
+    * (tf, dl, avgdl, df — ES keeps per-field Lucene stats) comes out of one
+    * shared aggregation tree instead of one full pipeline per field.
+    *
+    * fields: (columnName, boost, queryTerms).
+    * Returns (doc_id, <field>_score..., score), scores rounded to 6.
     */
   def multiField(docs: DataFrame, docIdCol: String,
-                 fields: Seq[(String, Double)], queryTerms: Seq[String],
-                 topM: Int = 100): DataFrame = {
-    val perField = fields.map { case (f, boost) =>
-      scores(docs, docIdCol, f, queryTerms)
-        .select(col("doc_id"), (col("score") * boost).as(s"${f}_score"))
+                 fields: Seq[(String, Double, Seq[String])],
+                 topM: Int = 100, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val stackArgs = fields.map { case (f, _, _) => s"'$f', lower(`$f`)" }.mkString(", ")
+    val toks = docs
+      .select(col(docIdCol).as("doc_id"),
+        expr(s"stack(${fields.size}, $stackArgs) as (field, text)"))
+      .select(col("doc_id"), col("field"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val tf = toks.groupBy("doc_id", "field", "term").agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy("doc_id", "field").agg(sum("tf").as("dl"))
+    val corpus = dl.groupBy("field")
+      .agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
+    val isQueryTerm = fields.map { case (f, _, ts) =>
+      col("field") === f && col("term").isin(ts: _*)
+    }.reduce(_ || _)
+    val qtf = tf.filter(isQueryTerm)
+    val dfreq = qtf.groupBy("field", "term").agg(count(lit(1)).as("df"))
+    val boosts = map(fields.flatMap { case (f, w, _) => Seq(lit(f), lit(w)) }: _*)
+    val perField = qtf
+      .join(broadcast(dfreq), Seq("field", "term"))
+      .join(dl, Seq("doc_id", "field"))
+      .join(broadcast(corpus), "field")
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("term_score",
+        col("idf") * (col("tf") * (lit(k1) + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy("doc_id", "field")
+      .agg(sum("term_score").as("fscore"))
+      .withColumn("fscore", col("fscore") * element_at(boosts, col("field")))
+    val fieldAggs = fields.map { case (f, _, _) =>
+      coalesce(sum(when(col("field") === f, col("fscore"))), lit(0.0)).as(s"${f}_raw")
     }
-    val combined = perField.reduce(_.join(_, Seq("doc_id"), "full_outer"))
-      .na.fill(0.0)
-    val total = fields.map { case (f, _) => col(s"${f}_score") }.reduce(_ + _)
-    val withTotal = combined.withColumn("raw", total)
-    val maxDf = withTotal.agg(max("raw").as("max_raw"))
-    withTotal.crossJoin(broadcast(maxDf))
-      .withColumn("score", round(col("raw") / col("max_raw"), 6))
-      .drop("raw", "max_raw")
+    val wide = perField.groupBy("doc_id").agg(fieldAggs.head, fieldAggs.tail: _*)
+      .withColumn("raw", fields.map { case (f, _, _) => col(s"${f}_raw") }.reduce(_ + _))
+    val maxDf = wide.agg(max("raw").as("max_raw"))
+    wide.crossJoin(broadcast(maxDf))
+      .select(col("doc_id") +:
+        fields.map { case (f, _, _) =>
+          round(col(s"${f}_raw") / col("max_raw"), 6).as(s"${f}_score") } :+
+        round(col("raw") / col("max_raw"), 6).as("score"): _*)
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(topM)
   }

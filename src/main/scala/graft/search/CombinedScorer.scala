@@ -29,11 +29,18 @@ object CombinedScorer {
       .limit(k)
 
   /** Synthesized per-dataset metadata corpus for the fixture lake: title =
-    * table name, description = column names (the reference's metadata fields
-    * come from the catalogue CSV, eodp_publisher.py:21-36).
+    * table name, description = column names, keywords = the distinct sorted
+    * description vocabulary (the reference's three metadata fields come from
+    * the catalogue CSV, eodp_publisher.py:21-36).
     */
   private val metaCache =
     scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  /** The fixture keywords derivation, shared with the oracle-SQL generator so
+    * the two corpora cannot drift.
+    */
+  def keywordsOf(description: String): String =
+    description.split(" ").filter(_.nonEmpty).distinct.sorted.mkString(" ")
 
   def datasetMetadata(spark: SparkSession, dir: String,
                       tables: Seq[String] = Tables.sketchTables): DataFrame =
@@ -43,9 +50,10 @@ object CombinedScorer {
       // schema-only reads (parquet footers); cached per session because many
       // search queries consult the same tiny catalogue corpus
       tables.map { t =>
-        val cols = Tables.load(spark, dir, t).columns
-        (t, t, cols.mkString(" ").replace("_", " "))
-      }.toDF("dataset_id", "title", "description").cache()
+        val desc = Tables.load(spark, dir, t).columns
+          .mkString(" ").replace("_", " ")
+        (t, t, keywordsOf(desc), desc)
+      }.toDF("dataset_id", "title", "keywords", "description").cache()
     })
 
   /** End-to-end similarity search for one query dataset (flagship; mirrors
@@ -58,12 +66,22 @@ object CombinedScorer {
     val sketch = Sketches.cachedAll(spark, dir)
     val ranked = DistanceJoin.knn(sketch, queryId, m, l)
     val meta = datasetMetadata(spark, dir)
-    val queryTerms = meta.filter(col("dataset_id") === queryId)
-      .select(concat_ws(" ", col("title"), col("description")))
-      .head().getString(0).toLowerCase.split(" ").filter(_.nonEmpty).distinct.toSeq
+    // Each metadata field is queried with the query dataset's OWN text for
+    // that field (metadata_search.py:14-24: keywords vs keywords, title vs
+    // title, description vs description), with the UI's normalized per-field
+    // weights (dataset_graph.py:102-112) — uniform thirds when all three
+    // fields are selected.
+    val qRow = meta.filter(col("dataset_id") === queryId)
+      .select("title", "keywords", "description").head()
+    def terms(s: String): Seq[String] =
+      s.toLowerCase.split(" ").filter(_.nonEmpty).distinct.toSeq
+    val w = 1.0 / 3
     val metaScores = Bm25.multiField(
         meta.filter(col("dataset_id") =!= queryId).withColumnRenamed("dataset_id", "doc_id"),
-        "doc_id", Seq("title" -> 2.0, "description" -> 1.0), queryTerms)
+        "doc_id",
+        Seq(("title", w, terms(qRow.getString(0))),
+            ("keywords", w, terms(qRow.getString(1))),
+            ("description", w, terms(qRow.getString(2)))))
       .select(col("doc_id").as("c_dataset"), col("score").as("metadata_score"))
     // Complete the bipartite edges for every discovered candidate — content
     // AND metadata hits — mirroring the reference's random access

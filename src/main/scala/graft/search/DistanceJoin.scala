@@ -29,11 +29,14 @@ object DistanceJoin {
     * @param m       neighbors kept per query column (danae M, UI default 100)
     * @param l       rank of the normalizing distance (danae L, UI default 50)
     * @param decay   exp decay rate (content_search.py:28, default 0.01)
+    * @param queryCols restrict the QUERY projection to these columns (the
+    *                UI's column selection). The index side is never filtered:
+    *                the reference trains on every column and a selection only
+    *                narrows which query columns search (ui/ui.py:299-312).
     */
   def knn(sketch: DataFrame, queryId: String, m: Int = 100, l: Int = 50,
-          decay: Double = 0.01): DataFrame = {
-    val query = sketch.filter(col("dataset_id") === queryId)
-      .select(col("col_name").as("q_col"), col("col_type"), col("vector").as("q_vec"))
+          decay: Double = 0.01, queryCols: Option[Seq[String]] = None): DataFrame = {
+    val query = queryProjection(sketch, queryId, queryCols)
     // The index contains the query dataset's own columns too
     // (content_search.py:215-253 trains on every dataset): they occupy rank
     // positions and can BE the kth distance (a sibling column at non-zero
@@ -47,6 +50,16 @@ object DistanceJoin {
       .drop("q_vec", "c_vec")
     rankAndScore(joined, m, l, decay)
       .filter(col("c_dataset") =!= queryId)
+  }
+
+  /** The query side of a search: the query dataset's sketch rows, optionally
+    * restricted to a column selection (query side ONLY — see [[knn]]).
+    */
+  private def queryProjection(sketch: DataFrame, queryId: String,
+                              queryCols: Option[Seq[String]]): DataFrame = {
+    val base = sketch.filter(col("dataset_id") === queryId)
+    val sel = queryCols.fold(base)(cs => base.filter(col("col_name").isin(cs: _*)))
+    sel.select(col("col_name").as("q_col"), col("col_type"), col("vector").as("q_vec"))
   }
 
   /** Shared tail of both kNN paths: rank per query column, kth-distance
@@ -122,10 +135,10 @@ object DistanceJoin {
     */
   def candidateEdges(sketch: DataFrame, queryId: String, ranked: DataFrame,
                      decay: Double = 0.01,
-                     extraCandidates: Option[DataFrame] = None): DataFrame = {
+                     extraCandidates: Option[DataFrame] = None,
+                     queryCols: Option[Seq[String]] = None): DataFrame = {
     val kth = ranked.select("q_col", "kth").distinct()
-    val query = sketch.filter(col("dataset_id") === queryId)
-      .select(col("col_name").as("q_col"), col("col_type"), col("vector").as("q_vec"))
+    val query = queryProjection(sketch, queryId, queryCols)
     val rankedIds = ranked.select(col("c_dataset").as("dataset_id"))
     val candIds = extraCandidates
       .map(e => rankedIds.unionAll(e.toDF("dataset_id")))

@@ -110,17 +110,23 @@ object Sketches {
   // incremental profiling job, not a per-query computation.
   private val cache = scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
 
+  /** Explicit "train" step (danae trains at service startup,
+    * content_search.py:215-253): build the sketch index and pin it hot.
+    * Queries that follow measure SEARCH, not index construction. Returns the
+    * pinned index; repeated calls are no-ops for the same (session, dir).
+    */
+  def train(spark: SparkSession, dir: String): DataFrame = cachedAll(spark, dir)
+
   def cachedAll(spark: SparkSession, dir: String): DataFrame =
     cache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
       // The built sketch is a union over dozens of shuffles — hundreds of
       // near-empty partitions, so every downstream scan would pay hundreds
       // of task launches. It is tiny (#datasets × #columns rows), so pin it
       // as a single-partition cached table — the in-memory index, exactly
-      // like danae holds its R-trees in RAM after "train".
-      val built = all(spark, dir)
-      val rows = built.collect().toIndexedSeq
-      val df = spark.createDataFrame(
-        spark.sparkContext.parallelize(rows, 1), built.schema).persist()
+      // like danae holds its R-trees in RAM after "train". The pin stays
+      // executor-side (coalesce, not collect/parallelize): at lake scale the
+      // sketch table is ~10^8 rows and a driver round-trip would OOM.
+      val df = all(spark, dir).coalesce(1).persist()
       df.count()
       df
     })
