@@ -213,7 +213,8 @@ object SparkEntry {
 
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhashPairs(T(s, d, "documents").filter(col("doc_id") < DocBound),
-        "doc_id", "text", 3)),
+        "doc_id", "text", 3)
+        .withColumn("hamming", col("hamming").cast("long"))),
 
     "dedup_embedding" -> ((s, d) =>
       Dedup.embeddingPairs(T(s, d, "embeddings"), 0.45)),
@@ -362,6 +363,8 @@ object SparkEntry {
         | count(*) AS n_dups FROM documents GROUP BY 1""".stripMargin,
 
     "dedup_jaccard" -> O.jaccardSql,
+    "dedup_minhash" -> O.minhashSql,
+    "dedup_simhash" -> O.simhashSql,
 
     "dedup_embedding" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings)
@@ -582,6 +585,64 @@ object SparkEntry {
          |JOIN sz sa ON inter.id_a = sa.doc_id
          |JOIN sz sb ON inter.id_b = sb.doc_id
          |WHERE CAST(inter AS DOUBLE)/(sa.sz + sb.sz - inter) >= 0.95""".stripMargin
+
+    /** DuckDB twin of Dedup.minhashLshPairs: same md5-derived token hashes,
+      * the SAME permutation constants (Dedup.permTable), band bucketing on
+      * the lexicographically-sorted "perm:minhash" aggregate (Spark
+      * sort_array on strings ≡ string_agg ORDER BY the same string), and the
+      * exact-Jaccard verify restricted to band candidates.
+      */
+    val minhashSql: String = {
+      val permRows = Dedup.permTable(32)
+        .map { case (i, a, b) => s"($i, ${a}::BIGINT, ${b}::BIGINT)" }
+        .mkString(", ")
+      s"""WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS term
+         |  FROM documents WHERE doc_id < $DocBound),
+         |t2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+         |th AS (SELECT doc_id, ('0x' || substring(md5(term),1,8))::BIGINT AS h FROM t2),
+         |perms AS (SELECT * FROM (VALUES $permRows) AS p(perm, a, b)),
+         |sigs AS (SELECT doc_id, perm, min((a * h + b) % ${Dedup.minhashPrime}) AS minhash
+         |  FROM th CROSS JOIN perms GROUP BY 1,2),
+         |bands AS (SELECT doc_id, perm // 4 AS band,
+         |    string_agg(perm || ':' || minhash, ',' ORDER BY perm || ':' || minhash) AS band_sig
+         |  FROM sigs GROUP BY 1,2),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b USING (band, band_sig) WHERE a.doc_id < b.doc_id),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM t2 GROUP BY 1),
+         |inter AS (SELECT c.id_a, c.id_b, count(*) AS inter
+         |  FROM cand c
+         |  JOIN t2 a ON a.doc_id = c.id_a
+         |  JOIN t2 b ON b.doc_id = c.id_b AND b.term = a.term
+         |  GROUP BY 1,2)
+         |SELECT id_a, id_b,
+         |  round(CAST(inter AS DOUBLE)/(sa.sz + sb.sz - inter),6) AS jac
+         |FROM inter JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+         |WHERE CAST(inter AS DOUBLE)/(sa.sz + sb.sz - inter) >= 0.95""".stripMargin
+    }
+
+    /** DuckDB twin of Dedup.simhashPairs: the 60-bit fingerprint is built as
+      * an integer (bit i ⟺ Spark's string char 60-i), band b's 15-char slice
+      * equals bits (3-b)*15+14..(3-b)*15, hamming via bit_count(xor).
+      */
+    val simhashSql: String =
+      s"""WITH tf AS (SELECT doc_id, term, count(*) AS tf FROM (
+         |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+         |    FROM documents WHERE doc_id < $DocBound) z
+         |  WHERE term <> '' GROUP BY 1,2),
+         |th AS (SELECT doc_id, tf, ('0x' || substring(md5(term),1,15))::BIGINT AS h FROM tf),
+         |votes AS (SELECT doc_id, bit_pos,
+         |    sum(CASE WHEN ((h >> bit_pos) & 1) = 1 THEN tf ELSE -tf END) AS v
+         |  FROM th CROSS JOIN (SELECT unnest(range(60)) AS bit_pos) b GROUP BY 1,2),
+         |f AS (SELECT doc_id,
+         |    sum(CASE WHEN v > 0 THEN (1::BIGINT << bit_pos) ELSE 0::BIGINT END) AS fp
+         |  FROM votes GROUP BY 1),
+         |bands AS (SELECT doc_id, fp, b AS band, (fp >> ((3 - b) * 15)) & 32767 AS slice
+         |  FROM f CROSS JOIN (SELECT unnest(range(4)) AS b) t),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    a.fp AS fa, b.fp AS fb
+         |  FROM bands a JOIN bands b USING (band, slice) WHERE a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(fa, fb)) <= 3""".stripMargin
 
     private val knnIds = KnnQueryIds.mkString(", ")
 

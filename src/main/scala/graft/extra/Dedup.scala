@@ -65,18 +65,27 @@ object Dedup {
   private def baseTokenHash = // 8 hex chars → [0, 2^32)
     conv(substring(md5(col("term")), 1, 8), 16, 10).cast("long")
 
-  /** MinHash signatures: (doc_id, perm, minhash). One shuffle keyed on
-    * (doc_id, perm); the permutation table is a broadcast literal.
+  /** Deterministic universal-hash permutation table (i, a, b) — public so the
+    * DuckDB oracle generator derives its constants from the SAME formula and
+    * the two engines cannot drift.
     */
-  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-                        numPerms: Int = 32): DataFrame = {
-    val perms = (0 until numPerms).map { i =>
+  def permTable(numPerms: Int): Seq[(Int, Long, Long)] =
+    (0 until numPerms).map { i =>
       // deterministic "random" odd coefficients
       val a = 1L + 2L * ((i * 1103515245L + 12345L) % (1L << 29))
       val b = (i * 69069L + 1L) % prime
       (i, math.abs(a), math.abs(b))
     }
-    val permExprs = perms.map { case (i, a, b) =>
+
+  /** The MinHash modulus — prime > 2^32 (see permTable). */
+  val minhashPrime: Long = prime
+
+  /** MinHash signatures: (doc_id, perm, minhash). One shuffle keyed on
+    * (doc_id, perm); the permutation table is a broadcast literal.
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        numPerms: Int = 32): DataFrame = {
+    val permExprs = permTable(numPerms).map { case (i, a, b) =>
       struct(lit(i).as("perm"),
         ((lit(a) * col("h") + lit(b)) % lit(prime)).as("hv"))
     }
