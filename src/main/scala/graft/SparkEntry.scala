@@ -219,6 +219,10 @@ object SparkEntry {
     "dedup_embedding" -> ((s, d) =>
       Dedup.embeddingPairs(T(s, d, "embeddings"), 0.45)),
 
+    // the scale path: sign-LSH bucket prefilter + exact cosine verify
+    "dedup_embedding_lsh" -> ((s, d) =>
+      Dedup.embeddingPairsLsh(T(s, d, "embeddings"), 0.45)),
+
     "corpus_select" -> ((s, d) =>
       graft.extra.CorpusPipeline.select(T(s, d, "documents"), "doc_id", "text",
         0.5, Seq("en"))),
@@ -375,6 +379,7 @@ object SparkEntry {
 
     "knn_cosine" -> O.knnCosineSql,
     "knn_lsh" -> O.knnLshSql,
+    "dedup_embedding_lsh" -> O.dedupEmbeddingLshSql,
 
     "text_stats" ->
       """SELECT doc_id,
@@ -669,6 +674,29 @@ object SparkEntry {
          |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
          |        ORDER BY sim DESC, c_id ASC) AS rank FROM s)
          |SELECT q_id, c_id, sim, rank FROM r WHERE rank <= 5""".stripMargin
+    }
+
+    /** DuckDB twin of Dedup.embeddingPairsLsh: identical multi-table
+      * fixed-hyperplane sign buckets (Dedup.signLshTableDims layout), exact
+      * cosine on bucket-mates.
+      */
+    val dedupEmbeddingLshSql: String = {
+      val branches = Dedup.signLshTableDims(3, 12).map { case (t, dims) =>
+        val bucket = dims.map(i =>
+          s"CASE WHEN vec[$i] >= 0 THEN '1' ELSE '0' END").mkString(" || ")
+        s"SELECT vec_id, $t AS tbl, $bucket AS bucket FROM e"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+         |k AS (
+         |  $branches),
+         |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM k a JOIN k b USING (tbl, bucket) WHERE a.vec_id < b.vec_id)
+         |SELECT id_a, id_b,
+         |  round(list_cosine_similarity(ea.vec, eb.vec),6) AS cosine
+         |FROM cand
+         |JOIN e ea ON cand.id_a = ea.vec_id
+         |JOIN e eb ON cand.id_b = eb.vec_id
+         |WHERE list_cosine_similarity(ea.vec, eb.vec) >= 0.45""".stripMargin
     }
 
     val langIdSql: String = {

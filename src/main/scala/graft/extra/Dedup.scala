@@ -34,27 +34,60 @@ object Dedup {
         explode(split(lower(col(textCol)), " ")).as("term"))
       .filter(col("term") =!= "").distinct()
 
-  /** Exact token-set Jaccard near-duplicate pairs (a < b, jac >= threshold)
-    * via inverted-index self-join: pairs only materialize for docs sharing at
-    * least one token.
+  /** Candidate pairs for a Jaccard join at `threshold`, via prefix filtering
+    * (Chaudhuri/Ganti/Kaushik "A Primitive Operator for Similarity Joins",
+    * ICDE'06; Bayardo/Ma/Srikant "Scaling Up All Pairs", WWW'07): order each
+    * doc's tokens by GLOBAL document frequency ascending (ties on term), and
+    * index only each doc's first `sz - ceil(t*sz) + 1` tokens. Any pair with
+    * jac >= t must share an indexed prefix token, so the candidate set is
+    * exact-complete — while frequent tokens (stopwords) sort LAST and almost
+    * never enter a prefix, bounding the inverted index: "the" can no longer
+    * pair every document with every other.
+    */
+  def jaccardCandidates(toks: DataFrame, sizes: DataFrame,
+                        threshold: Double): DataFrame = {
+    val dfreq = toks.groupBy("term").agg(count(lit(1)).as("df"))
+    val prefix = toks.join(dfreq, "term")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df").asc, col("term").asc)))
+      .join(sizes, "doc_id")
+      .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .select("doc_id", "term")
+    prefix.as("a").join(prefix.as("b"), "term")
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+  }
+
+  /** Exact-Jaccard verification of candidate (id_a, id_b) pairs: intersection
+    * via the token inverted index restricted to candidates, then the raw
+    * ratio thresholded (rounding first would admit pairs just under it — the
+    * oracle thresholds raw and rounds only for output).
+    */
+  private def verifyJaccard(candidates: DataFrame, toks: DataFrame,
+                            sizes: DataFrame, threshold: Double): DataFrame =
+    candidates
+      .join(toks.select(col("doc_id").as("id_a"), col("term")), "id_a")
+      .join(toks.select(col("doc_id").as("id_b"), col("term")), Seq("id_b", "term"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("jac_raw", col("inter").cast("double")
+        / (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jac_raw") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jac_raw"), 6).as("jac"))
+
+  /** Exact token-set Jaccard near-duplicate pairs (a < b, jac >= threshold):
+    * prefix-filtered candidate generation + exact verification. Result is
+    * identical to the naive inverted-index self-join (the prefix filter is
+    * lossless at the threshold), but candidates are bounded even for
+    * stopword-heavy corpora.
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    threshold: Double): DataFrame = {
     val toks = tokenSets(df, idCol, textCol).cache()
     val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val inter = toks.as("a").join(toks.as("b"), "term")
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sz_a")), "id_a")
-      .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("sz_b")), "id_b")
-      .withColumn("jac_raw", col("inter").cast("double")
-        / (col("sz_a") + col("sz_b") - col("inter")))
-      // threshold on the RAW ratio (rounding first would admit pairs just
-      // under it — the oracle thresholds raw and rounds only for output)
-      .filter(col("jac_raw") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jac_raw"), 6).as("jac"))
+    verifyJaccard(jaccardCandidates(toks, sizes, threshold), toks, sizes, threshold)
   }
 
   // MinHash machinery: base token hash from md5 (deterministic across runs and
@@ -115,16 +148,7 @@ object Dedup {
     // verify candidates exactly (standard LSH verify step)
     val toks = tokenSets(df, idCol, textCol).cache()
     val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    candidates
-      .join(toks.select(col("doc_id").as("id_a"), col("term")), "id_a")
-      .join(toks.select(col("doc_id").as("id_b"), col("term")), Seq("id_b", "term"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-      .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sz_a")), "id_a")
-      .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("sz_b")), "id_b")
-      .withColumn("jac_raw", col("inter").cast("double")
-        / (col("sz_a") + col("sz_b") - col("inter")))
-      .filter(col("jac_raw") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jac_raw"), 6).as("jac"))
+    verifyJaccard(candidates, toks, sizes, threshold)
   }
 
   /** Embedding-cosine near-duplicate pairs (a < b, cosine >= threshold).
@@ -142,6 +166,50 @@ object Dedup {
       .filter(col("cos_raw") >= threshold)
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
         round(col("cos_raw"), 6).as("cosine"))
+  }
+
+  /** The (table, bucket) layout of the multi-table sign LSH: table t keys on
+    * the sign pattern of dimensions [t*bits+1 .. t*bits+bits]. Shared with
+    * the oracle generator.
+    */
+  def signLshTableDims(bitsPerTable: Int, tables: Int): Seq[(Int, Seq[Int])] =
+    (0 until tables).map(t =>
+      t -> (t * bitsPerTable + 1 to t * bitsPerTable + bitsPerTable))
+
+  /** Embedding near-dup pairs with a multi-table sign-LSH prefilter composed
+    * in — the 100 TB path: candidates come from sign-bucket equi-joins
+    * (shuffle keyed on (table, bucket), never all-pairs), then exact cosine
+    * verifies survivors. A single wide sign pattern has vanishing recall at
+    * moderate cosine (per-hyperplane agreement is 1 - θ/π ≈ 0.65 at
+    * cos 0.45, so 8 joint bits catch ~3% of true pairs); banding into
+    * `tables` independent `bitsPerTable`-bit tables gives
+    * 1-(1-p^b)^T ≈ 0.92 recall at the same operating point. Deterministic
+    * fixed hyperplanes (dimension signs), so the DuckDB oracle reproduces
+    * the same candidate set exactly; recall vs [[embeddingPairs]] is
+    * measured in DedupSpec.
+    */
+  def embeddingPairsLsh(emb: DataFrame, threshold: Double,
+                        bitsPerTable: Int = 3, tables: Int = 12): DataFrame = {
+    val e = emb.select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("vec"))
+    val tableKeys = signLshTableDims(bitsPerTable, tables).map { case (t, dims) =>
+      struct(lit(t).as("tbl"),
+        concat(dims.map(i =>
+          when(element_at(col("vec"), i) >= 0, "1").otherwise("0")): _*).as("bucket"))
+    }
+    val keyed = e.select(col("vec_id"), explode(array(tableKeys: _*)).as("k"))
+      .select(col("vec_id"), col("k.tbl").as("tbl"), col("k.bucket").as("bucket"))
+    val cand = keyed.as("a").join(keyed.as("b"), Seq("tbl", "bucket"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+    cand
+      .join(e.select(col("vec_id").as("id_a"), col("vec").as("vec_a")), "id_a")
+      .join(e.select(col("vec_id").as("id_b"), col("vec").as("vec_b")), "id_b")
+      .withColumn("cos_raw",
+        graft.functions.VectorOps.cosine(col("vec_a"), col("vec_b")))
+      .filter(col("cos_raw") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos_raw"), 6).as("cosine"))
   }
 
   /** 60-bit SimHash fingerprints: per token, bits of a 60-bit md5-derived

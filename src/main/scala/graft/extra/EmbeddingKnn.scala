@@ -77,8 +77,10 @@ object EmbeddingKnn {
       .filter(col("rank") <= k)
   }
 
-  /** Sign-pattern bucket key over the first `bits` dimensions. */
-  private def bucketExpr(vecCol: org.apache.spark.sql.Column, bits: Int) =
+  /** Sign-pattern bucket key over the first `bits` dimensions (public: the
+    * dedup pipeline reuses the same bucketing as its pair prefilter).
+    */
+  def bucketExpr(vecCol: org.apache.spark.sql.Column, bits: Int): org.apache.spark.sql.Column =
     concat_ws("", (0 until bits).map(i =>
       when(element_at(vecCol, i + 1) >= 0, "1").otherwise("0")): _*)
 

@@ -49,6 +49,48 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.4, s"IVF recall@5 too low: $recall")
   }
 
+  test("prefix filter: stopword-heavy corpus has bounded candidates, exact result") {
+    // every doc shares the same 6 stopwords; only docs 1/2 are real near-dups
+    val stop = "the a an and of to"
+    val docs = (1L to 40L).map { i =>
+      val body = if (i <= 2) "identical payload tokens here" else s"unique$i body$i words$i"
+      (i, s"$stop $body")
+    }.toDF("doc_id", "text")
+    val toks = docs.select(col("doc_id"),
+        explode(split(lower(col("text")), " ")).as("term"))
+      .filter(col("term") =!= "").distinct()
+    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val nCand = Dedup.jaccardCandidates(toks, sizes, 0.95).count()
+    // naive inverted index pairs every doc with every other via "the":
+    // 40*39/2 = 780 candidate pairs; the prefix filter must stay far below
+    assert(nCand <= 40, s"prefix filter produced $nCand candidates (naive: 780)")
+    // and the result is still exact: brute-force all-pairs jaccard agrees
+    val got = Dedup.jaccardPairs(docs, "doc_id", "text", 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val t = toks.collect().groupBy(_.getLong(0))
+      .map { case (k, v) => k -> v.map(_.getString(1)).toSet }
+    val brute = (for {
+      a <- t.keys; b <- t.keys if a < b
+      jac = (t(a) & t(b)).size.toDouble / (t(a) | t(b)).size if jac >= 0.95
+    } yield (a, b)).toSet
+    assert(got == brute)
+  }
+
+  test("embedding LSH dedup: subset of exact pairs with matching cosines, recall >= 0.9") {
+    val emb = Tables.load(spark, SparkTestSession.sf0001, "embeddings")
+    val exact = Dedup.embeddingPairs(emb, 0.45).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = Dedup.embeddingPairsLsh(emb, 0.45).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(exact.nonEmpty)
+    lsh.foreach { case (k, v) =>
+      assert(exact.contains(k), s"LSH pair $k not in exact set")
+      assert(exact(k) == v, s"cosine mismatch at $k")
+    }
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall too low (${lsh.size}/${exact.size})")
+  }
+
   test("simhash: identical docs at hamming 0, near docs close") {
     val df = Seq(
       (1L, "spark query join stream table scan"),
