@@ -381,20 +381,24 @@ object SparkEntry {
     "knn_lsh" -> O.knnLshSql,
     "dedup_embedding_lsh" -> O.dedupEmbeddingLshSql,
 
+    // NULLIF/CASE guards mirror the Spark side's when(n>0, ...) for
+    // degenerate documents (empty / whitespace-only)
     "text_stats" ->
       """SELECT doc_id,
         | CAST(length(text) AS BIGINT) AS n_chars,
         | CAST(len(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS BIGINT) AS n_tokens,
         | round(CAST(length(text) AS DOUBLE)
-        |   / len(list_filter(string_split(lower(text), ' '), t -> t <> '')), 6) AS chars_per_token,
+        |   / NULLIF(len(list_filter(string_split(lower(text), ' '), t -> t <> '')), 0), 6) AS chars_per_token,
         | round(CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE)
-        |   / length(text), 6) AS punct_ratio,
+        |   / NULLIF(length(text), 0), 6) AS punct_ratio,
         | round(CAST(len(list_filter(string_split(lower(text), ' '),
         |     t -> t IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
-        |   / len(list_filter(string_split(lower(text), ' '), t -> t <> '')), 6) AS stopword_ratio,
-        | round(least(CAST(len(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS DOUBLE)/100.0, 1.0)
-        |   * (1.0 - least(CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE)
-        |       / length(text), 1.0)), 6) AS quality
+        |   / NULLIF(len(list_filter(string_split(lower(text), ' '), t -> t <> '')), 0), 6) AS stopword_ratio,
+        | CASE WHEN length(text) > 0 THEN
+        |   round(least(CAST(len(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS DOUBLE)/100.0, 1.0)
+        |     * (1.0 - least(CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+        |         / length(text), 1.0)), 6)
+        | ELSE NULL END AS quality
         |FROM documents""".stripMargin,
 
     "lang_id" -> O.langIdSql,
@@ -817,9 +821,11 @@ object SparkEntry {
          |  FROM documents),
          |keep AS (SELECT fingerprint, min(doc_id) AS doc_id FROM fp GROUP BY 1),
          |q AS (SELECT doc_id,
-         |  round(least(CAST(len(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS DOUBLE)/100.0, 1.0)
-         |    * (1.0 - least(CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE)
-         |        / length(text), 1.0)), 6) AS quality
+         |  CASE WHEN length(text) > 0 THEN
+         |    round(least(CAST(len(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS DOUBLE)/100.0, 1.0)
+         |      * (1.0 - least(CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+         |          / length(text), 1.0)), 6)
+         |  ELSE NULL END AS quality
          |  FROM documents),
          |lg AS (SELECT doc_id, lang_pred FROM ($langIdSql) z)
          |SELECT keep.doc_id, keep.fingerprint, q.quality, lg.lang_pred

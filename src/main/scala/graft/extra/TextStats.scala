@@ -27,16 +27,22 @@ object TextStats {
     // lowercased text — the oracle lowercases too)
     val punct = length(regexp_replace(lower(t), "[a-z0-9 ]", ""))
     val stop = size(filter(tokens, x => x.isin(stopwords: _*)))
+    // Degenerate documents (empty / whitespace-only) get NULL ratios on BOTH
+    // sides: Spark and DuckDB disagree on float x/0 (null vs inf/NaN), so the
+    // guards here pair with NULLIF/CASE in the oracle SQL.
     df.select(
       col(idCol).as("doc_id"),
       nChars.cast("long").as("n_chars"),
       nTokens.cast("long").as("n_tokens"),
-      round(nChars.cast("double") / nTokens, 6).as("chars_per_token"),
-      round(punct.cast("double") / nChars, 6).as("punct_ratio"),
-      round(stop.cast("double") / nTokens, 6).as("stopword_ratio"),
+      when(nTokens > 0, round(nChars.cast("double") / nTokens, 6))
+        .as("chars_per_token"),
+      when(nChars > 0, round(punct.cast("double") / nChars, 6)).as("punct_ratio"),
+      when(nTokens > 0, round(stop.cast("double") / nTokens, 6))
+        .as("stopword_ratio"),
       // quality: enough tokens × low punctuation share
-      round(least(nTokens.cast("double") / 100.0, lit(1.0))
-        * (lit(1.0) - least(punct.cast("double") / nChars, lit(1.0))), 6)
+      when(nChars > 0,
+        round(least(nTokens.cast("double") / 100.0, lit(1.0))
+          * (lit(1.0) - least(punct.cast("double") / nChars, lit(1.0))), 6))
         .as("quality"))
   }
 

@@ -71,67 +71,124 @@ object Catalog {
               statusCol: String = "status"): DataFrame =
     spark.read.parquet(catalogDir).filter(col(statusCol) === "pending")
 
+  /** Schema-only pre-validation: loadable + predicate over the schema. This
+    * partitions the error domain BEFORE the batch job (parquet footer reads,
+    * no Spark jobs), so per-dataset try/catch granularity survives without
+    * per-dataset jobs: invalid datasets go straight to status=error, valid
+    * ones share one job.
+    */
+  private def validatePending(spark: SparkSession, lakeDir: String,
+                              todo: Seq[String])
+                             (ok: DataFrame => Boolean): (Seq[(String, DataFrame)], Seq[String]) = {
+    val checked = todo.map { id =>
+      try {
+        val df = Tables.load(spark, lakeDir, id)
+        if (ok(df)) Left(id -> df) else Right(id)
+      } catch { case _: Exception => Right(id) }
+    }
+    (checked.collect { case Left(x) => x }, checked.collect { case Right(x) => x })
+  }
+
+  /** Atomic catalogue replacement: write to a staging dir, then swap by
+    * rename. The read of the old catalogue completes into staging BEFORE the
+    * target is touched, so an executor loss mid-write can never truncate or
+    * corrupt the live catalogue (single-writer; concurrent writers need a
+    * transactional table format).
+    */
+  private def atomicOverwrite(spark: SparkSession, updated: DataFrame,
+                              dir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val target = new Path(dir)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new Path(dir + ".staging")
+    val old = new Path(dir + ".old")
+    updated.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    if (fs.exists(old)) fs.delete(old, true)
+    fs.rename(target, old)
+    fs.rename(staging, target)
+    fs.delete(old, true)
+  }
+
+  private def applyStatuses(spark: SparkSession, catalogDir: String,
+                            statusCol: String, done: Seq[String],
+                            error: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val statusDf = (done.map(_ -> "done") ++ error.map(_ -> "error"))
+      .toDF("dataset_id", "new_status")
+    val updated = spark.read.parquet(catalogDir)
+      .join(broadcast(statusDf), Seq("dataset_id"), "left")
+      .withColumn(statusCol, coalesce(col("new_status"), col(statusCol)))
+      .drop("new_status")
+    atomicOverwrite(spark, updated, catalogDir)
+    spark.read.parquet(catalogDir).select("dataset_id", statusCol)
+  }
+
   /** One incremental profiling pass (ST1): profile every pending dataset
     * into the sketch table, then flip its status to done (error on failure).
-    * Returns the new statuses. At scale this runs on a schedule or inside
+    * Returns the new statuses.
+    *
+    * Batched by design: ALL pending datasets feed the shared
+    * (dataset_id, col_name, v) value stream, so a million-dataset backlog is
+    * ONE Spark job (one shuffle through the histogram-quantile pipeline, one
+    * dynamic-partition write), not a million serial jobs — the reference
+    * processes its queue one ES doc at a time (profiler.py:9-41); a batch
+    * engine must not. At scale this runs on a schedule or inside
     * `foreachBatch`; each pass only touches pending work.
     */
   def profilePending(spark: SparkSession, catalogDir: String, lakeDir: String,
                      sketchDir: String): DataFrame = {
     import spark.implicits._
     val todo = pending(spark, catalogDir).select("dataset_id").as[String].collect().toSeq
-    val results = todo.map { id =>
-      try {
-        val df = Tables.load(spark, lakeDir, id)
-        Profiler.quantileSketch(df, id).write.mode(SaveMode.Overwrite)
-          .parquet(s"$sketchDir/$id")
-        id -> "done"
-      } catch { case _: Exception => id -> "error" }
+    if (todo.isEmpty)
+      return spark.read.parquet(catalogDir).select("dataset_id", "status")
+    val (ok, bad) = validatePending(spark, lakeDir, todo)(
+      df => Profiler.sketchCols(df).nonEmpty)
+    if (ok.nonEmpty) {
+      val stream = ok.map { case (id, df) => Profiler.sketchValueStream(df, id) }
+        .reduce(_.unionAll(_))
+      val types = ok.flatMap { case (id, df) =>
+        Profiler.sketchCols(df).map { case (c, t) => (id, c) -> t }
+      }.toMap
+      Profiler.assembleSketchVectors(Profiler.histogramQuantiles(stream), types)
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("dataset_id").parquet(sketchDir)
     }
-    val statusDf = results.toDF("dataset_id", "new_status")
-    val cat = spark.read.parquet(catalogDir)
-    val updated = cat.join(broadcast(statusDf), Seq("dataset_id"), "left")
-      .withColumn("status", coalesce(col("new_status"), col("status")))
-      .drop("new_status")
-    // overwrite via staging (parquet has no in-place upsert; Delta would)
-    val staged = updated.cache()
-    staged.count()
-    staged.write.mode(SaveMode.Overwrite).parquet(catalogDir)
-    staged.select("dataset_id", "status")
+    applyStatuses(spark, catalogDir, "status", ok.map(_._1), bad)
   }
 
   /** The second work queue (ST2, profiler_tfidf.py:9-68): for every dataset
     * with freqs_status=pending, compute top-10 TF terms per categorical
-    * column into the freqs table and flip freqs_status.
+    * column into the freqs table and flip freqs_status. Batched like
+    * [[profilePending]]: every (dataset, column) token stream unions into
+    * one aggregation + one dynamic-partition write.
     */
   def enrichFreqsPending(spark: SparkSession, catalogDir: String, lakeDir: String,
                          freqsDir: String, k: Int = 10): DataFrame = {
     import spark.implicits._
     val todo = pending(spark, catalogDir, "freqs_status")
       .select("dataset_id").as[String].collect().toSeq
-    val results = todo.map { id =>
-      try {
-        val df = Tables.load(spark, lakeDir, id)
-        val cats = Profiler.typedColumns(df, "Categorical")
-        val tokens = cats.map { c =>
-          TermStats.tokens(df.select(col(c)), c, c)
-            .select(lit(c).as("doc_id"), col("term"))
-        }.reduceOption(_.unionAll(_))
-          .getOrElse(Seq.empty[(String, String)].toDF("doc_id", "term"))
-        TermStats.tfTopK(tokens, k)
-          .withColumnRenamed("doc_id", "col_name")
-          .write.mode(SaveMode.Overwrite).parquet(s"$freqsDir/$id")
-        id -> "done"
-      } catch { case _: Exception => id -> "error" }
+    if (todo.isEmpty)
+      return spark.read.parquet(catalogDir).select("dataset_id", "freqs_status")
+    val (ok, bad) = validatePending(spark, lakeDir, todo)(_ => true)
+    val tokenStreams = ok.flatMap { case (id, df) =>
+      Profiler.typedColumns(df, "Categorical").map { c =>
+        df.select(lit(id).as("dataset_id"), lit(c).as("col_name"),
+            explode(split(lower(col(c)), " ")).as("term"))
+          .filter(col("term") =!= "")
+      }
     }
-    val statusDf = results.toDF("dataset_id", "new_freqs")
-    val cat = spark.read.parquet(catalogDir)
-    val updated = cat.join(broadcast(statusDf), Seq("dataset_id"), "left")
-      .withColumn("freqs_status", coalesce(col("new_freqs"), col("freqs_status")))
-      .drop("new_freqs")
-    val staged = updated.cache()
-    staged.count()
-    staged.write.mode(SaveMode.Overwrite).parquet(catalogDir)
-    staged.select("dataset_id", "freqs_status")
+    tokenStreams.reduceOption(_.unionAll(_)).foreach { tokens =>
+      val tf = tokens.groupBy("dataset_id", "col_name", "term")
+        .agg(count(lit(1)).as("tf"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("dataset_id", "col_name")
+        .orderBy(col("tf").desc, col("term").asc)
+      tf.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("dataset_id").parquet(freqsDir)
+    }
+    applyStatuses(spark, catalogDir, "freqs_status", ok.map(_._1), bad)
   }
 }

@@ -92,10 +92,13 @@ object DistanceJoin {
     * hash-bucket co-location (a bucket equi-join under the hood) instead of
     * the full per-type cross product, then the exact distance, rank, kth and
     * sim pipeline runs only on candidates. Same output schema as [[knn]].
-    * Approximation caveat: distances of surviving pairs are exact, but rank
-    * and kth are computed over the REDUCED candidate set — when recall < 1
-    * the kth normalizer (and hence sims) can differ from brute force. That
-    * is inherent to LSH pruning, not an implementation detail.
+    * Approximation caveat: distances of surviving pairs are exact, and the
+    * query dataset's own columns flow through rank/kth exactly like [[knn]]
+    * (self rows occupy rank positions, can be the kth distance, and drop
+    * only at candidate level) — but rank and kth are computed over the
+    * REDUCED candidate set, so when recall < 1 the kth normalizer (and
+    * hence sims) can differ from brute force. That is inherent to LSH
+    * pruning, not an implementation detail.
     */
   def knnLsh(sketch: DataFrame, queryId: String, m: Int = 100, l: Int = 50,
              decay: Double = 0.01, bucketLength: Double = 2.0,
@@ -113,8 +116,10 @@ object DistanceJoin {
         .setInputCol("features").setOutputCol("hashes").setSeed(42)
       val model = lsh.fit(typed)
       val q = typed.filter(col("dataset_id") === queryId)
-      val c = typed.filter(col("dataset_id") =!= queryId)
-      model.approxSimilarityJoin(c, q, Double.MaxValue, "raw_dist")
+      // the candidate side keeps the query dataset's own columns — they
+      // occupy rank positions and can be the kth distance, exactly like knn;
+      // self rows drop AFTER ranking
+      model.approxSimilarityJoin(typed, q, Double.MaxValue, "raw_dist")
         .select(
           col("datasetB.col_name").as("q_col"),
           col("datasetA.dataset_id").as("c_dataset"),
@@ -123,6 +128,7 @@ object DistanceJoin {
           round(col("raw_dist"), 6).as("dist"))
     }
     rankAndScore(perType.reduce(_.unionAll(_)), m, l, decay)
+      .filter(col("c_dataset") =!= queryId)
   }
 
   /** Complete bipartite edge set for the candidate datasets the kNN step

@@ -24,8 +24,8 @@ class CatalogSpec extends AnyFunSuite {
     assert(statuses == Map("nation" -> "done", "region" -> "done", "customer" -> "done"))
     assert(Catalog.pending(spark, catalogDir).count() == 0)
 
-    // sketches landed and are readable
-    val sk = spark.read.parquet(s"$sketchDir/customer")
+    // sketches landed in the partitioned sketch table and are readable
+    val sk = spark.read.parquet(sketchDir).filter(col("dataset_id") === "customer")
     assert(sk.filter(col("col_type") === "Numeric").count() == 3)
 
     // incremental: nothing pending → no work, catalogue unchanged
@@ -37,9 +37,37 @@ class CatalogSpec extends AnyFunSuite {
     val fstat = Catalog.enrichFreqsPending(spark, catalogDir, SparkTestSession.sf0001, freqsDir)
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(fstat.values.forall(_ == "done"))
-    val freqs = spark.read.parquet(s"$freqsDir/customer")
+    val freqs = spark.read.parquet(freqsDir).filter(col("dataset_id") === "customer")
     assert(freqs.filter(col("col_name") === "c_mktsegment").count() > 0)
     assert(freqs.agg(max("rank")).collect()(0).getInt(0) <= 10)
+  }
+
+  test("pending pass is one batch job: job count does not grow with backlog size") {
+    def jobsForPass(tables: Seq[String]): Int = {
+      val catalogDir = Files.createTempDirectory("catJ").toString + "/cat"
+      val sketchDir = Files.createTempDirectory("sketchJ").toString
+      Catalog.publish(Catalog.fixtureDescriptors(spark, SparkTestSession.sf0001, tables),
+        catalogDir)
+      var jobs = 0
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs += 1
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        Catalog.profilePending(spark, catalogDir, SparkTestSession.sf0001, sketchDir)
+        Thread.sleep(1500) // listener bus is async; let it drain
+      } finally spark.sparkContext.removeSparkListener(listener)
+      jobs
+    }
+    val small = jobsForPass(Seq("nation", "region"))
+    val large = jobsForPass(Seq("nation", "region", "customer", "supplier",
+      "part", "orders"))
+    // 3x the datasets must NOT mean 3x the jobs: the whole backlog shares one
+    // value-stream job (+ fixed overhead for status bookkeeping / AQE stages)
+    assert(large <= small + 4,
+      s"job count grew with backlog: $small jobs for 2 datasets, $large for 6")
   }
 
   test("catalogue CSV → pending descriptors (eodp_publisher path)") {
