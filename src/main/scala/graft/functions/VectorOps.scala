@@ -96,4 +96,19 @@ object VectorOps {
   /** Cosine similarity between two array<double> columns (codegen'd). */
   def cosine(a: Column, b: Column): Column =
     column(CosineSimilarity(expression(a), expression(b)))
+
+  /** Rectangle minimum distance between two bbox vectors
+    * [x_min, y_min, x_max, y_max] — the R-tree's nearest-neighbor metric
+    * (libspatialindex MINDIST, used by reference search/index.py:37-43 for
+    * Spatial candidate selection): 0 when the boxes overlap, else the
+    * euclidean gap between the closest edges. Composed from codegen'd
+    * builtins (greatest/element_at), no UDF.
+    */
+  def rectMinDist(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.functions.{element_at, greatest, lit, sqrt}
+    def el(v: Column, i: Int) = element_at(v, i)
+    val dx = greatest(lit(0.0), el(b, 1) - el(a, 3), el(a, 1) - el(b, 3))
+    val dy = greatest(lit(0.0), el(b, 2) - el(a, 4), el(a, 2) - el(b, 4))
+    sqrt(dx * dx + dy * dy)
+  }
 }

@@ -45,8 +45,16 @@ object DistanceJoin {
     val cands = sketch
       .select(col("dataset_id").as("c_dataset"), col("col_name").as("c_col"),
         col("col_type"), col("vector").as("c_vec"))
+    // Two metrics, as in the reference: candidate SELECTION follows the
+    // R-tree's nearest order — rectangle min-distance for Spatial bboxes
+    // (index.py:37-43) — while SCORING (dist/kth/sim) is always euclidean on
+    // the sketch vector (content_search.py:58-70). For non-spatial types the
+    // two coincide.
     val joined = cands.join(broadcast(query), "col_type")
       .withColumn("dist", round(VectorOps.euclid(col("q_vec"), col("c_vec")), 6))
+      .withColumn("sel_dist", when(col("col_type") === "Spatial",
+        round(VectorOps.rectMinDist(col("q_vec"), col("c_vec")), 6))
+        .otherwise(col("dist")))
       .drop("q_vec", "c_vec")
     rankAndScore(joined, m, l, decay)
       .filter(col("c_dataset") =!= queryId)
@@ -64,13 +72,26 @@ object DistanceJoin {
 
   /** Shared tail of both kNN paths: rank per query column, kth-distance
     * normalization, exp-decay similarity. Input: (q_col, c_dataset, c_col,
-    * col_type, dist) candidate rows.
+    * col_type, dist) candidate rows; an optional `sel_dist` column carries a
+    * separate SELECTION metric (the R-tree nearest order) — the top-m
+    * survivors are picked by it, then ranks/kth/sims always follow `dist`
+    * (the reference re-scores the R-tree's M nearest with euclidean,
+    * content_search.py:78-96).
     */
   private[search] def rankAndScore(joined: DataFrame, m: Int, l: Int,
                                    decay: Double): DataFrame = {
+    val selected =
+      if (!joined.columns.contains("sel_dist")) joined
+      else {
+        val selW = Window.partitionBy("q_col")
+          .orderBy(col("sel_dist").asc, col("c_dataset").asc, col("c_col").asc)
+        joined.withColumn("sel_rank", row_number().over(selW))
+          .filter(col("sel_rank") <= m)
+          .drop("sel_rank", "sel_dist")
+      }
     val rankW = Window.partitionBy("q_col")
       .orderBy(col("dist").asc, col("c_dataset").asc, col("c_col").asc)
-    val ranked = joined.withColumn("rank", row_number().over(rankW))
+    val ranked = selected.withColumn("rank", row_number().over(rankW))
       .filter(col("rank") <= m)
 
     // kth (content_search.py:88-96): take the sorted distance at position

@@ -69,9 +69,27 @@ object Sketches {
         col("mean_vec").as("vector"))
   }
 
-  /** Full sketch table across column types. */
-  def all(spark: SparkSession, dir: String): DataFrame =
-    numericTemporal(spark, dir).unionAll(categorical(spark, dir))
+  /** Spatial bbox sketches for tables with a (long, lat) column pair — the
+    * merged 4-d "location" variable (profiler.py:101-111). None when no
+    * table in the lake is spatial (the fixture star schema is not).
+    */
+  def spatial(spark: SparkSession, dir: String,
+              tables: Seq[String] = Tables.sketchTables): Option[DataFrame] =
+    tables.flatMap { t =>
+      val df = Tables.load(spark, dir, t)
+      Profiler.spatialPair(df).map { case (x, y) =>
+        Profiler.bboxSketch(df, t, x, y)
+          .select(col("dataset_id"), lit("location").as("col_name"),
+            lit("Spatial").as("col_type"),
+            transform(col("vector"), _.cast("double")).as("vector"))
+      }
+    }.reduceOption(_.unionAll(_))
+
+  /** Full sketch table across column types (Spatial included when present). */
+  def all(spark: SparkSession, dir: String): DataFrame = {
+    val base = numericTemporal(spark, dir).unionAll(categorical(spark, dir))
+    spatial(spark, dir).fold(base)(base.unionAll)
+  }
 
   /** Sketch rows for one ad-hoc dataset (e.g. a freshly ingested CSV):
     * numeric/temporal percentile vectors plus — when a (long, lat) column
