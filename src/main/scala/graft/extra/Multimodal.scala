@@ -10,11 +10,12 @@ import org.apache.spark.sql.types._
   * the danae reference surface.)
   *
   * The Spark-side plumbing — schema, batched per-partition execution,
-  * deterministic output shape — is real and tested. The DECODE STEP IS A
-  * STUB: this container has no image/audio codecs, so `decodeStub` derives
-  * deterministic pseudo-features from the raw bytes. Swapping in a real
-  * decoder (JavaCV, TwelveMonkeys, a Python `mapInPandas` worker, …) changes
-  * ONLY the body of `decodeStub`; every plan shape stays identical.
+  * deterministic output shape — is real and tested. Decoding is a pluggable
+  * [[Multimodal.DecodeWorker]]: [[Multimodal.ImageIoWorker]] is a REAL image
+  * codec (JDK javax.imageio, PNG/JPEG/GIF/BMP), proving the boundary;
+  * [[Multimodal.ByteStatsWorker]] is the declared stub standing in for
+  * audio/video codecs this container lacks. Swapping workers (JavaCV,
+  * TwelveMonkeys, a Python `mapInPandas` process, …) changes no plan.
   *
   * Scale notes: all operators are per-row/per-partition (no shuffle); media
   * bytes never leave the executor that read them, and feature extraction is
@@ -47,29 +48,80 @@ object Multimodal {
         (length(col("text")) * 40L).cast("long").as("duration_ms"),
         length(col("text")).cast("long").as("n_bytes")).as("meta"))
 
-  /** STUB decoder: deterministic pseudo-features from raw bytes (rolling
-    * byte statistics per stripe). Replace with a real codec to productionize.
+  /** The decode-worker contract: the ONLY pluggable piece of the multimodal
+    * pipeline. A worker turns one encoded payload into a fixed-width feature
+    * vector; [[extractFeatures]] drives it batched per partition (the Scala
+    * analogue of an Arrow-batched `mapInPandas` worker — swap in a Python
+    * codec process, JavaCV, TwelveMonkeys, … without touching any plan).
+    * Implementations must be Serializable (they ship to executors once and
+    * are reused across the partition's rows — per-worker init like codec
+    * handles belongs in lazy vals).
     */
-  private[extra] def decodeStub(bytes: Array[Byte], dim: Int): Array[Float] = {
-    if (bytes == null || bytes.isEmpty) return new Array[Float](dim)
-    val out = new Array[Float](dim)
-    var i = 0
-    while (i < bytes.length) {
-      val d = i % dim
-      out(d) += (bytes(i) & 0xff) / 255.0f
-      i += 1
-    }
-    val stripe = math.max(1, bytes.length / dim)
-    var d = 0
-    while (d < dim) { out(d) = out(d) / stripe; d += 1 }
-    out
+  trait DecodeWorker extends Serializable {
+    def dim: Int
+    /** Decode one payload; must handle null/empty/corrupt bytes. */
+    def decode(bytes: Array[Byte]): Array[Float]
   }
 
-  /** Batched per-partition feature extraction — the Scala analogue of an
-    * Arrow-batched `mapInPandas` UDF: one iterator pass per partition, media
-    * column in, fixed-width `array<float>` out.
+  /** STUB worker: deterministic pseudo-features from raw bytes (rolling byte
+    * statistics per stripe). The placeholder for codecs this container lacks.
     */
-  def extractFeatures(media: DataFrame, dim: Int = 16): DataFrame = {
+  final case class ByteStatsWorker(dim: Int = 16) extends DecodeWorker {
+    def decode(bytes: Array[Byte]): Array[Float] = {
+      if (bytes == null || bytes.isEmpty) return new Array[Float](dim)
+      val out = new Array[Float](dim)
+      var i = 0
+      while (i < bytes.length) {
+        val d = i % dim
+        out(d) += (bytes(i) & 0xff) / 255.0f
+        i += 1
+      }
+      val stripe = math.max(1, bytes.length / dim)
+      var d = 0
+      while (d < dim) { out(d) = out(d) / stripe; d += 1 }
+      out
+    }
+  }
+
+  /** REAL image worker via the JDK's javax.imageio (PNG/JPEG/GIF/BMP — no
+    * external codecs needed): features are [width, height, meanR, meanG,
+    * meanB] (means in [0,1]) zero-padded to `dim`; non-decodable payloads
+    * yield the zero vector. Proves the [[DecodeWorker]] boundary is
+    * swappable with an actual codec.
+    */
+  final case class ImageIoWorker(dim: Int = 16) extends DecodeWorker {
+    require(dim >= 5, "ImageIoWorker needs dim >= 5")
+    def decode(bytes: Array[Byte]): Array[Float] = {
+      val out = new Array[Float](dim)
+      if (bytes == null || bytes.isEmpty) return out
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case _: Exception => null }
+      if (img == null) return out
+      val (w, h) = (img.getWidth, img.getHeight)
+      var r = 0L; var g = 0L; var b = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = img.getRGB(x, y)
+          r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      val n = (w.toLong * h * 255).toFloat
+      out(0) = w.toFloat; out(1) = h.toFloat
+      out(2) = r / n; out(3) = g / n; out(4) = b / n
+      out
+    }
+  }
+
+  /** Batched per-partition feature extraction — one iterator pass per
+    * partition, media column in, fixed-width `array<float>` out. The worker
+    * is the only varying piece; media bytes never leave the executor.
+    */
+  def extractFeatures(media: DataFrame, worker: DecodeWorker): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
       StructField("media_type", StringType, nullable = true),
@@ -79,10 +131,16 @@ object Multimodal {
       .mapPartitions { it =>
         it.map { r =>
           val bytes = if (r.isNullAt(2)) null else r.getAs[Array[Byte]](2)
-          Row(r.getLong(0), r.getString(1), decodeStub(bytes, dim).toSeq)
+          Row(r.getLong(0), r.getString(1), worker.decode(bytes).toSeq)
         }
       }(enc)
   }
+
+  def extractFeatures(media: DataFrame, dim: Int): DataFrame =
+    extractFeatures(media, ByteStatsWorker(dim))
+
+  def extractFeatures(media: DataFrame): DataFrame =
+    extractFeatures(media, ByteStatsWorker())
 
   /** Frame sampling for video/audio rows: one output row per sampled offset,
     * with the (stub-)sliced payload. Pure generate — no shuffle.

@@ -29,6 +29,29 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f1.values.exists(_.exists(_ != 0.0f)))
   }
 
+  test("ImageIoWorker decodes a REAL PNG payload through the pipeline") {
+    import java.awt.image.BufferedImage
+    // a 20x10 solid-red PNG, encoded with the JDK's own writer
+    val img = new BufferedImage(20, 10, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 10; x <- 0 until 20) img.setRGB(x, y, 0xff0000)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val png = baos.toByteArray
+    assert(png.take(4).sameElements(Array(0x89.toByte, 'P'.toByte, 'N'.toByte,
+      'G'.toByte)), "fixture must be an actual PNG")
+
+    import spark.implicits._
+    val m = Seq((1L, png, "image"), (2L, "not an image".getBytes, "image"),
+        (3L, null.asInstanceOf[Array[Byte]], "image"))
+      .toDF("doc_id", "media", "media_type")
+    val got = Multimodal.extractFeatures(m, Multimodal.ImageIoWorker(8))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](2)).toMap
+    // real pixel decode: dimensions + channel means of the solid-red image
+    assert(got(1L).take(5) == Seq(20.0f, 10.0f, 1.0f, 0.0f, 0.0f))
+    // corrupt and null payloads degrade to the zero vector, never crash
+    assert(got(2L).forall(_ == 0.0f) && got(3L).forall(_ == 0.0f))
+  }
+
   test("frameSample: one row per offset, only for timed media") {
     val frames = Multimodal.frameSample(media, 1000L)
     assert(frames.filter(col("media_type") === "image").count() == 0)
