@@ -99,9 +99,9 @@ object SparkEntry {
       O.profiledTables.map { t => Profiler.tableStats(T(s, d, t), t) }
         .reduce(_.unionAll(_))),
 
+    // all tables share ONE distinct shuffle (numericStatsAll)
     "profile_numeric_stats" -> ((s, d) =>
-      Tables.sketchTables.map { t => Profiler.numericStats(T(s, d, t), t) }
-        .reduce(_.unionAll(_))),
+      Profiler.numericStatsAll(Tables.sketchTables.map(t => (t, T(s, d, t))))),
 
     // long-format view of the (cached) sketch table — the profile IS the
     // index content, so serve it from the pinned index
@@ -206,6 +206,11 @@ object SparkEntry {
     "dedup_jaccard" -> ((s, d) =>
       Dedup.jaccardPairs(T(s, d, "documents").filter(col("doc_id") < DocBound),
         "doc_id", "text", 0.95)),
+
+    // order-sensitive near-dup: word 3-gram shingle sets (Broder w-shingling)
+    "dedup_shingle" -> ((s, d) =>
+      Dedup.shinglePairs(T(s, d, "documents").filter(col("doc_id") < DocBound),
+        "doc_id", "text", 3, 0.8)),
 
     "dedup_minhash" -> ((s, d) =>
       Dedup.minhashLshPairs(T(s, d, "documents").filter(col("doc_id") < DocBound),
@@ -367,6 +372,7 @@ object SparkEntry {
         | count(*) AS n_dups FROM documents GROUP BY 1""".stripMargin,
 
     "dedup_jaccard" -> O.jaccardSql,
+    "dedup_shingle" -> O.shingleSql,
     "dedup_minhash" -> O.minhashSql,
     "dedup_simhash" -> O.simhashSql,
 
@@ -594,6 +600,28 @@ object SparkEntry {
          |JOIN sz sa ON inter.id_a = sa.doc_id
          |JOIN sz sb ON inter.id_b = sb.doc_id
          |WHERE CAST(inter AS DOUBLE)/(sa.sz + sb.sz - inter) >= 0.95""".stripMargin
+
+    /** DuckDB twin of Dedup.shinglePairs (the prefix filter is lossless, so
+      * the oracle can verify ALL shingle-sharing pairs): w=3 word shingles,
+      * jac >= 0.8.
+      */
+    val shingleSql: String =
+      s"""WITH t AS (SELECT doc_id,
+         |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+         |  FROM documents WHERE doc_id < $DocBound),
+         |sh AS (SELECT DISTINCT doc_id,
+         |    array_to_string(list_slice(toks, i, i + 2), ' ') AS term
+         |  FROM t CROSS JOIN unnest(range(1, len(toks) - 3 + 2)) AS u(i)
+         |  WHERE len(toks) >= 3),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |  FROM sh a JOIN sh b USING (term) WHERE a.doc_id < b.doc_id GROUP BY 1,2)
+         |SELECT id_a, id_b,
+         |  round(CAST(inter AS DOUBLE)/(sa.sz + sb.sz - inter),6) AS jac
+         |FROM inter
+         |JOIN sz sa ON inter.id_a = sa.doc_id
+         |JOIN sz sb ON inter.id_b = sb.doc_id
+         |WHERE CAST(inter AS DOUBLE)/(sa.sz + sb.sz - inter) >= 0.8""".stripMargin
 
     /** DuckDB twin of Dedup.minhashLshPairs: same md5-derived token hashes,
       * the SAME permutation constants (Dedup.permTable), band bucketing on

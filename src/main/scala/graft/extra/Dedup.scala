@@ -90,6 +90,26 @@ object Dedup {
     verifyJaccard(jaccardCandidates(toks, sizes, threshold), toks, sizes, threshold)
   }
 
+  /** Word n-gram (w-shingling, Broder '97) Jaccard near-dup pairs: the
+    * shingle set of w consecutive tokens replaces the token set, making
+    * near-dup detection order-sensitive — two docs sharing vocabulary but
+    * not phrasing stop matching. Same prefix-filtered candidate generation +
+    * exact verification as [[jaccardPairs]]; shingles are pure column
+    * expressions (transform/slice/array_join — codegen'd, no UDF).
+    */
+  def shinglePairs(df: DataFrame, idCol: String, textCol: String,
+                   w: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val toksArr = filter(split(lower(col(textCol)), " "), t => t =!= "")
+    val sh = df.select(col(idCol).as("doc_id"), toksArr.as("toks"))
+      .filter(size(col("toks")) >= w)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("toks")) - w + 1),
+        i => array_join(slice(col("toks"), i, lit(w)), " "))).as("term"))
+      .distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    verifyJaccard(jaccardCandidates(sh, sizes, threshold), sh, sizes, threshold)
+  }
+
   // MinHash machinery: base token hash from md5 (deterministic across runs and
   // platforms), then numPerms universal-hash permutations h_i(x)=(a_i x+b_i) mod p.
   // p prime > 2^32; a_i < 2^30 and x < 2^33 keep a_i*x inside a signed Long.

@@ -72,4 +72,40 @@ object Embedder {
       .drop("n_vecs")
       .join(broadcast(embeddings.select(col("vec_id"), col("embedding"))), "vec_id")
   }
+
+  /** GloVe text-format loader — the ingestion path for a REAL word-embedding
+    * file (`word v1 v2 ... vd` per line, space-separated), the format
+    * word_aggregator.py:5-11 reads into its dict. One distributed text scan;
+    * the vocabulary table that comes out is small relative to any corpus and
+    * broadcastable into every pooling join.
+    * Returns (term, embedding array<double>); malformed/empty lines dropped.
+    */
+  def loadGlove(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+      .select(split(col("value"), " +").as("parts"))
+      .filter(size(col("parts")) >= 2)
+      // try_cast, not cast: malformed vector entries must yield null (and
+      // drop the line below), not fail the whole load under ANSI mode
+      .select(
+        element_at(col("parts"), 1).as("term"),
+        expr("transform(slice(parts, 2, size(parts) - 1), x -> try_cast(x AS double))")
+          .as("embedding"))
+      .filter(!array_contains(transform(col("embedding"), _.isNull), true))
+
+  /** Mean-pool a group's terms against a real vocabulary with the
+    * reference's OOV semantics (word_aggregator.py:13-24): SUM over known
+    * vectors, but divide by the FULL term count — out-of-vocabulary terms
+    * count in the denominator as zero vectors. Left-join + coalesce keeps
+    * it one broadcast join + one aggregation.
+    */
+  def meanPoolGlove(terms: DataFrame, vocab: DataFrame, groupCol: String,
+                    termCol: String, dim: Int): DataFrame = {
+    val zero = array_repeat(lit(0.0), dim)
+    val joined = terms
+      .join(broadcast(vocab.select(col("term").as("__vocab_term"),
+        col("embedding").as("__vocab_vec"))),
+        col(termCol) === col("__vocab_term"), "left")
+      .withColumn("vec", coalesce(col("__vocab_vec"), zero))
+    meanPoolVec(joined, groupCol, "vec", dim)
+  }
 }

@@ -100,18 +100,14 @@ object Profiler {
     )
   }
 
-  /** Per-numeric-column stats in long format, one aggregation pass + stack.
-    * Keys mirror filters.py:64-74 / pandas-profiling minimal stats.
+  /** The non-distinct half of numeric profiling: ONE wide agg (no Expand)
+    * then stack to long. With approx=true, HLL distinct counts ride in the
+    * same agg — the 100 TB configuration, no second pass at all.
     */
-  def numericStats(df: DataFrame, datasetId: String, approx: Boolean = false): DataFrame = {
+  private def numericWide(df: DataFrame, datasetId: String,
+                          approx: Boolean): DataFrame = {
     val cols = typedColumns(df, "Numeric")
     require(cols.nonEmpty, s"$datasetId has no numeric columns")
-    // Non-distinct stats in ONE wide agg (no Expand). Exact distinct counts
-    // would force an N-way Expand of the whole input inside the same agg;
-    // instead they come from a second pass over the long value stream whose
-    // shuffle carries only DISTINCT (col, value) pairs (map-side combine).
-    // With approx=true the wide agg uses HLL and the second pass disappears
-    // — the 100 TB configuration.
     val aggs = cols.flatMap { c =>
       val d = col(c).cast(DoubleType)
       Seq(
@@ -132,26 +128,62 @@ object Profiler {
     }.mkString(", ")
     val outCols = "(col_name, n, n_missing, mean, std, vmin, vmax" +
       (if (approx) ", n_distinct)" else ")")
-    val stacked = wide
-      .select(expr(s"stack(${cols.size}, $stackArgs) as $outCols"))
-    val withDistinct =
-      if (approx) stacked
-      else {
-        val dist = valueStream(df, cols.map((_, "Numeric")))
-          .distinct()
-          .groupBy("col_name").agg(count(lit(1)).as("n_distinct"))
-        stacked.join(dist, Seq("col_name"), "left")
-          .na.fill(0L, Seq("n_distinct"))
-      }
-    // p_distinct / p_missing as consumed by the profile view
-    // (ui/methods.py:124-131); pandas-profiling definitions: distinct share
-    // of non-null values, missing share of all rows.
-    withDistinct.select(lit(datasetId).as("dataset_id"), col("col_name"),
+    wide.select(lit(datasetId).as("dataset_id"),
+      expr(s"stack(${cols.size}, $stackArgs) as $outCols"))
+  }
+
+  /** Output shaping shared by the single- and multi-table paths: p_distinct /
+    * p_missing as consumed by the profile view (ui/methods.py:124-131);
+    * pandas-profiling definitions — distinct share of non-null values,
+    * missing share of all rows.
+    */
+  private def numericFinish(withDistinct: DataFrame): DataFrame =
+    withDistinct.select(col("dataset_id"), col("col_name"),
       col("n"), col("n_missing"), col("n_distinct"),
       round(col("n_distinct").cast(DoubleType) / col("n"), 6).as("p_distinct"),
       round(col("n_missing").cast(DoubleType) / (col("n") + col("n_missing")), 6)
         .as("p_missing"),
       col("mean"), col("std"), col("vmin"), col("vmax"))
+
+  /** Per-numeric-column stats in long format, one aggregation pass + stack.
+    * Keys mirror filters.py:64-74 / pandas-profiling minimal stats. Exact
+    * distinct counts come from a second pass over the long value stream
+    * whose shuffle carries only DISTINCT (col, value) pairs (map-side
+    * combine) — an exact multi-column distinct inside the wide agg would
+    * force an N-way Expand of the whole input instead.
+    */
+  def numericStats(df: DataFrame, datasetId: String, approx: Boolean = false): DataFrame = {
+    val stacked = numericWide(df, datasetId, approx)
+    val withDistinct =
+      if (approx) stacked
+      else {
+        val dist = valueStream(df, typedColumns(df, "Numeric").map((_, "Numeric")))
+          .distinct()
+          .groupBy("col_name").agg(count(lit(1)).as("n_distinct"))
+        stacked.join(dist, Seq("col_name"), "left")
+          .na.fill(0L, Seq("n_distinct"))
+      }
+    numericFinish(withDistinct)
+  }
+
+  /** Numeric stats for MANY datasets with ONE distinct shuffle: every
+    * table's (col, value) stream unions into a single
+    * distinct+count aggregation, so profiling N tables costs N scans + one
+    * shuffle rather than N of each. The wide (non-distinct) aggs stay
+    * per-table — they're single-stage map-side scans.
+    */
+  def numericStatsAll(dfs: Seq[(String, DataFrame)]): DataFrame = {
+    val wides = dfs.map { case (id, df) => numericWide(df, id, approx = false) }
+      .reduce(_.unionAll(_))
+    val stream = dfs.map { case (id, df) =>
+      valueStream(df, typedColumns(df, "Numeric").map((_, "Numeric")))
+        .select(lit(id).as("dataset_id"), col("col_name"), col("v"))
+    }.reduce(_.unionAll(_))
+    val dist = stream.distinct()
+      .groupBy("dataset_id", "col_name").agg(count(lit(1)).as("n_distinct"))
+    numericFinish(
+      wides.join(dist, Seq("dataset_id", "col_name"), "left")
+        .na.fill(0L, Seq("n_distinct")))
   }
 
   val sketchPs: Seq[Double] = Seq(0.0, 0.05, 0.25, 0.5, 0.75, 0.95, 1.0)
