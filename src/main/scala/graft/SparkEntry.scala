@@ -252,6 +252,9 @@ object SparkEntry {
     "lang_id" -> ((s, d) =>
       TextStats.langId(T(s, d, "documents"), "doc_id", "text")),
 
+    "token_counts" -> ((s, d) =>
+      TextStats.tokenCounts(T(s, d, "documents"), "doc_id", "text")),
+
     "doc_fingerprint" -> ((s, d) =>
       TextStats.fingerprint(T(s, d, "documents"), "doc_id", "text")),
 
@@ -409,6 +412,14 @@ object SparkEntry {
 
     "lang_id" -> O.langIdSql,
     "corpus_select" -> O.corpusSelectSql,
+
+    "token_counts" ->
+      """SELECT doc_id,
+        | CAST(length(text) AS BIGINT) AS n_chars,
+        | CAST(len(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS BIGINT) AS n_ws_tokens,
+        | CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_word_punct,
+        | CAST(ceil(CAST(length(text) AS DOUBLE) / 4.0) AS BIGINT) AS n_bpe_est
+        |FROM documents""".stripMargin,
 
     "doc_fingerprint" ->
       """SELECT doc_id, md5(trim(regexp_replace(

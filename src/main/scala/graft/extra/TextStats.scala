@@ -84,13 +84,34 @@ object TextStats {
       .select(outCols: _*)
   }
 
+  /** Token counting the ways an LLM-pipeline budgeter needs it: whitespace
+    * tokens, word/punctuation splits (a BPE-ish regex — every alphanumeric
+    * run and every punctuation mark is a token candidate), and the chars/4
+    * rule-of-thumb BPE estimate. Pure codegen expressions, shuffle-free.
+    */
+  def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.select(
+      col(idCol).as("doc_id"),
+      length(t).cast("long").as("n_chars"),
+      size(toks(t)).cast("long").as("n_ws_tokens"),
+      regexp_count(lower(t), lit("[a-z0-9]+|[^a-z0-9\\s]")).cast("long")
+        .as("n_word_punct"),
+      ceil(length(t).cast("double") / 4.0).cast("long").as("n_bpe_est"))
+  }
+
+  /** The normalize-and-hash fingerprint COLUMN (shared by the batch
+    * fingerprint table and the streaming dedup).
+    */
+  def fingerprintCol(text: Column): Column =
+    md5(trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 ]", ""),
+      " +", " ")))
+
   /** Document fingerprint: md5 of whitespace-normalized lowercase text with
     * non-alphanumerics stripped — stable under formatting jitter; the
     * building block for fuzzy exact-dedup.
     */
   def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol).as("doc_id"),
-      md5(trim(regexp_replace(
-        regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", ""),
-        " +", " "))).as("fingerprint"))
+    df.select(col(idCol).as("doc_id"), fingerprintCol(col(textCol)).as("fingerprint"))
 }

@@ -58,6 +58,37 @@ class EventWindowsSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("streaming dedup keeps first occurrence per fingerprint (bounded state)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("doc_stream").toString
+    val mk = (rows: Seq[(Long, String, String)]) =>
+      rows.map { case (id, text, ts) => (id, text, java.sql.Timestamp.valueOf(ts)) }
+        .toDF("doc_id", "text", "ts")
+    // batch 1 and batch 2 share texts (modulo formatting jitter the
+    // fingerprint normalizes away) within the watermark horizon
+    val b1 = mk(Seq(
+      (1L, "The quick brown fox", "2024-01-01 00:00:00"),
+      (2L, "a different document", "2024-01-01 00:05:00")))
+    val b2 = mk(Seq(
+      (3L, "the quick  brown fox!", "2024-01-01 00:10:00"), // dup of 1 normalized
+      (4L, "entirely new content", "2024-01-01 00:15:00")))
+    b1.coalesce(1).write.mode("append").parquet(dir)
+    b2.coalesce(1).write.mode("append").parquet(dir)
+
+    val q = graft.streaming.CorpusStream.dedupStream(spark, dir, b1.schema)
+      .writeStream.outputMode("append").format("memory").queryName("doc_dedup")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table("doc_dedup")
+      .select("fingerprint", "doc_id").collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    // exactly one survivor per fingerprint; the jittered dup was dropped
+    assert(out.length == 3)
+    assert(out.map(_._1).distinct.length == 3)
+    assert(!out.map(_._2).contains(3L) || !out.map(_._2).contains(1L),
+      "documents 1 and 3 share a normalized fingerprint — only one survives")
+  }
+
   test("sessions merge events within gap") {
     import spark.implicits._
     val df = Seq(
