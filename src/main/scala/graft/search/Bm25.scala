@@ -25,7 +25,11 @@ object Bm25 {
     */
   def scores(docs: DataFrame, docIdCol: String, textCol: String,
              queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val tf = TermStats.termFreqs(TermStats.tokens(docs, docIdCol, textCol))
+    // persist tf: every corpus statistic (dl, avgdl, df) branches off it, and
+    // without the pin Spark recomputes the tokenize+aggregate per branch —
+    // 4 scans of the corpus instead of one (the cache manager dedupes
+    // identical plans across calls, so repeated searches share one entry)
+    val tf = TermStats.termFreqs(TermStats.tokens(docs, docIdCol, textCol)).persist()
     val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
     val corpus = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
     val qtf = tf.filter(col("term").isin(queryTerms: _*))
@@ -86,7 +90,9 @@ object Bm25 {
         expr(s"stack(${fields.size}, $stackArgs) as (field, text)"))
       .select(col("doc_id"), col("field"), explode(split(col("text"), " ")).as("term"))
       .filter(col("term") =!= "")
+    // pinned for the same reason as in scores(): 4 stat branches, 1 tokenize
     val tf = toks.groupBy("doc_id", "field", "term").agg(count(lit(1)).as("tf"))
+      .persist()
     val dl = tf.groupBy("doc_id", "field").agg(sum("tf").as("dl"))
     val corpus = dl.groupBy("field")
       .agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
