@@ -1,6 +1,6 @@
 package graft
 
-import graft.extra.{Dedup, EmbeddingKnn, TextStats}
+import graft.extra.{CorpusOps, Dedup, EmbeddingKnn, TextStats}
 import graft.ingest.{Embedder, Profiler, TermStats}
 import graft.search.{Bm25, CombinedScorer, DistanceJoin, Matcher, Sketches}
 import graft.streaming.EventWindows
@@ -232,6 +232,22 @@ object SparkEntry {
       graft.extra.CorpusPipeline.select(T(s, d, "documents"), "doc_id", "text",
         0.5, Seq("en"))),
 
+    // pairs → canonical clusters (min-label connected components)
+    "dedup_clusters" -> ((s, d) => {
+      val docs = T(s, d, "documents").filter(col("doc_id") < DocBound)
+      CorpusOps.dedupClusters(docs, "doc_id",
+        Dedup.jaccardPairs(docs, "doc_id", "text", 0.95))
+    }),
+
+    "decontaminate" -> ((s, d) =>
+      CorpusOps.decontaminate(T(s, d, "documents"), "doc_id", "text")),
+
+    "rep_metrics" -> ((s, d) =>
+      CorpusOps.repetitionMetrics(T(s, d, "documents"), "doc_id", "text")),
+
+    "corpus_mix" -> ((s, d) =>
+      CorpusOps.corpusMix(T(s, d, "documents"))),
+
     // ---- embedding similarity search (extras) ----
     "knn_cosine" -> ((s, d) =>
       EmbeddingKnn.bruteForce(T(s, d, "embeddings"), KnnQueryIds, 5)
@@ -378,6 +394,18 @@ object SparkEntry {
     "dedup_shingle" -> O.shingleSql,
     "dedup_minhash" -> O.minhashSql,
     "dedup_simhash" -> O.simhashSql,
+    "dedup_clusters" -> O.clustersSql,
+    "decontaminate" -> O.decontaminateSql,
+    "rep_metrics" -> O.repMetricsSql,
+
+    "corpus_mix" ->
+      """SELECT doc_id, lang, source, n_chars, rk FROM (
+        |  SELECT doc_id, lang, source, n_chars,
+        |    row_number() OVER (PARTITION BY lang, source
+        |      ORDER BY n_chars DESC, doc_id ASC) AS rk
+        |  FROM documents
+        |  WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 100 < 50
+        |) WHERE rk <= 20""".stripMargin,
 
     "dedup_embedding" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings)
@@ -611,6 +639,77 @@ object SparkEntry {
          |JOIN sz sa ON inter.id_a = sa.doc_id
          |JOIN sz sb ON inter.id_b = sb.doc_id
          |WHERE CAST(inter AS DOUBLE)/(sa.sz + sb.sz - inter) >= 0.95""".stripMargin
+
+    /** DuckDB twin of CorpusOps.dedupClusters: the SAME jaccard pair set
+      * (nested as a CTE), connected components via recursive-CTE
+      * reachability — min reachable doc_id ≡ the min-label fixpoint Spark
+      * converges to.
+      */
+    val clustersSql: String =
+      s"""WITH RECURSIVE pairs AS ($jaccardSql),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach(id, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents WHERE doc_id < $DocBound
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id)
+         |SELECT id AS doc_id, min(lbl) AS cluster_id,
+         |  CAST(CASE WHEN min(lbl) = id THEN 1 ELSE 0 END AS BIGINT) AS is_rep
+         |FROM reach GROUP BY id""".stripMargin
+
+    /** DuckDB twin of CorpusOps.decontaminate: w=5 word grams, benchmark =
+      * doc_id % 97 == 0 carved from the same table.
+      */
+    val decontaminateSql: String =
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |g AS (SELECT DISTINCT doc_id,
+        |    array_to_string(list_slice(toks, i, i + 4), ' ') AS gram
+        |  FROM t CROSS JOIN unnest(range(1, len(toks) - 5 + 2)) AS u(i)
+        |  WHERE len(toks) >= 5),
+        |ov AS (SELECT doc_id, count(*) AS n_overlap
+        |  FROM g JOIN (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0) b
+        |    USING (gram)
+        |  WHERE doc_id % 97 <> 0 GROUP BY 1)
+        |SELECT d.doc_id, CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+        |  CAST(CASE WHEN coalesce(ov.n_overlap, 0) > 0 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS contaminated
+        |FROM documents d LEFT JOIN ov ON d.doc_id = ov.doc_id
+        |WHERE d.doc_id % 97 <> 0""".stripMargin
+
+    /** DuckDB twin of CorpusOps.repetitionMetrics: dup-word ratio + top
+      * 2/3-gram char fractions, count ties broken by gram asc.
+      */
+    val repMetricsSql: String = {
+      def top(n: Int): String =
+        s"""(SELECT doc_id, cnt * length(gram) AS chars FROM (
+           |  SELECT doc_id, gram, count(*) AS cnt,
+           |    row_number() OVER (PARTITION BY doc_id
+           |      ORDER BY count(*) DESC, gram ASC) AS rn
+           |  FROM (SELECT doc_id,
+           |      array_to_string(list_slice(toks, i, i + ${n - 1}), ' ') AS gram
+           |    FROM t CROSS JOIN unnest(range(1, len(toks) - $n + 2)) AS u(i)
+           |    WHERE len(toks) >= $n)
+           |  GROUP BY doc_id, gram) WHERE rn = 1)""".stripMargin
+      s"""WITH t AS (SELECT doc_id, length(text) AS n_chars,
+         |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+         |  FROM documents),
+         |top2 AS ${top(2)},
+         |top3 AS ${top(3)}
+         |SELECT t.doc_id,
+         |  CASE WHEN len(toks) > 0 THEN
+         |    round(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6)
+         |  ELSE 0.0 END AS dup_word_ratio,
+         |  CASE WHEN n_chars > 0 THEN
+         |    round(CAST(coalesce(top2.chars, 0) AS DOUBLE) / n_chars, 6)
+         |  ELSE 0.0 END AS top2_frac,
+         |  CASE WHEN n_chars > 0 THEN
+         |    round(CAST(coalesce(top3.chars, 0) AS DOUBLE) / n_chars, 6)
+         |  ELSE 0.0 END AS top3_frac
+         |FROM t LEFT JOIN top2 ON t.doc_id = top2.doc_id
+         |LEFT JOIN top3 ON t.doc_id = top3.doc_id""".stripMargin
+    }
 
     /** DuckDB twin of Dedup.shinglePairs (the prefix filter is lossless, so
       * the oracle can verify ALL shingle-sharing pairs): w=3 word shingles,

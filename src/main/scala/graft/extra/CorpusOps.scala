@@ -1,0 +1,191 @@
+package graft.extra
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-construction operators a large-scale training-data pipeline needs
+  * beyond pairwise dedup: turning near-dup PAIRS into canonical CLUSTERS,
+  * benchmark decontamination, repetition-quality metrics (Gopher-style), and
+  * deterministic sampling / per-group quota mixing. (LLM-pipeline extras —
+  * not part of the danae reference surface.)
+  */
+object CorpusOps {
+
+  /** Connected components over an undirected edge list: labels every node
+    * with the minimum node id reachable from it (the canonical cluster id a
+    * dedup pipeline keeps ONE representative of).
+    *
+    * Algorithm: alternating min-label propagation to convergence — each
+    * round, a node's label becomes the min of its own and its neighbours'
+    * labels; one shuffle per round, converging in O(graph diameter) rounds.
+    * Near-dup graphs are dense little cliques (diameter 1-2), so 2-3 rounds
+    * cover real corpora. At adversarial diameters switch the body to
+    * large-star/small-star (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC'14) which converges in O(log² n) rounds
+    * with the same per-round shape. `localCheckpoint` truncates lineage each
+    * round so the plan doesn't grow exponentially (on a cluster with a
+    * checkpoint dir, `checkpoint` — the semantics are identical).
+    *
+    * @param nodes one column `id`
+    * @param pairs two columns `id_a`, `id_b` (undirected, any orientation)
+    * @return (id, cluster_id)
+    */
+  def connectedComponents(nodes: DataFrame, pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct().persist()
+    edges.count() // materialize once; every round re-joins this edge list
+    var labels = nodes.select(col("id"), col("id").as("label")).localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id")).agg(min("label").as("nbr"))
+      val updated = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"),
+          (coalesce(col("nbr"), col("label")) < col("label")).as("chg"))
+        .localCheckpoint()
+      changed = updated.filter(col("chg")).count()
+      labels = updated.select("id", "label")
+    }
+    edges.unpersist()
+    labels.withColumnRenamed("label", "cluster_id")
+  }
+
+  /** Dedup clustering: near-dup pairs (from any of Dedup's generators) →
+    * per-document cluster assignment plus the keep/drop decision (keep the
+    * minimum doc_id of each cluster — the standard canonicalization in
+    * MinHash dedup pipelines). Singleton docs are their own cluster.
+    *
+    * @return (doc_id, cluster_id, is_rep 1|0)
+    */
+  def dedupClusters(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
+    connectedComponents(docs.select(col(idCol).as("id")), pairs)
+      .select(col("id").as("doc_id"), col("cluster_id"),
+        when(col("id") === col("cluster_id"), 1L).otherwise(0L).as("is_rep"))
+
+  /** Distinct word w-grams per document: (doc_id, gram). Pure column
+    * expressions (transform/slice/array_join — codegen'd, no UDF).
+    */
+  def wordGrams(df: DataFrame, idCol: String, textCol: String, w: Int): DataFrame = {
+    val toks = filter(split(lower(col(textCol)), " "), t => t =!= "")
+    df.select(col(idCol).as("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) >= w)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("toks")) - w + 1),
+        i => array_join(slice(col("toks"), i, lit(w)), " "))).as("gram"))
+      .distinct()
+  }
+
+  /** Benchmark decontamination: flag training documents sharing any word
+    * w-gram with a held-out benchmark set (the standard n-gram-collision
+    * check run before training so eval data is not memorized). The benchmark
+    * gram set is tiny relative to the corpus → broadcast, so the scan of the
+    * training side is one pass with a map-side hash join, no shuffle of the
+    * corpus. Here the benchmark is carved deterministically out of the same
+    * table (doc_id % benchMod == 0) so the oracle can reproduce it; in
+    * production it is its own table and only the join below matters.
+    *
+    * @return (doc_id, n_overlap, contaminated 1|0) for every NON-benchmark doc
+    */
+  def decontaminate(docs: DataFrame, idCol: String, textCol: String,
+                    w: Int = 5, benchMod: Int = 97): DataFrame = {
+    val grams = wordGrams(docs, idCol, textCol, w)
+    val bench = grams.filter(col("doc_id") % benchMod === 0)
+      .select("gram").distinct()
+    val overlaps = grams.filter(col("doc_id") % benchMod =!= 0)
+      .join(broadcast(bench), "gram")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+    docs.filter(col(idCol) % benchMod =!= 0)
+      .select(col(idCol).as("doc_id"))
+      .join(overlaps, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        when(coalesce(col("n_overlap"), lit(0L)) > 0, 1L).otherwise(0L)
+          .as("contaminated"))
+  }
+
+  /** Most-frequent word n-gram per doc (count ties broken by gram asc for
+    * determinism): (doc_id, top_cnt, top_len) where top_len is the gram's
+    * character length.
+    */
+  private def topGram(df: DataFrame, idCol: String, textCol: String,
+                      n: Int): DataFrame = {
+    val toks = filter(split(lower(col(textCol)), " "), t => t =!= "")
+    val grams = df.select(col(idCol).as("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("toks")) - n + 1),
+        i => array_join(slice(col("toks"), i, lit(n)), " "))).as("gram"))
+    grams.groupBy("doc_id", "gram").agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(Window.partitionBy("doc_id")
+        .orderBy(col("cnt").desc, col("gram").asc)))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("cnt").as("top_cnt"),
+        length(col("gram")).as("top_len"))
+  }
+
+  /** Gopher-style repetition metrics (Rae et al. 2021, Table A1): the
+    * duplicate-word ratio (1 - distinct/total tokens) and, for n ∈ {2,3},
+    * the fraction of characters contained in the doc's most frequent word
+    * n-gram (count × gram length / total chars). High values mark the
+    * boilerplate/looping documents every corpus filter drops. Wide one-pass
+    * token aggregate plus two (doc, gram) aggregates — all shuffles are
+    * keyed on doc_id, no cross-document data movement, linear at any scale.
+    *
+    * @return (doc_id, dup_word_ratio, top2_frac, top3_frac) — ratios rounded
+    *         to 6; 0.0 when the doc is too short to have an n-gram.
+    */
+  def repetitionMetrics(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = filter(split(lower(col(textCol)), " "), t => t =!= "")
+    val base = df.select(col(idCol).as("doc_id"),
+        length(col(textCol)).cast("long").as("n_chars"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_distinct"))
+    def frac(top: DataFrame, name: String): (DataFrame, Column) =
+      (top.select(col("doc_id"),
+        (col("top_cnt") * col("top_len")).as(s"${name}_chars")), col(s"${name}_chars"))
+    val (t2, c2) = frac(topGram(df, idCol, textCol, 2), "t2")
+    val (t3, c3) = frac(topGram(df, idCol, textCol, 3), "t3")
+    base.join(t2, Seq("doc_id"), "left").join(t3, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("n_tokens") > 0,
+          round(lit(1.0) - col("n_distinct").cast("double") / col("n_tokens"), 6))
+          .otherwise(0.0).as("dup_word_ratio"),
+        when(col("n_chars") > 0,
+          round(coalesce(c2, lit(0L)).cast("double") / col("n_chars"), 6))
+          .otherwise(0.0).as("top2_frac"),
+        when(col("n_chars") > 0,
+          round(coalesce(c3, lit(0L)).cast("double") / col("n_chars"), 6))
+          .otherwise(0.0).as("top3_frac"))
+  }
+
+  /** Deterministic md5-derived sampling hash in [0, 100): the cross-engine
+    * reproducible way to subsample a corpus (Spark `conv(substr(md5))` ≡
+    * DuckDB `('0x'||substr(md5))::BIGINT` — same trick as Dedup's MinHash).
+    * Content-independent of partitioning, stable across runs and engines —
+    * unlike `rand()` or `TABLESAMPLE`, a re-run or a repartition cannot
+    * change the sample.
+    */
+  def sampleBucket(idCol: Column): Column =
+    conv(substring(md5(idCol.cast("string")), 1, 8), 16, 10).cast("long") % 100
+
+  /** Corpus mixing: deterministic hash-sample at `samplePct`, then a per-
+    * (lang, source) quality quota — keep the top `quota` docs of each group
+    * by n_chars (tie-break doc_id). This is the "domain mixture" step of
+    * corpus assembly: each (language, source) cell contributes a bounded,
+    * best-first slice. One window shuffle keyed on the group; the sample
+    * filter is applied BEFORE the shuffle so 100-samplePct% of the corpus
+    * never moves.
+    *
+    * @return (doc_id, lang, source, n_chars, rk)
+    */
+  def corpusMix(docs: DataFrame, samplePct: Int = 50, quota: Int = 20): DataFrame =
+    docs.filter(sampleBucket(col("doc_id")) < samplePct)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("lang", "source")
+          .orderBy(col("n_chars").desc, col("doc_id").asc)).cast("long"))
+      .filter(col("rk") <= quota)
+      .select("doc_id", "lang", "source", "n_chars", "rk")
+}
