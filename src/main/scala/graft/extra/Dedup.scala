@@ -100,12 +100,15 @@ object Dedup {
   def shinglePairs(df: DataFrame, idCol: String, textCol: String,
                    w: Int = 3, threshold: Double = 0.8): DataFrame = {
     val toksArr = filter(split(lower(col(textCol)), " "), t => t =!= "")
+    // cached like jaccardPairs' toks: the candidate branch (dfreq + prefix
+    // window) and the two verify joins each re-read this, and the
+    // explode+distinct is the expensive part of the whole pipeline
     val sh = df.select(col(idCol).as("doc_id"), toksArr.as("toks"))
       .filter(size(col("toks")) >= w)
       .select(col("doc_id"), explode(transform(
         sequence(lit(1), size(col("toks")) - w + 1),
         i => array_join(slice(col("toks"), i, lit(w)), " "))).as("term"))
-      .distinct()
+      .distinct().cache()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     verifyJaccard(jaccardCandidates(sh, sizes, threshold), sh, sizes, threshold)
   }

@@ -1,0 +1,90 @@
+package graft
+
+import graft.extra.CorpusOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CorpusOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("connected components labels each node with its component minimum") {
+    // components: {1,2,3,4} (chain), {10,11}, singleton {20}
+    val nodes = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L).toDF("id")
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val got = CorpusOps.connectedComponents(nodes, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L))
+  }
+
+  test("dedup clusters on fixture docs: reps are cluster minima, partition is total") {
+    val docs = Tables.load(spark, SparkTestSession.sf0001, "documents")
+      .filter(col("doc_id") < 150)
+    val pairs = graft.extra.Dedup.jaccardPairs(docs, "doc_id", "text", 0.95)
+    val rows = CorpusOps.dedupClusters(docs, "doc_id", pairs).collect()
+    assert(rows.length == docs.count())
+    val byCluster = rows.groupBy(_.getAs[Long]("cluster_id"))
+    byCluster.foreach { case (cid, members) =>
+      assert(members.map(_.getAs[Long]("doc_id")).min == cid,
+        s"cluster $cid label is not its min member")
+      assert(members.count(_.getAs[Long]("is_rep") == 1L) == 1,
+        s"cluster $cid must have exactly one representative")
+    }
+    // every near-dup pair must land in the same cluster
+    val label = rows.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    pairs.select("id_a", "id_b").collect().foreach { r =>
+      assert(label(r.getLong(0)) == label(r.getLong(1)))
+    }
+  }
+
+  test("decontaminate flags only docs sharing a 5-gram with the benchmark slice") {
+    // ids: 0 and 97 are benchmark (x % 97 == 0); 1 copies 0's phrase, 2 doesn't
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),
+      (97L, "one two three four five six"),
+      (1L, "prefix alpha beta gamma delta epsilon suffix"),
+      (2L, "entirely different words with no shared phrase at all"),
+      (3L, "short doc")).toDF("doc_id", "text")
+    val got = CorpusOps.decontaminate(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L), "benchmark docs must not be scored")
+    assert(got(1L) == ((1L, 1L))) // shares "alpha beta gamma delta epsilon"
+    assert(got(2L) == ((0L, 0L)))
+    assert(got(3L) == ((0L, 0L))) // too short for any 5-gram
+  }
+
+  test("repetition metrics: hand-computed repeated doc and degenerate docs") {
+    val docs = Seq(
+      (1L, "ab ab ab ab"),   // 4 tokens, 1 distinct; top 2-gram "ab ab" ×3
+      (2L, "all words here differ"),
+      (3L, "")).toDF("doc_id", "text")
+    val got = CorpusOps.repetitionMetrics(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got(1L)._1 == 0.75) // 1 - 1/4
+    assert(got(1L)._2 == math.rint(3.0 * 5 / 11 * 1e6) / 1e6) // 3×len("ab ab")/11
+    assert(got(2L)._1 == 0.0)
+    assert(got(3L) == ((0.0, 0.0, 0.0)))
+  }
+
+  test("corpus mix: deterministic sample, quota respected, best-first within group") {
+    val docs = Tables.load(spark, SparkTestSession.sf0001, "documents")
+    val got = CorpusOps.corpusMix(docs, samplePct = 50, quota = 20)
+    val rows = got.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("rk") <= 20L))
+    // deterministic: a second run returns the identical row set
+    val again = CorpusOps.corpusMix(docs, samplePct = 50, quota = 20).collect()
+    assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+    // within a group, ranks strictly follow n_chars desc
+    rows.groupBy(r => (r.getAs[String]("lang"), r.getAs[String]("source")))
+      .foreach { case (_, g) =>
+        val sorted = g.sortBy(_.getAs[Long]("rk"))
+        assert(sorted.sliding(2).forall {
+          case Array(a, b) => a.getAs[Long]("n_chars") >= b.getAs[Long]("n_chars")
+          case _ => true
+        })
+      }
+  }
+}
