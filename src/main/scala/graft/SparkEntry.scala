@@ -248,6 +248,21 @@ object SparkEntry {
     "corpus_mix" -> ((s, d) =>
       CorpusOps.corpusMix(T(s, d, "documents"))),
 
+    // PII scrub: the fixture text is pure lowercase words, so the query
+    // injects deterministic synthetic PII (same expression in the oracle) —
+    // the redaction/count logic is exercised on varied non-trivial inputs
+    "pii_scrub" -> ((s, d) =>
+      graft.extra.TextScrub.scrub(
+        T(s, d, "documents").withColumn("text2",
+          concat(col("text"), lit(" contact user"),
+            col("doc_id").cast("string"), lit("@example.com visit https://site"),
+            (col("doc_id") % 7).cast("string"), lit(".org or 10.0."),
+            (col("doc_id") % 256).cast("string"), lit(".1 done"))),
+        "doc_id", "text2")),
+
+    "quantize_audit" -> ((s, d) =>
+      graft.extra.Quantize.audit(T(s, d, "embeddings"))),
+
     // ---- embedding similarity search (extras) ----
     "knn_cosine" -> ((s, d) =>
       EmbeddingKnn.bruteForce(T(s, d, "embeddings"), KnnQueryIds, 5)
@@ -397,6 +412,8 @@ object SparkEntry {
     "dedup_clusters" -> O.clustersSql,
     "decontaminate" -> O.decontaminateSql,
     "rep_metrics" -> O.repMetricsSql,
+    "pii_scrub" -> O.piiScrubSql,
+    "quantize_audit" -> O.quantizeAuditSql,
 
     "corpus_mix" ->
       """SELECT doc_id, lang, source, n_chars, rk FROM (
@@ -710,6 +727,55 @@ object SparkEntry {
          |FROM t LEFT JOIN top2 ON t.doc_id = top2.doc_id
          |LEFT JOIN top3 ON t.doc_id = top3.doc_id""".stripMargin
     }
+
+    /** DuckDB twin of TextScrub.scrub over the same PII-injected text. The
+      * regexes live in TextScrub (common Java-regex/RE2 subset); the
+      * injected text expression mirrors the Spark side token for token.
+      */
+    val piiScrubSql: String = {
+      import graft.extra.TextScrub.{EmailRe, Ipv4Re, UrlRe}
+      s"""WITH d AS (SELECT doc_id,
+         |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+         |      || '@example.com visit https://site' || CAST(doc_id % 7 AS VARCHAR)
+         |      || '.org or 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+         |      || '.1 done' AS t
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(t, '$UrlRe')) AS BIGINT) AS n_urls,
+         |  CAST(len(regexp_extract_all(
+         |    regexp_replace(t, '$UrlRe', '<URL>', 'g'), '$EmailRe')) AS BIGINT)
+         |    AS n_emails,
+         |  CAST(len(regexp_extract_all(regexp_replace(
+         |      regexp_replace(t, '$UrlRe', '<URL>', 'g'),
+         |      '$EmailRe', '<EMAIL>', 'g'), '$Ipv4Re')) AS BIGINT) AS n_ips,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+         |    '$UrlRe', '<URL>', 'g'), '$EmailRe', '<EMAIL>', 'g'),
+         |    '$Ipv4Re', '<IP>', 'g')) AS scrubbed_hash
+         |FROM d""".stripMargin
+    }
+
+    /** DuckDB twin of Quantize.audit: identical symmetric int8 arithmetic —
+      * the integer checksums q_sum/q_sumsq verify every quantized code
+      * exactly across engines.
+      */
+    val quantizeAuditSql: String =
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+        |s AS (SELECT vec_id, vec,
+        |    greatest(list_max(list_transform(vec, x -> abs(x))) / 127.0, 1e-12)
+        |      AS scale FROM e),
+        |q AS (SELECT vec_id, vec, scale,
+        |    list_transform(vec, x ->
+        |      CAST(least(greatest(round(x / scale), -127.0), 127.0) AS INTEGER))
+        |      AS qv FROM s)
+        |SELECT vec_id, round(scale, 9) AS scale_r,
+        |  CAST(list_sum(qv) AS BIGINT) AS q_sum,
+        |  CAST(list_sum(list_transform(qv, x -> CAST(x AS BIGINT) * x)) AS BIGINT)
+        |    AS q_sumsq,
+        |  round(list_max(list_transform(range(1, len(vec) + 1),
+        |    i -> abs(vec[i] - qv[i] * scale))), 9) AS max_err_r,
+        |  round(list_cosine_similarity(vec,
+        |    list_transform(qv, x -> CAST(x AS DOUBLE) * scale)), 6) AS cos_r
+        |FROM q""".stripMargin
 
     /** DuckDB twin of Dedup.shinglePairs (the prefix filter is lossless, so
       * the oracle can verify ALL shingle-sharing pairs): w=3 word shingles,
