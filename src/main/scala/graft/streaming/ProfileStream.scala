@@ -1,0 +1,49 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Streaming incremental profiling — the Structured Streaming twin of the
+  * batch [[graft.ingest.Profiler]]: as files land in a dataset directory,
+  * the per-column statistical profile updates continuously instead of
+  * re-running the batch job per drop (danae re-profiles a dataset when its
+  * catalogue status flips to pending, ingest/profiling/profiler.py:56-86 —
+  * here the "queue" is the stream itself).
+  *
+  * Shape: unpivot numeric columns into one (col_name, v) stream, then ONE
+  * streaming aggregation keyed on col_name. All the emitted statistics
+  * derive from commutative partial aggregates (count/sum/sumsq/min/max),
+  * so Spark maintains them in the state store with map-side partial
+  * combine — state size is O(#columns), independent of rows seen. Mean and
+  * std are derived per emission (std via the sum-of-squares identity:
+  * sqrt((Σv² - (Σv)²/n) / (n-1)) — the streaming equivalent of the batch
+  * stddev_samp).
+  */
+object ProfileStream {
+
+  /** Continuous numeric profile over a parquet-file stream. Update output
+    * mode: each micro-batch emits the refreshed rows for columns that saw
+    * data. No watermark — the profile is a running total over the life of
+    * the dataset, exactly like the batch profile over the full table.
+    */
+  def numericStatsStream(spark: SparkSession, dir: String, schema: StructType,
+                         datasetId: String, cols: Seq[String]): DataFrame = {
+    val src = spark.readStream.schema(schema).parquet(dir)
+    val unpivoted = src.select(explode(array(cols.map(c =>
+        struct(lit(c).as("col_name"), col(c).cast("double").as("v"))): _*)).as("e"))
+      .select(col("e.col_name").as("col_name"), col("e.v").as("v"))
+    unpivoted.groupBy("col_name")
+      .agg(count(col("v")).as("n"),
+        sum(col("v")).as("s"),
+        sum(col("v") * col("v")).as("ss"),
+        min(col("v")).as("vmin_raw"),
+        max(col("v")).as("vmax_raw"))
+      .select(lit(datasetId).as("dataset_id"), col("col_name"), col("n"),
+        round(round(col("s"), 4) / col("n"), 6).as("mean"),
+        round(sqrt((col("ss") - col("s") * col("s") / col("n"))
+          / (col("n") - 1)), 6).as("std"),
+        round(col("vmin_raw"), 6).as("vmin"),
+        round(col("vmax_raw"), 6).as("vmax"))
+  }
+}
