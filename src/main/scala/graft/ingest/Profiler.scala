@@ -173,9 +173,13 @@ object Profiler {
     * per-table — they're single-stage map-side scans.
     */
   def numericStatsAll(dfs: Seq[(String, DataFrame)]): DataFrame = {
-    val wides = dfs.map { case (id, df) => numericWide(df, id, approx = false) }
+    // spread once per table; the wide-agg and distinct-stream branches read
+    // the SAME exchange (ReusedExchange), so this costs one compact shuffle
+    // while un-serializing single-row-group scans (see spreadSketchCols)
+    val spread = dfs.map { case (id, df) => (id, spreadSketchCols(df)) }
+    val wides = spread.map { case (id, df) => numericWide(df, id, approx = false) }
       .reduce(_.unionAll(_))
-    val stream = dfs.map { case (id, df) =>
+    val stream = spread.map { case (id, df) =>
       valueStream(df, typedColumns(df, "Numeric").map((_, "Numeric")))
         .select(lit(id).as("dataset_id"), col("col_name"), col("v"))
     }.reduce(_.unionAll(_))
@@ -205,6 +209,29 @@ object Profiler {
   def sketchValueStream(df: DataFrame, datasetId: String): DataFrame =
     valueStream(df, sketchCols(df))
       .select(lit(datasetId).as("dataset_id"), col("col_name"), col("v"))
+
+  /** Project a dataset down to its sketchable columns and spread the rows
+    * across the cluster. Single-row-group (or single-file, unsplittable)
+    * inputs otherwise cap the scan at one task, serializing every per-row
+    * explode and partial aggregate behind it; the exchange carries ONLY the
+    * profiled columns. For well-laid-out data this is a no-op cost (one
+    * compact shuffle) — the scan parallelism then comes from the files
+    * themselves.
+    */
+  def spreadSketchCols(df: DataFrame): DataFrame = {
+    val cols = sketchCols(df).map { case (c, _) => col(c) }
+    if (cols.isEmpty) df
+    else {
+      val projected = df.select(cols: _*)
+      // only datasets big enough to matter get spread — a blanket
+      // repartition turns a union of small tables into hundreds of empty
+      // task launches (Catalyst size estimate; no action triggered)
+      val bytes = projected.queryExecution.optimizedPlan.stats.sizeInBytes
+      if (bytes < (8L << 20)) projected
+      else projected.repartition(
+        df.sparkSession.sessionState.conf.numShufflePartitions)
+    }
+  }
 
   /** Exact interpolated percentiles via a distributed value histogram over a
     * (dataset_id, col_name, v) stream — MANY datasets/columns share one

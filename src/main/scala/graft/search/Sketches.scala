@@ -29,8 +29,15 @@ object Sketches {
   def numericTemporal(spark: SparkSession, dir: String,
                       tables: Seq[String] = Tables.sketchTables): DataFrame = {
     val loaded = tables.map(t => t -> Tables.load(spark, dir, t))
-    val stream = loaded.map { case (t, df) => Profiler.sketchValueStream(df, t) }
-      .reduce(_.unionAll(_))
+    // single-row-group parquet caps each table's scan at ONE task, which
+    // serializes the 7× explode + histogram partial agg behind it; spread
+    // the (narrow, sketch-columns-only) rows across the cluster first —
+    // the shuffle carries just the profiled columns, the agg parallelism
+    // gain is #cores/table (needless for well-rowgrouped data, harmless:
+    // one compact exchange)
+    val stream = loaded.map { case (t, df) =>
+      Profiler.sketchValueStream(Profiler.spreadSketchCols(df), t)
+    }.reduce(_.unionAll(_))
     val types = loaded.flatMap { case (t, df) =>
       Profiler.sketchCols(df).map { case (c, ty) => (t, c) -> ty }
     }.toMap
@@ -142,9 +149,12 @@ object Sketches {
       // of task launches. It is tiny (#datasets × #columns rows), so pin it
       // as a single-partition cached table — the in-memory index, exactly
       // like danae holds its R-trees in RAM after "train". The pin stays
-      // executor-side (coalesce, not collect/parallelize): at lake scale the
-      // sketch table is ~10^8 rows and a driver round-trip would OOM.
-      val df = all(spark, dir).coalesce(1).persist()
+      // executor-side (no collect/parallelize): at lake scale the sketch
+      // table is ~10^8 rows and a driver round-trip would OOM. repartition,
+      // NOT coalesce: coalesce(1) collapses the whole final aggregation
+      // stage into one task (measured 4s of the build), while repartition
+      // keeps it parallel and only the ~100-row result crosses the shuffle.
+      val df = all(spark, dir).repartition(1).persist()
       df.count()
       df
     })
