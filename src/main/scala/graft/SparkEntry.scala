@@ -276,6 +276,11 @@ object SparkEntry {
       EmbeddingKnn.ivf(T(s, d, "embeddings"), KnnQueryIds, 5)
         .withColumn("rank", col("rank").cast("long"))),
 
+    // int8-code candidate scoring + exact float rerank (the bandwidth path)
+    "knn_int8" -> ((s, d) =>
+      EmbeddingKnn.int8Rerank(T(s, d, "embeddings"), KnnQueryIds, 5)
+        .withColumn("rank", col("rank").cast("long"))),
+
     // ---- text analysis (extras) ----
     "text_stats" -> ((s, d) =>
       TextStats.stats(T(s, d, "documents"), "doc_id", "text")),
@@ -433,6 +438,7 @@ object SparkEntry {
 
     "knn_cosine" -> O.knnCosineSql,
     "knn_lsh" -> O.knnLshSql,
+    "knn_int8" -> O.knnInt8Sql,
     "dedup_embedding_lsh" -> O.dedupEmbeddingLshSql,
 
     // NULLIF/CASE guards mirror the Spark side's when(n>0, ...) for
@@ -752,6 +758,41 @@ object SparkEntry {
          |    '$UrlRe', '<URL>', 'g'), '$EmailRe', '<EMAIL>', 'g'),
          |    '$Ipv4Re', '<IP>', 'g')) AS scrubbed_hash
          |FROM d""".stripMargin
+    }
+
+    /** DuckDB twin of EmbeddingKnn.int8Rerank: same quantization, integer
+      * dot-product approximate ranking (overfetch 4×), exact-cosine rerank.
+      */
+    val knnInt8Sql: String = {
+      val ids = KnnQueryIds.mkString(", ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+         |s AS (SELECT vec_id, vec,
+         |    greatest(list_max(list_transform(vec, x -> abs(x))) / 127.0, 1e-12)
+         |      AS scale FROM e),
+         |q AS (SELECT vec_id, vec, scale,
+         |    list_transform(vec, x ->
+         |      CAST(least(greatest(round(x / scale), -127.0), 127.0) AS INTEGER))
+         |      AS qv FROM s),
+         |n AS (SELECT *, sqrt(CAST(list_sum(list_transform(qv,
+         |      x -> CAST(x AS BIGINT) * x)) AS DOUBLE)) * scale AS qnorm FROM q),
+         |cand AS (SELECT qy.vec_id AS q_id, c.vec_id AS c_id,
+         |    qy.vec AS q_vec, c.vec AS c_vec,
+         |    round(qy.scale * c.scale * list_sum(list_transform(
+         |        range(1, len(qy.qv) + 1),
+         |        i -> CAST(qy.qv[i] AS BIGINT) * c.qv[i]))
+         |      / (qy.qnorm * c.qnorm), 6) AS approx
+         |  FROM n c CROSS JOIN (SELECT * FROM n WHERE vec_id IN ($ids)) qy
+         |  WHERE c.vec_id <> qy.vec_id),
+         |top AS (SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY approx DESC, c_id ASC) AS arank FROM cand)
+         |SELECT q_id, c_id, sim, rank FROM (
+         |  SELECT q_id, c_id,
+         |    round(list_cosine_similarity(q_vec, c_vec), 6) AS sim,
+         |    CAST(row_number() OVER (PARTITION BY q_id
+         |      ORDER BY round(list_cosine_similarity(q_vec, c_vec), 6) DESC,
+         |        c_id ASC) AS BIGINT) AS rank
+         |  FROM top WHERE arank <= 20)
+         |WHERE rank <= 5""".stripMargin
     }
 
     /** DuckDB twin of Quantize.audit: identical symmetric int8 arithmetic —

@@ -77,6 +77,47 @@ object EmbeddingKnn {
       .filter(col("rank") <= k)
   }
 
+  /** Int8-quantized ANN with exact rerank — the bandwidth-bound scale path
+    * ([[Quantize]]'s 4× storage cut made operational): candidate scoring
+    * runs entirely on int8 codes (integer dot product + two per-vector
+    * floats; cos ≈ s_a·s_b·Σq_aq_b / (‖q_a‖s_a·‖q_b‖s_b)), the float
+    * vectors are touched only for the `k·overfetch` survivors, which are
+    * re-scored exactly. In a real store the codes column is the scan table
+    * and the float column a late-materialized fetch; here both ride the
+    * same row for plan simplicity. Deterministic end to end, so the DuckDB
+    * oracle reproduces ranks exactly.
+    */
+  def int8Rerank(emb: DataFrame, queryIds: Seq[Long], k: Int = 5,
+                 overfetch: Int = 4): DataFrame = {
+    val quant = emb.select(col("vec_id"), asDouble(col("embedding")).as("vec"))
+      .withColumn("scale", Quantize.scaleOf(col("vec")))
+      .withColumn("qv", Quantize.quantize(col("vec"), col("scale")))
+      .withColumn("qnorm", sqrt(aggregate(col("qv"), lit(0L),
+        (a, x) => a + x.cast("long") * x).cast("double")) * col("scale"))
+    val q = quant.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
+        col("scale").as("q_scale"), col("qnorm").as("q_norm"),
+        col("vec").as("q_vec"))
+    val c = quant.select(col("vec_id").as("c_id"), col("qv").as("c_qv"),
+      col("scale").as("c_scale"), col("qnorm").as("c_norm"),
+      col("vec").as("c_vec"))
+    val wa = Window.partitionBy("q_id").orderBy(col("approx").desc, col("c_id").asc)
+    val we = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id").asc)
+    c.crossJoin(broadcast(q))
+      .filter(col("c_id") =!= col("q_id"))
+      .withColumn("dot_int", aggregate(
+        zip_with(col("q_qv"), col("c_qv"), (x, y) => x.cast("long") * y),
+        lit(0L), (a, x) => a + x))
+      .withColumn("approx", round(col("q_scale") * col("c_scale") * col("dot_int")
+        / (col("q_norm") * col("c_norm")), 6))
+      .withColumn("arank", row_number().over(wa))
+      .filter(col("arank") <= k * overfetch)
+      .withColumn("sim", round(VectorOps.cosine(col("q_vec"), col("c_vec")), 6))
+      .select("q_id", "c_id", "sim")
+      .withColumn("rank", row_number().over(we))
+      .filter(col("rank") <= k)
+  }
+
   /** Sign-pattern bucket key over the first `bits` dimensions (public: the
     * dedup pipeline reuses the same bucketing as its pair prefilter).
     */

@@ -29,6 +29,21 @@ class ScrubQuantizeSpec extends AnyFunSuite {
     assert(s == "mail <EMAIL> then visit <URL> end")
   }
 
+  test("int8-rerank ANN: exact sims on returned pairs, high recall vs brute force") {
+    import graft.extra.EmbeddingKnn
+    val emb = Tables.load(spark, SparkTestSession.sf0001, "embeddings")
+    val qs = Seq(0L, 1L, 2L, 3L, 4L)
+    val brute = EmbeddingKnn.bruteForce(emb, qs, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val int8 = EmbeddingKnn.int8Rerank(emb, qs, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(int8.size == brute.size)
+    // the rerank is EXACT cosine, so overlapping pairs score identically
+    int8.keySet.intersect(brute.keySet).foreach(k => assert(int8(k) == brute(k)))
+    val recall = int8.keySet.intersect(brute.keySet).size.toDouble / brute.size
+    assert(recall >= 0.9, s"recall $recall")
+  }
+
   test("quantize round-trips within one scale step and clips at 127") {
     val vecs = Seq(
       (1L, Array(0.5f, -1.0f, 0.25f, 0.0f)),
