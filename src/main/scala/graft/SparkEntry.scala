@@ -299,7 +299,11 @@ object SparkEntry {
       EventWindows.tumbling(T(s, d, "events"), "1 hour")),
 
     "event_sessions" -> ((s, d) =>
-      EventWindows.sessions(T(s, d, "events"), "2 hours"))
+      EventWindows.sessions(T(s, d, "events"), "2 hours")),
+
+    // as-of alignment: each click joined to the latest prior purchase
+    "event_asof" -> ((s, d) =>
+      EventWindows.asOf(T(s, d, "events")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -483,7 +487,22 @@ object SparkEntry {
         | round(round(sum(value),4)/count(*),6) AS mean
         |FROM events GROUP BY 1,2""".stripMargin,
 
-    "event_sessions" -> O.sessionsSql
+    "event_sessions" -> O.sessionsSql,
+
+    // DuckDB's native ASOF JOIN is the oracle; the right side is deduped to
+    // the max event_id per (user, ts) first — ASOF leaves equal-ts picks
+    // undefined, the Spark window breaks the same tie by event_id
+    "event_asof" ->
+      """WITH r0 AS (SELECT user_id, ts, round(value, 4) AS value,
+        |    row_number() OVER (PARTITION BY user_id, ts
+        |      ORDER BY event_id DESC) AS rn
+        |  FROM events WHERE event_type = 'purchase'),
+        |r AS (SELECT user_id, ts, value FROM r0 WHERE rn = 1),
+        |l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+        |SELECT l.event_id, l.user_id, epoch_ms(l.ts) AS ts_left,
+        |  epoch_ms(r.ts) AS ts_right, r.value AS r_value
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin
   )
 
   /** DuckDB oracle SQL builders for the repetitive profile/sketch queries —

@@ -51,6 +51,40 @@ object EventWindows {
         unix_millis(col("w.start")).as("session_start"),
         col("n"), col("total"))
 
+  /** As-of join: pair every `leftType` event with the most recent
+    * `rightType` event at-or-before it for the same user — the alignment
+    * primitive behind "state at event time" joins (market data, feature
+    * lookups, attribution). Spark has no native ASOF; the classic range
+    * join explodes quadratically per key, so this uses the union trick:
+    * tag both streams, sort once per user by (ts, right-before-left,
+    * event_id), and carry the last right row forward with
+    * `last(ignoreNulls)` — ONE shuffle keyed on user, linear in events,
+    * skew-bounded by per-user event counts. Right rows sort before left
+    * rows at equal ts (inclusive as-of, DuckDB `ASOF ... ON l.ts >= r.ts`
+    * semantics); ties among right rows resolve to the max event_id.
+    *
+    * @return (event_id, user_id, ts_left ms, ts_right ms nullable, r_value)
+    */
+  def asOf(events: DataFrame, leftType: String = "click",
+           rightType: String = "purchase"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tagged = events
+      .filter(col("event_type").isin(leftType, rightType))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        (col("event_type") === leftType).as("is_left"), col("value"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("is_left").cast("int").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    tagged
+      .withColumn("ts_right",
+        last(when(!col("is_left"), unix_millis(col("ts"))), ignoreNulls = true).over(w))
+      .withColumn("r_value",
+        last(when(!col("is_left"), round(col("value"), 4)), ignoreNulls = true).over(w))
+      .filter(col("is_left"))
+      .select(col("event_id"), col("user_id"),
+        unix_millis(col("ts")).as("ts_left"), col("ts_right"), col("r_value"))
+  }
+
   /** Streaming twin of [[tumbling]]: same aggregation over a file stream with
     * a watermark for state cleanup. Caller attaches the sink.
     */

@@ -103,4 +103,31 @@ class EventWindowsSpec extends AnyFunSuite {
     assert(got(0).getAs[Long]("n") == 2 && got(0).getAs[Double]("total") == 3.0)
     assert(got(1).getAs[Long]("n") == 1 && got(1).getAs[Double]("total") == 3.0)
   }
+
+  test("as-of join: inclusive at equal ts, max-event_id tie, null before first right") {
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    val events = Seq(
+      // user 1: click before any purchase → null; click at purchase ts →
+      // inclusive; two purchases at the same ts → max event_id (id 11) wins
+      (1L, ts(10), 1L, "click", 0.0),
+      (10L, ts(20), 1L, "purchase", 5.0),
+      (11L, ts(20), 1L, "purchase", 7.0),
+      (2L, ts(20), 1L, "click", 0.0),
+      (3L, ts(30), 1L, "click", 0.0),
+      (12L, ts(40), 1L, "purchase", 9.0),
+      (4L, ts(50), 1L, "click", 0.0),
+      // user 2 isolated from user 1
+      (5L, ts(25), 2L, "click", 0.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = graft.streaming.EventWindows.asOf(events)
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(3)).map(_.asInstanceOf[Long]), Option(r.get(4))
+          .map(_.asInstanceOf[Double])))).toMap
+    assert(got(1L) == ((None, None)))
+    assert(got(2L) == ((Some(20000L), Some(7.0))))
+    assert(got(3L) == ((Some(20000L), Some(7.0))))
+    assert(got(4L) == ((Some(40000L), Some(9.0))))
+    assert(got(5L) == ((None, None)))
+  }
 }
