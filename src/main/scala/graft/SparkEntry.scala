@@ -248,6 +248,11 @@ object SparkEntry {
     "corpus_mix" -> ((s, d) =>
       CorpusOps.corpusMix(T(s, d, "documents"))),
 
+    // the flagship corpus assembly: dedup → quality → language →
+    // repetition → decontamination → per-(lang, source) quota, one plan
+    "corpus_build" -> ((s, d) =>
+      graft.extra.CorpusPipeline.build(T(s, d, "documents"), "doc_id", "text")),
+
     // PII scrub: the fixture text is pure lowercase words, so the query
     // injects deterministic synthetic PII (same expression in the oracle) —
     // the redaction/count logic is exercised on varied non-trivial inputs
@@ -467,6 +472,7 @@ object SparkEntry {
 
     "lang_id" -> O.langIdSql,
     "corpus_select" -> O.corpusSelectSql,
+    "corpus_build" -> O.corpusBuildSql,
 
     "token_counts" ->
       """SELECT doc_id,
@@ -1095,6 +1101,25 @@ object SparkEntry {
          |SELECT keep.doc_id, keep.fingerprint, q.quality, lg.lang_pred
          |FROM keep JOIN q USING (doc_id) JOIN lg USING (doc_id)
          |WHERE q.quality >= 0.5 AND lg.lang_pred IN ('en')""".stripMargin
+
+    /** DuckDB twin of CorpusPipeline.build: the proven per-stage oracles
+      * (corpus_select, rep_metrics, decontaminate) nested as CTEs, joined
+      * on doc_id, then the quality-quota window. minQuality 0.3, en only,
+      * dup ratio <= 0.8, quota 20 — mirror the Scala defaults.
+      */
+    val corpusBuildSql: String =
+      s"""WITH sel AS (SELECT doc_id, quality, lang_pred FROM (
+         |    ${corpusSelectSql.replace("WHERE q.quality >= 0.5", "WHERE q.quality >= 0.3")}) s0),
+         |rep AS (SELECT doc_id, dup_word_ratio FROM ($repMetricsSql) r0),
+         |dec AS (SELECT doc_id, contaminated FROM ($decontaminateSql) d0),
+         |j AS (SELECT sel.doc_id, sel.lang_pred, sel.quality, d2.source
+         |  FROM sel JOIN rep USING (doc_id) JOIN dec USING (doc_id)
+         |  JOIN documents d2 ON sel.doc_id = d2.doc_id
+         |  WHERE rep.dup_word_ratio <= 0.8 AND dec.contaminated = 0)
+         |SELECT doc_id, lang_pred, source, quality, rk FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY lang_pred, source
+         |    ORDER BY quality DESC, doc_id ASC) AS BIGINT) AS rk FROM j)
+         |WHERE rk <= 20""".stripMargin
 
     val sessionsSql: String =
       """WITH x AS (SELECT user_id, ts, value,

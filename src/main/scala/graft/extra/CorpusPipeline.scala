@@ -27,4 +27,37 @@ object CorpusPipeline {
       .filter(col("quality") >= minQuality && col("lang_pred").isin(langs: _*))
       .select("doc_id", "fingerprint", "quality", "lang_pred")
   }
+
+  /** Full corpus assembly — every curation stage composed as ONE declarative
+    * plan, the way a training-data drop is actually cut:
+    * [[select]] (fingerprint dedup + quality + language gates) →
+    * repetition gate ([[CorpusOps.repetitionMetrics]]) → benchmark
+    * decontamination ([[CorpusOps.decontaminate]]; held-out docs are also
+    * excluded from the output, as an eval set must be) → per-(language,
+    * source) quality-quota mix. Every stage is doc_id-keyed joins/aggs plus
+    * one quota window — no cross-document shuffle anywhere except the
+    * fingerprint groupBy, so the whole build is linear in the corpus.
+    *
+    * @return (doc_id, lang_pred, source, quality, rk)
+    */
+  def build(docs: DataFrame, idCol: String, textCol: String,
+            minQuality: Double = 0.3, langs: Seq[String] = Seq("en"),
+            maxDupRatio: Double = 0.8, quota: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val selected = select(docs, idCol, textCol, minQuality, langs)
+    val rep = CorpusOps.repetitionMetrics(docs, idCol, textCol)
+      .select(col("doc_id"), col("dup_word_ratio"))
+    val decon = CorpusOps.decontaminate(docs, idCol, textCol)
+      .select(col("doc_id"), col("contaminated"))
+    selected
+      .join(rep, "doc_id")
+      .join(decon, "doc_id")
+      .filter(col("dup_word_ratio") <= maxDupRatio && col("contaminated") === 0)
+      .join(docs.select(col(idCol).as("doc_id"), col("source")), "doc_id")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("lang_pred", "source")
+          .orderBy(col("quality").desc, col("doc_id").asc)).cast("long"))
+      .filter(col("rk") <= quota)
+      .select("doc_id", "lang_pred", "source", "quality", "rk")
+  }
 }
