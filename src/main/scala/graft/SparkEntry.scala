@@ -798,8 +798,9 @@ object SparkEntry {
          |    list_transform(vec, x ->
          |      CAST(least(greatest(round(x / scale), -127.0), 127.0) AS INTEGER))
          |      AS qv FROM s),
-         |n AS (SELECT *, sqrt(CAST(list_sum(list_transform(qv,
-         |      x -> CAST(x AS BIGINT) * x)) AS DOUBLE)) * scale AS qnorm FROM q),
+         |n AS (SELECT *, greatest(sqrt(CAST(list_sum(list_transform(qv,
+         |      x -> CAST(x AS BIGINT) * x)) AS DOUBLE)) * scale, 1e-12)
+         |      AS qnorm FROM q),
          |cand AS (SELECT qy.vec_id AS q_id, c.vec_id AS c_id,
          |    qy.vec AS q_vec, c.vec AS c_vec,
          |    round(qy.scale * c.scale * list_sum(list_transform(
@@ -1085,7 +1086,10 @@ object SparkEntry {
          |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin
     }
 
-    val corpusSelectSql: String =
+    /** Parameterized so corpusBuildSql reuses it at its own threshold — no
+      * string surgery that could silently no-op if this text drifts.
+      */
+    def corpusSelectSqlAt(minQuality: Double): String =
       s"""WITH fp AS (SELECT doc_id, md5(trim(regexp_replace(
          |  regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fingerprint
          |  FROM documents),
@@ -1100,7 +1104,9 @@ object SparkEntry {
          |lg AS (SELECT doc_id, lang_pred FROM ($langIdSql) z)
          |SELECT keep.doc_id, keep.fingerprint, q.quality, lg.lang_pred
          |FROM keep JOIN q USING (doc_id) JOIN lg USING (doc_id)
-         |WHERE q.quality >= 0.5 AND lg.lang_pred IN ('en')""".stripMargin
+         |WHERE q.quality >= $minQuality AND lg.lang_pred IN ('en')""".stripMargin
+
+    val corpusSelectSql: String = corpusSelectSqlAt(0.5)
 
     /** DuckDB twin of CorpusPipeline.build: the proven per-stage oracles
       * (corpus_select, rep_metrics, decontaminate) nested as CTEs, joined
@@ -1109,7 +1115,7 @@ object SparkEntry {
       */
     val corpusBuildSql: String =
       s"""WITH sel AS (SELECT doc_id, quality, lang_pred FROM (
-         |    ${corpusSelectSql.replace("WHERE q.quality >= 0.5", "WHERE q.quality >= 0.3")}) s0),
+         |    ${corpusSelectSqlAt(0.3)}) s0),
          |rep AS (SELECT doc_id, dup_word_ratio FROM ($repMetricsSql) r0),
          |dec AS (SELECT doc_id, contaminated FROM ($decontaminateSql) d0),
          |j AS (SELECT sel.doc_id, sel.lang_pred, sel.quality, d2.source

@@ -55,18 +55,26 @@ object CorpusOps {
       .select(col("id").as("doc_id"), col("cluster_id"),
         when(col("id") === col("cluster_id"), 1L).otherwise(0L).as("is_rep"))
 
-  /** Distinct word w-grams per document: (doc_id, gram). Pure column
-    * expressions (transform/slice/array_join — codegen'd, no UDF).
+  /** The ONE word-n-gram stream all gram consumers share (decontamination,
+    * repetition metrics, Dedup.shinglePairs): (doc_id, gram) with every
+    * occurrence, or set-semantics with `distinct`. Pure column expressions
+    * (transform/slice/array_join — codegen'd, no UDF); a tokenization tweak
+    * here reaches every gram-based operator AND their oracles at once.
     */
-  def wordGrams(df: DataFrame, idCol: String, textCol: String, w: Int): DataFrame = {
+  def gramStream(df: DataFrame, idCol: String, textCol: String, w: Int,
+                 distinct: Boolean): DataFrame = {
     val toks = filter(split(lower(col(textCol)), " "), t => t =!= "")
-    df.select(col(idCol).as("doc_id"), toks.as("toks"))
+    val grams = df.select(col(idCol).as("doc_id"), toks.as("toks"))
       .filter(size(col("toks")) >= w)
       .select(col("doc_id"), explode(transform(
         sequence(lit(1), size(col("toks")) - w + 1),
         i => array_join(slice(col("toks"), i, lit(w)), " "))).as("gram"))
-      .distinct()
+    if (distinct) grams.distinct() else grams
   }
+
+  /** Distinct word w-grams per document: (doc_id, gram). */
+  def wordGrams(df: DataFrame, idCol: String, textCol: String, w: Int): DataFrame =
+    gramStream(df, idCol, textCol, w, distinct = true)
 
   /** Benchmark decontamination: flag training documents sharing any word
     * w-gram with a held-out benchmark set (the standard n-gram-collision
@@ -100,20 +108,14 @@ object CorpusOps {
     * character length.
     */
   private def topGram(df: DataFrame, idCol: String, textCol: String,
-                      n: Int): DataFrame = {
-    val toks = filter(split(lower(col(textCol)), " "), t => t =!= "")
-    val grams = df.select(col(idCol).as("doc_id"), toks.as("toks"))
-      .filter(size(col("toks")) >= n)
-      .select(col("doc_id"), explode(transform(
-        sequence(lit(1), size(col("toks")) - n + 1),
-        i => array_join(slice(col("toks"), i, lit(n)), " "))).as("gram"))
-    grams.groupBy("doc_id", "gram").agg(count(lit(1)).as("cnt"))
+                      n: Int): DataFrame =
+    gramStream(df, idCol, textCol, n, distinct = false)
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("cnt"))
       .withColumn("rn", row_number().over(Window.partitionBy("doc_id")
         .orderBy(col("cnt").desc, col("gram").asc)))
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("cnt").as("top_cnt"),
         length(col("gram")).as("top_len"))
-  }
 
   /** Gopher-style repetition metrics (Rae et al. 2021, Table A1): the
     * duplicate-word ratio (1 - distinct/total tokens) and, for n ∈ {2,3},

@@ -99,16 +99,13 @@ object Dedup {
     */
   def shinglePairs(df: DataFrame, idCol: String, textCol: String,
                    w: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val toksArr = filter(split(lower(col(textCol)), " "), t => t =!= "")
     // cached like jaccardPairs' toks: the candidate branch (dfreq + prefix
     // window) and the two verify joins each re-read this, and the
-    // explode+distinct is the expensive part of the whole pipeline
-    val sh = df.select(col(idCol).as("doc_id"), toksArr.as("toks"))
-      .filter(size(col("toks")) >= w)
-      .select(col("doc_id"), explode(transform(
-        sequence(lit(1), size(col("toks")) - w + 1),
-        i => array_join(slice(col("toks"), i, lit(w)), " "))).as("term"))
-      .distinct().cache()
+    // explode+distinct is the expensive part of the whole pipeline.
+    // The shingle stream is CorpusOps.gramStream — ONE tokenization shared
+    // with decontamination/repetition metrics (and their oracles).
+    val sh = CorpusOps.gramStream(df, idCol, textCol, w, distinct = true)
+      .withColumnRenamed("gram", "term").cache()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     verifyJaccard(jaccardCandidates(sh, sizes, threshold), sh, sizes, threshold)
   }

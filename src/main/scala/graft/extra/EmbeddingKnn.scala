@@ -92,8 +92,12 @@ object EmbeddingKnn {
     val quant = emb.select(col("vec_id"), asDouble(col("embedding")).as("vec"))
       .withColumn("scale", Quantize.scaleOf(col("vec")))
       .withColumn("qv", Quantize.quantize(col("vec"), col("scale")))
-      .withColumn("qnorm", sqrt(aggregate(col("qv"), lit(0L),
-        (a, x) => a + x.cast("long") * x).cast("double")) * col("scale"))
+      // floored like scaleOf: an all-zero vector has qnorm 0 and the approx
+      // division would yield NaN, which sorts ABOVE real scores descending —
+      // the zero vector would hijack an arank slot in every candidate list
+      .withColumn("qnorm", greatest(sqrt(aggregate(col("qv"), lit(0L),
+        (a, x) => a + x.cast("long") * x).cast("double")) * col("scale"),
+        lit(1e-12)))
     val q = quant.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
         col("scale").as("q_scale"), col("qnorm").as("q_norm"),

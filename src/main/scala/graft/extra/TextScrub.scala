@@ -15,8 +15,11 @@ import org.apache.spark.sql.functions._
   */
 object TextScrub {
 
-  val UrlRe = "https?://[^\\s]+"
-  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  // (?i): emails/URLs are case-insensitive in the wild ("John@Example.COM",
+  // "HTTPS://...") and must not escape redaction; the inline flag is in the
+  // Java-regex/RE2 common subset
+  val UrlRe = "(?i)https?://[^\\s]+"
+  val EmailRe = "(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
   val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
 
   /** Redaction order matters (a URL may contain an email-shaped userinfo or

@@ -27,9 +27,13 @@ object Compaction {
   def write(df: DataFrame, path: String, targetFileBytes: Long = 128L << 20,
             sortCols: Seq[String] = Nil,
             mode: SaveMode = SaveMode.Overwrite): Int = {
-    val n = math.max(1, math.min(
-      (estimatedBytes(df) + targetFileBytes - 1) / targetFileBytes,
-      1 << 20).toInt)
+    // ceil without the +target-1 trick: statless sources estimate at
+    // Long.MaxValue (spark.sql.defaultSizeInBytes) and the addition would
+    // wrap negative — collapsing a huge write into ONE file
+    val est = estimatedBytes(df)
+    val n = math.max(1L, math.min(
+      est / targetFileBytes + (if (est % targetFileBytes == 0) 0 else 1),
+      1L << 20)).toInt
     val repartitioned =
       if (sortCols.nonEmpty)
         // repartition BY the sort key range → each file owns a disjoint

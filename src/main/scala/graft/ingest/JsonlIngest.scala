@@ -44,12 +44,19 @@ object JsonlIngest {
   }
 
   /** Split a permissive read into (clean rows sans corrupt column, corrupt
-    * raw lines). Callers persist `df` first when using both sides — the
-    * two filters otherwise re-scan the input.
+    * raw lines). The input is pinned first if the caller hasn't already:
+    * not an optimization — Spark DISALLOWS queries over raw JSON whose
+    * referenced columns are only the internal corrupt-record column
+    * (the corrupt side prunes to exactly that), and caching is the
+    * documented way to make such a query legal.
     */
-  def partitionCorrupt(df: DataFrame): (DataFrame, DataFrame) =
-    (df.filter(col(CorruptCol).isNull).drop(CorruptCol),
-      df.filter(col(CorruptCol).isNotNull).select(col(CorruptCol).as("raw")))
+  def partitionCorrupt(df: DataFrame): (DataFrame, DataFrame) = {
+    val pinned =
+      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.cache()
+      else df
+    (pinned.filter(col(CorruptCol).isNull).drop(CorruptCol),
+      pinned.filter(col(CorruptCol).isNotNull).select(col(CorruptCol).as("raw")))
+  }
 
   /** Ingest-quality report in one pass: row counts, corrupt-line count and
     * per-required-field null counts — the acceptance gate a pipeline checks

@@ -41,7 +41,10 @@ object ProfileStream {
         max(col("v")).as("vmax_raw"))
       .select(lit(datasetId).as("dataset_id"), col("col_name"), col("n"),
         round(round(col("s"), 4) / col("n"), 6).as("mean"),
-        round(sqrt((col("ss") - col("s") * col("s") / col("n"))
+        // the sum-of-squares difference can round to a tiny NEGATIVE double
+        // for large near-constant values (catastrophic cancellation) —
+        // clamp at 0 so std is 0.0 where batch stddev_samp says ~0, not NaN
+        round(sqrt(greatest(col("ss") - col("s") * col("s") / col("n"), lit(0.0))
           / (col("n") - 1)), 6).as("std"),
         round(col("vmin_raw"), 6).as("vmin"),
         round(col("vmax_raw"), 6).as("vmax"))

@@ -13,7 +13,8 @@ class ScrubQuantizeSpec extends AnyFunSuite {
       (1L, "mail a@b.com then visit https://x.org/path?u=c@d.io end"),
       (2L, "server at 192.168.0.1 and 10.0.0.2"),
       (3L, "nothing sensitive here"),
-      (4L, "version 1.2.3.4.5 is not an ip boundary case 999.1.1.1 is")
+      (4L, "version 1.2.3.4.5 is not an ip boundary case 999.1.1.1 is"),
+      (5L, "Mail John.Doe@Example.COM or see HTTPS://Internal.Site now")
     ).toDF("doc_id", "text")
     val got = TextScrub.scrub(docs, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
@@ -24,6 +25,8 @@ class ScrubQuantizeSpec extends AnyFunSuite {
     // 1.2.3.4.5: the \b-bounded pattern matches its 1.2.3.4 prefix; 999.x
     // matches too ({1,3} digits, no range check) — documented laxity
     assert(got(4L)._3 == 2L)
+    // case-insensitive: uppercase emails/URLs must not escape redaction
+    assert(got(5L) == ((1L, 1L, 0L)))
     val s = docs.filter($"doc_id" === 1L)
       .select(TextScrub.scrubbed($"text")).head().getString(0)
     assert(s == "mail <EMAIL> then visit <URL> end")
