@@ -19,6 +19,7 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    StageLog.attachIfEnabled(spark.sparkContext)
     // warm the session so the first query isn't charged JVM/codegen startup
     spark.range(1000000).selectExpr("sum(id)").collect()
     val times = names.map { name =>

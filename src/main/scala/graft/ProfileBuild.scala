@@ -15,25 +15,7 @@ object ProfileBuild {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // stage-level timing (enabled with GRAFT_STAGES=1): stageId, wall ms,
-    // task-time sum ms, record counts — pinpoints the hot stage
-    if (sys.env.contains("GRAFT_STAGES"))
-      spark.sparkContext.addSparkListener(
-        new org.apache.spark.scheduler.SparkListener {
-          override def onStageCompleted(
-              sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
-            val si = sc.stageInfo
-            val wall = for {
-              s <- si.submissionTime; e <- si.completionTime
-            } yield e - s
-            println(f"[stage] id=${si.stageId}%4d tasks=${si.numTasks}%3d " +
-              f"wall=${wall.getOrElse(-1L)}%6d ms " +
-              f"in=${si.taskMetrics.inputMetrics.recordsRead}%9d " +
-              f"sh_r=${si.taskMetrics.shuffleReadMetrics.recordsRead}%9d " +
-              f"sh_w=${si.taskMetrics.shuffleWriteMetrics.recordsWritten}%9d  " +
-              si.name.takeWhile(_ != '\n').take(60))
-          }
-        })
+    StageLog.attachIfEnabled(spark.sparkContext)
     spark.range(1000000).selectExpr("sum(id)").collect()
     def time[A](name: String)(f: => A): A = {
       val t0 = System.nanoTime(); val r = f
