@@ -248,6 +248,9 @@ object SparkEntry {
     "corpus_mix" -> ((s, d) =>
       CorpusOps.corpusMix(T(s, d, "documents"))),
 
+    "corpus_split" -> ((s, d) =>
+      CorpusOps.splitAssign(T(s, d, "documents"), "doc_id")),
+
     // the flagship corpus assembly: dedup → quality → language →
     // repetition → decontamination → per-(lang, source) quota, one plan
     "corpus_build" -> ((s, d) =>
@@ -428,6 +431,15 @@ object SparkEntry {
     "rep_metrics" -> O.repMetricsSql,
     "pii_scrub" -> O.piiScrubSql,
     "quantize_audit" -> O.quantizeAuditSql,
+
+    "corpus_split" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 100 < 80
+        |    THEN 'train'
+        |  WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 100 < 90
+        |    THEN 'val'
+        |  ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
 
     "corpus_mix" ->
       """SELECT doc_id, lang, source, n_chars, rk FROM (

@@ -162,6 +162,20 @@ object CorpusOps {
   def sampleBucket(idCol: Column): Column =
     conv(substring(md5(idCol.cast("string")), 1, 8), 16, 10).cast("long") % 100
 
+  /** Deterministic train/val/test assignment from the same md5 bucket: a
+    * document's split never changes across runs, engines, or repartitions —
+    * the property that keeps eval sets stable as a corpus grows (new docs
+    * land in splits at the configured rates; existing docs never migrate).
+    */
+  def splitAssign(docs: DataFrame, idCol: String,
+                  trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val b = sampleBucket(col(idCol))
+    docs.select(col(idCol).as("doc_id"), col("lang"),
+      when(b < trainPct, "train")
+        .when(b < trainPct + valPct, "val")
+        .otherwise("test").as("split"))
+  }
+
   /** Corpus mixing: deterministic hash-sample at `samplePct`, then a per-
     * (lang, source) quality quota — keep the top `quota` docs of each group
     * by n_chars (tie-break doc_id). This is the "domain mixture" step of
