@@ -109,9 +109,7 @@ object EmbeddingKnn {
     val we = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id").asc)
     c.crossJoin(broadcast(q))
       .filter(col("c_id") =!= col("q_id"))
-      .withColumn("dot_int", aggregate(
-        zip_with(col("q_qv"), col("c_qv"), (x, y) => x.cast("long") * y),
-        lit(0L), (a, x) => a + x))
+      .withColumn("dot_int", VectorOps.int8Dot(col("q_qv"), col("c_qv")))
       .withColumn("approx", round(col("q_scale") * col("c_scale") * col("dot_int")
         / (col("q_norm") * col("c_norm")), 6))
       .withColumn("arank", row_number().over(wa))

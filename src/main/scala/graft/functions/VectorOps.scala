@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, GraftShim}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
 
 /** Vector math over `array<double>` columns as native Catalyst expressions
   * with whole-stage codegen — the hot path of the sketch kNN join
@@ -86,6 +86,41 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Σ a_i·b_i over two `array<int>` columns of int8 codes, accumulated in
+  * long — the inner loop of the quantized ANN path (EmbeddingKnn
+  * .int8Rerank). The higher-order-function equivalent
+  * (`aggregate(zip_with(...))`) is CodegenFallback — per-element closure
+  * calls and boxed Any accumulation; this expression is a tight generated
+  * int-multiply loop that stays inside whole-stage codegen.
+  */
+case class Int8DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) { s += x.getInt(i).toLong * y.getInt(i); i += 1 }
+    s
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long s = 0L;
+         |for (int i = 0; i < n; i++) {
+         |  s += (long) $a.getInt(i) * (long) $b.getInt(i);
+         |}
+         |${ev.value} = s;
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 object VectorOps {
   import GraftShim.{column, expression}
 
@@ -96,6 +131,12 @@ object VectorOps {
   /** Cosine similarity between two array<double> columns (codegen'd). */
   def cosine(a: Column, b: Column): Column =
     column(CosineSimilarity(expression(a), expression(b)))
+
+  /** Integer dot product of two array<int> quantization-code columns,
+    * long-accumulated (codegen'd).
+    */
+  def int8Dot(a: Column, b: Column): Column =
+    column(Int8DotProduct(expression(a), expression(b)))
 
   /** Rectangle minimum distance between two bbox vectors
     * [x_min, y_min, x_max, y_max] — the R-tree's nearest-neighbor metric
