@@ -245,6 +245,10 @@ object SparkEntry {
     "rep_metrics" -> ((s, d) =>
       CorpusOps.repetitionMetrics(T(s, d, "documents"), "doc_id", "text")),
 
+    // cross-document duplicated-5-gram fraction (boilerplate detector)
+    "rep_crossdoc" -> ((s, d) =>
+      CorpusOps.crossDocRepetition(T(s, d, "documents"), "doc_id", "text")),
+
     "corpus_mix" -> ((s, d) =>
       CorpusOps.corpusMix(T(s, d, "documents"))),
 
@@ -429,6 +433,22 @@ object SparkEntry {
     "dedup_clusters" -> O.clustersSql,
     "decontaminate" -> O.decontaminateSql,
     "rep_metrics" -> O.repMetricsSql,
+
+    "rep_crossdoc" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |g AS (SELECT DISTINCT doc_id,
+        |    array_to_string(list_slice(toks, i, i + 4), ' ') AS gram
+        |  FROM t CROSS JOIN unnest(range(1, len(toks) - 5 + 2)) AS u(i)
+        |  WHERE len(toks) >= 5),
+        |dw AS (SELECT gram, count(DISTINCT doc_id) AS docs_with FROM g GROUP BY 1)
+        |SELECT doc_id, count(*) AS n_grams,
+        |  CAST(sum(CASE WHEN docs_with >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_grams,
+        |  round(CAST(sum(CASE WHEN docs_with >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 6) AS dup_frac
+        |FROM g JOIN dw USING (gram) GROUP BY doc_id""".stripMargin,
     "pii_scrub" -> O.piiScrubSql,
     "quantize_audit" -> O.quantizeAuditSql,
 

@@ -152,6 +152,30 @@ object CorpusOps {
           .otherwise(0.0).as("top3_frac"))
   }
 
+  /** Cross-document repetition: the fraction of a doc's distinct word
+    * w-grams that also appear in at least one OTHER document — the
+    * "duplicated n-gram fraction" corpus filters gate on (boilerplate,
+    * templated spam, licence headers) as distinct from [[repetitionMetrics]]'
+    * intra-document loops. One gram shuffle for the document frequencies,
+    * one join back; both keyed on gram/doc_id, linear at corpus scale
+    * (the df table is vocabulary-sized, not corpus-sized).
+    *
+    * @return (doc_id, n_grams, n_dup_grams, dup_frac)
+    */
+  def crossDocRepetition(df: DataFrame, idCol: String, textCol: String,
+                         w: Int = 5): DataFrame = {
+    val grams = gramStream(df, idCol, textCol, w, distinct = true)
+    val docsWith = grams.groupBy("gram")
+      .agg(countDistinct(col("doc_id")).as("docs_with"))
+    grams.join(docsWith, "gram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("docs_with") >= 2, 1L).otherwise(0L)).as("n_dup_grams"))
+      .select(col("doc_id"), col("n_grams"), col("n_dup_grams"),
+        round(col("n_dup_grams").cast("double") / col("n_grams"), 6)
+          .as("dup_frac"))
+  }
+
   /** Deterministic md5-derived sampling hash in [0, 100): the cross-engine
     * reproducible way to subsample a corpus (Spark `conv(substr(md5))` ≡
     * DuckDB `('0x'||substr(md5))::BIGINT` — same trick as Dedup's MinHash).
