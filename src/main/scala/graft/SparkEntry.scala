@@ -255,6 +255,10 @@ object SparkEntry {
     "corpus_split" -> ((s, d) =>
       CorpusOps.splitAssign(T(s, d, "documents"), "doc_id")),
 
+    // concatenate-and-chunk packing map at a 2048-token budget
+    "corpus_pack" -> ((s, d) =>
+      CorpusOps.packSequences(T(s, d, "documents"), "doc_id", "text")),
+
     // the flagship corpus assembly: dedup → quality → language →
     // repetition → decontamination → per-(lang, source) quota, one plan
     "corpus_build" -> ((s, d) =>
@@ -451,6 +455,19 @@ object SparkEntry {
         |FROM g JOIN dw USING (gram) GROUP BY doc_id""".stripMargin,
     "pii_scrub" -> O.piiScrubSql,
     "quantize_audit" -> O.quantizeAuditSql,
+
+    "corpus_pack" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+        |      AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |    sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum FROM t)
+        |SELECT doc_id, n_tokens, cum - n_tokens AS start_tok,
+        |  CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS bin_first,
+        |  CAST(floor((cum - 1) / 2048.0) AS BIGINT) AS bin_last
+        |FROM c""".stripMargin,
 
     "corpus_split" ->
       """SELECT doc_id, lang,

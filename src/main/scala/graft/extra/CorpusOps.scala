@@ -176,6 +176,31 @@ object CorpusOps {
           .as("dup_frac"))
   }
 
+  /** GPT-style sequence packing map: documents are concatenated in
+    * deterministic doc_id order and chunked into fixed token budgets; each
+    * doc's row says which training chunk(s) it lands in (docs straddle
+    * budget boundaries, as concatenate-and-chunk training does). One global
+    * cumulative window — single-partition like the quantile cumsum; at
+    * corpus scale switch to the standard two-level cumsum (range-partition
+    * by doc_id, per-range subtotals, broadcast prefix offsets) with
+    * identical output.
+    *
+    * @return (doc_id, n_tokens, start_tok, bin_first, bin_last)
+    */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+                    budget: Long = 2048): DataFrame = {
+    val nToks = size(filter(split(lower(col(textCol)), " "), t => t =!= ""))
+      .cast("long")
+    val w = Window.orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    docs.select(col(idCol).as("doc_id"), nToks.as("n_tokens"))
+      .withColumn("cum", sum("n_tokens").over(w))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("cum") - col("n_tokens")).as("start_tok"),
+        floor((col("cum") - col("n_tokens")) / budget).as("bin_first"),
+        floor((col("cum") - 1) / budget).as("bin_last"))
+  }
+
   /** Deterministic md5-derived sampling hash in [0, 100): the cross-engine
     * reproducible way to subsample a corpus (Spark `conv(substr(md5))` ≡
     * DuckDB `('0x'||substr(md5))::BIGINT` — same trick as Dedup's MinHash).
