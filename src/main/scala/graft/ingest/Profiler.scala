@@ -241,20 +241,59 @@ object Profiler {
     * `lower + (upper - lower) * frac` — the same formula as Spark's
     * `percentile` and DuckDB's `quantile_cont`, but with no giant
     * per-executor value maps: the shuffle carries only distinct values, so it
-    * survives columns with billions of rows. (The cumulative window is one
-    * partition per column — at extreme per-column cardinality switch the
-    * cumsum to a two-level range-partitioned pass; the interface holds.)
+    * survives columns with billions of rows. The cumulative pass is
+    * [[cumulativeCounts]]: one window partition per column by default,
+    * `cumsumBuckets > 1` for the two-level range-partitioned cumsum at
+    * extreme per-column distinct cardinality — identical results.
     * Returns (dataset_id, col_name, dim 1-based, v) with v rounded to 6.
     */
-  def histogramQuantiles(stream: DataFrame, ps: Seq[Double] = sketchPs): DataFrame = {
+  /** Cumulative counts over the per-column value histogram. `buckets <= 1`
+    * is one window partition per column — parallelism = #columns, each
+    * task holding that column's distinct values (the fixture path).
+    * `buckets > 1` is the two-level range-partitioned cumsum for columns
+    * with extreme distinct-value cardinality: range-partition by (dataset,
+    * col, v) so each partition owns a contiguous value slice, local cumsum
+    * per slice, then per-slice subtotals (#columns × buckets rows — tiny)
+    * prefix-summed and broadcast back as offsets. Parallelism becomes
+    * #columns × buckets and no task ever materializes a whole column.
+    * Output is IDENTICAL for any bucket count (range partitioning keeps
+    * equal keys together and slice order follows value order) — asserted
+    * by ProfilerSpec.
+    */
+  def cumulativeCounts(hist: DataFrame, buckets: Int): DataFrame =
+    if (buckets <= 1) {
+      val byCol = Window.partitionBy("dataset_id", "col_name").orderBy("v")
+      hist.withColumn("cum",
+        sum("cnt").over(byCol.rowsBetween(Window.unboundedPreceding, 0)))
+    } else {
+      // pid is projected BEFORE the local-window shuffle (and is
+      // nondeterministic, so Catalyst won't move it across the exchange)
+      val ranged = hist
+        .repartitionByRange(buckets, col("dataset_id"), col("col_name"), col("v"))
+        .withColumn("pid", spark_partition_id())
+      val local = Window.partitionBy("dataset_id", "col_name", "pid").orderBy("v")
+      val withLocal = ranged.withColumn("lcum",
+        sum("cnt").over(local.rowsBetween(Window.unboundedPreceding, 0)))
+      val offsets = withLocal
+        .groupBy("dataset_id", "col_name", "pid").agg(sum("cnt").as("ptotal"))
+        .withColumn("offset", coalesce(
+          sum("ptotal").over(Window.partitionBy("dataset_id", "col_name")
+            .orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+        .select("dataset_id", "col_name", "pid", "offset")
+      withLocal.join(broadcast(offsets), Seq("dataset_id", "col_name", "pid"))
+        .withColumn("cum", col("lcum") + col("offset"))
+        .drop("pid", "lcum")
+    }
+
+  def histogramQuantiles(stream: DataFrame, ps: Seq[Double] = sketchPs,
+                         cumsumBuckets: Int = 1): DataFrame = {
     val hist = stream.groupBy("dataset_id", "col_name", "v")
       .agg(count(lit(1)).as("cnt"))
-    val byCol = Window.partitionBy("dataset_id", "col_name").orderBy("v")
     // total n per column via a tiny agg + broadcast join (a second
     // whole-partition window would buffer every hist row again)
     val totals = hist.groupBy("dataset_id", "col_name").agg(sum("cnt").as("n"))
-    val withCum = hist
-      .withColumn("cum", sum("cnt").over(byCol.rowsBetween(Window.unboundedPreceding, 0)))
+    val withCum = cumulativeCounts(hist, cumsumBuckets)
       .join(broadcast(totals), Seq("dataset_id", "col_name"))
     val pExpr = ps.zipWithIndex.map { case (p, i) => s"struct(${i + 1}L as dim, ${p}D as p)" }
     val joined = withCum

@@ -56,6 +56,21 @@ class ProfilerSpec extends AnyFunSuite {
     assert(vec == vec.sorted)              // monotone percentiles
   }
 
+  test("two-level range-partitioned cumsum equals the single-window path") {
+    import graft.ingest.Profiler
+    val li = Tables.load(spark, SparkTestSession.sf0001, "lineitem")
+    val stream = Profiler.sketchValueStream(li, "lineitem")
+    def run(buckets: Int) =
+      Profiler.histogramQuantiles(stream, cumsumBuckets = buckets).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)) -> r.getDouble(3))
+        .toMap
+    val single = run(1)
+    assert(single.nonEmpty)
+    // exact percentile equality for several bucket counts, including more
+    // buckets than partitions can fill
+    Seq(3, 8, 64).foreach { b => assert(run(b) == single, s"buckets=$b") }
+  }
+
   test("bboxSketch coerces decimal-comma strings (profiler.py:91-97)") {
     val df = Seq(("1,5", 2.0), ("3,25", 4.0)).toDF("lng", "lat")
     val r = Profiler.bboxSketch(df, "t", "lng", "lat").collect()(0)
