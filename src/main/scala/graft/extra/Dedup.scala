@@ -232,19 +232,28 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("cos_raw"), 6).as("cosine"))
   }
 
-  /** 60-bit SimHash fingerprints: per token, bits of a 60-bit md5-derived
-    * hash vote +tf/-tf per position; fingerprint bit i = sign of the vote sum.
-    * Returned as a bit string (readable, and band-sliceable for candidate
-    * generation). At production scale replace the posexplode with a typed
-    * Aggregator carrying a 64-int buffer (one pass, no 60× row blowup).
+  /** (doc_id, tf, h) term-frequency rows with the 60-bit md5 term hash —
+    * shared by both simhash implementations.
     */
-  def simhash(df: DataFrame, idCol: String, textCol: String,
-              bits: Int = 60): DataFrame = {
-    val tf = df.select(col(idCol).as("doc_id"),
+  private def simhashTf(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
         explode(split(lower(col(textCol)), " ")).as("term"))
       .filter(col("term") =!= "")
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       .withColumn("h", conv(substring(md5(col("term")), 1, 15), 16, 10).cast("long"))
+
+  /** 60-bit SimHash fingerprints: per token, bits of a 60-bit md5-derived
+    * hash vote +tf/-tf per position; fingerprint bit i = sign of the vote
+    * sum. Returned as a bit string (readable, and band-sliceable for
+    * candidate generation).
+    *
+    * Oracle-twin shape: posexplode ×bits then two aggregations — every
+    * step SQL-expressible, which is what lets DuckDB reproduce the
+    * fingerprints exactly.
+    */
+  def simhashExploded(df: DataFrame, idCol: String, textCol: String,
+                      bits: Int = 60): DataFrame = {
+    val tf = simhashTf(df, idCol, textCol)
     tf.select(col("doc_id"), col("tf"), col("h"),
         posexplode(sequence(lit(0), lit(bits - 1))).as(Seq("i", "bit_pos")))
       .withColumn("vote",
@@ -255,6 +264,63 @@ object Dedup {
       .agg(concat_ws("", reverse(transform(
         array_sort(collect_list(struct(col("bit_pos"), col("v")))),
         s => when(s.getField("v") > 0, "1").otherwise("0")))).as("fingerprint"))
+  }
+
+  /** Vote buffer for [[SimhashVotes]]: one long per bit position. */
+  case class SimBuf(votes: Array[Long])
+
+  /** Single-pass SimHash votes: a typed Aggregator carrying a bits-long
+    * buffer per document — map-side partial combine, ONE shuffle of
+    * #docs × bits longs, versus the exploded path's bits× row blowup
+    * (60× the (doc, term) stream) before its first aggregation. Identical
+    * fingerprints (DedupSpec asserts equality with [[simhashExploded]]).
+    */
+  class SimhashVotes(bits: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[(Long, Long), SimBuf, String] {
+    def zero: SimBuf = SimBuf(new Array[Long](bits))
+    def reduce(b: SimBuf, in: (Long, Long)): SimBuf = {
+      val (h, tf) = in
+      var i = 0
+      while (i < bits) {
+        b.votes(i) += (if (((h >> i) & 1L) == 1L) tf else -tf)
+        i += 1
+      }
+      b
+    }
+    def merge(x: SimBuf, y: SimBuf): SimBuf = {
+      var i = 0
+      while (i < bits) { x.votes(i) += y.votes(i); i += 1 }
+      x
+    }
+    // MSB-first bit string, '1' where the vote sum is positive — the same
+    // reverse(sort-by-bit_pos) shape as the exploded path
+    def finish(b: SimBuf): String = {
+      val sb = new StringBuilder(bits)
+      var i = bits - 1
+      while (i >= 0) { sb.append(if (b.votes(i) > 0) '1' else '0'); i -= 1 }
+      sb.toString
+    }
+    def bufferEncoder: org.apache.spark.sql.Encoder[SimBuf] =
+      org.apache.spark.sql.Encoders.product[SimBuf]
+    def outputEncoder: org.apache.spark.sql.Encoder[String] =
+      org.apache.spark.sql.Encoders.STRING
+  }
+
+  /** SimHash fingerprints via the single-pass Aggregator (the scale path;
+    * requires a numeric id column). Default for [[simhashPairs]].
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String,
+              bits: Int = 60): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val agg = new SimhashVotes(bits).toColumn
+    simhashTf(df, idCol, textCol)
+      .select(col("doc_id").cast("long"), col("h"), col("tf"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(agg.name("fingerprint"))
+      .toDF("doc_id", "fingerprint")
   }
 
   /** Near-dup pairs by SimHash: candidates share one of `bands` fingerprint

@@ -102,4 +102,14 @@ class DedupSpec extends AnyFunSuite {
     val pairs = Dedup.simhashPairs(df, "id", "t", 0).collect()
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
   }
+
+  test("simhash Aggregator fingerprints equal the exploded (oracle) path") {
+    val docs = Tables.load(spark, SparkTestSession.sf0001, "documents")
+      .filter(col("doc_id") < 200)
+    def fps(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val agg = fps(Dedup.simhash(docs, "doc_id", "text"))
+    val exploded = fps(Dedup.simhashExploded(docs, "doc_id", "text"))
+    assert(agg.nonEmpty && agg == exploded)
+  }
 }
