@@ -18,6 +18,30 @@ class CorpusOpsSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 20L -> 20L))
   }
 
+  test("connected components match a union-find reference on random graphs") {
+    val rnd = new scala.util.Random(42)
+    (1 to 5).foreach { trial =>
+      val n = 30 + rnd.nextInt(40)
+      val ids = (0 until n).map(_.toLong)
+      val pairs = (1 to n / 2).map { _ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)
+      }.filter { case (a, b) => a != b }
+      // reference: plain union-find with min-id labeling
+      val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+      def find(x: Long): Long = if (parent(x) == x) x
+        else { val r = find(parent(x)); parent(x) = r; r }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expect = ids.map(i => i -> find(i)).toMap
+      val got = CorpusOps.connectedComponents(
+        ids.toDF("id"), pairs.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expect, s"trial $trial (n=$n, ${pairs.size} edges)")
+    }
+  }
+
   test("dedup clusters on fixture docs: reps are cluster minima, partition is total") {
     val docs = Tables.load(spark, SparkTestSession.sf0001, "documents")
       .filter(col("doc_id") < 150)
