@@ -335,16 +335,15 @@ object Dedup {
       posexplode(array((0 until bands).map(b =>
         substring(col("fingerprint"), b * bandLen + 1, bandLen)): _*))
         .as(Seq("band", "slice")))
-    val hamming = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
-      aggregate(zip_with(split(a, ""), split(b, ""),
-          (x, y) => when(x =!= y, 1).otherwise(0)),
-        lit(0), (acc, v) => acc + v)
     banded.as("a").join(banded.as("b"), Seq("band", "slice"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         col("a.fingerprint").as("fp_a"), col("b.fingerprint").as("fp_b"))
       .distinct()
-      .withColumn("hamming", hamming(col("fp_a"), col("fp_b")))
+      // codegen byte-compare expression — the zip_with(split,split) lambda
+      // equivalent builds two char arrays per pair and is CodegenFallback
+      .withColumn("hamming",
+        graft.functions.VectorOps.hamming(col("fp_a"), col("fp_b")))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
   }

@@ -4,7 +4,8 @@ import org.apache.spark.sql.{Column, GraftShim}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Vector math over `array<double>` columns as native Catalyst expressions
   * with whole-stage codegen — the hot path of the sketch kNN join
@@ -121,6 +122,41 @@ case class Int8DotProduct(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Hamming distance between two fingerprint strings (count of differing
+  * byte positions over the common length — exact for the ASCII '0'/'1'
+  * bit strings SimHash emits). The `zip_with(split(a,''), split(b,''))`
+  * equivalent materializes two char arrays per comparison and falls back
+  * from codegen; this reads the UTF8String bytes in place inside the
+  * generated loop of the band-join verify stage.
+  */
+case class HammingDistance(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[UTF8String].getBytes
+    val y = b.asInstanceOf[UTF8String].getBytes
+    val n = math.min(x.length, y.length)
+    var d = 0
+    var i = 0
+    while (i < n) { if (x(i) != y(i)) d += 1; i += 1 }
+    d
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |byte[] xb = $a.getBytes();
+         |byte[] yb = $b.getBytes();
+         |int n = java.lang.Math.min(xb.length, yb.length);
+         |int d = 0;
+         |for (int i = 0; i < n; i++) { if (xb[i] != yb[i]) d++; }
+         |${ev.value} = d;
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 object VectorOps {
   import GraftShim.{column, expression}
 
@@ -137,6 +173,10 @@ object VectorOps {
     */
   def int8Dot(a: Column, b: Column): Column =
     column(Int8DotProduct(expression(a), expression(b)))
+
+  /** Hamming distance between two fingerprint strings (codegen'd). */
+  def hamming(a: Column, b: Column): Column =
+    column(HammingDistance(expression(a), expression(b)))
 
   /** Rectangle minimum distance between two bbox vectors
     * [x_min, y_min, x_max, y_max] — the R-tree's nearest-neighbor metric
