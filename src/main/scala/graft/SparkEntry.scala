@@ -464,7 +464,7 @@ object SparkEntry {
         |c AS (SELECT doc_id, n_tokens,
         |    sum(n_tokens) OVER (ORDER BY doc_id
         |      ROWS UNBOUNDED PRECEDING) AS cum FROM t)
-        |SELECT doc_id, n_tokens, cum - n_tokens AS start_tok,
+        |SELECT doc_id, n_tokens, CAST(cum - n_tokens AS BIGINT) AS start_tok,
         |  CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS bin_first,
         |  CAST(floor((cum - 1) / 2048.0) AS BIGINT) AS bin_last
         |FROM c""".stripMargin,

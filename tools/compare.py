@@ -53,7 +53,12 @@ def main(sf_dir: str, out_dir: str) -> int:
         for c in g.columns:
             a, b = g[c], e[c]
             try:
-                if a.dtype.kind == "f" or b.dtype.kind == "f":
+                # the driver hashes printed values, so int64-vs-float64 is a
+                # real mismatch (e.g. DuckDB windowed sum(BIGINT) -> HUGEINT
+                # -> float64) even when the numbers are equal
+                if a.dtype.kind != b.dtype.kind and {a.dtype.kind, b.dtype.kind} <= {"i", "u", "f"}:
+                    mismatch_cols.append((c, f"DTYPE {a.dtype} vs {b.dtype}", None))
+                elif a.dtype.kind == "f" or b.dtype.kind == "f":
                     import numpy as np
                     af, bf = a.astype(float), b.astype(float)
                     exact = ((af == bf) | (af.isna() & bf.isna())).all()
