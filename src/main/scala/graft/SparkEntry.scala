@@ -288,8 +288,10 @@ object SparkEntry {
       EmbeddingKnn.signLsh(T(s, d, "embeddings"), KnnQueryIds, 5, 8)
         .withColumn("rank", col("rank").cast("long"))),
 
+    // deterministic sampled-centroid quantizer (engine-reproducible → full
+    // oracle); the KMeans-quantizer variant stays spec-covered in DedupSpec
     "knn_ivf" -> ((s, d) =>
-      EmbeddingKnn.ivf(T(s, d, "embeddings"), KnnQueryIds, 5)
+      EmbeddingKnn.ivfSeeded(T(s, d, "embeddings"), KnnQueryIds, 5)
         .withColumn("rank", col("rank").cast("long"))),
 
     // int8-code candidate scoring + exact float rerank (the bandwidth path)
@@ -405,6 +407,7 @@ object SparkEntry {
         |FROM x GROUP BY 1,2""".stripMargin,
 
     "sketch_knn" -> O.sketchKnnSql,
+    "sketch_knn_lsh" -> O.sketchKnnLshSql,
 
     "bm25_docs" -> O.bm25Sql,
 
@@ -496,6 +499,7 @@ object SparkEntry {
 
     "knn_cosine" -> O.knnCosineSql,
     "knn_lsh" -> O.knnLshSql,
+    "knn_ivf" -> O.knnIvfSql,
     "knn_int8" -> O.knnInt8Sql,
     "dedup_embedding_lsh" -> O.dedupEmbeddingLshSql,
 
@@ -685,6 +689,52 @@ object SparkEntry {
          |d AS (SELECT q_col, c_dataset, c_col, c.col_type,
          |        round(sqrt($sq),6) AS dist
          |      FROM c JOIN q USING (col_type)),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY q_col
+         |        ORDER BY dist ASC, c_dataset ASC, c_col ASC) AS rank FROM d),
+         |rm AS (SELECT * FROM r WHERE rank <= 100),
+         |nc AS (SELECT q_col, max(rank) AS n_cand FROM rm GROUP BY 1),
+         |kth AS (SELECT rm.q_col, min(dist) AS kth FROM rm JOIN nc USING (q_col)
+         |        WHERE rm.rank >= least(50, nc.n_cand) AND rm.dist > 0 GROUP BY 1)
+         |SELECT rm.q_col, rm.c_dataset, rm.c_col, rm.col_type, rm.dist,
+         |  coalesce(kth.kth, 1e-12) AS kth,
+         |  round(exp(-0.01 * rm.dist / coalesce(kth.kth, 1e-12)),6) AS sim,
+         |  rm.rank
+         |FROM rm LEFT JOIN kth USING (q_col)
+         |WHERE rm.c_dataset <> 'customer'""".stripMargin
+    }
+
+    /** DuckDB twin of DistanceJoin.knnLsh over the numeric+temporal sketch:
+      * identical md5-derived uniform projections (DistanceJoin.rUnit), bucket
+      * = floor(dot/1e5) per 5 hash tables, candidates from the (type, table,
+      * bucket) equi-join, then the same exact-distance rank/kth/sim tail as
+      * [[sketchKnnSql]]. Dot products are explicit left-assoc chains on both
+      * sides, so buckets match bit for bit.
+      */
+    val sketchKnnLshSql: String = {
+      val sq = (1 to 7).map(i => s"(q_vec[$i]-c_vec[$i])*(q_vec[$i]-c_vec[$i])")
+        .mkString(" + ")
+      val dot = (1 to 7).map(i =>
+        s"""coalesce(vec[$i], 0.0) * (('0x' || substr(md5('rp:' || CAST(t AS VARCHAR) || ':$i'), 1, 8))::BIGINT
+           |      / 2147483648.0 - 1.0)""".stripMargin)
+        .mkString(" + ")
+      s"""WITH sk AS (
+         |$sketchSql
+         |),
+         |tb AS (SELECT dataset_id, col_name, col_type, t,
+         |    floor(($dot) / 100000.0) AS bucket
+         |  FROM sk CROSS JOIN (SELECT unnest(range(0, 5)) AS t)),
+         |qb AS (SELECT col_name AS q_col, col_type, t, bucket FROM tb
+         |  WHERE dataset_id = 'customer'),
+         |pairs AS (SELECT DISTINCT q_col, tb.dataset_id AS c_dataset,
+         |    tb.col_name AS c_col, tb.col_type
+         |  FROM tb JOIN qb USING (col_type, t, bucket)),
+         |d AS (SELECT p.q_col, p.c_dataset, p.c_col, p.col_type,
+         |    round(sqrt($sq),6) AS dist
+         |  FROM pairs p
+         |  JOIN (SELECT dataset_id, col_name, vec AS c_vec FROM sk) c
+         |    ON c.dataset_id = p.c_dataset AND c.col_name = p.c_col
+         |  JOIN (SELECT col_name AS q_col, vec AS q_vec FROM sk
+         |        WHERE dataset_id = 'customer') q USING (q_col)),
          |r AS (SELECT *, row_number() OVER (PARTITION BY q_col
          |        ORDER BY dist ASC, c_dataset ASC, c_col ASC) AS rank FROM d),
          |rm AS (SELECT * FROM r WHERE rank <= 100),
@@ -984,6 +1034,34 @@ object SparkEntry {
          |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
          |        ORDER BY sim DESC, c_id ASC) AS rank FROM s)
          |SELECT q_id, c_id, sim, rank FROM r WHERE rank <= 5""".stripMargin
+
+    /** DuckDB twin of EmbeddingKnn.ivfSeeded: same md5-sampled centroids,
+      * argmin cell assignment (explicit left-assoc squared-diff chain ≡
+      * VectorOps.euclid's sequential accumulation), nprobe=4 probe join,
+      * exact-cosine top-k.
+      */
+    val knnIvfSql: String = {
+      val sq = (1 to 64).map(i => s"(e.vec[$i]-c.cvec[$i])*(e.vec[$i]-c.cvec[$i])")
+        .mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+         |cent AS (SELECT vec_id AS cell_id, vec AS cvec FROM e
+         |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+         |ad AS (SELECT e.vec_id, e.vec, c.cell_id,
+         |        round(sqrt($sq), 6) AS cdist
+         |      FROM e CROSS JOIN cent c),
+         |asg AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY cdist ASC, cell_id ASC) AS rn FROM ad),
+         |cells AS (SELECT vec_id AS c_id, vec AS c_vec, cell_id FROM asg
+         |      WHERE rn = 1),
+         |probe AS (SELECT vec_id AS q_id, vec AS q_vec, cell_id FROM asg
+         |      WHERE rn <= 4 AND vec_id IN ($knnIds)),
+         |s AS (SELECT q_id, c_id,
+         |        round(list_cosine_similarity(q_vec, c_vec),6) AS sim
+         |      FROM cells JOIN probe USING (cell_id) WHERE c_id <> q_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+         |        ORDER BY sim DESC, c_id ASC) AS rank FROM s)
+         |SELECT q_id, c_id, sim, rank FROM r WHERE rank <= 5""".stripMargin
+    }
 
     val knnLshSql: String = {
       val bucket = (1 to 8).map(i =>

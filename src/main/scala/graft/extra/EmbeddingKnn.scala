@@ -77,6 +77,40 @@ object EmbeddingKnn {
       .filter(col("rank") <= k)
   }
 
+  /** IVF with a deterministic sampled coarse quantizer: centroids are the
+    * `nlist` vectors with the smallest md5(vec_id) — a content-independent
+    * pseudo-random sample, the classic cheap alternative to KMeans centroids
+    * (FAISS's own docs note sampled centroids lose little recall at equal
+    * nprobe). Everything downstream is the same inverted-file plan as [[ivf]]:
+    * assignment is an argmin over the broadcast centroid table, the probe is
+    * a cell equi-join, never all-pairs. Unlike the KMeans variant this is
+    * reproducible outside Spark (no MLlib RNG), so the DuckDB oracle checks
+    * it end to end; it also skips the iterative fit — at 100 TB the
+    * assignment pass is the only full scan.
+    */
+  def ivfSeeded(emb: DataFrame, queryIds: Seq[Long], k: Int = 5,
+                nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val base = emb.select(col("vec_id"), asDouble(col("embedding")).as("vec"))
+    val cent = base
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(nlist)
+      .select(col("vec_id").as("cell_id"), col("vec").as("cvec"))
+    val aw = Window.partitionBy("vec_id").orderBy(col("cdist").asc, col("cell_id").asc)
+    val ad = base.crossJoin(broadcast(cent))
+      .withColumn("cdist", round(VectorOps.euclid(col("vec"), col("cvec")), 6))
+      .withColumn("rn", row_number().over(aw))
+    val cells = ad.filter(col("rn") === 1)
+      .select(col("vec_id").as("c_id"), col("vec").as("c_vec"), col("cell_id"))
+    val probe = ad.filter(col("rn") <= nprobe && col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("q_id"), col("vec").as("q_vec"), col("cell_id"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id").asc)
+    cells.join(broadcast(probe), "cell_id")
+      .filter(col("c_id") =!= col("q_id"))
+      .withColumn("sim", round(VectorOps.cosine(col("q_vec"), col("c_vec")), 6))
+      .select("q_id", "c_id", "sim") // one cell per candidate → no dup pairs
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Int8-quantized ANN with exact rerank — the bandwidth-bound scale path
     * ([[Quantize]]'s 4× storage cut made operational): candidate scoring
     * runs entirely on int8 codes (integer dot product + two per-vector

@@ -108,11 +108,27 @@ object DistanceJoin {
       .withColumn("sim", round(exp(-lit(decay) * col("dist") / col("kth")), 6))
   }
 
+  /** Deterministic component i (1-based) of random-projection hyperplane t:
+    * uniform in [-1, 1), derived from md5("rp:t:i") — content-independent,
+    * identical in any engine that has md5, so the DuckDB oracle reproduces
+    * the buckets bit for bit (same trick as Dedup's MinHash perms). A
+    * uniform component family is a valid Euclidean-LSH projection (vs
+    * MLlib's Gaussian draws); what matters is that the hyperplanes are fixed
+    * and shared by every row.
+    */
+  private[search] def rUnit(t: Int, i: Int): org.apache.spark.sql.Column =
+    conv(substring(md5(lit(s"rp:$t:$i")), 1, 8), 16, 10).cast("double") /
+      lit(2147483648.0) - lit(1.0)
+
   /** LSH-accelerated kNN — the planner's scale path for J1 (SURVEY §7.9):
-    * MLlib BucketedRandomProjectionLSH per column type; candidates come from
-    * hash-bucket co-location (a bucket equi-join under the hood) instead of
-    * the full per-type cross product, then the exact distance, rank, kth and
-    * sim pipeline runs only on candidates. Same output schema as [[knn]].
+    * `numHashTables` fixed random projections; a row's bucket in table t is
+    * `floor(dot(vector, r_t) / bucketLength)`, candidates are rows sharing
+    * any (table, bucket, col_type) with a query row — a bucket equi-join,
+    * never the per-type cross product — then the exact distance, rank, kth
+    * and sim pipeline runs only on candidates. Same output schema as [[knn]].
+    * The projections are md5-derived (see [[rUnit]]) rather than MLlib's
+    * seeded Gaussians, so the pipeline is engine-reproducible and needs no
+    * fit step or per-type driver loop.
     * Approximation caveat: distances of surviving pairs are exact, and the
     * query dataset's own columns flow through rank/kth exactly like [[knn]]
     * (self rows occupy rank positions, can be the kth distance, and drop
@@ -123,32 +139,38 @@ object DistanceJoin {
     */
   def knnLsh(sketch: DataFrame, queryId: String, m: Int = 100, l: Int = 50,
              decay: Double = 0.01, bucketLength: Double = 2.0,
-             numHashTables: Int = 3): DataFrame = {
-    import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
-    import org.apache.spark.ml.linalg.Vectors
-    val toVec = udf((a: Seq[Double]) => Vectors.dense(a.toArray))
-    val types = sketch.select("col_type").distinct()
-      .collect().map(_.getString(0)).toSeq.sorted
-    val perType = types.map { t =>
-      val typed = sketch.filter(col("col_type") === t)
-        .withColumn("features", toVec(col("vector")))
-      val lsh = new BucketedRandomProjectionLSH()
-        .setBucketLength(bucketLength).setNumHashTables(numHashTables)
-        .setInputCol("features").setOutputCol("hashes").setSeed(42)
-      val model = lsh.fit(typed)
-      val q = typed.filter(col("dataset_id") === queryId)
-      // the candidate side keeps the query dataset's own columns — they
-      // occupy rank positions and can be the kth distance, exactly like knn;
-      // self rows drop AFTER ranking
-      model.approxSimilarityJoin(typed, q, Double.MaxValue, "raw_dist")
-        .select(
-          col("datasetB.col_name").as("q_col"),
-          col("datasetA.dataset_id").as("c_dataset"),
-          col("datasetA.col_name").as("c_col"),
-          lit(t).as("col_type"),
-          round(col("raw_dist"), 6).as("dist"))
+             numHashTables: Int = 3, dim: Int = 7): DataFrame = {
+    // (table, bucket) pairs per row; a vector shorter than `dim` contributes
+    // 0 for its missing dimensions (try_element_at → null → coalesce), so
+    // short vectors still bucket on the hyperplane prefix they span — the
+    // SQL twin's coalesce(vec[i], 0.0) does the same
+    val tables = (0 until numHashTables).map { t =>
+      val dot = (1 to dim).map(i =>
+        coalesce(try_element_at(col("vector"), lit(i)), lit(0.0)) * rUnit(t, i))
+        .reduce(_ + _)
+      struct(lit(t).as("t"), floor(dot / lit(bucketLength)).as("bucket"))
     }
-    rankAndScore(perType.reduce(_.unionAll(_)), m, l, decay)
+    val withB = sketch
+      .select(col("dataset_id"), col("col_name"), col("col_type"),
+        explode(array(tables: _*)).as("tb"))
+      .select(col("dataset_id"), col("col_name"), col("col_type"),
+        col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+    val qb = withB.filter(col("dataset_id") === queryId)
+      .select(col("col_type"), col("t"), col("bucket"), col("col_name").as("q_col"))
+    val pairs = withB.join(broadcast(qb), Seq("col_type", "t", "bucket"))
+      .select(col("q_col"), col("dataset_id").as("c_dataset"),
+        col("col_name").as("c_col"), col("col_type"))
+      .distinct()
+    val qv = sketch.filter(col("dataset_id") === queryId)
+      .select(col("col_name").as("q_col"), col("vector").as("q_vec"))
+    val cv = sketch.select(col("dataset_id").as("c_dataset"),
+      col("col_name").as("c_col"), col("vector").as("c_vec"))
+    val joined = pairs
+      .join(cv, Seq("c_dataset", "c_col"))
+      .join(broadcast(qv), Seq("q_col"))
+      .withColumn("dist", round(VectorOps.euclid(col("q_vec"), col("c_vec")), 6))
+      .drop("q_vec", "c_vec")
+    rankAndScore(joined, m, l, decay)
       .filter(col("c_dataset") =!= queryId)
   }
 

@@ -49,6 +49,28 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.4, s"IVF recall@5 too low: $recall")
   }
 
+  test("ivfSeeded ANN: deterministic quantizer, sims agree with brute force") {
+    import graft.extra.EmbeddingKnn
+    val emb = Tables.load(spark, SparkTestSession.sf0001, "embeddings")
+    val qs = Seq(0L, 1L, 2L, 3L, 4L)
+    val brute = EmbeddingKnn.bruteForce(emb, qs, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val run = () => EmbeddingKnn.ivfSeeded(emb, qs, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val a = run()
+    assert(a.nonEmpty)
+    assert(a == run(), "seeded IVF must be run-to-run deterministic")
+    a.foreach { case (k, v) =>
+      brute.get(k).foreach(b => assert(b == v, s"sim mismatch at $k"))
+    }
+    val recall = qs.map { q =>
+      val b = brute.keys.filter(_._1 == q).map(_._2).toSet
+      val i = a.keys.filter(_._1 == q).map(_._2).toSet
+      if (b.isEmpty) 1.0 else (b & i).size.toDouble / b.size
+    }.sum / qs.size
+    assert(recall >= 0.4, s"seeded IVF recall@5 too low: $recall")
+  }
+
   test("prefix filter: stopword-heavy corpus has bounded candidates, exact result") {
     // every doc shares the same 6 stopwords; only docs 1/2 are real near-dups
     val stop = "the a an and of to"
