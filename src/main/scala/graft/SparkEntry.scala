@@ -312,6 +312,15 @@ object SparkEntry {
     "doc_fingerprint" -> ((s, d) =>
       TextStats.fingerprint(T(s, d, "documents"), "doc_id", "text")),
 
+    // add-1 unigram LM mean-logprob scoring (the KenLM-style quality filter)
+    "lm_quality" -> ((s, d) =>
+      TextStats.lmScore(T(s, d, "documents"), "doc_id", "text")),
+
+    // first BPE merge round: corpus-wide adjacent char-pair counts
+    "bpe_pairs" -> ((s, d) =>
+      TextStats.bpePairs(T(s, d, "documents"), "text")
+        .withColumn("rank", col("rank").cast("long"))),
+
     // ---- time windows (events table; §2.10 note) ----
     "event_tumbling" -> ((s, d) =>
       EventWindows.tumbling(T(s, d, "events"), "1 hour")),
@@ -321,7 +330,11 @@ object SparkEntry {
 
     // as-of alignment: each click joined to the latest prior purchase
     "event_asof" -> ((s, d) =>
-      EventWindows.asOf(T(s, d, "events")))
+      EventWindows.asOf(T(s, d, "events"))),
+
+    // bucketed range join: clicks in the 30 min before each purchase
+    "event_range_join" -> ((s, d) =>
+      EventWindows.rangeJoin(T(s, d, "events")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -561,7 +574,61 @@ object SparkEntry {
         |SELECT l.event_id, l.user_id, epoch_ms(l.ts) AS ts_left,
         |  epoch_ms(r.ts) AS ts_right, r.value AS r_value
         |FROM l ASOF LEFT JOIN r
-        |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+
+    // DuckDB does the range join natively (non-equi join); the engine's
+    // bucketed equi-join must produce the identical match set
+    "event_range_join" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms FROM events
+        |  WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, epoch_ms(ts) AS r_ms, round(value, 4) AS r_value
+        |  FROM events WHERE event_type = 'click'),
+        |m AS (SELECT p.event_id, count(*) AS n_right,
+        |    round(sum(c.r_value), 4) AS right_value
+        |  FROM p JOIN c ON p.user_id = c.user_id
+        |    AND c.r_ms >= p.ts_ms - 1800000 AND c.r_ms < p.ts_ms
+        |  GROUP BY 1)
+        |SELECT p.event_id, p.user_id, p.ts_ms,
+        |  CAST(coalesce(m.n_right, 0) AS BIGINT) AS n_right,
+        |  round(coalesce(m.right_value, 0.0), 4) AS right_value
+        |FROM p LEFT JOIN m USING (event_id)""".stripMargin,
+
+    // add-1 unigram LM trained on the corpus itself; per-doc sum rounded at
+    // 4 before the mean divides (rounding-boundary discipline), NULL scores
+    // for token-less docs on both sides
+    "lm_quality" ->
+      """WITH tf AS (SELECT doc_id, term, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+        |      x -> x <> '')) AS term FROM documents) GROUP BY 1, 2),
+        |vocab AS (SELECT term, sum(tf) AS cnt FROM tf GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n_total,
+        |    CAST(count(*) AS DOUBLE) AS v_size FROM vocab),
+        |lp AS (SELECT term, ln((cnt + 1.0) / (n_total + v_size)) AS lp
+        |  FROM vocab CROSS JOIN tot),
+        |perdoc AS (SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+        |    round(sum(tf.tf * lp.lp), 4) AS lp_sum
+        |  FROM tf JOIN lp USING (term) GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+        |  CASE WHEN p.n_tokens > 0 THEN round(p.lp_sum / p.n_tokens, 6) END
+        |    AS lm_logprob,
+        |  CASE WHEN p.n_tokens > 0 THEN
+        |    round(exp(-round(p.lp_sum / p.n_tokens, 6)), 4) END AS ppl
+        |FROM documents d LEFT JOIN perdoc p USING (doc_id)""".stripMargin,
+
+    // integer counts end to end — exact cross-engine parity
+    "bpe_pairs" ->
+      """WITH words AS (SELECT word, count(*) AS wcnt FROM (
+        |    SELECT unnest(list_filter(string_split(lower(text), ' '),
+        |      x -> x <> '')) AS word FROM documents) GROUP BY 1),
+        |pairs AS (SELECT word, substr(word, i, 2) AS pair, wcnt
+        |  FROM words CROSS JOIN unnest(range(1, length(word))) AS u(i)
+        |  WHERE length(word) >= 2),
+        |agg AS (SELECT pair, count(DISTINCT word) AS n_words,
+        |    CAST(sum(wcnt) AS BIGINT) AS n_occurrences FROM pairs GROUP BY 1),
+        |r AS (SELECT *, CAST(row_number() OVER (ORDER BY n_occurrences DESC,
+        |    pair ASC) AS BIGINT) AS rank FROM agg)
+        |SELECT pair, n_words, n_occurrences, rank FROM r WHERE rank <= 50""".stripMargin
   )
 
   /** DuckDB oracle SQL builders for the repetitive profile/sketch queries —

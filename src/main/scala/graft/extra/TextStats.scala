@@ -100,6 +100,74 @@ object TextStats {
       ceil(length(t).cast("double") / 4.0).cast("long").as("n_bpe_est"))
   }
 
+  /** Unigram language-model quality score — the cheap cousin of the KenLM
+    * perplexity filter used to rank web text: train add-1-smoothed unigram
+    * logprobs on the corpus itself (one token-count aggregation), then score
+    * each document by its mean per-token logprob. Near-gibberish and
+    * rare-token-heavy documents score low; common fluent text scores high.
+    * Two shuffles total (term counts, then a term-keyed join back to doc
+    * term frequencies) — both map-side-combined, nothing quadratic, and the
+    * model table is vocabulary-sized (broadcastable for natural-language
+    * vocabularies).
+    * Float discipline: per-term `tf * lp` terms are identical across engines
+    * (same ln of the same ratio); the per-doc sum is rounded at 4 before the
+    * mean divides (the rounding-boundary rule from the profiler oracles).
+    *
+    * @return (doc_id, n_tokens, lm_logprob, ppl) — NULL score for empty docs
+    */
+  def lmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = df.select(col(idCol).as("doc_id"),
+        explode(toks(col(textCol))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val vocab = tf.groupBy("term").agg(sum("tf").as("cnt"))
+    val totals = vocab.agg(sum("cnt").as("n_total"),
+      count(lit(1)).as("v_size"))
+    val lp = vocab.crossJoin(broadcast(totals))
+      .withColumn("lp", log((col("cnt") + lit(1.0)) /
+        (col("n_total").cast("double") + col("v_size").cast("double"))))
+      .select("term", "lp")
+    val perDoc = tf.join(lp, "term")
+      .groupBy("doc_id")
+      .agg(sum("tf").as("n_tokens"),
+        round(sum(col("tf") * col("lp")), 4).as("lp_sum"))
+    df.select(col(idCol).as("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        when(col("n_tokens") > 0,
+          round(col("lp_sum") / col("n_tokens"), 6)).as("lm_logprob"),
+        when(col("n_tokens") > 0,
+          round(exp(-round(col("lp_sum") / col("n_tokens"), 6)), 4)).as("ppl"))
+  }
+
+  /** One BPE merge round over the corpus: count adjacent character pairs in
+    * every word occurrence (word-frequency weighted), rank the merge
+    * candidates. This is the inner statistic of byte-pair-encoding tokenizer
+    * training; iterating it (merge top pair, re-split, recount) is a driver
+    * loop over exactly this aggregation. Integer counts end to end — the
+    * oracle matches exactly, no float discipline needed. The word table is
+    * the only shuffle input (distinct words, not occurrences), so the pair
+    * explosion is bounded by vocabulary size × word length, not corpus size.
+    *
+    * @return top `k` (pair, n_words, n_occurrences, rank)
+    */
+  def bpePairs(df: DataFrame, textCol: String, k: Int = 50): DataFrame = {
+    val words = df.select(explode(toks(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("wcnt"))
+    val pairs = words
+      .filter(length(col("word")) >= 2)
+      .select(col("word"), col("wcnt"),
+        explode(sequence(lit(1), length(col("word")) - 1)).as("i"))
+      .select(col("word"), expr("substring(word, i, 2)").as("pair"), col("wcnt"))
+    // the pair table is at most |charset|² rows — a single-partition window
+    // over it is driver-scale work no matter the corpus size
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_occurrences").desc, col("pair").asc)
+    pairs.groupBy("pair")
+      .agg(countDistinct("word").as("n_words"), sum("wcnt").as("n_occurrences"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** The normalize-and-hash fingerprint COLUMN (shared by the batch
     * fingerprint table and the streaming dedup).
     */

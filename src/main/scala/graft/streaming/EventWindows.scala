@@ -85,6 +85,40 @@ object EventWindows {
         unix_millis(col("ts")).as("ts_left"), col("ts_right"), col("r_value"))
   }
 
+  /** Bucketed range join: every `leftType` event paired with the `rightType`
+    * events of the same user in the half-open window `[l_ts - win, l_ts)` —
+    * the attribution/feature-window primitive ("clicks in the 30 minutes
+    * before each purchase"). A naive non-equi join plans as a per-user cross
+    * product (BroadcastNestedLoop at worst); instead both sides are binned at
+    * the window width and the left side probes its own bin plus the previous
+    * one — two window widths always cover a window-length interval — turning
+    * the range join into a shuffle equi-join on (user, bin) with an exact
+    * residual filter. Linear in events, skew-bounded by per-(user, bin)
+    * counts; unmatched left rows survive via the final left join (n = 0).
+    *
+    * @return (event_id, user_id, ts_ms, n_right, right_value)
+    */
+  def rangeJoin(events: DataFrame, leftType: String = "purchase",
+                rightType: String = "click", windowMinutes: Int = 30): DataFrame = {
+    val winMs = windowMinutes * 60000L
+    val l = events.filter(col("event_type") === leftType)
+      .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("l_ms"))
+    val r = events.filter(col("event_type") === rightType)
+      .select(col("user_id"), unix_millis(col("ts")).as("r_ms"),
+        round(col("value"), 4).as("r_value"))
+    val lb = l.withColumn("bin",
+      explode(array(floor(col("l_ms") / winMs), floor(col("l_ms") / winMs) - 1)))
+    val rb = r.withColumn("bin", floor(col("r_ms") / winMs))
+    val matched = lb.join(rb, Seq("user_id", "bin"))
+      .filter(col("r_ms") >= col("l_ms") - winMs && col("r_ms") < col("l_ms"))
+      .groupBy("event_id")
+      .agg(count(lit(1)).as("n_right"), round(sum("r_value"), 4).as("right_value"))
+    l.join(matched, Seq("event_id"), "left")
+      .select(col("event_id"), col("user_id"), col("l_ms").as("ts_ms"),
+        coalesce(col("n_right"), lit(0L)).as("n_right"),
+        round(coalesce(col("right_value"), lit(0.0)), 4).as("right_value"))
+  }
+
   /** Streaming twin of [[tumbling]]: same aggregation over a file stream with
     * a watermark for state cleanup. Caller attaches the sink.
     */

@@ -130,4 +130,30 @@ class EventWindowsSpec extends AnyFunSuite {
     assert(got(4L) == ((Some(40000L), Some(9.0))))
     assert(got(5L) == ((None, None)))
   }
+
+  test("range join: half-open [l-30min, l) window, bin-boundary straddle, zero match") {
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    val win = 30 * 60 // seconds
+    val events = Seq(
+      // purchase at t=3600 (an exact bin boundary): clicks at exactly
+      // t-30min (included), t-1s (included), t (excluded), t-30min-1s
+      // (excluded) — the inclusion window straddles bins 0 and 1
+      (100L, ts(3600), 1L, "purchase", 0.0),
+      (1L, ts(3600 - win), 1L, "click", 1.0),
+      (2L, ts(3599), 1L, "click", 2.0),
+      (3L, ts(3600), 1L, "click", 4.0),
+      (4L, ts(3600 - win - 1), 1L, "click", 8.0),
+      // purchase with no clicks at all → n_right 0, value 0
+      (101L, ts(500), 2L, "purchase", 0.0),
+      // same-user click outside any window
+      (5L, ts(10000), 2L, "click", 16.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = EventWindows.rangeJoin(events).collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Long]("n_right"), r.getAs[Double]("right_value"))))
+      .toMap
+    assert(got(100L) == ((2L, 3.0)), s"expected clicks 1+2 only, got ${got(100L)}")
+    assert(got(101L) == ((0L, 0.0)))
+    assert(got.size == 2)
+  }
 }
