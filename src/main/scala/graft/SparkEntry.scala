@@ -34,6 +34,10 @@ object SparkEntry {
   private val DocBound = 300
   private val KnnQueryIds: Seq[Long] = Seq(0L, 1L, 2L, 3L, 4L)
   private val Bm25Terms = Seq("spark", "query", "join", "stream")
+  // the fixture's 31-term vocabulary puts every term in ~78% of documents,
+  // so the scale df-cap (0.5 at a real corpus) would empty the query; the
+  // cap semantics are spec-tested on a synthetic corpus instead
+  private val TfidfDfCap = 1.0
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- classic relational coverage (free in Spark; §2.3/§2.4/§2.5/§2.6) ----
@@ -251,6 +255,16 @@ object SparkEntry {
 
     "corpus_mix" -> ((s, d) =>
       CorpusOps.corpusMix(T(s, d, "documents"))),
+
+    // per-(lang, source) corpus report with exact-duplicate rates
+    "corpus_stats" -> ((s, d) =>
+      CorpusOps.corpusStats(T(s, d, "documents"))),
+
+    // sparse TF-IDF cosine document similarity (inverted-index join)
+    "tfidf_knn" -> ((s, d) =>
+      TermStats.tfidfKnn(T(s, d, "documents"), "doc_id", "text", KnnQueryIds,
+          maxDfFrac = TfidfDfCap)
+        .withColumn("rank", col("rank").cast("long"))),
 
     "corpus_split" -> ((s, d) =>
       CorpusOps.splitAssign(T(s, d, "documents"), "doc_id")),
@@ -615,6 +629,51 @@ object SparkEntry {
         |  CASE WHEN p.n_tokens > 0 THEN
         |    round(exp(-round(p.lp_sum / p.n_tokens, 6)), 4) END AS ppl
         |FROM documents d LEFT JOIN perdoc p USING (doc_id)""".stripMargin,
+
+    // two-level agg mirrors the Spark plan (fingerprint first, then group);
+    // integer sums cast out of HUGEINT
+    "corpus_stats" ->
+      """WITH fp AS (SELECT lang, source,
+        |    md5(trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp,
+        |    count(*) AS n, sum(length(text)) AS chars,
+        |    sum(len(list_filter(string_split(lower(text), ' '),
+        |      x -> x <> ''))) AS toks
+        |  FROM documents GROUP BY 1, 2, 3)
+        |SELECT lang, source,
+        |  CAST(sum(n) AS BIGINT) AS n_docs,
+        |  CAST(sum(chars) AS BIGINT) AS total_chars,
+        |  CAST(sum(toks) AS BIGINT) AS total_tokens,
+        |  count(*) AS n_unique,
+        |  round(1.0 - CAST(count(*) AS DOUBLE) / sum(n), 6) AS dup_rate
+        |FROM fp GROUP BY 1, 2""".stripMargin,
+
+    // inverted-index sparse cosine; df-cap shared with the Spark side
+    "tfidf_knn" -> {
+      val ids = KnnQueryIds.mkString(", ")
+      s"""WITH t2 AS (SELECT doc_id, unnest(list_filter(
+         |    string_split(lower(text), ' '), x -> x <> '')) AS term
+         |  FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM t2 GROUP BY 1, 2),
+         |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |w AS (SELECT doc_id, term,
+         |    tf * ln(CAST(n_docs AS DOUBLE) / df) AS w
+         |  FROM tf JOIN dfq USING (term) CROSS JOIN nd
+         |  WHERE df <= n_docs * $TfidfDfCap),
+         |nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY 1),
+         |q AS (SELECT doc_id AS q_id, term, w AS qw FROM w
+         |  WHERE doc_id IN ($ids)),
+         |dots AS (SELECT q_id, w.doc_id AS c_id, sum(qw * w.w) AS dot
+         |  FROM w JOIN q USING (term) WHERE w.doc_id <> q_id GROUP BY 1, 2),
+         |s AS (SELECT q_id, c_id,
+         |    round(dot / (qn.nrm * cn.nrm), 6) AS sim
+         |  FROM dots JOIN nrm qn ON qn.doc_id = q_id
+         |  JOIN nrm cn ON cn.doc_id = c_id),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+         |    ORDER BY sim DESC, c_id ASC) AS BIGINT) AS rank FROM s)
+         |SELECT q_id, c_id, sim, rank FROM r WHERE rank <= 5""".stripMargin
+    },
 
     // integer counts end to end — exact cross-engine parity
     "bpe_pairs" ->

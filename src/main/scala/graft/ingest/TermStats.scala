@@ -44,6 +44,46 @@ object TermStats {
     * ttf = total term frequency corpus-wide, df = #docs containing the term,
     * N = #docs. Scores rounded to 6 decimals for oracle parity.
     */
+  /** Sparse TF-IDF cosine top-k document similarity — text-native nearest
+    * neighbors with no embedding table: weight w(d,t) = tf · ln(N/df),
+    * cosine via an inverted-index join on term (dot products accumulate
+    * only where terms co-occur — the sparse-vector trick), then a windowed
+    * per-query top-k. The df-cap drops terms present in more than
+    * `maxDfFrac` of documents BEFORE the join: such terms carry near-zero
+    * idf weight but quadratic join fan-out (every stopword pairs all
+    * documents), so the cap is what keeps the candidate join linear-ish at
+    * corpus scale — same role as the prefix filter in Dedup.jaccardPairs.
+    * The query side is a handful of documents' term rows — broadcast.
+    *
+    * @return (q_id, c_id, sim, rank) — rank ties break on c_id
+    */
+  def tfidfKnn(df: DataFrame, docIdCol: String, textCol: String,
+               queryIds: Seq[Long], k: Int = 5,
+               maxDfFrac: Double = 0.5): DataFrame = {
+    val tf = termFreqs(tokens(df, docIdCol, textCol))
+    val nDf = tf.agg(countDistinct("doc_id").as("n_docs"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val wts = tf.join(broadcast(dfreq), "term").crossJoin(broadcast(nDf))
+      .filter(col("df") <= col("n_docs") * maxDfFrac)
+      .withColumn("w", col("tf").cast("double")
+        * log(col("n_docs").cast("double") / col("df")))
+      .select("doc_id", "term", "w")
+    val norms = wts.groupBy("doc_id").agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+    val q = wts.filter(col("doc_id").isin(queryIds: _*))
+      .select(col("doc_id").as("q_id"), col("term"), col("w").as("qw"))
+    val win = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id").asc)
+    wts.join(broadcast(q), "term")
+      .filter(col("doc_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("doc_id").as("c_id"))
+      .agg(sum(col("qw") * col("w")).as("dot"))
+      .join(broadcast(norms.select(col("doc_id").as("q_id"), col("nrm").as("q_nrm"))), "q_id")
+      .join(norms.select(col("doc_id").as("c_id"), col("nrm").as("c_nrm")), "c_id")
+      .withColumn("sim", round(col("dot") / (col("q_nrm") * col("c_nrm")), 6))
+      .select("q_id", "c_id", "sim")
+      .withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= k)
+  }
+
   def tfIdfTopK(tokensDf: DataFrame, k: Int = 10): DataFrame = {
     val tf = termFreqs(tokensDf)
     val corpus = tf.groupBy("term")

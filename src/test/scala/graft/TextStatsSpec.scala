@@ -49,4 +49,43 @@ class TextStatsSpec extends AnyFunSuite {
     assert(got("ba") == ((1L, 3L, 2)))
     assert(got.size == 2)
   }
+
+  test("tfidfKnn: near-identical docs rank first; df-cap prunes stopword pairs") {
+    import graft.ingest.TermStats
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma epsilon"), // 3 shared informative terms with 1
+      (3L, "the zeta eta theta iota"),  // disjoint from 1
+      (4L, "the the the alpha kappa"),  // shares 1's alpha + the stopword
+      (5L, "the the the zeta")
+    ).toDF("doc_id", "text")
+    val got = TermStats.tfidfKnn(docs, "doc_id", "text", Seq(1L), k = 4,
+      maxDfFrac = 1.0).collect()
+      .map(r => r.getAs[Long]("c_id") -> r.getAs[Int]("rank")).toMap
+    assert(got(2L) == 1, s"doc 2 shares most informative terms, got $got")
+
+    // cap at 40% (df <= 2 of 5): "the" (3 docs) and "alpha" (3 docs) are
+    // pruned, so query 1 can only reach doc 2 (via beta/gamma, df 2);
+    // the stopword-only overlaps with docs 3-5 produce no candidates
+    val capped = TermStats.tfidfKnn(docs, "doc_id", "text", Seq(1L), k = 4,
+      maxDfFrac = 0.4).collect().map(_.getAs[Long]("c_id")).toSet
+    assert(capped == Set(2L),
+      s"df-capped join must only pair via informative terms: $capped")
+  }
+
+  test("corpusStats: duplicate rate from normalized fingerprints") {
+    import graft.extra.CorpusOps
+    val docs = Seq(
+      (1L, "Same text!", "en", "web"),
+      (2L, "same text", "en", "web"),   // normalizes to the same fingerprint
+      (3L, "other words", "en", "web"),
+      (4L, "hola", "es", "web")
+    ).toDF("doc_id", "text", "lang", "source")
+    val got = CorpusOps.corpusStats(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_unique"),
+          r.getAs[Double]("dup_rate")))).toMap
+    assert(got(("en", "web")) == ((3L, 2L, 0.333333)))
+    assert(got(("es", "web")) == ((1L, 1L, 0.0)))
+  }
 }
