@@ -273,6 +273,10 @@ object SparkEntry {
     "corpus_pack" -> ((s, d) =>
       CorpusOps.packSequences(T(s, d, "documents"), "doc_id", "text")),
 
+    // stride-overlap context chunking (64-token chunks, stride 48)
+    "doc_chunks" -> ((s, d) =>
+      CorpusOps.chunkDocuments(T(s, d, "documents"), "doc_id", "text")),
+
     // the flagship corpus assembly: dedup → quality → language →
     // repetition → decontamination → per-(lang, source) quota, one plan
     "corpus_build" -> ((s, d) =>
@@ -629,6 +633,23 @@ object SparkEntry {
         |  CASE WHEN p.n_tokens > 0 THEN
         |    round(exp(-round(p.lp_sum / p.n_tokens, 6)), 4) END AS ppl
         |FROM documents d LEFT JOIN perdoc p USING (doc_id)""".stripMargin,
+
+    // stride chunking: positions/lengths/hashes are exact integer + md5
+    // arithmetic; range(0, n, 48) ≡ Spark sequence(0, n-1, 48)
+    "doc_chunks" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |n AS (SELECT doc_id, toks, len(toks) AS n_tokens FROM t
+        |  WHERE len(toks) > 0),
+        |c AS (SELECT doc_id, CAST(s // 48 AS BIGINT) AS chunk_id,
+        |    CAST(s AS BIGINT) AS start_tok,
+        |    list_slice(toks, s + 1, s + 64) AS chunk
+        |  FROM n CROSS JOIN unnest(range(0, n_tokens, 48)) AS u(s))
+        |SELECT doc_id, chunk_id, start_tok,
+        |  CAST(len(chunk) AS BIGINT) AS chunk_len,
+        |  md5(array_to_string(chunk, ' ')) AS chunk_hash
+        |FROM c""".stripMargin,
 
     // two-level agg mirrors the Spark plan (fingerprint first, then group);
     // integer sums cast out of HUGEINT

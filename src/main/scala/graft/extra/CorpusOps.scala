@@ -243,6 +243,34 @@ object CorpusOps {
       .filter(col("rk") <= quota)
       .select("doc_id", "lang", "source", "n_chars", "rk")
 
+  /** Context-length chunking with stride overlap — the other half of
+    * sequence preparation next to [[packSequences]]: packing concatenates
+    * short documents up to a budget, chunking splits long documents into
+    * overlapping windows (chunk i starts at i·stride, length `chunkSize`
+    * tokens; stride < chunkSize yields the overlap that keeps split
+    * sentences in at least one chunk). Pure per-row explode — no shuffle at
+    * all, scales linearly, and every output value (positions, lengths,
+    * chunk hash) is integer/md5 arithmetic so the oracle is exact.
+    *
+    * @return (doc_id, chunk_id, start_tok, chunk_len, chunk_hash)
+    */
+  def chunkDocuments(docs: DataFrame, idCol: String, textCol: String,
+                     chunkSize: Int = 64, stride: Int = 48): DataFrame = {
+    val toks = filter(split(lower(col(textCol)), " "), t => t =!= "")
+    docs.select(col(idCol).as("doc_id"), toks.as("toks"),
+        size(toks).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("start_tok",
+        explode(sequence(lit(0L), col("n_tokens") - 1, lit(stride.toLong))))
+      .withColumn("chunk",
+        slice(col("toks"), (col("start_tok") + 1).cast("int"), lit(chunkSize)))
+      .select(col("doc_id"),
+        (col("start_tok") / stride).cast("long").as("chunk_id"),
+        col("start_tok"),
+        size(col("chunk")).cast("long").as("chunk_len"),
+        md5(concat_ws(" ", col("chunk"))).as("chunk_hash"))
+  }
+
   /** The corpus report: per-(lang, source) document/char/token totals plus
     * the exact-duplicate rate (distinct normalized fingerprints vs docs) —
     * the dashboard numbers a curation run is judged by. Two-level

@@ -111,4 +111,22 @@ class CorpusOpsSpec extends AnyFunSuite {
         })
       }
   }
+
+  test("chunkDocuments: stride windows, short tail, single-chunk doc, empty doc") {
+    val d1 = Seq(
+      (1L, (1 to 100).map(i => s"t$i").mkString(" ")), // 100 tokens
+      (2L, "a b c"),                                   // one short chunk
+      (3L, "")                                         // dropped
+    ).toDF("doc_id", "text")
+    val got = CorpusOps.chunkDocuments(d1, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    // doc 1: starts 0, 48, 96 -> lens 64, 52, 4
+    assert(got((1L, 0L)) == ((0L, 64L)))
+    assert(got((1L, 1L)) == ((48L, 52L)))
+    assert(got((1L, 2L)) == ((96L, 4L)))
+    assert(got((2L, 0L)) == ((0L, 3L)))
+    assert(!got.keySet.exists(_._1 == 3L), "empty doc must produce no chunks")
+    assert(got.size == 4)
+  }
 }
