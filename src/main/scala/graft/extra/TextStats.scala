@@ -116,9 +116,13 @@ object TextStats {
     * @return (doc_id, n_tokens, lm_logprob, ppl) — NULL score for empty docs
     */
   def lmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // persisted for the same reason as TermStats.tfidfKnn: the TF table
+    // feeds the vocabulary, the model join and the per-doc aggregate, and
+    // column pruning blocks exchange reuse between those branches
     val tf = df.select(col(idCol).as("doc_id"),
         explode(toks(col(textCol))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .persist()
     val vocab = tf.groupBy("term").agg(sum("tf").as("cnt"))
     val totals = vocab.agg(sum("cnt").as("n_total"),
       count(lit(1)).as("v_size"))

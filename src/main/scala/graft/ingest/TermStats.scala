@@ -60,7 +60,14 @@ object TermStats {
   def tfidfKnn(df: DataFrame, docIdCol: String, textCol: String,
                queryIds: Seq[Long], k: Int = 5,
                maxDfFrac: Double = 0.5): DataFrame = {
-    val tf = termFreqs(tokens(df, docIdCol, textCol))
+    // The TF table and the weight stream each feed several branches (df
+    // counts, norms, query side, candidate side). Catalyst cannot reuse the
+    // exchanges — column pruning specializes every branch's subtree — so an
+    // unpersisted plan re-scans and re-tokenizes the corpus once per branch
+    // (24 scans measured). Persist both: the corpus is tokenized exactly
+    // once; in production the TF table is materialized corpus metadata
+    // anyway (like the sketch index).
+    val tf = termFreqs(tokens(df, docIdCol, textCol)).persist()
     val nDf = tf.agg(countDistinct("doc_id").as("n_docs"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val wts = tf.join(broadcast(dfreq), "term").crossJoin(broadcast(nDf))
@@ -68,6 +75,7 @@ object TermStats {
       .withColumn("w", col("tf").cast("double")
         * log(col("n_docs").cast("double") / col("df")))
       .select("doc_id", "term", "w")
+      .persist()
     val norms = wts.groupBy("doc_id").agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
     val q = wts.filter(col("doc_id").isin(queryIds: _*))
       .select(col("doc_id").as("q_id"), col("term"), col("w").as("qw"))
