@@ -119,6 +119,39 @@ object EventWindows {
         round(coalesce(col("right_value"), lit(0.0)), 4).as("right_value"))
   }
 
+  /** Streaming twin of [[rangeJoin]]'s match step: a watermarked
+    * stream-stream time-interval join — Spark's native streaming range join.
+    * Both sides carry event-time watermarks; the join condition bounds how
+    * long either side's state must be retained (right rows expire one
+    * watermark horizon past the window, left rows at the horizon), so state
+    * is bounded no matter how long the streams run. Inner matches emit in
+    * append mode as they arrive. The per-anchor aggregation (n_right /
+    * right_value) stays downstream of the sink — chaining a non-windowed
+    * aggregate after a stream-stream join is not an append-mode streaming
+    * operator; batch [[rangeJoin]] is the end-to-end equivalent.
+    */
+  def streamingRangeJoin(spark: SparkSession, dir: String, schema: StructType,
+                         leftType: String = "purchase",
+                         rightType: String = "click",
+                         windowMinutes: Int = 30): DataFrame = {
+    val src = spark.readStream.schema(schema).parquet(dir)
+    val l = src.filter(col("event_type") === leftType)
+      .select(col("event_id").as("l_event_id"), col("user_id").as("l_user"),
+        col("ts").as("l_ts"))
+      .withWatermark("l_ts", "1 hour")
+    val r = src.filter(col("event_type") === rightType)
+      .select(col("user_id").as("r_user"), col("ts").as("r_ts"),
+        round(col("value"), 4).as("r_value"))
+      .withWatermark("r_ts", "1 hour")
+    l.join(r, expr(
+        s"""l_user = r_user AND
+           |r_ts >= l_ts - interval $windowMinutes minutes AND
+           |r_ts < l_ts""".stripMargin))
+      .select(col("l_event_id").as("event_id"), col("l_user").as("user_id"),
+        unix_millis(col("l_ts")).as("ts_ms"),
+        unix_millis(col("r_ts")).as("r_ms"), col("r_value"))
+  }
+
   /** Streaming twin of [[tumbling]]: same aggregation over a file stream with
     * a watermark for state cleanup. Caller attaches the sink.
     */

@@ -131,6 +131,43 @@ class EventWindowsSpec extends AnyFunSuite {
     assert(got(5L) == ((None, None)))
   }
 
+  test("streaming range join emits exactly the batch match set") {
+    val events = Tables.load(spark, SparkTestSession.sf0001, "events")
+    val dir = java.nio.file.Files.createTempDirectory("ev_range").toString
+    events.write.mode("overwrite").parquet(dir)
+
+    // expected pairs from a plain batch non-equi join (the semantics the
+    // bucketed batch rangeJoin and the streaming join must both match)
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts").as("l_ts"))
+    val c = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("r_ts"))
+    val expected = p.join(c, col("user_id") === col("cu")
+        && col("r_ts") >= col("l_ts") - expr("interval 30 minutes")
+        && col("r_ts") < col("l_ts"))
+      .select(col("event_id"), unix_millis(col("r_ts")).as("r_ms"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.nonEmpty, "fixture must produce at least one match")
+
+    val q = EventWindows.streamingRangeJoin(spark, dir, events.schema)
+      .writeStream.outputMode("append").format("memory").queryName("range_out")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("range_out")
+      .select(col("event_id"), col("r_ms"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected)
+
+    // and the batch bucketed rangeJoin agrees on per-anchor match counts
+    val batchCounts = EventWindows.rangeJoin(events)
+      .filter(col("n_right") > 0)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("n_right")).toMap
+    val streamCounts = spark.table("range_out").groupBy("event_id")
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamCounts == batchCounts)
+  }
+
   test("range join: half-open [l-30min, l) window, bin-boundary straddle, zero match") {
     import spark.implicits._
     def ts(s: Long) = new java.sql.Timestamp(s * 1000)
