@@ -1,0 +1,45 @@
+package graft.functions
+
+import org.apache.spark.sql.{GraftShim, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Add, ElementAt, Expression, Greatest, Literal, Multiply, Sqrt, Subtract}
+
+/** SQL surface for the engine's native expressions: a user of the library
+  * can run every codegen'd primitive from `spark.sql(...)` — not just the
+  * Column API — so ad-hoc similarity/dedup queries compose with plain SQL
+  * over the same tables. Two registration paths:
+  *
+  *  - [[registerAll]] on a live session (temp functions);
+  *  - `spark.sql.extensions=graft.GraftExtensions` at session build time
+  *    (the production path — survives `newSession()`).
+  */
+object GraftFunctions {
+
+  /** (name, builder) for every SQL-exposed function. Builders are plain
+    * `Seq[Expression] => Expression`, the FunctionRegistry contract.
+    */
+  val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "vec_euclid" -> (es => EuclideanDistance(es(0), es(1))),
+    "vec_cosine" -> (es => CosineSimilarity(es(0), es(1))),
+    "int8_dot" -> (es => Int8DotProduct(es(0), es(1))),
+    "hamming_dist" -> (es => HammingDistance(es(0), es(1))),
+    // composed from codegen'd builtins, exposed under one SQL name
+    "rect_min_dist" -> (es => rectMinDistExpr(es(0), es(1)))
+  )
+
+  /** Catalyst-node twin of VectorOps.rectMinDist (a builder cannot embed
+    * Column-layer nodes — they stay unresolved inside SQL plans): MINDIST
+    * between [x_min, y_min, x_max, y_max] bboxes from resolved primitives.
+    */
+  private def rectMinDistExpr(a: Expression, b: Expression): Expression = {
+    def el(v: Expression, i: Int): Expression = ElementAt(v, Literal(i))
+    val zero = Literal(0.0)
+    val dx = Greatest(Seq(zero, Subtract(el(b, 1), el(a, 3)),
+      Subtract(el(a, 1), el(b, 3))))
+    val dy = Greatest(Seq(zero, Subtract(el(b, 2), el(a, 4)),
+      Subtract(el(a, 2), el(b, 4))))
+    Sqrt(Add(Multiply(dx, dx), Multiply(dy, dy)))
+  }
+
+  def registerAll(spark: SparkSession): Unit =
+    all.foreach { case (n, b) => GraftShim.registerFunction(spark, n, b) }
+}
