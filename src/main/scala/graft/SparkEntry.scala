@@ -155,6 +155,17 @@ object SparkEntry {
         .select(col("q_col"), col("c_dataset"), col("c_col"), col("col_type"),
           col("dist"), col("kth"), col("sim"), col("rank").cast("long").as("rank"))),
 
+    // the random-access edge completion (danae J2) standalone over the
+    // numeric+temporal sketch — oracle-checkable, unlike the Hungarian
+    // matching step that consumes it in content_scores
+    "content_edges" -> ((s, d) => {
+      val sk = Sketches.cachedNumericTemporal(s, d)
+      val ranked = DistanceJoin.knn(sk, "customer", 100, 50)
+      DistanceJoin.candidateEdges(sk, "customer", ranked)
+        .select(col("q_col"), col("c_dataset"), col("c_col"), col("col_type"),
+          col("dist"), col("kth"), col("sim"))
+    }),
+
     "content_scores" -> ((s, d) => {
       val sk = Sketches.cachedAll(s, d)
       val ranked = DistanceJoin.knn(sk, "customer", 100, 50)
@@ -439,6 +450,7 @@ object SparkEntry {
 
     "sketch_knn" -> O.sketchKnnSql,
     "sketch_knn_lsh" -> O.sketchKnnLshSql,
+    "content_edges" -> O.contentEdgesSql,
 
     "bm25_docs" -> O.bm25Sql,
 
@@ -894,6 +906,45 @@ object SparkEntry {
          |  rm.rank
          |FROM rm LEFT JOIN kth USING (q_col)
          |WHERE rm.c_dataset <> 'customer'""".stripMargin
+    }
+
+    /** DuckDB twin of DistanceJoin.candidateEdges over the numeric+temporal
+      * sketch: the ranked lists (same CTEs as [[sketchKnnSql]]) supply the
+      * candidate dataset ids and per-q_col kth; edges then cover ALL
+      * same-type (query col, candidate col) pairs with the exp-decay sim
+      * formula (content_search.py:300-333 random access).
+      */
+    val contentEdgesSql: String = {
+      val sq = (1 to 7).map(i => s"(q_vec[$i]-c_vec[$i])*(q_vec[$i]-c_vec[$i])")
+        .mkString(" + ")
+      s"""WITH sk AS (
+         |$sketchSql
+         |),
+         |q AS (SELECT col_name AS q_col, col_type, vec AS q_vec FROM sk
+         |      WHERE dataset_id = 'customer'),
+         |c AS (SELECT dataset_id AS c_dataset, col_name AS c_col, col_type,
+         |        vec AS c_vec FROM sk),
+         |d AS (SELECT q_col, c_dataset, c_col, c.col_type,
+         |        round(sqrt($sq),6) AS dist
+         |      FROM c JOIN q USING (col_type)),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY q_col
+         |        ORDER BY dist ASC, c_dataset ASC, c_col ASC) AS rank FROM d),
+         |rm AS (SELECT * FROM r WHERE rank <= 100),
+         |nc AS (SELECT q_col, max(rank) AS n_cand FROM rm GROUP BY 1),
+         |kth AS (SELECT rm.q_col, min(dist) AS kth FROM rm JOIN nc USING (q_col)
+         |        WHERE rm.rank >= least(50, nc.n_cand) AND rm.dist > 0 GROUP BY 1),
+         |ranked AS (SELECT rm.q_col, rm.c_dataset,
+         |        coalesce(kth.kth, 1e-12) AS kth
+         |      FROM rm LEFT JOIN kth USING (q_col)
+         |      WHERE rm.c_dataset <> 'customer'),
+         |cids AS (SELECT DISTINCT c_dataset FROM ranked),
+         |kq AS (SELECT DISTINCT q_col, kth FROM ranked),
+         |edges AS (SELECT q.q_col, c.c_dataset, c.c_col, c.col_type,
+         |        round(sqrt($sq),6) AS dist
+         |      FROM c JOIN cids USING (c_dataset) JOIN q USING (col_type))
+         |SELECT e.q_col, e.c_dataset, e.c_col, e.col_type, e.dist, kq.kth,
+         |  round(exp(-0.01 * e.dist / kq.kth),6) AS sim
+         |FROM edges e JOIN kq USING (q_col)""".stripMargin
     }
 
     val bm25Sql: String = {
