@@ -118,11 +118,12 @@ object TextStats {
   def lmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     // persisted for the same reason as TermStats.tfidfKnn: the TF table
     // feeds the vocabulary, the model join and the per-doc aggregate, and
-    // column pruning blocks exchange reuse between those branches
-    val tf = df.select(col(idCol).as("doc_id"),
-        explode(toks(col(textCol))).as("term"))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      .persist()
+    // column pruning blocks exchange reuse between those branches.
+    // Caching-registered: the query driver releases it post-action.
+    val tf = graft.Caching.temp(
+      df.select(col(idCol).as("doc_id"),
+          explode(toks(col(textCol))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
     val vocab = tf.groupBy("term").agg(sum("tf").as("cnt"))
     val totals = vocab.agg(sum("cnt").as("n_total"),
       count(lit(1)).as("v_size"))

@@ -66,16 +66,17 @@ object TermStats {
     // unpersisted plan re-scans and re-tokenizes the corpus once per branch
     // (24 scans measured). Persist both: the corpus is tokenized exactly
     // once; in production the TF table is materialized corpus metadata
-    // anyway (like the sketch index).
-    val tf = termFreqs(tokens(df, docIdCol, textCol)).persist()
+    // anyway (like the sketch index). Registered with graft.Caching so the
+    // caller can release the pins once the query's action completes.
+    val tf = graft.Caching.temp(termFreqs(tokens(df, docIdCol, textCol)))
     val nDf = tf.agg(countDistinct("doc_id").as("n_docs"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val wts = tf.join(broadcast(dfreq), "term").crossJoin(broadcast(nDf))
-      .filter(col("df") <= col("n_docs") * maxDfFrac)
-      .withColumn("w", col("tf").cast("double")
-        * log(col("n_docs").cast("double") / col("df")))
-      .select("doc_id", "term", "w")
-      .persist()
+    val wts = graft.Caching.temp(
+      tf.join(broadcast(dfreq), "term").crossJoin(broadcast(nDf))
+        .filter(col("df") <= col("n_docs") * maxDfFrac)
+        .withColumn("w", col("tf").cast("double")
+          * log(col("n_docs").cast("double") / col("df")))
+        .select("doc_id", "term", "w"))
     val norms = wts.groupBy("doc_id").agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
     val q = wts.filter(col("doc_id").isin(queryIds: _*))
       .select(col("doc_id").as("q_id"), col("term"), col("w").as("qw"))

@@ -28,8 +28,10 @@ object Bm25 {
     // persist tf: every corpus statistic (dl, avgdl, df) branches off it, and
     // without the pin Spark recomputes the tokenize+aggregate per branch —
     // 4 scans of the corpus instead of one (the cache manager dedupes
-    // identical plans across calls, so repeated searches share one entry)
-    val tf = TermStats.termFreqs(TermStats.tokens(docs, docIdCol, textCol)).persist()
+    // identical plans across calls, so repeated searches share one entry).
+    // Caching-registered: the query driver releases it post-action.
+    val tf = graft.Caching.temp(
+      TermStats.termFreqs(TermStats.tokens(docs, docIdCol, textCol)))
     val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
     val corpus = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
     val qtf = tf.filter(col("term").isin(queryTerms: _*))
@@ -91,8 +93,8 @@ object Bm25 {
       .select(col("doc_id"), col("field"), explode(split(col("text"), " ")).as("term"))
       .filter(col("term") =!= "")
     // pinned for the same reason as in scores(): 4 stat branches, 1 tokenize
-    val tf = toks.groupBy("doc_id", "field", "term").agg(count(lit(1)).as("tf"))
-      .persist()
+    val tf = graft.Caching.temp(
+      toks.groupBy("doc_id", "field", "term").agg(count(lit(1)).as("tf")))
     val dl = tf.groupBy("doc_id", "field").agg(sum("tf").as("dl"))
     val corpus = dl.groupBy("field")
       .agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
