@@ -28,6 +28,9 @@ object Bench {
       search.Sketches.train(spark, sfDir)
       search.CombinedScorer.datasetMetadata(spark, sfDir).count()
     }
+    // build-time ephemeral pins only — the sketch/metadata index caches are
+    // owned by Sketches/CombinedScorer, not the registry, and survive this.
+    Caching.release()
     // noop sink: forces full materialization of every column (count() would
     // let Catalyst prune per-row work like hashes and scores).
     // Two runs per query, best kept: this microVM has heavy co-tenant noise
@@ -37,7 +40,12 @@ object Bench {
     val runsPerQuery = 2
     val results = (train +: SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to runsPerQuery).map { _ =>
-        timed(name)(fn(spark, sfDir).write.mode("overwrite").format("noop").save())._2
+        val t = timed(name)(fn(spark, sfDir).write.mode("overwrite").format("noop").save())._2
+        // drop this query's ephemeral pins (TF tables etc.) before the next
+        // run: min-of-2 then measures the steady per-query cost a service
+        // pays, not a leaked-cache warm path that grows without bound.
+        Caching.release()
+        t
       }
       name -> times.min
     }).toMap

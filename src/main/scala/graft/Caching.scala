@@ -1,7 +1,6 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
-import java.util.concurrent.ConcurrentLinkedQueue
 
 /** Lifecycle owner for per-query ephemeral caches.
   *
@@ -12,31 +11,41 @@ import java.util.concurrent.ConcurrentLinkedQueue
   * never unpersists them accumulates cached RDDs for its whole lifetime.
   *
   * Operators register such pins here via [[temp]]; the driver of a batch of
-  * queries (graft.Bench, graft.Verify, or user code) calls [[release]] once
-  * the query's action has completed. Releasing is always safe — an
-  * unpersisted frame silently recomputes if referenced again. Long-lived
-  * index caches (the sketch table in [[graft.search.Sketches]]) deliberately
-  * do NOT go through this registry: their lifecycle is the service's.
+  * queries (graft.Bench and graft.Verify both do, after every query action)
+  * calls [[release]] once the action has completed. Releasing is always
+  * safe — an unpersisted frame silently recomputes if referenced again.
+  *
+  * The registry is THREAD-scoped: plans are built on the thread that drives
+  * the query, so a per-thread queue means one driver's release() never
+  * unpersists another concurrent query's in-flight pins. A pin taken on a
+  * thread that never releases stays until that caller unpersists it — same
+  * contract as a bare persist().
+  *
+  * Long-lived index caches (the sketch table in [[graft.search.Sketches]])
+  * deliberately do NOT go through this registry: their lifecycle is the
+  * service's.
   */
 object Caching {
-  private val live = new ConcurrentLinkedQueue[DataFrame]()
+  private val live = new ThreadLocal[java.util.ArrayDeque[DataFrame]] {
+    override def initialValue() = new java.util.ArrayDeque[DataFrame]()
+  }
 
-  /** Persist `df` and register it for the next [[release]]. */
+  /** Persist `df` and register it for this thread's next [[release]]. */
   def temp(df: DataFrame): DataFrame = {
     val p = df.persist()
-    live.add(p)
+    live.get().add(p)
     p
   }
 
-  /** Unpersist every registered frame (non-blocking). Call after the
-    * query's action completes; callers that never call this own the cache
-    * lifecycle themselves.
+  /** Unpersist every frame registered on THIS thread (non-blocking). Call
+    * after the query's action completes.
     */
   def release(): Unit = {
-    var d = live.poll()
+    val q = live.get()
+    var d = q.poll()
     while (d != null) {
       d.unpersist(blocking = false)
-      d = live.poll()
+      d = q.poll()
     }
   }
 }

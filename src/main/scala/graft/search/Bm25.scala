@@ -27,9 +27,11 @@ object Bm25 {
              queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     // persist tf: every corpus statistic (dl, avgdl, df) branches off it, and
     // without the pin Spark recomputes the tokenize+aggregate per branch —
-    // 4 scans of the corpus instead of one (the cache manager dedupes
-    // identical plans across calls, so repeated searches share one entry).
-    // Caching-registered: the query driver releases it post-action.
+    // 4 scans of the corpus instead of one. Caching-registered, so the query
+    // driver releases it post-action: each search re-tokenizes the corpus
+    // once, the steady per-query cost. A service wanting cross-search reuse
+    // should maintain the TF table as a long-lived index (like Sketches),
+    // not lean on this pin.
     val tf = graft.Caching.temp(
       TermStats.termFreqs(TermStats.tokens(docs, docIdCol, textCol)))
     val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
