@@ -40,14 +40,19 @@ case class EuclideanDistance(left: Expression, right: Expression)
   }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName for EVERY local: two instances of this expression can land
+      // in one generated function scope (janino rejects the redefinition and
+      // Spark silently falls back to interpreted projection — 10-30x slower)
+      val n = ctx.freshName("n"); val s = ctx.freshName("s")
+      val i = ctx.freshName("i"); val d = ctx.freshName("d")
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double s = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  double d = $a.getDouble(i) - $b.getDouble(i);
-         |  s += d * d;
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = $a.getDouble($i) - $b.getDouble($i);
+         |  $s += $d * $d;
          |}
-         |${ev.value} = java.lang.Math.sqrt(s);
+         |${ev.value} = java.lang.Math.sqrt($s);
        """.stripMargin
     })
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
@@ -71,16 +76,21 @@ case class CosineSimilarity(left: Expression, right: Expression)
   }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName for every local — see EuclideanDistance.doGenCode
+      val n = ctx.freshName("n"); val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i")
+      val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double dot = 0.0, na = 0.0, nb = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  double xv = $a.getDouble(i);
-         |  double yv = $b.getDouble(i);
-         |  dot += xv * yv; na += xv * xv; nb += yv * yv;
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xv = $a.getDouble($i);
+         |  double $yv = $b.getDouble($i);
+         |  $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
          |}
-         |${ev.value} = (na == 0.0 || nb == 0.0)
-         |  ? 0.0 : dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb));
+         |${ev.value} = ($na == 0.0 || $nb == 0.0)
+         |  ? 0.0 : $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
        """.stripMargin
     })
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
@@ -109,13 +119,16 @@ case class Int8DotProduct(left: Expression, right: Expression)
   }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName for every local — see EuclideanDistance.doGenCode
+      val n = ctx.freshName("n"); val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |long s = 0L;
-         |for (int i = 0; i < n; i++) {
-         |  s += (long) $a.getInt(i) * (long) $b.getInt(i);
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += (long) $a.getInt($i) * (long) $b.getInt($i);
          |}
-         |${ev.value} = s;
+         |${ev.value} = $s;
        """.stripMargin
     })
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
@@ -144,13 +157,17 @@ case class HammingDistance(left: Expression, right: Expression)
   }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName for every local — see EuclideanDistance.doGenCode
+      val xb = ctx.freshName("xb"); val yb = ctx.freshName("yb")
+      val n = ctx.freshName("n"); val d = ctx.freshName("d")
+      val i = ctx.freshName("i")
       s"""
-         |byte[] xb = $a.getBytes();
-         |byte[] yb = $b.getBytes();
-         |int n = java.lang.Math.min(xb.length, yb.length);
-         |int d = 0;
-         |for (int i = 0; i < n; i++) { if (xb[i] != yb[i]) d++; }
-         |${ev.value} = d;
+         |byte[] $xb = $a.getBytes();
+         |byte[] $yb = $b.getBytes();
+         |int $n = java.lang.Math.min($xb.length, $yb.length);
+         |int $d = 0;
+         |for (int $i = 0; $i < $n; $i++) { if ($xb[$i] != $yb[$i]) $d++; }
+         |${ev.value} = $d;
        """.stripMargin
     })
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =

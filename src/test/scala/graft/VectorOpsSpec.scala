@@ -33,6 +33,40 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(got(0).isNullAt(0))
   }
 
+  test("two instances of each expression codegen in ONE projection") {
+    // Regression: generated locals must be ctx.freshName'd — two instances of
+    // the same expression in one codegen scope otherwise trip janino's
+    // "Redefinition of local variable" and the whole projection silently runs
+    // interpreted (observed as random 10-30x query spikes in bench).
+    // CODEGEN_ONLY + fallback=false turn that silent fallback into a failure.
+    val conf = spark.conf
+    val oldMode = conf.getOption("spark.sql.codegen.factoryMode")
+    val oldFb = conf.getOption("spark.sql.codegen.fallback")
+    conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val df = Seq((Seq(0.0, 0.0), Seq(3.0, 4.0), Seq(1, 2), Seq(3, 4), "0101", "0110"))
+        .toDF("a", "b", "qa", "qb", "f1", "f2")
+      val row = df.select(
+        VectorOps.euclid(col("a"), col("b")).as("e1"),
+        VectorOps.euclid(col("b"), col("a")).as("e2"),
+        VectorOps.cosine(col("a"), col("b")).as("c1"),
+        VectorOps.cosine(col("b"), col("b")).as("c2"),
+        VectorOps.int8Dot(col("qa"), col("qb")).as("d1"),
+        VectorOps.int8Dot(col("qb"), col("qb")).as("d2"),
+        VectorOps.hamming(col("f1"), col("f2")).as("h1"),
+        VectorOps.hamming(col("f1"), col("f1")).as("h2")
+      ).collect()(0)
+      assert(row.getDouble(0) == 5.0 && row.getDouble(1) == 5.0)
+      assert(row.getDouble(2) == 0.0 && math.abs(row.getDouble(3) - 1.0) < 1e-12)
+      assert(row.getLong(4) == 11L && row.getLong(5) == 25L)
+      assert(row.getInt(6) == 2 && row.getInt(7) == 0)
+    } finally {
+      oldMode.fold(conf.unset("spark.sql.codegen.factoryMode"))(v => conf.set("spark.sql.codegen.factoryMode", v))
+      oldFb.fold(conf.unset("spark.sql.codegen.fallback"))(v => conf.set("spark.sql.codegen.fallback", v))
+    }
+  }
+
   test("codegen and interpreted agree") {
     val df = (1 to 100).map(i =>
       (Seq.tabulate(7)(j => i * 0.1 + j), Seq.tabulate(7)(j => j * 0.5 - i * 0.01)))
