@@ -1,6 +1,6 @@
 package graft
 
-import graft.extra.{CorpusOps, Dedup, EmbeddingKnn, TextStats}
+import graft.extra.{CardSketch, CorpusOps, Dedup, EmbeddingKnn, TextStats}
 import graft.ingest.{Embedder, Profiler, TermStats}
 import graft.search.{Bm25, CombinedScorer, DistanceJoin, Matcher, Sketches}
 import graft.streaming.EventWindows
@@ -125,6 +125,28 @@ object SparkEntry {
       Profiler.typeHistogram(Tables.sketchTables.map(t => (t, T(s, d, t))))
         .toDF("dataset_id", "col_type", "n_cols")
     }),
+
+    // ---- cardinality / frequency sketches (lake-scale profiling path) ----
+    // one scan per table; the four columns ride two value streams
+    "hll_distinct" -> ((s, d) =>
+      CardSketch.hllDistinct(
+        CardSketch.valueStream(T(s, d, "orders"), Seq("o_custkey"))
+          .unionAll(CardSketch.valueStream(T(s, d, "lineitem"),
+            Seq("l_partkey", "l_orderkey")))
+          .unionAll(CardSketch.valueStream(T(s, d, "customer"), Seq("c_custkey"))))),
+
+    "heavy_hitters" -> ((s, d) =>
+      CardSketch.heavyHitters(
+        TermStats.tokens(T(s, d, "documents"), "doc_id", "text"), 20)),
+
+    // ---- pivot (wide conditional aggregation; §2.12 SQL surface) ----
+    "q_pivot" -> ((s, d) =>
+      T(s, d, "orders").withColumn("yr", year(col("o_orderdate")).cast("long"))
+        .groupBy("yr")
+        .pivot("o_orderpriority", Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+          "4-NOT SPECIFIED", "5-LOW"))
+        .agg(round(sum("o_totalprice"), 2))
+        .toDF("yr", "p1_urgent", "p2_high", "p3_medium", "p4_notspec", "p5_low")),
 
     // ---- term stats (danae A5-A7) ----
     "tf_topk_docs" -> ((s, d) =>
@@ -418,6 +440,18 @@ object SparkEntry {
         |FROM part""".stripMargin,
 
     "type_histogram" -> O.typeHistogramSql,
+
+    "hll_distinct" -> O.hllDistinctSql,
+    "heavy_hitters" -> O.heavyHittersSql,
+
+    "q_pivot" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+        | round(sum(CASE WHEN o_orderpriority='1-URGENT' THEN o_totalprice END),2) AS p1_urgent,
+        | round(sum(CASE WHEN o_orderpriority='2-HIGH' THEN o_totalprice END),2) AS p2_high,
+        | round(sum(CASE WHEN o_orderpriority='3-MEDIUM' THEN o_totalprice END),2) AS p3_medium,
+        | round(sum(CASE WHEN o_orderpriority='4-NOT SPECIFIED' THEN o_totalprice END),2) AS p4_notspec,
+        | round(sum(CASE WHEN o_orderpriority='5-LOW' THEN o_totalprice END),2) AS p5_low
+        |FROM orders GROUP BY 1""".stripMargin,
 
     "tf_topk_docs" ->
       """WITH toks AS (
@@ -824,6 +858,56 @@ object SparkEntry {
         .sortBy(r => (r._1, r._2))
         .map { case (t, ty, n) => s"('$t', '$ty', CAST($n AS BIGINT))" }
       s"SELECT * FROM (VALUES ${rows.mkString(", ")}) AS v(dataset_id, col_type, n_cols)"
+    }
+
+    /** DuckDB twin of CardSketch.hllDistinct: identical md5 hash, bucket and
+      * rank integer arithmetic; the harmonic sum is dyadic (powers of two)
+      * so the double math is exact and order-independent on both engines.
+      */
+    val hllDistinctSql: String = {
+      val w = CardSketch.HllW; val m = CardSketch.HllM
+      val two_w = 1L << w
+      val alphaM2 = CardSketch.HllAlpha * m.toDouble * m
+      val streams = Seq(
+        ("o_custkey", "orders"), ("l_partkey", "lineitem"),
+        ("l_orderkey", "lineitem"), ("c_custkey", "customer")).map { case (c, t) =>
+        s"SELECT '$c' AS col_name, CAST($c AS VARCHAR) AS v FROM $t WHERE $c IS NOT NULL"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH vals AS ($streams),
+         |h AS (SELECT col_name, ('0x'||substring(md5('hll:'||v),1,8))::BIGINT AS h FROM vals),
+         |b AS (SELECT col_name, h // $two_w AS bucket, h % $two_w AS rest FROM h),
+         |r AS (SELECT col_name, bucket,
+         |   CASE WHEN rest > 0 THEN $w - length(bin(rest)) + 1 ELSE ${w + 1} END AS rank FROM b),
+         |mb AS (SELECT col_name, bucket, max(rank) AS max_rank FROM r GROUP BY 1,2),
+         |e AS (SELECT col_name, sum(power(2.0, -max_rank)) AS s, count(*) AS present
+         |  FROM mb GROUP BY 1),
+         |x AS (SELECT col_name, round($alphaM2 / (s + ($m - present)), 2) AS approx_distinct FROM e),
+         |d AS (SELECT col_name, count(DISTINCT v) AS exact_distinct FROM vals GROUP BY 1)
+         |SELECT x.col_name, approx_distinct, exact_distinct FROM x JOIN d USING (col_name)""".stripMargin
+    }
+
+    /** DuckDB twin of CardSketch.heavyHitters (count-min sketch): same
+      * md5-derived per-row buckets, integer cell counts, min-over-rows
+      * estimate for every distinct term, deterministic top-k.
+      */
+    val heavyHittersSql: String = {
+      val d = CardSketch.CmsDepth; val wd = CardSketch.CmsWidth
+      s"""WITH t AS (SELECT term FROM (
+         |    SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents) z
+         |  WHERE term <> ''),
+         |js AS (SELECT unnest(range($d)) AS j),
+         |pe AS (SELECT term, j,
+         |    ('0x'||substring(md5('cm:'||j||':'||term),1,8))::BIGINT % $wd AS bucket
+         |  FROM t CROSS JOIN js),
+         |cells AS (SELECT j, bucket, count(*) AS cnt FROM pe GROUP BY 1,2),
+         |tc AS (SELECT term, count(*) AS true_count FROM t GROUP BY 1),
+         |probes AS (SELECT term, j,
+         |    ('0x'||substring(md5('cm:'||j||':'||term),1,8))::BIGINT % $wd AS bucket
+         |  FROM tc CROSS JOIN js),
+         |est AS (SELECT term, min(cnt) AS est_count
+         |  FROM probes JOIN cells USING (j, bucket) GROUP BY 1)
+         |SELECT est.term, est_count, true_count FROM est JOIN tc USING (term)
+         |ORDER BY est_count DESC, term ASC LIMIT 20""".stripMargin
     }
 
     val sketchSql: String = tables.flatMap { case (t, _, nums, temps) =>

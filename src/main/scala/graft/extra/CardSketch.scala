@@ -1,0 +1,131 @@
+package graft.extra
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Cardinality / frequency sketches for lake-scale profiling — the two
+  * one-pass summaries a 100 TB profiling job needs beside quantiles:
+  * HyperLogLog distinct counts and count-min frequency estimates.
+  *
+  * Both use md5-derived hashes (the repo-wide trick from Dedup's MinHash
+  * perms and DistanceJoin.rUnit) instead of engine-seeded RNG, so the whole
+  * pipeline is deterministic integer/dyadic arithmetic that any engine with
+  * md5 reproduces bit for bit — which is what makes the DuckDB oracles for
+  * `hll_distinct` and `heavy_hitters` exact, not tolerance-based.
+  *
+  * Scale shape:
+  *  - HLL: one scan; map-side partial max per (col, bucket) means the
+  *    shuffle carries at most m=2^b rows per column per partition — constant
+  *    per column regardless of input size. (Spark's built-in
+  *    `approx_count_distinct` is the production shortcut; this version is
+  *    engine-reproducible, same algorithm.)
+  *  - CMS: one scan; map-side partial counts per (row, bucket) — the sketch
+  *    is depth×width cells total, broadcastable; estimates for a probe set
+  *    are a broadcast join, never a shuffle of the corpus.
+  *
+  * Reference alignment: danae profiles n_distinct exactly (profiler.py via
+  * pandas nunique); exact countDistinct is what `profile_numeric_stats`
+  * already does. These sketches are the scale path for the same statistics.
+  */
+object CardSketch {
+
+  /** 32-bit uniform hash of a string column, salted: first 8 md5 hex chars.
+    * DuckDB twin: ('0x' || substring(md5(salt || v), 1, 8))::BIGINT.
+    */
+  private def hash32(salt: String, v: Column): Column =
+    conv(substring(md5(concat(lit(salt), v)), 1, 8), 16, 10).cast("long")
+
+  // ---------------------------------------------------------------- HLL --
+
+  /** HLL bucket-count exponent: m = 2^b buckets, w = 32-b remainder bits. */
+  val HllB = 6
+  val HllM: Int = 1 << HllB            // 64 buckets
+  val HllW: Int = 32 - HllB            // 26 remainder bits
+  /** Standard bias constant alpha_m = 0.7213 / (1 + 1.079/m). Computed once
+    * in Scala and injected verbatim into the oracle SQL so both engines
+    * multiply the identical double.
+    */
+  val HllAlpha: Double = 0.7213 / (1.0 + 1.079 / HllM)
+
+  /** (col_name, v) value stream for a subset of a table's columns — one scan
+    * covering all requested columns (explode, not per-column union).
+    */
+  def valueStream(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.select(explode(array(cols.map(c =>
+        struct(lit(c).as("col_name"), col(c).cast("string").as("v"))): _*)).as("e"))
+      .select(col("e.col_name").as("col_name"), col("e.v").as("v"))
+      .filter(col("v").isNotNull)
+
+  /** Per-column HLL distinct estimate over a (col_name, v) stream, with the
+    * exact count alongside as the accuracy audit (drop it at real scale —
+    * the exact count is the expensive thing the sketch replaces).
+    *
+    * rank arithmetic: h is 32-bit; bucket = top b bits; rest = low w bits;
+    * rank = (leading zeros of rest within w bits) + 1 = w - bitlength + 1,
+    * or w+1 when rest = 0. bitlength via length(bin(rest)) — both engines
+    * print minimal-width binary. The harmonic sum Σ 2^-maxrank is dyadic
+    * (every term a power of two, ranks ≤ w+1), so double summation is EXACT
+    * and order-independent — no float drift between engines. No small-range
+    * correction: that branch needs ln() (libm-dependent cross-engine) and
+    * only matters when n ≲ 2.5m, where the exact count is cheap anyway.
+    */
+  def hllDistinct(values: DataFrame): DataFrame = {
+    val h = hash32("hll:", col("v"))
+    val withBucket = values
+      .withColumn("h", h)
+      .withColumn("bucket", (col("h") / lit(1L << HllW)).cast("long"))
+      .withColumn("rest", col("h") % lit(1L << HllW))
+      .withColumn("rank",
+        when(col("rest") > 0, lit(HllW) - length(bin(col("rest"))) + 1)
+          .otherwise(lit(HllW + 1)))
+    val perBucket = withBucket.groupBy("col_name", "bucket")
+      .agg(max("rank").as("max_rank"))
+    val est = perBucket.groupBy("col_name")
+      .agg(sum(pow(lit(2.0), -col("max_rank"))).as("s"),
+        count(lit(1)).as("present"))
+      .select(col("col_name"),
+        round(lit(HllAlpha * HllM.toDouble * HllM) /
+          (col("s") + (lit(HllM) - col("present"))), 2).as("approx_distinct"))
+    val exact = values.groupBy("col_name")
+      .agg(countDistinct("v").as("exact_distinct"))
+    est.join(exact, "col_name")
+  }
+
+  // ---------------------------------------------------------------- CMS --
+
+  val CmsDepth = 3
+  val CmsWidth = 64
+
+  /** Count-min sketch cells over a (term) token stream: depth hash rows,
+    * bucket_j(term) = hash32("cm:j:", term) % width, cell value = number of
+    * token occurrences hashing there. Returns (j, bucket, cnt).
+    */
+  def cmsCells(tokens: DataFrame, termCol: String = "term"): DataFrame =
+    tokens.select(explode(array((0 until CmsDepth).map(j =>
+        struct(lit(j).as("j"),
+          (hash32(s"cm:$j:", col(termCol)) % CmsWidth).as("bucket"))): _*)).as("e"))
+      .groupBy(col("e.j").as("j"), col("e.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Top-k heavy hitters by CMS estimate over a token stream, with true
+    * counts as the audit column. est = min over the depth rows of the cell
+    * count — the classic CMS upper bound (est >= true always; equality when
+    * no collision). The probe set is the distinct terms; at lake scale the
+    * sketch (depth×width cells) broadcasts and the probe join is map-side.
+    */
+  def heavyHitters(tokens: DataFrame, k: Int = 20,
+                   termCol: String = "term"): DataFrame = {
+    val cells = cmsCells(tokens, termCol)
+    val trueCounts = tokens.groupBy(termCol).agg(count(lit(1)).as("true_count"))
+    val probes = trueCounts.select(col(termCol), explode(array(
+        (0 until CmsDepth).map(j =>
+          struct(lit(j).as("j"),
+            (hash32(s"cm:$j:", col(termCol)) % CmsWidth).as("bucket"))): _*)).as("e"))
+      .select(col(termCol), col("e.j").as("j"), col("e.bucket").as("bucket"))
+    val est = probes.join(broadcast(cells), Seq("j", "bucket"))
+      .groupBy(termCol).agg(min("cnt").as("est_count"))
+    est.join(trueCounts, termCol)
+      .orderBy(col("est_count").desc, col(termCol).asc)
+      .limit(k)
+  }
+}
