@@ -188,14 +188,19 @@ object SparkEntry {
           col("dist"), col("kth"), col("sim"))
     }),
 
+    // Exact micro-weight matching → oracle-checkable: the max-weight total is
+    // a unique integer, so DuckDB reaches the identical score by enumerating
+    // injective assignments (customer has only 5 sketchable columns). The
+    // matching PAYLOAD stays out of the registered output — maximum matchings
+    // are not unique under ties, only their total is (SearchSpec covers the
+    // payload).
     "content_scores" -> ((s, d) => {
       val sk = Sketches.cachedAll(s, d)
       val ranked = DistanceJoin.knn(sk, "customer", 100, 50)
       val edges = DistanceJoin.candidateEdges(sk, "customer", ranked)
       val nQ = sk.filter(col("dataset_id") === "customer").count()
-      Matcher.contentScores(DistanceJoin.weighted(edges, totalQueryCols = Some(nQ)))
-        .select(col("c_dataset"), col("content_score"),
-          size(col("matching")).cast("long").as("n_matched"))
+      Matcher.contentScoresExact(edges, nQ)
+        .select(col("c_dataset"), col("content_score"))
     }),
 
     "bm25_docs" -> ((s, d) =>
@@ -485,6 +490,8 @@ object SparkEntry {
     "sketch_knn" -> O.sketchKnnSql,
     "sketch_knn_lsh" -> O.sketchKnnLshSql,
     "content_edges" -> O.contentEdgesSql,
+    "content_scores" -> O.contentScoresSql,
+    "similarity_search" -> O.similaritySearchSql,
 
     "bm25_docs" -> O.bm25Sql,
 
@@ -1030,6 +1037,166 @@ object SparkEntry {
          |  round(exp(-0.01 * e.dist / kq.kth),6) AS sim
          |FROM edges e JOIN kq USING (q_col)""".stripMargin
     }
+
+    /** Categorical columns per sketch table — everything that is neither
+      * numeric nor temporal, mirroring Profiler.typedColumns routing.
+      */
+    private val catCols: Seq[(String, Seq[String])] =
+      tables.filter(t => Tables.sketchTables.contains(t._1)).map { case (t, all, nums, temps) =>
+        t -> all.filterNot(c => nums.contains(c) || temps.contains(c))
+      }.filter(_._2.nonEmpty)
+
+    /** CTE chain reproducing Sketches.categorical bit for bit: space
+      * tokenization of every categorical column, TF top-10 per column
+      * (term-asc tie-break), the md5 term→vec_id mapping of
+      * Embedder.termVectors, per-dimension mean rounded to 6 decimals.
+      * Terminates in `sk_cat (dataset_id, col_name, col_type, vec)`.
+      */
+    private val catSketchCtes: String = {
+      val tokUnion = catCols.flatMap { case (t, cs) => cs.map { c =>
+        s"""SELECT '$t/$c' AS doc_id, unnest(string_split(lower($c), ' ')) AS term FROM $t"""
+      } }.mkString("\n  UNION ALL ")
+      s"""cat_toks AS ($tokUnion),
+         |cat_t2 AS (SELECT doc_id, term FROM cat_toks WHERE term <> ''),
+         |cat_tf AS (SELECT doc_id, term, count(*) AS tf FROM cat_t2 GROUP BY 1,2),
+         |cat_top AS (SELECT doc_id, term FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY tf DESC, term ASC) AS rk FROM cat_tf) z WHERE rk <= 10),
+         |nv AS (SELECT max(vec_id) + 1 AS n FROM embeddings),
+         |tv AS (SELECT doc_id,
+         |    ('0x'||substring(md5('tv:'||term),1,8))::BIGINT % (SELECT n FROM nv) AS vec_id
+         |  FROM cat_top),
+         |dims AS (SELECT unnest(range(1, 65)) AS dim),
+         |pooled AS (SELECT doc_id, dim,
+         |    round(avg(CAST(e.embedding[dim] AS DOUBLE)), 6) AS v
+         |  FROM tv JOIN embeddings e USING (vec_id) CROSS JOIN dims GROUP BY 1, 2),
+         |sk_cat AS (SELECT string_split(doc_id, '/')[1] AS dataset_id,
+         |    string_split(doc_id, '/')[2] AS col_name,
+         |    'Categorical' AS col_type, list(v ORDER BY dim) AS vec
+         |  FROM pooled GROUP BY 1, 2)""".stripMargin
+    }
+
+    /** Width-agnostic squared euclidean over the mixed 7/64-dim sketch lists
+      * (same-type joins always pair equal widths; missing dims coalesce to
+      * 0-0 = 0, so the 64-term chain is exact for 7-dim rows too).
+      */
+    private val sq64: String = (1 to 64).map(i =>
+      s"(coalesce(q_vec[$i],0.0)-coalesce(c_vec[$i],0.0))*(coalesce(q_vec[$i],0.0)-coalesce(c_vec[$i],0.0))")
+      .mkString(" + ")
+
+    /** Shared CTE chain over the FULL sketch (numeric+temporal ∪
+      * categorical): ranked lists → kth → candidate ids → complete edges with
+      * exp-decay sims, exactly DistanceJoin.knn + candidateEdges over
+      * Sketches.all. `extraCids` optionally unions additional candidate
+      * dataset ids (CombinedScorer.search's metadata hits) into the edge
+      * completion. Terminates in `wm (q_col, c_dataset, c_col, wm)` with
+      * integer micro-weights round(sim*1e6).
+      */
+    private def edgesMicroCtes(extraCids: Option[String]): String = {
+      val cidsExpr = extraCids match {
+        case Some(e) => s"SELECT DISTINCT c_dataset FROM (SELECT c_dataset FROM ranked UNION ALL $e) u"
+        case None    => "SELECT DISTINCT c_dataset FROM ranked"
+      }
+      s"""sk_nt AS (
+         |$sketchSql
+         |),
+         |$catSketchCtes,
+         |sk AS (SELECT * FROM sk_nt UNION ALL SELECT * FROM sk_cat),
+         |q AS (SELECT col_name AS q_col, col_type, vec AS q_vec FROM sk
+         |      WHERE dataset_id = 'customer'),
+         |c AS (SELECT dataset_id AS c_dataset, col_name AS c_col, col_type,
+         |        vec AS c_vec FROM sk),
+         |d AS (SELECT q_col, c_dataset, c_col, c.col_type,
+         |        round(sqrt($sq64),6) AS dist
+         |      FROM c JOIN q USING (col_type)),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY q_col
+         |        ORDER BY dist ASC, c_dataset ASC, c_col ASC) AS rank FROM d),
+         |rm AS (SELECT * FROM r WHERE rank <= 100),
+         |nc AS (SELECT q_col, max(rank) AS n_cand FROM rm GROUP BY 1),
+         |kth AS (SELECT rm.q_col, min(dist) AS kth FROM rm JOIN nc USING (q_col)
+         |        WHERE rm.rank >= least(50, nc.n_cand) AND rm.dist > 0 GROUP BY 1),
+         |ranked AS (SELECT rm.q_col, rm.c_dataset,
+         |        coalesce(kth.kth, 1e-12) AS kth
+         |      FROM rm LEFT JOIN kth USING (q_col)
+         |      WHERE rm.c_dataset <> 'customer'),
+         |cids AS ($cidsExpr),
+         |kq AS (SELECT DISTINCT q_col, kth FROM ranked),
+         |edges AS (SELECT q.q_col, c.c_dataset, c.c_col,
+         |        round(sqrt($sq64),6) AS dist
+         |      FROM c JOIN cids USING (c_dataset) JOIN q USING (col_type)),
+         |wm AS (SELECT e.q_col, e.c_dataset, e.c_col,
+         |    CAST(round(round(exp(-0.01 * e.dist / kq.kth),6) * 1000000) AS BIGINT) AS wm
+         |  FROM edges e JOIN kq USING (q_col))""".stripMargin
+    }
+
+    /** Max-weight bipartite matching per candidate by EXHAUSTIVE injective
+      * assignment enumeration — exact because the query side is tiny (the 5
+      * sketchable customer columns): each query column independently picks a
+      * same-type candidate column or NULL, pairwise-distinct picks, max total
+      * micro-weight. The maximum TOTAL is unique (integer weights) even when
+      * the maximizing matching is not — which is why content_scores exposes
+      * the score and not the matching. Terminates in `best (c_dataset, t)`
+      * plus `nq (n)`.
+      */
+    private val matchingCtes: String = {
+      val cust = tables.find(_._1 == "customer").get
+      val qcols = (cust._3 ++ cust._4 ++
+        cust._2.filterNot(c => cust._3.contains(c) || cust._4.contains(c))).sorted
+      val opts = qcols.zipWithIndex.map { case (qc, i) =>
+        s"""o$i AS (SELECT c_dataset, c_col, wm FROM wm WHERE q_col = '$qc'
+           |  UNION ALL SELECT c_dataset, CAST(NULL AS VARCHAR), CAST(0 AS BIGINT) FROM cids)""".stripMargin
+      }
+      val joins = (1 until qcols.size).map(i => s"JOIN o$i USING (c_dataset)").mkString("\n    ")
+      val pairs = for { i <- qcols.indices; j <- qcols.indices if i < j } yield
+        s"(o$i.c_col IS NULL OR o$j.c_col IS NULL OR o$i.c_col <> o$j.c_col)"
+      val total = qcols.indices.map(i => s"o$i.wm").mkString(" + ")
+      s"""${opts.mkString(",\n")},
+         |asg AS (SELECT o0.c_dataset, $total AS total
+         |  FROM o0
+         |    $joins
+         |  WHERE ${pairs.mkString("\n    AND ")}),
+         |best AS (SELECT c_dataset, max(total) AS t FROM asg GROUP BY 1),
+         |nq AS (SELECT count(*) AS n FROM sk WHERE dataset_id = 'customer')""".stripMargin
+    }
+
+    /** DuckDB twin of the full content-score pipeline (Sketches.all →
+      * DistanceJoin.knn → candidateEdges → Matcher.contentScoresExact).
+      */
+    lazy val contentScoresSql: String =
+      s"""WITH ${edgesMicroCtes(None)},
+         |$matchingCtes
+         |SELECT best.c_dataset, round(best.t / 1000000.0 / nq.n, 6) AS content_score
+         |FROM best CROSS JOIN nq""".stripMargin
+
+    /** DuckDB twin of CombinedScorer.search: content scores (micro-exact
+      * matching) full-outer-joined with the three-field BM25 metadata scores
+      * (same CTEs as [[bm25MultifieldSql]]), 0-filled, overall =
+      * round(0.5*content + 0.5*metadata, 6), top-15.
+      */
+    lazy val similaritySearchSql: String =
+      s"""WITH meta_corpus AS (SELECT * FROM ${metaValues(Some("customer"))}),
+         |${fieldScoreSql("title", customerTitleTerms, "ti", rounded = false)},
+         |${fieldScoreSql("keywords", customerKeywordTerms, "kw", rounded = false)},
+         |${fieldScoreSql("description", customerDescTerms, "de", rounded = false)},
+         |u AS (SELECT doc_id, s * (1.0/3) AS raw, 'title' AS field FROM ti_score
+         |      UNION ALL SELECT doc_id, s * (1.0/3), 'keywords' FROM kw_score
+         |      UNION ALL SELECT doc_id, s * (1.0/3), 'description' FROM de_score),
+         |j AS (SELECT doc_id, sum(raw) AS raw FROM u GROUP BY 1),
+         |mx AS (SELECT max(raw) AS m FROM j),
+         |meta_scores AS (SELECT doc_id AS c_dataset, round(raw / mx.m, 6) AS metadata_score
+         |  FROM j CROSS JOIN mx),
+         |${edgesMicroCtes(Some("SELECT c_dataset FROM meta_scores"))},
+         |$matchingCtes,
+         |content AS (SELECT best.c_dataset,
+         |    round(best.t / 1000000.0 / nq.n, 6) AS content_score
+         |  FROM best CROSS JOIN nq)
+         |SELECT 'customer' AS query_id, c_dataset,
+         |  coalesce(content.content_score, 0.0) AS content_score,
+         |  coalesce(meta_scores.metadata_score, 0.0) AS metadata_score,
+         |  round(0.5 * coalesce(content.content_score, 0.0)
+         |      + 0.5 * coalesce(meta_scores.metadata_score, 0.0), 6) AS overall_score
+         |FROM content FULL OUTER JOIN meta_scores USING (c_dataset)
+         |ORDER BY overall_score DESC, c_dataset ASC LIMIT 15""".stripMargin
 
     val bm25Sql: String = {
       val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")

@@ -62,13 +62,19 @@ object Embedder {
 
   /** Deterministic term → embedding-row mapping used to stand in for the
     * GloVe table (word_aggregator.py:5-11) with the fixture `embeddings`
-    * table: murmur3 hash of the term modulo table size.
+    * table: md5-derived hash of the term modulo table size. md5 (not
+    * murmur3) so any engine reproduces the mapping bit for bit — the DuckDB
+    * oracle twin of the categorical sketch computes the same vec_id with
+    * `('0x'||substring(md5('tv:'||term),1,8))::BIGINT % n` (same trick as
+    * DistanceJoin.rUnit / Dedup's MinHash perms).
     */
   def termVectors(terms: DataFrame, embeddings: DataFrame, termCol: String): DataFrame = {
     // table size as a broadcast 1-row join — keeps the whole pipeline lazy
     val nDf = embeddings.agg((max("vec_id") + 1).as("n_vecs"))
     terms.crossJoin(broadcast(nDf))
-      .withColumn("vec_id", pmod(hash(col(termCol)), col("n_vecs")).cast("long"))
+      .withColumn("vec_id",
+        (conv(substring(md5(concat(lit("tv:"), col(termCol))), 1, 8), 16, 10)
+          .cast("long") % col("n_vecs")).cast("long"))
       .drop("n_vecs")
       .join(broadcast(embeddings.select(col("vec_id"), col("embedding"))), "vec_id")
   }

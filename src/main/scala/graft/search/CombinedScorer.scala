@@ -95,8 +95,10 @@ object CombinedScorer {
     val edges = DistanceJoin.candidateEdges(sketch, queryId, ranked,
       extraCandidates = Some(metaScores.select("c_dataset")))
     val nQueryCols = sketch.filter(col("dataset_id") === queryId).count()
-    val content = Matcher.contentScores(
-      DistanceJoin.weighted(edges, totalQueryCols = Some(nQueryCols)))
+    // exact micro-weight matching (Matcher.contentScoresExact): argmax on
+    // integer micros, uniform 1/nQueryCols applied after — identical scores
+    // in any engine, which is what lets the DuckDB oracle cover this path
+    val content = Matcher.contentScoresExact(edges, nQueryCols)
     combine(content, metaScores, wContent, wMetadata, k)
       .withColumn("query_id", lit(queryId))
   }

@@ -120,4 +120,26 @@ object Matcher {
       .select(col("c_dataset"), col("m._1").as("content_score"),
         col("m._2").as("matching"))
   }
+
+  /** Content scores with EXACT cross-engine-reproducible arithmetic: the
+    * matching runs on integer micro-weights `round(sim * 1e6)` (sims are
+    * already 6-decimal-rounded, so the micros are exact integers), making the
+    * maximum total unique and free of floating-point tie ambiguity — any
+    * engine that can enumerate assignments (e.g. the DuckDB oracle's
+    * injective-assignment product) lands on the same total. The uniform
+    * weight 1/totalQueryCols is applied AFTER the argmax (a positive scalar
+    * never changes the maximizing matching):
+    * `content_score = round(micro_total / 1e6 / nQ, 6)`.
+    * Matching payload weights are rescaled back to w*sim.
+    */
+  def contentScoresExact(edges: DataFrame, totalQueryCols: Long): DataFrame = {
+    val scored = contentScores(
+      edges.withColumn("w_sim", round(col("sim") * 1e6)))
+    val n = totalQueryCols.toDouble
+    scored.select(
+      col("c_dataset"),
+      round(col("content_score") / 1e6 / n, 6).as("content_score"),
+      expr(s"transform(matching, e -> struct(e._1 AS q_col, e._2 AS c_col, " +
+        s"round(e._3 / 1e6 / $n, 6) AS weight))").as("matching"))
+  }
 }

@@ -68,12 +68,16 @@ object Sketches {
     val topTerms = TermStats.tfTopK(tokens, 10)
     val withVecs = Embedder.termVectors(topTerms, embeddings, "term")
       .withColumn("vec", transform(col("embedding"), _.cast("double")))
+    // pooled components rounded to 6 decimals, exactly like the percentile
+    // sketches: the mean of <=10 doubles is summation-order-dependent in the
+    // last ulp, and rounding both engines' results pins the sketch (and every
+    // distance computed from it) to one shared value
     Embedder.meanPoolVec(withVecs, "doc_id", "vec", dim)
       .select(
         split(col("doc_id"), "/").getItem(0).as("dataset_id"),
         split(col("doc_id"), "/").getItem(1).as("col_name"),
         lit("Categorical").as("col_type"),
-        col("mean_vec").as("vector"))
+        transform(col("mean_vec"), v => round(v, 6)).as("vector"))
   }
 
   /** Spatial bbox sketches for tables with a (long, lat) column pair — the
