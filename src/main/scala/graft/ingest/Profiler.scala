@@ -225,9 +225,13 @@ object Profiler {
       val projected = df.select(cols: _*)
       // only datasets big enough to matter get spread — a blanket
       // repartition turns a union of small tables into hundreds of empty
-      // task launches (Catalyst size estimate; no action triggered)
+      // task launches (Catalyst size estimate; no action triggered).
+      // Threshold 2 MB of COMPRESSED column data: the ×7 explode + histogram
+      // partial agg behind the scan multiplies per-row work well past what
+      // the size estimate sees, so even a single-digit-MB single-row-group
+      // scan serializes seconds of aggregation on one core without spread.
       val bytes = projected.queryExecution.optimizedPlan.stats.sizeInBytes
-      if (bytes < (8L << 20)) projected
+      if (bytes < (2L << 20)) projected
       else projected.repartition(
         df.sparkSession.sessionState.conf.numShufflePartitions)
     }

@@ -58,12 +58,24 @@ object Sketches {
       val df = Tables.load(spark, dir, t)
       val cats = Profiler.typedColumns(df, "Categorical")
       if (cats.isEmpty) None
-      else Some(df
-        .select(explode(array(cats.map(c =>
-          struct(lit(s"$t/$c").as("doc_id"),
-            split(lower(col(c)), " ").as("toks"))): _*)).as("e"))
-        .select(col("e.doc_id").as("doc_id"), explode(col("e.toks")).as("term"))
-        .filter(col("term") =!= ""))
+      else {
+        // single-row-group parquet caps the scan at ONE task, which would
+        // serialize the ×cats explode + tokenize of the biggest tables on a
+        // single core; spread the (categorical-columns-only) projection
+        // first — same trick and threshold as Profiler.spreadSketchCols
+        val projected = df.select(cats.map(col): _*)
+        val bytes = projected.queryExecution.optimizedPlan.stats.sizeInBytes
+        val spread =
+          if (bytes < (2L << 20)) projected
+          else projected.repartition(
+            spark.sessionState.conf.numShufflePartitions)
+        Some(spread
+          .select(explode(array(cats.map(c =>
+            struct(lit(s"$t/$c").as("doc_id"),
+              split(lower(col(c)), " ").as("toks"))): _*)).as("e"))
+          .select(col("e.doc_id").as("doc_id"), explode(col("e.toks")).as("term"))
+          .filter(col("term") =!= ""))
+      }
     }.reduce(_.unionAll(_))
     val topTerms = TermStats.tfTopK(tokens, 10)
     val withVecs = Embedder.termVectors(topTerms, embeddings, "term")
