@@ -350,6 +350,12 @@ object SparkEntry {
       EmbeddingKnn.ivfSeeded(T(s, d, "embeddings"), KnnQueryIds, 5)
         .withColumn("rank", col("rank").cast("long"))),
 
+    // product-quantization ADC scan (8 subspaces × 16 centroids — the
+    // 8-bytes-per-vector memory path)
+    "knn_pq" -> ((s, d) =>
+      EmbeddingKnn.pqKnn(T(s, d, "embeddings"), KnnQueryIds, 5)
+        .withColumn("rank", col("rank").cast("long"))),
+
     // int8-code candidate scoring + exact float rerank (the bandwidth path)
     "knn_int8" -> ((s, d) =>
       EmbeddingKnn.int8Rerank(T(s, d, "embeddings"), KnnQueryIds, 5)
@@ -584,6 +590,7 @@ object SparkEntry {
     "knn_cosine" -> O.knnCosineSql,
     "knn_lsh" -> O.knnLshSql,
     "knn_ivf" -> O.knnIvfSql,
+    "knn_pq" -> O.knnPqSql,
     "knn_int8" -> O.knnInt8Sql,
     "dedup_embedding_lsh" -> O.dedupEmbeddingLshSql,
 
@@ -1510,6 +1517,39 @@ object SparkEntry {
          |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
          |        ORDER BY sim DESC, c_id ASC) AS rank FROM s)
          |SELECT q_id, c_id, sim, rank FROM r WHERE rank <= 5""".stripMargin
+    }
+
+    /** DuckDB twin of EmbeddingKnn.pqKnn: identical md5-ordered codebook
+      * sample, per-subspace argmin codes on integer micro-distances, ADC
+      * totals as exact integer sums.
+      */
+    val knnPqSql: String = {
+      val sq = (1 to 8).map(i => s"(v.svec[$i]-c.cvec[$i])*(v.svec[$i]-c.cvec[$i])")
+        .mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+         |cent AS (SELECT vec_id, vec, row_number() OVER (
+         |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS j
+         |    FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+         |subs AS (SELECT unnest(range(0, 8)) AS sub),
+         |centsub AS (SELECT sub, j, list_slice(vec, sub*8+1, sub*8+8) AS cvec
+         |    FROM cent CROSS JOIN subs),
+         |vecsub AS (SELECT vec_id, sub, list_slice(vec, sub*8+1, sub*8+8) AS svec
+         |    FROM e CROSS JOIN subs),
+         |dists AS (SELECT v.vec_id, v.sub, c.j,
+         |      CAST(round(($sq) * 1000000) AS BIGINT) AS dm
+         |    FROM vecsub v JOIN centsub c USING (sub)),
+         |codes AS (SELECT vec_id AS c_id, sub, j FROM (
+         |      SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+         |        ORDER BY dm ASC, j ASC) AS rn FROM dists) z WHERE rn = 1),
+         |qtab AS (SELECT vec_id AS q_id, sub, j, dm FROM dists
+         |    WHERE vec_id IN ($knnIds)),
+         |adc AS (SELECT q_id, c_id, sum(dm) AS total
+         |    FROM codes JOIN qtab USING (sub, j) GROUP BY 1, 2),
+         |r AS (SELECT q_id, c_id, round(sqrt(total / 1000000.0), 6) AS adist,
+         |      row_number() OVER (PARTITION BY q_id
+         |        ORDER BY total ASC, c_id ASC) AS rank
+         |    FROM adc WHERE c_id <> q_id)
+         |SELECT q_id, c_id, adist, rank FROM r WHERE rank <= 5""".stripMargin
     }
 
     val knnLshSql: String = {

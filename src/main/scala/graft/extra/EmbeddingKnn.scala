@@ -177,4 +177,63 @@ object EmbeddingKnn {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /** Squared euclidean as a left-associated fold — zip_with + aggregate stay
+    * in codegen, and the ascending-index fold order matches an explicit
+    * left-associated SQL term chain, so the value is bit-identical across
+    * engines (which [[pqKnn]]'s oracle relies on).
+    */
+  private def sqDist(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
+
+  /** Product-quantization ANN with an asymmetric-distance (ADC) scan — the
+    * memory path for billion-vector stores (Jégou et al., "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011): each vector is
+    * stored as `m` codebook indices (8 subspaces × 8 dims over the 64-dim
+    * fixture, 16 centroids each → 8 bytes/vector vs 256 for floats). The
+    * codebook is a deterministic md5-ordered row sample (same trick as
+    * [[ivfSeeded]]'s coarse centroids — k-means would sharpen it but costs
+    * determinism), so codes and ranks are engine-reproducible.
+    *
+    * Scan shape: encode is one broadcast join (128 codebook rows) + a
+    * per-(vector, subspace) argmin; the query side precomputes its m×ksub
+    * centroid-distance table (tiny, broadcast); a candidate's approximate
+    * distance is then the SUM OF TABLE LOOKUPS keyed by its codes — no float
+    * vector is touched during the scan. Distances travel as integer micros
+    * (round(d²·1e6)), so the ADC total is exact and summation-order-free.
+    * At 100 TB the codes table is the only thing scanned: 8 bytes/row versus
+    * 256, and the whole pipeline is one broadcast join + one top-k window.
+    */
+  def pqKnn(emb: DataFrame, queryIds: Seq[Long], k: Int = 5,
+            m: Int = 8, subDim: Int = 8, ksub: Int = 16): DataFrame = {
+    val base = emb.select(col("vec_id"), asDouble(col("embedding")).as("vec"))
+    val ord = Seq(md5(col("vec_id").cast("string")).asc, col("vec_id").asc)
+    // j = 1-based codebook index in the same md5 order as the sample
+    val cent = base.orderBy(ord: _*).limit(ksub)
+      .withColumn("j", row_number().over(Window.orderBy(ord: _*)))
+    def subSlices(vc: org.apache.spark.sql.Column) = array((0 until m).map(i =>
+      struct(lit(i).as("sub"), slice(vc, i * subDim + 1, subDim).as("svec"))): _*)
+    val centSub = cent.select(col("j"), explode(subSlices(col("vec"))).as("e"))
+      .select(col("e.sub").as("sub"), col("j"), col("e.svec").as("cvec"))
+    val vecSub = base.select(col("vec_id"), explode(subSlices(col("vec"))).as("e"))
+      .select(col("vec_id"), col("e.sub").as("sub"), col("e.svec").as("svec"))
+    val dists = vecSub.join(broadcast(centSub), "sub")
+      .withColumn("dm", round(sqDist(col("svec"), col("cvec")) * 1e6).cast("long"))
+    val ew = Window.partitionBy("vec_id", "sub").orderBy(col("dm").asc, col("j").asc)
+    val codes = dists
+      .withColumn("rn", row_number().over(ew))
+      .filter(col("rn") === 1)
+      .select(col("vec_id").as("c_id"), col("sub"), col("j"))
+    val qtab = dists.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("q_id"), col("sub"), col("j"), col("dm"))
+    val w = Window.partitionBy("q_id").orderBy(col("total").asc, col("c_id").asc)
+    codes.join(broadcast(qtab), Seq("sub", "j"))
+      .groupBy(col("q_id"), col("c_id"))
+      .agg(sum("dm").as("total"))
+      .filter(col("c_id") =!= col("q_id"))
+      .withColumn("adist", round(sqrt(col("total") / 1e6), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "c_id", "adist", "rank")
+  }
 }

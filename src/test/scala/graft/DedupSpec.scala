@@ -71,6 +71,33 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.4, s"seeded IVF recall@5 too low: $recall")
   }
 
+  test("pqKnn ANN: partitioning-independent codes/ranks, top-1 is a decent neighbor") {
+    import graft.extra.EmbeddingKnn
+    val emb = Tables.load(spark, SparkTestSession.sf0001, "embeddings")
+    val qs = Seq(0L, 1L, 2L, 3L, 4L)
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getInt(3))).toMap
+    val a = asMap(EmbeddingKnn.pqKnn(emb, qs, 5))
+    assert(a.size == qs.size * 5, s"expected full top-5 lists, got ${a.size}")
+    // integer-micro ADC totals make ranks independent of physical layout
+    val b = asMap(EmbeddingKnn.pqKnn(emb.repartition(7), qs, 5))
+    assert(a == b, "PQ ranks must not depend on partitioning")
+    // sanity on approximation quality: the PQ top-1's TRUE distance should
+    // beat the corpus median distance for every query (coarse codebook, so
+    // no exact-recall claim — just "the scan finds genuinely near vectors")
+    val vecs = emb.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def dist(x: Array[Double], y: Array[Double]) =
+      math.sqrt(x.zip(y).map { case (p, q) => (p - q) * (p - q) }.sum)
+    qs.foreach { q =>
+      val top1 = a.collect { case ((`q`, c), (_, 1)) => c }.head
+      val dTop = dist(vecs(q), vecs(top1))
+      val all = vecs.keys.filter(_ != q).map(c => dist(vecs(q), vecs(c))).toSeq.sorted
+      val median = all(all.size / 2)
+      assert(dTop < median, s"PQ top-1 for $q no better than median: $dTop >= $median")
+    }
+  }
+
   test("prefix filter: stopword-heavy corpus has bounded candidates, exact result") {
     // every doc shares the same 6 stopwords; only docs 1/2 are real near-dups
     val stop = "the a an and of to"
