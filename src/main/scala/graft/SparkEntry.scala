@@ -1,6 +1,6 @@
 package graft
 
-import graft.extra.{CardSketch, CorpusOps, Dedup, EmbeddingKnn, TextStats}
+import graft.extra.{CardSketch, CorpusOps, Dedup, EmbeddingKnn, GraphOps, TextStats}
 import graft.ingest.{Embedder, Profiler, TermStats}
 import graft.search.{Bm25, CombinedScorer, DistanceJoin, Matcher, Sketches}
 import graft.streaming.EventWindows
@@ -281,6 +281,15 @@ object SparkEntry {
         Dedup.jaccardPairs(docs, "doc_id", "text", 0.95))
     }),
 
+    // hub ranking of the near-dup candidate graph (integer-exact PageRank —
+    // GraphOps.pagerankNano); clusters GROUP the web, this ORDERS it
+    "doc_pagerank" -> ((s, d) =>
+      GraphOps.pagerankNano(
+        Dedup.minhashLshPairs(T(s, d, "documents").filter(col("doc_id") < DocBound),
+          "doc_id", "text", 0.95).select("id_a", "id_b"),
+        "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("pr"))),
+
     "decontaminate" -> ((s, d) =>
       CorpusOps.decontaminate(T(s, d, "documents"), "doc_id", "text")),
 
@@ -526,6 +535,7 @@ object SparkEntry {
     "dedup_jaccard" -> O.jaccardSql,
     "dedup_shingle" -> O.shingleSql,
     "dedup_minhash" -> O.minhashSql,
+    "doc_pagerank" -> O.docPagerankSql,
     "dedup_simhash" -> O.simhashSql,
     "dedup_clusters" -> O.clustersSql,
     "decontaminate" -> O.decontaminateSql,
@@ -1453,6 +1463,35 @@ object SparkEntry {
          |  round(CAST(inter AS DOUBLE)/(sa.sz + sb.sz - inter),6) AS jac
          |FROM inter JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
          |WHERE CAST(inter AS DOUBLE)/(sa.sz + sb.sz - inter) >= 0.95""".stripMargin
+    }
+
+    /** DuckDB twin of GraphOps.pagerankNano over the minhash near-dup pair
+      * graph: the 10 iterations unroll as CTE pairs (contribution aggregate,
+      * damping step), all in 64-bit integer arithmetic — `//` here and `DIV`
+      * in Spark are the same floor division on positive BIGINTs, so every
+      * iteration matches bit for bit.
+      */
+    lazy val docPagerankSql: String = {
+      val iters = 10
+      val iterCtes = (1 to iters).map { k =>
+        s"""c$k AS (SELECT u.dst AS id, sum(p.pr // d.outdeg) AS acc
+           |  FROM und u JOIN pr${k - 1} p ON p.id = u.src JOIN deg d ON d.id = u.src
+           |  GROUP BY 1),
+           |pr$k AS (SELECT nodes.id,
+           |    CAST((150000000 // n1.n) + (85 * coalesce(c$k.acc, 0)) // 100 AS BIGINT) AS pr
+           |  FROM nodes LEFT JOIN c$k USING (id) CROSS JOIN n1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pairs AS ($minhashSql),
+         |und AS (SELECT DISTINCT src, dst FROM (
+         |    SELECT id_a AS src, id_b AS dst FROM pairs
+         |    UNION ALL SELECT id_b, id_a FROM pairs) z),
+         |nodes AS (SELECT DISTINCT src AS id FROM und),
+         |deg AS (SELECT src AS id, count(*) AS outdeg FROM und GROUP BY 1),
+         |n1 AS (SELECT count(*) AS n FROM nodes),
+         |pr0 AS (SELECT id, CAST(1000000000 // n AS BIGINT) AS pr
+         |  FROM nodes CROSS JOIN n1),
+         |$iterCtes
+         |SELECT id AS doc_id, pr FROM pr$iters""".stripMargin
     }
 
     /** DuckDB twin of Dedup.simhashPairs: the 60-bit fingerprint is built as

@@ -1,0 +1,75 @@
+package graft.extra
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph propagation as plain chained DataFrame plans — the
+  * Spark-native path for graph analytics the reference's dataset graph
+  * (ui/dataset_graph.py) only visualizes: rank the hub nodes of a similarity
+  * graph. Complements the GraphX Pregel connected components in
+  * [[CorpusOps.dedupClusters]]: components CLUSTER a near-dup web, PageRank
+  * ORDERS it (boilerplate/template hubs float to the top — the docs worth
+  * human review in a 100 TB dedup pass).
+  */
+object GraphOps {
+
+  /** PageRank in exact integer arithmetic ("nano" mass units): rank mass is
+    * a BIGINT count of 1e-9 units, the damping step is the integer op
+    * `(150000000 DIV N) + (85 * Σ floor(pr/deg)) DIV 100` (the standard
+    * `(1-d)/N + d·Σ` with d = 0.85), and the per-node aggregation sums
+    * integers — so every iteration is exact, independent of partitioning and
+    * summation order, and reproducible by any engine with 64-bit integer
+    * division (the DuckDB oracle unrolls the same 10 iterations as CTEs).
+    * Floating-point PageRank cannot cross that engine boundary: its per-node
+    * sums are order-dependent in the last ulp.
+    *
+    * Semantics: undirected simple graph from the input pair list (each edge
+    * contributes both directions, duplicates dropped); every node has
+    * degree >= 1 by construction, so there is no dangling-mass term. The
+    * integer floor leaks O(deg) nanos per node per iteration — deliberate:
+    * exactness buys cross-engine verification, and ordering (the operator's
+    * point) is unaffected.
+    *
+    * Scale shape: each iteration is one join of the edge list with the
+    * current rank vector plus one aggregation — shuffle keyed on node id
+    * both times. The lazily-chained 10-iteration plan is linear in depth;
+    * at lake scale persist/checkpoint every few iterations to cap lineage.
+    * Overflow bound: 85 * acc stays under 2^63 while Σ in-neighbor mass
+    * < 1e17 nanos, i.e. in-degree < ~1e8 — beyond any real similarity graph.
+    *
+    * @return (id, pr) — pr in nano units; Σ pr ≈ 1e9 up to floor leakage
+    */
+  def pagerankNano(pairs: DataFrame, aCol: String, bCol: String,
+                   iters: Int = 10): DataFrame = {
+    val und = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionAll(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+    val nodes = und.select(col("src").as("id")).distinct()
+    val deg = und.groupBy(col("src").as("id")).agg(count(lit(1)).as("outdeg"))
+    // init 1/N and the per-node teleport share (0.15/N) in nanos — N via a
+    // broadcast 1-row join, no driver action.
+    // The node and degree-annotated edge tables feed every one of the
+    // `iters` chained iterations; unpinned, Spark re-derives the (possibly
+    // expensive) pair-generation pipeline once per iteration BRANCH — pin
+    // both via the query-scoped cache registry (released by the driver
+    // after the action, like the TF tables).
+    val nCnt = nodes.agg(count(lit(1)).as("n"))
+    val nodesT = graft.Caching.temp(nodes.crossJoin(broadcast(nCnt))
+      .select(col("id"),
+        expr("CAST(1000000000 DIV n AS BIGINT)").as("init"),
+        expr("CAST(150000000 DIV n AS BIGINT)").as("tele")))
+    var pr = nodesT.select(col("id"), col("init").as("pr"))
+    val undDeg = graft.Caching.temp(und.join(deg, und("src") === deg("id"))
+      .select(col("src"), col("dst"), col("outdeg")))
+    for (_ <- 1 to iters) {
+      val contrib = undDeg.join(pr, undDeg("src") === pr("id"))
+        .select(col("dst").as("id"), expr("pr DIV outdeg").as("c"))
+        .groupBy("id").agg(sum("c").as("acc"))
+      pr = nodesT.join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          expr("CAST(tele + (85 * coalesce(acc, CAST(0 AS BIGINT))) DIV 100 AS BIGINT)")
+            .as("pr"))
+    }
+    pr
+  }
+}

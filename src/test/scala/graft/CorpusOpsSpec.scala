@@ -8,6 +8,28 @@ class CorpusOpsSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
+  test("pagerankNano: hub outranks leaves, mass conserved, layout-independent") {
+    import graft.extra.GraphOps
+    // star: 1 is the hub of 2..6; separate edge 10-11
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L), (1L, 6L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      GraphOps.pagerankNano(df, "id_a", "id_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pr = run(pairs)
+    assert(pr.size == 8)
+    val leaves = Seq(2L, 3L, 4L, 5L, 6L).map(pr)
+    assert(leaves.forall(_ < pr(1L)), s"hub must outrank leaves: $pr")
+    assert(leaves.distinct.size == 1, "symmetric leaves must tie exactly")
+    // the 10-11 pair is internally symmetric and isolated from the star
+    assert(pr(10L) == pr(11L))
+    // integer mass: starts at 8 * (1e9 DIV 8) = 1e9 exactly; each iteration
+    // only leaks bounded floor remainders, never creates mass
+    assert(pr.values.sum <= 1000000000L)
+    assert(pr.values.sum > 900000000L, s"unexpected mass loss: ${pr.values.sum}")
+    assert(run(pairs.repartition(5)) == pr, "must not depend on partitioning")
+  }
+
   test("connected components labels each node with its component minimum") {
     // components: {1,2,3,4} (chain), {10,11}, singleton {20}
     val nodes = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L).toDF("id")
