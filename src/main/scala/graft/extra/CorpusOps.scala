@@ -103,6 +103,41 @@ object CorpusOps {
           .as("contaminated"))
   }
 
+  /** [[decontaminate]]'s shape for a benchmark set too large to broadcast-
+    * join: a Bloom filter over the benchmark grams (≈1.2 bytes/gram at 3%
+    * fpp vs ~40 bytes of gram string — 30× smaller broadcast) prefilters the
+    * corpus gram stream, then the EXACT join runs only on the bloom
+    * survivors. Bloom filters have no false negatives, so the result is
+    * identical to the exact path (CorpusOpsSpec asserts equality); false
+    * positives merely let a few extra grams into the verify join. At 100 TB
+    * this is the difference between shuffling every corpus gram into a
+    * sort-merge join and shuffling only the ~fpp tail. Building the filter
+    * is one extra aggregation pass over the (tiny) benchmark side — the
+    * standard build-artifact-then-scan two-phase job.
+    */
+  def decontaminateBloom(docs: DataFrame, idCol: String, textCol: String,
+                         w: Int = 5, benchMod: Int = 97,
+                         fpp: Double = 0.03): DataFrame = {
+    val grams = wordGrams(docs, idCol, textCol, w)
+    val bench = grams.filter(col("doc_id") % benchMod === 0)
+      .select("gram").distinct()
+    // the count fixes the filter's size — part of the build phase, like
+    // fitting any index artifact; NOT in the per-query path
+    val bloom = bench.stat.bloomFilter("gram", math.max(bench.count(), 1L), fpp)
+    val bc = docs.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((g: String) => g != null && bc.value.mightContainString(g))
+    val overlaps = grams.filter(col("doc_id") % benchMod =!= 0)
+      .filter(mightContain(col("gram"))) // no false negatives → lossless
+      .join(bench, "gram")               // exact verify drops the fpp tail
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+    docs.filter(col(idCol) % benchMod =!= 0)
+      .select(col(idCol).as("doc_id"))
+      .join(overlaps, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        when(coalesce(col("n_overlap"), lit(0L)) > 0, 1L).otherwise(0L)
+          .as("contaminated"))
+  }
+
   /** Most-frequent word n-gram per doc (count ties broken by gram asc for
     * determinism): (doc_id, top_cnt, top_len) where top_len is the gram's
     * character length.

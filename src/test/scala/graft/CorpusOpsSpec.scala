@@ -8,6 +8,16 @@ class CorpusOpsSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
+  test("decontaminateBloom equals the exact path (no false negatives)") {
+    val docs = Tables.load(spark, SparkTestSession.sf0001, "documents")
+    val exact = CorpusOps.decontaminate(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val bloom = CorpusOps.decontaminateBloom(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(exact.nonEmpty)
+    assert(bloom == exact, "bloom prefilter must be lossless after exact verify")
+  }
+
   test("pagerankNano: hub outranks leaves, mass conserved, layout-independent") {
     import graft.extra.GraphOps
     // star: 1 is the hub of 2..6; separate edge 10-11
