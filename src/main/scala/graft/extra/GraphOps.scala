@@ -41,9 +41,22 @@ object GraphOps {
     */
   def pagerankNano(pairs: DataFrame, aCol: String, bCol: String,
                    iters: Int = 10): DataFrame = {
-    val und = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionAll(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct()
+    // Pin the INPUT pair list first: everything below (both union branches,
+    // nodes, degrees, N, and all `iters` iterations) derives from it, and
+    // the pair list is typically the expensive end of the query (a dedup
+    // candidate pipeline). Unpinned, each derivation re-runs that pipeline
+    // from the scan (measured 4 recomputations of the minhash pipeline).
+    val p = graft.Caching.temp(
+      pairs.select(col(aCol).as("src"), col(bCol).as("dst")))
+    // The graph tables are edge/node-sized — tiny next to the corpus that
+    // produced them. Pin them as compact single-partition tables (the
+    // in-memory-index pattern, see Sketches): iterating over 32 near-empty
+    // partitions costs ~0.5s of task launches PER ROUND (measured). On a
+    // graph that doesn't fit one partition, repartition by id instead — the
+    // iteration shape is unchanged.
+    val und = graft.Caching.temp(
+      p.unionAll(p.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct().repartition(1))
     val nodes = und.select(col("src").as("id")).distinct()
     val deg = und.groupBy(col("src").as("id")).agg(count(lit(1)).as("outdeg"))
     // init 1/N and the per-node teleport share (0.15/N) in nanos — N via a
@@ -62,13 +75,26 @@ object GraphOps {
     val undDeg = graft.Caching.temp(und.join(deg, und("src") === deg("id"))
       .select(col("src"), col("dst"), col("outdeg")))
     for (_ <- 1 to iters) {
-      val contrib = undDeg.join(pr, undDeg("src") === pr("id"))
+      pr = undDeg.join(pr, undDeg("src") === pr("id"))
         .select(col("dst").as("id"), expr("pr DIV outdeg").as("c"))
         .groupBy("id").agg(sum("c").as("acc"))
-      pr = nodesT.join(contrib, Seq("id"), "left")
+        .join(nodesT, Seq("id"), "right")
         .select(col("id"),
           expr("CAST(tele + (85 * coalesce(acc, CAST(0 AS BIGINT))) DIV 100 AS BIGINT)")
             .as("pr"))
+        // cut lineage each iteration: without this, iteration k's serialized
+        // plan embeds all k-1 predecessors — task binaries grow ~1.6 MB per
+        // round and codegen/broadcast overhead dwarfs the actual joins
+        // (measured 25s for 10 rounds over a 2k-edge graph). The rank vector
+        // is exact integers, so materializing it loses nothing; on a real
+        // cluster prefer reliable checkpointing (or a persisted table) over
+        // executor-local blocks. coalesce(1): the rank vector is #nodes
+        // rows — materializing 32 near-empty blocks per round costs ~0.5s of
+        // task launches each (measured); one compact block per round is the
+        // in-memory-index pattern (see Sketches). Scale the partition count
+        // with #nodes on a real graph.
+        .coalesce(1)
+        .localCheckpoint()
     }
     pr
   }

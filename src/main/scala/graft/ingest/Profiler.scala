@@ -160,7 +160,8 @@ object Profiler {
         val dist = valueStream(df, typedColumns(df, "Numeric").map((_, "Numeric")))
           .distinct()
           .groupBy("col_name").agg(count(lit(1)).as("n_distinct"))
-        stacked.join(dist, Seq("col_name"), "left")
+        // one row per column — broadcast (see numericStatsAll)
+        stacked.join(broadcast(dist), Seq("col_name"), "left")
           .na.fill(0L, Seq("n_distinct"))
       }
     numericFinish(withDistinct)
@@ -185,8 +186,11 @@ object Profiler {
     }.reduce(_.unionAll(_))
     val dist = stream.distinct()
       .groupBy("dataset_id", "col_name").agg(count(lit(1)).as("n_distinct"))
+    // dist is one row per profiled COLUMN — broadcast it; without the hint
+    // Catalyst's post-shuffle size estimate plans a sort-merge join and
+    // re-shuffles the wide stats on (dataset_id, col_name)
     numericFinish(
-      wides.join(dist, Seq("dataset_id", "col_name"), "left")
+      wides.join(broadcast(dist), Seq("dataset_id", "col_name"), "left")
         .na.fill(0L, Seq("n_distinct")))
   }
 
