@@ -178,4 +178,33 @@ object Sketches {
   def cachedNumericTemporal(spark: SparkSession, dir: String): DataFrame =
     cachedAll(spark, dir).filter(org.apache.spark.sql.functions.col("col_type")
       .isin("Numeric", "Temporal"))
+
+  /** Incrementally refresh the pinned index for ONE dataset — the in-memory
+    * half of the incremental profiling story (the work queue keeps the
+    * durable sketch store current, Catalog.profilePending; this keeps the
+    * SERVING index current without the full rebuild): recompute the
+    * dataset's sketch rows through the same pipelines as the batch build,
+    * splice them in place of the old rows, and atomically swap the cache
+    * entry. The new index is localCheckpoint'd (lineage cut), so releasing
+    * the old pin cannot invalidate it; readers holding the old DataFrame
+    * keep a consistent snapshot until their unpersisted blocks recompute.
+    * Cost is O(one dataset's profile + index size), not O(lake).
+    */
+  def refreshDataset(spark: SparkSession, dir: String, datasetId: String): DataFrame = {
+    val df = Tables.load(spark, dir, datasetId)
+    val ntSp = forDataFrame(df, datasetId)
+    val fresh =
+      if (Profiler.typedColumns(df, "Categorical").nonEmpty)
+        ntSp.unionAll(categorical(spark, dir, Seq(datasetId)))
+      else ntSp
+    val old = cachedAll(spark, dir)
+    val updated = old
+      .filter(org.apache.spark.sql.functions.col("dataset_id") =!= datasetId)
+      .unionAll(fresh.select(old.columns.map(org.apache.spark.sql.functions.col): _*))
+      .repartition(1)
+      .localCheckpoint()
+    cache.put((spark.sparkContext.applicationId, dir), updated)
+    old.unpersist(blocking = false)
+    updated
+  }
 }

@@ -104,4 +104,33 @@ class SearchSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getDouble(1))
     assert(got.toSeq == Seq("B" -> 0.75, "C" -> 0.45, "A" -> 0.4))
   }
+
+  test("refreshDataset: rebuild-equivalent on same data, picks up new data") {
+    import graft.search.Sketches
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getSeq[Double](3).toList)).toSet
+    // isolated lake copy so the shared sf0.001 cache entry is untouched
+    val tmp = java.nio.file.Files.createTempDirectory("graft-refresh").toString
+    val src = java.nio.file.Paths.get(SparkTestSession.sf0001)
+    java.nio.file.Files.list(src).forEach { p =>
+      java.nio.file.Files.copy(p, java.nio.file.Paths.get(tmp, p.getFileName.toString))
+    }
+    val before = rows(Sketches.cachedAll(spark, tmp))
+    // refresh from the SAME table: the spliced index must equal the build
+    assert(rows(Sketches.refreshDataset(spark, tmp, "customer")) == before)
+    assert(rows(Sketches.cachedAll(spark, tmp)) == before, "swap must stick")
+    // mutate the lake: double customer balances, refresh, only customer moves
+    val mod = Tables.load(spark, SparkTestSession.sf0001, "customer")
+      .withColumn("c_acctbal", col("c_acctbal") * 2)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(tmp, "customer.parquet"))
+    mod.coalesce(1).write.parquet(s"$tmp/customer.parquet")
+    val after = rows(Sketches.refreshDataset(spark, tmp, "customer"))
+    assert(after.filter(_._1 != "customer") == before.filter(_._1 != "customer"),
+      "other datasets' rows must be untouched")
+    val balBefore = before.find(r => r._1 == "customer" && r._2 == "c_acctbal").get
+    val balAfter = after.find(r => r._1 == "customer" && r._2 == "c_acctbal").get
+    assert(balAfter != balBefore, "refreshed vector must reflect the new data")
+    assert(after.count(_._1 == "customer") == before.count(_._1 == "customer"))
+  }
 }
