@@ -26,4 +26,23 @@ object CorpusStream {
       .withColumn("fingerprint", TextStats.fingerprintCol(col(textCol)))
       .withWatermark(tsCol, horizon)
       .dropDuplicatesWithinWatermark("fingerprint")
+
+  /** Streaming dedup against the HISTORICAL corpus — the other half of
+    * streaming dedup: [[dedupStream]] catches duplicates within the stream's
+    * watermark horizon; this drops arrivals whose fingerprint already exists
+    * in the accumulated corpus. A stream-static LEFT ANTI join: Structured
+    * Streaming re-plans the static side per micro-batch, so a corpus
+    * fingerprint table maintained by the batch pipeline (one slim column —
+    * broadcastable far past what raw documents would be) is picked up as it
+    * grows, with zero streaming state. Compose after [[dedupStream]] for
+    * exactly-once-per-corpus semantics across both horizons.
+    */
+  def dedupAgainstCorpus(stream: DataFrame, corpusFingerprints: DataFrame,
+                         textCol: String = "text"): DataFrame = {
+    val withFp =
+      if (stream.columns.contains("fingerprint")) stream
+      else stream.withColumn("fingerprint", TextStats.fingerprintCol(col(textCol)))
+    withFp.join(broadcast(corpusFingerprints.select("fingerprint")),
+      Seq("fingerprint"), "left_anti")
+  }
 }

@@ -89,6 +89,26 @@ class EventWindowsSpec extends AnyFunSuite {
       "documents 1 and 3 share a normalized fingerprint — only one survives")
   }
 
+  test("stream-static anti-join drops docs already fingerprinted in the corpus") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("doc_stream2").toString
+    val arrivals = Seq(
+      (1L, "The quick brown fox", java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      (2L, "fresh new material", java.sql.Timestamp.valueOf("2024-01-01 00:05:00")))
+      .toDF("doc_id", "text", "ts")
+    arrivals.coalesce(1).write.mode("append").parquet(dir)
+    // the historical corpus already contains doc 1's normalized text
+    val corpus = Seq("the  quick BROWN fox").toDF("text")
+      .select(graft.extra.TextStats.fingerprintCol(col("text")).as("fingerprint"))
+    val stream = spark.readStream.schema(arrivals.schema).parquet(dir)
+    val q = graft.streaming.CorpusStream.dedupAgainstCorpus(stream, corpus)
+      .writeStream.outputMode("append").format("memory").queryName("doc_anti")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table("doc_anti").select("doc_id").as[Long].collect().toSet
+    assert(out == Set(2L), s"doc 1 matches the corpus fingerprint, got $out")
+  }
+
   test("sessions merge events within gap") {
     import spark.implicits._
     val df = Seq(
