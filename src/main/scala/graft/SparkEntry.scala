@@ -303,6 +303,10 @@ object SparkEntry {
     "corpus_mix" -> ((s, d) =>
       CorpusOps.corpusMix(T(s, d, "documents"))),
 
+    // weighted sample ∝ document length (Efraimidis-Spirakis, md5 uniforms)
+    "corpus_wsample" -> ((s, d) =>
+      CorpusOps.weightedSample(T(s, d, "documents"), "doc_id", col("n_chars"), 20)),
+
     // per-(lang, source) corpus report with exact-duplicate rates
     "corpus_stats" -> ((s, d) =>
       CorpusOps.corpusStats(T(s, d, "documents"))),
@@ -588,6 +592,22 @@ object SparkEntry {
         |      ORDER BY n_chars DESC, doc_id ASC) AS rk
         |  FROM documents
         |  WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 100 < 50
+        |) WHERE rk <= 20""".stripMargin,
+
+    // u = (md5_32+1)/2^32 is exact dyadic math in both engines; skey rounds
+    // to 9 decimals before ranking, doc_id breaks ties
+    "corpus_wsample" ->
+      """SELECT doc_id, weight, skey, rk FROM (
+        |  SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight,
+        |    round(-ln(
+        |        (('0x' || substring(md5('ws:' || CAST(doc_id AS VARCHAR)),1,8))::BIGINT + 1)
+        |        / 4294967296.0)
+        |      / CAST(n_chars AS DOUBLE), 9) AS skey,
+        |    CAST(row_number() OVER (ORDER BY round(-ln(
+        |        (('0x' || substring(md5('ws:' || CAST(doc_id AS VARCHAR)),1,8))::BIGINT + 1)
+        |        / 4294967296.0)
+        |      / CAST(n_chars AS DOUBLE), 9) ASC, doc_id ASC) AS BIGINT) AS rk
+        |  FROM documents WHERE n_chars > 0
         |) WHERE rk <= 20""".stripMargin,
 
     "dedup_embedding" ->

@@ -278,6 +278,34 @@ object CorpusOps {
       .filter(col("rk") <= quota)
       .select("doc_id", "lang", "source", "n_chars", "rk")
 
+  /** Deterministic weighted sampling without replacement (Efraimidis &
+    * Spirakis 2006, the exponential-race form): document i draws key
+    * `-ln(u_i) / w_i` with u_i an md5-derived uniform in (0,1], and the k
+    * SMALLEST keys are a sample with inclusion probability ∝ w_i — the
+    * "sample long documents more often" primitive of corpus mixing, where
+    * [[sampleBucket]] is the unweighted rate filter and [[corpusMix]] the
+    * best-first quota. u_i = (md5_32(id)+1)/2^32 is exact dyadic arithmetic
+    * in any engine; the key rounds to 9 decimals before ranking (id
+    * tie-break), so the sample — like every md5-derived sample here — is
+    * independent of partitioning, retries, and engine. The rank is a
+    * no-partition row_number, which Spark executes as WindowGroupLimit with
+    * map-side top-k pruning: each partition forwards at most k rows.
+    *
+    * @return (id, weight, skey, rk) for the k sampled rows
+    */
+  def weightedSample(docs: DataFrame, idCol: String,
+                     weight: Column, k: Int): DataFrame = {
+    val u = (conv(substring(md5(concat(lit("ws:"), col(idCol).cast("string"))),
+      1, 8), 16, 10).cast("double") + 1.0) / 4294967296.0
+    val w = Window.orderBy(col("skey").asc, col(idCol).asc)
+    docs.filter(weight > 0)
+      .withColumn("weight", weight.cast("double"))
+      .withColumn("skey", round(-log(u) / col("weight"), 9))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(idCol, "weight", "skey", "rk")
+  }
+
   /** Context-length chunking with stride overlap — the other half of
     * sequence preparation next to [[packSequences]]: packing concatenates
     * short documents up to a budget, chunking splits long documents into

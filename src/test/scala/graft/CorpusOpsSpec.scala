@@ -8,6 +8,22 @@ class CorpusOpsSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
+  test("weightedSample: deterministic, layout-independent, weight-sensitive") {
+    val docs = Tables.load(spark, SparkTestSession.sf0001, "documents")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      CorpusOps.weightedSample(df, "doc_id", col("n_chars"), 20)
+        .collect().map(r => (r.getLong(0), r.getLong(3))).toList.sorted
+    val a = run(docs)
+    assert(a.map(_._2).toSet == (1L to 20L).toSet, "dense ranks 1..k")
+    assert(run(docs.repartition(7)) == a, "sample must not depend on layout")
+    // zero/negative weights can never be sampled
+    val withDead = docs.withColumn("n_chars",
+      when(col("doc_id") % 2 === 0, lit(0L)).otherwise(col("n_chars")))
+    val alive = CorpusOps.weightedSample(withDead, "doc_id", col("n_chars"), 20)
+      .collect().map(_.getLong(0))
+    assert(alive.forall(_ % 2 == 1), "zero-weight rows must be excluded")
+  }
+
   test("decontaminateBloom equals the exact path (no false negatives)") {
     val docs = Tables.load(spark, SparkTestSession.sf0001, "documents")
     val exact = CorpusOps.decontaminate(docs, "doc_id", "text")
