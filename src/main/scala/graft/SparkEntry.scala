@@ -369,6 +369,16 @@ object SparkEntry {
       EmbeddingKnn.pqKnn(T(s, d, "embeddings"), KnnQueryIds, 5)
         .withColumn("rank", col("rank").cast("long"))),
 
+    // contrastive-training hard negatives: most-similar embeddings minus the
+    // query's near-dup cluster (vec_id ≡ doc_id in the fixture lake)
+    "hard_negatives" -> ((s, d) => {
+      val docs = T(s, d, "documents").filter(col("doc_id") < DocBound)
+      val clusters = CorpusOps.dedupClusters(docs, "doc_id",
+        Dedup.jaccardPairs(docs, "doc_id", "text", 0.95))
+      EmbeddingKnn.hardNegatives(T(s, d, "embeddings"), clusters, KnnQueryIds, 5)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
+
     // int8-code candidate scoring + exact float rerank (the bandwidth path)
     "knn_int8" -> ((s, d) =>
       EmbeddingKnn.int8Rerank(T(s, d, "embeddings"), KnnQueryIds, 5)
@@ -622,6 +632,7 @@ object SparkEntry {
     "knn_ivf" -> O.knnIvfSql,
     "knn_pq" -> O.knnPqSql,
     "knn_int8" -> O.knnInt8Sql,
+    "hard_negatives" -> O.hardNegativesSql,
     "dedup_embedding_lsh" -> O.dedupEmbeddingLshSql,
 
     // NULLIF/CASE guards mirror the Spark side's when(n>0, ...) for
@@ -1289,6 +1300,35 @@ object SparkEntry {
          |SELECT id AS doc_id, min(lbl) AS cluster_id,
          |  CAST(CASE WHEN min(lbl) = id THEN 1 ELSE 0 END AS BIGINT) AS is_rep
          |FROM reach GROUP BY id""".stripMargin
+
+    /** DuckDB twin of EmbeddingKnn.hardNegatives: brute-force cosine top-20
+      * overfetch, near-dup cluster labels via the same recursive reachability
+      * as [[clustersSql]], cluster-mate exclusion, dense re-rank to top-5.
+      */
+    lazy val hardNegativesSql: String =
+      s"""WITH RECURSIVE pairs AS ($jaccardSql),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach(id, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents WHERE doc_id < $DocBound
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+         |labels AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, vec AS q_vec FROM e WHERE vec_id IN ($knnIds)),
+         |s AS (SELECT q_id, e.vec_id AS c_id,
+         |    round(list_cosine_similarity(q_vec, e.vec),6) AS sim
+         |  FROM e CROSS JOIN q WHERE e.vec_id <> q_id),
+         |r20 AS (SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY sim DESC, c_id ASC) AS rk0 FROM s),
+         |f AS (SELECT c.q_id, c.c_id, c.sim FROM r20 c
+         |  LEFT JOIN labels lq ON lq.doc_id = c.q_id
+         |  LEFT JOIN labels lc ON lc.doc_id = c.c_id
+         |  WHERE c.rk0 <= 20 AND (lq.cluster_id IS NULL OR lc.cluster_id IS NULL
+         |    OR lq.cluster_id <> lc.cluster_id)),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY sim DESC, c_id ASC) AS rank FROM f)
+         |SELECT q_id, c_id, sim, rank FROM r WHERE rank <= 5""".stripMargin
 
     /** DuckDB twin of CorpusOps.decontaminate: w=5 word grams, benchmark =
       * doc_id % 97 == 0 carved from the same table.

@@ -178,6 +178,34 @@ object EmbeddingKnn {
       .filter(col("rank") <= k)
   }
 
+  /** Hard-negative mining for contrastive training: the top-k most SIMILAR
+    * candidates that are NOT near-duplicates of the query — near-hits make
+    * the best negatives, but an unlabeled near-dup is a false negative that
+    * poisons the loss, so the near-dup CLUSTER (connected components over
+    * the verified pair graph, CorpusOps.dedupClusters) is excluded, not just
+    * the exact match. Overfetch covers the excluded slots; ranks are
+    * recomputed after exclusion so output lists are dense. Plan shape: the
+    * cluster-label table is component-count-sized → broadcast twice (query
+    * and candidate side) onto the ANN candidate lists; at 100 TB swap
+    * [[bruteForce]] for any of the accelerated paths — the exclusion join is
+    * unchanged.
+    */
+  def hardNegatives(emb: DataFrame, clusters: DataFrame, queryIds: Seq[Long],
+                    k: Int = 5, overfetch: Int = 4): DataFrame = {
+    val cand = bruteForce(emb, queryIds, k * overfetch)
+    val ql = clusters.select(col("doc_id").as("q_id"), col("cluster_id").as("q_cluster"))
+    val cl = clusters.select(col("doc_id").as("c_id"), col("cluster_id").as("c_cluster"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id").asc)
+    cand
+      .join(broadcast(ql), Seq("q_id"), "left")
+      .join(broadcast(cl), Seq("c_id"), "left")
+      .filter(col("q_cluster").isNull || col("c_cluster").isNull ||
+        col("q_cluster") =!= col("c_cluster"))
+      .select("q_id", "c_id", "sim")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Squared euclidean as a left-associated fold — zip_with + aggregate stay
     * in codegen, and the ascending-index fold order matches an explicit
     * left-associated SQL term chain, so the value is bit-identical across

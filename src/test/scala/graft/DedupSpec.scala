@@ -98,6 +98,22 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("hardNegatives: cluster-mates excluded, next-best promoted to dense ranks") {
+    import graft.extra.EmbeddingKnn
+    import spark.implicits._
+    // q=0; 1 is nearly identical AND its near-dup cluster-mate; 2, 3 differ
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.99f, 0.01f)),
+      (2L, Array(0.7f, 0.3f)), (3L, Array(0.1f, 0.9f))
+    ).toDF("vec_id", "embedding")
+    val clusters = Seq((0L, 0L, 1L), (1L, 0L, 0L), (2L, 2L, 1L), (3L, 3L, 1L))
+      .toDF("doc_id", "cluster_id", "is_rep")
+    val got = EmbeddingKnn.hardNegatives(emb, clusters, Seq(0L), k = 2)
+      .collect().map(r => (r.getLong(1), r.getInt(3))).toList.sortBy(_._2)
+    // 1 (the near-dup) must be gone; 2 and 3 fill ranks 1, 2 densely
+    assert(got == List((2L, 1), (3L, 2)), s"got $got")
+  }
+
   test("prefix filter: stopword-heavy corpus has bounded candidates, exact result") {
     // every doc shares the same 6 stopwords; only docs 1/2 are real near-dups
     val stop = "the a an and of to"
