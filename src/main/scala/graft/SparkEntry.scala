@@ -212,6 +212,14 @@ object SparkEntry {
         .select("query_id", "c_dataset", "content_score", "metadata_score",
           "overall_score")),
 
+    // second query dataset through the SAME generic path (orders brings a
+    // Temporal query column customer lacks) — proves nothing is
+    // special-cased to one query id
+    "similarity_search_orders" -> ((s, d) =>
+      CombinedScorer.search(s, d, "orders")
+        .select("query_id", "c_dataset", "content_score", "metadata_score",
+          "overall_score")),
+
     // three fields, each queried with the query dataset's own field text and
     // its own boost (metadata_search.py:12-26)
     "bm25_multifield" -> ((s, d) =>
@@ -521,6 +529,7 @@ object SparkEntry {
     "content_edges" -> O.contentEdgesSql,
     "content_scores" -> O.contentScoresSql,
     "similarity_search" -> O.similaritySearchSql,
+    "similarity_search_orders" -> O.similaritySearchSqlFor("orders"),
 
     "bm25_docs" -> O.bm25Sql,
 
@@ -1140,7 +1149,8 @@ object SparkEntry {
       * completion. Terminates in `wm (q_col, c_dataset, c_col, wm)` with
       * integer micro-weights round(sim*1e6).
       */
-    private def edgesMicroCtes(extraCids: Option[String]): String = {
+    private def edgesMicroCtes(extraCids: Option[String],
+                               queryId: String = "customer"): String = {
       val cidsExpr = extraCids match {
         case Some(e) => s"SELECT DISTINCT c_dataset FROM (SELECT c_dataset FROM ranked UNION ALL $e) u"
         case None    => "SELECT DISTINCT c_dataset FROM ranked"
@@ -1151,7 +1161,7 @@ object SparkEntry {
          |$catSketchCtes,
          |sk AS (SELECT * FROM sk_nt UNION ALL SELECT * FROM sk_cat),
          |q AS (SELECT col_name AS q_col, col_type, vec AS q_vec FROM sk
-         |      WHERE dataset_id = 'customer'),
+         |      WHERE dataset_id = '$queryId'),
          |c AS (SELECT dataset_id AS c_dataset, col_name AS c_col, col_type,
          |        vec AS c_vec FROM sk),
          |d AS (SELECT q_col, c_dataset, c_col, c.col_type,
@@ -1166,7 +1176,7 @@ object SparkEntry {
          |ranked AS (SELECT rm.q_col, rm.c_dataset,
          |        coalesce(kth.kth, 1e-12) AS kth
          |      FROM rm LEFT JOIN kth USING (q_col)
-         |      WHERE rm.c_dataset <> 'customer'),
+         |      WHERE rm.c_dataset <> '$queryId'),
          |cids AS ($cidsExpr),
          |kq AS (SELECT DISTINCT q_col, kth FROM ranked),
          |edges AS (SELECT q.q_col, c.c_dataset, c.c_col,
@@ -1186,8 +1196,8 @@ object SparkEntry {
       * the score and not the matching. Terminates in `best (c_dataset, t)`
       * plus `nq (n)`.
       */
-    private val matchingCtes: String = {
-      val cust = tables.find(_._1 == "customer").get
+    private def matchingCtes(queryId: String = "customer"): String = {
+      val cust = tables.find(_._1 == queryId).get
       val qcols = (cust._3 ++ cust._4 ++
         cust._2.filterNot(c => cust._3.contains(c) || cust._4.contains(c))).sorted
       val opts = qcols.zipWithIndex.map { case (qc, i) =>
@@ -1204,7 +1214,7 @@ object SparkEntry {
          |    $joins
          |  WHERE ${pairs.mkString("\n    AND ")}),
          |best AS (SELECT c_dataset, max(total) AS t FROM asg GROUP BY 1),
-         |nq AS (SELECT count(*) AS n FROM sk WHERE dataset_id = 'customer')""".stripMargin
+         |nq AS (SELECT count(*) AS n FROM sk WHERE dataset_id = '$queryId')""".stripMargin
     }
 
     /** DuckDB twin of the full content-score pipeline (Sketches.all →
@@ -1212,7 +1222,7 @@ object SparkEntry {
       */
     lazy val contentScoresSql: String =
       s"""WITH ${edgesMicroCtes(None)},
-         |$matchingCtes
+         |${matchingCtes()}
          |SELECT best.c_dataset, round(best.t / 1000000.0 / nq.n, 6) AS content_score
          |FROM best CROSS JOIN nq""".stripMargin
 
@@ -1221,11 +1231,12 @@ object SparkEntry {
       * (same CTEs as [[bm25MultifieldSql]]), 0-filled, overall =
       * round(0.5*content + 0.5*metadata, 6), top-15.
       */
-    lazy val similaritySearchSql: String =
-      s"""WITH meta_corpus AS (SELECT * FROM ${metaValues(Some("customer"))}),
-         |${fieldScoreSql("title", customerTitleTerms, "ti", rounded = false)},
-         |${fieldScoreSql("keywords", customerKeywordTerms, "kw", rounded = false)},
-         |${fieldScoreSql("description", customerDescTerms, "de", rounded = false)},
+    def similaritySearchSqlFor(queryId: String): String = {
+      val row = metaRows.find(_._1 == queryId).get
+      s"""WITH meta_corpus AS (SELECT * FROM ${metaValues(Some(queryId))}),
+         |${fieldScoreSql("title", termsOf(row._2), "ti", rounded = false)},
+         |${fieldScoreSql("keywords", termsOf(row._3), "kw", rounded = false)},
+         |${fieldScoreSql("description", termsOf(row._4), "de", rounded = false)},
          |u AS (SELECT doc_id, s * (1.0/3) AS raw, 'title' AS field FROM ti_score
          |      UNION ALL SELECT doc_id, s * (1.0/3), 'keywords' FROM kw_score
          |      UNION ALL SELECT doc_id, s * (1.0/3), 'description' FROM de_score),
@@ -1233,18 +1244,21 @@ object SparkEntry {
          |mx AS (SELECT max(raw) AS m FROM j),
          |meta_scores AS (SELECT doc_id AS c_dataset, round(raw / mx.m, 6) AS metadata_score
          |  FROM j CROSS JOIN mx),
-         |${edgesMicroCtes(Some("SELECT c_dataset FROM meta_scores"))},
-         |$matchingCtes,
+         |${edgesMicroCtes(Some("SELECT c_dataset FROM meta_scores"), queryId)},
+         |${matchingCtes(queryId)},
          |content AS (SELECT best.c_dataset,
          |    round(best.t / 1000000.0 / nq.n, 6) AS content_score
          |  FROM best CROSS JOIN nq)
-         |SELECT 'customer' AS query_id, c_dataset,
+         |SELECT '$queryId' AS query_id, c_dataset,
          |  coalesce(content.content_score, 0.0) AS content_score,
          |  coalesce(meta_scores.metadata_score, 0.0) AS metadata_score,
          |  round(0.5 * coalesce(content.content_score, 0.0)
          |      + 0.5 * coalesce(meta_scores.metadata_score, 0.0), 6) AS overall_score
          |FROM content FULL OUTER JOIN meta_scores USING (c_dataset)
          |ORDER BY overall_score DESC, c_dataset ASC LIMIT 15""".stripMargin
+    }
+
+    lazy val similaritySearchSql: String = similaritySearchSqlFor("customer")
 
     val bm25Sql: String = {
       val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
