@@ -336,6 +336,21 @@ object SparkEntry {
     "doc_chunks" -> ((s, d) =>
       CorpusOps.chunkDocuments(T(s, d, "documents"), "doc_id", "text")),
 
+    // passage-level retrieval (RAG indexing): BM25 scores the CHUNK, not the
+    // document — the pid composite keys one bm25 pass over all passages
+    "passage_search" -> ((s, d) => {
+      val passages = CorpusOps.chunkTexts(T(s, d, "documents"), "doc_id", "text")
+        .select(concat_ws(":", col("doc_id"), col("chunk_id")).as("pid"),
+          col("chunk_text"))
+      Bm25.scores(passages, "pid", "chunk_text", Bm25Terms)
+        .select(
+          split(col("doc_id"), ":").getItem(0).cast("long").as("doc_id"),
+          split(col("doc_id"), ":").getItem(1).cast("long").as("chunk_id"),
+          col("score"))
+        .orderBy(col("score").desc, col("doc_id").asc, col("chunk_id").asc)
+        .limit(20)
+    }),
+
     // the flagship corpus assembly: dedup → quality → language →
     // repetition → decontamination → per-(lang, source) quota, one plan
     "corpus_build" -> ((s, d) =>
@@ -760,6 +775,37 @@ object SparkEntry {
         |  CAST(len(chunk) AS BIGINT) AS chunk_len,
         |  md5(array_to_string(chunk, ' ')) AS chunk_hash
         |FROM c""".stripMargin,
+
+    // same chunk boundaries as doc_chunks, then the bm25_docs scoring CTEs
+    // over (doc_id, chunk_id) passages
+    "passage_search" -> {
+      val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
+      s"""WITH t AS (SELECT doc_id,
+         |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+         |  FROM documents),
+         |n AS (SELECT doc_id, toks, len(toks) AS n_tokens FROM t
+         |  WHERE len(toks) > 0),
+         |p AS (SELECT doc_id, CAST(s // 48 AS BIGINT) AS chunk_id,
+         |    list_slice(toks, s + 1, s + 64) AS ptoks
+         |  FROM n CROSS JOIN unnest(range(0, n_tokens, 48)) AS u(s)),
+         |t2 AS (SELECT doc_id, chunk_id, unnest(ptoks) AS term FROM p),
+         |tf AS (SELECT doc_id, chunk_id, term, count(*) AS tf FROM t2 GROUP BY 1,2,3),
+         |dl AS (SELECT doc_id, chunk_id, count(*) AS dl FROM t2 GROUP BY 1,2),
+         |corpus AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+         |dfreq AS (SELECT term, count(*) AS df FROM tf WHERE term IN ($terms) GROUP BY 1)
+         |SELECT tf.doc_id, tf.chunk_id, round(sum(
+         |   ln(1.0 + (corpus.n_docs - dfreq.df + 0.5)/(dfreq.df + 0.5))
+         |   * (tf.tf * (1.2 + 1.0))
+         |   / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / corpus.avgdl))
+         | ),6) AS score
+         |FROM tf
+         |JOIN dfreq ON tf.term = dfreq.term
+         |JOIN dl ON tf.doc_id = dl.doc_id AND tf.chunk_id = dl.chunk_id
+         |CROSS JOIN corpus
+         |WHERE tf.term IN ($terms)
+         |GROUP BY tf.doc_id, tf.chunk_id
+         |ORDER BY score DESC, tf.doc_id ASC, tf.chunk_id ASC LIMIT 20""".stripMargin
+    },
 
     // two-level agg mirrors the Spark plan (fingerprint first, then group);
     // integer sums cast out of HUGEINT

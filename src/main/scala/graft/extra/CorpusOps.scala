@@ -334,6 +334,29 @@ object CorpusOps {
         md5(concat_ws(" ", col("chunk"))).as("chunk_hash"))
   }
 
+  /** [[chunkDocuments]]'s boundaries with the chunk TEXT materialized —
+    * the passage table a retrieval index is built over (RAG indexing:
+    * passages, not whole documents, are the scoring unit). Same shuffle-free
+    * per-row explode; text is the space-joined token window, so downstream
+    * tokenization reproduces the chunk token-exactly.
+    *
+    * @return (doc_id, chunk_id, chunk_text)
+    */
+  def chunkTexts(docs: DataFrame, idCol: String, textCol: String,
+                 chunkSize: Int = 64, stride: Int = 48): DataFrame = {
+    val toks = filter(split(lower(col(textCol)), " "), t => t =!= "")
+    docs.select(col(idCol).as("doc_id"), toks.as("toks"),
+        size(toks).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("start_tok",
+        explode(sequence(lit(0L), col("n_tokens") - 1, lit(stride.toLong))))
+      .select(col("doc_id"),
+        (col("start_tok") / stride).cast("long").as("chunk_id"),
+        concat_ws(" ",
+          slice(col("toks"), (col("start_tok") + 1).cast("int"), lit(chunkSize)))
+          .as("chunk_text"))
+  }
+
   /** The corpus report: per-(lang, source) document/char/token totals plus
     * the exact-duplicate rate (distinct normalized fingerprints vs docs) —
     * the dashboard numbers a curation run is judged by. Two-level
