@@ -8,6 +8,35 @@ class CorpusOpsSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
+  test("pagerankNano matches an in-memory integer reference on random graphs") {
+    import graft.extra.GraphOps
+    def reference(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val und = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }.distinct
+      val nodes = und.map(_._1).distinct
+      val deg = und.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+      val nN = nodes.size
+      var pr = nodes.map(_ -> 1000000000L / nN).toMap
+      for (_ <- 1 to 10) {
+        val acc = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+        und.foreach { case (s, d) => acc(d) += pr(s) / deg(s) }
+        pr = nodes.map(v => v -> (150000000L / nN + 85L * acc(v) / 100L)).toMap
+      }
+      pr
+    }
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 5) {
+      val n = 3 + rnd.nextInt(9)
+      val edges = for {
+        i <- 0 until n; j <- (i + 1) until n if rnd.nextInt(3) == 0
+      } yield (i.toLong, j.toLong)
+      if (edges.nonEmpty) {
+        val got = GraphOps.pagerankNano(edges.toDF("id_a", "id_b"), "id_a", "id_b")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == reference(edges), s"trial $trial, edges $edges")
+      }
+    }
+  }
+
   test("weightedSample: deterministic, layout-independent, weight-sensitive") {
     val docs = Tables.load(spark, SparkTestSession.sf0001, "documents")
     def run(df: org.apache.spark.sql.DataFrame) =
