@@ -746,17 +746,19 @@ object SparkEntry {
         |vocab AS (SELECT term, sum(tf) AS cnt FROM tf GROUP BY 1),
         |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n_total,
         |    CAST(count(*) AS DOUBLE) AS v_size FROM vocab),
-        |lp AS (SELECT term, ln((cnt + 1.0) / (n_total + v_size)) AS lp
+        |lp AS (SELECT term, round(ln((cnt + 1.0) / (n_total + v_size)), 6) AS lp
         |  FROM vocab CROSS JOIN tot),
         |perdoc AS (SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
-        |    round(sum(tf.tf * lp.lp), 4) AS lp_sum
+        |    sum(CAST(round(tf.tf * lp.lp * 1000000) AS BIGINT)) AS lp_micro
         |  FROM tf JOIN lp USING (term) GROUP BY 1)
         |SELECT d.doc_id,
         |  CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
-        |  CASE WHEN p.n_tokens > 0 THEN round(p.lp_sum / p.n_tokens, 6) END
+        |  CASE WHEN p.n_tokens > 0
+        |    THEN -CAST((-p.lp_micro) // p.n_tokens AS DOUBLE) / 1000000.0 END
         |    AS lm_logprob,
         |  CASE WHEN p.n_tokens > 0 THEN
-        |    round(exp(-round(p.lp_sum / p.n_tokens, 6)), 4) END AS ppl
+        |    round(exp(CAST((-p.lp_micro) // p.n_tokens AS DOUBLE) / 1000000.0), 4)
+        |  END AS ppl
         |FROM documents d LEFT JOIN perdoc p USING (doc_id)""".stripMargin,
 
     // stride chunking: positions/lengths/hashes are exact integer + md5

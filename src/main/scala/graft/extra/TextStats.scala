@@ -110,8 +110,10 @@ object TextStats {
     * model table is vocabulary-sized (broadcastable for natural-language
     * vocabularies).
     * Float discipline: per-term `tf * lp` terms are identical across engines
-    * (same ln of the same ratio); the per-doc sum is rounded at 4 before the
-    * mean divides (the rounding-boundary rule from the profiler oracles).
+    * (same ln of the same ratio) and are rounded to INTEGER MICROS before
+    * the per-doc sum — integer sums are summation-order-free, so the score
+    * cannot flip on a rounding boundary however the partitions land (a
+    * double sum rounded afterwards was measured flipping by 1e-6 at sf0.1).
     *
     * @return (doc_id, n_tokens, lm_logprob, ppl) — NULL score for empty docs
     */
@@ -127,21 +129,33 @@ object TextStats {
     val vocab = tf.groupBy("term").agg(sum("tf").as("cnt"))
     val totals = vocab.agg(sum("cnt").as("n_total"),
       count(lit(1)).as("v_size"))
+    // lp pinned to 6 decimals: JVM Math.log and C libm can differ in the
+    // last ulp, and a raw lp multiplied onward can flip a micro-rounding —
+    // round-6 collapses both engines onto the identical double (per-TERM,
+    // so a boundary hit needs the true value within ~1e-16 of a half-micro:
+    // vanishing over a vocabulary, vs. per (doc, term) pair before)
     val lp = vocab.crossJoin(broadcast(totals))
-      .withColumn("lp", log((col("cnt") + lit(1.0)) /
-        (col("n_total").cast("double") + col("v_size").cast("double"))))
+      .withColumn("lp", round(log((col("cnt") + lit(1.0)) /
+        (col("n_total").cast("double") + col("v_size").cast("double"))), 6))
       .select("term", "lp")
     val perDoc = tf.join(lp, "term")
       .groupBy("doc_id")
       .agg(sum("tf").as("n_tokens"),
-        round(sum(col("tf") * col("lp")), 4).as("lp_sum"))
+        sum(round(col("tf") * col("lp") * 1e6).cast("long")).as("lp_micro"))
+    // The per-token mean comes from INTEGER division of the micro sum — a
+    // float round of the quotient was measured landing exactly on a
+    // half-micro (sum/62e6), where Spark (decimal shortest-string) and
+    // DuckDB (binary multiply) round opposite ways. Negate first: both
+    // engines truncate positive integer division identically (DIV vs //
+    // disagree on NEGATIVES — trunc vs floor).
     df.select(col(idCol).as("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .withColumn("lm_logprob", when(col("n_tokens") > 0,
+        -expr("(-lp_micro) DIV n_tokens").cast("double") / 1e6))
       .select(col("doc_id"),
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        col("lm_logprob"),
         when(col("n_tokens") > 0,
-          round(col("lp_sum") / col("n_tokens"), 6)).as("lm_logprob"),
-        when(col("n_tokens") > 0,
-          round(exp(-round(col("lp_sum") / col("n_tokens"), 6)), 4)).as("ppl"))
+          round(exp(-col("lm_logprob")), 4)).as("ppl"))
   }
 
   /** One BPE merge round over the corpus: count adjacent character pairs in

@@ -26,11 +26,12 @@ class TextStatsSpec extends AnyFunSuite {
     assert(got(1L)._2.get > got(2L)._2.get,
       "common-token doc must have higher (less negative) mean logprob")
     // hand-check doc 1: vocab = {the: 5, zyxwv: 1}, N=6, V=2
-    // lp(the) = ln((5+1)/(6+2)); doc mean = round(round(4*lp, 4)/4, 6)
-    val lpSum = BigDecimal(4 * math.log(6.0 / 8.0))
-      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-    val expected = BigDecimal(lpSum / 4)
+    // lp6 = round(ln((5+1)/(6+2)), 6); micro = round(4*lp6*1e6);
+    // lm = -((-micro) DIV 4)/1e6 (integer per-token mean — see lmScore)
+    val lp6 = BigDecimal(math.log(6.0 / 8.0))
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val micro = math.round(4 * lp6 * 1e6)
+    val expected = -((-micro) / 4).toDouble / 1e6
     assert(math.abs(got(1L)._2.get - expected) < 1e-9)
   }
 
