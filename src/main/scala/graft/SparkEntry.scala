@@ -429,6 +429,11 @@ object SparkEntry {
       TextStats.bpePairs(T(s, d, "documents"), "text")
         .withColumn("rank", col("rank").cast("long"))),
 
+    // the FULL greedy merge loop: 8 rounds of count → merge-everywhere →
+    // recount over the vocabulary-sized word table
+    "bpe_train" -> ((s, d) =>
+      TextStats.bpeTrain(T(s, d, "documents"), "text", 8)),
+
     // ---- time windows (events table; §2.10 note) ----
     "event_tumbling" -> ((s, d) =>
       EventWindows.tumbling(T(s, d, "events"), "1 hour")),
@@ -866,7 +871,9 @@ object SparkEntry {
         |    CAST(sum(wcnt) AS BIGINT) AS n_occurrences FROM pairs GROUP BY 1),
         |r AS (SELECT *, CAST(row_number() OVER (ORDER BY n_occurrences DESC,
         |    pair ASC) AS BIGINT) AS rank FROM agg)
-        |SELECT pair, n_words, n_occurrences, rank FROM r WHERE rank <= 50""".stripMargin
+        |SELECT pair, n_words, n_occurrences, rank FROM r WHERE rank <= 50""".stripMargin,
+
+    "bpe_train" -> O.bpeTrainSql
   )
 
   /** DuckDB oracle SQL builders for the repetitive profile/sketch queries —
@@ -875,6 +882,36 @@ object SparkEntry {
     */
   private object O {
     val profiledTables = Seq("customer", "orders", "lineitem")
+
+    /** DuckDB twin of TextStats.bpeTrain: 8 unrolled rounds, each a pair
+      * aggregation + 1-row argmax + literal replace — integer and string
+      * arithmetic only, so every round's merge choice and count match
+      * exactly.
+      */
+    val bpeTrainSql: String = {
+      val rounds = 8
+      val roundCtes = (1 to rounds).map { k =>
+        s"""pc$k AS (SELECT t[i] AS l, t[i+1] AS r, sum(wcnt) AS cnt
+           |  FROM (SELECT string_split(trim(ws), ' ') AS t, wcnt FROM w${k - 1}) z
+           |  CROSS JOIN unnest(range(1, len(t))) AS u(i) GROUP BY 1, 2),
+           |t$k AS (SELECT l, r, cnt FROM pc$k ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+           |w$k AS (SELECT replace(ws, ' '||l||' '||r||' ', ' '||l||r||' ') AS ws, wcnt
+           |  FROM w${k - 1} CROSS JOIN t$k)""".stripMargin
+      }.mkString(",\n")
+      val un = (1 to rounds).map(k =>
+        s"SELECT $k AS round, l AS l_tok, r AS r_tok, cnt AS n_occurrences FROM t$k")
+        .mkString("\n  UNION ALL ")
+      s"""WITH w0 AS (SELECT ' ' || array_to_string(
+         |      list_transform(range(1, length(word) + 1), i -> substr(word, i, 1)),
+         |      ' ') || ' ' AS ws, wcnt
+         |  FROM (SELECT word, count(*) AS wcnt FROM (
+         |      SELECT unnest(list_filter(string_split(lower(text), ' '),
+         |        x -> x <> '')) AS word FROM documents) z GROUP BY 1) w),
+         |$roundCtes
+         |SELECT CAST(round AS BIGINT) AS round, l_tok, r_tok,
+         |  CAST(n_occurrences AS BIGINT) AS n_occurrences
+         |FROM ($un)""".stripMargin
+    }
 
     // (table, allCols, numericCols, temporalCols) — mirrors the parquet schemas
     // (FIXTURES.md §A) in schema order.

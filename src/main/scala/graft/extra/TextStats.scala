@@ -187,6 +187,65 @@ object TextStats {
       .filter(col("rank") <= k)
   }
 
+  /** Greedy BPE merge-table training — `rounds` iterations of the full
+    * byte-pair-encoding loop [[bpePairs]] only runs once: count adjacent
+    * token pairs over the (vocabulary-sized, frequency-weighted) word table,
+    * merge the most frequent pair everywhere, recount. Words travel as
+    * sentinel-spaced token strings (` a b c `) and the merge is LITERAL
+    * string replacement (leftmost, non-overlapping, resume-after — Spark's
+    * `replace` and DuckDB's `replace` share these semantics exactly, and no
+    * regex means no metacharacter hazards from corpus tokens), so the whole
+    * training run is integer + string arithmetic: the oracle reproduces
+    * every round bit for bit. Single-pass-per-round merge application is a
+    * documented divergence from classic BPE's within-word fixpoint; merge
+    * CHOICES can differ from it only in chained-overlap corners (`a a a a`),
+    * never the algorithm's shape.
+    *
+    * Scale shape: the state is the distinct-word table (vocabulary-sized,
+    * pinned), each round is one explode+aggregate over it plus a 1-row
+    * argmax action — tokenizer training is an offline artifact build, like
+    * fitting the IVF codebook. Corpus size only enters through the initial
+    * word count.
+    *
+    * @return (round, l_tok, r_tok, n_occurrences) — the merge table
+    */
+  def bpeTrain(df: DataFrame, textCol: String, rounds: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val spaced = concat(lit(" "),
+      concat_ws(" ", expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))")),
+      lit(" "))
+    var words = graft.Caching.temp(
+      df.select(explode(toks(col(textCol))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("wcnt"))
+        .select(spaced.as("ws"), col("wcnt")))
+    val merges = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
+    for (r <- 1 to rounds) {
+      val pairs = words
+        .select(col("wcnt"), split(trim(col("ws")), " ").as("t"))
+        // single-token words have no pairs — and Spark's sequence(1, 0)
+        // DESCENDS rather than being empty, so they must not reach it
+        .filter(size(col("t")) >= 2)
+        .select(col("wcnt"), explode(
+          expr("transform(sequence(1, size(t)-1), i -> struct(t[i-1] AS l, t[i] AS r))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("wcnt").as("cnt"))
+      val top = pairs.orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (top.nonEmpty) {
+        val (l, rr, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((r, l, rr, cnt))
+        words = graft.Caching.temp(words.select(
+          call_function("replace", col("ws"),
+            lit(s" $l $rr "), lit(s" $l$rr ")).as("ws"),
+          col("wcnt")))
+      }
+    }
+    merges.toSeq.toDF("round", "l_tok", "r_tok", "n_occurrences")
+      .select(col("round").cast("long"), col("l_tok"), col("r_tok"),
+        col("n_occurrences"))
+  }
+
   /** The normalize-and-hash fingerprint COLUMN (shared by the batch
     * fingerprint table and the streaming dedup).
     */

@@ -35,6 +35,16 @@ class TextStatsSpec extends AnyFunSuite {
     assert(math.abs(got(1L)._2.get - expected) < 1e-9)
   }
 
+  test("bpeTrain: greedy merges compose, ties break lexically, stops when dry") {
+    // "aaab" x3: r1 (a,a)x2 per word = 6; merge -> " aa a b "
+    // r2 tie (aa,a)=3 vs (a,b)=3 -> lexical l_tok: (a,b); merge -> " aa ab "
+    // r3 (aa,ab)=3 -> " aaab "; r4+ no pairs -> training dries up at 3 rows
+    val docs = Seq((1L, "aaab aaab"), (2L, "aaab")).toDF("doc_id", "text")
+    val got = TextStats.bpeTrain(docs, "text", rounds = 8).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toList
+    assert(got == List((1L, "a", "a", 6L), (2L, "a", "b", 3L), (3L, "aa", "ab", 3L)))
+  }
+
   test("bpePairs: weighted adjacent-pair counts with deterministic ranks") {
     // "abab" x3 + "ab" x2: pairs per 'abab' = ab, ba, ab; per 'ab' = ab
     // → ab occurrences 3*2+2 = 8 (2 distinct words), ba occurrences 3 (1 word)
