@@ -434,6 +434,10 @@ object SparkEntry {
     "bpe_train" -> ((s, d) =>
       TextStats.bpeTrain(T(s, d, "documents"), "text", 8)),
 
+    // apply the trained merge table: per-doc BPE token counts
+    "bpe_encode" -> ((s, d) =>
+      TextStats.bpeEncode(T(s, d, "documents"), "doc_id", "text", 8)),
+
     // ---- time windows (events table; §2.10 note) ----
     "event_tumbling" -> ((s, d) =>
       EventWindows.tumbling(T(s, d, "events"), "1 hour")),
@@ -873,7 +877,8 @@ object SparkEntry {
         |    pair ASC) AS BIGINT) AS rank FROM agg)
         |SELECT pair, n_words, n_occurrences, rank FROM r WHERE rank <= 50""".stripMargin,
 
-    "bpe_train" -> O.bpeTrainSql
+    "bpe_train" -> O.bpeTrainSql,
+    "bpe_encode" -> O.bpeEncodeSql
   )
 
   /** DuckDB oracle SQL builders for the repetitive profile/sketch queries —
@@ -888,9 +893,13 @@ object SparkEntry {
       * arithmetic only, so every round's merge choice and count match
       * exactly.
       */
-    val bpeTrainSql: String = {
-      val rounds = 8
-      val roundCtes = (1 to rounds).map { k =>
+    private val bpeRounds = 8
+
+    /** Shared training CTE chain (w0 → pc_k/t_k/w_k per round) — both the
+      * merge-table dump and the encode twin build on it.
+      */
+    private val bpeRoundCtes: String = {
+      val roundCtes = (1 to bpeRounds).map { k =>
         s"""pc$k AS (SELECT t[i] AS l, t[i+1] AS r, sum(wcnt) AS cnt
            |  FROM (SELECT string_split(trim(ws), ' ') AS t, wcnt FROM w${k - 1}) z
            |  CROSS JOIN unnest(range(1, len(t))) AS u(i) GROUP BY 1, 2),
@@ -898,19 +907,45 @@ object SparkEntry {
            |w$k AS (SELECT replace(ws, ' '||l||' '||r||' ', ' '||l||r||' ') AS ws, wcnt
            |  FROM w${k - 1} CROSS JOIN t$k)""".stripMargin
       }.mkString(",\n")
-      val un = (1 to rounds).map(k =>
-        s"SELECT $k AS round, l AS l_tok, r AS r_tok, cnt AS n_occurrences FROM t$k")
-        .mkString("\n  UNION ALL ")
-      s"""WITH w0 AS (SELECT ' ' || array_to_string(
+      s"""w0 AS (SELECT ' ' || array_to_string(
          |      list_transform(range(1, length(word) + 1), i -> substr(word, i, 1)),
          |      ' ') || ' ' AS ws, wcnt
          |  FROM (SELECT word, count(*) AS wcnt FROM (
          |      SELECT unnest(list_filter(string_split(lower(text), ' '),
          |        x -> x <> '')) AS word FROM documents) z GROUP BY 1) w),
-         |$roundCtes
+         |$roundCtes""".stripMargin
+    }
+
+    val bpeTrainSql: String = {
+      val un = (1 to bpeRounds).map(k =>
+        s"SELECT $k AS round, l AS l_tok, r AS r_tok, cnt AS n_occurrences FROM t$k")
+        .mkString("\n  UNION ALL ")
+      s"""WITH $bpeRoundCtes
          |SELECT CAST(round AS BIGINT) AS round, l_tok, r_tok,
          |  CAST(n_occurrences AS BIGINT) AS n_occurrences
          |FROM ($un)""".stripMargin
+    }
+
+    /** DuckDB twin of TextStats.bpeEncode: the t_k merge scalars cross-join
+      * onto the per-word spaced stream, replaces nest in training order.
+      */
+    val bpeEncodeSql: String = {
+      val chain = (1 to bpeRounds).foldLeft("ws") { case (acc, k) =>
+        s"replace($acc, ' '||t$k.l||' '||t$k.r||' ', ' '||t$k.l||t$k.r||' ')"
+      }
+      val joins = (1 to bpeRounds).map(k => s"CROSS JOIN t$k").mkString(" ")
+      s"""WITH $bpeRoundCtes,
+         |dw AS (SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+         |    x -> x <> '')) AS word FROM documents),
+         |sp AS (SELECT doc_id, ' ' || array_to_string(
+         |    list_transform(range(1, length(word) + 1), i -> substr(word, i, 1)),
+         |    ' ') || ' ' AS ws FROM dw),
+         |enc AS (SELECT doc_id, $chain AS ws FROM sp $joins),
+         |pd AS (SELECT doc_id, count(*) AS n_words,
+         |    sum(len(string_split(trim(ws), ' '))) AS n_bpe FROM enc GROUP BY 1)
+         |SELECT d.doc_id, CAST(coalesce(pd.n_words, 0) AS BIGINT) AS n_words,
+         |  CAST(coalesce(pd.n_bpe, 0) AS BIGINT) AS n_bpe_tokens
+         |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin
     }
 
     // (table, allCols, numericCols, temporalCols) — mirrors the parquet schemas

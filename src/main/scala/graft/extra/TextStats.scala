@@ -246,6 +246,38 @@ object TextStats {
         col("n_occurrences"))
   }
 
+  /** Apply a trained BPE merge table ([[bpeTrain]]) to the corpus: every
+    * word re-tokenizes through the merge chain IN TRAINING ORDER (literal
+    * replaces — a codegen'd per-row expression chain, shuffle-free until the
+    * per-doc count), yielding the BPE token count per document — the number
+    * that actually prices a document against a model's context/training
+    * budget, vs the whitespace proxy in [[tokenCounts]]. The merge table is
+    * `rounds` rows collected once (an artifact lookup, like broadcasting a
+    * codebook).
+    *
+    * @return (doc_id, n_words, n_bpe_tokens)
+    */
+  def bpeEncode(df: DataFrame, idCol: String, textCol: String,
+                rounds: Int = 8): DataFrame = {
+    val merges = bpeTrain(df, textCol, rounds).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val spacedWord = concat(lit(" "),
+      concat_ws(" ", expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))")),
+      lit(" "))
+    val encoded = merges.foldLeft(spacedWord) { case (c, (l, r)) =>
+      call_function("replace", c, lit(s" $l $r "), lit(s" $l$r "))
+    }
+    val perDoc = df
+      .select(col(idCol).as("doc_id"), explode(toks(col(textCol))).as("word"))
+      .select(col("doc_id"), size(split(trim(encoded), " ")).as("wtoks"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("wtoks").as("n_bpe_tokens"))
+    df.select(col(idCol).as("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"))
+  }
+
   /** The normalize-and-hash fingerprint COLUMN (shared by the batch
     * fingerprint table and the streaming dedup).
     */
