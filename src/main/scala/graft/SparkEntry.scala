@@ -451,7 +451,12 @@ object SparkEntry {
 
     // bucketed range join: clicks in the 30 min before each purchase
     "event_range_join" -> ((s, d) =>
-      EventWindows.rangeJoin(T(s, d, "events")))
+      EventWindows.rangeJoin(T(s, d, "events"))),
+
+    // ordered-sequence conversion funnel: signup, then a view strictly
+    // after it, then a purchase after that
+    "event_funnel" -> ((s, d) =>
+      EventWindows.funnel(T(s, d, "events"), Seq("signup", "view", "purchase")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -727,6 +732,20 @@ object SparkEntry {
         |  epoch_ms(r.ts) AS ts_right, r.value AS r_value
         |FROM l ASOF LEFT JOIN r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+
+    // per-step chained CTEs: each stage's min completion time given the
+    // previous stage's; strict > on both sides, integer counts
+    "event_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'view' AND e.ts > s1.t GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1)
+        |SELECT CAST(1 AS BIGINT) AS step, 'signup' AS event_type,
+        |  (SELECT count(*) FROM s1) AS n_users
+        |UNION ALL SELECT 2, 'view', (SELECT count(*) FROM s2)
+        |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)""".stripMargin,
 
     // DuckDB does the range join natively (non-equi join); the engine's
     // bucketed equi-join must produce the identical match set

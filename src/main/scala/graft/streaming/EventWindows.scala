@@ -51,6 +51,38 @@ object EventWindows {
         unix_millis(col("w.start")).as("session_start"),
         col("n"), col("total"))
 
+  /** Ordered-sequence funnel: how many users complete step 1, then step 2
+    * STRICTLY AFTER their step-1 time, then step 3 after that, ... — the
+    * classic conversion analysis over an event stream. Each stage is the
+    * minimal completion time given the previous stage's time, so the fold is
+    * one user-keyed aggregation + one co-partitioned join per step (the
+    * user-id shuffle partitioning is reused across stages — no per-user
+    * sorting, no sequential scan state, linear in events). Counts are
+    * integers end to end; the oracle chains the same per-step CTEs.
+    *
+    * @return (step, event_type, n_users) — one row per funnel stage
+    */
+  def funnel(events: DataFrame, steps: Seq[String],
+             userCol: String = "user_id", tsCol: String = "ts",
+             typeCol: String = "event_type"): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val byUser = events.select(col(userCol).as("user_id"),
+      col(tsCol).as("ts"), col(typeCol).as("et"))
+    var cur = byUser.filter(col("et") === steps.head)
+      .groupBy("user_id").agg(min("ts").as("t"))
+    var out = cur.agg(count(lit(1)).as("n_users"))
+      .select(lit(1L).as("step"), lit(steps.head).as("event_type"), col("n_users"))
+    for ((s, i) <- steps.tail.zipWithIndex) {
+      cur = byUser.filter(col("et") === s)
+        .join(cur.select(col("user_id"), col("t").as("prev_t")), "user_id")
+        .filter(col("ts") > col("prev_t"))
+        .groupBy("user_id").agg(min("ts").as("t"))
+      out = out.unionAll(cur.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 2L).as("step"), lit(s).as("event_type"), col("n_users")))
+    }
+    out
+  }
+
   /** As-of join: pair every `leftType` event with the most recent
     * `rightType` event at-or-before it for the same user — the alignment
     * primitive behind "state at event time" joins (market data, feature

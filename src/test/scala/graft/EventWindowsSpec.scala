@@ -109,6 +109,27 @@ class EventWindowsSpec extends AnyFunSuite {
     assert(out == Set(2L), s"doc 1 matches the corpus fingerprint, got $out")
   }
 
+  test("funnel: strict ordering per user, stages narrow") {
+    import spark.implicits._
+    def ev(id: Long, u: Long, t: String, ty: String) =
+      (id, java.sql.Timestamp.valueOf(t), u, ty, 1.0)
+    val events = Seq(
+      // u1 completes all three in order
+      ev(1, 1, "2024-01-01 00:00:00", "signup"),
+      ev(2, 1, "2024-01-01 00:01:00", "view"),
+      ev(3, 1, "2024-01-01 00:02:00", "purchase"),
+      // u2's only view is BEFORE signup → stops at stage 1
+      ev(4, 2, "2024-01-01 00:00:30", "view"),
+      ev(5, 2, "2024-01-01 00:01:30", "signup"),
+      // u3 signup only; purchase without a view does not count
+      ev(6, 3, "2024-01-01 00:00:00", "signup"),
+      ev(7, 3, "2024-01-01 00:05:00", "purchase")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = EventWindows.funnel(events, Seq("signup", "view", "purchase"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 1L, 3L -> 1L), s"got $got")
+  }
+
   test("sessions merge events within gap") {
     import spark.implicits._
     val df = Seq(
