@@ -456,7 +456,11 @@ object SparkEntry {
     // ordered-sequence conversion funnel: signup, then a view strictly
     // after it, then a purchase after that
     "event_funnel" -> ((s, d) =>
-      EventWindows.funnel(T(s, d, "events"), Seq("signup", "view", "purchase")))
+      EventWindows.funnel(T(s, d, "events"), Seq("signup", "view", "purchase"))),
+
+    // weekly cohort retention anchored on first signup
+    "event_retention" -> ((s, d) =>
+      EventWindows.retention(T(s, d, "events")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -732,6 +736,19 @@ object SparkEntry {
         |  epoch_ms(r.ts) AS ts_right, r.value AS r_value
         |FROM l ASOF LEFT JOIN r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+
+    // integer epoch-week arithmetic on both sides
+    "event_retention" ->
+      """WITH co AS (SELECT user_id,
+        |    min(CAST(floor(epoch(ts) / 604800) AS BIGINT)) AS cohort_week
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |act AS (SELECT DISTINCT co.cohort_week,
+        |    CAST(floor(epoch(e.ts) / 604800) AS BIGINT) - co.cohort_week AS week_offset,
+        |    e.user_id
+        |  FROM events e JOIN co USING (user_id)
+        |  WHERE CAST(floor(epoch(e.ts) / 604800) AS BIGINT) >= co.cohort_week)
+        |SELECT cohort_week, week_offset, count(*) AS n_active
+        |FROM act GROUP BY 1, 2""".stripMargin,
 
     // per-step chained CTEs: each stage's min completion time given the
     // previous stage's; strict > on both sides, integer counts

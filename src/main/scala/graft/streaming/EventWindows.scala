@@ -83,6 +83,34 @@ object EventWindows {
     out
   }
 
+  /** Cohort retention: bucket users by the week of their first `anchorType`
+    * event, then count how many of each cohort are active (ANY event) k
+    * weeks later — the companion read-out to [[funnel]]. Weeks are integer
+    * epoch arithmetic (floor(epoch/604800)), cohorts one user-keyed
+    * aggregation, activity a distinct over (cohort, offset, user) — two
+    * shuffles total, both user-scale not event-scale after the distinct's
+    * map-side combine. Integer counts end to end.
+    *
+    * @return (cohort_week, week_offset, n_active)
+    */
+  def retention(events: DataFrame, anchorType: String = "signup",
+                userCol: String = "user_id", tsCol: String = "ts",
+                typeCol: String = "event_type"): DataFrame = {
+    val week = (c: org.apache.spark.sql.Column) =>
+      floor(unix_timestamp(c) / 604800L).cast("long")
+    val cohorts = events.filter(col(typeCol) === anchorType)
+      .groupBy(col(userCol).as("user_id"))
+      .agg(min(week(col(tsCol))).as("cohort_week"))
+    events.select(col(userCol).as("user_id"), week(col(tsCol)).as("w"))
+      .join(cohorts, "user_id")
+      .filter(col("w") >= col("cohort_week"))
+      .select(col("cohort_week"), (col("w") - col("cohort_week")).as("week_offset"),
+        col("user_id"))
+      .distinct()
+      .groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).as("n_active"))
+  }
+
   /** As-of join: pair every `leftType` event with the most recent
     * `rightType` event at-or-before it for the same user — the alignment
     * primitive behind "state at event time" joins (market data, feature

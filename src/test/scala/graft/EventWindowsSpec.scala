@@ -130,6 +130,26 @@ class EventWindowsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 3L, 2L -> 1L, 3L -> 1L), s"got $got")
   }
 
+  test("retention: cohort by first signup week, activity narrows by offset") {
+    import spark.implicits._
+    def ev(id: Long, u: Long, t: String, ty: String) =
+      (id, java.sql.Timestamp.valueOf(t), u, ty, 1.0)
+    val events = Seq(
+      // u1, u2 sign up in week A; u1 active the following week too
+      ev(1, 1, "2024-01-01 00:00:00", "signup"),
+      ev(2, 2, "2024-01-02 00:00:00", "signup"),
+      ev(3, 1, "2024-01-09 00:00:00", "click"),
+      // u3 never signs up → excluded entirely
+      ev(4, 3, "2024-01-01 00:00:00", "click"),
+      // u2 activity BEFORE signup week is clamped out by the >= filter
+      ev(5, 2, "2023-12-20 00:00:00", "view")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = EventWindows.retention(events)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toList.sorted
+    // offset 0: both signup events count as activity; offset 1: only u1
+    assert(got == List((0L, 2L), (1L, 1L)), s"got $got")
+  }
+
   test("sessions merge events within gap") {
     import spark.implicits._
     val df = Seq(
