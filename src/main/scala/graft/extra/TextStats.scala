@@ -209,41 +209,69 @@ object TextStats {
     *
     * @return (round, l_tok, r_tok, n_occurrences) — the merge table
     */
-  def bpeTrain(df: DataFrame, textCol: String, rounds: Int = 8): DataFrame = {
+  def bpeTrain(df: DataFrame, textCol: String, rounds: Int = 8,
+               cacheKey: Option[String] = None): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val spaced = concat(lit(" "),
-      concat_ws(" ", expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))")),
-      lit(" "))
-    var words = graft.Caching.temp(
-      df.select(explode(toks(col(textCol))).as("word"))
-        .groupBy("word").agg(count(lit(1)).as("wcnt"))
-        .select(spaced.as("ws"), col("wcnt")))
-    val merges = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
-    for (r <- 1 to rounds) {
-      val pairs = words
-        .select(col("wcnt"), split(trim(col("ws")), " ").as("t"))
-        // single-token words have no pairs — and Spark's sequence(1, 0)
-        // DESCENDS rather than being empty, so they must not reach it
-        .filter(size(col("t")) >= 2)
-        .select(col("wcnt"), explode(
-          expr("transform(sequence(1, size(t)-1), i -> struct(t[i-1] AS l, t[i] AS r))")).as("p"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(sum("wcnt").as("cnt"))
-      val top = pairs.orderBy(col("cnt").desc, col("l").asc, col("r").asc)
-        .limit(1).collect()
-      if (top.nonEmpty) {
-        val (l, rr, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        merges += ((r, l, rr, cnt))
-        words = graft.Caching.temp(words.select(
-          call_function("replace", col("ws"),
-            lit(s" $l $rr "), lit(s" $l$rr ")).as("ws"),
-          col("wcnt")))
-      }
-    }
-    merges.toSeq.toDF("round", "l_tok", "r_tok", "n_occurrences")
+    trainedMerges(df, textCol, rounds, cacheKey)
+      .toDF("round", "l_tok", "r_tok", "n_occurrences")
       .select(col("round").cast("long"), col("l_tok"), col("r_tok"),
         col("n_occurrences"))
+  }
+
+  /** Session cache for trained merge tables — the merge table is a reusable
+    * artifact (like an IVF codebook): training it inside every encode query
+    * would repeat `rounds` sequential corpus aggregations per call. Keyed by
+    * (applicationId, caller key) so distinct corpora/sessions never collide.
+    */
+  private val mergeCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Seq[(Int, String, String, Long)]]
+
+  /** The BPE training loop itself, returning the merge table as a LOCAL list
+    * (it is `rounds` rows — driver-scale by construction). Pass `cacheKey`
+    * (e.g. the lake directory) to memoize per session: then one training run
+    * serves both the merge-table dump ([[bpeTrain]]) and every subsequent
+    * [[bpeEncode]] over the same corpus.
+    */
+  def trainedMerges(df: DataFrame, textCol: String, rounds: Int = 8,
+                    cacheKey: Option[String] = None): Seq[(Int, String, String, Long)] = {
+    def run(): Seq[(Int, String, String, Long)] = {
+      val spaced = concat(lit(" "),
+        concat_ws(" ", expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))")),
+        lit(" "))
+      var words = graft.Caching.temp(
+        df.select(explode(toks(col(textCol))).as("word"))
+          .groupBy("word").agg(count(lit(1)).as("wcnt"))
+          .select(spaced.as("ws"), col("wcnt")))
+      val merges = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
+      for (r <- 1 to rounds) {
+        val pairs = words
+          .select(col("wcnt"), split(trim(col("ws")), " ").as("t"))
+          // single-token words have no pairs — and Spark's sequence(1, 0)
+          // DESCENDS rather than being empty, so they must not reach it
+          .filter(size(col("t")) >= 2)
+          .select(col("wcnt"), explode(
+            expr("transform(sequence(1, size(t)-1), i -> struct(t[i-1] AS l, t[i] AS r))")).as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum("wcnt").as("cnt"))
+        val top = pairs.orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+          .limit(1).collect()
+        if (top.nonEmpty) {
+          val (l, rr, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+          merges += ((r, l, rr, cnt))
+          words = graft.Caching.temp(words.select(
+            call_function("replace", col("ws"),
+              lit(s" $l $rr "), lit(s" $l$rr ")).as("ws"),
+            col("wcnt")))
+        }
+      }
+      merges.toList
+    }
+    cacheKey match {
+      case Some(k) => mergeCache.getOrElseUpdate(
+        (df.sparkSession.sparkContext.applicationId, s"$k|$textCol|$rounds"), run())
+      case None => run()
+    }
   }
 
   /** Apply a trained BPE merge table ([[bpeTrain]]) to the corpus: every
@@ -258,9 +286,16 @@ object TextStats {
     * @return (doc_id, n_words, n_bpe_tokens)
     */
   def bpeEncode(df: DataFrame, idCol: String, textCol: String,
-                rounds: Int = 8): DataFrame = {
-    val merges = bpeTrain(df, textCol, rounds).collect()
-      .map(r => (r.getString(1), r.getString(2)))
+                rounds: Int = 8, cacheKey: Option[String] = None): DataFrame =
+    bpeEncode(df, idCol, textCol,
+      trainedMerges(df, textCol, rounds, cacheKey).map(m => (m._2, m._3)))
+
+  /** Encode with an ALREADY-TRAINED merge table — the production shape: the
+    * tokenizer is trained once (offline artifact) and applied to any corpus,
+    * and the encode itself is a shuffle-free codegen replace chain.
+    */
+  def bpeEncode(df: DataFrame, idCol: String, textCol: String,
+                merges: Seq[(String, String)]): DataFrame = {
     val spacedWord = concat(lit(" "),
       concat_ws(" ", expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))")),
       lit(" "))

@@ -45,6 +45,36 @@ class TextStatsSpec extends AnyFunSuite {
     assert(got == List((1L, "a", "a", 6L), (2L, "a", "b", 3L), (3L, "aa", "ab", 3L)))
   }
 
+  test("bpeEncode: dry / partially-dry training degrades to fewer merges") {
+    // fully dry: every word is 1 char → zero merges → n_bpe_tokens = chars
+    val dry = Seq((1L, "a b c"), (2L, "x y"), (3L, "a a")).toDF("doc_id", "text")
+    val gotDry = TextStats.bpeEncode(dry, "doc_id", "text", rounds = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toList
+    assert(gotDry == List((1L, 3L, 3L), (2L, 2L, 2L), (3L, 2L, 2L)))
+
+    // dries after 1 merge ('a'+'b'): every 'ab' word becomes a single token
+    val few = Seq((1L, "ab ab ab"), (2L, "ab")).toDF("doc_id", "text")
+    val gotFew = TextStats.bpeEncode(few, "doc_id", "text", rounds = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toList
+    assert(gotFew == List((1L, 3L, 3L), (2L, 1L, 1L)))
+  }
+
+  test("bpeEncode: pre-trained merge-table overload ≡ train-then-encode") {
+    val docs = Seq(
+      (1L, "hello world hello"),
+      (2L, "help the world"),
+      (3L, "hello help hero")).toDF("doc_id", "text")
+    val viaRounds = TextStats.bpeEncode(docs, "doc_id", "text", rounds = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toList
+    val merges = TextStats.trainedMerges(docs, "text", rounds = 8).map(m => (m._2, m._3))
+    assert(merges.size == 8)
+    val viaMerges = TextStats.bpeEncode(docs, "doc_id", "text", merges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toList
+    assert(viaMerges == viaRounds)
+    // hand-checked against the DuckDB oracle twin on the same fixture
+    assert(viaRounds == List((1L, 3L, 4L), (2L, 3L, 5L), (3L, 3L, 5L)))
+  }
+
   test("bpePairs: weighted adjacent-pair counts with deterministic ranks") {
     // "abab" x3 + "ab" x2: pairs per 'abab' = ab, ba, ab; per 'ab' = ab
     // → ab occurrences 3*2+2 = 8 (2 distinct words), ba occurrences 3 (1 word)
