@@ -22,11 +22,17 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    // Optional comma-separated query-name filter for local iteration
+    // (SPARK_GRAFT_ONLY=doc_pagerank,bpe_pairs); the driver never sets it.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     // Explicit train step (danae builds its index at startup, not per query):
     // charged honestly as its own line; the queries after it measure search.
     val train = timed("train_index") {
-      search.Sketches.train(spark, sfDir)
-      search.CombinedScorer.datasetMetadata(spark, sfDir).count()
+      if (only.forall(_.contains("train_index"))) {
+        search.Sketches.train(spark, sfDir)
+        search.CombinedScorer.datasetMetadata(spark, sfDir).count()
+      }
     }
     // build-time ephemeral pins only — the sketch/metadata index caches are
     // owned by Sketches/CombinedScorer, not the registry, and survive this.
@@ -38,7 +44,9 @@ object Bench {
     // steady-state throughput a warm service would see. Training is charged
     // once — its second invocation would hit the session cache by design.
     val runsPerQuery = 2
-    val results = (train +: SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = (train +: SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val times = (1 to runsPerQuery).map { _ =>
         val t = timed(name)(fn(spark, sfDir).write.mode("overwrite").format("noop").save())._2
         // drop this query's ephemeral pins (TF tables etc.) before the next
@@ -56,7 +64,15 @@ object Bench {
     }.mkString("{", ",", "}")
     val errs = failed.distinct.map(n => s"\"$n\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"runs_per_query":$runsPerQuery,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"runs_per_query":$runsPerQuery,"sf":"$sfDir"}"""
+    println(json)
+    // Also persist the line: the driver captures stdout's TAIL, which has
+    // truncated past rounds' leading queries — the file can't be.
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")),
+        (json + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable => System.err.println(s"[bench] write: $e") }
     spark.stop()
   }
 }

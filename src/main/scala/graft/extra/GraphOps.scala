@@ -32,15 +32,28 @@ object GraphOps {
     *
     * Scale shape: each iteration is one join of the edge list with the
     * current rank vector plus one aggregation — shuffle keyed on node id
-    * both times. The lazily-chained 10-iteration plan is linear in depth;
-    * at lake scale persist/checkpoint every few iterations to cap lineage.
+    * both times. The lazily-chained iteration plan is linear in depth;
+    * lineage is cut every `checkpointEvery` rounds to cap plan growth.
     * Overflow bound: 85 * acc stays under 2^63 while Σ in-neighbor mass
     * < 1e17 nanos, i.e. in-degree < ~1e8 — beyond any real similarity graph.
     *
+    * @param numPartitions layout of the pinned edge list and each round's
+    *        rank vector. 0 (default) sizes it from the undirected edge
+    *        count (~2M edges per partition): a fixture-scale dup graph
+    *        iterates as ONE compact block (task-launch cost, not data cost,
+    *        dominates there — measured ~0.5s/round at 32 near-empty
+    *        partitions), while a billion-edge graph spreads across
+    *        hundreds. Results are partitioning-independent (exact integer
+    *        arithmetic), spec-enforced at 1 vs 8.
+    * @param checkpointEvery cut lineage (localCheckpoint) every k rounds;
+    *        in between, rounds chain lazily. 1 = materialize every round
+    *        (most stages), higher trades fewer materializations for deeper
+    *        per-stage plans. On a real cluster prefer reliable checkpoints.
     * @return (id, pr) — pr in nano units; Σ pr ≈ 1e9 up to floor leakage
     */
   def pagerankNano(pairs: DataFrame, aCol: String, bCol: String,
-                   iters: Int = 10): DataFrame = {
+                   iters: Int = 10, numPartitions: Int = 0,
+                   checkpointEvery: Int = 1): DataFrame = {
     // Pin the INPUT pair list first: everything below (both union branches,
     // nodes, degrees, N, and all `iters` iterations) derives from it, and
     // the pair list is typically the expensive end of the query (a dedup
@@ -49,14 +62,17 @@ object GraphOps {
     val p = graft.Caching.temp(
       pairs.select(col(aCol).as("src"), col(bCol).as("dst")))
     // The graph tables are edge/node-sized — tiny next to the corpus that
-    // produced them. Pin them as compact single-partition tables (the
-    // in-memory-index pattern, see Sketches): iterating over 32 near-empty
-    // partitions costs ~0.5s of task launches PER ROUND (measured). On a
-    // graph that doesn't fit one partition, repartition by id instead — the
-    // iteration shape is unchanged.
-    val und = graft.Caching.temp(
+    // produced them. Lay them out in `parts` partitions keyed by source id:
+    // sized from the edge count when the caller doesn't pin it, so a
+    // fixture-scale graph iterates as one compact block (the in-memory-index
+    // pattern, see Sketches) and a billion-edge graph spreads.
+    val undAll = graft.Caching.temp(
       p.unionAll(p.select(col("dst").as("src"), col("src").as("dst")))
-        .distinct().repartition(1))
+        .distinct())
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else math.max(1L, (undAll.count() - 1) / 2000000L + 1).toInt
+    val und = graft.Caching.temp(undAll.repartition(parts, col("src")))
     val nodes = und.select(col("src").as("id")).distinct()
     val deg = und.groupBy(col("src").as("id")).agg(count(lit(1)).as("outdeg"))
     // init 1/N and the per-node teleport share (0.15/N) in nanos — N via a
@@ -74,28 +90,44 @@ object GraphOps {
     var pr = nodesT.select(col("id"), col("init").as("pr"))
     val undDeg = graft.Caching.temp(und.join(deg, und("src") === deg("id"))
       .select(col("src"), col("dst"), col("outdeg")))
-    for (_ <- 1 to iters) {
-      pr = undDeg.join(pr, undDeg("src") === pr("id"))
-        .select(col("dst").as("id"), expr("pr DIV outdeg").as("c"))
-        .groupBy("id").agg(sum("c").as("acc"))
-        .join(nodesT, Seq("id"), "right")
-        .select(col("id"),
-          expr("CAST(tele + (85 * coalesce(acc, CAST(0 AS BIGINT))) DIV 100 AS BIGINT)")
-            .as("pr"))
-        // cut lineage each iteration: without this, iteration k's serialized
-        // plan embeds all k-1 predecessors — task binaries grow ~1.6 MB per
-        // round and codegen/broadcast overhead dwarfs the actual joins
-        // (measured 25s for 10 rounds over a 2k-edge graph). The rank vector
-        // is exact integers, so materializing it loses nothing; on a real
-        // cluster prefer reliable checkpointing (or a persisted table) over
-        // executor-local blocks. coalesce(1): the rank vector is #nodes
-        // rows — materializing 32 near-empty blocks per round costs ~0.5s of
-        // task launches each (measured); one compact block per round is the
-        // in-memory-index pattern (see Sketches). Scale the partition count
-        // with #nodes on a real graph.
-        .coalesce(1)
-        .localCheckpoint()
-    }
+    // On a compact graph (few partitions) the rank vector is broadcast-sized:
+    // hinting it kills the sort-merge exchanges and leaves ONE shuffle per
+    // round (the contribution aggregation) — the irreducible pagerank
+    // shuffle. On a spread graph the vector is data-scale: no hint, let the
+    // planner shuffle-join on the id key.
+    val hinted = (df: DataFrame) =>
+      if (parts <= 32) broadcast(df) else df
+    // The iteration stages are statically shaped — `parts` was already sized
+    // from the measured edge count above, which is exactly the adaptivity
+    // AQE would rediscover per stage. Leaving AQE on costs a re-plan per
+    // shuffle per round (measured 9.4s vs 4.0s for 10 rounds on the fixture
+    // dup graph); the corpus-scale pair-generation pipeline upstream already
+    // ran under AQE when it was pinned.
+    val spark = pairs.sparkSession
+    val aqePrev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      for (it <- 1 to iters) {
+        pr = undDeg.join(hinted(pr), undDeg("src") === pr("id"))
+          .select(col("dst").as("id"), expr("pr DIV outdeg").as("c"))
+          .groupBy("id").agg(sum("c").as("acc"))
+          .join(nodesT, Seq("id"), "right")
+          .select(col("id"),
+            expr("CAST(tele + (85 * coalesce(acc, CAST(0 AS BIGINT))) DIV 100 AS BIGINT)")
+              .as("pr"))
+        // Cut lineage every `checkpointEvery` rounds: without any cut,
+        // iteration k's serialized plan embeds all k-1 predecessors — task
+        // binaries grow ~1.6 MB per round and codegen/broadcast overhead
+        // dwarfs the actual joins (measured 25s for 10 rounds over a 2k-edge
+        // graph). The rank vector is exact integers, so materializing it
+        // loses nothing. coalesce(parts): the rank vector is #nodes rows —
+        // materializing 32 near-empty blocks per round costs ~0.5s of task
+        // launches each (measured); compact blocks per round is the
+        // in-memory-index pattern (see Sketches).
+        if (it % checkpointEvery == 0 || it == iters)
+          pr = pr.coalesce(parts).localCheckpoint()
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqePrev)
     pr
   }
 }

@@ -83,6 +83,13 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(pr.values.sum <= 1000000000L)
     assert(pr.values.sum > 900000000L, s"unexpected mass loss: ${pr.values.sum}")
     assert(run(pairs.repartition(5)) == pr, "must not depend on partitioning")
+    // exact integer arithmetic ⇒ the iteration layout and checkpoint cadence
+    // are pure performance knobs, never semantics
+    def runKnobs(np: Int, ce: Int) =
+      GraphOps.pagerankNano(pairs, "id_a", "id_b", numPartitions = np,
+        checkpointEvery = ce).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(runKnobs(1, 1) == pr, "numPartitions=1 must match the default")
+    assert(runKnobs(8, 3) == pr, "numPartitions=8/checkpointEvery=3 must match")
   }
 
   test("connected components labels each node with its component minimum") {
