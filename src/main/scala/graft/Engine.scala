@@ -40,6 +40,19 @@ object Engine {
     if (s <= 0) (0.5, 0.5) else (req.content.weight / s, req.metadata.weight / s)
   }
 
+  /** Quantize a normalized weight map to integer micro-numerators summing
+    * EXACTLY 1e6 (largest-key remainder absorption, deterministic): the
+    * resolution any UI slider works at, and what makes the weighted matching
+    * argmax integer-exact across engines (see
+    * [[search.Matcher.contentScoresExactWeighted]]).
+    */
+  def microWeights(w: Map[String, Double]): Map[String, Long] = {
+    val norm = normalize(w).toSeq.sortBy(_._1)
+    val head = norm.init.map { case (k, v) => k -> math.round(v * 1e6) }
+    val last = norm.last._1 -> (1000000L - head.map(_._2).sum)
+    (head :+ last).toMap
+  }
+
   /** Full similarity search honoring per-column and per-field weights.
     * Response rows mirror combined_search.py:152-155: result id, content /
     * metadata / overall scores, and the column-matching payload.
@@ -79,16 +92,19 @@ object Engine {
     val edges = DistanceJoin.candidateEdges(sketch, req.queryId, ranked,
       extraCandidates = Some(metaScores.select("c_dataset")),
       queryCols = queryCols)
-    val nQueryCols = sketch.filter(col("dataset_id") === req.queryId)
-      .filter(queryCols.fold(lit(true))(cs => col("col_name").isin(cs: _*)))
-      .count()
-    val weighted = DistanceJoin.weighted(edges,
-      if (req.content.columns.isEmpty) Map.empty
-      else normalize(req.content.columns),
-      totalQueryCols = Some(nQueryCols))
-    val content = Matcher.contentScores(weighted)
+    // Exact integer-micro matching on both branches (the oracle-coverable
+    // path): uniform weights apply AFTER the argmax (contentScoresExact),
+    // non-uniform weights multiply the edge micros BEFORE it.
+    val content =
+      if (req.content.columns.isEmpty) {
+        val nQueryCols = sketch.filter(col("dataset_id") === req.queryId).count()
+        Matcher.contentScoresExact(edges, nQueryCols)
+      } else {
+        Matcher.contentScoresExactWeighted(edges, microWeights(req.content.columns))
+      }
 
-    CombinedScorer.combine(content, metaScores, wc, wm, req.k)
+    CombinedScorer.combineExact(content, metaScores,
+      wcMicro = math.round(wc * 1e6), k = req.k)
       .withColumn("query_id", lit(req.queryId))
   }
 }

@@ -220,6 +220,21 @@ object SparkEntry {
         .select("query_id", "c_dataset", "content_score", "metadata_score",
           "overall_score")),
 
+    // the full weighted request shape (ui/ui.py:305-312): non-uniform
+    // per-column content weights over a 3-column selection, non-uniform
+    // per-field metadata weights, 3:1 content/metadata split — G4's weight
+    // normalization exercised end to end on the oracle-checked path
+    "similarity_search_weighted" -> ((s, d) =>
+      Engine.search(s, d, Engine.SearchRequest("customer",
+        Engine.ContentSpec(
+          columns = Map("c_acctbal" -> 2.0, "c_name" -> 1.0, "c_mktsegment" -> 1.0),
+          weight = 3.0),
+        Engine.MetadataSpec(
+          fields = Map("title" -> 2.0, "keywords" -> 1.0, "description" -> 1.0),
+          weight = 1.0)))
+        .select("query_id", "c_dataset", "content_score", "metadata_score",
+          "overall_score")),
+
     // three fields, each queried with the query dataset's own field text and
     // its own boost (metadata_search.py:12-26)
     "bm25_multifield" -> ((s, d) =>
@@ -566,6 +581,7 @@ object SparkEntry {
     "content_scores" -> O.contentScoresSql,
     "similarity_search" -> O.similaritySearchSql,
     "similarity_search_orders" -> O.similaritySearchSqlFor("orders"),
+    "similarity_search_weighted" -> O.similaritySearchWeightedSql,
 
     "bm25_docs" -> O.bm25Sql,
 
@@ -1320,18 +1336,23 @@ object SparkEntry {
       * integer micro-weights round(sim*1e6).
       */
     private def edgesMicroCtes(extraCids: Option[String],
-                               queryId: String = "customer"): String = {
+                               queryId: String = "customer",
+                               queryCols: Option[Seq[String]] = None): String = {
       val cidsExpr = extraCids match {
         case Some(e) => s"SELECT DISTINCT c_dataset FROM (SELECT c_dataset FROM ranked UNION ALL $e) u"
         case None    => "SELECT DISTINCT c_dataset FROM ranked"
       }
+      // column selection restricts the QUERY projection only (the index side
+      // is never filtered) — mirror of DistanceJoin.queryProjection
+      val qColFilter = queryCols.fold("")(cs =>
+        s" AND col_name IN (${cs.map(c => s"'$c'").mkString(", ")})")
       s"""sk_nt AS (
          |$sketchSql
          |),
          |$catSketchCtes,
          |sk AS (SELECT * FROM sk_nt UNION ALL SELECT * FROM sk_cat),
          |q AS (SELECT col_name AS q_col, col_type, vec AS q_vec FROM sk
-         |      WHERE dataset_id = '$queryId'),
+         |      WHERE dataset_id = '$queryId'$qColFilter),
          |c AS (SELECT dataset_id AS c_dataset, col_name AS c_col, col_type,
          |        vec AS c_vec FROM sk),
          |d AS (SELECT q_col, c_dataset, c_col, c.col_type,
@@ -1366,23 +1387,43 @@ object SparkEntry {
       * the score and not the matching. Terminates in `best (c_dataset, t)`
       * plus `nq (n)`.
       */
-    private def matchingCtes(queryId: String = "customer"): String = {
+    private def matchingCtes(queryId: String = "customer",
+                             selectedCols: Option[Seq[String]] = None,
+                             microWeights: Map[String, Long] = Map.empty): String = {
       val cust = tables.find(_._1 == queryId).get
-      val qcols = (cust._3 ++ cust._4 ++
+      // Only columns that can HAVE sketch rows enter the assignment product:
+      // every fixture column is a sketchable type (Numeric/Temporal/
+      // Categorical all sketch), but the enumeration grows as
+      // ~(cands-per-type+1)^|qcols| — guard the width so a future wide query
+      // table (lineitem: 16 cols) fails loudly here instead of silently
+      // blowing up DuckDB's verification time. A column selection narrows
+      // the product to the selected columns (the q CTE already filtered wm).
+      val allCols = (cust._3 ++ cust._4 ++
         cust._2.filterNot(c => cust._3.contains(c) || cust._4.contains(c))).sorted
+      val qcols = selectedCols.fold(allCols)(cs => allCols.filter(cs.contains))
+      require(qcols.size <= 10,
+        s"assignment enumeration over ${qcols.size} query columns would blow up " +
+          s"the oracle — restrict the query's column selection ($queryId)")
+      // non-uniform weights scale each query column's edge micros BEFORE the
+      // argmax (they change the maximizing matching) — Matcher
+      // .contentScoresExactWeighted's twin
+      def wmExpr(qc: String): String = microWeights.get(qc) match {
+        case Some(w) => s"wm * CAST($w AS BIGINT)"
+        case None    => "wm"
+      }
       val opts = qcols.zipWithIndex.map { case (qc, i) =>
-        s"""o$i AS (SELECT c_dataset, c_col, wm FROM wm WHERE q_col = '$qc'
+        s"""o$i AS (SELECT c_dataset, c_col, ${wmExpr(qc)} AS wm FROM wm WHERE q_col = '$qc'
            |  UNION ALL SELECT c_dataset, CAST(NULL AS VARCHAR), CAST(0 AS BIGINT) FROM cids)""".stripMargin
       }
       val joins = (1 until qcols.size).map(i => s"JOIN o$i USING (c_dataset)").mkString("\n    ")
       val pairs = for { i <- qcols.indices; j <- qcols.indices if i < j } yield
         s"(o$i.c_col IS NULL OR o$j.c_col IS NULL OR o$i.c_col <> o$j.c_col)"
       val total = qcols.indices.map(i => s"o$i.wm").mkString(" + ")
+      val where = if (pairs.isEmpty) "" else s"\n  WHERE ${pairs.mkString("\n    AND ")}"
       s"""${opts.mkString(",\n")},
          |asg AS (SELECT o0.c_dataset, $total AS total
          |  FROM o0
-         |    $joins
-         |  WHERE ${pairs.mkString("\n    AND ")}),
+         |    $joins$where),
          |best AS (SELECT c_dataset, max(total) AS t FROM asg GROUP BY 1),
          |nq AS (SELECT count(*) AS n FROM sk WHERE dataset_id = '$queryId')""".stripMargin
     }
@@ -1393,7 +1434,8 @@ object SparkEntry {
     lazy val contentScoresSql: String =
       s"""WITH ${edgesMicroCtes(None)},
          |${matchingCtes()}
-         |SELECT best.c_dataset, round(best.t / 1000000.0 / nq.n, 6) AS content_score
+         |SELECT best.c_dataset,
+         |  CAST(best.t // nq.n AS DOUBLE) / 1000000.0 AS content_score
          |FROM best CROSS JOIN nq""".stripMargin
 
     /** DuckDB twin of CombinedScorer.search: content scores (micro-exact
@@ -1417,7 +1459,7 @@ object SparkEntry {
          |${edgesMicroCtes(Some("SELECT c_dataset FROM meta_scores"), queryId)},
          |${matchingCtes(queryId)},
          |content AS (SELECT best.c_dataset,
-         |    round(best.t / 1000000.0 / nq.n, 6) AS content_score
+         |    CAST(best.t // nq.n AS DOUBLE) / 1000000.0 AS content_score
          |  FROM best CROSS JOIN nq)
          |SELECT '$queryId' AS query_id, c_dataset,
          |  coalesce(content.content_score, 0.0) AS content_score,
@@ -1429,6 +1471,48 @@ object SparkEntry {
     }
 
     lazy val similaritySearchSql: String = similaritySearchSqlFor("customer")
+
+    /** DuckDB twin of Engine.search with NON-UNIFORM weights (the
+      * ui/ui.py:305-312 request shape): a 3-column content selection at
+      * micro-weights 500000/250000/250000, metadata field weights
+      * 0.5/0.25/0.25, and a 0.75/0.25 content/metadata split. Weighted edges
+      * multiply the micro-numerators before the assignment argmax
+      * (Matcher.contentScoresExactWeighted), the content score is
+      * `(total DIV 1e6)/1e6`, and the overall score uses the integer-micro
+      * split of CombinedScorer.combineExact — every step truncating integer
+      * division, no cross-engine rounding boundary anywhere.
+      */
+    lazy val similaritySearchWeightedSql: String = {
+      val queryId = "customer"
+      val row = metaRows.find(_._1 == queryId).get
+      val cols = Seq("c_acctbal", "c_mktsegment", "c_name")
+      val microW = Map("c_acctbal" -> 500000L, "c_mktsegment" -> 250000L,
+        "c_name" -> 250000L)
+      s"""WITH meta_corpus AS (SELECT * FROM ${metaValues(Some(queryId))}),
+         |${fieldScoreSql("title", termsOf(row._2), "ti", rounded = false)},
+         |${fieldScoreSql("keywords", termsOf(row._3), "kw", rounded = false)},
+         |${fieldScoreSql("description", termsOf(row._4), "de", rounded = false)},
+         |u AS (SELECT doc_id, s * 0.5 AS raw, 'title' AS field FROM ti_score
+         |      UNION ALL SELECT doc_id, s * 0.25, 'keywords' FROM kw_score
+         |      UNION ALL SELECT doc_id, s * 0.25, 'description' FROM de_score),
+         |j AS (SELECT doc_id, sum(raw) AS raw FROM u GROUP BY 1),
+         |mx AS (SELECT max(raw) AS m FROM j),
+         |meta_scores AS (SELECT doc_id AS c_dataset, round(raw / mx.m, 6) AS metadata_score
+         |  FROM j CROSS JOIN mx),
+         |${edgesMicroCtes(Some("SELECT c_dataset FROM meta_scores"), queryId,
+                           Some(cols))},
+         |${matchingCtes(queryId, Some(cols), microW)},
+         |content AS (SELECT best.c_dataset, best.t // 1000000 AS c_micro
+         |  FROM best)
+         |SELECT '$queryId' AS query_id, c_dataset,
+         |  CAST(coalesce(content.c_micro, 0) AS DOUBLE) / 1000000.0 AS content_score,
+         |  coalesce(meta_scores.metadata_score, 0.0) AS metadata_score,
+         |  CAST((750000 * coalesce(content.c_micro, 0)
+         |      + 250000 * coalesce(CAST(round(meta_scores.metadata_score * 1000000) AS BIGINT), 0))
+         |    // 1000000 AS DOUBLE) / 1000000.0 AS overall_score
+         |FROM content FULL OUTER JOIN meta_scores USING (c_dataset)
+         |ORDER BY overall_score DESC, c_dataset ASC LIMIT 15""".stripMargin
+    }
 
     val bm25Sql: String = {
       val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")

@@ -28,6 +28,28 @@ object CombinedScorer {
       .orderBy(col("overall_score").desc, col("c_dataset").asc)
       .limit(k)
 
+  /** [[combine]] with the integer-micro discipline for an arbitrary split:
+    * `overall = ((wcMicro·c_micro + (1e6-wcMicro)·m_micro) DIV 1e6) / 1e6`.
+    * A float `round(wc*c + wm*m, 6)` is boundary-safe only for splits whose
+    * products can't land on a half-micro (0.5/0.5 does; 0.75/0.25 doesn't):
+    * both inputs are 6-decimal values, so their micros are exact integers
+    * and the weighted sum + truncating division is engine-exact for ANY
+    * split (the lmScore discipline).
+    */
+  def combineExact(contentScores: DataFrame, metadataScores: DataFrame,
+                   wcMicro: Long, k: Int = 15): DataFrame = {
+    val wmMicro = 1000000L - wcMicro
+    contentScores
+      .join(metadataScores, Seq("c_dataset"), "full_outer")
+      .na.fill(0.0, Seq("content_score", "metadata_score"))
+      .withColumn("overall_score",
+        expr(s"CAST(($wcMicro * CAST(round(content_score * 1e6) AS BIGINT) + " +
+          s"$wmMicro * CAST(round(metadata_score * 1e6) AS BIGINT)) DIV 1000000 " +
+          "AS DOUBLE) / 1e6"))
+      .orderBy(col("overall_score").desc, col("c_dataset").asc)
+      .limit(k)
+  }
+
   /** Synthesized per-dataset metadata corpus for the fixture lake: title =
     * table name, description = column names, keywords = the distinct sorted
     * description vocabulary (the reference's three metadata fields come from

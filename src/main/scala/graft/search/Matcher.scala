@@ -128,18 +128,52 @@ object Matcher {
     * engine that can enumerate assignments (e.g. the DuckDB oracle's
     * injective-assignment product) lands on the same total. The uniform
     * weight 1/totalQueryCols is applied AFTER the argmax (a positive scalar
-    * never changes the maximizing matching):
-    * `content_score = round(micro_total / 1e6 / nQ, 6)`.
+    * never changes the maximizing matching) by INTEGER floor division —
+    * `content_score = (micro_total DIV nQ) / 1e6` — not a float round of the
+    * quotient: when nQ is even the quotient can land exactly on a half-micro,
+    * where Spark's decimal-string HALF_UP and DuckDB's binary
+    * half-away-from-zero can disagree (the lmScore boundary). Truncating
+    * positive integer division is identical in every engine.
     * Matching payload weights are rescaled back to w*sim.
     */
   def contentScoresExact(edges: DataFrame, totalQueryCols: Long): DataFrame = {
     val scored = contentScores(
       edges.withColumn("w_sim", round(col("sim") * 1e6)))
-    val n = totalQueryCols.toDouble
+    val n = totalQueryCols
     scored.select(
       col("c_dataset"),
-      round(col("content_score") / 1e6 / n, 6).as("content_score"),
+      (expr(s"CAST(content_score AS BIGINT) DIV $n").cast("double") / 1e6)
+        .as("content_score"),
       expr(s"transform(matching, e -> struct(e._1 AS q_col, e._2 AS c_col, " +
-        s"round(e._3 / 1e6 / $n, 6) AS weight))").as("matching"))
+        s"CAST(CAST(e._3 AS BIGINT) DIV $n AS DOUBLE) / 1e6 AS weight))").as("matching"))
+  }
+
+  /** Exact content scores under NON-UNIFORM per-query-column weights. The
+    * weights arrive as integer micro-numerators (normalized to sum exactly
+    * 1e6 — see [[graft.Engine.microWeights]]): unlike the uniform case they
+    * change the MAXIMIZING matching, so they must multiply the edge weights
+    * BEFORE the argmax — the argmax then runs on the integers
+    * `wNum(q_col) * round(sim*1e6)` (≤ 1e12 per edge, exact in a double) and
+    * stays engine-reproducible. Scale: total is in (weight-micro × sim-micro)
+    * units, so `content_score = (total DIV 1e6) / 1e6` — the weighted
+    * analogue of the uniform 1/nQ, with the same truncating-division
+    * discipline. A query column absent from the map gets weight 0 (the UI
+    * deselected it but an edge slipped through — defensive).
+    */
+  def contentScoresExactWeighted(edges: DataFrame,
+                                 microWeights: Map[String, Long]): DataFrame = {
+    val entries = microWeights.flatMap { case (k, v) =>
+      Seq(lit(k), lit(v)) }.toSeq
+    val scored = contentScores(
+      edges.withColumn("w_sim",
+        coalesce(element_at(map(entries: _*), col("q_col")), lit(0L)).cast("double")
+          * round(col("sim") * 1e6)))
+    scored.select(
+      col("c_dataset"),
+      (expr("CAST(content_score AS BIGINT) DIV 1000000").cast("double") / 1e6)
+        .as("content_score"),
+      expr("transform(matching, e -> struct(e._1 AS q_col, e._2 AS c_col, " +
+        "CAST(CAST(e._3 AS BIGINT) DIV 1000000 AS DOUBLE) / 1e6 AS weight))")
+        .as("matching"))
   }
 }

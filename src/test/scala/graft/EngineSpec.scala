@@ -13,6 +13,26 @@ class EngineSpec extends AnyFunSuite {
     assert(wc == 0.75 && wm == 0.25)
   }
 
+  test("microWeights: quantize to micros summing exactly 1e6") {
+    val w = Engine.microWeights(Map("a" -> 1.0, "b" -> 1.0, "c" -> 1.0))
+    assert(w.values.sum == 1000000L)
+    assert(w == Map("a" -> 333333L, "b" -> 333333L, "c" -> 333334L))
+    assert(Engine.microWeights(Map("x" -> 2.0, "y" -> 1.0, "z" -> 1.0))
+      == Map("x" -> 500000L, "y" -> 250000L, "z" -> 250000L))
+  }
+
+  test("weighted search: heavier column dominates the content score") {
+    // all weight on one column ≡ selecting only it at weight 1: scores align
+    val solo = Engine.search(spark, SparkTestSession.sf0001,
+      SearchRequest("customer", ContentSpec(columns = Map("c_acctbal" -> 1.0),
+        weight = 1.0), MetadataSpec(weight = 0.0), k = 5)).collect()
+    assert(solo.nonEmpty)
+    solo.foreach { r =>
+      assert(math.abs(r.getAs[Double]("overall_score")
+        - r.getAs[Double]("content_score")) < 1e-6)
+    }
+  }
+
   test("search honors the request: k, column restriction, weight split") {
     val full = Engine.search(spark, SparkTestSession.sf0001,
       SearchRequest("customer", k = 3)).collect()
