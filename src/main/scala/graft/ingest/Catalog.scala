@@ -135,18 +135,28 @@ object Catalog {
     * engine must not. At scale this runs on a schedule or inside
     * `foreachBatch`; each pass only touches pending work.
     */
+  /** Datasets per unioned sub-plan in the work queues: the value stream is a
+    * UNION of per-dataset reads, so Catalyst's analysis/optimization cost is
+    * O(union width) — unbounded backlog must not become an unbounded logical
+    * plan. Chunks write independently (dynamic partition overwrite touches
+    * only each chunk's dataset partitions) and statuses still flip once,
+    * atomically, for the whole pass.
+    */
+  val defaultUnionChunk: Int = 256
+
   def profilePending(spark: SparkSession, catalogDir: String, lakeDir: String,
-                     sketchDir: String): DataFrame = {
+                     sketchDir: String,
+                     unionChunk: Int = defaultUnionChunk): DataFrame = {
     import spark.implicits._
     val todo = pending(spark, catalogDir).select("dataset_id").as[String].collect().toSeq
     if (todo.isEmpty)
       return spark.read.parquet(catalogDir).select("dataset_id", "status")
     val (ok, bad) = validatePending(spark, lakeDir, todo)(
       df => Profiler.sketchCols(df).nonEmpty)
-    if (ok.nonEmpty) {
-      val stream = ok.map { case (id, df) => Profiler.sketchValueStream(df, id) }
+    ok.grouped(unionChunk).foreach { chunk =>
+      val stream = chunk.map { case (id, df) => Profiler.sketchValueStream(df, id) }
         .reduce(_.unionAll(_))
-      val types = ok.flatMap { case (id, df) =>
+      val types = chunk.flatMap { case (id, df) =>
         Profiler.sketchCols(df).map { case (c, t) => (id, c) -> t }
       }.toMap
       Profiler.assembleSketchVectors(Profiler.histogramQuantiles(stream), types)
@@ -164,30 +174,35 @@ object Catalog {
     * one aggregation + one dynamic-partition write.
     */
   def enrichFreqsPending(spark: SparkSession, catalogDir: String, lakeDir: String,
-                         freqsDir: String, k: Int = 10): DataFrame = {
+                         freqsDir: String, k: Int = 10,
+                         unionChunk: Int = defaultUnionChunk): DataFrame = {
     import spark.implicits._
     val todo = pending(spark, catalogDir, "freqs_status")
       .select("dataset_id").as[String].collect().toSeq
     if (todo.isEmpty)
       return spark.read.parquet(catalogDir).select("dataset_id", "freqs_status")
     val (ok, bad) = validatePending(spark, lakeDir, todo)(_ => true)
-    val tokenStreams = ok.flatMap { case (id, df) =>
-      Profiler.typedColumns(df, "Categorical").map { c =>
-        df.select(lit(id).as("dataset_id"), lit(c).as("col_name"),
-            explode(split(lower(col(c)), " ")).as("term"))
-          .filter(col("term") =!= "")
+    // chunked like profilePending — the per-(dataset, column) TF ranking is
+    // dataset-local, so chunk boundaries cannot change any result
+    ok.grouped(unionChunk).foreach { chunk =>
+      val tokenStreams = chunk.flatMap { case (id, df) =>
+        Profiler.typedColumns(df, "Categorical").map { c =>
+          df.select(lit(id).as("dataset_id"), lit(c).as("col_name"),
+              explode(split(lower(col(c)), " ")).as("term"))
+            .filter(col("term") =!= "")
+        }
       }
-    }
-    tokenStreams.reduceOption(_.unionAll(_)).foreach { tokens =>
-      val tf = tokens.groupBy("dataset_id", "col_name", "term")
-        .agg(count(lit(1)).as("tf"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("dataset_id", "col_name")
-        .orderBy(col("tf").desc, col("term").asc)
-      tf.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-        .write.mode(SaveMode.Overwrite)
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("dataset_id").parquet(freqsDir)
+      tokenStreams.reduceOption(_.unionAll(_)).foreach { tokens =>
+        val tf = tokens.groupBy("dataset_id", "col_name", "term")
+          .agg(count(lit(1)).as("tf"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("dataset_id", "col_name")
+          .orderBy(col("tf").desc, col("term").asc)
+        tf.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+          .write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("dataset_id").parquet(freqsDir)
+      }
     }
     applyStatuses(spark, catalogDir, "freqs_status", ok.map(_._1), bad)
   }

@@ -70,6 +70,31 @@ class CatalogSpec extends AnyFunSuite {
       s"job count grew with backlog: $small jobs for 2 datasets, $large for 6")
   }
 
+  test("work-queue union chunking: bounded plan width, identical sketches, one flip") {
+    // a backlog wider than the chunk must produce the same sketch table and
+    // flip every status in the same single pass — chunking only bounds the
+    // logical-plan width (union of per-dataset reads), never the results
+    val tables = Seq("nation", "region", "customer", "supplier", "part", "orders")
+    def run(chunk: Int): (Map[String, String], Set[(String, String, Seq[Double])]) = {
+      val catalogDir = Files.createTempDirectory("catC").toString + "/cat"
+      val sketchDir = Files.createTempDirectory("sketchC").toString
+      Catalog.publish(Catalog.fixtureDescriptors(spark, SparkTestSession.sf0001, tables),
+        catalogDir)
+      val st = Catalog.profilePending(spark, catalogDir, SparkTestSession.sf0001,
+        sketchDir, unionChunk = chunk)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      val sk = spark.read.parquet(sketchDir)
+        .select("dataset_id", "col_name", "vector").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getSeq[Double](2))).toSet
+      (st, sk)
+    }
+    val (stWide, skWide) = run(256) // whole backlog in one union
+    val (stChunked, skChunked) = run(2) // 3 chunks of 2
+    assert(stChunked.values.forall(_ == "done"))
+    assert(stChunked == stWide, "statuses must not depend on chunking")
+    assert(skChunked == skWide, "sketch table must not depend on chunking")
+  }
+
   test("catalogue CSV → pending descriptors (eodp_publisher path)") {
     val dir = Files.createTempDirectory("cat_csv")
     val csv = dir.resolve("catalogue.csv")
