@@ -12,9 +12,11 @@ import org.apache.spark.sql.types._
   * The Spark-side plumbing — schema, batched per-partition execution,
   * deterministic output shape — is real and tested. Decoding is a pluggable
   * [[Multimodal.DecodeWorker]]: [[Multimodal.ImageIoWorker]] is a REAL image
-  * codec (JDK javax.imageio, PNG/JPEG/GIF/BMP), proving the boundary;
-  * [[Multimodal.ByteStatsWorker]] is the declared stub standing in for
-  * audio/video codecs this container lacks. Swapping workers (JavaCV,
+  * codec (JDK javax.imageio, PNG/JPEG/GIF/BMP) and
+  * [[Multimodal.WavStatsWorker]] a REAL audio decoder (JDK
+  * javax.sound.sampled, WAV/AIFF/AU) — two modalities proving the boundary;
+  * [[Multimodal.ByteStatsWorker]] is the declared stub standing in only for
+  * VIDEO codecs, which the JDK lacks. Swapping workers (JavaCV,
   * TwelveMonkeys, a Python `mapInPandas` process, …) changes no plan.
   *
   * Scale notes: all operators are per-row/per-partition (no shuffle); media
@@ -114,6 +116,66 @@ object Multimodal {
       out(0) = w.toFloat; out(1) = h.toFloat
       out(2) = r / n; out(3) = g / n; out(4) = b / n
       out
+    }
+  }
+
+  /** REAL audio worker via the JDK's javax.sound.sampled (WAV/AIFF/AU — no
+    * external codecs needed): features are [duration_sec, sample_rate,
+    * channels, rms, peak, n_samples] (rms/peak over amplitude-normalized
+    * samples in [-1,1]) zero-padded to `dim`; non-decodable payloads yield
+    * the zero vector. With [[ImageIoWorker]] this proves the
+    * [[DecodeWorker]] boundary on a second modality; only video still rides
+    * the [[ByteStatsWorker]] stub (no JDK video codec exists).
+    */
+  final case class WavStatsWorker(dim: Int = 16) extends DecodeWorker {
+    require(dim >= 6, "WavStatsWorker needs dim >= 6")
+    def decode(bytes: Array[Byte]): Array[Float] = {
+      val out = new Array[Float](dim)
+      if (bytes == null || bytes.isEmpty) return out
+      val ais =
+        try javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        catch { case _: Exception => return out }
+      try {
+        val fmt = ais.getFormat
+        val data = ais.readAllBytes()
+        var sumSq = 0.0; var peak = 0.0; var n = 0L
+        fmt.getSampleSizeInBits match {
+          case 16 =>
+            val big = fmt.isBigEndian
+            var i = 0
+            while (i + 1 < data.length) {
+              val s = if (big) ((data(i) << 8) | (data(i + 1) & 0xff)).toShort
+                      else ((data(i + 1) << 8) | (data(i) & 0xff)).toShort
+              val v = s / 32768.0
+              sumSq += v * v; if (math.abs(v) > peak) peak = math.abs(v)
+              n += 1; i += 2
+            }
+          case 8 =>
+            // 8-bit WAV is unsigned PCM centered at 128 (AU/AIFF use signed)
+            val signed =
+              fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+            var i = 0
+            while (i < data.length) {
+              val v = if (signed) data(i) / 128.0
+                      else ((data(i) & 0xff) - 128) / 128.0
+              sumSq += v * v; if (math.abs(v) > peak) peak = math.abs(v)
+              n += 1; i += 1
+            }
+          case _ => return out
+        }
+        out(0) =
+          if (fmt.getSampleRate > 0 && fmt.getChannels > 0)
+            (n.toDouble / fmt.getChannels / fmt.getSampleRate).toFloat
+          else 0f
+        out(1) = fmt.getSampleRate
+        out(2) = fmt.getChannels.toFloat
+        out(3) = if (n > 0) math.sqrt(sumSq / n).toFloat else 0f
+        out(4) = peak.toFloat
+        out(5) = n.toFloat
+        out
+      } catch { case _: Exception => new Array[Float](dim) }
+      finally ais.close()
     }
   }
 

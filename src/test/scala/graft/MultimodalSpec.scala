@@ -52,6 +52,43 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(2L).forall(_ == 0.0f) && got(3L).forall(_ == 0.0f))
   }
 
+  test("WavStatsWorker decodes a REAL WAV payload through the pipeline") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    // 0.25s of a 440 Hz sine at amplitude 0.5, 16-bit PCM mono 8000 Hz,
+    // written with the JDK's own WAV encoder
+    val rate = 8000; val nSamples = rate / 4; val amp = 0.5
+    val pcm = new Array[Byte](nSamples * 2)
+    for (i <- 0 until nSamples) {
+      val v = (math.sin(2 * math.Pi * 440 * i / rate) * amp * 32767).toInt
+      pcm(2 * i) = (v & 0xff).toByte          // little-endian
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val fmt = new AudioFormat(rate.toFloat, 16, 1, true, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, baos)
+    val wav = baos.toByteArray
+    assert(new String(wav.take(4), "US-ASCII") == "RIFF",
+      "fixture must be an actual WAV")
+
+    import spark.implicits._
+    val m = Seq((1L, wav, "audio"), (2L, "not audio".getBytes, "audio"),
+        (3L, null.asInstanceOf[Array[Byte]], "audio"))
+      .toDF("doc_id", "media", "media_type")
+    val got = Multimodal.extractFeatures(m, Multimodal.WavStatsWorker(8))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](2)).toMap
+    val f = got(1L)
+    assert(math.abs(f(0) - 0.25f) < 1e-3, s"duration: ${f(0)}")
+    assert(f(1) == 8000.0f && f(2) == 1.0f)
+    // sine RMS = amp/sqrt(2) ≈ 0.3536, peak ≈ amp
+    assert(math.abs(f(3) - amp / math.sqrt(2)) < 0.01, s"rms: ${f(3)}")
+    assert(math.abs(f(4) - amp) < 0.01, s"peak: ${f(4)}")
+    assert(f(5) == nSamples.toFloat)
+    // corrupt and null payloads degrade to the zero vector, never crash
+    assert(got(2L).forall(_ == 0.0f) && got(3L).forall(_ == 0.0f))
+  }
+
   test("frameSample: one row per offset, only for timed media") {
     val frames = Multimodal.frameSample(media, 1000L)
     assert(frames.filter(col("media_type") === "image").count() == 0)
