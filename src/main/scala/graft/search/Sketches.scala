@@ -24,7 +24,13 @@ object Sketches {
 
   /** Numeric + temporal percentile sketches for the fixture tables. All
     * tables feed ONE (dataset, col, value) stream, so the histogram-quantile
-    * pipeline runs as a single shuffle instead of one per table.
+    * pipeline runs as a single shuffle instead of one per table. The
+    * cumulative pass uses the two-level range-partitioned cumsum at the
+    * session's shuffle parallelism: the single-window-per-column default
+    * serializes each column's distinct values into one task — near-unique
+    * columns (prices) made that the longest pole of the index build
+    * (measured 9.6s → 4.4s at sf0.1). Output is bucket-count-invariant
+    * (ProfilerSpec).
     */
   def numericTemporal(spark: SparkSession, dir: String,
                       tables: Seq[String] = Tables.sketchTables): DataFrame = {
@@ -41,7 +47,10 @@ object Sketches {
     val types = loaded.flatMap { case (t, df) =>
       Profiler.sketchCols(df).map { case (c, ty) => (t, c) -> ty }
     }.toMap
-    Profiler.assembleSketchVectors(Profiler.histogramQuantiles(stream), types)
+    Profiler.assembleSketchVectors(
+      Profiler.histogramQuantiles(stream,
+        cumsumBuckets = spark.sessionState.conf.numShufflePartitions),
+      types)
   }
 
   /** Categorical sketches: per string column, top-10 TF terms of the cell
