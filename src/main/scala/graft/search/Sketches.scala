@@ -188,32 +188,50 @@ object Sketches {
     cachedAll(spark, dir).filter(org.apache.spark.sql.functions.col("col_type")
       .isin("Numeric", "Temporal"))
 
+  private val refreshLocks =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Object]
+
   /** Incrementally refresh the pinned index for ONE dataset — the in-memory
     * half of the incremental profiling story (the work queue keeps the
     * durable sketch store current, Catalog.profilePending; this keeps the
     * SERVING index current without the full rebuild): recompute the
     * dataset's sketch rows through the same pipelines as the batch build,
     * splice them in place of the old rows, and atomically swap the cache
-    * entry. The new index is localCheckpoint'd (lineage cut), so releasing
-    * the old pin cannot invalidate it; readers holding the old DataFrame
-    * keep a consistent snapshot until their unpersisted blocks recompute.
+    * entry. The new index is localCheckpoint'd (lineage cut) BEFORE the
+    * swap, so a reader never observes a half-built index.
+    *
+    * Old-snapshot lifecycle: the ORIGINAL build is a persist() with full
+    * lineage — safe to unpersist (a straggling reader recomputes). Snapshots
+    * from earlier refreshes are lineage-truncated checkpoints: explicitly
+    * unpersisting one would strand any reader still holding it (its blocks
+    * cannot recompute), so they are left to Spark's ContextCleaner, which
+    * reclaims checkpoint blocks once the last reference is dropped.
+    * Refreshes for the same (session, dir) are serialized on a per-key lock
+    * so concurrent refreshes cannot interleave their read-modify-swap.
     * Cost is O(one dataset's profile + index size), not O(lake).
     */
   def refreshDataset(spark: SparkSession, dir: String, datasetId: String): DataFrame = {
-    val df = Tables.load(spark, dir, datasetId)
-    val ntSp = forDataFrame(df, datasetId)
-    val fresh =
-      if (Profiler.typedColumns(df, "Categorical").nonEmpty)
-        ntSp.unionAll(categorical(spark, dir, Seq(datasetId)))
-      else ntSp
-    val old = cachedAll(spark, dir)
-    val updated = old
-      .filter(org.apache.spark.sql.functions.col("dataset_id") =!= datasetId)
-      .unionAll(fresh.select(old.columns.map(org.apache.spark.sql.functions.col): _*))
-      .repartition(1)
-      .localCheckpoint()
-    cache.put((spark.sparkContext.applicationId, dir), updated)
-    old.unpersist(blocking = false)
-    updated
+    val key = (spark.sparkContext.applicationId, dir)
+    val lock = refreshLocks.getOrElseUpdate(key, new Object)
+    lock.synchronized {
+      val df = Tables.load(spark, dir, datasetId)
+      val ntSp = forDataFrame(df, datasetId)
+      val fresh =
+        if (Profiler.typedColumns(df, "Categorical").nonEmpty)
+          ntSp.unionAll(categorical(spark, dir, Seq(datasetId)))
+        else ntSp
+      val old = cachedAll(spark, dir)
+      val updated = old
+        .filter(org.apache.spark.sql.functions.col("dataset_id") =!= datasetId)
+        .unionAll(fresh.select(old.columns.map(org.apache.spark.sql.functions.col): _*))
+        .repartition(1)
+        .localCheckpoint()
+      cache.put(key, updated)
+      val oldIsCheckpoint = old.queryExecution.analyzed.collectFirst {
+        case _: org.apache.spark.sql.execution.LogicalRDD => ()
+      }.isDefined
+      if (!oldIsCheckpoint) old.unpersist(blocking = false)
+      updated
+    }
   }
 }

@@ -132,5 +132,13 @@ class SearchSpec extends AnyFunSuite {
     val balAfter = after.find(r => r._1 == "customer" && r._2 == "c_acctbal").get
     assert(balAfter != balBefore, "refreshed vector must reflect the new data")
     assert(after.count(_._1 == "customer") == before.count(_._1 == "customer"))
+
+    // a reader holding a refresh snapshot must survive the NEXT refresh:
+    // checkpointed snapshots are reclaimed by the ContextCleaner when
+    // unreferenced, never explicitly unpersisted under a live handle
+    val snapshot = Sketches.cachedAll(spark, tmp) // the first refresh's checkpoint
+    Sketches.refreshDataset(spark, tmp, "nation")
+    assert(rows(snapshot) == after,
+      "old snapshot handle must stay readable after a subsequent refresh")
   }
 }
