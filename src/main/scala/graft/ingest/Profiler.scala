@@ -222,24 +222,27 @@ object Profiler {
     * compact shuffle) — the scan parallelism then comes from the files
     * themselves.
     */
-  def spreadSketchCols(df: DataFrame): DataFrame = {
-    val cols = sketchCols(df).map { case (c, _) => col(c) }
-    if (cols.isEmpty) df
+  def spreadSketchCols(df: DataFrame): DataFrame =
+    spreadCols(df, sketchCols(df).map(_._1))
+
+  /** Project a dataset down to `names` and spread the rows across the
+    * cluster when the projection is big enough to matter — a blanket
+    * repartition turns a union of small tables into hundreds of empty
+    * task launches (Catalyst size estimate; no action triggered).
+    * Threshold 2 MB of COMPRESSED column data: the per-row explode +
+    * partial-aggregate work behind the scan multiplies well past what the
+    * size estimate sees, so even a single-digit-MB single-row-group scan
+    * serializes seconds of aggregation on one core without spread.
+    */
+  def spreadCols(df: DataFrame, names: Seq[String]): DataFrame =
+    if (names.isEmpty) df
     else {
-      val projected = df.select(cols: _*)
-      // only datasets big enough to matter get spread — a blanket
-      // repartition turns a union of small tables into hundreds of empty
-      // task launches (Catalyst size estimate; no action triggered).
-      // Threshold 2 MB of COMPRESSED column data: the ×7 explode + histogram
-      // partial agg behind the scan multiplies per-row work well past what
-      // the size estimate sees, so even a single-digit-MB single-row-group
-      // scan serializes seconds of aggregation on one core without spread.
+      val projected = df.select(names.map(col): _*)
       val bytes = projected.queryExecution.optimizedPlan.stats.sizeInBytes
       if (bytes < (2L << 20)) projected
       else projected.repartition(
         df.sparkSession.sessionState.conf.numShufflePartitions)
     }
-  }
 
   /** Exact interpolated percentiles via a distributed value histogram over a
     * (dataset_id, col_name, v) stream — MANY datasets/columns share one
@@ -274,13 +277,29 @@ object Profiler {
       hist.withColumn("cum",
         sum("cnt").over(byCol.rowsBetween(Window.unboundedPreceding, 0)))
     } else {
-      // pid is projected BEFORE the local-window shuffle (and is
-      // nondeterministic, so Catalyst won't move it across the exchange)
-      val ranged = hist
-        .repartitionByRange(buckets, col("dataset_id"), col("col_name"), col("v"))
-        .withColumn("pid", spark_partition_id())
+      // Deterministic VALUE-width buckets, NOT repartitionByRange: range
+      // partitioning samples its child with a seed tied to RDD identity,
+      // and the bucket column is consumed by TWO subtrees (local cumsum +
+      // offsets). Unless the sampled exchange is materialized exactly once
+      // — AQE stage reuse, observed to FAIL over cached children, leaving
+      // two independent samplings whose partition ids disagree and corrupt
+      // the offsets — the result is layout-dependent. Buckets derived from
+      // each column's (min, max) make both subtrees agree by construction
+      // under any physical plan: bucket order follows value order and equal
+      // values share a bucket, which is all the two-level cumsum needs.
+      // Pathological value skew only degrades bucket balance (fewer
+      // effective slices), never correctness.
+      val ranges = hist.groupBy("dataset_id", "col_name")
+        .agg(min("v").as("vmin"), max("v").as("vmax"))
+      val bucketed = hist.join(broadcast(ranges), Seq("dataset_id", "col_name"))
+        .withColumn("pid", when(col("vmax") === col("vmin"), lit(0))
+          .otherwise(least(lit(buckets - 1), greatest(lit(0),
+            floor((col("v") - col("vmin"))
+              / (col("vmax") - col("vmin")) * buckets))))
+          .cast("int"))
+        .drop("vmin", "vmax")
       val local = Window.partitionBy("dataset_id", "col_name", "pid").orderBy("v")
-      val withLocal = ranged.withColumn("lcum",
+      val withLocal = bucketed.withColumn("lcum",
         sum("cnt").over(local.rowsBetween(Window.unboundedPreceding, 0)))
       val offsets = withLocal
         .groupBy("dataset_id", "col_name", "pid").agg(sum("cnt").as("ptotal"))

@@ -71,13 +71,12 @@ object Sketches {
         // single-row-group parquet caps the scan at ONE task, which would
         // serialize the ×cats explode + tokenize of the biggest tables on a
         // single core; spread the (categorical-columns-only) projection
-        // first — same trick and threshold as Profiler.spreadSketchCols
-        val projected = df.select(cats.map(col): _*)
-        val bytes = projected.queryExecution.optimizedPlan.stats.sizeInBytes
-        val spread =
-          if (bytes < (2L << 20)) projected
-          else projected.repartition(
-            spark.sessionState.conf.numShufflePartitions)
+        // first. NOT shared with numericTemporal's scan: columnar input
+        // means the two sketch families read DISJOINT byte sets, and
+        // pinning a combined projection for both was measured 40% SLOWER
+        // at sf0.1 (the cache materializes the wide string columns; the
+        // "duplicate" scan it saves is footer + task-launch overhead only).
+        val spread = Profiler.spreadCols(df, cats)
         Some(spread
           .select(explode(array(cats.map(c =>
             struct(lit(s"$t/$c").as("doc_id"),

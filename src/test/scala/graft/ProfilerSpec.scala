@@ -56,7 +56,7 @@ class ProfilerSpec extends AnyFunSuite {
     assert(vec == vec.sorted)              // monotone percentiles
   }
 
-  test("two-level range-partitioned cumsum equals the single-window path") {
+  test("two-level bucketed cumsum equals the single-window path") {
     import graft.ingest.Profiler
     val li = Tables.load(spark, SparkTestSession.sf0001, "lineitem")
     val stream = Profiler.sketchValueStream(li, "lineitem")
@@ -69,6 +69,19 @@ class ProfilerSpec extends AnyFunSuite {
     // exact percentile equality for several bucket counts, including more
     // buckets than partitions can fill
     Seq(3, 8, 64).foreach { b => assert(run(b) == single, s"buckets=$b") }
+    // ... and over a CACHED input, where the bucket column's two consumers
+    // (local cumsum + offsets) cannot count on AQE stage reuse to hand them
+    // one shared materialization: the sampled repartitionByRange variant
+    // this replaced corrupted offsets exactly here (value-derived buckets
+    // agree across subtrees by construction).
+    val pinned = stream.persist()
+    try {
+      def runPinned(buckets: Int) =
+        Profiler.histogramQuantiles(pinned, cumsumBuckets = buckets).collect()
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2)) -> r.getDouble(3))
+          .toMap
+      Seq(8, 64).foreach { b => assert(runPinned(b) == single, s"pinned buckets=$b") }
+    } finally pinned.unpersist(blocking = false)
   }
 
   test("bboxSketch coerces decimal-comma strings (profiler.py:91-97)") {
