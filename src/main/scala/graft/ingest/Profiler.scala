@@ -254,74 +254,86 @@ object Profiler {
     * per-executor value maps: the shuffle carries only distinct values, so it
     * survives columns with billions of rows. The cumulative pass is
     * [[cumulativeCounts]]: one window partition per column by default,
-    * `cumsumBuckets > 1` for the two-level range-partitioned cumsum at
-    * extreme per-column distinct cardinality — identical results.
+    * `cumsumBuckets > 1` for the two-level bucketed cumsum at extreme
+    * per-column distinct cardinality — identical results.
     * Returns (dataset_id, col_name, dim 1-based, v) with v rounded to 6.
     */
   /** Cumulative counts over the per-column value histogram. `buckets <= 1`
     * is one window partition per column — parallelism = #columns, each
     * task holding that column's distinct values (the fixture path).
-    * `buckets > 1` is the two-level range-partitioned cumsum for columns
-    * with extreme distinct-value cardinality: range-partition by (dataset,
-    * col, v) so each partition owns a contiguous value slice, local cumsum
-    * per slice, then per-slice subtotals (#columns × buckets rows — tiny)
-    * prefix-summed and broadcast back as offsets. Parallelism becomes
-    * #columns × buckets and no task ever materializes a whole column.
-    * Output is IDENTICAL for any bucket count (range partitioning keeps
-    * equal keys together and slice order follows value order) — asserted
-    * by ProfilerSpec.
+    * `buckets > 1` is the two-level bucketed cumsum for columns with
+    * extreme distinct-value cardinality: slice each column's value range
+    * into equal-width buckets, local cumsum per slice, then per-slice
+    * subtotals (#columns × buckets rows — tiny) prefix-summed and broadcast
+    * back as offsets. Parallelism becomes #columns × buckets and no task
+    * ever materializes a whole column. Output is IDENTICAL for any bucket
+    * count (bucket order follows value order and equal values share a
+    * bucket) — asserted by ProfilerSpec, including over cached input.
     */
   def cumulativeCounts(hist: DataFrame, buckets: Int): DataFrame =
     if (buckets <= 1) {
       val byCol = Window.partitionBy("dataset_id", "col_name").orderBy("v")
       hist.withColumn("cum",
         sum("cnt").over(byCol.rowsBetween(Window.unboundedPreceding, 0)))
-    } else {
-      // Deterministic VALUE-width buckets, NOT repartitionByRange: range
-      // partitioning samples its child with a seed tied to RDD identity,
-      // and the bucket column is consumed by TWO subtrees (local cumsum +
-      // offsets). Unless the sampled exchange is materialized exactly once
-      // — AQE stage reuse, observed to FAIL over cached children, leaving
-      // two independent samplings whose partition ids disagree and corrupt
-      // the offsets — the result is layout-dependent. Buckets derived from
-      // each column's (min, max) make both subtrees agree by construction
-      // under any physical plan: bucket order follows value order and equal
-      // values share a bucket, which is all the two-level cumsum needs.
-      // Pathological value skew only degrades bucket balance (fewer
-      // effective slices), never correctness.
-      val ranges = hist.groupBy("dataset_id", "col_name")
-        .agg(min("v").as("vmin"), max("v").as("vmax"))
-      val bucketed = hist.join(broadcast(ranges), Seq("dataset_id", "col_name"))
-        .withColumn("pid", when(col("vmax") === col("vmin"), lit(0))
-          .otherwise(least(lit(buckets - 1), greatest(lit(0),
-            floor((col("v") - col("vmin"))
-              / (col("vmax") - col("vmin")) * buckets))))
-          .cast("int"))
-        .drop("vmin", "vmax")
-      val local = Window.partitionBy("dataset_id", "col_name", "pid").orderBy("v")
-      val withLocal = bucketed.withColumn("lcum",
-        sum("cnt").over(local.rowsBetween(Window.unboundedPreceding, 0)))
-      val offsets = withLocal
-        .groupBy("dataset_id", "col_name", "pid").agg(sum("cnt").as("ptotal"))
-        .withColumn("offset", coalesce(
-          sum("ptotal").over(Window.partitionBy("dataset_id", "col_name")
-            .orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
-        .select("dataset_id", "col_name", "pid", "offset")
-      withLocal.join(broadcast(offsets), Seq("dataset_id", "col_name", "pid"))
-        .withColumn("cum", col("lcum") + col("offset"))
-        .drop("pid", "lcum")
-    }
+    } else bucketedCumulative(hist, buckets).drop("n")
+
+  /** The `buckets > 1` cumsum, carrying each column's total `n` through to
+    * the output: n and the bucket bounds fall out of ONE aggregation over
+    * the histogram, so the caller's interpolation needs no second
+    * totals pass (a whole-partition window for n would buffer every hist
+    * row again; a separate agg would re-reduce the histogram).
+    *
+    * Deterministic VALUE-width buckets, NOT repartitionByRange: range
+    * partitioning samples its child with a seed tied to RDD identity,
+    * and the bucket column is consumed by TWO subtrees (local cumsum +
+    * offsets). Unless the sampled exchange is materialized exactly once
+    * — AQE stage reuse, observed to FAIL over cached children, leaving
+    * two independent samplings whose partition ids disagree and corrupt
+    * the offsets — the result is layout-dependent. Buckets derived from
+    * each column's (min, max) make both subtrees agree by construction
+    * under any physical plan: bucket order follows value order and equal
+    * values share a bucket, which is all the two-level cumsum needs.
+    * Pathological value skew only degrades bucket balance (fewer
+    * effective slices), never correctness.
+    */
+  private def bucketedCumulative(hist: DataFrame, buckets: Int): DataFrame = {
+    val stats = hist.groupBy("dataset_id", "col_name")
+      .agg(sum("cnt").as("n"), min("v").as("vmin"), max("v").as("vmax"))
+    val bucketed = hist.join(broadcast(stats), Seq("dataset_id", "col_name"))
+      .withColumn("pid", when(col("vmax") === col("vmin"), lit(0))
+        .otherwise(least(lit(buckets - 1), greatest(lit(0),
+          floor((col("v") - col("vmin"))
+            / (col("vmax") - col("vmin")) * buckets))))
+        .cast("int"))
+      .drop("vmin", "vmax")
+    val local = Window.partitionBy("dataset_id", "col_name", "pid").orderBy("v")
+    val withLocal = bucketed.withColumn("lcum",
+      sum("cnt").over(local.rowsBetween(Window.unboundedPreceding, 0)))
+    val offsets = withLocal
+      .groupBy("dataset_id", "col_name", "pid").agg(sum("cnt").as("ptotal"))
+      .withColumn("offset", coalesce(
+        sum("ptotal").over(Window.partitionBy("dataset_id", "col_name")
+          .orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select("dataset_id", "col_name", "pid", "offset")
+    withLocal.join(broadcast(offsets), Seq("dataset_id", "col_name", "pid"))
+      .withColumn("cum", col("lcum") + col("offset"))
+      .drop("pid", "lcum")
+  }
 
   def histogramQuantiles(stream: DataFrame, ps: Seq[Double] = sketchPs,
                          cumsumBuckets: Int = 1): DataFrame = {
     val hist = stream.groupBy("dataset_id", "col_name", "v")
       .agg(count(lit(1)).as("cnt"))
-    // total n per column via a tiny agg + broadcast join (a second
-    // whole-partition window would buffer every hist row again)
-    val totals = hist.groupBy("dataset_id", "col_name").agg(sum("cnt").as("n"))
-    val withCum = cumulativeCounts(hist, cumsumBuckets)
-      .join(broadcast(totals), Seq("dataset_id", "col_name"))
+    val withCum =
+      if (cumsumBuckets > 1) bucketedCumulative(hist, cumsumBuckets)
+      else {
+        // total n per column via a tiny agg + broadcast join (a second
+        // whole-partition window would buffer every hist row again)
+        val totals = hist.groupBy("dataset_id", "col_name").agg(sum("cnt").as("n"))
+        cumulativeCounts(hist, cumsumBuckets)
+          .join(broadcast(totals), Seq("dataset_id", "col_name"))
+      }
     val pExpr = ps.zipWithIndex.map { case (p, i) => s"struct(${i + 1}L as dim, ${p}D as p)" }
     val joined = withCum
       .select(col("*"), expr(s"explode(array(${pExpr.mkString(",")})) as pp"))
