@@ -1,5 +1,12 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted}
+
+/** Search-path profiler: stage/task counts and wall time for the flagship
+  * similarity query, with and without AQE (`SEARCHPROF_AQE` toggles the
+  * default), so stage-count bloat in the many-small-stages search plan is
+  * visible without the Spark UI.
+  */
 object SearchProf {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -9,12 +16,24 @@ object SearchProf {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").collect()
+    @volatile var jobs = 0
+    @volatile var stages = 0
+    @volatile var tasks = 0
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = jobs += 1
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+        stages += 1; tasks += s.stageInfo.numTasks
+      }
+    })
     search.Sketches.train(spark, sfDir)
     search.CombinedScorer.datasetMetadata(spark, sfDir).count()
     Caching.release()
     def t(name: String)(f: => Unit): Unit = {
+      jobs = 0; stages = 0; tasks = 0
       val t0 = System.nanoTime(); f
-      println(s"SEARCHPROF $name: " + (System.nanoTime() - t0) / 1e9)
+      val sec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(300) // let listener events drain
+      println(s"SEARCHPROF $name: ${sec}s jobs=$jobs stages=$stages tasks=$tasks")
     }
     for (run <- 1 to 3; aqe <- Seq("true", "false")) {
       spark.conf.set("spark.sql.adaptive.enabled", aqe)

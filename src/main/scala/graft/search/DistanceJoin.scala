@@ -98,13 +98,21 @@ object DistanceJoin {
     // min(L, n) COUNTING ZEROS, then advance past zeros — equivalently the
     // smallest non-zero distance at rank >= min(L, n); 1e-12 when none.
     // (NOT "the L-th smallest non-zero" — zeros occupy ranks.)
-    val nDf = ranked.groupBy("q_col").agg(max("rank").as("n_cand"))
-    val kth = ranked.join(broadcast(nDf), "q_col")
-      .filter(col("rank") >= least(lit(l), col("n_cand")) && col("dist") > 0)
-      .groupBy("q_col").agg(min("dist").as("kth"))
-
-    ranked.join(broadcast(kth), Seq("q_col"), "left")
-      .withColumn("kth", coalesce(col("kth"), lit(1e-12)))
+    // Both n (= max rank = partition size) and the conditional min are
+    // whole-partition window aggregates over the SAME q_col partitioning as
+    // the ranking itself — no extra exchange, and none of the broadcast
+    // joins whose build subtrees would each re-execute the ranked pipeline
+    // as their own Spark job (measured: 2 jobs + duplicate window work per
+    // search before this was folded in).
+    val part = Window.partitionBy("q_col")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked
+      .withColumn("n_cand", count(lit(1)).over(part))
+      .withColumn("kth", coalesce(
+        min(when(col("rank") >= least(lit(l), col("n_cand")) && col("dist") > 0,
+          col("dist"))).over(part),
+        lit(1e-12)))
+      .drop("n_cand")
       .withColumn("sim", round(exp(-lit(decay) * col("dist") / col("kth")), 6))
   }
 
