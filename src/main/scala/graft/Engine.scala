@@ -66,8 +66,11 @@ object Engine {
     val queryCols =
       if (req.content.columns.isEmpty) None
       else Some(req.content.columns.keys.toSeq)
-    val ranked = DistanceJoin.knn(sketch, req.queryId, req.m, req.l,
-      queryCols = queryCols)
+    // query-scoped pin: the ranked lists feed candidateEdges through two
+    // small broadcast sides (candidate ids, kth) whose build jobs would
+    // each re-execute the kNN window pipeline (see graft.Caching)
+    val ranked = Caching.temp(DistanceJoin.knn(sketch, req.queryId, req.m,
+      req.l, queryCols = queryCols))
 
     val meta = CombinedScorer.datasetMetadata(spark, dir)
     // per-field query text: each selected metadata field is matched against
@@ -88,9 +91,12 @@ object Engine {
           .withColumnRenamed("dataset_id", "doc_id"),
         "doc_id", fieldSpecs)
       .select(col("doc_id").as("c_dataset"), col("score").as("metadata_score"))
+    // pinned: consumed by candidateEdges (extra candidates) AND the final
+    // combine — one BM25 pass instead of two
+    val metaScoresP = Caching.temp(metaScores)
 
     val edges = DistanceJoin.candidateEdges(sketch, req.queryId, ranked,
-      extraCandidates = Some(metaScores.select("c_dataset")),
+      extraCandidates = Some(metaScoresP.select("c_dataset")),
       queryCols = queryCols)
     // Exact integer-micro matching on both branches (the oracle-coverable
     // path): uniform weights apply AFTER the argmax (contentScoresExact),
@@ -103,7 +109,7 @@ object Engine {
         Matcher.contentScoresExactWeighted(edges, microWeights(req.content.columns))
       }
 
-    CombinedScorer.combineExact(content, metaScores,
+    CombinedScorer.combineExact(content, metaScoresP,
       wcMicro = math.round(wc * 1e6), k = req.k)
       .withColumn("query_id", lit(req.queryId))
   }

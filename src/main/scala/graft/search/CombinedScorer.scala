@@ -86,7 +86,10 @@ object CombinedScorer {
              m: Int = 100, l: Int = 50, k: Int = 15,
              wContent: Double = 0.5, wMetadata: Double = 0.5): DataFrame = {
     val sketch = Sketches.cachedAll(spark, dir)
-    val ranked = DistanceJoin.knn(sketch, queryId, m, l)
+    // query-scoped pin: the ranked lists feed candidateEdges through two
+    // small broadcast sides (candidate ids, kth) whose build jobs would
+    // each re-execute the kNN window pipeline (see graft.Caching)
+    val ranked = graft.Caching.temp(DistanceJoin.knn(sketch, queryId, m, l))
     val meta = datasetMetadata(spark, dir)
     // Each metadata field is queried with the query dataset's OWN text for
     // that field (metadata_search.py:14-24: keywords vs keywords, title vs
@@ -105,6 +108,9 @@ object CombinedScorer {
             ("keywords", w, terms(qRow.getString(1))),
             ("description", w, terms(qRow.getString(2)))))
       .select(col("doc_id").as("c_dataset"), col("score").as("metadata_score"))
+    // pinned: consumed by candidateEdges (extra candidates) AND the final
+    // combine — one BM25 pass instead of two
+    val metaScoresP = graft.Caching.temp(metaScores)
     // Complete the bipartite edges for every discovered candidate — content
     // AND metadata hits — mirroring the reference's random access
     // (content_search.py:358-405; combined_search.py:87-93 computes content
@@ -115,13 +121,13 @@ object CombinedScorer {
     // normalization commented out) — an internal inconsistency; we score
     // every candidate UNnormalized, consistently.
     val edges = DistanceJoin.candidateEdges(sketch, queryId, ranked,
-      extraCandidates = Some(metaScores.select("c_dataset")))
+      extraCandidates = Some(metaScoresP.select("c_dataset")))
     val nQueryCols = sketch.filter(col("dataset_id") === queryId).count()
     // exact micro-weight matching (Matcher.contentScoresExact): argmax on
     // integer micros, uniform 1/nQueryCols applied after — identical scores
     // in any engine, which is what lets the DuckDB oracle cover this path
     val content = Matcher.contentScoresExact(edges, nQueryCols)
-    combine(content, metaScores, wContent, wMetadata, k)
+    combine(content, metaScoresP, wContent, wMetadata, k)
       .withColumn("query_id", lit(queryId))
   }
 }
