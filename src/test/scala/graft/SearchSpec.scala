@@ -43,6 +43,18 @@ class SearchSpec extends AnyFunSuite {
     assert(rz.head.getAs[Double]("kth") == 1e-12)
   }
 
+  test("knn plan: kth rides the ranking window — one broadcast, no join-back") {
+    // the scorer's only broadcast is the query side; n_cand and kth are
+    // whole-partition window aggregates on the ranking's own q_col
+    // partitioning. A second broadcast or any join after the window would
+    // mean the aggregate+broadcast-join-back shape crept back in (each such
+    // build subtree re-executes the ranked pipeline as its own job).
+    val plan = DistanceJoin.knn(sketch, "Q", m = 10, l = 2)
+      .queryExecution.executedPlan.toString
+    assert("BroadcastExchange".r.findAllIn(plan).length == 1, plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("knn: rank ties break on (dataset, col)") {
     val r = DistanceJoin.knn(sketch, "Q", m = 10, l = 2)
       .orderBy("rank").collect().map(_.getAs[String]("c_dataset"))
