@@ -182,7 +182,9 @@ object SparkEntry {
     // matching step that consumes it in content_scores
     "content_edges" -> ((s, d) => {
       val sk = Sketches.cachedNumericTemporal(s, d)
-      val ranked = DistanceJoin.knn(sk, "customer", 100, 50)
+      // same query-scoped pin as CombinedScorer.search: candidateEdges reads
+      // the ranked lists through two broadcast build jobs
+      val ranked = Caching.temp(DistanceJoin.knn(sk, "customer", 100, 50))
       DistanceJoin.candidateEdges(sk, "customer", ranked)
         .select(col("q_col"), col("c_dataset"), col("c_col"), col("col_type"),
           col("dist"), col("kth"), col("sim"))
@@ -196,7 +198,7 @@ object SparkEntry {
     // payload).
     "content_scores" -> ((s, d) => {
       val sk = Sketches.cachedAll(s, d)
-      val ranked = DistanceJoin.knn(sk, "customer", 100, 50)
+      val ranked = Caching.temp(DistanceJoin.knn(sk, "customer", 100, 50))
       val edges = DistanceJoin.candidateEdges(sk, "customer", ranked)
       val nQ = sk.filter(col("dataset_id") === "customer").count()
       Matcher.contentScoresExact(edges, nQ)
@@ -276,6 +278,11 @@ object SparkEntry {
     "dedup_shingle" -> ((s, d) =>
       Dedup.shinglePairs(T(s, d, "documents").filter(col("doc_id") < DocBound),
         "doc_id", "text", 3, 0.8)),
+
+    // C4-style duplicated-span REMOVAL: rewrite each document dropping every
+    // token covered by a word 5-gram that appears in >= 2 distinct docs
+    "dedup_spans" -> ((s, d) =>
+      Dedup.dedupSpans(T(s, d, "documents"), "doc_id", "text")),
 
     "dedup_minhash" -> ((s, d) =>
       Dedup.minhashLshPairs(T(s, d, "documents").filter(col("doc_id") < DocBound),
@@ -610,6 +617,32 @@ object SparkEntry {
     "dedup_jaccard" -> O.jaccardSql,
     "dedup_shingle" -> O.shingleSql,
     "dedup_minhash" -> O.minhashSql,
+    "dedup_spans" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |tok AS (SELECT doc_id, i AS pos, toks[i] AS token
+        |  FROM t CROSS JOIN unnest(range(1, len(toks) + 1)) AS u(i)),
+        |g AS (SELECT doc_id, i AS pos,
+        |    array_to_string(list_slice(toks, i, i + 4), ' ') AS gram
+        |  FROM t CROSS JOIN unnest(range(1, len(toks) - 5 + 2)) AS u(i)
+        |  WHERE len(toks) >= 5),
+        |dup AS (SELECT gram FROM g GROUP BY gram
+        |  HAVING count(DISTINCT doc_id) >= 2),
+        |flag AS (SELECT tok.doc_id, tok.pos, tok.token,
+        |    CASE WHEN d.gram IS NOT NULL THEN 1 ELSE 0 END AS dup_start
+        |  FROM tok LEFT JOIN g ON tok.doc_id = g.doc_id AND tok.pos = g.pos
+        |  LEFT JOIN dup d ON g.gram = d.gram),
+        |cov AS (SELECT doc_id, pos, token,
+        |    max(dup_start) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS covered
+        |  FROM flag)
+        |SELECT doc_id,
+        |  coalesce(string_agg(token, ' ' ORDER BY pos)
+        |    FILTER (WHERE covered = 0), '') AS clean_text,
+        |  count(*) AS n_tokens,
+        |  CAST(sum(covered) AS BIGINT) AS n_removed
+        |FROM cov GROUP BY doc_id""".stripMargin,
     "doc_pagerank" -> O.docPagerankSql,
     "dedup_simhash" -> O.simhashSql,
     "dedup_clusters" -> O.clustersSql,

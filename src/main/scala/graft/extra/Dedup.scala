@@ -347,4 +347,56 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
   }
+
+  /** C4-style duplicated-span REMOVAL (the transform, not the metric that
+    * [[graft.extra.CorpusOps.crossDocRepetition]] reports): every token
+    * covered by a word w-gram that also occurs in at least `minDocs`
+    * distinct documents is dropped, and the document is rewritten from the
+    * surviving tokens. The C4 pipeline removed duplicated three-sentence
+    * spans the same way; on word grams the semantics are: gram starting at
+    * position i is duplicated → tokens i..i+w-1 are covered.
+    *
+    * Plan shape (all linear at corpus scale): tokenize via posexplode (no
+    * shuffle), grams from `lead` windows per document (one shuffle keyed on
+    * doc_id, partitions are document-sized), gram document-frequencies via
+    * a two-phase distinct-count aggregate keyed on gram (vocabulary-sized
+    * output, hot boilerplate grams partial-aggregate map-side), flag join
+    * back on gram (1:1 per occurrence), coverage as a `max` over a
+    * `w-1 PRECEDING` row frame in the existing per-document window
+    * partitioning, and the rewrite is a per-document collect_list — bounded
+    * by document size, never corpus size. Intra-document repeats alone do
+    * NOT trigger removal (document frequency counts distinct docs).
+    *
+    * @return (doc_id, clean_text, n_tokens, n_removed)
+    */
+  def dedupSpans(df: DataFrame, idCol: String, textCol: String,
+                 w: Int = 5, minDocs: Int = 2): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+        posexplode(filter(split(lower(col(textCol)), " "), t => t =!= ""))
+          .as(Seq("pos0", "token")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("token"))
+    val byPos = Window.partitionBy("doc_id").orderBy("pos")
+    // a gram exists only where a full w tokens remain (tokens are non-empty,
+    // so a null lead means past-end; concat_ws would silently SHORTEN the
+    // tail gram and let it collide with genuine short grams)
+    val grams = toks.withColumn("gram",
+      when(lead(col("token"), w - 1).over(byPos).isNotNull,
+        concat_ws(" ", col("token") +:
+          (1 until w).map(k => lead(col("token"), k).over(byPos)): _*)))
+    val dup = grams.filter(col("gram").isNotNull)
+      .groupBy("gram").agg(countDistinct("doc_id").as("dw"))
+      .filter(col("dw") >= minDocs)
+      .select(col("gram"), lit(1).as("dup_hit"))
+    val flagged = grams.join(dup, Seq("gram"), "left")
+      .withColumn("dup_start", coalesce(col("dup_hit"), lit(0)))
+    val covered = flagged.withColumn("covered",
+      max(col("dup_start")).over(byPos.rowsBetween(-(w - 1), 0)))
+    covered.groupBy("doc_id").agg(
+      concat_ws(" ", transform(
+        array_sort(collect_list(when(col("covered") === 0,
+          struct(col("pos"), col("token"))))),
+        s => s.getField("token"))).as("clean_text"),
+      count(lit(1)).as("n_tokens"),
+      sum(col("covered")).cast("long").as("n_removed"))
+  }
 }

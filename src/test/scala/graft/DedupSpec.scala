@@ -177,4 +177,39 @@ class DedupSpec extends AnyFunSuite {
     val exploded = fps(Dedup.simhashExploded(docs, "doc_id", "text"))
     assert(agg.nonEmpty && agg == exploded)
   }
+
+  test("dedupSpans removes cross-doc spans, keeps intra-doc repeats and tails") {
+    val df = Seq(
+      // docs 1 and 2 share the 5-gram "a b c d e" at different offsets;
+      // coverage extends w tokens from each duplicated gram start
+      (1L, "x a b c d e y"),
+      (2L, "a b c d e z"),
+      // intra-document repetition only: the 5-gram repeats INSIDE doc 3 but
+      // appears in no other doc -> document frequency 1 -> untouched
+      (3L, "p q r s t p q r s t"),
+      // shorter than w tokens -> no grams -> untouched
+      (4L, "u v w")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupSpans(df, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("clean_text"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("n_removed")))).toMap
+    assert(got(1L) == (("x y", 7L, 5L)))
+    assert(got(2L) == (("z", 6L, 5L)))
+    assert(got(3L) == (("p q r s t p q r s t", 10L, 0L)))
+    assert(got(4L) == (("u v w", 3L, 0L)))
+  }
+
+  test("dedupSpans overlapping duplicated grams cover the union of spans") {
+    // "a b c d e f" in both docs: grams "a b c d e" and "b c d e f" are both
+    // duplicated; doc 5's trailing "g" survives, everything covered goes
+    val df = Seq(
+      (5L, "a b c d e f g"),
+      (6L, "h a b c d e f")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupSpans(df, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("clean_text")).toMap
+    assert(got(5L) == "g")
+    assert(got(6L) == "h")
+  }
 }
