@@ -404,6 +404,12 @@ object SparkEntry {
 
     // deterministic sampled-centroid quantizer (engine-reproducible → full
     // oracle); the KMeans-quantizer variant stays spec-covered in DedupSpec
+    // embedding-space domain clustering report (mixture balancing input):
+    // seeded-centroid cells, per-cell size / corpus share / mean centroid
+    // distance, integer-micro divisions for engine-exact values
+    "corpus_domains" -> ((s, d) =>
+      EmbeddingKnn.domainStats(T(s, d, "embeddings"))),
+
     "knn_ivf" -> ((s, d) =>
       EmbeddingKnn.ivfSeeded(T(s, d, "embeddings"), KnnQueryIds, 5)
         .withColumn("rank", col("rank").cast("long"))),
@@ -724,6 +730,7 @@ object SparkEntry {
     "knn_cosine" -> O.knnCosineSql,
     "knn_lsh" -> O.knnLshSql,
     "knn_ivf" -> O.knnIvfSql,
+    "corpus_domains" -> O.corpusDomainsSql,
     "knn_pq" -> O.knnPqSql,
     "knn_int8" -> O.knnInt8Sql,
     "hard_negatives" -> O.hardNegativesSql,
@@ -1896,6 +1903,32 @@ object SparkEntry {
       * VectorOps.euclid's sequential accumulation), nprobe=4 probe join,
       * exact-cosine top-k.
       */
+    /** DuckDB twin of EmbeddingKnn.domainStats: same md5-seeded centroids
+      * and argmin assignment as knnIvfSql, then the per-cell report with
+      * truncating integer-micro divisions (`//` here, `DIV` in Spark).
+      */
+    val corpusDomainsSql: String = {
+      val sq = (1 to 64).map(i => s"(e.vec[$i]-c.cvec[$i])*(e.vec[$i]-c.cvec[$i])")
+        .mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+         |cent AS (SELECT vec_id AS cell_id, vec AS cvec FROM e
+         |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+         |ad AS (SELECT e.vec_id, c.cell_id, round(sqrt($sq), 6) AS cdist
+         |      FROM e CROSS JOIN cent c),
+         |own AS (SELECT vec_id, cell_id, cdist FROM (
+         |      SELECT *, row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY cdist ASC, cell_id ASC) AS rn FROM ad) z
+         |      WHERE rn = 1),
+         |per AS (SELECT cell_id, count(*) AS n_vecs,
+         |      sum(CAST(round(cdist * 1e6) AS BIGINT)) AS micros
+         |    FROM own GROUP BY 1),
+         |tot AS (SELECT sum(n_vecs) AS total FROM per)
+         |SELECT cell_id, n_vecs,
+         |  CAST(n_vecs * 1000000 // total AS DOUBLE) / 1e6 AS share,
+         |  CAST(micros // n_vecs AS DOUBLE) / 1e6 AS mean_cdist
+         |FROM per CROSS JOIN tot""".stripMargin
+    }
+
     val knnIvfSql: String = {
       val sq = (1 to 64).map(i => s"(e.vec[$i]-c.cvec[$i])*(e.vec[$i]-c.cvec[$i])")
         .mkString(" + ")

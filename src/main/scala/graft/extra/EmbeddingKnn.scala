@@ -77,6 +77,51 @@ object EmbeddingKnn {
       .filter(col("rank") <= k)
   }
 
+  /** Seeded-centroid cell assignment shared by [[ivfSeeded]] and
+    * [[domainStats]]: centroids are the `nlist` vectors with the smallest
+    * md5(vec_id) (content-independent pseudo-random sample, reproducible in
+    * any engine with md5); every vector gets its ranked centroid distances
+    * from an argmin over the broadcast centroid table — one full scan, no
+    * iterative fit. Returns (vec_id, vec, cell_id, cdist, rn) where rn = 1
+    * is the owning cell.
+    */
+  def ivfAssign(emb: DataFrame, nlist: Int = 16): DataFrame = {
+    val base = emb.select(col("vec_id"), asDouble(col("embedding")).as("vec"))
+    val cent = base
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(nlist)
+      .select(col("vec_id").as("cell_id"), col("vec").as("cvec"))
+    val aw = Window.partitionBy("vec_id").orderBy(col("cdist").asc, col("cell_id").asc)
+    base.crossJoin(broadcast(cent))
+      .withColumn("cdist", round(VectorOps.euclid(col("vec"), col("cvec")), 6))
+      .withColumn("rn", row_number().over(aw))
+      .drop("cvec")
+  }
+
+  /** Domain clustering report for corpus mixture balancing: every embedding
+    * assigned to its seeded-centroid cell ([[ivfAssign]]), then one tiny
+    * per-cell aggregate — cluster size, corpus share, and mean distance to
+    * the centroid (a cohesion proxy; loose cells are candidates for
+    * re-clustering or down-weighting). This is the embedding-space side of
+    * data mixing: cells stand in for domains, shares feed the sampling
+    * weights (as corpusMix does by source label). Share and mean use the
+    * integer-micro truncating-division discipline so any engine lands on
+    * identical values. The per-cell table is nlist rows — the final window
+    * runs on one tiny partition.
+    */
+  def domainStats(emb: DataFrame, nlist: Int = 16): DataFrame = {
+    val per = ivfAssign(emb, nlist).filter(col("rn") === 1)
+      .groupBy("cell_id").agg(
+        count(lit(1)).as("n_vecs"),
+        sum(round(col("cdist") * 1e6).cast("long")).as("micros"))
+    per
+      .withColumn("total", sum("n_vecs").over(
+        Window.partitionBy().rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .select(col("cell_id"), col("n_vecs"),
+        (expr("n_vecs * 1000000 DIV total").cast("double") / 1e6).as("share"),
+        (expr("micros DIV n_vecs").cast("double") / 1e6).as("mean_cdist"))
+  }
+
   /** IVF with a deterministic sampled coarse quantizer: centroids are the
     * `nlist` vectors with the smallest md5(vec_id) — a content-independent
     * pseudo-random sample, the classic cheap alternative to KMeans centroids
@@ -90,14 +135,7 @@ object EmbeddingKnn {
     */
   def ivfSeeded(emb: DataFrame, queryIds: Seq[Long], k: Int = 5,
                 nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    val base = emb.select(col("vec_id"), asDouble(col("embedding")).as("vec"))
-    val cent = base
-      .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(nlist)
-      .select(col("vec_id").as("cell_id"), col("vec").as("cvec"))
-    val aw = Window.partitionBy("vec_id").orderBy(col("cdist").asc, col("cell_id").asc)
-    val ad = base.crossJoin(broadcast(cent))
-      .withColumn("cdist", round(VectorOps.euclid(col("vec"), col("cvec")), 6))
-      .withColumn("rn", row_number().over(aw))
+    val ad = ivfAssign(emb, nlist)
     val cells = ad.filter(col("rn") === 1)
       .select(col("vec_id").as("c_id"), col("vec").as("c_vec"), col("cell_id"))
     val probe = ad.filter(col("rn") <= nprobe && col("vec_id").isin(queryIds: _*))

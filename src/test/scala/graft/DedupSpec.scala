@@ -178,6 +178,26 @@ class DedupSpec extends AnyFunSuite {
     assert(agg.nonEmpty && agg == exploded)
   }
 
+  test("domainStats: every vector owned by one cell, shares cover the corpus") {
+    import graft.extra.EmbeddingKnn
+    val emb = Tables.load(spark, SparkTestSession.sf0001, "embeddings")
+    val total = emb.count()
+    val rows = EmbeddingKnn.domainStats(emb).collect()
+    assert(rows.length <= 16 && rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum == total)
+    // truncating micro-division: each share is within 1 micro below exact
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("n_vecs").toDouble / total
+      val share = r.getAs[Double]("share")
+      assert(share <= exact + 1e-12 && share > exact - 2e-6, r.toString)
+      assert(r.getAs[Double]("mean_cdist") >= 0.0)
+    }
+    // partitioning-invariant (the md5 seeding is content-derived)
+    val re = EmbeddingKnn.domainStats(emb.repartition(7)).collect()
+      .map(r => r.getAs[Long]("cell_id") -> r.getAs[Long]("n_vecs")).toMap
+    assert(re == rows.map(r => r.getAs[Long]("cell_id") -> r.getAs[Long]("n_vecs")).toMap)
+  }
+
   test("dedupSpans removes cross-doc spans, keeps intra-doc repeats and tails") {
     val df = Seq(
       // docs 1 and 2 share the 5-gram "a b c d e" at different offsets;
