@@ -1,0 +1,48 @@
+package graft
+
+import graft.search.CombinedScorer
+import graft.streaming.SearchStream
+import org.scalatest.funsuite.AnyFunSuite
+
+class SearchStreamSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("streaming search serves batch-identical answers per request") {
+    import spark.implicits._
+    val sf = SparkTestSession.sf0001
+    // request log lands in two file drops -> two micro-batches; customer is
+    // requested in both (the serving path must answer repeats, not dedup
+    // them across batches)
+    val dir = java.nio.file.Files.createTempDirectory("search_req").toString
+    Seq("customer").toDF("query_id").coalesce(1)
+      .write.mode("append").parquet(dir)
+    Seq("orders", "customer").toDF("query_id").coalesce(1)
+      .write.mode("append").parquet(dir)
+
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String, Double)]
+    val requests = spark.readStream
+      .schema("query_id STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    val q = SearchStream.serve(spark, sf, requests) { (answers, _) =>
+      val rows = answers
+        .select("query_id", "c_dataset", "overall_score").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+      buf.synchronized { buf ++= rows }
+    }
+    try q.processAllAvailable() finally q.stop()
+
+    def batchOf(id: String) = CombinedScorer.search(spark, sf, id)
+      .select("query_id", "c_dataset", "overall_score").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSeq.sorted
+    val customer = batchOf("customer")
+    val orders = batchOf("orders")
+    assert(customer.nonEmpty && orders.nonEmpty)
+    // customer answered once per requesting batch (file drops may coalesce
+    // into fewer micro-batches, so once OR twice — but always identically)
+    val gotCustomer = buf.filter(_._1 == "customer").sorted
+    assert(gotCustomer == customer || gotCustomer == (customer ++ customer).sorted,
+      s"got ${gotCustomer.size} customer rows")
+    assert(buf.filter(_._1 == "orders").sorted == orders)
+  }
+}
