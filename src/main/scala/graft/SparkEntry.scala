@@ -311,6 +311,14 @@ object SparkEntry {
         Dedup.jaccardPairs(docs, "doc_id", "text", 0.95))
     }),
 
+    // quality-aware canonical selection: keep the best copy per near-dup
+    // cluster (argmax composite quality, ties to the smaller id)
+    "dedup_canonical" -> ((s, d) => {
+      val docs = T(s, d, "documents").filter(col("doc_id") < DocBound)
+      CorpusOps.dedupRepresentatives(docs, "doc_id", "text",
+        Dedup.jaccardPairs(docs, "doc_id", "text", 0.95))
+    }),
+
     // hub ranking of the near-dup candidate graph (integer-exact PageRank —
     // GraphOps.pagerankNano); clusters GROUP the web, this ORDERS it
     "doc_pagerank" -> ((s, d) =>
@@ -652,6 +660,7 @@ object SparkEntry {
     "doc_pagerank" -> O.docPagerankSql,
     "dedup_simhash" -> O.simhashSql,
     "dedup_clusters" -> O.clustersSql,
+    "dedup_canonical" -> O.canonicalSql,
     "decontaminate" -> O.decontaminateSql,
     "rep_metrics" -> O.repMetricsSql,
 
@@ -1608,6 +1617,34 @@ object SparkEntry {
          |SELECT id AS doc_id, min(lbl) AS cluster_id,
          |  CAST(CASE WHEN min(lbl) = id THEN 1 ELSE 0 END AS BIGINT) AS is_rep
          |FROM reach GROUP BY id""".stripMargin
+
+    /** DuckDB twin of CorpusOps.dedupRepresentatives: [[clustersSql]]'s
+      * reachability clusters joined with text_stats' quality expression,
+      * canonical member via the same (quality DESC, doc_id ASC) window.
+      */
+    val canonicalSql: String =
+      s"""WITH RECURSIVE pairs AS ($jaccardSql),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach(id, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents WHERE doc_id < $DocBound
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+         |cl AS (SELECT id AS doc_id, min(lbl) AS cluster_id
+         |  FROM reach GROUP BY id),
+         |q AS (SELECT doc_id,
+         |  CASE WHEN length(text) > 0 THEN
+         |    round(least(CAST(len(list_filter(string_split(lower(text), ' '),
+         |        t -> t <> '')) AS DOUBLE)/100.0, 1.0)
+         |      * (1.0 - least(CAST(length(regexp_replace(lower(text),
+         |          '[a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text), 1.0)), 6)
+         |  ELSE NULL END AS quality
+         |  FROM documents WHERE doc_id < $DocBound)
+         |SELECT doc_id, cluster_id, quality,
+         |  CAST(CASE WHEN row_number() OVER (PARTITION BY cluster_id
+         |    ORDER BY quality DESC NULLS LAST, doc_id ASC) = 1
+         |    THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM cl JOIN q USING (doc_id)""".stripMargin
 
     /** DuckDB twin of EmbeddingKnn.hardNegatives: brute-force cosine top-20
       * overfetch, near-dup cluster labels via the same recursive reachability

@@ -55,6 +55,29 @@ object CorpusOps {
       .select(col("id").as("doc_id"), col("cluster_id"),
         when(col("id") === col("cluster_id"), 1L).otherwise(0L).as("is_rep"))
 
+  /** Quality-aware canonical selection over near-dup clusters: where
+    * [[dedupClusters]] nominates the min-id member, real pipelines keep the
+    * BEST copy — per cluster the member with the highest composite quality
+    * ([[TextStats.stats]]), ties to the smaller doc_id. One window per
+    * cluster (cluster-sized partitions); quality is a 6-decimal value on
+    * both engines so the sort key is reproducible.
+    *
+    * @return (doc_id, cluster_id, quality, keep) — keep = 1 for the
+    *         cluster's canonical member, singletons keep themselves
+    */
+  def dedupRepresentatives(docs: DataFrame, idCol: String, textCol: String,
+                           pairs: DataFrame): DataFrame = {
+    val clusters = dedupClusters(docs, idCol, pairs).select("doc_id", "cluster_id")
+    val quality = TextStats.stats(docs, idCol, textCol)
+      .select(col("doc_id"), col("quality"))
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("quality").desc_nulls_last, col("doc_id").asc)
+    clusters.join(quality, "doc_id")
+      .withColumn("rk", row_number().over(w))
+      .select(col("doc_id"), col("cluster_id"), col("quality"),
+        when(col("rk") === 1, 1L).otherwise(0L).as("keep"))
+  }
+
   /** The ONE word-n-gram stream all gram consumers share (decontamination,
     * repetition metrics, Dedup.shinglePairs): (doc_id, gram) with every
     * occurrence, or set-semantics with `distinct`. Pure column expressions

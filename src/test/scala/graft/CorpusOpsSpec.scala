@@ -146,6 +146,24 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dedupRepresentatives keeps the highest-quality copy, not the min id") {
+    import spark.implicits._
+    // docs 1 and 2 are near-identical, but 1 is punctuation-ridden: the
+    // composite quality score prefers 2, so min-id selection would be wrong
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon!!!???;;;###"),
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "completely different text")
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val rows = CorpusOps.dedupRepresentatives(docs, "doc_id", "text", pairs)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("cluster_id"), r.getAs[Long]("keep")))).toMap
+    assert(rows(1L) == ((1L, 0L)), "the noisy copy must lose")
+    assert(rows(2L) == ((1L, 1L)), "the clean copy wins despite the larger id")
+    assert(rows(3L) == ((3L, 1L)), "singletons keep themselves")
+  }
+
   test("decontaminate flags only docs sharing a 5-gram with the benchmark slice") {
     // ids: 0 and 97 are benchmark (x % 97 == 0); 1 copies 0's phrase, 2 doesn't
     val docs = Seq(
