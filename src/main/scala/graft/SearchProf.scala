@@ -3,9 +3,9 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted}
 
 /** Search-path profiler: stage/task counts and wall time for the flagship
-  * similarity query, with and without AQE (`SEARCHPROF_AQE` toggles the
-  * default), so stage-count bloat in the many-small-stages search plan is
-  * visible without the Spark UI.
+  * similarity query, measured with AQE on and off each run, so stage-count
+  * bloat in the many-small-stages search plan is visible without the
+  * Spark UI.
   */
 object SearchProf {
   def main(args: Array[String]): Unit = {

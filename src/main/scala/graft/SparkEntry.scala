@@ -410,14 +410,14 @@ object SparkEntry {
       EmbeddingKnn.signLsh(T(s, d, "embeddings"), KnnQueryIds, 5, 8)
         .withColumn("rank", col("rank").cast("long"))),
 
-    // deterministic sampled-centroid quantizer (engine-reproducible → full
-    // oracle); the KMeans-quantizer variant stays spec-covered in DedupSpec
     // embedding-space domain clustering report (mixture balancing input):
     // seeded-centroid cells, per-cell size / corpus share / mean centroid
     // distance, integer-micro divisions for engine-exact values
     "corpus_domains" -> ((s, d) =>
       EmbeddingKnn.domainStats(T(s, d, "embeddings"))),
 
+    // deterministic sampled-centroid quantizer (engine-reproducible → full
+    // oracle); the KMeans-quantizer variant stays spec-covered in DedupSpec
     "knn_ivf" -> ((s, d) =>
       EmbeddingKnn.ivfSeeded(T(s, d, "embeddings"), KnnQueryIds, 5)
         .withColumn("rank", col("rank").cast("long"))),

@@ -22,23 +22,30 @@ import org.apache.spark.sql.streaming.StreamingQuery
 object SearchStream {
 
   /** Serve a stream of search requests. `requests` must have a `query_id`
-    * string column (extra columns ride along untouched into `onResult`).
-    * Each micro-batch answers its distinct requests through
-    * [[CombinedScorer.search]] and hands the unioned result rows (the batch
-    * search schema, one block of ≤ k rows per request) to `onResult`.
+    * string column; requests are answered once per DISTINCT id per
+    * micro-batch (callers needing per-request correlation join the answers
+    * back on query_id). Each micro-batch hands the unioned result rows (the
+    * batch search schema, one block of ≤ k rows per answered id) to
+    * `onResult`, then `badRequest` once per id that failed (unknown or null
+    * query_id — a serving endpoint must outlive a typo, not die with the
+    * stream; the remaining ids in the batch are still answered). Per-batch
+    * pins are released even when a request fails.
     */
   def serve(spark: SparkSession, dir: String, requests: DataFrame,
-            m: Int = 100, l: Int = 50, k: Int = 15)
+            m: Int = 100, l: Int = 50, k: Int = 15,
+            badRequest: (String, Throwable) => Unit = (_, _) => ())
            (onResult: (DataFrame, Long) => Unit): StreamingQuery =
     requests.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
       val ids = batch.select("query_id").distinct()
-        .collect().map(_.getString(0)).sorted
-      if (ids.nonEmpty) {
-        val answers = ids.map(q => CombinedScorer.search(spark, dir, q, m, l, k))
-          .reduce(_.unionAll(_))
-        onResult(answers, id)
+        .collect().map(_.getString(0)).filter(_ != null).sorted
+      try {
+        val answers = ids.flatMap { q =>
+          try Some(CombinedScorer.search(spark, dir, q, m, l, k))
+          catch { case scala.util.control.NonFatal(e) => badRequest(q, e); None }
+        }
+        if (answers.nonEmpty) onResult(answers.reduce(_.unionAll(_)), id)
+      } finally
         // per-batch pins (ranked lists, metadata scores) die with the batch
         graft.Caching.release()
-      }
     }.start()
 }

@@ -45,4 +45,24 @@ class SearchStreamSpec extends AnyFunSuite {
       s"got ${gotCustomer.size} customer rows")
     assert(buf.filter(_._1 == "orders").sorted == orders)
   }
+
+  test("an unknown query_id is reported, not fatal; the rest still answer") {
+    import spark.implicits._
+    val sf = SparkTestSession.sf0001
+    val dir = java.nio.file.Files.createTempDirectory("search_bad").toString
+    Seq("no_such_dataset", "customer").toDF("query_id").coalesce(1)
+      .write.mode("append").parquet(dir)
+
+    val answered = scala.collection.mutable.Set.empty[String]
+    val failed = scala.collection.mutable.Set.empty[String]
+    val requests = spark.readStream.schema("query_id STRING").parquet(dir)
+    val q = SearchStream.serve(spark, sf, requests,
+      badRequest = (id, _) => failed.synchronized { failed += id }) { (df, _) =>
+      val got = df.select("query_id").distinct().collect().map(_.getString(0))
+      answered.synchronized { answered ++= got }
+    }
+    try q.processAllAvailable() finally q.stop()
+    assert(failed.toSet == Set("no_such_dataset"))
+    assert(answered.toSet == Set("customer"))
+  }
 }
