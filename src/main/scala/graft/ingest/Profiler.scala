@@ -278,34 +278,43 @@ object Profiler {
     } else bucketedCumulative(hist, buckets).drop("n")
 
   /** The `buckets > 1` cumsum, carrying each column's total `n` through to
-    * the output: n and the bucket bounds fall out of ONE aggregation over
-    * the histogram, so the caller's interpolation needs no second
-    * totals pass (a whole-partition window for n would buffer every hist
-    * row again; a separate agg would re-reduce the histogram).
+    * the output so the caller's interpolation needs no second totals pass
+    * (a whole-partition window for n would buffer every hist row again).
     *
-    * Deterministic VALUE-width buckets, NOT repartitionByRange: range
-    * partitioning samples its child with a seed tied to RDD identity,
-    * and the bucket column is consumed by TWO subtrees (local cumsum +
-    * offsets). Unless the sampled exchange is materialized exactly once
-    * — AQE stage reuse, observed to FAIL over cached children, leaving
-    * two independent samplings whose partition ids disagree and corrupt
-    * the offsets — the result is layout-dependent. Buckets derived from
-    * each column's (min, max) make both subtrees agree by construction
-    * under any physical plan: bucket order follows value order and equal
-    * values share a bucket, which is all the two-level cumsum needs.
-    * Pathological value skew only degrades bucket balance (fewer
-    * effective slices), never correctness.
+    * Deterministic CONTENT-DERIVED bucket boundaries, NOT
+    * repartitionByRange: range partitioning samples its child with a seed
+    * tied to RDD identity, and the bucket column is consumed by TWO
+    * subtrees (local cumsum + offsets). Unless the sampled exchange is
+    * materialized exactly once — AQE stage reuse, observed to FAIL over
+    * cached children, leaving two independent samplings whose partition
+    * ids disagree and corrupt the offsets — the result is
+    * layout-dependent. Boundaries here are quantiles of an md5-selected
+    * ~1/256 sample of each column's distinct values: pure functions of the
+    * data, so both subtrees agree under ANY physical plan (bucket order
+    * follows value order, equal values share a bucket — all the two-level
+    * cumsum needs), and sample quantiles stay balanced under arbitrary
+    * value skew, where (min,max)-width buckets would collapse around one
+    * outlier. A column too small to be sampled lands in one bucket — the
+    * single-window shape that is already fine at that size.
     */
   private def bucketedCumulative(hist: DataFrame, buckets: Int): DataFrame = {
-    val stats = hist.groupBy("dataset_id", "col_name")
-      .agg(sum("cnt").as("n"), min("v").as("vmin"), max("v").as("vmax"))
-    val bucketed = hist.join(broadcast(stats), Seq("dataset_id", "col_name"))
-      .withColumn("pid", when(col("vmax") === col("vmin"), lit(0))
-        .otherwise(least(lit(buckets - 1), greatest(lit(0),
-          floor((col("v") - col("vmin"))
-            / (col("vmax") - col("vmin")) * buckets))))
-        .cast("int"))
-      .drop("vmin", "vmax")
+    val stats = hist.groupBy("dataset_id", "col_name").agg(sum("cnt").as("n"))
+    val sampled = hist.filter(
+      conv(substring(md5(concat_ws("|", col("dataset_id"), col("col_name"),
+        col("v"))), 1, 4), 16, 10).cast("long") < 256)
+    val tiled = sampled.withColumn("tile", ntile(buckets).over(
+      Window.partitionBy("dataset_id", "col_name").orderBy("v")))
+    val bounds = tiled.groupBy("dataset_id", "col_name", "tile")
+      .agg(max("v").as("bv"))
+      .filter(col("tile") < buckets) // the last tile's max is no boundary
+      .groupBy("dataset_id", "col_name")
+      .agg(array_sort(collect_list("bv")).as("bounds"))
+    val bucketed = hist
+      .join(broadcast(stats), Seq("dataset_id", "col_name"))
+      .join(broadcast(bounds), Seq("dataset_id", "col_name"), "left")
+      .withColumn("pid",
+        size(filter(coalesce(col("bounds"), array()), b => b < col("v"))))
+      .drop("bounds")
     val local = Window.partitionBy("dataset_id", "col_name", "pid").orderBy("v")
     val withLocal = bucketed.withColumn("lcum",
       sum("cnt").over(local.rowsBetween(Window.unboundedPreceding, 0)))
