@@ -300,6 +300,11 @@ object SparkEntry {
     "dedup_embedding_lsh" -> ((s, d) =>
       Dedup.embeddingPairsLsh(T(s, d, "embeddings"), 0.45)),
 
+    // percentile-threshold quality gate: the cut is the corpus's own 10%
+    // quality quantile (exact histogram quantile), not a fixed constant
+    "quality_gate" -> ((s, d) =>
+      CorpusOps.qualityGate(T(s, d, "documents"), "doc_id", "text")),
+
     "corpus_select" -> ((s, d) =>
       graft.extra.CorpusPipeline.select(T(s, d, "documents"), "doc_id", "text",
         0.5, Seq("en"))),
@@ -767,6 +772,7 @@ object SparkEntry {
 
     "lang_id" -> O.langIdSql,
     "corpus_select" -> O.corpusSelectSql,
+    "quality_gate" -> O.qualityGateSql,
     "corpus_build" -> O.corpusBuildSql,
 
     "token_counts" ->
@@ -2175,6 +2181,24 @@ object SparkEntry {
     /** Parameterized so corpusBuildSql reuses it at its own threshold — no
       * string surgery that could silently no-op if this text drifts.
       */
+    /** DuckDB twin of CorpusOps.qualityGate: the text_stats quality
+      * expression, quantile_cont at the drop fraction (the histogram
+      * pipeline interpolates identically on the same 6-decimal grid —
+      * profile_quantiles proves the parity), scalar cross join, filter.
+      */
+    val qualityGateSql: String =
+      s"""WITH q AS (SELECT doc_id,
+         |  CASE WHEN length(text) > 0 THEN
+         |    round(least(CAST(len(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS DOUBLE)/100.0, 1.0)
+         |      * (1.0 - least(CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+         |          / length(text), 1.0)), 6)
+         |  ELSE NULL END AS quality
+         |  FROM documents),
+         |thr AS (SELECT round(quantile_cont(quality, 0.1), 6) AS threshold
+         |  FROM q WHERE quality IS NOT NULL)
+         |SELECT doc_id, quality, threshold FROM q CROSS JOIN thr
+         |WHERE quality >= threshold""".stripMargin
+
     def corpusSelectSqlAt(minQuality: Double): String =
       s"""WITH fp AS (SELECT doc_id, md5(trim(regexp_replace(
          |  regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fingerprint

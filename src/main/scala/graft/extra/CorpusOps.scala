@@ -78,6 +78,32 @@ object CorpusOps {
         when(col("rk") === 1, 1L).otherwise(0L).as("keep"))
   }
 
+  /** Percentile-threshold quality gating (the Gopher-style "drop the worst
+    * X%" filter with the cut derived from the corpus itself, not a magic
+    * constant like [[CorpusPipeline.select]]'s minQuality): score every
+    * document with the composite quality ([[TextStats.stats]]), take the
+    * `dropFrac` quantile of the corpus-wide quality distribution through
+    * the exact histogram-quantile pipeline (multiset-interpolated like
+    * DuckDB's quantile_cont, 6-decimal grid on both engines), and keep the
+    * documents at or above it. The threshold is a 1-row broadcast; the
+    * quantile shares the scan with the scoring pass only through Spark's
+    * own reuse — at corpus scale it is one extra (doc → quality) aggregate,
+    * linear and shuffle-light. NULL-quality (empty) documents never pass.
+    *
+    * @return (doc_id, quality, threshold) for surviving documents
+    */
+  def qualityGate(docs: DataFrame, idCol: String, textCol: String,
+                  dropFrac: Double = 0.1): DataFrame = {
+    val q = TextStats.stats(docs, idCol, textCol)
+      .select(col("doc_id"), col("quality"))
+    val stream = q.filter(col("quality").isNotNull)
+      .select(lit("corpus").as("dataset_id"), lit("quality").as("col_name"),
+        col("quality").as("v"))
+    val thr = graft.ingest.Profiler.histogramQuantiles(stream, ps = Seq(dropFrac))
+      .select(col("v").as("threshold"))
+    q.crossJoin(broadcast(thr)).filter(col("quality") >= col("threshold"))
+  }
+
   /** The ONE word-n-gram stream all gram consumers share (decontamination,
     * repetition metrics, Dedup.shinglePairs): (doc_id, gram) with every
     * occurrence, or set-semantics with `distinct`. Pure column expressions

@@ -146,6 +146,18 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("qualityGate keeps the top (1 - dropFrac) of the corpus") {
+    val docs = Tables.load(spark, SparkTestSession.sf0001, "documents")
+    val n = docs.count()
+    val rows = CorpusOps.qualityGate(docs, "doc_id", "text").collect()
+    assert(rows.nonEmpty && rows.length <= n)
+    val thr = rows.map(_.getAs[Double]("threshold")).distinct
+    assert(thr.length == 1, "one corpus-wide threshold")
+    assert(rows.forall(_.getAs[Double]("quality") >= thr.head))
+    // the gate drops AT MOST dropFrac (ties at the cut survive)
+    assert(rows.length >= math.floor(n * 0.9).toInt, s"kept ${rows.length}/$n")
+  }
+
   test("dedupRepresentatives keeps the highest-quality copy, not the min id") {
     import spark.implicits._
     // docs 1 and 2 are near-identical, but 1 is punctuation-ridden: the
