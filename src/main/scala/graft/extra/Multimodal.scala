@@ -14,10 +14,12 @@ import org.apache.spark.sql.types._
   * [[Multimodal.DecodeWorker]]: [[Multimodal.ImageIoWorker]] is a REAL image
   * codec (JDK javax.imageio, PNG/JPEG/GIF/BMP) and
   * [[Multimodal.WavStatsWorker]] a REAL audio decoder (JDK
-  * javax.sound.sampled, WAV/AIFF/AU) — two modalities proving the boundary;
-  * [[Multimodal.ByteStatsWorker]] is the declared stub standing in only for
-  * VIDEO codecs, which the JDK lacks. Swapping workers (JavaCV,
-  * TwelveMonkeys, a Python `mapInPandas` process, …) changes no plan.
+  * javax.sound.sampled, WAV/AIFF/AU), and [[Multimodal.Mp4MetadataWorker]]
+  * a REAL MP4 container parser (pure box walking) — three modalities
+  * proving the boundary; [[Multimodal.ByteStatsWorker]] is the declared
+  * stub standing in only for video FRAME codecs, which the JDK lacks.
+  * Swapping workers (JavaCV, TwelveMonkeys, a Python `mapInPandas`
+  * process, …) changes no plan.
   *
   * Scale notes: all operators are per-row/per-partition (no shuffle); media
   * bytes never leave the executor that read them, and feature extraction is
@@ -176,6 +178,83 @@ object Multimodal {
         out
       } catch { case _: Exception => new Array[Float](dim) }
       finally ais.close()
+    }
+  }
+
+  /** REAL MP4 / ISO-BMFF container parser — pure byte-box walking, no codec
+    * needed: features are [duration_s, n_tracks, width_px, height_px, ok=1]
+    * zero-padded to `dim`, from the moov/mvhd header (timescale +
+    * duration, version 0 and 1) and the first video trak's tkhd (16.16
+    * fixed-point presentation size). Un-parseable payloads yield the zero
+    * vector. This makes the VIDEO modality's container half real — the
+    * duration/track/shape fields corpus gates actually filter on — while
+    * FRAME decode stays with the declared [[ByteStatsWorker]] stub (the
+    * JDK ships no video codec).
+    */
+  final case class Mp4MetadataWorker(dim: Int = 16) extends DecodeWorker {
+    require(dim >= 5, "Mp4MetadataWorker needs dim >= 5")
+    private def u32(b: Array[Byte], o: Int): Long =
+      ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    private def u64(b: Array[Byte], o: Int): Long =
+      (u32(b, o) << 32) | u32(b, o + 4)
+    def decode(bytes: Array[Byte]): Array[Float] = {
+      val out = new Array[Float](dim)
+      if (bytes == null || bytes.length < 8) return out
+      try {
+        var durS = 0f; var nTracks = 0; var w = 0f; var h = 0f; var ok = false
+        // walk one level of boxes in [from, to); size 0 = to-end, size 1 =
+        // 64-bit largesize; malformed sizes stop the walk (never throw)
+        def boxes(from: Int, to: Int)(f: (String, Int, Int) => Unit): Unit = {
+          var off = from
+          var go = true
+          while (go && off + 8 <= to) {
+            var size = u32(bytes, off)
+            var hdr = 8
+            if (size == 1 && off + 16 <= to) { size = u64(bytes, off + 8); hdr = 16 }
+            else if (size == 0) size = (to - off).toLong
+            if (size < hdr || size > to - off) go = false
+            else {
+              f(new String(bytes, off + 4, 4, "ISO-8859-1"),
+                off + hdr, off + size.toInt)
+              off += size.toInt
+            }
+          }
+        }
+        boxes(0, bytes.length) {
+          case ("moov", ms, me) =>
+            boxes(ms, me) {
+              case ("mvhd", s, e) =>
+                val v = bytes(s) & 0xff
+                if (v == 0 && e - s >= 20) {
+                  val ts = u32(bytes, s + 12)
+                  if (ts > 0) { durS = (u32(bytes, s + 16).toDouble / ts).toFloat; ok = true }
+                } else if (v == 1 && e - s >= 32) {
+                  val ts = u32(bytes, s + 20)
+                  if (ts > 0) { durS = (u64(bytes, s + 24).toDouble / ts).toFloat; ok = true }
+                }
+              case ("trak", s, e) =>
+                nTracks += 1
+                boxes(s, e) {
+                  case ("tkhd", ts, te) =>
+                    val v = bytes(ts) & 0xff
+                    val wOff = if (v == 1) ts + 88 else ts + 76
+                    if (te - ts >= (wOff - ts) + 8 && w == 0f && h == 0f) {
+                      val tw = (u32(bytes, wOff) >> 16).toFloat
+                      val th = (u32(bytes, wOff + 4) >> 16).toFloat
+                      if (tw > 0 && th > 0) { w = tw; h = th }
+                    }
+                  case _ => ()
+                }
+              case _ => ()
+            }
+          case _ => ()
+        }
+        if (!ok && nTracks == 0) return out
+        out(0) = durS; out(1) = nTracks.toFloat; out(2) = w; out(3) = h
+        out(4) = 1f
+        out
+      } catch { case _: Exception => new Array[Float](dim) }
     }
   }
 

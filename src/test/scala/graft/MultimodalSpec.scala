@@ -89,6 +89,42 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(2L).forall(_ == 0.0f) && got(3L).forall(_ == 0.0f))
   }
 
+  test("Mp4MetadataWorker parses a REAL MP4 container through the pipeline") {
+    import spark.implicits._
+    def be32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def box(typ: String, payload: Array[Byte]): Array[Byte] =
+      be32(payload.length + 8) ++ typ.getBytes("ISO-8859-1") ++ payload
+    // mvhd v0: version+flags, creation, modification, timescale=1000,
+    // duration=5000 -> 5 s
+    val mvhd = box("mvhd",
+      Array[Byte](0, 0, 0, 0) ++ be32(0) ++ be32(0) ++ be32(1000) ++ be32(5000))
+    // tkhd v0: version+flags + 20B (creation/mod/id/res/duration) + 16B
+    // (res/layer/alt/vol/res) + 36B matrix + width/height 16.16 = 640x360
+    val tkhd = box("tkhd", Array[Byte](0, 0, 0, 0)
+      ++ new Array[Byte](20) ++ new Array[Byte](16) ++ new Array[Byte](36)
+      ++ be32(640L << 16) ++ be32(360L << 16))
+    val mp4 = box("ftyp", "isom".getBytes("ISO-8859-1") ++ be32(0)) ++
+      box("moov", mvhd ++ box("trak", tkhd))
+
+    val w = Multimodal.Mp4MetadataWorker(8)
+    val f = w.decode(mp4)
+    assert(f(0) == 5.0f, s"duration_s: ${f(0)}")
+    assert(f(1) == 1.0f, s"n_tracks: ${f(1)}")
+    assert(f(2) == 640.0f && f(3) == 360.0f, s"size: ${f(2)}x${f(3)}")
+    assert(f(4) == 1.0f, "ok flag")
+    // corrupt / truncated / non-MP4 payloads yield the zero vector
+    assert(w.decode("not a movie".getBytes).forall(_ == 0f))
+    assert(w.decode(mp4.take(10)).forall(_ == 0f))
+    assert(w.decode(null).forall(_ == 0f))
+    // and the batched pipeline carries it like any other worker
+    val df = Seq((1L, mp4, "video")).toDF("doc_id", "media", "media_type")
+    val feats = Multimodal.extractFeatures(df, w)
+      .select("features").head().getSeq[Float](0)
+    assert(feats.take(5) == Seq(5.0f, 1.0f, 640.0f, 360.0f, 1.0f))
+  }
+
   test("frameSample: one row per offset, only for timed media") {
     val frames = Multimodal.frameSample(media, 1000L)
     assert(frames.filter(col("media_type") === "image").count() == 0)
