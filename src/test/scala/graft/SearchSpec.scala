@@ -43,6 +43,22 @@ class SearchSpec extends AnyFunSuite {
     assert(rz.head.getAs[Double]("kth") == 1e-12)
   }
 
+  test("index build is run-to-run deterministic (fresh build, AQE on)") {
+    // Guards the failure class fixed in the bucketed cumsum: two plan
+    // subtrees consuming a sampled partition id disagreed when AQE stage
+    // reuse missed over cached children, losing/NOISING sketch rows
+    // nondeterministically. Two FRESH builds (bypassing the session cache)
+    // must be row-for-row identical, vectors included.
+    def build() = graft.search.Sketches.all(spark, SparkTestSession.sf0001)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getSeq[Double](3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val a = build()
+    assert(a.nonEmpty)
+    assert(build() == a)
+  }
+
   test("knn plan: kth rides the ranking window — one broadcast, no join-back") {
     // the scorer's only broadcast is the query side; n_cand and kth are
     // whole-partition window aggregates on the ranking's own q_col
