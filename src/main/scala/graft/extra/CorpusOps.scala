@@ -94,8 +94,12 @@ object CorpusOps {
     */
   def qualityGate(docs: DataFrame, idCol: String, textCol: String,
                   dropFrac: Double = 0.1): DataFrame = {
-    val q = TextStats.stats(docs, idCol, textCol)
-      .select(col("doc_id"), col("quality"))
+    // query-scoped pin: the scored frame feeds BOTH the threshold quantile
+    // and the output filter — unpinned, each consumer re-scores the corpus
+    // (two full scans at lake scale). Two slim columns, released by the
+    // driver's post-query release() (see graft.Caching).
+    val q = graft.Caching.temp(TextStats.stats(docs, idCol, textCol)
+      .select(col("doc_id"), col("quality")))
     val stream = q.filter(col("quality").isNotNull)
       .select(lit("corpus").as("dataset_id"), lit("quality").as("col_name"),
         col("quality").as("v"))
