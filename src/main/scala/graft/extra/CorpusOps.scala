@@ -85,10 +85,13 @@ object CorpusOps {
     * `dropFrac` quantile of the corpus-wide quality distribution through
     * the exact histogram-quantile pipeline (multiset-interpolated like
     * DuckDB's quantile_cont, 6-decimal grid on both engines), and keep the
-    * documents at or above it. The threshold is a 1-row broadcast; the
-    * quantile shares the scan with the scoring pass only through Spark's
-    * own reuse — at corpus scale it is one extra (doc → quality) aggregate,
-    * linear and shuffle-light. NULL-quality (empty) documents never pass.
+    * documents at or above it. The threshold is a 1-row broadcast. The
+    * corpus-wide cumulative window runs unpartitioned (Spark warns) — by
+    * DESIGN it is bounded, not corpus-sized: quality lives on the 6-decimal
+    * [0,1] grid, so the value histogram behind the quantile can never
+    * exceed ~10^6 + 1 rows however large the corpus; the corpus-sized work
+    * (scoring + histogram partial-agg) is fully parallel before it.
+    * NULL-quality (empty) documents never pass.
     *
     * @return (doc_id, quality, threshold) for surviving documents
     */
