@@ -411,6 +411,11 @@ object SparkEntry {
       EmbeddingKnn.bruteForce(T(s, d, "embeddings"), KnnQueryIds, 5)
         .withColumn("rank", col("rank").cast("long"))),
 
+    // kNN label transfer: majority label among the 5 nearest LABELED
+    // neighbors (pseudo-labeling for the unlabeled query slice)
+    "label_transfer" -> ((s, d) =>
+      EmbeddingKnn.labelTransfer(T(s, d, "embeddings"), KnnQueryIds, 5)),
+
     "knn_lsh" -> ((s, d) =>
       EmbeddingKnn.signLsh(T(s, d, "embeddings"), KnnQueryIds, 5, 8)
         .withColumn("rank", col("rank").cast("long"))),
@@ -742,6 +747,7 @@ object SparkEntry {
         |WHERE list_cosine_similarity(a.vec, b.vec) >= 0.45""".stripMargin,
 
     "knn_cosine" -> O.knnCosineSql,
+    "label_transfer" -> O.labelTransferSql,
     "knn_lsh" -> O.knnLshSql,
     "knn_ivf" -> O.knnIvfSql,
     "corpus_domains" -> O.corpusDomainsSql,
@@ -1940,6 +1946,27 @@ object SparkEntry {
          |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
          |        ORDER BY sim DESC, c_id ASC) AS rank FROM s)
          |SELECT q_id, c_id, sim, rank FROM r WHERE rank <= 5""".stripMargin
+
+    /** DuckDB twin of EmbeddingKnn.labelTransfer: brute-force cosine kNN
+      * restricted to the labeled pool, then the majority vote with the
+      * same (votes DESC, label ASC) tie-break.
+      */
+    val labelTransferSql: String =
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec, label FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, vec AS q_vec FROM e WHERE vec_id IN ($knnIds)),
+         |p AS (SELECT vec_id AS c_id, vec AS c_vec, label FROM e
+         |      WHERE vec_id NOT IN ($knnIds)),
+         |s AS (SELECT q_id, c_id, label,
+         |        round(list_cosine_similarity(q_vec, c_vec),6) AS sim
+         |      FROM p CROSS JOIN q),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+         |        ORDER BY sim DESC, c_id ASC) AS rank FROM s),
+         |v AS (SELECT q_id, label, count(*) AS votes FROM r
+         |      WHERE rank <= 5 GROUP BY 1, 2)
+         |SELECT q_id, label AS pred_label, votes FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY votes DESC, label ASC) AS rk FROM v) z
+         |WHERE rk = 1""".stripMargin
 
     /** DuckDB twin of EmbeddingKnn.ivfSeeded: same md5-sampled centroids,
       * argmin cell assignment (explicit left-assoc squared-diff chain ≡

@@ -37,6 +37,36 @@ object EmbeddingKnn {
       .filter(col("rank") <= k)
   }
 
+  /** kNN label transfer (pseudo-labeling / weak supervision): each query
+    * vector takes the MAJORITY label among its k nearest neighbors in the
+    * LABELED pool (query vectors are excluded from the pool — a query must
+    * never vote for itself or for another unlabeled query). Ties break to
+    * the smaller label, then votes include the tie-break rank so the output
+    * is engine-exact. Candidate generation here is the brute-force twin for
+    * oracle parity; at corpus scale swap in any bucketed generator from
+    * this file (signLsh / ivfSeeded / pqKnn) — the voting tail is unchanged.
+    *
+    * @return (q_id, pred_label, votes) one row per query
+    */
+  def labelTransfer(emb: DataFrame, queryIds: Seq[Long], k: Int = 5): DataFrame = {
+    val q = emb.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("q_id"), asDouble(col("embedding")).as("q_vec"))
+    val pool = emb.filter(!col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("c_id"), asDouble(col("embedding")).as("c_vec"),
+        col("label"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id").asc)
+    val nn = pool.crossJoin(broadcast(q))
+      .withColumn("sim", round(VectorOps.cosine(col("q_vec"), col("c_vec")), 6))
+      .select("q_id", "c_id", "label", "sim")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+    nn.groupBy("q_id", "label").agg(count(lit(1)).as("votes"))
+      .withColumn("rk", row_number().over(Window.partitionBy("q_id")
+        .orderBy(col("votes").desc, col("label").asc)))
+      .filter(col("rk") === 1)
+      .select(col("q_id"), col("label").as("pred_label"), col("votes"))
+  }
+
   /** IVF (inverted-file) ANN — the production pattern behind FAISS-style
     * indexes: a KMeans coarse quantizer assigns every vector to one of
     * `nlist` cells; a query probes only its `nprobe` nearest cells. The

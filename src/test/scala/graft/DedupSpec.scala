@@ -178,6 +178,35 @@ class DedupSpec extends AnyFunSuite {
     assert(agg.nonEmpty && agg == exploded)
   }
 
+  test("labelTransfer: majority wins over single-nearest, pool excludes queries") {
+    import graft.extra.EmbeddingKnn
+    // query 0 at (1,0): nearest single neighbor has label 9, but three of
+    // the top-4 carry label 2 -> majority 2. Vector 5 is a second QUERY and
+    // must never vote despite being identical to query 0.
+    val emb = Seq(
+      (0L, Array(1f, 0f), 0),      // query
+      (5L, Array(1f, 0f), 9),      // query too -> excluded from the pool
+      (1L, Array(1f, 0.001f), 9),  // nearest pool vector, label 9
+      (2L, Array(1f, 0.01f), 2),
+      (3L, Array(1f, 0.02f), 2),
+      (4L, Array(1f, 0.03f), 2),
+      (6L, Array(-1f, 0f), 7)      // far away, outside k
+    ).toDF("vec_id", "embedding", "label")
+    val got = EmbeddingKnn.labelTransfer(emb, Seq(0L, 5L), 4).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    assert(got(0L) == ((2, 3L)), s"majority label must win: $got")
+    assert(got(5L) == ((2, 3L)), "identical query gets the same transfer")
+    // fixture smoke + layout invariance
+    val fix = Tables.load(spark, SparkTestSession.sf0001, "embeddings")
+    val qs = Seq(0L, 10L, 20L)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      EmbeddingKnn.labelTransfer(df, qs, 5).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val a = run(fix)
+    assert(a.map(_._1) == qs.toSet)
+    assert(run(fix.repartition(7)) == a)
+  }
+
   test("domainStats: every vector owned by one cell, shares cover the corpus") {
     import graft.extra.EmbeddingKnn
     val emb = Tables.load(spark, SparkTestSession.sf0001, "embeddings")
