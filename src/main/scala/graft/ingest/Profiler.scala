@@ -297,8 +297,16 @@ object Profiler {
     * outlier. A column too small to be sampled lands in one bucket — the
     * single-window shape that is already fine at that size.
     */
-  private def bucketedCumulative(hist: DataFrame, buckets: Int): DataFrame = {
-    val stats = hist.groupBy("dataset_id", "col_name").agg(sum("cnt").as("n"))
+  private def bucketedCumulative(hist0: DataFrame, buckets: Int): DataFrame = {
+    // Pin the histogram ONCE: three subtrees consume it (the md5 sample
+    // behind the boundaries, the bucketed local cumsum, and the per-bucket
+    // totals), and the corpus-scale groupBy upstream must not recompute per
+    // branch — exchange reuse cannot save the sample branch, because its
+    // key filter pushes below the aggregate into a different subtree. The
+    // pin is distinct-values-sized and spills to disk at scale; caching is
+    // SAFE here precisely because bucket ids derive from the data, never
+    // from partition identity (see above).
+    val hist = graft.Caching.temp(hist0)
     val sampled = hist.filter(
       conv(substring(md5(concat_ws("|", col("dataset_id"), col("col_name"),
         col("v"))), 1, 4), 16, 10).cast("long") < 256)
@@ -310,22 +318,27 @@ object Profiler {
       .groupBy("dataset_id", "col_name")
       .agg(array_sort(collect_list("bv")).as("bounds"))
     val bucketed = hist
-      .join(broadcast(stats), Seq("dataset_id", "col_name"))
       .join(broadcast(bounds), Seq("dataset_id", "col_name"), "left")
       .withColumn("pid",
         size(filter(coalesce(col("bounds"), array()), b => b < col("v"))))
       .drop("bounds")
-    val local = Window.partitionBy("dataset_id", "col_name", "pid").orderBy("v")
-    val withLocal = bucketed.withColumn("lcum",
-      sum("cnt").over(local.rowsBetween(Window.unboundedPreceding, 0)))
-    val offsets = withLocal
+    // Per-bucket totals come from a pre-window aggregate over the pinned
+    // rows; the column total n is then one more frame over the SAME tiny
+    // (#columns × buckets) table — no separate corpus-scale stats pass.
+    val wCol = Window.partitionBy("dataset_id", "col_name")
+    val offsets = bucketed
       .groupBy("dataset_id", "col_name", "pid").agg(sum("cnt").as("ptotal"))
       .withColumn("offset", coalesce(
-        sum("ptotal").over(Window.partitionBy("dataset_id", "col_name")
-          .orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)),
+        sum("ptotal").over(wCol.orderBy("pid")
+          .rowsBetween(Window.unboundedPreceding, -1)),
         lit(0L)))
-      .select("dataset_id", "col_name", "pid", "offset")
-    withLocal.join(broadcast(offsets), Seq("dataset_id", "col_name", "pid"))
+      .withColumn("n", sum("ptotal").over(
+        wCol.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select("dataset_id", "col_name", "pid", "offset", "n")
+    val local = Window.partitionBy("dataset_id", "col_name", "pid").orderBy("v")
+    bucketed.withColumn("lcum",
+      sum("cnt").over(local.rowsBetween(Window.unboundedPreceding, 0)))
+      .join(broadcast(offsets), Seq("dataset_id", "col_name", "pid"))
       .withColumn("cum", col("lcum") + col("offset"))
       .drop("pid", "lcum")
   }

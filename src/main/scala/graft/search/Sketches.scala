@@ -24,17 +24,32 @@ object Sketches {
 
   /** Numeric + temporal percentile sketches for the fixture tables. All
     * tables feed ONE (dataset, col, value) stream, so the histogram-quantile
-    * pipeline runs as a single shuffle instead of one per table. The
-    * cumulative pass uses the two-level range-partitioned cumsum at the
-    * session's shuffle parallelism: the single-window-per-column default
-    * serializes each column's distinct values into one task — near-unique
-    * columns (prices) made that the longest pole of the index build
-    * (measured 9.6s → 4.4s at sf0.1). Output is bucket-count-invariant
-    * (ProfilerSpec).
+    * pipeline runs as a single shuffle instead of one per table.
+    *
+    * The cumulative pass is SIZE-ADAPTIVE (same Catalyst-estimate gate as
+    * [[Profiler.spreadCols]]): under 64 MB of compressed profiled-column
+    * bytes it uses one window partition per column — the cheapest plan, and
+    * each task holds at most one fixture column's distinct values; past
+    * that, the two-level bucketed cumsum at the session's shuffle
+    * parallelism, where no task ever materializes a whole column (the
+    * near-unique price column of a 100 TB lineitem would otherwise
+    * serialize into one sort). Both paths are deterministic and
+    * bucket-count-invariant (ProfilerSpec) — measured at sf0.1 the
+    * single-window plan wins by ~2.5s (7.4s vs 4.9s warm, PhaseProf),
+    * which is exactly why the gate exists.
     */
   def numericTemporal(spark: SparkSession, dir: String,
                       tables: Seq[String] = Tables.sketchTables): DataFrame = {
     val loaded = tables.map(t => t -> Tables.load(spark, dir, t))
+    val sketchBytes = loaded.map { case (_, df) =>
+      val cols = Profiler.sketchCols(df).map(_._1)
+      if (cols.isEmpty) BigInt(0)
+      else df.select(cols.map(col): _*)
+        .queryExecution.optimizedPlan.stats.sizeInBytes
+    }.sum
+    val buckets =
+      if (sketchBytes < (64L << 20)) 1
+      else spark.sessionState.conf.numShufflePartitions
     // single-row-group parquet caps each table's scan at ONE task, which
     // serializes the 7× explode + histogram partial agg behind it; spread
     // the (narrow, sketch-columns-only) rows across the cluster first —
@@ -48,8 +63,7 @@ object Sketches {
       Profiler.sketchCols(df).map { case (c, ty) => (t, c) -> ty }
     }.toMap
     Profiler.assembleSketchVectors(
-      Profiler.histogramQuantiles(stream,
-        cumsumBuckets = spark.sessionState.conf.numShufflePartitions),
+      Profiler.histogramQuantiles(stream, cumsumBuckets = buckets),
       types)
   }
 
