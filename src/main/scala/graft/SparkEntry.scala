@@ -1955,7 +1955,7 @@ object SparkEntry {
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec, label FROM embeddings),
          |q AS (SELECT vec_id AS q_id, vec AS q_vec FROM e WHERE vec_id IN ($knnIds)),
          |p AS (SELECT vec_id AS c_id, vec AS c_vec, label FROM e
-         |      WHERE vec_id NOT IN ($knnIds)),
+         |      WHERE vec_id NOT IN ($knnIds) AND label IS NOT NULL),
          |s AS (SELECT q_id, c_id, label,
          |        round(list_cosine_similarity(q_vec, c_vec),6) AS sim
          |      FROM p CROSS JOIN q),

@@ -52,6 +52,9 @@ object EmbeddingKnn {
     val q = emb.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("q_id"), asDouble(col("embedding")).as("q_vec"))
     val pool = emb.filter(!col("vec_id").isin(queryIds: _*))
+      // labeled pool only: a null-labeled neighbor must neither occupy a kNN
+      // slot nor win the vote (and null tie-ordering differs across engines)
+      .filter(col("label").isNotNull)
       .select(col("vec_id").as("c_id"), asDouble(col("embedding")).as("c_vec"),
         col("label"))
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id").asc)
