@@ -53,14 +53,25 @@ object GraphOps {
     */
   def pagerankNano(pairs: DataFrame, aCol: String, bCol: String,
                    iters: Int = 10, numPartitions: Int = 0,
-                   checkpointEvery: Int = 1): DataFrame = {
-    // Pin the INPUT pair list first: everything below (both union branches,
-    // nodes, degrees, N, and all `iters` iterations) derives from it, and
-    // the pair list is typically the expensive end of the query (a dedup
-    // candidate pipeline). Unpinned, each derivation re-runs that pipeline
-    // from the scan (measured 4 recomputations of the minhash pipeline).
-    val p = graft.Caching.temp(
+                   checkpointEvery: Int = 2): DataFrame = {
+    // Pin the INPUT pair list first, under the CALLER's session (AQE on —
+    // the pair list is typically the expensive end of the query, a
+    // corpus-scale dedup candidate pipeline): everything below (both union
+    // branches, nodes, degrees, N, and all `iters` iterations) derives from
+    // it. Unpinned, each derivation re-runs that pipeline from the scan
+    // (measured 4 recomputations of the minhash pipeline).
+    val p0 = graft.Caching.temp(
       pairs.select(col(aCol).as("src"), col(bCol).as("dst")))
+    // The iteration below runs with AQE OFF (see the hinted-join comment),
+    // but session conf is global to the session: toggling it on the
+    // caller's session would silently de-AQE any query planned concurrently
+    // on another thread (a serving loop, an index refresh). Scope the
+    // toggle to a CLONE (shared SparkContext, block manager and cache;
+    // private SQL conf) and re-home the pinned pair rows there — the RDD
+    // bridge reads the cached blocks, it does not recompute the pipeline.
+    val spark = pairs.sparkSession.newSession()
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val p = spark.createDataFrame(p0.rdd, p0.schema)
     // The graph tables are edge/node-sized — tiny next to the corpus that
     // produced them. Lay them out in `parts` partitions keyed by source id:
     // sized from the edge count when the caller doesn't pin it, so a
@@ -69,9 +80,10 @@ object GraphOps {
     val undAll = graft.Caching.temp(
       p.unionAll(p.select(col("dst").as("src"), col("src").as("dst")))
         .distinct())
+    val undCnt = undAll.count()
     val parts =
       if (numPartitions > 0) numPartitions
-      else math.max(1L, (undAll.count() - 1) / 2000000L + 1).toInt
+      else math.max(1L, (undCnt - 1) / 2000000L + 1).toInt
     val und = graft.Caching.temp(undAll.repartition(parts, col("src")))
     val nodes = und.select(col("src").as("id")).distinct()
     val deg = und.groupBy(col("src").as("id")).agg(count(lit(1)).as("outdeg"))
@@ -90,44 +102,43 @@ object GraphOps {
     var pr = nodesT.select(col("id"), col("init").as("pr"))
     val undDeg = graft.Caching.temp(und.join(deg, und("src") === deg("id"))
       .select(col("src"), col("dst"), col("outdeg")))
-    // On a compact graph (few partitions) the rank vector is broadcast-sized:
-    // hinting it kills the sort-merge exchanges and leaves ONE shuffle per
-    // round (the contribution aggregation) — the irreducible pagerank
-    // shuffle. On a spread graph the vector is data-scale: no hint, let the
-    // planner shuffle-join on the id key.
+    // On a compact graph the rank vector is broadcast-sized: hinting it
+    // kills the sort-merge exchanges and leaves ONE shuffle per round (the
+    // contribution aggregation) — the irreducible pagerank shuffle. The
+    // gate is the NODE count bound (#nodes <= undirected edge count; every
+    // node is some edge's src), not the partition count — `parts <= 32`
+    // would admit 64M-edge graphs whose rank vector is no longer
+    // broadcast-sized. On a spread graph the vector is data-scale: no
+    // hint, let the planner shuffle-join on the id key.
     val hinted = (df: DataFrame) =>
-      if (parts <= 32) broadcast(df) else df
+      if (undCnt <= 4000000L) broadcast(df) else df
     // The iteration stages are statically shaped — `parts` was already sized
     // from the measured edge count above, which is exactly the adaptivity
     // AQE would rediscover per stage. Leaving AQE on costs a re-plan per
     // shuffle per round (measured 9.4s vs 4.0s for 10 rounds on the fixture
     // dup graph); the corpus-scale pair-generation pipeline upstream already
-    // ran under AQE when it was pinned.
-    val spark = pairs.sparkSession
-    val aqePrev = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try {
-      for (it <- 1 to iters) {
-        pr = undDeg.join(hinted(pr), undDeg("src") === pr("id"))
-          .select(col("dst").as("id"), expr("pr DIV outdeg").as("c"))
-          .groupBy("id").agg(sum("c").as("acc"))
-          .join(nodesT, Seq("id"), "right")
-          .select(col("id"),
-            expr("CAST(tele + (85 * coalesce(acc, CAST(0 AS BIGINT))) DIV 100 AS BIGINT)")
-              .as("pr"))
-        // Cut lineage every `checkpointEvery` rounds: without any cut,
-        // iteration k's serialized plan embeds all k-1 predecessors — task
-        // binaries grow ~1.6 MB per round and codegen/broadcast overhead
-        // dwarfs the actual joins (measured 25s for 10 rounds over a 2k-edge
-        // graph). The rank vector is exact integers, so materializing it
-        // loses nothing. coalesce(parts): the rank vector is #nodes rows —
-        // materializing 32 near-empty blocks per round costs ~0.5s of task
-        // launches each (measured); compact blocks per round is the
-        // in-memory-index pattern (see Sketches).
-        if (it % checkpointEvery == 0 || it == iters)
-          pr = pr.coalesce(parts).localCheckpoint()
-      }
-    } finally spark.conf.set("spark.sql.adaptive.enabled", aqePrev)
+    // ran under AQE when it was pinned — and the toggle lives on the CLONE
+    // session only (see above), so concurrent queries keep their AQE.
+    for (it <- 1 to iters) {
+      pr = undDeg.join(hinted(pr), undDeg("src") === pr("id"))
+        .select(col("dst").as("id"), expr("pr DIV outdeg").as("c"))
+        .groupBy("id").agg(sum("c").as("acc"))
+        .join(nodesT, Seq("id"), "right")
+        .select(col("id"),
+          expr("CAST(tele + (85 * coalesce(acc, CAST(0 AS BIGINT))) DIV 100 AS BIGINT)")
+            .as("pr"))
+      // Cut lineage every `checkpointEvery` rounds: without any cut,
+      // iteration k's serialized plan embeds all k-1 predecessors — task
+      // binaries grow ~1.6 MB per round and codegen/broadcast overhead
+      // dwarfs the actual joins (measured 25s for 10 rounds over a 2k-edge
+      // graph). The rank vector is exact integers, so materializing it
+      // loses nothing. coalesce(parts): the rank vector is #nodes rows —
+      // materializing 32 near-empty blocks per round costs ~0.5s of task
+      // launches each (measured); compact blocks per round is the
+      // in-memory-index pattern (see Sketches).
+      if (it % checkpointEvery == 0 || it == iters)
+        pr = pr.coalesce(parts).localCheckpoint()
+    }
     pr
   }
 }
