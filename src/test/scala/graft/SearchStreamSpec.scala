@@ -46,6 +46,37 @@ class SearchStreamSpec extends AnyFunSuite {
     assert(buf.filter(_._1 == "orders").sorted == orders)
   }
 
+  test("duplicate in-flight requests each get a correlated answer block") {
+    import spark.implicits._
+    val sf = SparkTestSession.sf0001
+    // two IDENTICAL requests for customer in ONE micro-batch, distinct only
+    // by request_id — both must be answered and correlated
+    val dir = java.nio.file.Files.createTempDirectory("search_req_id").toString
+    Seq(("r1", "customer"), ("r2", "customer"), ("r3", "orders"))
+      .toDF("request_id", "query_id").coalesce(1)
+      .write.mode("append").parquet(dir)
+
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
+    val requests = spark.readStream
+      .schema("request_id STRING, query_id STRING").parquet(dir)
+    val q = SearchStream.serve(spark, sf, requests) { (answers, _) =>
+      val rows = answers
+        .select("request_id", "query_id", "c_dataset").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      buf.synchronized { buf ++= rows }
+    }
+    try q.processAllAvailable() finally q.stop()
+
+    val customer = CombinedScorer.search(spark, sf, "customer")
+      .select("c_dataset").collect().map(_.getString(0)).toSeq.sorted
+    assert(customer.nonEmpty)
+    // each duplicate request carries the SAME block, stamped with ITS id
+    assert(buf.filter(_._1 == "r1").map(_._3).sorted == customer)
+    assert(buf.filter(_._1 == "r2").map(_._3).sorted == customer)
+    assert(buf.filter(_._1 == "r3").nonEmpty)
+    assert(buf.forall(r => r._2 == (if (r._1 == "r3") "orders" else "customer")))
+  }
+
   test("an unknown query_id is reported, not fatal; the rest still answer") {
     import spark.implicits._
     val sf = SparkTestSession.sf0001
