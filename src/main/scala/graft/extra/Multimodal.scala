@@ -11,15 +11,16 @@ import org.apache.spark.sql.types._
   *
   * The Spark-side plumbing — schema, batched per-partition execution,
   * deterministic output shape — is real and tested. Decoding is a pluggable
-  * [[Multimodal.DecodeWorker]]: [[Multimodal.ImageIoWorker]] is a REAL image
-  * codec (JDK javax.imageio, PNG/JPEG/GIF/BMP) and
-  * [[Multimodal.WavStatsWorker]] a REAL audio decoder (JDK
-  * javax.sound.sampled, WAV/AIFF/AU), and [[Multimodal.Mp4MetadataWorker]]
-  * a REAL MP4 container parser (pure box walking) — three modalities
-  * proving the boundary; [[Multimodal.ByteStatsWorker]] is the declared
-  * stub standing in only for video FRAME codecs, which the JDK lacks.
-  * Swapping workers (JavaCV, TwelveMonkeys, a Python `mapInPandas`
-  * process, …) changes no plan.
+  * [[Multimodal.DecodeWorker]], and all three modalities decode REAL
+  * content with zero external dependencies: [[Multimodal.ImageIoWorker]]
+  * (JDK javax.imageio, PNG/JPEG/GIF/BMP), [[Multimodal.WavStatsWorker]]
+  * (JDK javax.sound.sampled, WAV/AIFF/AU), [[Multimodal.Mp4MetadataWorker]]
+  * (pure ISO-BMFF box walking for MP4 container metadata) and
+  * [[Multimodal.AviMjpegWorker]] (RIFF/AVI walker + per-frame JPEG decode
+  * for MJPEG video FRAMES). [[Multimodal.ByteStatsWorker]] remains only as
+  * the generic fallback for codecs outside the JDK (H.264 etc.); swapping
+  * workers (JavaCV, TwelveMonkeys, a Python `mapInPandas` process, …)
+  * changes no plan.
   *
   * Scale notes: all operators are per-row/per-partition (no shuffle); media
   * bytes never leave the executor that read them, and feature extraction is
@@ -253,6 +254,102 @@ object Multimodal {
         if (!ok && nTracks == 0) return out
         out(0) = durS; out(1) = nTracks.toFloat; out(2) = w; out(3) = h
         out(4) = 1f
+        out
+      } catch { case _: Exception => new Array[Float](dim) }
+    }
+  }
+
+  /** REAL video FRAME decoder for MJPEG-in-AVI — the one video format a
+    * bare JDK can fully decode: a hand-rolled RIFF/AVI walker (the
+    * little-endian twin of [[Mp4MetadataWorker]]'s box walker) locates the
+    * `movi` list's `##dc`/`##db` video frame chunks, and each sampled frame
+    * decodes through javax.imageio (MJPEG frames are baseline JPEGs).
+    * Features are [duration_s, n_frames, width_px, height_px, n_decoded,
+    * meanR, meanG, meanB] (means in [0,1] across up to `maxFrames` frames
+    * sampled evenly) zero-padded to `dim`; un-parseable payloads yield the
+    * zero vector. With this, all three media modalities decode REAL
+    * content end-to-end; [[ByteStatsWorker]] remains only as the generic
+    * fallback for codecs outside the JDK (H.264 and friends need an
+    * external worker — swap one in through the same [[DecodeWorker]] seam).
+    */
+  final case class AviMjpegWorker(dim: Int = 16, maxFrames: Int = 8) extends DecodeWorker {
+    require(dim >= 8, "AviMjpegWorker needs dim >= 8")
+    private def u32le(b: Array[Byte], o: Int): Long =
+      (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+        ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+    private def fourcc(b: Array[Byte], o: Int): String =
+      new String(b, o, 4, "ISO-8859-1")
+    def decode(bytes: Array[Byte]): Array[Float] = {
+      val out = new Array[Float](dim)
+      if (bytes == null || bytes.length < 12 || fourcc(bytes, 0) != "RIFF" ||
+        fourcc(bytes, 8) != "AVI ") return out
+      try {
+        var usPerFrame = 0L; var totalFrames = 0L
+        val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+        // walk chunks in [from, to): id(4) size(4 LE) payload, padded to
+        // even; a LIST/RIFF payload is a type fourcc + child chunks.
+        // Malformed sizes stop the walk (never throw).
+        def chunks(from: Int, to: Int): Unit = {
+          var off = from
+          var go = true
+          while (go && off + 8 <= to) {
+            val id = fourcc(bytes, off)
+            val size = u32le(bytes, off + 4)
+            if (size < 0 || size > to - off - 8) go = false
+            else {
+              val s = off + 8
+              val e = s + size.toInt
+              if (id == "LIST" && size >= 4) chunks(s + 4, e)
+              else if (id == "avih" && size >= 20) {
+                usPerFrame = u32le(bytes, s)
+                totalFrames = u32le(bytes, s + 16)
+              } else if (id.length == 4 && id(0).isDigit && id(1).isDigit &&
+                (id.endsWith("dc") || id.endsWith("db")) && size > 0)
+                frames += ((s, size.toInt))
+              off = e + (size.toInt & 1) // even padding
+            }
+          }
+        }
+        chunks(12, bytes.length)
+        if (frames.isEmpty) return out
+        val picks =
+          if (frames.length <= maxFrames) frames.toSeq
+          else (0 until maxFrames).map(i =>
+            frames((i.toLong * frames.length / maxFrames).toInt))
+        var w = 0f; var h = 0f; var decoded = 0
+        var r = 0.0; var g = 0.0; var b = 0.0
+        picks.foreach { case (s, len) =>
+          val img =
+            try javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes, s, len))
+            catch { case _: Exception => null }
+          if (img != null) {
+            if (decoded == 0) { w = img.getWidth.toFloat; h = img.getHeight.toFloat }
+            var rr = 0L; var gg = 0L; var bb = 0L
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                val p = img.getRGB(x, y)
+                rr += (p >> 16) & 0xff; gg += (p >> 8) & 0xff; bb += p & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            val n = img.getWidth.toLong * img.getHeight * 255
+            r += rr.toDouble / n; g += gg.toDouble / n; b += bb.toDouble / n
+            decoded += 1
+          }
+        }
+        out(0) = (usPerFrame * totalFrames / 1e6).toFloat
+        out(1) = frames.length.toFloat
+        out(2) = w; out(3) = h
+        out(4) = decoded.toFloat
+        if (decoded > 0) {
+          out(5) = (r / decoded).toFloat
+          out(6) = (g / decoded).toFloat
+          out(7) = (b / decoded).toFloat
+        }
         out
       } catch { case _: Exception => new Array[Float](dim) }
     }

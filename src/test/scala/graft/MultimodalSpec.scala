@@ -125,6 +125,57 @@ class MultimodalSpec extends AnyFunSuite {
     assert(feats.take(5) == Seq(5.0f, 1.0f, 640.0f, 360.0f, 1.0f))
   }
 
+  test("AviMjpegWorker decodes REAL video frames from an MJPEG AVI") {
+    import java.awt.image.BufferedImage
+    import spark.implicits._
+    // three solid-color JPEG frames (red, green, blue), encoded with the
+    // JDK's own writer, hand-assembled into a RIFF/AVI container:
+    // RIFF('AVI ' LIST('hdrl' avih) LIST('movi' 00dc 00dc 00dc))
+    def jpeg(rgb: Int): Array[Byte] = {
+      val img = new BufferedImage(16, 8, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 16) img.setRGB(x, y, rgb)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", baos)
+      baos.toByteArray
+    }
+    def le32(v: Long): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def chunk(id: String, payload: Array[Byte]): Array[Byte] = {
+      val pad = if (payload.length % 2 == 1) Array(0.toByte) else Array.empty[Byte]
+      id.getBytes("ISO-8859-1") ++ le32(payload.length) ++ payload ++ pad
+    }
+    def list(typ: String, children: Array[Byte]): Array[Byte] =
+      chunk("LIST", typ.getBytes("ISO-8859-1") ++ children)
+    // avih: dwMicroSecPerFrame=40000 (25 fps), 12B reserved, dwTotalFrames=3
+    val avih = chunk("avih",
+      le32(40000) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(3) ++ new Array[Byte](36))
+    val frames = Seq(0xff0000, 0x00ff00, 0x0000ff).map(jpeg)
+    val movi = list("movi", frames.map(chunk("00dc", _)).reduce(_ ++ _))
+    val body = "AVI ".getBytes("ISO-8859-1") ++ list("hdrl", avih) ++ movi
+    val avi = "RIFF".getBytes("ISO-8859-1") ++ le32(body.length) ++ body
+
+    val w = Multimodal.AviMjpegWorker(16)
+    val f = w.decode(avi)
+    assert(math.abs(f(0) - 0.12f) < 1e-4, s"duration_s: ${f(0)}") // 3 x 40ms
+    assert(f(1) == 3.0f, s"n_frames: ${f(1)}")
+    assert(f(2) == 16.0f && f(3) == 8.0f, s"size: ${f(2)}x${f(3)}")
+    assert(f(4) == 3.0f, s"n_decoded: ${f(4)}")
+    // mean over one red + one green + one blue frame ~= 1/3 per channel
+    // (JPEG is lossy; solid 16x8 blocks land within a few percent)
+    for (c <- 5 to 7)
+      assert(math.abs(f(c) - 1.0f / 3) < 0.05, s"channel $c: ${f(c)}")
+    // corrupt / truncated / non-AVI payloads yield the zero vector
+    assert(w.decode("RIFFnope".getBytes).forall(_ == 0f))
+    assert(w.decode(avi.take(20)).forall(_ == 0f))
+    assert(w.decode(null).forall(_ == 0f))
+    // and the batched pipeline carries it like any other worker
+    val df = Seq((1L, avi, "video")).toDF("doc_id", "media", "media_type")
+    val feats = Multimodal.extractFeatures(df, w)
+      .select("features").head().getSeq[Float](0)
+    assert(feats(1) == 3.0f && feats(4) == 3.0f)
+  }
+
   test("frameSample: one row per offset, only for timed media") {
     val frames = Multimodal.frameSample(media, 1000L)
     assert(frames.filter(col("media_type") === "image").count() == 0)
