@@ -346,6 +346,17 @@ object SparkEntry {
     "corpus_mix" -> ((s, d) =>
       CorpusOps.corpusMix(T(s, d, "documents"))),
 
+    // temperature-scaled source mixing (T5/Pile): per-(lang, source) quota
+    // ∝ sqrt(group size) of a 100-doc budget, best-first within the group
+    "corpus_mix_temp" -> ((s, d) =>
+      CorpusOps.corpusMixTemperature(T(s, d, "documents"))),
+
+    // DSIR importance weights: per-doc log likelihood ratio of a target
+    // unigram LM (trained on the src0-src2 slice) vs the corpus LM
+    "dsir_weights" -> ((s, d) =>
+      TextStats.importanceWeights(T(s, d, "documents"), "doc_id", "text",
+        col("source").isin("src0", "src1", "src2"))),
+
     // weighted sample ∝ document length (Efraimidis-Spirakis, md5 uniforms)
     "corpus_wsample" -> ((s, d) =>
       CorpusOps.weightedSample(T(s, d, "documents"), "doc_id", col("n_chars"), 20)),
@@ -722,6 +733,55 @@ object SparkEntry {
         |  FROM documents
         |  WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 100 < 50
         |) WHERE rk <= 20""".stripMargin,
+
+    // temperature mixing: integer-micro sqrt weights (IEEE sqrt is exactly
+    // rounded -> engine-identical), floor-division quotas, best-first rank
+    "corpus_mix_temp" ->
+      """WITH s AS (SELECT lang, source, count(*) AS n_docs
+        |  FROM documents GROUP BY 1, 2),
+        |w AS (SELECT lang, source,
+        |    CAST(round(sqrt(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT) AS w
+        |  FROM s),
+        |t AS (SELECT sum(w) AS tot FROM w),
+        |q AS (SELECT lang, source, CAST((100 * w) // tot AS BIGINT) AS quota
+        |  FROM w CROSS JOIN t)
+        |SELECT doc_id, lang, source, n_chars, quota, rk FROM (
+        |  SELECT d.doc_id, d.lang, d.source, d.n_chars, q.quota,
+        |    CAST(row_number() OVER (PARTITION BY d.lang, d.source
+        |      ORDER BY d.n_chars DESC, d.doc_id ASC) AS BIGINT) AS rk
+        |  FROM documents d JOIN q USING (lang, source)
+        |) WHERE rk <= quota""".stripMargin,
+
+    // DSIR importance weights: target (src0-src2) and base unigram LMs as
+    // integer-micro logprobs, lr = integer sum of tf*(lp_t - lp_b) with a
+    // sign-split truncating per-token mean (DIV vs // agree on positives)
+    "dsir_weights" ->
+      """WITH tf AS (SELECT doc_id, source IN ('src0','src1','src2') AS is_t,
+        |    term, count(*) AS tf FROM (
+        |    SELECT doc_id, source, unnest(list_filter(string_split(lower(text), ' '),
+        |      x -> x <> '')) AS term FROM documents) GROUP BY 1, 2, 3),
+        |vb AS (SELECT term, sum(tf) AS cnt FROM tf GROUP BY 1),
+        |tb AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n_total,
+        |    CAST(count(*) AS DOUBLE) AS v_size FROM vb),
+        |lpb AS (SELECT term, CAST(round(ln((cnt + 1.0) / (n_total + v_size))
+        |    * 1000000) AS BIGINT) AS lp_b FROM vb CROSS JOIN tb),
+        |vt AS (SELECT term, sum(tf) AS cnt FROM tf WHERE is_t GROUP BY 1),
+        |tt AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n_total,
+        |    CAST(count(*) AS DOUBLE) AS v_size FROM vt),
+        |lpt AS (SELECT term, CAST(round(ln((cnt + 1.0) / (n_total + v_size))
+        |    * 1000000) AS BIGINT) AS lp_t FROM vt CROSS JOIN tt),
+        |u AS (SELECT CAST(round(ln(1.0 / (n_total + v_size)) * 1000000)
+        |    AS BIGINT) AS lp_t0 FROM tt),
+        |perdoc AS (SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+        |    sum(tf.tf * (coalesce(lpt.lp_t, u.lp_t0) - lpb.lp_b)) AS lr_micro
+        |  FROM tf JOIN lpb USING (term) LEFT JOIN lpt USING (term)
+        |  CROSS JOIN u GROUP BY 1)
+        |SELECT d.doc_id, CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+        |  CASE WHEN p.n_tokens > 0 THEN
+        |    CAST(CASE WHEN p.lr_micro >= 0 THEN p.lr_micro // p.n_tokens
+        |      ELSE -((-p.lr_micro) // p.n_tokens) END AS DOUBLE) / 1000000.0
+        |  END AS lr
+        |FROM documents d LEFT JOIN perdoc p USING (doc_id)""".stripMargin,
 
     // u = (md5_32+1)/2^32 is exact dyadic math in both engines; skey rounds
     // to 9 decimals before ranking, doc_id breaks ties

@@ -326,6 +326,41 @@ object CorpusOps {
     *
     * @return (doc_id, lang, source, n_chars, rk)
     */
+  /** Temperature-scaled source mixing (the T5 / Pile recipe): each
+    * (lang, source) group gets a quota ∝ n_g^α of a `total` budget, with
+    * α = 0.5 — small groups are UP-sampled relative to their share (α = 1
+    * is proportional, α = 0 uniform), the standard fix for a corpus
+    * dominated by one crawl. Within a group selection is best-first
+    * (n_chars DESC, doc_id ASC), like [[corpusMix]].
+    *
+    * Determinism across engines: the group weight is sqrt(n)·1e6 as an
+    * integer micro (IEEE sqrt is correctly rounded — bit-identical in any
+    * engine, unlike a general pow), the quota is integer floor division
+    * `total·w DIV Σw`. Plan shape: one tiny group aggregate broadcast back
+    * onto the corpus + one window shuffle keyed on the group — the same
+    * two-exchange shape as corpusMix, at any corpus size.
+    *
+    * @return (doc_id, lang, source, n_chars, quota, rk)
+    */
+  def corpusMixTemperature(docs: DataFrame, total: Int = 100): DataFrame = {
+    // pinned: the groups-count table is tiny but feeds BOTH the quota join
+    // and the grand-total aggregate — unpinned, each branch re-scans the
+    // corpus (column-pruned, but still a full pass at 100 TB)
+    val weighted = graft.Caching.temp(docs.groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("w", round(sqrt(col("n_docs").cast("double")) * 1e6).cast("long")))
+    val tot = weighted.agg(sum("w").as("tot"))
+    val quotas = weighted.crossJoin(broadcast(tot))
+      .withColumn("quota", expr(s"CAST(($total * w) DIV tot AS BIGINT)"))
+      .select("lang", "source", "quota")
+    val byGroup = Window.partitionBy("lang", "source")
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    docs.join(broadcast(quotas), Seq("lang", "source"))
+      .withColumn("rk", row_number().over(byGroup).cast("long"))
+      .filter(col("rk") <= col("quota"))
+      .select("doc_id", "lang", "source", "n_chars", "quota", "rk")
+  }
+
   def corpusMix(docs: DataFrame, samplePct: Int = 50, quota: Int = 20): DataFrame =
     docs.filter(sampleBucket(col("doc_id")) < samplePct)
       .withColumn("rk", row_number().over(

@@ -158,6 +158,67 @@ object TextStats {
           round(exp(-col("lm_logprob")), 4)).as("ppl"))
   }
 
+  /** DSIR-style importance weights for targeted data selection (Xie et al.,
+    * "Data Selection for Language Models via Importance Resampling",
+    * NeurIPS 2023 — public method description): score every document by
+    * the log likelihood RATIO between a TARGET unigram LM (trained on the
+    * `isTarget` slice — the "looks like my eval/domain" seed) and the
+    * corpus LM, per token. Positive `lr` = more target-like than average;
+    * feeding `exp(lr)` to [[CorpusOps.weightedSample]] is the resampling
+    * half of the recipe, a plain top-k on `lr` the hard-selection variant.
+    *
+    * Engine-exactness: both models' per-term logprobs are pinned to
+    * INTEGER MICROS (the same round-6-log discipline as [[lmScore]] —
+    * add-1 smoothing, unseen-by-target terms get the model's count-0
+    * logprob), so each (doc, term) contribution `tf · (lp_t − lp_b)` and
+    * every sum after it is exact integer arithmetic; the per-token mean is
+    * a sign-split truncating division both engines share. Plan shape: one
+    * corpus TF shuffle (pinned — it feeds both models and the scoring
+    * join), two vocabulary-sized aggregates, one term-keyed join back —
+    * nothing quadratic, model tables broadcastable at natural-language
+    * vocabulary sizes.
+    *
+    * @return (doc_id, n_tokens, lr) — lr NULL for token-less docs
+    */
+  def importanceWeights(df: DataFrame, idCol: String, textCol: String,
+                        isTarget: Column): DataFrame = {
+    val tf = graft.Caching.temp(
+      df.select(col(idCol).as("doc_id"), isTarget.as("is_t"),
+          explode(toks(col(textCol))).as("term"))
+        .groupBy("doc_id", "is_t", "term").agg(count(lit(1)).as("tf")))
+    def lpMicro(vocab: DataFrame, name: String): DataFrame = {
+      val totals = vocab.agg(sum("cnt").as("n_total"), count(lit(1)).as("v_size"))
+      vocab.crossJoin(broadcast(totals))
+        .withColumn(name, round(log((col("cnt") + lit(1.0)) /
+          (col("n_total").cast("double") + col("v_size").cast("double"))) * 1e6)
+          .cast("long"))
+        .select("term", name)
+    }
+    val lpB = lpMicro(tf.groupBy("term").agg(sum("tf").as("cnt")), "lp_b")
+    val targetVocab = tf.filter(col("is_t")).groupBy("term").agg(sum("tf").as("cnt"))
+    val lpT = lpMicro(targetVocab, "lp_t")
+    // count-0 smoothing for terms the target slice never saw
+    val unseenT = targetVocab
+      .agg(sum("cnt").as("n_total"), count(lit(1)).as("v_size"))
+      .select(round(log(lit(1.0) /
+        (col("n_total").cast("double") + col("v_size").cast("double"))) * 1e6)
+        .cast("long").as("lp_t0"))
+    val perDoc = tf
+      .join(lpB, "term")
+      .join(lpT, Seq("term"), "left")
+      .crossJoin(broadcast(unseenT))
+      .groupBy("doc_id")
+      .agg(sum("tf").as("n_tokens"),
+        sum(col("tf") * (coalesce(col("lp_t"), col("lp_t0")) - col("lp_b")))
+          .as("lr_micro"))
+    df.select(col(idCol).as("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .withColumn("lr", when(col("n_tokens") > 0,
+        expr("CASE WHEN lr_micro >= 0 THEN lr_micro DIV n_tokens " +
+          "ELSE -((-lr_micro) DIV n_tokens) END").cast("double") / 1e6))
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"), col("lr"))
+  }
+
   /** One BPE merge round over the corpus: count adjacent character pairs in
     * every word occurrence (word-frequency weighted), rank the merge
     * candidates. This is the inner statistic of byte-pair-encoding tokenizer

@@ -226,6 +226,29 @@ class CorpusOpsSpec extends AnyFunSuite {
       }
   }
 
+  test("corpusMixTemperature: sqrt quotas upsample small groups, best-first") {
+    import spark.implicits._
+    // one dominant source (64 docs) vs a small one (4 docs): proportional
+    // shares are 94%/6%, sqrt-temperature shares 80%/20% — the small group
+    // must be UP-sampled relative to its corpus share
+    val docs = ((1 to 64).map(i => (i.toLong, "en", "big", 100L + i)) ++
+      (1 to 4).map(i => (1000L + i, "en", "small", 50L + i)))
+      .toDF("doc_id", "lang", "source", "n_chars")
+    val got = CorpusOps.corpusMixTemperature(docs, total = 30).collect()
+    val byGroup = got.groupBy(_.getAs[String]("source")).view.mapValues(_.length).toMap
+    // weights 8e6 / 2e6 of 1e7 total -> quotas (30*8/10)=24, (30*2/10)=6;
+    // the small group only has 4 docs, so it contributes all of them
+    assert(byGroup("big") == 24, s"big got ${byGroup.get("big")}")
+    assert(byGroup("small") == 4, s"small got ${byGroup.get("small")}")
+    // 4/28 kept >> 4/68 corpus share: relative upsampling held
+    // best-first within the group: the 24 longest big docs survive
+    val bigKept = got.filter(_.getAs[String]("source") == "big")
+      .map(_.getAs[Long]("doc_id")).sorted.toSeq
+    assert(bigKept == (41L to 64L).toSeq)
+    // quotas are floor division: every rank is within its group quota
+    assert(got.forall(r => r.getAs[Long]("rk") <= r.getAs[Long]("quota")))
+  }
+
   test("chunkDocuments: stride windows, short tail, single-chunk doc, empty doc") {
     val d1 = Seq(
       (1L, (1 to 100).map(i => s"t$i").mkString(" ")), // 100 tokens

@@ -35,6 +35,34 @@ class TextStatsSpec extends AnyFunSuite {
     assert(math.abs(got(1L)._2.get - expected) < 1e-9)
   }
 
+  test("importanceWeights: target-like docs score positive, off-target negative") {
+    import org.apache.spark.sql.functions.col
+    // target slice speaks {alpha, beta}; the rest speaks {gamma, delta};
+    // two score-ees: one target-like, one off-target, one mixed
+    val docs = Seq(
+      (1L, "t", "alpha beta alpha beta"),
+      (2L, "t", "alpha alpha beta beta"),
+      (3L, "b", "gamma delta gamma delta"),
+      (4L, "b", "gamma gamma delta delta"),
+      (5L, "b", "alpha beta alpha beta"),   // target-like content
+      (6L, "b", "gamma delta delta gamma"), // off-target content
+      (7L, "b", "alpha gamma"),             // mixed
+      (8L, "b", "")                         // token-less → NULL lr
+    ).toDF("doc_id", "src", "text")
+    val got = TextStats.importanceWeights(docs, "doc_id", "text",
+      col("src") === "t").collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Long]("n_tokens"),
+        Option(r.get(2)).map(_.asInstanceOf[Double])))).toMap
+    assert(got(8L)._1 == 0L && got(8L)._2.isEmpty)
+    // target-like doc 5 scores ABOVE the mixed doc 7, which scores above
+    // the off-target doc 6; target-like is positive, off-target negative
+    assert(got(5L)._2.get > 0, s"target-like lr: ${got(5L)._2.get}")
+    assert(got(6L)._2.get < 0, s"off-target lr: ${got(6L)._2.get}")
+    assert(got(5L)._2.get > got(7L)._2.get && got(7L)._2.get > got(6L)._2.get)
+    // identical content ⇒ identical lr, wherever the doc lives
+    assert(got(5L)._2.get == got(1L)._2.get)
+  }
+
   test("bpeTrain: greedy merges compose, ties break lexically, stops when dry") {
     // "aaab" x3: r1 (a,a)x2 per word = 6; merge -> " aa a b "
     // r2 tie (aa,a)=3 vs (a,b)=3 -> lexical l_tok: (a,b); merge -> " aa ab "
