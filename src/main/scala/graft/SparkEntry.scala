@@ -357,6 +357,17 @@ object SparkEntry {
       TextStats.importanceWeights(T(s, d, "documents"), "doc_id", "text",
         col("source").isin("src0", "src1", "src2"))),
 
+    // the full DSIR recipe: importance weights -> exp(lr)-proportional
+    // sample without replacement (Efraimidis-Spirakis on md5 uniforms);
+    // exp pinned to 6 decimals like every cross-engine float here
+    "dsir_resample" -> ((s, d) =>
+      CorpusOps.weightedSample(
+        TextStats.importanceWeights(T(s, d, "documents"), "doc_id", "text",
+          col("source").isin("src0", "src1", "src2"))
+          .filter(col("lr").isNotNull)
+          .withColumn("w", round(exp(col("lr")), 6)),
+        "doc_id", col("w"), 50)),
+
     // weighted sample ∝ document length (Efraimidis-Spirakis, md5 uniforms)
     "corpus_wsample" -> ((s, d) =>
       CorpusOps.weightedSample(T(s, d, "documents"), "doc_id", col("n_chars"), 20)),
@@ -756,32 +767,28 @@ object SparkEntry {
     // integer-micro logprobs, lr = integer sum of tf*(lp_t - lp_b) with a
     // sign-split truncating per-token mean (DIV vs // agree on positives)
     "dsir_weights" ->
-      """WITH tf AS (SELECT doc_id, source IN ('src0','src1','src2') AS is_t,
-        |    term, count(*) AS tf FROM (
-        |    SELECT doc_id, source, unnest(list_filter(string_split(lower(text), ' '),
-        |      x -> x <> '')) AS term FROM documents) GROUP BY 1, 2, 3),
-        |vb AS (SELECT term, sum(tf) AS cnt FROM tf GROUP BY 1),
-        |tb AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n_total,
-        |    CAST(count(*) AS DOUBLE) AS v_size FROM vb),
-        |lpb AS (SELECT term, CAST(round(ln((cnt + 1.0) / (n_total + v_size))
-        |    * 1000000) AS BIGINT) AS lp_b FROM vb CROSS JOIN tb),
-        |vt AS (SELECT term, sum(tf) AS cnt FROM tf WHERE is_t GROUP BY 1),
-        |tt AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n_total,
-        |    CAST(count(*) AS DOUBLE) AS v_size FROM vt),
-        |lpt AS (SELECT term, CAST(round(ln((cnt + 1.0) / (n_total + v_size))
-        |    * 1000000) AS BIGINT) AS lp_t FROM vt CROSS JOIN tt),
-        |u AS (SELECT CAST(round(ln(1.0 / (n_total + v_size)) * 1000000)
-        |    AS BIGINT) AS lp_t0 FROM tt),
-        |perdoc AS (SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
-        |    sum(tf.tf * (coalesce(lpt.lp_t, u.lp_t0) - lpb.lp_b)) AS lr_micro
-        |  FROM tf JOIN lpb USING (term) LEFT JOIN lpt USING (term)
-        |  CROSS JOIN u GROUP BY 1)
+      s"""WITH ${O.dsirCtes}
         |SELECT d.doc_id, CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
-        |  CASE WHEN p.n_tokens > 0 THEN
-        |    CAST(CASE WHEN p.lr_micro >= 0 THEN p.lr_micro // p.n_tokens
-        |      ELSE -((-p.lr_micro) // p.n_tokens) END AS DOUBLE) / 1000000.0
-        |  END AS lr
+        |  CASE WHEN p.n_tokens > 0 THEN ${O.dsirLrExpr} END AS lr
         |FROM documents d LEFT JOIN perdoc p USING (doc_id)""".stripMargin,
+
+    // the full DSIR pipeline: exp(lr) weights into the Efraimidis-Spirakis
+    // sample (same skey/rank formula as corpus_wsample)
+    "dsir_resample" ->
+      s"""WITH ${O.dsirCtes},
+        |lr AS (SELECT p.doc_id, ${O.dsirLrExpr} AS lr
+        |  FROM perdoc p WHERE p.n_tokens > 0),
+        |w AS (SELECT doc_id, round(exp(lr), 6) AS w FROM lr)
+        |SELECT doc_id, weight, skey, rk FROM (
+        |  SELECT doc_id, CAST(w AS DOUBLE) AS weight,
+        |    round(-ln(
+        |        (('0x' || substring(md5('ws:' || CAST(doc_id AS VARCHAR)),1,8))::BIGINT + 1)
+        |        / 4294967296.0) / w, 9) AS skey,
+        |    CAST(row_number() OVER (ORDER BY round(-ln(
+        |        (('0x' || substring(md5('ws:' || CAST(doc_id AS VARCHAR)),1,8))::BIGINT + 1)
+        |        / 4294967296.0) / w, 9) ASC, doc_id ASC) AS BIGINT) AS rk
+        |  FROM w WHERE w > 0
+        |) WHERE rk <= 50""".stripMargin,
 
     // u = (md5_32+1)/2^32 is exact dyadic math in both engines; skey rounds
     // to 9 decimals before ranking, doc_id breaks ties
@@ -1063,6 +1070,37 @@ object SparkEntry {
     */
   private object O {
     val profiledTables = Seq("customer", "orders", "lineitem")
+
+    /** Shared CTE chain of the DSIR oracles (dsir_weights, dsir_resample):
+      * target + base unigram LMs as integer-micro logprobs, per-doc integer
+      * lr sum. Ends with the `perdoc` CTE.
+      */
+    val dsirCtes: String =
+      """tf AS (SELECT doc_id, source IN ('src0','src1','src2') AS is_t,
+        |    term, count(*) AS tf FROM (
+        |    SELECT doc_id, source, unnest(list_filter(string_split(lower(text), ' '),
+        |      x -> x <> '')) AS term FROM documents) GROUP BY 1, 2, 3),
+        |vb AS (SELECT term, sum(tf) AS cnt FROM tf GROUP BY 1),
+        |tb AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n_total,
+        |    CAST(count(*) AS DOUBLE) AS v_size FROM vb),
+        |lpb AS (SELECT term, CAST(round(ln((cnt + 1.0) / (n_total + v_size))
+        |    * 1000000) AS BIGINT) AS lp_b FROM vb CROSS JOIN tb),
+        |vt AS (SELECT term, sum(tf) AS cnt FROM tf WHERE is_t GROUP BY 1),
+        |tt AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n_total,
+        |    CAST(count(*) AS DOUBLE) AS v_size FROM vt),
+        |lpt AS (SELECT term, CAST(round(ln((cnt + 1.0) / (n_total + v_size))
+        |    * 1000000) AS BIGINT) AS lp_t FROM vt CROSS JOIN tt),
+        |u AS (SELECT CAST(round(ln(1.0 / (n_total + v_size)) * 1000000)
+        |    AS BIGINT) AS lp_t0 FROM tt),
+        |perdoc AS (SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+        |    sum(tf.tf * (coalesce(lpt.lp_t, u.lp_t0) - lpb.lp_b)) AS lr_micro
+        |  FROM tf JOIN lpb USING (term) LEFT JOIN lpt USING (term)
+        |  CROSS JOIN u GROUP BY 1)""".stripMargin
+
+    /** The sign-split truncating per-token mean over `perdoc` columns. */
+    val dsirLrExpr: String =
+      """CAST(CASE WHEN p.lr_micro >= 0 THEN p.lr_micro // p.n_tokens
+        |      ELSE -((-p.lr_micro) // p.n_tokens) END AS DOUBLE) / 1000000.0""".stripMargin
 
     /** DuckDB twin of TextStats.bpeTrain: 8 unrolled rounds, each a pair
       * aggregation + 1-row argmax + literal replace — integer and string
