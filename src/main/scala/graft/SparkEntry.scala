@@ -438,6 +438,10 @@ object SparkEntry {
     "label_transfer" -> ((s, d) =>
       EmbeddingKnn.labelTransfer(T(s, d, "embeddings"), KnnQueryIds, 5)),
 
+    // SemDeDup: cell-bounded semantic near-dup pruning (keep-first-by-id)
+    "semantic_dedup" -> ((s, d) =>
+      EmbeddingKnn.semanticDedup(T(s, d, "embeddings"))),
+
     "knn_lsh" -> ((s, d) =>
       EmbeddingKnn.signLsh(T(s, d, "embeddings"), KnnQueryIds, 5, 8)
         .withColumn("rank", col("rank").cast("long"))),
@@ -818,6 +822,7 @@ object SparkEntry {
     "knn_lsh" -> O.knnLshSql,
     "knn_ivf" -> O.knnIvfSql,
     "corpus_domains" -> O.corpusDomainsSql,
+    "semantic_dedup" -> O.semanticDedupSql,
     "knn_pq" -> O.knnPqSql,
     "knn_int8" -> O.knnInt8Sql,
     "hard_negatives" -> O.hardNegativesSql,
@@ -2075,10 +2080,14 @@ object SparkEntry {
       * and argmin assignment as knnIvfSql, then the per-cell report with
       * truncating integer-micro divisions (`//` here, `DIV` in Spark).
       */
-    val corpusDomainsSql: String = {
+    /** Shared CTE chain of the seeded-IVF oracles (corpus_domains,
+      * semantic_dedup): md5-sampled centroids, explicit left-assoc
+      * squared-diff euclid, argmin cell ownership. Ends with `own`.
+      */
+    val ivfOwnCtes: String = {
       val sq = (1 to 64).map(i => s"(e.vec[$i]-c.cvec[$i])*(e.vec[$i]-c.cvec[$i])")
         .mkString(" + ")
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+      s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
          |cent AS (SELECT vec_id AS cell_id, vec AS cvec FROM e
          |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
          |ad AS (SELECT e.vec_id, c.cell_id, round(sqrt($sq), 6) AS cdist
@@ -2086,7 +2095,11 @@ object SparkEntry {
          |own AS (SELECT vec_id, cell_id, cdist FROM (
          |      SELECT *, row_number() OVER (PARTITION BY vec_id
          |        ORDER BY cdist ASC, cell_id ASC) AS rn FROM ad) z
-         |      WHERE rn = 1),
+         |      WHERE rn = 1)""".stripMargin
+    }
+
+    val corpusDomainsSql: String =
+      s"""WITH $ivfOwnCtes,
          |per AS (SELECT cell_id, count(*) AS n_vecs,
          |      sum(CAST(round(cdist * 1e6) AS BIGINT)) AS micros
          |    FROM own GROUP BY 1),
@@ -2095,7 +2108,24 @@ object SparkEntry {
          |  CAST(n_vecs * 1000000 // total AS DOUBLE) / 1e6 AS share,
          |  CAST(micros // n_vecs AS DOUBLE) / 1e6 AS mean_cdist
          |FROM per CROSS JOIN tot""".stripMargin
-    }
+
+    /** DuckDB twin of EmbeddingKnn.semanticDedup: same cells, cell-local
+      * smaller-id pairs at/above the rounded-cosine bar, keep = no such
+      * pair exists.
+      */
+    val semanticDedupSql: String =
+      s"""WITH $ivfOwnCtes,
+         |dup AS (SELECT a.vec_id,
+         |      max(round(list_cosine_similarity(va.vec, vb.vec), 6)) AS max_prior_sim
+         |    FROM own a JOIN own b ON a.cell_id = b.cell_id AND b.vec_id < a.vec_id
+         |    JOIN e va ON va.vec_id = a.vec_id
+         |    JOIN e vb ON vb.vec_id = b.vec_id
+         |    WHERE round(list_cosine_similarity(va.vec, vb.vec), 6) >= 0.5
+         |    GROUP BY 1)
+         |SELECT o.vec_id, o.cell_id,
+         |  CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep,
+         |  d.max_prior_sim
+         |FROM own o LEFT JOIN dup d USING (vec_id)""".stripMargin
 
     val knnIvfSql: String = {
       val sq = (1 to 64).map(i => s"(e.vec[$i]-c.cvec[$i])*(e.vec[$i]-c.cvec[$i])")

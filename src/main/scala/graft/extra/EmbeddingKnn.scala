@@ -182,6 +182,45 @@ object EmbeddingKnn {
       .filter(col("rank") <= k)
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al., "SemDeDup: Data-
+    * efficient learning at web-scale through semantic deduplication", 2023 —
+    * public method description): cluster the embedding space coarsely, then
+    * prune near-duplicates WITHIN each cluster only — the cluster bounds
+    * the pairwise work, which is the whole trick that makes semantic dedup
+    * tractable at web scale (all-pairs over the corpus is quadratic;
+    * all-pairs inside a cell is quadratic in the cell, and nlist scales
+    * cells down as the corpus grows). Assignment is the deterministic
+    * [[ivfAssign]] (md5-seeded centroids), so cells — and therefore the
+    * kept set — are engine-reproducible.
+    *
+    * Keep rule: a vector is kept iff NO smaller-id vector in its cell has
+    * rounded cosine ≥ `simThreshold` — the greedy keep-first-by-id pass of
+    * the paper, deterministic without a connected-components round (a
+    * duplicate CHAIN a–b–c prunes b and c even if cos(a,c) is below the
+    * bar — same behavior as processing the cell in id order).
+    *
+    * @return (vec_id, cell_id, keep 1/0, max_prior_sim — the similarity to
+    *         the closest smaller-id cell-mate at/above the bar, else NULL)
+    */
+  def semanticDedup(emb: DataFrame, nlist: Int = 16,
+                    simThreshold: Double = 0.5): DataFrame = {
+    val ad = ivfAssign(emb, nlist).filter(col("rn") === 1)
+      .select(col("vec_id"), col("vec"), col("cell_id"))
+    val a = ad.select(col("vec_id").as("a_id"), col("vec").as("a_vec"), col("cell_id"))
+    val b = ad.select(col("vec_id").as("b_id"), col("vec").as("b_vec"), col("cell_id"))
+    val dup = a.join(b, Seq("cell_id"))
+      .filter(col("b_id") < col("a_id"))
+      .withColumn("sim", round(VectorOps.cosine(col("a_vec"), col("b_vec")), 6))
+      .filter(col("sim") >= simThreshold)
+      .groupBy(col("a_id").as("vec_id"))
+      .agg(max("sim").as("max_prior_sim"))
+    ad.select("vec_id", "cell_id")
+      .join(dup, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell_id"),
+        col("max_prior_sim").isNull.cast("long").as("keep"),
+        col("max_prior_sim"))
+  }
+
   /** Int8-quantized ANN with exact rerank — the bandwidth-bound scale path
     * ([[Quantize]]'s 4× storage cut made operational): candidate scoring
     * runs entirely on int8 codes (integer dot product + two per-vector

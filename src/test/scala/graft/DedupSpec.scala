@@ -227,6 +227,45 @@ class DedupSpec extends AnyFunSuite {
     assert(re == rows.map(r => r.getAs[Long]("cell_id") -> r.getAs[Long]("n_vecs")).toMap)
   }
 
+  test("semanticDedup keeps first-by-id per near-dup group, bounded by cells") {
+    import graft.extra.EmbeddingKnn
+    val emb = Tables.load(spark, SparkTestSession.sf0001, "embeddings")
+    val total = emb.count()
+    val rows = EmbeddingKnn.semanticDedup(emb, 16, 0.5).collect()
+    assert(rows.length == total, "one verdict row per vector")
+    val byId = rows.map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double])))).toMap
+    // dropped rows carry the similarity that killed them, at/above the bar
+    rows.foreach { r =>
+      val (keep, sim) = (r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double]))
+      if (keep == 0L) assert(sim.exists(_ >= 0.5), r.toString)
+      else assert(sim.isEmpty, r.toString)
+    }
+    // the smallest id of every cell is always kept (nothing precedes it)
+    rows.groupBy(_.getLong(1)).foreach { case (_, cell) =>
+      val first = cell.map(_.getLong(0)).min
+      assert(byId(first)._2 == 1L, s"cell-first vector $first must be kept")
+    }
+    // greedy rule cross-check on a hand fixture: b dups a -> dropped; c is
+    // a's dup too -> dropped even though it is also b's dup (chain); d far
+    import spark.implicits._
+    val hand = Seq(
+      (1L, Array.fill(64)(1f)),
+      (2L, Array.fill(64)(1f)),               // exact dup of 1
+      (3L, (Array.fill(63)(1f) :+ 0.9f)),     // near dup of 1 and 2
+      (4L, (Array.fill(32)(1f) ++ Array.fill(32)(-1f))) // orthogonal-ish
+    ).toDF("vec_id", "embedding")
+    val h = EmbeddingKnn.semanticDedup(hand, 1, 0.5).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // cos(1,2)=1, cos(1,3)≈1 -> both dropped; cos(1,4)=0, cos(3,4)≈0 -> kept
+    assert(h == Map(1L -> 1L, 2L -> 0L, 3L -> 0L, 4L -> 1L),
+      s"greedy keep-first: $h")
+    // partitioning-invariant
+    val re = EmbeddingKnn.semanticDedup(emb.repartition(7), 16, 0.5).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(re == rows.map(r => r.getLong(0) -> r.getLong(2)).toMap)
+  }
+
   test("dedupSpans removes cross-doc spans, keeps intra-doc repeats and tails") {
     val df = Seq(
       // docs 1 and 2 share the 5-gram "a b c d e" at different offsets;
