@@ -288,6 +288,15 @@ object SparkEntry {
       Dedup.minhashLshPairs(T(s, d, "documents").filter(col("doc_id") < DocBound),
         "doc_id", "text", 0.95)),
 
+    // incremental admission gate: the md5-bucket 20% "new batch" judged
+    // against the 80% "accumulated corpus" (batch × corpus bands only)
+    "dedup_incremental" -> ((s, d) => {
+      val docs = T(s, d, "documents").filter(col("doc_id") < DocBound)
+      val bkt = CorpusOps.sampleBucket(col("doc_id"))
+      Dedup.minhashIncremental(docs.filter(bkt < 80), docs.filter(bkt >= 80),
+        "doc_id", "text", 0.9)
+    }),
+
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhashPairs(T(s, d, "documents").filter(col("doc_id") < DocBound),
         "doc_id", "text", 3)
@@ -385,6 +394,10 @@ object SparkEntry {
     "corpus_split" -> ((s, d) =>
       CorpusOps.splitAssign(T(s, d, "documents"), "doc_id")),
 
+    // leakage-safe variant: all docs of one source land in one split
+    "corpus_split_group" -> ((s, d) =>
+      CorpusOps.splitAssignBy(T(s, d, "documents"), "doc_id", "source")),
+
     // concatenate-and-chunk packing map at a 2048-token budget
     "corpus_pack" -> ((s, d) =>
       CorpusOps.packSequences(T(s, d, "documents"), "doc_id", "text")),
@@ -445,6 +458,21 @@ object SparkEntry {
     "knn_lsh" -> ((s, d) =>
       EmbeddingKnn.signLsh(T(s, d, "embeddings"), KnnQueryIds, 5, 8)
         .withColumn("rank", col("rank").cast("long"))),
+
+    // recall@k dashboard of the accelerated ANN paths vs the exact list —
+    // one row per (method, query). The 8-bit single-table LSH scoring low
+    // here is the POINT (its operating point trades recall for bucket
+    // size); IVF nprobe=4 is the production dial.
+    "ann_recall" -> ((s, d) => {
+      val emb = T(s, d, "embeddings")
+      val exact = EmbeddingKnn.bruteForce(emb, KnnQueryIds, 5)
+      EmbeddingKnn.annRecall(exact, EmbeddingKnn.signLsh(emb, KnnQueryIds, 5, 8), 5)
+        .withColumn("method", lit("sign_lsh8"))
+        .unionByName(
+          EmbeddingKnn.annRecall(exact, EmbeddingKnn.ivfSeeded(emb, KnnQueryIds, 5), 5)
+            .withColumn("method", lit("ivf16x4")))
+        .select("method", "q_id", "n_exact", "n_hit", "recall")
+    }),
 
     // embedding-space domain clustering report (mixture balancing input):
     // seeded-centroid cells, per-cell size / corpus share / mean centroid
@@ -667,6 +695,8 @@ object SparkEntry {
     "dedup_jaccard" -> O.jaccardSql,
     "dedup_shingle" -> O.shingleSql,
     "dedup_minhash" -> O.minhashSql,
+    "dedup_incremental" -> O.dedupIncrementalSql,
+    "ann_recall" -> O.annRecallSql,
     "dedup_spans" ->
       """WITH t AS (SELECT doc_id,
         |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
@@ -736,6 +766,15 @@ object SparkEntry {
         |  CASE WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 100 < 80
         |    THEN 'train'
         |  WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 100 < 90
+        |    THEN 'val'
+        |  ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
+
+    "corpus_split_group" ->
+      """SELECT doc_id, source AS group_key,
+        |  CASE WHEN ('0x' || substring(md5(source),1,8))::BIGINT % 100 < 80
+        |    THEN 'train'
+        |  WHEN ('0x' || substring(md5(source),1,8))::BIGINT % 100 < 90
         |    THEN 'val'
         |  ELSE 'test' END AS split
         |FROM documents""".stripMargin,
@@ -1985,6 +2024,55 @@ object SparkEntry {
          |WHERE CAST(inter AS DOUBLE)/(sa.sz + sb.sz - inter) >= 0.95""".stripMargin
     }
 
+    /** DuckDB twin of Dedup.minhashIncremental: same md5-bucket 80/20
+      * corpus/batch split as the registered query, same perm table and
+      * band signatures as [[minhashSql]], but candidates come from the
+      * batch × corpus band join only; verdict = left join of the batch
+      * onto its best corpus match (max jac, tie smallest corpus id).
+      */
+    val dedupIncrementalSql: String = {
+      val permRows = Dedup.permTable(32)
+        .map { case (i, a, b) => s"($i, ${a}::BIGINT, ${b}::BIGINT)" }
+        .mkString(", ")
+      s"""WITH d0 AS (SELECT doc_id, text,
+         |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 100 AS bkt
+         |  FROM documents WHERE doc_id < $DocBound),
+         |corp AS (SELECT doc_id FROM d0 WHERE bkt < 80),
+         |bat AS (SELECT doc_id FROM d0 WHERE bkt >= 80),
+         |toks AS (SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS term
+         |  FROM d0),
+         |t2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+         |th AS (SELECT doc_id, ('0x' || substring(md5(term),1,8))::BIGINT AS h FROM t2),
+         |perms AS (SELECT * FROM (VALUES $permRows) AS p(perm, a, b)),
+         |sigs AS (SELECT doc_id, perm, min((a * h + b) % ${Dedup.minhashPrime}) AS minhash
+         |  FROM th CROSS JOIN perms GROUP BY 1,2),
+         |bands AS (SELECT doc_id, perm // 4 AS band,
+         |    string_agg(perm || ':' || minhash, ',' ORDER BY perm || ':' || minhash) AS band_sig
+         |  FROM sigs GROUP BY 1,2),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bat ON bat.doc_id = a.doc_id
+         |  JOIN bands b USING (band, band_sig)
+         |  JOIN corp ON corp.doc_id = b.doc_id),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM t2 GROUP BY 1),
+         |inter AS (SELECT c.id_a, c.id_b, count(*) AS inter
+         |  FROM cand c
+         |  JOIN t2 a ON a.doc_id = c.id_a
+         |  JOIN t2 b ON b.doc_id = c.id_b AND b.term = a.term
+         |  GROUP BY 1,2),
+         |pairs AS (SELECT id_a, id_b,
+         |    round(CAST(inter AS DOUBLE)/(sa.sz + sb.sz - inter),6) AS jac
+         |  FROM inter JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+         |  WHERE CAST(inter AS DOUBLE)/(sa.sz + sb.sz - inter) >= 0.9),
+         |best AS (SELECT id_a, id_b, jac FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY id_a
+         |      ORDER BY jac DESC, id_b ASC) AS rn FROM pairs) z
+         |  WHERE rn = 1)
+         |SELECT bat.doc_id,
+         |  CAST(CASE WHEN best.id_a IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep,
+         |  best.id_b AS dup_of, best.jac
+         |FROM bat LEFT JOIN best ON best.id_a = bat.doc_id""".stripMargin
+    }
+
     /** DuckDB twin of GraphOps.pagerankNano over the minhash near-dup pair
       * graph: the 10 iterations unroll as CTE pairs (contribution aggregate,
       * damping step), all in 64-bit integer arithmetic — `//` here and `DIV`
@@ -2196,6 +2284,24 @@ object SparkEntry {
          |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
          |        ORDER BY sim DESC, c_id ASC) AS rank FROM s)
          |SELECT q_id, c_id, sim, rank FROM r WHERE rank <= 5""".stripMargin
+    }
+
+    /** DuckDB twin of EmbeddingKnn.annRecall over the signLsh and ivfSeeded
+      * generators: each leg composes the exact and approximate ranked-list
+      * twins as subqueries, counts hits via a left join on (q_id, c_id),
+      * and reports recall as the same integer-micro division.
+      */
+    val annRecallSql: String = {
+      def leg(name: String, approxSql: String) =
+        s"""SELECT '$name' AS method, ex.q_id, count(*) AS n_exact,
+           |  CAST(sum(CASE WHEN ap.c_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_hit,
+           |  CAST((sum(CASE WHEN ap.c_id IS NULL THEN 0 ELSE 1 END) * 1000000) // 5
+           |    AS DOUBLE) / 1e6 AS recall
+           |FROM (SELECT q_id, c_id FROM ($knnCosineSql)) ex
+           |LEFT JOIN (SELECT q_id, c_id FROM ($approxSql)) ap
+           |  ON ap.q_id = ex.q_id AND ap.c_id = ex.c_id
+           |GROUP BY 1, 2""".stripMargin
+      leg("sign_lsh8", knnLshSql) + "\nUNION ALL\n" + leg("ivf16x4", knnIvfSql)
     }
 
     /** DuckDB twin of Dedup.embeddingPairsLsh: identical multi-table

@@ -316,6 +316,26 @@ object CorpusOps {
         .otherwise("test").as("split"))
   }
 
+  /** Group-aware (leakage-safe) split: every document sharing `groupCol`
+    * (URL domain, source site, near-dup cluster id, author …) lands in the
+    * SAME split. Per-doc assignment lets within-group near-duplicates
+    * straddle train and test — the classic contamination path that inflates
+    * eval scores; hashing the GROUP key closes it while keeping
+    * [[splitAssign]]'s determinism (a group never migrates as the corpus
+    * grows, and the bucket is derived from data, so any engine and any
+    * partitioning reproduce it). Shuffle-free: the split is a scalar
+    * expression on each row's own group value — no join against a group
+    * table, which matters when groups number in the billions.
+    */
+  def splitAssignBy(docs: DataFrame, idCol: String, groupCol: String,
+                    trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val b = sampleBucket(col(groupCol))
+    docs.select(col(idCol).as("doc_id"), col(groupCol).as("group_key"),
+      when(b < trainPct, "train")
+        .when(b < trainPct + valPct, "val")
+        .otherwise("test").as("split"))
+  }
+
   /** Corpus mixing: deterministic hash-sample at `samplePct`, then a per-
     * (lang, source) quality quota — keep the top `quota` docs of each group
     * by n_chars (tie-break doc_id). This is the "domain mixture" step of

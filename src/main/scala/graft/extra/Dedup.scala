@@ -171,6 +171,56 @@ object Dedup {
     verifyJaccard(candidates, toks, sizes, threshold)
   }
 
+  /** Incremental near-dedup: admit a NEW batch against an accumulated
+    * corpus — the admission gate of a continuously-growing training set (a
+    * fresh crawl snapshot arrives; admit only documents that do not
+    * near-duplicate what the corpus already holds). Same MinHash/band
+    * machinery as [[minhashLshPairs]], but the band bucket join is
+    * batch × corpus only — the corpus is NEVER re-paired against itself.
+    * That asymmetry is the scale story: at 100 TB the corpus band
+    * signatures and token sizes are stored artifacts (keyed on
+    * (band, band_sig) and doc_id), so each arriving batch costs work
+    * proportional to the BATCH plus one bucket probe into the corpus — not
+    * a corpus-wide re-shuffle. Exact-Jaccard verification touches
+    * candidates only, as everywhere in this file.
+    *
+    * Verdict per batch document: keep = 1 iff no corpus doc reaches
+    * `threshold`; otherwise (dup_of, jac) name the closest corpus match —
+    * max Jaccard, ties to the smallest corpus id, on 6-decimal-rounded jac,
+    * so the verdict is engine-exact. Batch-internal duplicates are NOT
+    * judged here (they are the following [[minhashLshPairs]] pass within
+    * the admitted slice); this operator is only the gate against history.
+    *
+    * @return (doc_id, keep 1/0, dup_of, jac) — one row per batch doc
+    */
+  def minhashIncremental(corpus: DataFrame, batch: DataFrame, idCol: String,
+                         textCol: String, threshold: Double,
+                         numPerms: Int = 32, rowsPerBand: Int = 4): DataFrame = {
+    def bandSigs(df: DataFrame): DataFrame =
+      minhashSignatures(df, idCol, textCol, numPerms)
+        .withColumn("band", (col("perm") / rowsPerBand).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(md5(concat_ws(",", sort_array(collect_list(
+          concat_ws(":", col("perm"), col("minhash")))))).as("band_sig"))
+    val candidates = bandSigs(batch).as("a")
+      .join(bandSigs(corpus).as("b"), Seq("band", "band_sig"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    // the verify step only reads candidate ids' tokens; the union keeps one
+    // tokenization code path (ids must be disjoint across the two frames)
+    val toks = tokenSets(batch.unionByName(corpus), idCol, textCol)
+    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val best = verifyJaccard(candidates, toks, sizes, threshold)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("id_a").orderBy(col("jac").desc, col("id_b").asc)))
+      .filter(col("rn") === 1)
+      .select(col("id_a").as("doc_id"), col("id_b").as("dup_of"), col("jac"))
+    batch.select(col(idCol).as("doc_id"))
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_of").isNull.cast("long").as("keep"),
+        col("dup_of"), col("jac"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (a < b, cosine >= threshold).
     * Brute-force inner join with the codegen'd cosine — correct at any
     * scale but quadratic; at corpus scale run it AFTER a bucket prefilter

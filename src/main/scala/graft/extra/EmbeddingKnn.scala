@@ -288,6 +288,29 @@ object EmbeddingKnn {
       .filter(col("rank") <= k)
   }
 
+  /** Recall@k audit of an approximate neighbor list against the exact one —
+    * the quality dial every ANN deployment needs on a dashboard: recall is
+    * THE tunable/observable of the accelerated paths (bits/tables for LSH,
+    * nprobe for IVF, overfetch for int8/PQ), and this makes it a query over
+    * the engine's own operators rather than an offline notebook. Both
+    * inputs are (q_id, c_id, …) ranked lists (any generator in this file);
+    * per query: hits = |exact ∩ approx|, recall = hits/k as an exact
+    * integer-micro division, so the report is engine-reproducible. Plan
+    * shape: both lists are k-per-query sized — the join and aggregate move
+    * O(queries · k) rows regardless of corpus size.
+    *
+    * @return (q_id, n_exact, n_hit, recall) — one row per exact-side query
+    */
+  def annRecall(exact: DataFrame, approx: DataFrame, k: Int): DataFrame =
+    exact.select(col("q_id"), col("c_id"))
+      .join(approx.select(col("q_id"), col("c_id"), lit(1L).as("hit")),
+        Seq("q_id", "c_id"), "left")
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .withColumn("recall",
+        expr(s"CAST((n_hit * 1000000) DIV $k AS DOUBLE) / 1e6"))
+
   /** Hard-negative mining for contrastive training: the top-k most SIMILAR
     * candidates that are NOT near-duplicates of the query — near-hits make
     * the best negatives, but an unlabeled near-dup is a false negative that

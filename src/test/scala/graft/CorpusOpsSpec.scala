@@ -226,6 +226,26 @@ class CorpusOpsSpec extends AnyFunSuite {
       }
   }
 
+  test("splitAssignBy: one split per group, group-driven, deterministic") {
+    val docs = Tables.load(spark, SparkTestSession.sf0001, "documents")
+    val r = CorpusOps.splitAssignBy(docs, "doc_id", "source")
+    val rows = r.collect()
+    assert(rows.length == docs.count())
+    // leakage-safety: every group maps to exactly one split
+    val perGroup = r.groupBy("group_key")
+      .agg(countDistinct("split").as("n")).collect()
+    assert(perGroup.nonEmpty && perGroup.forall(_.getAs[Long]("n") == 1L))
+    // actually group-driven: some doc's split differs from its per-doc one
+    val perDoc = CorpusOps.splitAssign(docs, "doc_id").collect()
+      .map(x => x.getLong(0) -> x.getString(2)).toMap
+    assert(rows.exists(x => perDoc(x.getLong(0)) != x.getString(2)),
+      "group split should disagree with per-doc split somewhere")
+    // deterministic under repartition
+    val re = CorpusOps.splitAssignBy(docs.repartition(7), "doc_id", "source")
+      .collect().map(x => x.getLong(0) -> x.getString(2)).toMap
+    assert(re == rows.map(x => x.getLong(0) -> x.getString(2)).toMap)
+  }
+
   test("corpusMixTemperature: sqrt quotas upsample small groups, best-first") {
     import spark.implicits._
     // one dominant source (64 docs) vs a small one (4 docs): proportional

@@ -266,6 +266,48 @@ class DedupSpec extends AnyFunSuite {
     assert(re == rows.map(r => r.getLong(0) -> r.getLong(2)).toMap)
   }
 
+  test("minhashIncremental gates a batch against the corpus, not itself") {
+    import graft.extra.Dedup
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"), // corpus-internal dup
+      (3L, "one two three four five six seven eight")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"), // dups corpus 1 AND 2
+      (11L, "totally fresh content never seen before anywhere"),
+      (12L, "totally fresh content never seen before anywhere") // batch-internal dup
+    ).toDF("doc_id", "text")
+    val r = Dedup.minhashIncremental(corpus, batch, "doc_id", "text", 0.9)
+      .collect()
+      .map(x => x.getLong(0) ->
+        ((x.getLong(1), Option(x.get(2)).map(_.asInstanceOf[Long])))).toMap
+    // dup of two corpus docs at identical jac → tie-break to the smaller id
+    assert(r(10L) == ((0L, Some(1L))), s"batch dup must be gated: $r")
+    assert(r(11L) == ((1L, None)))
+    // batch-internal duplicates are NOT this operator's job (next pass)
+    assert(r(12L) == ((1L, None)))
+    // corpus docs never appear in the verdict
+    assert(r.keySet == Set(10L, 11L, 12L))
+    // partitioning-invariant
+    val re = Dedup.minhashIncremental(
+      corpus.repartition(5), batch.repartition(3), "doc_id", "text", 0.9)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(re == r.map { case (k, v) => k -> v._1 })
+  }
+
+  test("annRecall: identical lists score 1.0, partial overlap counts hits") {
+    import graft.extra.EmbeddingKnn
+    val exact = Seq((1L, 2L), (1L, 3L), (2L, 4L), (2L, 5L)).toDF("q_id", "c_id")
+    val full = EmbeddingKnn.annRecall(exact, exact, 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(full == Map(1L -> ((2L, 2L, 1.0)), 2L -> ((2L, 2L, 1.0))))
+    val partial = Seq((1L, 3L), (2L, 9L)).toDF("q_id", "c_id")
+    val p = EmbeddingKnn.annRecall(exact, partial, 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(p == Map(1L -> ((1L, 0.5)), 2L -> ((0L, 0.0))))
+  }
+
   test("dedupSpans removes cross-doc spans, keeps intra-doc repeats and tails") {
     val df = Seq(
       // docs 1 and 2 share the 5-gram "a b c d e" at different offsets;
