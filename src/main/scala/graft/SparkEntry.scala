@@ -398,6 +398,10 @@ object SparkEntry {
     "corpus_split_group" -> ((s, d) =>
       CorpusOps.splitAssignBy(T(s, d, "documents"), "doc_id", "source")),
 
+    // reproducible epoch-1 shuffle: (shard, pos) is the training order
+    "corpus_order" -> ((s, d) =>
+      CorpusOps.epochOrder(T(s, d, "documents"), "doc_id", 1)),
+
     // concatenate-and-chunk packing map at a 2048-token budget
     "corpus_pack" -> ((s, d) =>
       CorpusOps.packSequences(T(s, d, "documents"), "doc_id", "text")),
@@ -523,6 +527,10 @@ object SparkEntry {
     // add-1 unigram LM mean-logprob scoring (the KenLM-style quality filter)
     "lm_quality" -> ((s, d) =>
       TextStats.lmScore(T(s, d, "documents"), "doc_id", "text")),
+
+    // add-1 bigram-conditional LM: word ORDER priced, not just word choice
+    "lm_quality2" -> ((s, d) =>
+      TextStats.lmScoreBigram(T(s, d, "documents"), "doc_id", "text")),
 
     // first BPE merge round: corpus-wide adjacent char-pair counts
     "bpe_pairs" -> ((s, d) =>
@@ -770,6 +778,17 @@ object SparkEntry {
         |  ELSE 'test' END AS split
         |FROM documents""".stripMargin,
 
+    "corpus_order" ->
+      """WITH k AS (SELECT doc_id,
+        |    md5('1:' || CAST(doc_id AS VARCHAR)) AS skey FROM documents),
+        |s AS (SELECT doc_id, skey,
+        |    CAST(('0x' || substring(skey, 1, 4))::BIGINT * 8 // 65536 AS BIGINT)
+        |      AS shard FROM k)
+        |SELECT doc_id, CAST(1 AS BIGINT) AS epoch, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id)
+        |    AS BIGINT) AS pos
+        |FROM s""".stripMargin,
+
     "corpus_split_group" ->
       """SELECT doc_id, source AS group_key,
         |  CASE WHEN ('0x' || substring(md5(source),1,8))::BIGINT % 100 < 80
@@ -995,6 +1014,38 @@ object SparkEntry {
         |  CASE WHEN p.n_tokens > 0 THEN
         |    round(exp(CAST((-p.lp_micro) // p.n_tokens AS DOUBLE) / 1000000.0), 4)
         |  END AS ppl
+        |FROM documents d LEFT JOIN perdoc p USING (doc_id)""".stripMargin,
+
+    // add-1 bigram conditionals: P(w2|w1) = (c+1)/(h+V) with the same
+    // integer-micro sum / negated positive division as lm_quality
+    "lm_quality2" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS ts
+        |  FROM documents),
+        |bi AS (SELECT doc_id, bigram, count(*) AS tf FROM (
+        |    SELECT doc_id,
+        |      list_extract(ts, i) || ' ' || list_extract(ts, i + 1) AS bigram
+        |    FROM t CROSS JOIN unnest(range(1, len(ts))) AS u(i)
+        |    WHERE len(ts) >= 2) z GROUP BY 1, 2),
+        |model AS (SELECT bigram, sum(tf) AS cnt,
+        |    split_part(bigram, ' ', 1) AS w1 FROM bi GROUP BY 1),
+        |hist AS (SELECT w1, sum(cnt) AS hcnt FROM model GROUP BY 1),
+        |v AS (SELECT CAST(count(DISTINCT term) AS DOUBLE) AS v_size
+        |  FROM (SELECT unnest(ts) AS term FROM t) z),
+        |lp AS (SELECT bigram,
+        |    round(ln((cnt + 1.0) / (CAST(hcnt AS DOUBLE) + v_size)), 6) AS lp
+        |  FROM model JOIN hist USING (w1) CROSS JOIN v),
+        |perdoc AS (SELECT bi.doc_id, CAST(sum(bi.tf) AS BIGINT) AS n_bigrams,
+        |    sum(CAST(round(bi.tf * lp.lp * 1000000) AS BIGINT)) AS lp_micro
+        |  FROM bi JOIN lp USING (bigram) GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |  CASE WHEN p.n_bigrams > 0
+        |    THEN -CAST((-p.lp_micro) // p.n_bigrams AS DOUBLE) / 1000000.0 END
+        |    AS lm2_logprob,
+        |  CASE WHEN p.n_bigrams > 0 THEN
+        |    round(exp(CAST((-p.lp_micro) // p.n_bigrams AS DOUBLE) / 1000000.0), 4)
+        |  END AS ppl2
         |FROM documents d LEFT JOIN perdoc p USING (doc_id)""".stripMargin,
 
     // stride chunking: positions/lengths/hashes are exact integer + md5

@@ -336,6 +336,37 @@ object CorpusOps {
         .otherwise("test").as("split"))
   }
 
+  /** Deterministic epoch shuffle: the reproducible global reshuffle every
+    * training run needs — per epoch, each document gets a fresh md5 shuffle
+    * key (seeded by the epoch number, so epochs are independent
+    * permutations but any engine, any partitioning, any re-run reproduces
+    * epoch e exactly), a shard, and its position within the shard. The
+    * training order IS (shard ASC, pos ASC); a global row number is
+    * deliberately NOT materialized — that would be a single-partition
+    * window. Sharding is how the order stays scale-safe: one window
+    * partition per shard, each holding ~corpus/numShards rows, and readers
+    * consume shard files in order (exactly how sharded training data is
+    * laid out on disk — pair with [[graft.ingest.Compaction]] to write it).
+    * The shard is the TOP byte-pair of the shuffle key, so shard boundaries
+    * agree with global key order: (shard, key) sorts identically to key.
+    *
+    * @return (doc_id, epoch, shard, pos)
+    */
+  def epochOrder(docs: DataFrame, idCol: String, epoch: Int,
+                 numShards: Int = 8): DataFrame = {
+    require(numShards > 0 && numShards <= 65536, "numShards in (0, 65536]")
+    val key = md5(concat_ws(":", lit(epoch), col(idCol).cast("string")))
+    docs.select(col(idCol).as("doc_id"), lit(epoch.toLong).as("epoch"),
+        key.as("skey"))
+      .withColumn("shard",
+        (conv(substring(col("skey"), 1, 4), 16, 10).cast("long")
+          * numShards / 65536).cast("long"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("shard").orderBy(col("skey"), col("doc_id")))
+        .cast("long"))
+      .select("doc_id", "epoch", "shard", "pos")
+  }
+
   /** Corpus mixing: deterministic hash-sample at `samplePct`, then a per-
     * (lang, source) quality quota — keep the top `quota` docs of each group
     * by n_chars (tie-break doc_id). This is the "domain mixture" step of

@@ -158,6 +158,60 @@ object TextStats {
           round(exp(-col("lm_logprob")), 4)).as("ppl"))
   }
 
+  /** Bigram language-model quality score — one rung up the KenLM ladder
+    * from [[lmScore]]: train add-1-smoothed bigram CONDITIONALS on the
+    * corpus itself, P(w₂|w₁) = (c(w₁w₂)+1) / (h(w₁)+V) with h(w₁) the
+    * bigram-history count and V the unigram vocabulary size, then score
+    * each document by its mean per-bigram log conditional. Word-salad that
+    * sails through a unigram filter (common words, impossible order)
+    * scores low here — word ORDER is what the bigram conditional prices.
+    * Self-scoring means every document bigram exists in the model, so no
+    * backoff branch is needed (the add-1 mass covers the conditional's
+    * unseen tail).
+    *
+    * Plan shape mirrors [[lmScore]] one level up: the pinned (doc, bigram)
+    * tf table feeds the model aggregate, the history aggregate and the
+    * per-doc join; the model table is bigram-vocabulary-sized (still far
+    * below corpus size for natural language). Same integer-micro float
+    * discipline — per-bigram `tf·lp` rounds to micros before the
+    * summation-order-free integer per-doc sum, and the mean is the negated
+    * positive integer division.
+    *
+    * @return (doc_id, n_bigrams, lm2_logprob, ppl2) — NULL score for docs
+    *         with fewer than two tokens
+    */
+  def lmScoreBigram(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = df.select(col(idCol).as("doc_id"), toks(col(textCol)).as("ts"))
+    val bi = graft.Caching.temp(
+      t.filter(size(col("ts")) >= 2)
+        .select(col("doc_id"), explode(zip_with(
+          slice(col("ts"), lit(1), size(col("ts")) - 1),
+          slice(col("ts"), lit(2), size(col("ts")) - 1),
+          (a, b) => concat(a, lit(" "), b))).as("bigram"))
+        .groupBy("doc_id", "bigram").agg(count(lit(1)).as("tf")))
+    val model = bi.groupBy("bigram").agg(sum("tf").as("cnt"))
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+    val hist = model.groupBy("w1").agg(sum("cnt").as("hcnt"))
+    val vsize = t.select(explode(col("ts")).as("term"))
+      .agg(countDistinct("term").as("v_size"))
+    val lp = model.join(hist, "w1").crossJoin(broadcast(vsize))
+      .withColumn("lp", round(log((col("cnt") + lit(1.0)) /
+        (col("hcnt").cast("double") + col("v_size").cast("double"))), 6))
+      .select("bigram", "lp")
+    val perDoc = bi.join(lp, "bigram")
+      .groupBy("doc_id")
+      .agg(sum("tf").as("n_bigrams"),
+        sum(round(col("tf") * col("lp") * 1e6).cast("long")).as("lp_micro"))
+    df.select(col(idCol).as("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .withColumn("lm2_logprob", when(col("n_bigrams") > 0,
+        -expr("(-lp_micro) DIV n_bigrams").cast("double") / 1e6))
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("lm2_logprob"),
+        when(col("n_bigrams") > 0,
+          round(exp(-col("lm2_logprob")), 4)).as("ppl2"))
+  }
+
   /** DSIR-style importance weights for targeted data selection (Xie et al.,
     * "Data Selection for Language Models via Importance Resampling",
     * NeurIPS 2023 — public method description): score every document by

@@ -226,6 +226,30 @@ class CorpusOpsSpec extends AnyFunSuite {
       }
   }
 
+  test("epochOrder: reproducible per-epoch permutations, shard-local ranks") {
+    val docs = Tables.load(spark, SparkTestSession.sf0001, "documents")
+    val n = docs.count()
+    val e1 = CorpusOps.epochOrder(docs, "doc_id", 1).collect()
+    assert(e1.length == n)
+    // (shard, pos) is a total order: per shard, pos is exactly 1..size
+    e1.groupBy(_.getLong(2)).foreach { case (shard, rows) =>
+      assert(rows.map(_.getLong(3)).sorted.toSeq == (1L to rows.length).toSeq,
+        s"shard $shard positions must be dense from 1")
+    }
+    assert(e1.map(_.getLong(2)).distinct.length > 1, "uses several shards")
+    // epoch 2 is a DIFFERENT permutation of the same docs
+    val e2 = CorpusOps.epochOrder(docs, "doc_id", 2).collect()
+    val k1 = e1.map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    val k2 = e2.map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(k1.keySet == k2.keySet)
+    assert(k1.exists { case (id, sp) => k2(id) != sp },
+      "epochs must be independent permutations")
+    // same epoch is partitioning-invariant
+    val re = CorpusOps.epochOrder(docs.repartition(7), "doc_id", 1).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(re == k1)
+  }
+
   test("splitAssignBy: one split per group, group-driven, deterministic") {
     val docs = Tables.load(spark, SparkTestSession.sf0001, "documents")
     val r = CorpusOps.splitAssignBy(docs, "doc_id", "source")

@@ -35,6 +35,33 @@ class TextStatsSpec extends AnyFunSuite {
     assert(math.abs(got(1L)._2.get - expected) < 1e-9)
   }
 
+  test("lmScoreBigram: word order is priced; short docs are NULL") {
+    // corpus where "big dog" is a frequent bigram and "dog big" occurs once:
+    // the unigram model scores both orders identically, the bigram model
+    // must prefer the frequent order
+    val docs = Seq(
+      (1L, "big dog big dog big dog"),
+      (2L, "big dog big dog"),
+      (3L, "dog big"),               // reversed order, rare bigram
+      (4L, "solo"),                  // single token → no bigram → NULL
+      (5L, "")                       // empty → NULL
+    ).toDF("doc_id", "text")
+    val got = TextStats.lmScoreBigram(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Long]("n_bigrams"),
+        Option(r.get(2)).map(_.asInstanceOf[Double])))).toMap
+    assert(got(1L)._1 == 5L && got(2L)._1 == 3L && got(3L)._1 == 1L)
+    assert(got(4L) == ((0L, None)) && got(5L) == ((0L, None)))
+    // unigram scores of docs 2 and 3 are tied per token; the bigram score
+    // must separate them in favor of the frequent order
+    assert(got(2L)._2.get > got(3L)._2.get,
+      "frequent word order must outscore the reversed one")
+    // partitioning-invariant (integer-micro sums are order-free)
+    val re = TextStats.lmScoreBigram(docs.repartition(4), "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        Option(r.get(2)).map(_.asInstanceOf[Double])).toMap
+    assert(re == got.map { case (k, v) => k -> v._2 })
+  }
+
   test("importanceWeights: target-like docs score positive, off-target negative") {
     import org.apache.spark.sql.functions.col
     // target slice speaks {alpha, beta}; the rest speaks {gamma, delta};
