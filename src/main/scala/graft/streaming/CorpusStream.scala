@@ -3,6 +3,7 @@ package graft.streaming
 import graft.extra.TextStats
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types.StructType
 
 /** Streaming corpus ingestion operators — the Structured Streaming twins of
@@ -45,4 +46,33 @@ object CorpusStream {
     withFp.join(broadcast(corpusFingerprints.select("fingerprint")),
       Seq("fingerprint"), "left_anti")
   }
+
+  /** Streaming NEAR-dup admission — the streaming twin of
+    * [[graft.extra.Dedup.minhashIncremental]], completing the ladder:
+    * [[dedupStream]] catches exact duplicates inside the stream's horizon,
+    * [[dedupAgainstCorpus]] drops exact matches of history, and this gates
+    * arrivals that NEAR-duplicate the accumulated corpus (MinHash bands,
+    * exact-Jaccard verify on candidates). `foreachBatch` hands each
+    * micro-batch to the batch operator VERBATIM — the micro-batch is the
+    * "new batch", and the corpus side is re-resolved per batch through the
+    * `corpus` thunk, so a corpus grown by the batch pipeline (or by this
+    * stream's own admitted output being folded back in) is judged against
+    * at its freshest, with zero streaming state. Per-verdict rows are the
+    * batch schema exactly: (doc_id, keep, dup_of, jac).
+    *
+    * The verify aggregation is why this is foreachBatch rather than a
+    * stream-static join chain: candidate verification groups by (batch doc,
+    * corpus doc), and an unbounded stateful aggregation is the wrong tool
+    * for a verdict that is complete within one micro-batch.
+    */
+  def admitStream(stream: DataFrame, corpus: () => DataFrame,
+                  idCol: String = "doc_id", textCol: String = "text",
+                  threshold: Double = 0.9)
+                 (onVerdict: (DataFrame, Long) => Unit): StreamingQuery =
+    stream.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      try onVerdict(
+        graft.extra.Dedup.minhashIncremental(
+          corpus(), batch, idCol, textCol, threshold), id)
+      finally graft.Caching.release()
+    }.start()
 }

@@ -109,6 +109,47 @@ class EventWindowsSpec extends AnyFunSuite {
     assert(out == Set(2L), s"doc 1 matches the corpus fingerprint, got $out")
   }
 
+  test("streaming near-dup admission gates arrivals against a growing corpus") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("doc_admit").toString
+    val dup = "alpha beta gamma delta epsilon zeta eta theta"
+    val b1 = Seq((10L, dup), (11L, "totally fresh content never seen before"))
+      .toDF("doc_id", "text")
+    val b2 = Seq((12L, "totally fresh content never seen before"))
+      .toDF("doc_id", "text")
+    b1.coalesce(1).write.mode("append").parquet(dir)
+    b2.coalesce(1).write.mode("append").parquet(dir)
+
+    // corpus the stream is judged against; grows after batch 1's verdicts
+    // (simulating the batch pipeline folding admitted docs back in)
+    @volatile var corpusRows = Seq((1L, dup))
+    val verdicts = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Option[Long])]
+    val stream = spark.readStream.schema(b1.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = graft.streaming.CorpusStream.admitStream(
+      stream, () => corpusRows.toDF("doc_id", "text")) { (v, _) =>
+      val rows = v.collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          Option(r.get(2)).map(_.asInstanceOf[Long])))
+      verdicts.synchronized { verdicts ++= rows }
+      // every admitted doc joins the corpus before the next micro-batch
+      corpusRows = corpusRows ++ rows.filter(_._2 == 1L).map(x =>
+        x._1 -> (if (x._1 == 11L) "totally fresh content never seen before"
+                 else dup))
+    }
+    try q.processAllAvailable() finally q.stop()
+
+    val byId = verdicts.toSeq.map(x => x._1 -> ((x._2, x._3))).toMap
+    assert(byId(10L) == ((0L, Some(1L))), s"10 dups the seed corpus: $byId")
+    // file drops may coalesce into one micro-batch; doc 11 is fresh either
+    // way, and doc 12's verdict depends on whether 11 was folded in first
+    assert(byId(11L) == ((1L, None)), s"11 is fresh: $byId")
+    if (verdicts.size == 3 && byId(12L)._1 == 0L)
+      assert(byId(12L) == ((0L, Some(11L))),
+        s"12 near-dups the admitted 11 once folded in: $byId")
+  }
+
   test("funnel: strict ordering per user, stages narrow") {
     import spark.implicits._
     def ev(id: Long, u: Long, t: String, ty: String) =
