@@ -532,6 +532,14 @@ object SparkEntry {
     "lm_quality2" -> ((s, d) =>
       TextStats.lmScoreBigram(T(s, d, "documents"), "doc_id", "text")),
 
+    // per-source unigram KL vs the corpus (mixture-design shift report)
+    "source_kl" -> ((s, d) =>
+      TextStats.sourceKl(T(s, d, "documents"), "text", "source")),
+
+    // quality percentiles per (lang, source) and corpus-wide, grid-bounded
+    "quality_norm" -> ((s, d) =>
+      CorpusOps.qualityNorm(T(s, d, "documents"), "doc_id", "text")),
+
     // first BPE merge round: corpus-wide adjacent char-pair counts
     "bpe_pairs" -> ((s, d) =>
       TextStats.bpePairs(T(s, d, "documents"), "text")
@@ -909,6 +917,8 @@ object SparkEntry {
     "lang_id" -> O.langIdSql,
     "corpus_select" -> O.corpusSelectSql,
     "quality_gate" -> O.qualityGateSql,
+    "quality_norm" -> O.qualityNormSql,
+    "source_kl" -> O.sourceKlSql,
     "corpus_build" -> O.corpusBuildSql,
 
     "token_counts" ->
@@ -2510,6 +2520,67 @@ object SparkEntry {
          |  FROM q WHERE quality IS NOT NULL)
          |SELECT doc_id, quality, threshold FROM q CROSS JOIN thr
          |WHERE quality >= threshold""".stripMargin
+
+    /** DuckDB twin of TextStats.sourceKl: full-vocabulary add-1 KL per
+      * source, 6-decimal log ratio, nano-integer contributions.
+      */
+    val sourceKlSql: String =
+      """WITH tf AS (SELECT source AS grp, term, count(*) AS cnt_g FROM (
+        |    SELECT source, unnest(list_filter(string_split(lower(text), ' '),
+        |      x -> x <> '')) AS term FROM documents) z GROUP BY 1, 2),
+        |vocab AS (SELECT term, sum(cnt_g) AS cnt FROM tf GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n_total,
+        |    CAST(count(*) AS DOUBLE) AS v_size FROM vocab),
+        |gtot AS (SELECT grp, sum(cnt_g) AS n_g FROM tf GROUP BY 1),
+        |f AS (SELECT g.grp, v.cnt, coalesce(tf.cnt_g, 0) AS cnt_g, g.n_g
+        |  FROM vocab v CROSS JOIN gtot g
+        |  LEFT JOIN tf ON tf.grp = g.grp AND tf.term = v.term),
+        |c AS (SELECT grp, n_g, cnt_g,
+        |    (cnt_g + 1.0) / (CAST(n_g AS DOUBLE) + v_size) AS p_g,
+        |    (cnt + 1.0) / (n_total + v_size) AS p
+        |  FROM f CROSS JOIN tot)
+        |SELECT grp AS source, CAST(max(n_g) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN cnt_g > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS vocab_seen,
+        |  CAST(sum(CAST(round(p_g * round(ln(p_g / p), 6) * 1000000000)
+        |    AS BIGINT)) AS DOUBLE) / 1e9 AS kl
+        |FROM c GROUP BY 1""".stripMargin
+
+    /** DuckDB twin of CorpusOps.qualityNorm: same quality expression as
+      * qualityGateSql, percent_rank as strictly-lower-count / (n-1) via
+      * grid cumulative sums (ties share ranks; single-row groups are 0).
+      */
+    val qualityNormSql: String =
+      """WITH q AS (SELECT doc_id, lang, source,
+        |  CASE WHEN length(text) > 0 THEN
+        |    round(least(CAST(len(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS DOUBLE)/100.0, 1.0)
+        |      * (1.0 - least(CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+        |          / length(text), 1.0)), 6)
+        |  ELSE NULL END AS quality
+        |  FROM documents),
+        |s AS (SELECT * FROM q WHERE quality IS NOT NULL),
+        |gg AS (SELECT quality, count(*) AS c FROM s GROUP BY 1),
+        |gcum AS (SELECT quality, coalesce(sum(c) OVER (ORDER BY quality
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_lt
+        |  FROM gg),
+        |sg AS (SELECT lang, source, quality, count(*) AS c FROM s
+        |  GROUP BY 1, 2, 3),
+        |scum AS (SELECT lang, source, quality,
+        |    coalesce(sum(c) OVER (PARTITION BY lang, source ORDER BY quality
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_lt_g
+        |  FROM sg),
+        |ng AS (SELECT lang, source, count(*) AS n_g FROM s GROUP BY 1, 2),
+        |na AS (SELECT count(*) AS n_all FROM s)
+        |SELECT s.doc_id, s.lang, s.source, s.quality,
+        |  CASE WHEN n_g > 1
+        |    THEN round(CAST(cum_lt_g AS DOUBLE) / (n_g - 1), 6)
+        |    ELSE 0.0 END AS pct_group,
+        |  CASE WHEN n_all > 1
+        |    THEN round(CAST(cum_lt AS DOUBLE) / (n_all - 1), 6)
+        |    ELSE 0.0 END AS pct_global
+        |FROM s JOIN scum USING (lang, source, quality)
+        |JOIN gcum USING (quality)
+        |JOIN ng USING (lang, source) CROSS JOIN na""".stripMargin
 
     def corpusSelectSqlAt(minQuality: Double): String =
       s"""WITH fp AS (SELECT doc_id, md5(trim(regexp_replace(

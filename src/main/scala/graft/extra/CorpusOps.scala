@@ -111,6 +111,58 @@ object CorpusOps {
     q.crossJoin(broadcast(thr)).filter(col("quality") >= col("threshold"))
   }
 
+  /** Cross-source quality normalization: raw quality scores are NOT
+    * comparable across (lang, source) groups — each source has its own
+    * score distribution, so one global threshold over-prunes some sources
+    * and under-prunes others (the reason CCNet buckets perplexity
+    * percentiles per language rather than thresholding raw scores). Report
+    * each document's quality percentile within its (lang, source) group
+    * AND corpus-wide: percent_rank = strictly-lower-count / (n-1), ties
+    * share a rank, single-row groups are 0.
+    *
+    * No corpus-sized window anywhere: quality is 6-decimal-rounded, so the
+    * cumulative distribution lives on a value GRID of ≤ 10^6+1 rows (the
+    * same bounded-grid trick as [[qualityGate]]) — the per-group windows
+    * run over grid rows partitioned by group, and the single unpartitioned
+    * window runs over the global grid, corpus-size-independent by
+    * construction. Docs then pick their percentiles up by an equi-join on
+    * the rounded value.
+    *
+    * @return (doc_id, lang, source, quality, pct_group, pct_global) for
+    *         docs with a non-NULL quality
+    */
+  def qualityNorm(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val scored = graft.Caching.temp(
+      TextStats.stats(docs, idCol, textCol).select(col("doc_id"), col("quality"))
+        .join(docs.select(col(idCol).as("doc_id"), col("lang"), col("source")),
+          "doc_id")
+        .filter(col("quality").isNotNull))
+    val wGrp = Window.partitionBy("lang", "source").orderBy("quality")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.orderBy("quality")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val gGrid = scored.groupBy("quality").agg(count(lit(1)).as("c"))
+      .withColumn("cum_lt", coalesce(sum("c").over(wAll), lit(0L)))
+    val sGrid = scored.groupBy("lang", "source", "quality")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum_lt_g", coalesce(sum("c").over(wGrp), lit(0L)))
+    val nGrp = scored.groupBy("lang", "source").agg(count(lit(1)).as("n_g"))
+    val nAll = scored.agg(count(lit(1)).as("n_all"))
+    scored
+      .join(sGrid.select("lang", "source", "quality", "cum_lt_g"),
+        Seq("lang", "source", "quality"))
+      .join(broadcast(gGrid.select("quality", "cum_lt")), Seq("quality"))
+      .join(broadcast(nGrp), Seq("lang", "source"))
+      .crossJoin(broadcast(nAll))
+      .select(col("doc_id"), col("lang"), col("source"), col("quality"),
+        when(col("n_g") > 1,
+          round(col("cum_lt_g").cast("double") / (col("n_g") - 1), 6))
+          .otherwise(0.0).as("pct_group"),
+        when(col("n_all") > 1,
+          round(col("cum_lt").cast("double") / (col("n_all") - 1), 6))
+          .otherwise(0.0).as("pct_global"))
+  }
+
   /** The ONE word-n-gram stream all gram consumers share (decontamination,
     * repetition metrics, Dedup.shinglePairs): (doc_id, gram) with every
     * occurrence, or set-semantics with `distinct`. Pure column expressions

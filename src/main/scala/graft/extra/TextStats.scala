@@ -212,6 +212,51 @@ object TextStats {
           round(exp(-col("lm2_logprob")), 4)).as("ppl2"))
   }
 
+  /** Per-source distribution-shift report: add-1-smoothed unigram KL
+    * divergence D(P_group ‖ P_corpus) for every `groupCol` value — the
+    * quantitative "how different is this source's language" number that
+    * mixture design reads before setting quotas (a source with near-zero
+    * KL adds volume, not diversity; a high-KL source shifts the mixture).
+    * The sum runs over the FULL corpus vocabulary per group (unseen-in-
+    * group terms carry the add-1 floor mass; dropping them would
+    * systematically understate the divergence), so the work is
+    * vocabulary × groups — model-table-sized, corpus-size-independent,
+    * like every LM table in this file.
+    *
+    * Float discipline: the probabilities are exact-double ratios
+    * (identical in any IEEE engine); only the log is libm-sensitive, so
+    * the LOG RATIO is 6-decimal-pinned before the multiply, and each
+    * term's contribution rounds to integer NANOS before the
+    * summation-order-free per-group sum (micro grain would zero the add-1
+    * floor terms; nano keeps them, and |Σ| stays far under 2^53).
+    *
+    * @return (group, n_tokens, vocab_seen, kl) one row per group
+    */
+  def sourceKl(df: DataFrame, textCol: String, groupCol: String): DataFrame = {
+    val tf = graft.Caching.temp(
+      df.select(col(groupCol).as("grp"), explode(toks(col(textCol))).as("term"))
+        .groupBy("grp", "term").agg(count(lit(1)).as("cnt_g")))
+    val vocab = tf.groupBy("term").agg(sum("cnt_g").as("cnt"))
+    val totals = vocab.agg(sum("cnt").as("n_total"), count(lit(1)).as("v_size"))
+    val gtot = tf.groupBy("grp").agg(sum("cnt_g").as("n_g"))
+    val contrib = vocab.crossJoin(broadcast(gtot))
+      .join(tf, Seq("grp", "term"), "left")
+      .na.fill(0L, Seq("cnt_g"))
+      .crossJoin(broadcast(totals))
+      .withColumn("p_g", (col("cnt_g") + lit(1.0)) /
+        (col("n_g") + col("v_size")).cast("double"))
+      .withColumn("p", (col("cnt") + lit(1.0)) /
+        (col("n_total") + col("v_size")).cast("double"))
+      .withColumn("lr", round(log(col("p_g") / col("p")), 6))
+      .withColumn("nano", round(col("p_g") * col("lr") * 1e9).cast("long"))
+    contrib.groupBy("grp")
+      .agg(max("n_g").as("n_tokens"),
+        sum((col("cnt_g") > 0).cast("long")).as("vocab_seen"),
+        (sum("nano").cast("double") / 1e9).as("kl"))
+      .select(col("grp").as(groupCol), col("n_tokens"), col("vocab_seen"),
+        col("kl"))
+  }
+
   /** DSIR-style importance weights for targeted data selection (Xie et al.,
     * "Data Selection for Language Models via Importance Resampling",
     * NeurIPS 2023 — public method description): score every document by

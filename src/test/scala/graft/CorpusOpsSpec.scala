@@ -226,6 +226,38 @@ class CorpusOpsSpec extends AnyFunSuite {
       }
   }
 
+  test("qualityNorm: percentiles are rank-consistent per group and globally") {
+    val docs = Tables.load(spark, SparkTestSession.sf0001, "documents")
+    val rows = CorpusOps.qualityNorm(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(x => x._5 >= 0.0 && x._5 <= 1.0
+      && x._6 >= 0.0 && x._6 <= 1.0))
+    // global percentile matches a direct percent_rank computation
+    val qs = rows.map(_._4).sorted
+    val n = qs.length
+    rows.foreach { case (id, _, _, q, _, pg) =>
+      val expected = if (n > 1)
+        BigDecimal(qs.count(_ < q).toDouble / (n - 1))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      else 0.0
+      assert(math.abs(pg - expected) < 2e-6, s"doc $id: $pg vs $expected")
+    }
+    // within every group, percentile order agrees with quality order and
+    // the group minimum sits at 0
+    rows.groupBy(x => (x._2, x._3)).foreach { case (_, g) =>
+      val sorted = g.sortBy(_._4)
+      assert(sorted.head._5 == 0.0)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._5 <= b._5, s"group percentile must be monotone: $a $b")
+          if (a._4 == b._4) assert(a._5 == b._5, "ties share a percentile")
+        case _ =>
+      }
+    }
+  }
+
   test("epochOrder: reproducible per-epoch permutations, shard-local ranks") {
     val docs = Tables.load(spark, SparkTestSession.sf0001, "documents")
     val n = docs.count()

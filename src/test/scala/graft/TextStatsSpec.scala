@@ -62,6 +62,29 @@ class TextStatsSpec extends AnyFunSuite {
     assert(re == got.map { case (k, v) => k -> v._2 })
   }
 
+  test("sourceKl: corpus-like source scores near zero, skewed source higher") {
+    // srcA and srcB together ARE the corpus; srcA mirrors the overall mix,
+    // srcB is all-rare — its distribution diverges more
+    val docs = Seq(
+      ("srcA", "aa bb aa bb cc dd"),
+      ("srcA", "aa bb cc dd aa bb"),
+      ("srcB", "zz zz zz zz zz zz")
+    ).toDF("source", "text")
+    val got = TextStats.sourceKl(docs, "text", "source").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got("srcA")._1 == 12L && got("srcB")._1 == 6L)
+    assert(got("srcA")._2 == 4L && got("srcB")._2 == 1L)
+    // KL is nonnegative (up to nano rounding) and orders by divergence
+    assert(got("srcB")._3 > got("srcA")._3,
+      s"skewed source must diverge more: $got")
+    assert(got.values.forall(_._3 > -1e-6))
+    // partitioning-invariant (integer-nano sums)
+    val re = TextStats.sourceKl(docs.repartition(4), "text", "source")
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(re == got.map { case (k, v) => k -> v._3 })
+  }
+
   test("importanceWeights: target-like docs score positive, off-target negative") {
     import org.apache.spark.sql.functions.col
     // target slice speaks {alpha, beta}; the rest speaks {gamma, delta};
