@@ -430,6 +430,12 @@ object SparkEntry {
     "corpus_build" -> ((s, d) =>
       graft.extra.CorpusPipeline.build(T(s, d, "documents"), "doc_id", "text")),
 
+    // the 2023-era cut: fingerprint dedup → per-source percentile gate →
+    // semantic dedup → leakage-safe split, one declarative plan
+    "corpus_build2" -> ((s, d) =>
+      graft.extra.CorpusPipeline.build2(
+        T(s, d, "documents"), T(s, d, "embeddings"))),
+
     // PII scrub: the fixture text is pure lowercase words, so the query
     // injects deterministic synthetic PII (same expression in the oracle) —
     // the redaction/count logic is exercised on varied non-trivial inputs
@@ -920,6 +926,7 @@ object SparkEntry {
     "quality_norm" -> O.qualityNormSql,
     "source_kl" -> O.sourceKlSql,
     "corpus_build" -> O.corpusBuildSql,
+    "corpus_build2" -> O.corpusBuild2Sql,
 
     "token_counts" ->
       """SELECT doc_id,
@@ -2581,6 +2588,32 @@ object SparkEntry {
         |FROM s JOIN scum USING (lang, source, quality)
         |JOIN gcum USING (quality)
         |JOIN ng USING (lang, source) CROSS JOIN na""".stripMargin
+
+    /** DuckDB twin of CorpusPipeline.build2: the proven stage oracles
+      * (fingerprint keep, qualityNormSql, semanticDedupSql keep=1, the
+      * group-split CASE) joined on doc_id, percentile gate at 0.1.
+      */
+    val corpusBuild2Sql: String =
+      s"""WITH keep AS (SELECT min(doc_id) AS doc_id FROM (
+         |    SELECT doc_id, md5(trim(regexp_replace(
+         |      regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+         |      ' +', ' ', 'g'))) AS fingerprint FROM documents) fp
+         |  GROUP BY fingerprint),
+         |qn AS (SELECT * FROM ($qualityNormSql) q0),
+         |sem AS (SELECT vec_id AS doc_id FROM ($semanticDedupSql) s0
+         |  WHERE keep = 1),
+         |spl AS (SELECT doc_id,
+         |    CASE WHEN ('0x' || substring(md5(source),1,8))::BIGINT % 100 < 80
+         |      THEN 'train'
+         |    WHEN ('0x' || substring(md5(source),1,8))::BIGINT % 100 < 90
+         |      THEN 'val'
+         |    ELSE 'test' END AS split
+         |  FROM documents)
+         |SELECT qn.doc_id, qn.lang, qn.source, qn.quality, qn.pct_group,
+         |  spl.split
+         |FROM keep JOIN qn USING (doc_id) JOIN sem USING (doc_id)
+         |JOIN spl USING (doc_id)
+         |WHERE qn.pct_group >= 0.1""".stripMargin
 
     def corpusSelectSqlAt(minQuality: Double): String =
       s"""WITH fp AS (SELECT doc_id, md5(trim(regexp_replace(

@@ -60,4 +60,35 @@ object CorpusPipeline {
       .filter(col("rk") <= quota)
       .select("doc_id", "lang_pred", "source", "quality", "rk")
   }
+
+  /** The MODERN curation cut — [[build]]'s C4/Gopher-era gates swapped for
+    * the 2023 recipe, composed as one declarative plan: exact fingerprint
+    * dedup → per-(lang, source) quality PERCENTILE gate
+    * ([[CorpusOps.qualityNorm]], CCNet-style: every source sheds its own
+    * worst tail, so a clean source is never starved by a global threshold)
+    * → embedding-space semantic dedup ([[EmbeddingKnn.semanticDedup]]'s
+    * keep verdict joined on the document's vector id) → leakage-safe
+    * group-keyed split ([[CorpusOps.splitAssignBy]]). Everything after the
+    * fingerprint groupBy and the cell-bounded semantic pass is doc_id-keyed
+    * joins and per-row predicates — linear in the corpus, and each stage's
+    * scale story is its own operator's.
+    *
+    * @return (doc_id, lang, source, quality, pct_group, split)
+    */
+  def build2(docs: DataFrame, emb: DataFrame, idCol: String = "doc_id",
+             textCol: String = "text", minPctGroup: Double = 0.1): DataFrame = {
+    val keep = TextStats.fingerprint(docs, idCol, textCol)
+      .groupBy("fingerprint").agg(min("doc_id").as("doc_id"))
+    val norm = CorpusOps.qualityNorm(docs, idCol, textCol)
+    val sem = EmbeddingKnn.semanticDedup(emb)
+      .filter(col("keep") === 1).select(col("vec_id").as("doc_id"))
+    val split = CorpusOps.splitAssignBy(docs, idCol, "source")
+      .select("doc_id", "split")
+    keep.select("doc_id")
+      .join(norm, "doc_id")
+      .filter(col("pct_group") >= minPctGroup)
+      .join(sem, "doc_id")
+      .join(split, "doc_id")
+      .select("doc_id", "lang", "source", "quality", "pct_group", "split")
+  }
 }

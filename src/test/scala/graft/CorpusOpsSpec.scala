@@ -226,6 +226,29 @@ class CorpusOpsSpec extends AnyFunSuite {
       }
   }
 
+  test("build2 composes its stages: every gate's own verdict holds on the output") {
+    import graft.extra.{CorpusPipeline, EmbeddingKnn, TextStats}
+    val docs = Tables.load(spark, SparkTestSession.sf0001, "documents")
+    val emb = Tables.load(spark, SparkTestSession.sf0001, "embeddings")
+    val out = CorpusPipeline.build2(docs, emb).collect()
+    assert(out.nonEmpty && out.length < docs.count(), "gates must bite")
+    // stage verdicts recomputed independently
+    val kept = TextStats.fingerprint(docs, "doc_id", "text")
+      .groupBy("fingerprint").agg(min("doc_id").as("doc_id"))
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val semKeep = EmbeddingKnn.semanticDedup(emb).filter(col("keep") === 1)
+      .collect().map(_.getLong(0)).toSet
+    val split = CorpusOps.splitAssignBy(docs, "doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    out.foreach { r =>
+      val id = r.getLong(0)
+      assert(kept(id), s"$id must be a fingerprint canonical")
+      assert(semKeep(id), s"$id must survive semantic dedup")
+      assert(r.getDouble(4) >= 0.1, s"$id must clear the percentile gate")
+      assert(r.getString(5) == split(id), s"$id split must match splitAssignBy")
+    }
+  }
+
   test("qualityNorm: percentiles are rank-consistent per group and globally") {
     val docs = Tables.load(spark, SparkTestSession.sf0001, "documents")
     val rows = CorpusOps.qualityNorm(docs, "doc_id", "text").collect()
