@@ -385,6 +385,11 @@ object SparkEntry {
     "corpus_stats" -> ((s, d) =>
       CorpusOps.corpusStats(T(s, d, "documents"))),
 
+    // mixture-planning rollup: (lang, source) + per-lang + grand totals in
+    // one Expand pass, with token share of the corpus
+    "corpus_rollup" -> ((s, d) =>
+      CorpusOps.corpusRollup(T(s, d, "documents"))),
+
     // sparse TF-IDF cosine document similarity (inverted-index join)
     "tfidf_knn" -> ((s, d) =>
       TermStats.tfidfKnn(T(s, d, "documents"), "doc_id", "text", KnnQueryIds,
@@ -1130,6 +1135,24 @@ object SparkEntry {
         |  count(*) AS n_unique,
         |  round(1.0 - CAST(count(*) AS DOUBLE) / sum(n), 6) AS dup_rate
         |FROM fp GROUP BY 1, 2""".stripMargin,
+
+    // GROUP BY ROLLUP mirrors the one-Expand Spark plan; '<all>' labels
+    // the subtotal rows; grand total as a 1-row cross join
+    "corpus_rollup" ->
+      """WITH base AS (SELECT lang, source, length(text) AS chars,
+        |    len(list_filter(string_split(lower(text), ' '),
+        |      x -> x <> '')) AS toks
+        |  FROM documents),
+        |r AS (SELECT coalesce(lang, '<all>') AS lang,
+        |    coalesce(source, '<all>') AS source,
+        |    count(*) AS n_docs,
+        |    CAST(sum(chars) AS BIGINT) AS total_chars,
+        |    CAST(sum(toks) AS BIGINT) AS total_tokens
+        |  FROM base GROUP BY ROLLUP(lang, source)),
+        |t AS (SELECT CAST(sum(toks) AS BIGINT) AS grand_toks FROM base)
+        |SELECT lang, source, n_docs, total_chars, total_tokens,
+        |  round(CAST(total_tokens AS DOUBLE) / grand_toks, 6) AS token_share
+        |FROM r CROSS JOIN t""".stripMargin,
 
     // inverted-index sparse cosine; df-cap shared with the Spark side
     "tfidf_knn" -> {

@@ -579,4 +579,33 @@ object CorpusOps {
       .withColumn("dup_rate",
         round(lit(1.0) - col("n_unique").cast("double") / col("n_docs"), 6))
   }
+
+  /** Mixture-planning rollup: document/char/token totals at every
+    * granularity a data-recipe planner reads — per (lang, source), per-lang
+    * subtotal, grand total — in ONE pass via ROLLUP (a single Expand +
+    * map-side-combined aggregate; 3 output granularities cost one shuffle,
+    * not three jobs), each row annotated with its token share of the grand
+    * total. Subtotal rows are labelled `<all>` (the corpus dims are
+    * non-null), so the report is self-describing and engine-sortable. The
+    * grand total is a 1-row broadcast scalar, not a corpus-wide window.
+    *
+    * @return (lang, source, n_docs, total_chars, total_tokens, token_share)
+    */
+  def corpusRollup(docs: DataFrame): DataFrame = {
+    val nToks = size(filter(split(lower(col("text")), " "), t => t =!= ""))
+      .cast("long")
+    val base = docs.select(col("lang"), col("source"),
+      length(col("text")).cast("long").as("chars"), nToks.as("toks"))
+    val rolled = base.rollup(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum("chars").as("total_chars"),
+        sum("toks").as("total_tokens"))
+      .select(coalesce(col("lang"), lit("<all>")).as("lang"),
+        coalesce(col("source"), lit("<all>")).as("source"),
+        col("n_docs"), col("total_chars"), col("total_tokens"))
+    val total = base.agg(sum("toks").as("grand_toks"))
+    rolled.crossJoin(broadcast(total))
+      .withColumn("token_share",
+        round(col("total_tokens").cast("double") / col("grand_toks"), 6))
+      .drop("grand_toks")
+  }
 }

@@ -365,4 +365,28 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(!got.keySet.exists(_._1 == 3L), "empty doc must produce no chunks")
     assert(got.size == 4)
   }
+
+  test("corpusRollup: subtotals fold exactly, shares sum to 1 per granularity") {
+    val docs = Seq(
+      (1L, "a b c", "en", "s1"), (2L, "d e", "en", "s1"),
+      (3L, "f g h i", "en", "s2"), (4L, "j", "fr", "s1")
+    ).toDF("doc_id", "text", "lang", "source")
+    val rows = CorpusOps.corpusRollup(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    // grand total row
+    assert(rows(("<all>", "<all>"))._1 == 4L)
+    assert(rows(("<all>", "<all>"))._3 == 10L)
+    assert(rows(("<all>", "<all>"))._4 == 1.0)
+    // lang subtotal = sum of its (lang, source) rows
+    assert(rows(("en", "<all>"))._3 ==
+      rows(("en", "s1"))._3 + rows(("en", "s2"))._3)
+    // leaf shares sum to ~1 across the leaf granularity
+    val leafShare = rows.collect {
+      case ((l, s), v) if l != "<all>" && s != "<all>" => v._4
+    }.sum
+    assert(math.abs(leafShare - 1.0) < 1e-5, s"leaf shares sum $leafShare")
+    // 3 leaves + 2 lang subtotals + 1 grand
+    assert(rows.size == 6)
+  }
 }
