@@ -284,6 +284,11 @@ object SparkEntry {
     "dedup_spans" -> ((s, d) =>
       Dedup.dedupSpans(T(s, d, "documents"), "doc_id", "text")),
 
+    // RefinedWeb-style paragraph dedup: one surviving copy per distinct
+    // 32-token paragraph corpus-wide, documents rewritten in order
+    "dedup_paragraph" -> ((s, d) =>
+      Dedup.dedupParagraphs(T(s, d, "documents"), "doc_id", "text")),
+
     "dedup_minhash" -> ((s, d) =>
       Dedup.minhashLshPairs(T(s, d, "documents").filter(col("doc_id") < DocBound),
         "doc_id", "text", 0.95)),
@@ -750,6 +755,27 @@ object SparkEntry {
         |  count(*) AS n_tokens,
         |  CAST(sum(covered) AS BIGINT) AS n_removed
         |FROM cov GROUP BY doc_id""".stripMargin,
+
+    // first occurrence per paragraph hash via row_number over the unique
+    // (doc_id, para_idx) order — equals the Spark min(struct) aggregate
+    "dedup_paragraph" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |n AS (SELECT doc_id, toks, len(toks) AS n_tokens FROM t
+        |  WHERE len(toks) > 0),
+        |p AS (SELECT doc_id, CAST(s // 32 AS BIGINT) AS para_idx,
+        |    array_to_string(list_slice(toks, s + 1, s + 32), ' ') AS para
+        |  FROM n CROSS JOIN unnest(range(0, n_tokens, 32)) AS u(s)),
+        |k AS (SELECT doc_id, para_idx, para,
+        |    CASE WHEN row_number() OVER (PARTITION BY md5(para)
+        |      ORDER BY doc_id, para_idx) = 1 THEN 1 ELSE 0 END AS kept
+        |  FROM p)
+        |SELECT doc_id, count(*) AS n_paras,
+        |  CAST(sum(kept) AS BIGINT) AS n_kept,
+        |  coalesce(string_agg(para, ' ' ORDER BY para_idx)
+        |    FILTER (WHERE kept = 1), '') AS clean_text
+        |FROM k GROUP BY doc_id""".stripMargin,
     "doc_pagerank" -> O.docPagerankSql,
     "dedup_simhash" -> O.simhashSql,
     "dedup_clusters" -> O.clustersSql,

@@ -449,4 +449,53 @@ object Dedup {
       count(lit(1)).as("n_tokens"),
       sum(col("covered")).cast("long").as("n_removed"))
   }
+
+  /** Cross-corpus PARAGRAPH dedup (the RefinedWeb/CCNet line-level pass,
+    * between [[exact]] whole-document dedup and [[dedupSpans]] token-span
+    * removal): the corpus keeps exactly ONE copy of every distinct
+    * paragraph — the occurrence with the smallest (doc_id, para_idx) —
+    * and each document is rewritten from its surviving paragraphs in
+    * order. Paragraph boundaries are fixed `paraTokens`-token windows
+    * (the fixture text has no newlines; a corpus with real line breaks
+    * would split on those instead — the dedup dataflow is identical).
+    *
+    * Plan shape at corpus scale: tokenize + explode are shuffle-free;
+    * first-occurrence per paragraph hash is a MAP-SIDE-COMBINED
+    * `min(struct(doc_id, para_idx))` aggregate — NOT a window partitioned
+    * by hash, so a boilerplate paragraph occurring 10^9 times partial-
+    * aggregates on every mapper instead of landing on one hot partition.
+    * The join back on hash is distinct-paragraph-sized on the build side
+    * and AQE-skew-splittable on the probe; the rewrite is a per-document
+    * collect_list bounded by document size.
+    *
+    * @return (doc_id, n_paras, n_kept, clean_text)
+    */
+  def dedupParagraphs(df: DataFrame, idCol: String, textCol: String,
+                      paraTokens: Int = 32): DataFrame = {
+    val toks = filter(split(lower(col(textCol)), " "), t => t =!= "")
+    val paras = df
+      .select(col(idCol).cast("long").as("doc_id"), toks.as("toks"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("start",
+        explode(sequence(lit(0L), col("n_tokens") - 1, lit(paraTokens.toLong))))
+      .select(col("doc_id"),
+        (col("start") / paraTokens).cast("long").as("para_idx"),
+        concat_ws(" ",
+          slice(col("toks"), (col("start") + 1).cast("int"), lit(paraTokens)))
+          .as("para"))
+      .withColumn("h", md5(col("para")))
+    val first = paras.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("para_idx"))).as("first"))
+    paras.join(first, Seq("h"))
+      .withColumn("kept",
+        (struct(col("doc_id"), col("para_idx")) === col("first")).cast("int"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_paras"),
+        sum(col("kept")).cast("long").as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("kept") === 1,
+            struct(col("para_idx"), col("para"))))),
+          s => s.getField("para"))).as("clean_text"))
+  }
 }

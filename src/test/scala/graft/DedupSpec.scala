@@ -342,4 +342,23 @@ class DedupSpec extends AnyFunSuite {
     assert(got(5L) == "g")
     assert(got(6L) == "h")
   }
+
+  test("dedupParagraphs keeps one copy per distinct paragraph, in order") {
+    // paraTokens=3: doc 1 = [a b c][d e f], doc 2 repeats [a b c] then has
+    // its own [x y z]; doc 3 repeats [a b c] TWICE (intra-doc dup also
+    // dropped) plus a short tail [q]
+    val df = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c x y z"),
+      (3L, "a b c a b c q")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupParagraphs(df, "doc_id", "text", paraTokens = 3)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_paras"), r.getAs[Long]("n_kept"),
+          r.getAs[String]("clean_text")))).toMap
+    assert(got(1L) == ((2L, 2L, "a b c d e f")))   // first owner keeps all
+    assert(got(2L) == ((2L, 1L, "x y z")))         // shared para dropped
+    assert(got(3L) == ((3L, 1L, "q")))             // both copies dropped
+  }
 }
