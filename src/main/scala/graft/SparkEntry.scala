@@ -475,6 +475,11 @@ object SparkEntry {
     "semantic_dedup" -> ((s, d) =>
       EmbeddingKnn.semanticDedup(T(s, d, "embeddings"))),
 
+    // ratio-margin bitext mining across the even/odd label pools: best
+    // target per source where cos stands out from BOTH neighborhoods
+    "bitext_mine" -> ((s, d) =>
+      EmbeddingKnn.bitextMine(T(s, d, "embeddings"))),
+
     "knn_lsh" -> ((s, d) =>
       EmbeddingKnn.signLsh(T(s, d, "embeddings"), KnnQueryIds, 5, 8)
         .withColumn("rank", col("rank").cast("long"))),
@@ -922,6 +927,7 @@ object SparkEntry {
 
     "knn_cosine" -> O.knnCosineSql,
     "label_transfer" -> O.labelTransferSql,
+    "bitext_mine" -> O.bitextMineSql,
     "knn_lsh" -> O.knnLshSql,
     "knn_ivf" -> O.knnIvfSql,
     "corpus_domains" -> O.corpusDomainsSql,
@@ -2275,6 +2281,39 @@ object SparkEntry {
          |  SELECT *, row_number() OVER (PARTITION BY q_id
          |    ORDER BY votes DESC, label ASC) AS rk FROM v) z
          |WHERE rk = 1""".stripMargin
+
+    /** DuckDB twin of EmbeddingKnn.bitextMine: one A×B cosine-micro matrix,
+      * both direction top-k neighborhood SUMS, the ratio margin as a
+      * truncating positive integer division (`//` ≡ Spark `DIV`), forward
+      * best-by-margin with the same tie-break.
+      */
+    val bitextMineSql: String =
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec, label
+        |      FROM embeddings),
+        |a AS (SELECT vec_id AS a_id, vec AS a_vec FROM e WHERE label % 2 = 0),
+        |b AS (SELECT vec_id AS b_id, vec AS b_vec FROM e WHERE label % 2 = 1),
+        |s AS (SELECT a_id, b_id,
+        |    CAST(round(list_cosine_similarity(a_vec, b_vec) * 1000000, 0)
+        |      AS BIGINT) AS cos_micro
+        |  FROM a CROSS JOIN b),
+        |r AS (SELECT *,
+        |    row_number() OVER (PARTITION BY a_id
+        |      ORDER BY cos_micro DESC, b_id ASC) AS rf,
+        |    row_number() OVER (PARTITION BY b_id
+        |      ORDER BY cos_micro DESC, a_id ASC) AS rb
+        |  FROM s),
+        |f AS (SELECT a_id, CAST(sum(cos_micro) AS BIGINT) AS fwd_sum
+        |  FROM r WHERE rf <= 4 GROUP BY 1),
+        |g AS (SELECT b_id, CAST(sum(cos_micro) AS BIGINT) AS bwd_sum
+        |  FROM r WHERE rb <= 4 GROUP BY 1),
+        |m AS (SELECT r.a_id, r.b_id, r.cos_micro,
+        |    (r.cos_micro * 8 * 1000000) // (fwd_sum + bwd_sum) AS margin_ppm
+        |  FROM r JOIN f USING (a_id) JOIN g USING (b_id)
+        |  WHERE rf <= 4 AND cos_micro > 0 AND fwd_sum + bwd_sum > 0),
+        |z AS (SELECT *, row_number() OVER (PARTITION BY a_id
+        |    ORDER BY margin_ppm DESC, b_id ASC) AS rk FROM m)
+        |SELECT a_id, b_id, cos_micro, margin_ppm FROM z
+        |WHERE rk = 1 AND margin_ppm >= 1000000""".stripMargin
 
     /** DuckDB twin of EmbeddingKnn.ivfSeeded: same md5-sampled centroids,
       * argmin cell assignment (explicit left-assoc squared-diff chain ≡

@@ -397,4 +397,60 @@ object EmbeddingKnn {
       .filter(col("rank") <= k)
       .select("q_id", "c_id", "adist", "rank")
   }
+
+  /** Margin-based bitext mining (the CCMatrix/LASER ratio-margin criterion,
+    * Artetxe & Schwenk): candidate pair (x, y) across the two pools scores
+    * `cos(x,y)` normalized by the mean cosine of each side's k nearest
+    * neighbors in the OTHER pool — a pair is mined only when it stands out
+    * from both local neighborhoods (raw cosine thresholds can't do this:
+    * hubs clear them everywhere). Pools here are the embedding fixture's
+    * even/odd label halves standing in for the two languages.
+    *
+    * Engine-exact integer arithmetic: cosines travel as micros, both
+    * neighborhood means stay SUMS (order-free integer aggregation), and
+    * `margin_ppm = cos_micro·2k·10^6 DIV (fwd_sum + bwd_sum)` — both
+    * engines truncate positive integer division identically, and the
+    * pair filter `cos_micro > 0` keeps the numerator positive. One
+    * A×B cosine matrix feeds BOTH direction top-ks (cosine is symmetric),
+    * so the mining pass is one broadcast join + two windows + two
+    * map-side-combined sums. At corpus scale swap the exact matrix for any
+    * bucketed candidate generator in this file (signLsh / ivfSeeded) on
+    * each direction — the margin tail is unchanged.
+    *
+    * @return (a_id, b_id, cos_micro, margin_ppm) — per source vector its
+    *         best-margin target, kept above `minMarginPpm`
+    */
+  def bitextMine(emb: DataFrame, k: Int = 4,
+                 minMarginPpm: Long = 1000000L): DataFrame = {
+    val a = emb.filter(col("label") % 2 === 0)
+      .select(col("vec_id").as("a_id"), asDouble(col("embedding")).as("a_vec"))
+    val b = emb.filter(col("label") % 2 === 1)
+      .select(col("vec_id").as("b_id"), asDouble(col("embedding")).as("b_vec"))
+    val sims = a.crossJoin(broadcast(b))
+      .withColumn("cos_micro",
+        round(VectorOps.cosine(col("a_vec"), col("b_vec")) * 1e6, 0)
+          .cast("long"))
+      .select("a_id", "b_id", "cos_micro")
+    val wF = Window.partitionBy("a_id")
+      .orderBy(col("cos_micro").desc, col("b_id").asc)
+    val wB = Window.partitionBy("b_id")
+      .orderBy(col("cos_micro").desc, col("a_id").asc)
+    val ranked = sims
+      .withColumn("rf", row_number().over(wF))
+      .withColumn("rb", row_number().over(wB))
+    val fwd = ranked.filter(col("rf") <= k)
+      .groupBy("a_id").agg(sum("cos_micro").as("fwd_sum"))
+    val bwd = ranked.filter(col("rb") <= k)
+      .groupBy("b_id").agg(sum("cos_micro").as("bwd_sum"))
+    val wM = Window.partitionBy("a_id")
+      .orderBy(col("margin_ppm").desc, col("b_id").asc)
+    ranked.filter(col("rf") <= k && col("cos_micro") > 0)
+      .join(fwd, Seq("a_id")).join(bwd, Seq("b_id"))
+      .filter(col("fwd_sum") + col("bwd_sum") > 0)
+      .withColumn("margin_ppm",
+        expr(s"(cos_micro * ${2 * k} * 1000000) DIV (fwd_sum + bwd_sum)"))
+      .withColumn("rk", row_number().over(wM))
+      .filter(col("rk") === 1 && col("margin_ppm") >= minMarginPpm)
+      .select("a_id", "b_id", "cos_micro", "margin_ppm")
+  }
 }

@@ -361,4 +361,33 @@ class DedupSpec extends AnyFunSuite {
     assert(got(2L) == ((2L, 1L, "x y z")))         // shared para dropped
     assert(got(3L) == ((3L, 1L, "q")))             // both copies dropped
   }
+
+  test("bitextMine: planted translation pair wins with the hand-computed margin") {
+    import graft.extra.EmbeddingKnn
+    val r2 = (1.0 / math.sqrt(2)).toFloat
+    // even labels = source pool, odd labels = target pool; a1 == b1 is the
+    // planted pair; a3 is halfway between a1 and a2
+    val emb = Seq(
+      (1L, Seq(1f, 0f, 0f, 0f), 0),   // a1
+      (2L, Seq(0f, 1f, 0f, 0f), 0),   // a2
+      (3L, Seq(r2, r2, 0f, 0f), 0),   // a3
+      (11L, Seq(1f, 0f, 0f, 0f), 1),  // b1 = a1's "translation"
+      (12L, Seq(0f, 0f, 1f, 0f), 1),  // b2 orthogonal to everything
+      (13L, Seq(0f, 0f, 0f, 1f), 1)   // b3 orthogonal to everything
+    ).toDF("vec_id", "embedding", "label")
+    val got = EmbeddingKnn.bitextMine(emb, k = 2, minMarginPpm = 1000000L)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // a1's neighborhood: cos(a1,b1)=1, others 0 -> fwd_sum = 1e6
+    // b1's neighborhood: cos(a1,b1)=1, cos(a3,b1)=.707107 -> bwd_sum = 1707107
+    // margin = 1e6 * 4 * 1e6 / 2707107 (truncating) = 1477601
+    assert(got(1L) == ((11L, 1000000L, 4000000000000L / 2707107L)))
+    // a2 has no positive-cosine target above margin 1.0 against b1's strong
+    // neighborhood; a3's best is also b1 but margin stays below a1's
+    assert(!got.contains(2L))
+    got.get(3L).foreach { case (bid, _, margin) =>
+      assert(bid == 11L && margin < got(1L)._3)
+    }
+  }
 }
