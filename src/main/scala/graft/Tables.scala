@@ -22,10 +22,17 @@ object Tables {
       try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       catch { case _: Exception => () } // read-only conf in some harnesses
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    df.schema.fields.find(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType) match {
-      case Some(_) =>
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.LongType) =>
         df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-      case None => df
+      case Some(org.apache.spark.sql.types.TimestampNTZType) =>
+        // parquet timestamp[us] with isAdjustedToUTC=false surfaces as NTZ
+        // under Spark's default inferTimestampNTZ; watermarks and epoch
+        // functions require TIMESTAMP. Session tz is UTC everywhere, so the
+        // cast is value-identical to what DuckDB reads.
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
     }
   }
 
