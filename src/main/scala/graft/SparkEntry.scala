@@ -1,6 +1,6 @@
 package graft
 
-import graft.extra.{CardSketch, CorpusOps, Dedup, EmbeddingKnn, GraphOps, TextStats}
+import graft.extra.{CardSketch, CorpusOps, Dedup, EmbeddingKnn, GraphOps, Signals, TextStats}
 import graft.ingest.{Embedder, Profiler, TermStats}
 import graft.search.{Bm25, CombinedScorer, DistanceJoin, Matcher, Sketches}
 import graft.streaming.EventWindows
@@ -545,6 +545,22 @@ object SparkEntry {
     "doc_fingerprint" -> ((s, d) =>
       TextStats.fingerprint(T(s, d, "documents"), "doc_id", "text")),
 
+    // named Gopher format/quality rules, individually auditable + keep flag
+    "gopher_rules" -> ((s, d) =>
+      Signals.gopherRules(T(s, d, "documents"), "doc_id", "text")),
+
+    // char-unigram Shannon entropy in integer micronats (compressibility proxy)
+    "char_entropy" -> ((s, d) =>
+      Signals.charEntropy(T(s, d, "documents"), "doc_id", "text")),
+
+    // per-language subword-per-word tokenizer budget diagnostic
+    "token_fertility" -> ((s, d) =>
+      Signals.tokenFertility(T(s, d, "documents"), "lang", "text")),
+
+    // per-source vocabulary size / hapax tail / type-token ratio
+    "vocab_growth" -> ((s, d) =>
+      Signals.vocabGrowth(T(s, d, "documents"), "source", "text")),
+
     // add-1 unigram LM mean-logprob scoring (the KenLM-style quality filter)
     "lm_quality" -> ((s, d) =>
       TextStats.lmScore(T(s, d, "documents"), "doc_id", "text")),
@@ -972,6 +988,64 @@ object SparkEntry {
         | CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_word_punct,
         | CAST(ceil(CAST(length(text) AS DOUBLE) / 4.0) AS BIGINT) AS n_bpe_est
         |FROM documents""".stripMargin,
+
+    // mirrors Signals.gopherRules: same rule bounds, CASE-null → keep 0
+    "gopher_rules" ->
+      """WITH g AS (SELECT doc_id, text,
+        |  list_filter(string_split(lower(text), ' '), t -> t <> '') AS w,
+        |  string_split(text, chr(10)) AS lines
+        | FROM documents),
+        |c AS (SELECT doc_id,
+        |  CAST(len(w) AS BIGINT) AS n_words,
+        |  CASE WHEN len(w) > 0 THEN
+        |    round(CAST(length(replace(lower(text), ' ', '')) AS DOUBLE)/len(w), 6) END AS mean_word_len,
+        |  CASE WHEN len(w) > 0 THEN
+        |    round(CAST((length(text) - length(replace(text, '#', ''))
+        |      + len(regexp_extract_all(text, '\.\.\.'))) AS DOUBLE)/len(w), 6) END AS symbol_word_ratio,
+        |  round(CAST(len(list_filter(lines, l -> regexp_matches(l, '^\s*[-*•]'))) AS DOUBLE)/len(lines), 6) AS frac_bullet_lines,
+        |  round(CAST(len(list_filter(lines, l -> regexp_matches(l, '\.\.\.\s*$'))) AS DOUBLE)/len(lines), 6) AS frac_ellipsis_lines,
+        |  CASE WHEN len(w) > 0 THEN
+        |    round(CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)/len(w), 6) END AS frac_alpha_words,
+        |  CAST(len(list_filter(w, x -> x IN ('the','a','an','and','or','of','to','in','is','it'))) AS BIGINT) AS stopword_hits
+        | FROM g)
+        |SELECT *, CASE WHEN n_words BETWEEN 50 AND 100000
+        |  AND mean_word_len BETWEEN 3.0 AND 10.0
+        |  AND symbol_word_ratio <= 0.1
+        |  AND frac_bullet_lines <= 0.9
+        |  AND frac_ellipsis_lines <= 0.3
+        |  AND frac_alpha_words >= 0.8
+        |  AND stopword_hits >= 2 THEN 1 ELSE 0 END AS keep
+        |FROM c""".stripMargin,
+
+    // generated from the same alphabet constant as the Scala side
+    "char_entropy" -> Signals.charEntropySqlFor("documents", "doc_id", "text"),
+
+    "token_fertility" ->
+      """WITH s AS (SELECT lang,
+        |  len(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS w,
+        |  len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]')) AS tk,
+        |  length(text) AS ch
+        | FROM documents)
+        |SELECT lang,
+        | CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(w) AS BIGINT) AS n_words,
+        | CAST(sum(tk) AS BIGINT) AS n_tokens,
+        | CAST(sum(ch) AS BIGINT) AS n_chars,
+        | round(CAST(sum(tk) AS DOUBLE)/NULLIF(sum(w), 0), 6) AS fertility,
+        | round(CAST(sum(tk) AS DOUBLE)/NULLIF(sum(ch), 0), 6) AS tokens_per_char
+        |FROM s GROUP BY lang""".stripMargin,
+
+    "vocab_growth" ->
+      """WITH w AS (SELECT source,
+        |  unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS word
+        | FROM documents),
+        |c AS (SELECT source, word, count(*) AS cnt FROM w GROUP BY 1, 2)
+        |SELECT source,
+        | CAST(sum(cnt) AS BIGINT) AS n_tokens,
+        | CAST(count(*) AS BIGINT) AS vocab_size,
+        | CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_count,
+        | round(CAST(count(*) AS DOUBLE)/NULLIF(sum(cnt), 0), 6) AS ttr
+        |FROM c GROUP BY source""".stripMargin,
 
     "doc_fingerprint" ->
       """SELECT doc_id, md5(trim(regexp_replace(

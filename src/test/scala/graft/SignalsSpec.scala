@@ -1,0 +1,115 @@
+package graft
+
+import graft.extra.Signals
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The fixture corpus is single-line word-soup, so the oracle query
+  * (gopher_rules / char_entropy / token_fertility / vocab_growth) never
+  * exercises the line-based rules — these specs plant synthetic documents
+  * with bullets, ellipses and newlines and hand-compute the expected rule
+  * values and entropy micronats.
+  */
+class SignalsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def gopherRow(text: String): org.apache.spark.sql.Row = {
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    Signals.gopherRules(df, "doc_id", "text").collect().head
+  }
+
+  test("gopherRules: a clean long document keeps") {
+    // 50 words incl. stopwords, mean word length in [3,10]
+    val text = (Seq.fill(24)("the quick") :+ "dogs jump").mkString(" ")
+    val r = gopherRow(text)
+    assert(r.getAs[Long]("n_words") == 50L)
+    assert(r.getAs[Long]("stopword_hits") == 24L)
+    assert(r.getAs[Double]("frac_alpha_words") == 1.0)
+    assert(r.getAs[Int]("keep") == 1)
+  }
+
+  test("gopherRules: short doc, bullet lines and symbol ratio each reject") {
+    assert(gopherRow("the cat sat").getAs[Int]("keep") == 0, "too few words")
+
+    // all lines bullets → frac_bullet_lines = 1.0 > 0.9 rejects even when
+    // the word count passes
+    val bullets = Seq.fill(25)("- the item listed here").mkString("\n")
+    val b = gopherRow(bullets)
+    assert(b.getAs[Double]("frac_bullet_lines") == 1.0)
+    assert(b.getAs[Long]("n_words") >= 50L)
+    assert(b.getAs[Int]("keep") == 0)
+
+    // '#'-dense text → symbol_word_ratio > 0.1 rejects
+    val hashy = (Seq.fill(25)("the word## here##")).mkString(" ")
+    val h = gopherRow(hashy)
+    assert(h.getAs[Double]("symbol_word_ratio") > 0.1)
+    assert(h.getAs[Int]("keep") == 0)
+
+    // ellipsis-terminated lines beyond 0.3 reject
+    val ell = (Seq.fill(10)("the line trails off...") ++
+      Seq("the line stays")).mkString("\n")
+    val e = gopherRow(ell)
+    assert(e.getAs[Double]("frac_ellipsis_lines") > 0.3)
+    assert(e.getAs[Int]("keep") == 0)
+  }
+
+  test("gopherRules: empty doc gets NULL ratios and keep 0") {
+    val r = gopherRow("")
+    assert(r.getAs[Long]("n_words") == 0L)
+    assert(r.isNullAt(r.fieldIndex("mean_word_len")))
+    assert(r.getAs[Int]("keep") == 0)
+  }
+
+  test("charEntropy: single-symbol text is 0; 'ab' is 2*round half-micros of ln 2") {
+    val df = Seq((1L, "aaaa"), (2L, "ab"), (3L, "")).toDF("doc_id", "text")
+    val got = Signals.charEntropy(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(got(1L).contains(0L), "p=1 → ln 1 = 0 → zero entropy")
+    // each symbol: p=.5, round(ln .5, 6) = -0.693147;
+    // term = round(0.5 * 0.693147 * 1e6) = round(346573.5) = 346574
+    assert(got(2L).contains(693148L))
+    assert(got(3L).isEmpty, "empty doc → NULL entropy")
+  }
+
+  test("charEntropy orders texts by diversity") {
+    val df = Seq(
+      (1L, "aaaaaaaaaaaaaaaa"),
+      (2L, "the cat sat on the mat"),
+      (3L, "abcdefghijklmnop")).toDF("doc_id", "text")
+    val e = Signals.charEntropy(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(e(1L) < e(2L) && e(2L) < e(3L))
+  }
+
+  test("tokenFertility: punctuation-heavy language pays more tokens per word") {
+    val df = Seq(
+      ("aa", "the plain words here"),
+      ("bb", "the plain, words; here!")).toDF("lang", "text")
+    val got = Signals.tokenFertility(df, "lang", "text").collect()
+      .map(r => r.getAs[String]("lang") -> r).toMap
+    assert(got("aa").getAs[Long]("n_words") == 4L)
+    assert(got("aa").getAs[Long]("n_tokens") == 4L)
+    assert(got("aa").getAs[Double]("fertility") == 1.0)
+    // "the plain , words ; here !" → 7 word/punct tokens over 4 words
+    assert(got("bb").getAs[Long]("n_tokens") == 7L)
+    assert(got("bb").getAs[Double]("fertility") == 1.75)
+  }
+
+  test("vocabGrowth: hapax tail and type/token ratio per source") {
+    val df = Seq(
+      ("s1", "the the the cat"),
+      ("s1", "the dog"),
+      ("s2", "all words differ here")).toDF("source", "text")
+    val got = Signals.vocabGrowth(df, "source", "text").collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    // s1: tokens=6 {the:4, cat:1, dog:1} → vocab 3, hapax 2, ttr 0.5
+    assert(got("s1").getAs[Long]("n_tokens") == 6L)
+    assert(got("s1").getAs[Long]("vocab_size") == 3L)
+    assert(got("s1").getAs[Long]("hapax_count") == 2L)
+    assert(got("s1").getAs[Double]("ttr") == 0.5)
+    // s2: every word a hapax → ttr 1.0
+    assert(got("s2").getAs[Long]("hapax_count") == 4L)
+    assert(got("s2").getAs[Double]("ttr") == 1.0)
+  }
+}
