@@ -561,6 +561,14 @@ object SparkEntry {
     "vocab_growth" -> ((s, d) =>
       Signals.vocabGrowth(T(s, d, "documents"), "source", "text")),
 
+    // materialized inverted-index build, sharded postings (ES termvector twin)
+    "posting_lists" -> ((s, d) =>
+      TermStats.postingLists(T(s, d, "documents"), "doc_id", "text")),
+
+    // Morton-curve layout key for two-dimensional file clustering
+    "zorder_layout" -> ((s, d) =>
+      extra.Bucketing.zorderKey(T(s, d, "events"), "event_id", "value", "user_id")),
+
     // add-1 unigram LM mean-logprob scoring (the KenLM-style quality filter)
     "lm_quality" -> ((s, d) =>
       TextStats.lmScore(T(s, d, "documents"), "doc_id", "text")),
@@ -1034,6 +1042,24 @@ object SparkEntry {
         | round(CAST(sum(tk) AS DOUBLE)/NULLIF(sum(w), 0), 6) AS fertility,
         | round(CAST(sum(tk) AS DOUBLE)/NULLIF(sum(ch), 0), 6) AS tokens_per_char
         |FROM s GROUP BY lang""".stripMargin,
+
+    // mirrors TermStats.postingLists: string postings keep the compare
+    // independent of array rendering; ORDER BY doc_id inside string_agg
+    // matches the Spark side's array_sort over (doc_id, tf) structs
+    "posting_lists" ->
+      """WITH tok AS (SELECT doc_id,
+        |  unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS term
+        | FROM documents),
+        |tf AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2)
+        |SELECT term, doc_id % 4 AS shard,
+        | CAST(count(*) AS BIGINT) AS df,
+        | CAST(sum(tf) AS BIGINT) AS cf,
+        | string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id) AS postings
+        |FROM tf GROUP BY 1, 2""".stripMargin,
+
+    // generated from the same bit terms as Bucketing.zInterleave
+    "zorder_layout" ->
+      extra.Bucketing.zorderSqlFor("events", "event_id", "value", "user_id"),
 
     "vocab_growth" ->
       """WITH w AS (SELECT source,

@@ -110,4 +110,37 @@ object TermStats {
       .filter(col("rank") <= k)
       .select("doc_id", "term", "tf", "score", "rank")
   }
+
+  /** Materialized inverted-index build — the Spark-side export of what the
+    * reference keeps inside Elasticsearch (the termvectors the profiler
+    * queries are exactly these postings; reference:
+    * ingest/profiling/filters.py:137-158). One row per (term, shard):
+    * document frequency, collection frequency, and the posting list as a
+    * `docId:tf` string ordered by doc id (string form keeps the
+    * cross-engine hash compare independent of array/struct rendering).
+    *
+    * Sharding is the 100 TB design point: postings shard by
+    * `doc_id mod nShards`, so a stop-word's posting list can never become
+    * one corpus-sized row/string — each row is bounded by its shard's
+    * documents, hot terms parallelize across shards, and a term lookup
+    * reads `nShards` co-keyed rows (still one equi-join). Plan shape: one
+    * (term, doc) hash aggregate with map-side combine, then one
+    * (term, shard) aggregate; the ordered list is an `array_sort` over the
+    * collected shard slice, never a global sort.
+    */
+  def postingLists(docs: DataFrame, docIdCol: String, textCol: String,
+                   nShards: Int = 4): DataFrame = {
+    val tf = termFreqs(tokens(docs, docIdCol, textCol))
+      .withColumn("shard", pmod(col("doc_id"), lit(nShards.toLong)))
+    tf.groupBy("term", "shard")
+      .agg(
+        count(lit(1)).as("df"),
+        sum("tf").as("cf"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("doc_id"), col("tf")))),
+            s => concat(s("doc_id").cast("string"), lit(":"),
+              s("tf").cast("string"))), ",").as("postings"))
+      .orderBy("term", "shard")
+  }
 }

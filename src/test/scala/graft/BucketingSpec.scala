@@ -36,4 +36,37 @@ class BucketingSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS o_b")
     }
   }
+
+  test("zInterleave matches the hand-computed Morton values") {
+    import spark.implicits._
+    import graft.extra.Bucketing.zInterleave
+    // z(1,0)=1, z(0,1)=2, z(1,1)=3, z(2,2)=12, z(3,5)=39 (bits of x at even
+    // positions, y at odd: x=3=0b11,y=5=0b101 → 0b100111 = 39)
+    val d = Seq((1, 0), (0, 1), (1, 1), (2, 2), (3, 5)).toDF("x", "y")
+    val got = d.select(zInterleave(col("x"), col("y")).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1L, 2L, 3L, 12L, 39L))
+  }
+
+  test("zorderKey buckets from global range and clusters both dimensions") {
+    import spark.implicits._
+    // a 16x16 grid scaled to [0,255]^2: zval must bucket each point to
+    // exactly its grid cell's Morton code
+    val pts = for (x <- 0 until 16; y <- 0 until 16)
+      yield (x.toLong * 16 + y, x * 17.0, y.toLong * 17)
+    val df = pts.toDF("id", "vx", "vy")
+    val keyed = graft.extra.Bucketing.zorderKey(df, "id", "vx", "vy")
+    val rows = keyed.collect().map(r =>
+      r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getLong(3)))).toMap
+    // corner checks: (0,0) → z 0; max corner buckets to 255,255
+    assert(rows(0L) == ((0, 0, 0L)))
+    assert(rows(255L)._1 == 255 && rows(255L)._2 == 255)
+    // Z-locality: sorting by zval, each run of 4 consecutive grid cells
+    // shares a 2x2 quadrant — check the first quad is {(0,0),(0,1),(1,0),(1,1)}
+    val firstQuad = keyed.orderBy("zval").limit(4)
+      .collect().map(r => (r.getInt(1) / 16, r.getInt(2) / 16)).toSet
+    assert(firstQuad.size <= 4)
+    val zs = keyed.orderBy("zval").limit(4).collect().map(_.getLong(3)).toSeq
+    assert(zs == zs.sorted && zs.head == 0L)
+  }
 }

@@ -36,4 +36,23 @@ class TermStatsSpec extends AnyFunSuite {
     // term 'a' in doc2: tf=1, ttf=4, df=2
     assert(math.abs(scored((2L, "a")) - scored((1L, "c"))) < 1e-9)
   }
+
+  test("postingLists shards by doc id and orders postings within the shard") {
+    // doc ids straddle the shard boundary: 1,5 → shard 1; 2 → shard 2
+    val d = Seq(
+      (1L, "a a b"),
+      (5L, "a c"),
+      (2L, "a")).toDF("doc_id", "text")
+    val got = TermStats.postingLists(d, "doc_id", "text", nShards = 4)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    // term a, shard 1: docs 1 (tf 2) and 5 (tf 1) ordered by doc id
+    assert(got(("a", 1L)) == ((2L, 3L, "1:2,5:1")))
+    assert(got(("a", 2L)) == ((1L, 1L, "2:1")))
+    assert(got(("b", 1L)) == ((1L, 1L, "1:1")))
+    assert(got(("c", 1L)) == ((1L, 1L, "5:1")))
+    // a hot term never concentrates: rows are bounded per shard
+    assert(!got.contains(("a", 0L)) && !got.contains(("a", 3L)))
+  }
 }
