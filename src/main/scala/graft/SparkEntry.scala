@@ -446,6 +446,10 @@ object SparkEntry {
       graft.extra.CorpusPipeline.build2(
         T(s, d, "documents"), T(s, d, "embeddings"))),
 
+    // stage-by-stage attrition telemetry over the curation gates
+    "curation_funnel" -> ((s, d) =>
+      graft.extra.CorpusPipeline.curationFunnel(T(s, d, "documents"))),
+
     // PII scrub: the fixture text is pure lowercase words, so the query
     // injects deterministic synthetic PII (same expression in the oracle) —
     // the redaction/count logic is exercised on varied non-trivial inputs
@@ -998,32 +1002,10 @@ object SparkEntry {
         |FROM documents""".stripMargin,
 
     // mirrors Signals.gopherRules: same rule bounds, CASE-null → keep 0
-    "gopher_rules" ->
-      """WITH g AS (SELECT doc_id, text,
-        |  list_filter(string_split(lower(text), ' '), t -> t <> '') AS w,
-        |  string_split(text, chr(10)) AS lines
-        | FROM documents),
-        |c AS (SELECT doc_id,
-        |  CAST(len(w) AS BIGINT) AS n_words,
-        |  CASE WHEN len(w) > 0 THEN
-        |    round(CAST(length(replace(lower(text), ' ', '')) AS DOUBLE)/len(w), 6) END AS mean_word_len,
-        |  CASE WHEN len(w) > 0 THEN
-        |    round(CAST((length(text) - length(replace(text, '#', ''))
-        |      + len(regexp_extract_all(text, '\.\.\.'))) AS DOUBLE)/len(w), 6) END AS symbol_word_ratio,
-        |  round(CAST(len(list_filter(lines, l -> regexp_matches(l, '^\s*[-*•]'))) AS DOUBLE)/len(lines), 6) AS frac_bullet_lines,
-        |  round(CAST(len(list_filter(lines, l -> regexp_matches(l, '\.\.\.\s*$'))) AS DOUBLE)/len(lines), 6) AS frac_ellipsis_lines,
-        |  CASE WHEN len(w) > 0 THEN
-        |    round(CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)/len(w), 6) END AS frac_alpha_words,
-        |  CAST(len(list_filter(w, x -> x IN ('the','a','an','and','or','of','to','in','is','it'))) AS BIGINT) AS stopword_hits
-        | FROM g)
-        |SELECT *, CASE WHEN n_words BETWEEN 50 AND 100000
-        |  AND mean_word_len BETWEEN 3.0 AND 10.0
-        |  AND symbol_word_ratio <= 0.1
-        |  AND frac_bullet_lines <= 0.9
-        |  AND frac_ellipsis_lines <= 0.3
-        |  AND frac_alpha_words >= 0.8
-        |  AND stopword_hits >= 2 THEN 1 ELSE 0 END AS keep
-        |FROM c""".stripMargin,
+    "gopher_rules" -> O.gopherRulesSql,
+
+    // per-stage curation attrition: composed from the proven stage oracles
+    "curation_funnel" -> O.curationFunnelSql,
 
     // generated from the same alphabet constant as the Scala side
     "char_entropy" -> Signals.charEntropySqlFor("documents", "doc_id", "text"),
@@ -2776,6 +2758,97 @@ object SparkEntry {
         |FROM s JOIN scum USING (lang, source, quality)
         |JOIN gcum USING (quality)
         |JOIN ng USING (lang, source) CROSS JOIN na""".stripMargin
+
+    /** DuckDB twin of Signals.gopherRules: same rule bounds, CASE-null →
+      * keep 0.
+      */
+    val gopherRulesSql: String =
+      """WITH g AS (SELECT doc_id, text,
+        |  list_filter(string_split(lower(text), ' '), t -> t <> '') AS w,
+        |  string_split(text, chr(10)) AS lines
+        | FROM documents),
+        |c AS (SELECT doc_id,
+        |  CAST(len(w) AS BIGINT) AS n_words,
+        |  CASE WHEN len(w) > 0 THEN
+        |    round(CAST(length(replace(lower(text), ' ', '')) AS DOUBLE)/len(w), 6) END AS mean_word_len,
+        |  CASE WHEN len(w) > 0 THEN
+        |    round(CAST((length(text) - length(replace(text, '#', ''))
+        |      + len(regexp_extract_all(text, '\.\.\.'))) AS DOUBLE)/len(w), 6) END AS symbol_word_ratio,
+        |  round(CAST(len(list_filter(lines, l -> regexp_matches(l, '^\s*[-*•]'))) AS DOUBLE)/len(lines), 6) AS frac_bullet_lines,
+        |  round(CAST(len(list_filter(lines, l -> regexp_matches(l, '\.\.\.\s*$'))) AS DOUBLE)/len(lines), 6) AS frac_ellipsis_lines,
+        |  CASE WHEN len(w) > 0 THEN
+        |    round(CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)/len(w), 6) END AS frac_alpha_words,
+        |  CAST(len(list_filter(w, x -> x IN ('the','a','an','and','or','of','to','in','is','it'))) AS BIGINT) AS stopword_hits
+        | FROM g)
+        |SELECT *, CASE WHEN n_words BETWEEN 50 AND 100000
+        |  AND mean_word_len BETWEEN 3.0 AND 10.0
+        |  AND symbol_word_ratio <= 0.1
+        |  AND frac_bullet_lines <= 0.9
+        |  AND frac_ellipsis_lines <= 0.3
+        |  AND frac_alpha_words >= 0.8
+        |  AND stopword_hits >= 2 THEN 1 ELSE 0 END AS keep
+        |FROM c""".stripMargin
+
+    /** DuckDB twin of CorpusPipeline.curationFunnel: the proven stage
+      * oracles (fingerprint canonical, gopherRulesSql keep, repMetricsSql
+      * dup-ratio gate, decontaminateSql contaminated=0 with benchmark docs
+      * absent → dropped, qualityNormSql percentile gate) left-joined into
+      * one flag frame, cumulative-AND survivor sums, 6-row unpivot.
+      */
+    val curationFunnelSql: String =
+      s"""WITH base AS (SELECT doc_id,
+         |  CAST(len(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS BIGINT) AS toks
+         | FROM documents),
+         |fp AS (SELECT min(doc_id) AS doc_id, 1 AS g1 FROM (
+         |    SELECT doc_id, md5(trim(regexp_replace(
+         |      regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+         |      ' +', ' ', 'g'))) AS fingerprint FROM documents) z
+         |  GROUP BY fingerprint),
+         |gop AS (SELECT doc_id, keep AS g2 FROM ($gopherRulesSql) g0),
+         |rep AS (SELECT doc_id,
+         |    CASE WHEN dup_word_ratio <= 0.8 THEN 1 ELSE 0 END AS g3
+         |  FROM ($repMetricsSql) r0),
+         |dec AS (SELECT doc_id,
+         |    CASE WHEN contaminated = 0 THEN 1 ELSE 0 END AS g4
+         |  FROM ($decontaminateSql) d0),
+         |qn AS (SELECT doc_id,
+         |    CASE WHEN pct_group >= 0.1 THEN 1 ELSE 0 END AS g5
+         |  FROM ($qualityNormSql) q0),
+         |f AS (SELECT b.doc_id, b.toks,
+         |    coalesce(fp.g1, 0) AS g1, coalesce(gop.g2, 0) AS g2,
+         |    coalesce(rep.g3, 0) AS g3, coalesce(dec.g4, 0) AS g4,
+         |    coalesce(qn.g5, 0) AS g5
+         |  FROM base b
+         |  LEFT JOIN fp ON b.doc_id = fp.doc_id
+         |  LEFT JOIN gop ON b.doc_id = gop.doc_id
+         |  LEFT JOIN rep ON b.doc_id = rep.doc_id
+         |  LEFT JOIN dec ON b.doc_id = dec.doc_id
+         |  LEFT JOIN qn ON b.doc_id = qn.doc_id),
+         |a AS (SELECT
+         |  count(*) AS d0, sum(toks) AS t0,
+         |  sum(g1) AS d1, sum(CASE WHEN g1=1 THEN toks ELSE 0 END) AS t1,
+         |  sum(CASE WHEN g1=1 AND g2=1 THEN 1 ELSE 0 END) AS d2,
+         |  sum(CASE WHEN g1=1 AND g2=1 THEN toks ELSE 0 END) AS t2,
+         |  sum(CASE WHEN g1=1 AND g2=1 AND g3=1 THEN 1 ELSE 0 END) AS d3,
+         |  sum(CASE WHEN g1=1 AND g2=1 AND g3=1 THEN toks ELSE 0 END) AS t3,
+         |  sum(CASE WHEN g1=1 AND g2=1 AND g3=1 AND g4=1 THEN 1 ELSE 0 END) AS d4,
+         |  sum(CASE WHEN g1=1 AND g2=1 AND g3=1 AND g4=1 THEN toks ELSE 0 END) AS t4,
+         |  sum(CASE WHEN g1=1 AND g2=1 AND g3=1 AND g4=1 AND g5=1 THEN 1 ELSE 0 END) AS d5,
+         |  sum(CASE WHEN g1=1 AND g2=1 AND g3=1 AND g4=1 AND g5=1 THEN toks ELSE 0 END) AS t5
+         | FROM f)
+         |SELECT CAST(0 AS INT) AS stage_id, 'raw' AS stage,
+         |  CAST(d0 AS BIGINT) AS docs, CAST(t0 AS BIGINT) AS tokens,
+         |  round(CAST(d0 AS DOUBLE)/d0, 6) AS pct_docs FROM a
+         |UNION ALL SELECT 1, 'exact_dedup', CAST(d1 AS BIGINT),
+         |  CAST(t1 AS BIGINT), round(CAST(d1 AS DOUBLE)/d0, 6) FROM a
+         |UNION ALL SELECT 2, 'gopher', CAST(d2 AS BIGINT),
+         |  CAST(t2 AS BIGINT), round(CAST(d2 AS DOUBLE)/d0, 6) FROM a
+         |UNION ALL SELECT 3, 'repetition', CAST(d3 AS BIGINT),
+         |  CAST(t3 AS BIGINT), round(CAST(d3 AS DOUBLE)/d0, 6) FROM a
+         |UNION ALL SELECT 4, 'decontamination', CAST(d4 AS BIGINT),
+         |  CAST(t4 AS BIGINT), round(CAST(d4 AS DOUBLE)/d0, 6) FROM a
+         |UNION ALL SELECT 5, 'quality_pct', CAST(d5 AS BIGINT),
+         |  CAST(t5 AS BIGINT), round(CAST(d5 AS DOUBLE)/d0, 6) FROM a""".stripMargin
 
     /** DuckDB twin of CorpusPipeline.build2: the proven stage oracles
       * (fingerprint keep, qualityNormSql, semanticDedupSql keep=1, the

@@ -91,4 +91,61 @@ object CorpusPipeline {
       .join(split, "doc_id")
       .select("doc_id", "lang", "source", "quality", "pct_group", "split")
   }
+
+  /** Per-stage curation attrition report — the telemetry a production
+    * curation run publishes beside its output: how many documents (and
+    * whitespace tokens) survive each successive gate, cumulatively, in
+    * pipeline order: raw → exact fingerprint dedup → Gopher rule set
+    * ([[Signals.gopherRules]]) → repetition gate → benchmark
+    * decontamination (held-out docs count as dropped, as in [[build]]) →
+    * per-(lang, source) quality percentile. One left-join flag frame per
+    * gate, ONE corpus-pass aggregate computing every cumulative survivor
+    * sum at once, then a 6-row `stack` unpivot — the funnel costs one
+    * extra aggregate over what the gates themselves already cost, and
+    * nothing in it is corpus-sized except the per-doc flag joins.
+    *
+    * @return (stage_id, stage, docs, tokens, pct_docs) — 6 rows
+    */
+  def curationFunnel(docs: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text", maxDupRatio: Double = 0.8,
+                     minPctGroup: Double = 0.1): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"),
+      size(filter(split(lower(col(textCol)), " "), t => t =!= ""))
+        .cast("long").as("toks"))
+    val canon = TextStats.fingerprint(docs, idCol, textCol)
+      .groupBy("fingerprint").agg(min("doc_id").as("doc_id"))
+      .select(col("doc_id"), lit(1).as("g1"))
+    val gopher = Signals.gopherRules(docs, idCol, textCol)
+      .select(col("doc_id"), col("keep").as("g2"))
+    val rep = CorpusOps.repetitionMetrics(docs, idCol, textCol)
+      .select(col("doc_id"),
+        (col("dup_word_ratio") <= maxDupRatio).cast("int").as("g3"))
+    val decon = CorpusOps.decontaminate(docs, idCol, textCol)
+      .select(col("doc_id"), (col("contaminated") === 0).cast("int").as("g4"))
+    val qn = CorpusOps.qualityNorm(docs, idCol, textCol)
+      .select(col("doc_id"),
+        (col("pct_group") >= minPctGroup).cast("int").as("g5"))
+    val gates = Seq("g1", "g2", "g3", "g4", "g5")
+    val flags = Seq(canon, gopher, rep, decon, qn)
+      .foldLeft(base)((acc, g) => acc.join(g, Seq("doc_id"), "left"))
+      .na.fill(0, gates)
+    // cumulative conjunctions: stage k keeps docs passing gates 1..k
+    val cum = gates.scanLeft(lit(true))((acc, g) => acc && (col(g) === 1))
+    val aggCols = cum.zipWithIndex.flatMap { case (c, i) =>
+      Seq(sum(when(c, 1L).otherwise(0L)).as(s"d$i"),
+        sum(when(c, col("toks")).otherwise(0L)).as(s"t$i"))
+    }
+    val one = flags.agg(aggCols.head, aggCols.tail: _*)
+    val names = Seq("raw", "exact_dedup", "gopher", "repetition",
+      "decontamination", "quality_pct")
+    val stackExpr = names.zipWithIndex
+      .map { case (n, i) => s"$i, '$n', d$i, t$i" }
+      .mkString(s"stack(${names.size}, ", ", ",
+        ") as (stage_id, stage, docs, tokens)")
+    one.select(expr(stackExpr), col("d0"))
+      .withColumn("pct_docs",
+        round(col("docs").cast("double") / col("d0"), 6))
+      .drop("d0")
+      .orderBy("stage_id")
+  }
 }

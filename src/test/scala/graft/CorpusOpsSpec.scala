@@ -389,4 +389,31 @@ class CorpusOpsSpec extends AnyFunSuite {
     // 3 leaves + 2 lang subtotals + 1 grand
     assert(rows.size == 6)
   }
+
+  test("curationFunnel: cumulative monotone attrition, planted gate hits") {
+    import graft.extra.CorpusPipeline
+    // a clean 50-word doc, its exact duplicate (dies at exact_dedup), and a
+    // short doc (dies at the gopher word-count rule)
+    val clean = (Seq.fill(24)("the quick") :+ "dogs jump").mkString(" ")
+    val docs = Seq(
+      (1L, clean, "en", "s1"),
+      (2L, clean, "en", "s1"),    // duplicate fingerprint of doc 1
+      (3L, "the cat sat", "en", "s1")
+    ).toDF("doc_id", "text", "lang", "source")
+    val rows = CorpusPipeline.curationFunnel(docs).collect()
+      .map(r => r.getInt(0) -> ((r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))).toMap
+    assert(rows(0) == (("raw", 3L, 103L, 1.0)))
+    // duplicate dropped: 2 docs survive exact_dedup
+    assert(rows(1)._1 == "exact_dedup" && rows(1)._2 == 2L)
+    // the 3-word doc dies at gopher; the clean doc passes every later gate
+    assert(rows(2)._1 == "gopher" && rows(2)._2 == 1L && rows(2)._3 == 50L)
+    // docs and tokens never increase down the funnel
+    val seq = (0 to 5).map(rows)
+    assert(seq.sliding(2).forall { case Seq(a, b) => b._2 <= a._2 && b._3 <= a._3 })
+    // pct is docs/raw at 6 decimals
+    seq.foreach { case (_, d, _, p) =>
+      assert(math.abs(p - math.rint(d.toDouble / 3.0 * 1e6) / 1e6) < 1e-9)
+    }
+  }
 }
