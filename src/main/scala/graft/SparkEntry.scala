@@ -613,6 +613,10 @@ object SparkEntry {
     "event_sessions" -> ((s, d) =>
       EventWindows.sessions(T(s, d, "events"), "2 hours")),
 
+    // schema-checked JSON property extraction + per-type rollup (F7)
+    "event_props" -> ((s, d) =>
+      EventWindows.propsStats(T(s, d, "events"))),
+
     // as-of alignment: each click joined to the latest prior purchase
     "event_asof" -> ((s, d) =>
       EventWindows.asOf(T(s, d, "events"))),
@@ -1067,6 +1071,15 @@ object SparkEntry {
         |FROM events GROUP BY 1,2""".stripMargin,
 
     "event_sessions" -> O.sessionsSql,
+
+    "event_props" ->
+      """SELECT event_type,
+        | CAST(count(*) AS BIGINT) AS n_events,
+        | CAST(count(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS n_with_k,
+        | CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+        | round(CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS DOUBLE)
+        |   / NULLIF(count(CAST(json_extract(props, '$.k') AS INT)), 0), 6) AS avg_k
+        |FROM events GROUP BY event_type""".stripMargin,
 
     // DuckDB's native ASOF JOIN is the oracle; the right side is deduped to
     // the max event_id per (user, ts) first — ASOF leaves equal-ts picks

@@ -249,4 +249,27 @@ object EventWindows {
           next
       }
   }
+
+  /** Typed JSON property extraction + per-type rollup — the F7 surface
+    * (reference keeps payloads as JSON strings; `ingest/ingest.py` decodes
+    * ad hoc). `from_json` with an explicit schema is the Spark-first form:
+    * schema-checked, codegen'd, corrupt payloads become NULL structs (and
+    * are counted, not dropped silently). One map-side-combined aggregate
+    * to |event types| rows.
+    *
+    * @return (event_type, n_events, n_with_k, sum_k, avg_k) by type
+    */
+  def propsStats(events: DataFrame): DataFrame = {
+    val k = from_json(col("props"), "k INT",
+      Map.empty[String, String]).getField("k")
+    events.select(col("event_type"), k.as("k"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(col("k")).as("n_with_k"),
+        sum(col("k").cast("long")).as("sum_k"))
+      .withColumn("avg_k", when(col("n_with_k") > 0,
+        round(col("sum_k").cast("double") / col("n_with_k"), 6)))
+      .orderBy("event_type")
+  }
 }

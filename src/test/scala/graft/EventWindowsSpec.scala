@@ -295,4 +295,20 @@ class EventWindowsSpec extends AnyFunSuite {
     assert(got(101L) == ((0L, 0.0)))
     assert(got.size == 2)
   }
+
+  test("propsStats: schema-checked extraction, corrupt payloads counted not dropped") {
+    import spark.implicits._
+    val ev = Seq(
+      ("click", """{"k": 3}"""),
+      ("click", """{"k": 5}"""),
+      ("click", "not json"),       // corrupt → NULL k, still an event
+      ("view", """{"other": 1}"""), // wrong key → NULL k
+      ("view", """{"k": 7}""")
+    ).toDF("event_type", "props")
+    val got = graft.streaming.EventWindows.propsStats(ev).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))).toMap
+    assert(got("click") == ((3L, 2L, 8L, 4.0)))
+    assert(got("view") == ((2L, 1L, 7L, 7.0)))
+  }
 }
