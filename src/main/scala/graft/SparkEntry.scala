@@ -450,6 +450,17 @@ object SparkEntry {
     "curation_funnel" -> ((s, d) =>
       graft.extra.CorpusPipeline.curationFunnel(T(s, d, "documents"))),
 
+    // dataset-versioning diff between two simulated corpus snapshots:
+    // old = ids % 7 != 3 with ids % 11 == 0 edited; new = ids % 13 != 5
+    "corpus_diff" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val old = docs.filter(col("doc_id") % 7 =!= 3)
+        .withColumn("text", when(col("doc_id") % 11 === 0,
+          concat(col("text"), lit(" v1"))).otherwise(col("text")))
+      val nw = docs.filter(col("doc_id") % 13 =!= 5)
+      CorpusOps.snapshotDiff(old, nw)
+    }),
+
     // PII scrub: the fixture text is pure lowercase words, so the query
     // injects deterministic synthetic PII (same expression in the oracle) —
     // the redaction/count logic is exercised on varied non-trivial inputs
@@ -1010,6 +1021,23 @@ object SparkEntry {
 
     // per-stage curation attrition: composed from the proven stage oracles
     "curation_funnel" -> O.curationFunnelSql,
+
+    "corpus_diff" ->
+      """WITH o AS (SELECT doc_id,
+        |   md5(trim(regexp_replace(regexp_replace(
+        |     lower(text || CASE WHEN doc_id % 11 = 0 THEN ' v1' ELSE '' END),
+        |     '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS old_fp
+        |  FROM documents WHERE doc_id % 7 <> 3),
+        |n AS (SELECT doc_id,
+        |   md5(trim(regexp_replace(regexp_replace(lower(text),
+        |     '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS new_fp
+        |  FROM documents WHERE doc_id % 13 <> 5)
+        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        | CASE WHEN o.doc_id IS NULL THEN 'added'
+        |      WHEN n.doc_id IS NULL THEN 'removed'
+        |      WHEN old_fp <> new_fp THEN 'changed'
+        |      ELSE 'unchanged' END AS status
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""".stripMargin,
 
     // generated from the same alphabet constant as the Scala side
     "char_entropy" -> Signals.charEntropySqlFor("documents", "doc_id", "text"),

@@ -390,6 +390,21 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(rows.size == 6)
   }
 
+  test("snapshotDiff: added/removed/changed/unchanged, jitter-stable identity") {
+    val old = Seq(
+      (1L, "the cat sat"),
+      (2L, "the dog ran"),
+      (3L, "gone tomorrow")).toDF("doc_id", "text")
+    val nw = Seq(
+      (1L, "The  cat... sat!"),   // formatting jitter only → unchanged
+      (2L, "the dog walked"),     // real edit → changed
+      (4L, "brand new doc")).toDF("doc_id", "text")
+    val got = CorpusOps.snapshotDiff(old, nw).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+  }
+
   test("curationFunnel: cumulative monotone attrition, planted gate hits") {
     import graft.extra.CorpusPipeline
     // a clean 50-word doc, its exact duplicate (dies at exact_dedup), and a
