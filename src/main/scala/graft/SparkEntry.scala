@@ -576,6 +576,10 @@ object SparkEntry {
     "vocab_growth" -> ((s, d) =>
       Signals.vocabGrowth(T(s, d, "documents"), "source", "text")),
 
+    // declared-vs-predicted language confusion matrix (mixture QA)
+    "lang_confusion" -> ((s, d) =>
+      Signals.langConfusion(T(s, d, "documents"), "doc_id", "text")),
+
     // materialized inverted-index build, sharded postings (ES termvector twin)
     "posting_lists" -> ((s, d) =>
       TermStats.postingLists(T(s, d, "documents"), "doc_id", "text")),
@@ -1074,6 +1078,16 @@ object SparkEntry {
     // generated from the same bit terms as Bucketing.zInterleave
     "zorder_layout" ->
       extra.Bucketing.zorderSqlFor("events", "event_id", "value", "user_id"),
+
+    "lang_confusion" ->
+      s"""WITH p AS (SELECT doc_id, lang_pred FROM (${O.langIdSql}) z),
+         |j AS (SELECT d.lang, p.lang_pred FROM documents d
+         |  JOIN p ON d.doc_id = p.doc_id),
+         |c AS (SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n
+         |  FROM j GROUP BY 1, 2)
+         |SELECT lang, lang_pred, n,
+         | round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY lang), 6) AS share
+         |FROM c""".stripMargin,
 
     "vocab_growth" ->
       """WITH w AS (SELECT source,

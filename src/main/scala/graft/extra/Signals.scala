@@ -206,6 +206,30 @@ object Signals {
   }
 
   // ---------------------------------------------------------------------
+  // Language confusion
+  // ---------------------------------------------------------------------
+
+  /** Declared-vs-predicted language confusion matrix — the corpus-QA
+    * report that catches mislabeled sources before they skew a mixture:
+    * counts per (declared, predicted) cell from [[TextStats.langId]], with
+    * each cell's share of its declared language. The matrix is
+    * |langs|² rows, so the share window is bounded however large the
+    * corpus; everything before it is one map-side-combined aggregate over
+    * the per-row language scorer.
+    *
+    * @return (lang, lang_pred, n, share) sorted by (lang, lang_pred)
+    */
+  def langConfusion(df: DataFrame, idCol: String, textCol: String,
+                    langCol: String = "lang"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+    TextStats.langId(df, idCol, textCol).select(col("doc_id"), col("lang_pred"))
+      .join(df.select(col(idCol).as("doc_id"), col(langCol).as("lang")), "doc_id")
+      .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
+      .withColumn("share", round(col("n").cast("double") / sum("n").over(w), 6))
+      .orderBy("lang", "lang_pred")
+  }
+
+  // ---------------------------------------------------------------------
   // Vocabulary growth
   // ---------------------------------------------------------------------
 

@@ -96,6 +96,21 @@ class SignalsSpec extends AnyFunSuite {
     assert(got("bb").getAs[Double]("fertility") == 1.75)
   }
 
+  test("langConfusion: counts per declared/predicted cell, shares sum to 1") {
+    val df = Seq(
+      (1L, "the cat and the dog", "en"),   // en markers → pred en
+      (2L, "der hund ist nicht da", "en"), // de markers under an en label
+      (3L, "el que la de y los", "es")     // es markers → pred es
+    ).toDF("doc_id", "text", "lang")
+    val got = Signals.langConfusion(df, "doc_id", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(("en", "en")) == ((1L, 0.5)))
+    assert(got(("en", "de")) == ((1L, 0.5)), "mislabeled doc lands off-diagonal")
+    assert(got(("es", "es")) == ((1L, 1.0)))
+    assert(got.size == 3)
+  }
+
   test("vocabGrowth: hapax tail and type/token ratio per source") {
     val df = Seq(
       ("s1", "the the the cat"),
