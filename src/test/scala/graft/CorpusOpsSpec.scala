@@ -405,6 +405,15 @@ class CorpusOpsSpec extends AnyFunSuite {
       3L -> "removed", 4L -> "added"))
   }
 
+  test("curationFunnel is partitioning-invariant (1 vs 7 partitions)") {
+    import graft.extra.CorpusPipeline
+    val docs = Tables.load(spark, SparkTestSession.sf0001, "documents")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    assert(key(CorpusPipeline.curationFunnel(docs)) ==
+      key(CorpusPipeline.curationFunnel(docs.repartition(7))))
+  }
+
   test("curationFunnel: cumulative monotone attrition, planted gate hits") {
     import graft.extra.CorpusPipeline
     // a clean 50-word doc, its exact duplicate (dies at exact_dedup), and a

@@ -111,6 +111,18 @@ class SignalsSpec extends AnyFunSuite {
     assert(got.size == 3)
   }
 
+  test("aggregate signals are partitioning-invariant (1 vs 7 partitions)") {
+    val docs = Tables.load(spark, SparkTestSession.sf0001, "documents")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    assert(key(Signals.tokenFertility(docs, "lang", "text")) ==
+      key(Signals.tokenFertility(docs.repartition(7), "lang", "text")))
+    assert(key(Signals.vocabGrowth(docs, "source", "text")) ==
+      key(Signals.vocabGrowth(docs.repartition(7), "source", "text")))
+    assert(key(Signals.langConfusion(docs, "doc_id", "text")) ==
+      key(Signals.langConfusion(docs.repartition(7), "doc_id", "text")))
+  }
+
   test("vocabGrowth: hapax tail and type/token ratio per source") {
     val df = Seq(
       ("s1", "the the the cat"),
