@@ -63,11 +63,14 @@ object Signals {
     * composite. `keep` is int 0/1 so the cross-engine hash compare never
     * depends on boolean rendering.
     *
+    * @param passthrough input columns appended verbatim to the output
+    *        (e.g. a precomputed entropy column on the streaming gate path)
     * @return (doc_id, n_words, mean_word_len, symbol_word_ratio,
     *         frac_bullet_lines, frac_ellipsis_lines, frac_alpha_words,
-    *         stopword_hits, keep)
+    *         stopword_hits, keep [, passthrough...])
     */
-  def gopherRules(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def gopherRules(df: DataFrame, idCol: String, textCol: String,
+                  passthrough: Seq[String] = Nil): DataFrame = {
     val t = col(textCol)
     val w = words(t)
     val nWords = size(w).cast("long")
@@ -98,7 +101,7 @@ object Signals {
         (ellipsisFrac <= MaxEllipsisLineFrac) &&
         (alphaFrac >= MinAlphaWordFrac) &&
         (stopHits >= MinStopwordHits)
-    df.select(
+    df.select(Seq(
       col(idCol).as("doc_id"),
       nWords.as("n_words"),
       meanLen.as("mean_word_len"),
@@ -107,7 +110,8 @@ object Signals {
       ellipsisFrac.as("frac_ellipsis_lines"),
       alphaFrac.as("frac_alpha_words"),
       stopHits.as("stopword_hits"),
-      coalesce(keep, lit(false)).cast("int").as("keep"))
+      coalesce(keep, lit(false)).cast("int").as("keep")) ++
+      passthrough.map(col): _*)
   }
 
   // ---------------------------------------------------------------------

@@ -75,4 +75,26 @@ object CorpusStream {
           corpus(), batch, idCol, textCol, threshold), id)
       finally graft.Caching.release()
     }.start()
+
+  /** Streaming quality gate — the ingest-time twin of the per-document
+    * signal operators: every arriving document gets its
+    * [[graft.extra.Signals.gopherRules]] verdict (all rule columns + keep)
+    * and its char-entropy micronats, as ONE stateless streaming projection.
+    * Because the batch operators are pure per-row expressions (no shuffle,
+    * no state), the SAME functions compose onto an unbounded stream
+    * unchanged — watermarks, state stores and output modes never enter the
+    * picture, and the gate's throughput is the scan's. Compose before
+    * [[dedupStream]] so obviously-rejected documents never occupy dedup
+    * state.
+    */
+  def signalGateStream(spark: SparkSession, dir: String, schema: StructType,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    val stream = spark.readStream.schema(schema).parquet(dir)
+      .withColumn("entropy_micro",
+        when(length(col(textCol)) > 0,
+          graft.functions.TextEntropy.charEntropyMicro(lower(col(textCol)))))
+    graft.extra.Signals.gopherRules(stream, idCol, textCol,
+      passthrough = Seq("entropy_micro"))
+  }
 }

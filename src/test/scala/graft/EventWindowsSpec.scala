@@ -89,6 +89,36 @@ class EventWindowsSpec extends AnyFunSuite {
       "documents 1 and 3 share a normalized fingerprint — only one survives")
   }
 
+  test("streaming signal gate equals the batch signal operators row for row") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("doc_stream_gate").toString
+    val clean = (Seq.fill(24)("the quick") :+ "dogs jump").mkString(" ")
+    val b1 = Seq((1L, clean), (2L, "the cat sat")).toDF("doc_id", "text")
+    val b2 = Seq((3L, ""), (4L, clean + " again")).toDF("doc_id", "text")
+    b1.coalesce(1).write.mode("append").parquet(dir)
+    b2.coalesce(1).write.mode("append").parquet(dir)
+
+    val q = graft.streaming.CorpusStream
+      .signalGateStream(spark, dir, b1.schema)
+      .writeStream.outputMode("append").format("memory").queryName("doc_gate")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("doc_gate").collect()
+      .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+
+    // batch twin over the union of both micro-batches
+    val docs = b1.union(b2)
+    val batch = graft.extra.Signals
+      .gopherRules(docs.withColumn("entropy_micro",
+        when(length(col("text")) > 0, graft.functions.TextEntropy
+          .charEntropyMicro(lower(col("text"))))), "doc_id", "text",
+        passthrough = Seq("entropy_micro"))
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(got == batch, "stream output must equal batch signals")
+    assert(got(1L).last != null && got(3L).last == null,
+      "entropy present for text, NULL for the empty doc")
+  }
+
   test("stream-static anti-join drops docs already fingerprinted in the corpus") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("doc_stream2").toString
