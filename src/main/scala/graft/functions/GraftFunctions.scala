@@ -23,7 +23,10 @@ object GraftFunctions {
     "int8_dot" -> (es => Int8DotProduct(es(0), es(1))),
     "hamming_dist" -> (es => HammingDistance(es(0), es(1))),
     // composed from codegen'd builtins, exposed under one SQL name
-    "rect_min_dist" -> (es => rectMinDistExpr(es(0), es(1)))
+    "rect_min_dist" -> (es => rectMinDistExpr(es(0), es(1))),
+    // one-pass char-unigram entropy in integer micronats (expects
+    // already-lowercased input; see functions/TextOps.scala)
+    "char_entropy_micro" -> (es => CharEntropyMicro(es(0)))
   )
 
   /** Catalyst-node twin of VectorOps.rectMinDist (a builder cannot embed

@@ -18,7 +18,9 @@ class GraftFunctionsSpec extends AnyFunSuite {
         |  rect_min_dist(array(0.0D, 0.0D, 1.0D, 1.0D),
         |                array(4.0D, 5.0D, 6.0D, 7.0D)) AS rm,
         |  rect_min_dist(array(0.0D, 0.0D, 2.0D, 2.0D),
-        |                array(1.0D, 1.0D, 3.0D, 3.0D)) AS rov
+        |                array(1.0D, 1.0D, 3.0D, 3.0D)) AS rov,
+        |  char_entropy_micro('ab') AS ent,
+        |  char_entropy_micro('aaaa') AS ent0
         |""".stripMargin).collect().head
     assert(r.getAs[Double]("e") == 5.0)
     assert(r.getAs[Double]("c") == 1.0)
@@ -27,6 +29,8 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(r.getAs[Int]("h") == 2)
     assert(r.getAs[Double]("rm") == 5.0) // gap dx=3, dy=4
     assert(r.getAs[Double]("rov") == 0.0) // overlapping boxes
+    assert(r.getAs[Long]("ent") == 693148L) // 2 * round-half-up micronats of ln 2
+    assert(r.getAs[Long]("ent0") == 0L)
   }
 
   test("functions run inside SQL over a table (codegen path)") {
