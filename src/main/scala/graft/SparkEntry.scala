@@ -416,6 +416,11 @@ object SparkEntry {
     "corpus_pack" -> ((s, d) =>
       CorpusOps.packSequences(T(s, d, "documents"), "doc_id", "text")),
 
+    // the trainer-facing composition of the two: epoch-1 (shard, pos)
+    // order + per-shard concatenate-and-chunk sequence assignment
+    "corpus_epoch_manifest" -> ((s, d) =>
+      CorpusOps.epochManifest(T(s, d, "documents"), "doc_id", "text", 1)),
+
     // stride-overlap context chunking (64-token chunks, stride 48)
     "doc_chunks" -> ((s, d) =>
       CorpusOps.chunkDocuments(T(s, d, "documents"), "doc_id", "text")),
@@ -494,6 +499,19 @@ object SparkEntry {
     // target per source where cos stands out from BOTH neighborhoods
     "bitext_mine" -> ((s, d) =>
       EmbeddingKnn.bitextMine(T(s, d, "embeddings"))),
+
+    // the registered SCALE path of bitext mining: candidates from a
+    // sign-LSH bucket equi-join instead of A×B; same margin tail
+    "bitext_mine_lsh" -> ((s, d) =>
+      EmbeddingKnn.bitextMineLsh(T(s, d, "embeddings"))),
+
+    // audits exactly that exact→bucketed swap: one summary row of how much
+    // of the exact mined set the bucketed run recovers
+    "bitext_recall" -> ((s, d) => {
+      val emb = T(s, d, "embeddings")
+      EmbeddingKnn.bitextRecall(
+        EmbeddingKnn.bitextMine(emb), EmbeddingKnn.bitextMineLsh(emb))
+    }),
 
     "knn_lsh" -> ((s, d) =>
       EmbeddingKnn.signLsh(T(s, d, "embeddings"), KnnQueryIds, 5, 8)
@@ -866,6 +884,27 @@ object SparkEntry {
         |  CAST(floor((cum - 1) / 2048.0) AS BIGINT) AS bin_last
         |FROM c""".stripMargin,
 
+    // mirrors CorpusOps.epochManifest: corpus_order's shard/key chain +
+    // corpus_pack's chunk formula, cumsum partitioned by shard
+    "corpus_epoch_manifest" ->
+      """WITH k AS (SELECT doc_id,
+        |    CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+        |      AS BIGINT) AS n_tokens,
+        |    md5('1:' || CAST(doc_id AS VARCHAR)) AS skey FROM documents),
+        |s AS (SELECT *,
+        |    CAST(('0x' || substring(skey, 1, 4))::BIGINT * 8 // 65536 AS BIGINT)
+        |      AS shard FROM k),
+        |r AS (SELECT *,
+        |    row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id) AS pos,
+        |    sum(n_tokens) OVER (PARTITION BY shard ORDER BY skey, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum FROM s)
+        |SELECT doc_id, CAST(1 AS BIGINT) AS epoch, shard,
+        |  CAST(pos AS BIGINT) AS pos, n_tokens,
+        |  CAST(cum - n_tokens AS BIGINT) AS start_tok,
+        |  CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS seq_first,
+        |  CAST(floor((cum - 1) / 2048.0) AS BIGINT) AS seq_last
+        |FROM r""".stripMargin,
+
     "corpus_split" ->
       """SELECT doc_id, lang,
         |  CASE WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 100 < 80
@@ -975,6 +1014,8 @@ object SparkEntry {
     "knn_cosine" -> O.knnCosineSql,
     "label_transfer" -> O.labelTransferSql,
     "bitext_mine" -> O.bitextMineSql,
+    "bitext_mine_lsh" -> O.bitextMineLshSql,
+    "bitext_recall" -> O.bitextRecallSql,
     "knn_lsh" -> O.knnLshSql,
     "knn_ivf" -> O.knnIvfSql,
     "corpus_domains" -> O.corpusDomainsSql,
@@ -1069,7 +1110,7 @@ object SparkEntry {
         |  unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS term
         | FROM documents),
         |tf AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2)
-        |SELECT term, doc_id % 4 AS shard,
+        |SELECT term, ((doc_id % 4) + 4) % 4 AS shard,
         | CAST(count(*) AS BIGINT) AS df,
         | CAST(sum(tf) AS BIGINT) AS cf,
         | string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id) AS postings
@@ -2419,38 +2460,70 @@ object SparkEntry {
          |    ORDER BY votes DESC, label ASC) AS rk FROM v) z
          |WHERE rk = 1""".stripMargin
 
-    /** DuckDB twin of EmbeddingKnn.bitextMine: one A×B cosine-micro matrix,
-      * both direction top-k neighborhood SUMS, the ratio margin as a
-      * truncating positive integer division (`//` ≡ Spark `DIV`), forward
-      * best-by-margin with the same tie-break.
+    /** DuckDB twin of EmbeddingKnn.bitextMarginTail, parameterized by the
+      * candidate-matrix CTE so the exact (A×B) and bucketed (sign-LSH
+      * equi-join) variants share one margin chain — mirroring the Scala
+      * side's shared tail: both direction top-k neighborhood SUMS, the
+      * ratio margin as a truncating positive integer division (`//` ≡
+      * Spark `DIV`), forward best-by-margin with the same tie-break.
       */
-    val bitextMineSql: String =
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec, label
-        |      FROM embeddings),
-        |a AS (SELECT vec_id AS a_id, vec AS a_vec FROM e WHERE label % 2 = 0),
-        |b AS (SELECT vec_id AS b_id, vec AS b_vec FROM e WHERE label % 2 = 1),
-        |s AS (SELECT a_id, b_id,
+    private def bitextSqlFrom(candSql: String): String =
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec, label
+         |      FROM embeddings),
+         |a AS (SELECT vec_id AS a_id, vec AS a_vec FROM e WHERE label % 2 = 0),
+         |b AS (SELECT vec_id AS b_id, vec AS b_vec FROM e WHERE label % 2 = 1),
+         |s AS ($candSql),
+         |r AS (SELECT *,
+         |    row_number() OVER (PARTITION BY a_id
+         |      ORDER BY cos_micro DESC, b_id ASC) AS rf,
+         |    row_number() OVER (PARTITION BY b_id
+         |      ORDER BY cos_micro DESC, a_id ASC) AS rb
+         |  FROM s),
+         |f AS (SELECT a_id, CAST(sum(cos_micro) AS BIGINT) AS fwd_sum
+         |  FROM r WHERE rf <= 4 GROUP BY 1),
+         |g AS (SELECT b_id, CAST(sum(cos_micro) AS BIGINT) AS bwd_sum
+         |  FROM r WHERE rb <= 4 GROUP BY 1),
+         |m AS (SELECT r.a_id, r.b_id, r.cos_micro,
+         |    (r.cos_micro * 8 * 1000000) // (fwd_sum + bwd_sum) AS margin_ppm
+         |  FROM r JOIN f USING (a_id) JOIN g USING (b_id)
+         |  WHERE rf <= 4 AND cos_micro > 0 AND fwd_sum + bwd_sum > 0),
+         |z AS (SELECT *, row_number() OVER (PARTITION BY a_id
+         |    ORDER BY margin_ppm DESC, b_id ASC) AS rk FROM m)
+         |SELECT a_id, b_id, cos_micro, margin_ppm FROM z
+         |WHERE rk = 1 AND margin_ppm >= 1000000""".stripMargin
+
+    val bitextMineSql: String = bitextSqlFrom(
+      """SELECT a_id, b_id,
         |    CAST(round(list_cosine_similarity(a_vec, b_vec) * 1000000, 0)
         |      AS BIGINT) AS cos_micro
-        |  FROM a CROSS JOIN b),
-        |r AS (SELECT *,
-        |    row_number() OVER (PARTITION BY a_id
-        |      ORDER BY cos_micro DESC, b_id ASC) AS rf,
-        |    row_number() OVER (PARTITION BY b_id
-        |      ORDER BY cos_micro DESC, a_id ASC) AS rb
-        |  FROM s),
-        |f AS (SELECT a_id, CAST(sum(cos_micro) AS BIGINT) AS fwd_sum
-        |  FROM r WHERE rf <= 4 GROUP BY 1),
-        |g AS (SELECT b_id, CAST(sum(cos_micro) AS BIGINT) AS bwd_sum
-        |  FROM r WHERE rb <= 4 GROUP BY 1),
-        |m AS (SELECT r.a_id, r.b_id, r.cos_micro,
-        |    (r.cos_micro * 8 * 1000000) // (fwd_sum + bwd_sum) AS margin_ppm
-        |  FROM r JOIN f USING (a_id) JOIN g USING (b_id)
-        |  WHERE rf <= 4 AND cos_micro > 0 AND fwd_sum + bwd_sum > 0),
-        |z AS (SELECT *, row_number() OVER (PARTITION BY a_id
-        |    ORDER BY margin_ppm DESC, b_id ASC) AS rk FROM m)
-        |SELECT a_id, b_id, cos_micro, margin_ppm FROM z
-        |WHERE rk = 1 AND margin_ppm >= 1000000""".stripMargin
+        |  FROM a CROSS JOIN b""".stripMargin)
+
+    /** DuckDB twin of EmbeddingKnn.bitextMineLsh: identical sign buckets on
+      * the leading 4 dims on both pools, candidates = bucket mates only.
+      */
+    val bitextMineLshSql: String = {
+      def bucket(v: String) = (1 to 4).map(i =>
+        s"CASE WHEN $v[$i] >= 0 THEN '1' ELSE '0' END").mkString(" || ")
+      bitextSqlFrom(
+        s"""SELECT a_id, b_id,
+           |    CAST(round(list_cosine_similarity(a_vec, b_vec) * 1000000, 0)
+           |      AS BIGINT) AS cos_micro
+           |  FROM a JOIN b ON (${bucket("a_vec")}) = (${bucket("b_vec")})""".stripMargin)
+    }
+
+    /** DuckDB twin of EmbeddingKnn.bitextRecall: mined-pair hit count of
+      * the bucketed run against the exact run, one summary row.
+      */
+    val bitextRecallSql: String =
+      s"""WITH ex AS (SELECT a_id, b_id FROM ($bitextMineSql)),
+         |ap AS (SELECT a_id, b_id FROM ($bitextMineLshSql)),
+         |na AS (SELECT count(*) AS n_approx FROM ap)
+         |SELECT count(*) AS n_exact, n_approx,
+         |  CAST(sum(CASE WHEN ap.b_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_hit,
+         |  CAST((sum(CASE WHEN ap.b_id IS NULL THEN 0 ELSE 1 END) * 1000000)
+         |    // count(*) AS DOUBLE) / 1e6 AS recall
+         |FROM ex LEFT JOIN ap ON ap.a_id = ex.a_id AND ap.b_id = ex.b_id
+         |CROSS JOIN na GROUP BY n_approx""".stripMargin
 
     /** DuckDB twin of EmbeddingKnn.ivfSeeded: same md5-sampled centroids,
       * argmin cell assignment (explicit left-assoc squared-diff chain ≡

@@ -54,11 +54,15 @@ object Bucketing {
         (shiftright(y, b).bitwiseAND(lit(1)) * lit(1L << (2 * b + 1)))
     }.reduce(_ + _)
 
+  /** NULL in → NULL out: without the isNotNull guard, floor(NULL) is NULL
+    * and both Spark's and DuckDB's least() SKIP NULLs, so NULL-valued rows
+    * would silently cluster at the max corner (bucket 2^bits-1).
+    */
   private def zBucket(v: Column, mn: Column, mx: Column, bits: Int): Column =
-    when(mx > mn,
+    when(v.isNotNull && (mx > mn),
       least(floor((v - mn) / (mx - mn) * (1 << bits)).cast("int"),
         lit((1 << bits) - 1)))
-      .otherwise(0)
+      .otherwise(when(v.isNotNull, 0))
 
   /** Z-order (Morton-curve) layout key for two numeric columns — the
     * multi-dimensional file-clustering strategy for 100 TB scans: range
@@ -93,7 +97,8 @@ object Bucketing {
   def zorderSqlFor(table: String, idCol: String, xCol: String, yCol: String,
                    bits: Int = ZBits): String = {
     def bucket(v: String, mn: String, mx: String) =
-      s"""CASE WHEN $mx > $mn THEN least(CAST(floor((CAST($v AS DOUBLE) - $mn)
+      s"""CASE WHEN $v IS NULL THEN NULL
+         | WHEN $mx > $mn THEN least(CAST(floor((CAST($v AS DOUBLE) - $mn)
          | / ($mx - $mn) * ${1 << bits}) AS INT), ${(1 << bits) - 1})
          | ELSE 0 END""".stripMargin.replace("\n", " ")
     val terms = (0 until bits).map { b =>

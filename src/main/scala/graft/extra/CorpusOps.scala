@@ -419,6 +419,48 @@ object CorpusOps {
       .select("doc_id", "epoch", "shard", "pos")
   }
 
+  /** Epoch → shard → packed-sequence manifest: [[epochOrder]]'s shuffle
+    * composed with [[packSequences]]'s concatenate-and-chunk map into the
+    * artifact a trainer actually consumes — per epoch, documents laid out
+    * in (shard, pos) order, each annotated with its token offset and the
+    * fixed-budget training sequence(s) it lands in WITHIN ITS SHARD (shard
+    * files are packed independently, exactly how sharded training data sits
+    * on disk; a reader streams shard k and cuts sequences at `budget`
+    * boundaries without any cross-shard coordination).
+    *
+    * One corpus scan, ONE window shuffle: the shuffle key and token count
+    * come from the same projection (no join back to the corpus), and the
+    * position row-number and the cumulative token sum share one
+    * (shard)-partitioned sort — this is also packSequences' promised
+    * scale path, since no single-partition global window appears (the
+    * per-shard cumsum replaces it, ~corpus/numShards rows per task).
+    *
+    * @return (doc_id, epoch, shard, pos, n_tokens, start_tok, seq_first,
+    *         seq_last) — start_tok is the offset within the shard's
+    *         concatenated token stream
+    */
+  def epochManifest(docs: DataFrame, idCol: String, textCol: String,
+                    epoch: Int, numShards: Int = 8,
+                    budget: Long = 2048): DataFrame = {
+    require(numShards > 0 && numShards <= 65536, "numShards in (0, 65536]")
+    val nToks = size(filter(split(lower(col(textCol)), " "), t => t =!= ""))
+      .cast("long")
+    val key = md5(concat_ws(":", lit(epoch), col(idCol).cast("string")))
+    val order = Window.partitionBy("shard").orderBy(col("skey"), col("doc_id"))
+    val cumW = order.rowsBetween(Window.unboundedPreceding, 0)
+    docs.select(col(idCol).as("doc_id"), nToks.as("n_tokens"), key.as("skey"))
+      .withColumn("shard",
+        (conv(substring(col("skey"), 1, 4), 16, 10).cast("long")
+          * numShards / 65536).cast("long"))
+      .withColumn("pos", row_number().over(order).cast("long"))
+      .withColumn("cum", sum("n_tokens").over(cumW))
+      .select(col("doc_id"), lit(epoch.toLong).as("epoch"), col("shard"),
+        col("pos"), col("n_tokens"),
+        (col("cum") - col("n_tokens")).as("start_tok"),
+        floor((col("cum") - col("n_tokens")) / budget).as("seq_first"),
+        floor((col("cum") - 1) / budget).as("seq_last"))
+  }
+
   /** Corpus mixing: deterministic hash-sample at `samplePct`, then a per-
     * (lang, source) quality quota — keep the top `quota` docs of each group
     * by n_chars (tie-break doc_id). This is the "domain mixture" step of

@@ -100,29 +100,39 @@ object CorpusPipeline {
     * decontamination (held-out docs count as dropped, as in [[build]]) →
     * per-(lang, source) quality percentile. One left-join flag frame per
     * gate, ONE corpus-pass aggregate computing every cumulative survivor
-    * sum at once, then a 6-row `stack` unpivot — the funnel costs one
-    * extra aggregate over what the gates themselves already cost, and
-    * nothing in it is corpus-sized except the per-doc flag joins.
+    * sum at once, then a 6-row `stack` unpivot.
+    *
+    * The source table is scanned ONCE even standalone: the gates are fed a
+    * pinned (doc_id, text, lang, source) projection
+    * ([[graft.Caching.temp]], the [[CorpusOps.corpusMixTemperature]]
+    * pattern), so the 5 gate subplans — several of which are themselves
+    * multi-pass — read the in-memory columnar pin instead of each
+    * rescanning the corpus (~6 source scans before). At 100 TB the pin
+    * spills columnar to local disk; every gate pass is still cluster-local
+    * I/O, not a repeated remote-store scan.
     *
     * @return (stage_id, stage, docs, tokens, pct_docs) — 6 rows
     */
   def curationFunnel(docs: DataFrame, idCol: String = "doc_id",
                      textCol: String = "text", maxDupRatio: Double = 0.8,
                      minPctGroup: Double = 0.1): DataFrame = {
-    val base = docs.select(col(idCol).as("doc_id"),
-      size(filter(split(lower(col(textCol)), " "), t => t =!= ""))
+    val pinned = graft.Caching.temp(docs.select(
+      col(idCol).as("doc_id"), col(textCol).as("text"),
+      col("lang"), col("source")))
+    val base = pinned.select(col("doc_id"),
+      size(filter(split(lower(col("text")), " "), t => t =!= ""))
         .cast("long").as("toks"))
-    val canon = TextStats.fingerprint(docs, idCol, textCol)
+    val canon = TextStats.fingerprint(pinned, "doc_id", "text")
       .groupBy("fingerprint").agg(min("doc_id").as("doc_id"))
       .select(col("doc_id"), lit(1).as("g1"))
-    val gopher = Signals.gopherRules(docs, idCol, textCol)
+    val gopher = Signals.gopherRules(pinned, "doc_id", "text")
       .select(col("doc_id"), col("keep").as("g2"))
-    val rep = CorpusOps.repetitionMetrics(docs, idCol, textCol)
+    val rep = CorpusOps.repetitionMetrics(pinned, "doc_id", "text")
       .select(col("doc_id"),
         (col("dup_word_ratio") <= maxDupRatio).cast("int").as("g3"))
-    val decon = CorpusOps.decontaminate(docs, idCol, textCol)
+    val decon = CorpusOps.decontaminate(pinned, "doc_id", "text")
       .select(col("doc_id"), (col("contaminated") === 0).cast("int").as("g4"))
-    val qn = CorpusOps.qualityNorm(docs, idCol, textCol)
+    val qn = CorpusOps.qualityNorm(pinned, "doc_id", "text")
       .select(col("doc_id"),
         (col("pct_group") >= minPctGroup).cast("int").as("g5"))
     val gates = Seq("g1", "g2", "g3", "g4", "g5")

@@ -431,6 +431,16 @@ object EmbeddingKnn {
         round(VectorOps.cosine(col("a_vec"), col("b_vec")) * 1e6, 0)
           .cast("long"))
       .select("a_id", "b_id", "cos_micro")
+    bitextMarginTail(sims, k, minMarginPpm)
+  }
+
+  /** The ratio-margin tail shared by [[bitextMine]] and
+    * [[bitextMineLsh]]: direction top-ks, neighborhood sums, the
+    * truncating integer margin, forward best-by-margin. Input is any
+    * (a_id, b_id, cos_micro) candidate matrix — exact or bucketed.
+    */
+  private def bitextMarginTail(sims: DataFrame, k: Int,
+                               minMarginPpm: Long): DataFrame = {
     val wF = Window.partitionBy("a_id")
       .orderBy(col("cos_micro").desc, col("b_id").asc)
     val wB = Window.partitionBy("b_id")
@@ -453,4 +463,52 @@ object EmbeddingKnn {
       .filter(col("rk") === 1 && col("margin_ppm") >= minMarginPpm)
       .select("a_id", "b_id", "cos_micro", "margin_ppm")
   }
+
+  /** Bucketed bitext mining — [[bitextMine]]'s registered SCALE path (the
+    * swap the exact twin's scaladoc promises): the A×B cosine matrix is
+    * replaced by a sign-LSH bucket equi-join ([[bucketExpr]] over the
+    * leading `bits` dims on both pools), so the candidate matrix is a
+    * shuffle on bucket keys — never all-pairs — and the per-bucket pair
+    * count bounds the quadratic work exactly as in [[signLsh]]. The margin
+    * tail is IDENTICAL ([[bitextMarginTail]]); neighborhood top-ks and
+    * sums are computed over the bucketed candidate set, so the criterion
+    * degrades gracefully: a mined pair stands out from its BUCKET
+    * neighborhoods. [[bitextRecall]] audits exactly that swap — how much
+    * of the exact mined set the bucketed run recovers.
+    */
+  def bitextMineLsh(emb: DataFrame, k: Int = 4,
+                    minMarginPpm: Long = 1000000L, bits: Int = 4): DataFrame = {
+    val a = emb.filter(col("label") % 2 === 0)
+      .select(col("vec_id").as("a_id"), asDouble(col("embedding")).as("a_vec"))
+      .withColumn("bucket", bucketExpr(col("a_vec"), bits))
+    val b = emb.filter(col("label") % 2 === 1)
+      .select(col("vec_id").as("b_id"), asDouble(col("embedding")).as("b_vec"))
+      .withColumn("bucket", bucketExpr(col("b_vec"), bits))
+    val sims = a.join(b, "bucket")
+      .withColumn("cos_micro",
+        round(VectorOps.cosine(col("a_vec"), col("b_vec")) * 1e6, 0)
+          .cast("long"))
+      .select("a_id", "b_id", "cos_micro")
+    bitextMarginTail(sims, k, minMarginPpm)
+  }
+
+  /** One-row recall audit of a bucketed bitext run against the exact one —
+    * the [[annRecall]] pattern applied to mined PAIRS: a hit is an
+    * (a_id, b_id) pair mined by both. Both inputs are mined-pair tables
+    * (one row per source vector), so the join and aggregate move
+    * O(sources) rows regardless of corpus size.
+    *
+    * @return (n_exact, n_approx, n_hit, recall) — recall as the
+    *         integer-micro division of hits over the exact set
+    */
+  def bitextRecall(exact: DataFrame, approx: DataFrame): DataFrame =
+    exact.select(col("a_id"), col("b_id"))
+      .join(approx.select(col("a_id"), col("b_id"), lit(1L).as("hit")),
+        Seq("a_id", "b_id"), "left")
+      .crossJoin(broadcast(approx.agg(count(lit(1)).as("n_approx"))))
+      .groupBy("n_approx")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col("n_exact"), col("n_approx"), col("n_hit"),
+        expr("CAST((n_hit * 1000000) DIV n_exact AS DOUBLE) / 1e6").as("recall"))
 }

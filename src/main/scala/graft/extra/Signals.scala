@@ -21,9 +21,11 @@ import org.apache.spark.sql.functions._
   * entropy crosses the engine boundary as an integer-micronat sum, which is
   * summation-order-free by construction.
   *
-  * Reference anchor: the reference's quality gate is a single readability
-  * filter at ingest (`ingest/ingest.py:"readability"` — ratio of printable
-  * chars); these are the corpus-curation generalizations of that idea.
+  * Reference anchor: the reference's only ingest-time quality gate is
+  * `is_csv_readable` (`ingest/profiling/filters.py:44`) — it rejects files
+  * whose head looks like an HTML doctype or a JSON-shaped header rather
+  * than tabular data; these operators are the corpus-curation
+  * generalizations of that "is this content what it claims to be" idea.
   */
 object Signals {
 

@@ -24,8 +24,8 @@ object GraftFunctions {
     "hamming_dist" -> (es => HammingDistance(es(0), es(1))),
     // composed from codegen'd builtins, exposed under one SQL name
     "rect_min_dist" -> (es => rectMinDistExpr(es(0), es(1))),
-    // one-pass char-unigram entropy in integer micronats (expects
-    // already-lowercased input; see functions/TextOps.scala)
+    // one-pass char-unigram entropy in integer micronats; ASCII case is
+    // folded inside the expression (see functions/TextOps.scala)
     "char_entropy_micro" -> (es => CharEntropyMicro(es(0)))
   )
 

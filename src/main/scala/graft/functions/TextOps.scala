@@ -20,9 +20,15 @@ import org.apache.spark.unsafe.types.UTF8String
 object TextEntropy {
 
   /** Entropy in integer micronats over the 37-symbol alphabet
-    * (a–z, 0–9, space) + other bucket; expects ALREADY-LOWERCASED input
-    * (the caller applies `lower()`, keeping case folding identical to the
-    * oracle's). 0 for the empty string (the Column layer maps it to NULL).
+    * (a–z, 0–9, space) + other bucket. ASCII case is folded here (A–Z maps
+    * to the a–z bucket), so the SQL-exposed `char_entropy_micro` is safe on
+    * mixed-case input without a `lower()` wrapper; for the bucket alphabet
+    * this is exactly equivalent to lowercasing first, because every
+    * non-ASCII codepoint lands in the 'other' bucket regardless of case
+    * (the one caveat: locale-expanding lowercasings like U+0130 → "i"+dot
+    * count 1 char here vs 2 after `lower()` — outside the a–z/0–9 path,
+    * negligible). 0 for the empty string (the Column layer maps it to
+    * NULL).
     */
   def entropyMicro(u: UTF8String): Long = {
     val s = u.toString
@@ -35,6 +41,7 @@ object TextEntropy {
       total += 1
       val idx =
         if (cp >= 'a' && cp <= 'z') cp - 'a'
+        else if (cp >= 'A' && cp <= 'Z') cp - 'A'
         else if (cp >= '0' && cp <= '9') 26 + (cp - '0')
         else if (cp == ' ') 36
         else 37

@@ -130,6 +130,9 @@ object TermStats {
     */
   def postingLists(docs: DataFrame, docIdCol: String, textCol: String,
                    nShards: Int = 4): DataFrame = {
+    // pmod (not %) so negative doc ids still land in [0, nShards) — the
+    // oracle twin mirrors this with ((doc_id % n) + n) % n, keeping the
+    // cross-engine compare sign-safe (DuckDB's % keeps the dividend sign).
     val tf = termFreqs(tokens(docs, docIdCol, textCol))
       .withColumn("shard", pmod(col("doc_id"), lit(nShards.toLong)))
     tf.groupBy("term", "shard")

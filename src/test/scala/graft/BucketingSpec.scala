@@ -69,4 +69,20 @@ class BucketingSpec extends AnyFunSuite {
     val zs = keyed.orderBy("zval").limit(4).collect().map(_.getLong(3)).toSeq
     assert(zs == zs.sorted && zs.head == 0L)
   }
+
+  test("zorderKey propagates NULL dimensions instead of max-corner bucketing") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some(0.0), Some(0.0)),
+      (2L, None: Option[Double], Some(100.0)),
+      (3L, Some(100.0), None: Option[Double])
+    ).toDF("id", "vx", "vy")
+    val rows = graft.extra.Bucketing.zorderKey(df, "id", "vx", "vy")
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(1)), Option(r.get(2)), Option(r.get(3))))).toMap
+    assert(rows(1L)._1.contains(0) && rows(1L)._2.contains(0))
+    assert(rows(2L)._1.isEmpty && rows(2L)._3.isEmpty,
+      "NULL x must yield NULL xb and NULL zval, not bucket 255")
+    assert(rows(3L)._2.isEmpty && rows(3L)._3.isEmpty)
+  }
 }

@@ -20,7 +20,8 @@ class GraftFunctionsSpec extends AnyFunSuite {
         |  rect_min_dist(array(0.0D, 0.0D, 2.0D, 2.0D),
         |                array(1.0D, 1.0D, 3.0D, 3.0D)) AS rov,
         |  char_entropy_micro('ab') AS ent,
-        |  char_entropy_micro('aaaa') AS ent0
+        |  char_entropy_micro('aaaa') AS ent0,
+        |  char_entropy_micro('Ab') AS entU
         |""".stripMargin).collect().head
     assert(r.getAs[Double]("e") == 5.0)
     assert(r.getAs[Double]("c") == 1.0)
@@ -31,6 +32,8 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("rov") == 0.0) // overlapping boxes
     assert(r.getAs[Long]("ent") == 693148L) // 2 * round-half-up micronats of ln 2
     assert(r.getAs[Long]("ent0") == 0L)
+    // ASCII case folds inside the expression: 'Ab' ≡ 'ab'
+    assert(r.getAs[Long]("entU") == 693148L)
   }
 
   test("functions run inside SQL over a table (codegen path)") {
