@@ -32,26 +32,43 @@ object Bench {
     // steady-state search/encode. A train line filtered out by
     // SPARK_GRAFT_ONLY is OMITTED (not emitted near-zero) — but note the
     // filtered query that first touches the cold cache then pays its build.
-    val trainSteps: Seq[(String, () => Unit)] = Seq(
-      "train_index" -> (() => {
-        search.Sketches.train(spark, sfDir)
-        search.CombinedScorer.datasetMetadata(spark, sfDir).count()
-        ()
-      }),
-      "train_bpe" -> (() => {
-        extra.TextStats.trainedMerges(
-          Tables.load(spark, sfDir, "documents"), "text", 8, Some(sfDir))
-        ()
-      }))
+    //
+    // Train lines are min-of-2 like every other query, each run a TRUE
+    // rebuild (the session memo is reset between runs — a bare second call
+    // would be a cache hit by design). Uniform methodology: before this,
+    // the train lines were the only single-sample numbers in the bench, so
+    // they alone carried this microVM's full co-tenant variance — measured
+    // at 13.8–18.3s across 5 isolated single-draw train_index runs, which
+    // is what repeatedly read as a "regression" (PLANS.md round-10).
+    val trainSteps: Seq[(String, () => Unit, () => Unit)] = Seq(
+      ("train_index",
+        () => search.Sketches.reset(spark, sfDir),
+        () => {
+          search.Sketches.train(spark, sfDir)
+          search.CombinedScorer.datasetMetadata(spark, sfDir).count()
+          ()
+        }),
+      ("train_bpe",
+        () => extra.TextStats.resetMerges(spark, sfDir),
+        () => {
+          extra.TextStats.trainedMerges(
+            Tables.load(spark, sfDir, "documents"), "text", 8, Some(sfDir))
+          ()
+        }))
     val trained = trainSteps
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-        val r = timed(name)(fn())
-        // build-time ephemeral pins only — the sketch/metadata index and the
-        // merge-table cache are owned by Sketches/CombinedScorer/TextStats,
-        // not the registry, and survive this.
-        Caching.release()
-        r
+      .filter { case (name, _, _) => only.forall(_.contains(name)) }
+      .map { case (name, reset, fn) =>
+        val times = (1 to 2).map { i =>
+          if (i > 1) reset()
+          val t = timed(name)(fn())._2
+          // build-time ephemeral pins only — the sketch/metadata index and
+          // the merge-table cache are owned by Sketches/CombinedScorer/
+          // TextStats, not the registry, and survive this. The last build
+          // leaves the session caches populated for the queries that follow.
+          Caching.release()
+          t
+        }
+        name -> times.min
       }
     // noop sink: forces full materialization of every column (count() would
     // let Catalyst prune per-row work like hashes and scores).

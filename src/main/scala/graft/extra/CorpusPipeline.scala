@@ -98,46 +98,61 @@ object CorpusPipeline {
     * pipeline order: raw → exact fingerprint dedup → Gopher rule set
     * ([[Signals.gopherRules]]) → repetition gate → benchmark
     * decontamination (held-out docs count as dropped, as in [[build]]) →
-    * per-(lang, source) quality percentile. One left-join flag frame per
-    * gate, ONE corpus-pass aggregate computing every cumulative survivor
-    * sum at once, then a 6-row `stack` unpivot.
+    * per-(lang, source) quality percentile. ONE corpus-pass aggregate
+    * computes every cumulative survivor sum at once, then a 6-row `stack`
+    * unpivot.
     *
-    * The source table is scanned ONCE even standalone: the gates are fed a
-    * pinned (doc_id, text, lang, source) projection
-    * ([[graft.Caching.temp]], the [[CorpusOps.corpusMixTemperature]]
-    * pattern), so the 5 gate subplans — several of which are themselves
-    * multi-pass — read the in-memory columnar pin instead of each
-    * rescanning the corpus (~6 source scans before). At 100 TB the pin
-    * spills columnar to local disk; every gate pass is still cluster-local
-    * I/O, not a repeated remote-store scan.
+    * Scan economy (A/B-measured, PLANS.md round-10): every PER-ROW gate —
+    * token count, fingerprint, the full Gopher conjunction, and the
+    * intra-document dup-word ratio — rides one shared projection on one
+    * corpus scan, and the exact-dedup verdict is a min-over-fingerprint
+    * window on that same frame (no groupBy + join-back). The repetition
+    * gate deliberately does NOT call [[CorpusOps.repetitionMetrics]]: the
+    * funnel consumes only `dup_word_ratio`, which is per-row, and the full
+    * operator's topGram subplans would add two gram explode+shuffles whose
+    * output is discarded here. Only the two genuinely aggregate gates
+    * (decontamination's benchmark gram join, the quality percentile grid)
+    * branch with their own columnar-pruned scans. Pinning the raw text
+    * projection and feeding every branch from cache was measured 35%
+    * SLOWER (2.77s vs 3.87s at sf0.1, interleaved min-of-2): the
+    * InMemoryTableScan of wide strings pays materialization and breaks
+    * scan→consumer codegen fusion. At 100 TB on a remote object store,
+    * where a rescan is remote I/O instead of page-cached local parquet,
+    * swap `docs` for a disk-persisted narrow projection at the two branch
+    * sites — the plan shape is unchanged.
     *
     * @return (stage_id, stage, docs, tokens, pct_docs) — 6 rows
     */
   def curationFunnel(docs: DataFrame, idCol: String = "doc_id",
                      textCol: String = "text", maxDupRatio: Double = 0.8,
                      minPctGroup: Double = 0.1): DataFrame = {
-    val pinned = graft.Caching.temp(docs.select(
-      col(idCol).as("doc_id"), col(textCol).as("text"),
-      col("lang"), col("source")))
-    val base = pinned.select(col("doc_id"),
-      size(filter(split(lower(col("text")), " "), t => t =!= ""))
-        .cast("long").as("toks"))
-    val canon = TextStats.fingerprint(pinned, "doc_id", "text")
-      .groupBy("fingerprint").agg(min("doc_id").as("doc_id"))
-      .select(col("doc_id"), lit(1).as("g1"))
-    val gopher = Signals.gopherRules(pinned, "doc_id", "text")
-      .select(col("doc_id"), col("keep").as("g2"))
-    val rep = CorpusOps.repetitionMetrics(pinned, "doc_id", "text")
-      .select(col("doc_id"),
-        (col("dup_word_ratio") <= maxDupRatio).cast("int").as("g3"))
-    val decon = CorpusOps.decontaminate(pinned, "doc_id", "text")
+    import org.apache.spark.sql.expressions.Window
+    val toksArr = filter(split(lower(col(textCol)), " "), t => t =!= "")
+    // dup_word_ratio exactly as CorpusOps.repetitionMetrics computes it
+    val dwr = when(size(toksArr) > 0,
+      round(lit(1.0) -
+        size(array_distinct(toksArr)).cast("long").cast("double") /
+          size(toksArr).cast("long"), 6))
+      .otherwise(0.0)
+    val per = Signals.gopherRules(
+      docs.select(col(idCol).as("doc_id"), col(textCol).as(textCol))
+        .withColumn("toks", size(toksArr).cast("long"))
+        .withColumn("fingerprint", TextStats.fingerprintCol(col(textCol)))
+        .withColumn("g3", (dwr <= maxDupRatio).cast("int")),
+      "doc_id", textCol,
+      passthrough = Seq("toks", "fingerprint", "g3"))
+    val flags0 = per.select(col("doc_id"), col("toks"), col("fingerprint"),
+        col("keep").as("g2"), col("g3"))
+      .withColumn("g1", (col("doc_id") ===
+        min("doc_id").over(Window.partitionBy("fingerprint"))).cast("int"))
+    val decon = CorpusOps.decontaminate(docs, idCol, textCol)
       .select(col("doc_id"), (col("contaminated") === 0).cast("int").as("g4"))
-    val qn = CorpusOps.qualityNorm(pinned, "doc_id", "text")
+    val qn = CorpusOps.qualityNorm(docs, idCol, textCol)
       .select(col("doc_id"),
         (col("pct_group") >= minPctGroup).cast("int").as("g5"))
     val gates = Seq("g1", "g2", "g3", "g4", "g5")
-    val flags = Seq(canon, gopher, rep, decon, qn)
-      .foldLeft(base)((acc, g) => acc.join(g, Seq("doc_id"), "left"))
+    val flags = Seq(decon, qn)
+      .foldLeft(flags0: DataFrame)((acc, g) => acc.join(g, Seq("doc_id"), "left"))
       .na.fill(0, gates)
     // cumulative conjunctions: stage k keeps docs passing gates 1..k
     val cum = gates.scanLeft(lit(true))((acc, g) => acc && (col(g) === 1))

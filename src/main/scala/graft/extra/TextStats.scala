@@ -387,6 +387,19 @@ object TextStats {
   private val mergeCache =
     scala.collection.concurrent.TrieMap.empty[(String, String), Seq[(Int, String, String, Long)]]
 
+  /** Drop every memoized merge table for this session whose caller key
+    * starts with `cacheKeyPrefix` — the explicit inverse of passing
+    * `cacheKey` to [[trainedMerges]], so a benchmark can time a TRUE
+    * retrain instead of a memo hit.
+    */
+  def resetMerges(spark: org.apache.spark.sql.SparkSession,
+                  cacheKeyPrefix: String): Unit = {
+    val appId = spark.sparkContext.applicationId
+    mergeCache.keySet
+      .filter(k => k._1 == appId && k._2.startsWith(cacheKeyPrefix + "|"))
+      .foreach(mergeCache.remove)
+  }
+
   /** The BPE training loop itself, returning the merge table as a LOCAL list
     * (it is `rounds` rows — driver-scale by construction). Pass `cacheKey`
     * (e.g. the lake directory) to memoize per session: then one training run

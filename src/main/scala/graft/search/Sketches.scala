@@ -197,6 +197,16 @@ object Sketches {
       df
     })
 
+  /** Drop the pinned index for (session, dir) — the explicit inverse of
+    * [[train]], so a benchmark can time a TRUE rebuild (and a test can
+    * force a cold path) instead of the memo hit a second [[train]] call is
+    * by design. Safe on a refreshed (checkpointed) entry too: the entry is
+    * removed from the cache first, so nothing can re-reference its blocks.
+    */
+  def reset(spark: SparkSession, dir: String): Unit =
+    cache.remove((spark.sparkContext.applicationId, dir))
+      .foreach(_.unpersist(blocking = false))
+
   def cachedNumericTemporal(spark: SparkSession, dir: String): DataFrame =
     cachedAll(spark, dir).filter(org.apache.spark.sql.functions.col("col_type")
       .isin("Numeric", "Temporal"))

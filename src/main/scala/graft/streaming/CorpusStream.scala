@@ -23,7 +23,17 @@ object CorpusStream {
   def dedupStream(spark: SparkSession, dir: String, schema: StructType,
                   textCol: String = "text", tsCol: String = "ts",
                   horizon: String = "1 hour"): DataFrame =
-    spark.readStream.schema(schema).parquet(dir)
+    dedupStreamOn(spark.readStream.schema(schema).parquet(dir),
+      textCol, tsCol, horizon)
+
+  /** DataFrame-composable body of [[dedupStream]] — takes an upstream
+    * streaming frame (e.g. the signal gate's output) instead of opening its
+    * own source, so the stages chain into one query ([[curateStream]]).
+    */
+  def dedupStreamOn(stream: DataFrame, textCol: String = "text",
+                    tsCol: String = "ts",
+                    horizon: String = "1 hour"): DataFrame =
+    stream
       .withColumn("fingerprint", TextStats.fingerprintCol(col(textCol)))
       .withWatermark(tsCol, horizon)
       .dropDuplicatesWithinWatermark("fingerprint")
@@ -89,12 +99,55 @@ object CorpusStream {
     */
   def signalGateStream(spark: SparkSession, dir: String, schema: StructType,
                        idCol: String = "doc_id",
-                       textCol: String = "text"): DataFrame = {
-    val stream = spark.readStream.schema(schema).parquet(dir)
-      .withColumn("entropy_micro",
+                       textCol: String = "text"): DataFrame =
+    signalGateOn(spark.readStream.schema(schema).parquet(dir), idCol, textCol)
+
+  /** DataFrame-composable body of [[signalGateStream]]; `passthrough`
+    * columns survive the gate projection (the ladder threads text + ts
+    * through it).
+    */
+  def signalGateOn(stream: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text",
+                   passthrough: Seq[String] = Nil): DataFrame =
+    graft.extra.Signals.gopherRules(
+      stream.withColumn("entropy_micro",
         when(length(col(textCol)) > 0,
-          graft.functions.TextEntropy.charEntropyMicro(lower(col(textCol)))))
-    graft.extra.Signals.gopherRules(stream, idCol, textCol,
-      passthrough = Seq("entropy_micro"))
+          graft.functions.TextEntropy.charEntropyMicro(lower(col(textCol))))),
+      idCol, textCol, passthrough = "entropy_micro" +: passthrough)
+
+  /** The FULL streaming curation ladder as one query — the composition the
+    * per-stage operators promise: signal gate (drop documents failing the
+    * Gopher rules before they occupy any state) → in-stream exact dedup
+    * (watermark-bounded state) → exact anti-join against the historical
+    * corpus (stateless) → near-dup admission verdicts (per-micro-batch
+    * batch-operator reuse). Equivalence to the batch pipeline on the same
+    * data is spec-locked (EventWindowsSpec "composed curation ladder").
+    *
+    * The corpus is passed once as a thunk: the anti-join takes its slim
+    * fingerprint projection, the admission stage re-resolves it per
+    * micro-batch — both sides therefore judge against the same snapshot
+    * when the thunk is stable, and against the freshest corpus when it
+    * grows.
+    */
+  def curateStream(stream: DataFrame, corpus: () => DataFrame,
+                   idCol: String = "doc_id", textCol: String = "text",
+                   tsCol: String = "ts", horizon: String = "1 hour",
+                   threshold: Double = 0.9)
+                  (onVerdict: (DataFrame, Long) => Unit): StreamingQuery = {
+    val gated = signalGateOn(stream, idCol, textCol,
+      passthrough = Seq(textCol, tsCol))
+      .filter(col("keep") === 1)
+      .select(col("doc_id").as(idCol), col(textCol), col(tsCol))
+    val inStream = dedupStreamOn(gated, textCol, tsCol, horizon)
+    val vsCorpus = dedupAgainstCorpus(
+      inStream,
+      corpus().select(
+        TextStats.fingerprintCol(col(textCol)).as("fingerprint")),
+      textCol)
+    // admission unions the micro-batch with the corpus by name
+    // (minhashIncremental's tokenization path) — project down to the
+    // corpus schema so the ladder's threaded ts/fingerprint don't leak in
+    admitStream(vsCorpus.select(col(idCol), col(textCol)),
+      corpus, idCol, textCol, threshold)(onVerdict)
   }
 }

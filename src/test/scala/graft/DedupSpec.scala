@@ -308,6 +308,50 @@ class DedupSpec extends AnyFunSuite {
     assert(p == Map(1L -> ((1L, 0.5)), 2L -> ((0L, 0.0))))
   }
 
+  test("recall floors: accelerated ANN generators never silently trade recall away") {
+    import graft.extra.EmbeddingKnn
+    val emb = Tables.load(spark, SparkTestSession.sf0001, "embeddings")
+    val qs = Seq(0L, 1L, 2L, 3L, 4L)
+    val exact = EmbeddingKnn.bruteForce(emb, qs, 5)
+    def meanRecall(approx: org.apache.spark.sql.DataFrame): Double = {
+      val rows = EmbeddingKnn.annRecall(exact, approx, 5).collect()
+      rows.map(_.getAs[Double]("recall")).sum / rows.length
+    }
+    // floors sit just under each generator's measured operating point on
+    // this fixture (int8 1.0, ivfSeeded 0.56, signLsh2 0.44 — not a
+    // uniform bar, LSH/PQ trade recall for probe cost BY DESIGN); the gate
+    // exists so a future change that silently collapses a generator's
+    // recall turns the suite red.
+    //
+    // PQ is gated differently: its md5-sampled 16-centroid codebook is
+    // deliberately coarse, so exact@5 recall is near zero by construction
+    // (measured 0.04) and would gate nothing. The meaningful floor is that
+    // PQ's picks are genuinely NEAR — each top-5 pick should fall inside
+    // the exact top-50 of a 500-vector corpus (top decile).
+    val exact50 = EmbeddingKnn.bruteForce(emb, qs, 50)
+    def pqNearness: Double = {
+      val rows = EmbeddingKnn.annRecall(
+        EmbeddingKnn.pqKnn(emb, qs, 5).select("q_id", "c_id"), exact50, 5)
+        .collect()
+      rows.map(_.getAs[Double]("recall")).sum / rows.length
+    }
+    val floors = Seq(
+      ("int8_rerank", meanRecall(EmbeddingKnn.int8Rerank(emb, qs, 5)), 0.9),
+      ("ivf_seeded", meanRecall(EmbeddingKnn.ivfSeeded(emb, qs, 5)), 0.4),
+      ("sign_lsh2", meanRecall(EmbeddingKnn.signLsh(emb, qs, 5, bits = 2)), 0.3),
+      ("pq8x8_in_top50", pqNearness, 0.4))
+    val failures = floors.collect { case (n, r, f) if r < f => s"$n=$r<floor $f" }
+    assert(failures.isEmpty,
+      s"ANN recall under floor: ${failures.mkString(", ")}; " +
+        s"all: ${floors.map { case (n, r, _) => s"$n=$r" }.mkString(", ")}")
+    // the bucketed bitext swap has its own floor on mined-pair recovery
+    val br = EmbeddingKnn.bitextRecall(
+      EmbeddingKnn.bitextMine(emb), EmbeddingKnn.bitextMineLsh(emb))
+      .collect().head
+    assert(br.getAs[Double]("recall") >= 0.1,
+      s"bitext bucketed-vs-exact pair recall collapsed: $br")
+  }
+
   test("dedupSpans removes cross-doc spans, keeps intra-doc repeats and tails") {
     val df = Seq(
       // docs 1 and 2 share the 5-gram "a b c d e" at different offsets;

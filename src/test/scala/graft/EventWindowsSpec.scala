@@ -180,6 +180,71 @@ class EventWindowsSpec extends AnyFunSuite {
         s"12 near-dups the admitted 11 once folded in: $byId")
   }
 
+  test("composed curation ladder: stream-admitted set equals the batch verdicts") {
+    import spark.implicits._
+    import graft.extra.{Dedup, Signals, TextStats}
+    val dir = java.nio.file.Files.createTempDirectory("doc_ladder").toString
+    // gate-passing base texts: >50 words, clean stats, stopword hits
+    val freshA = (1 to 14).map(i =>
+      s"the quick brown fox jumps over item$i near the river bank").mkString(" ")
+    val corpusText = (1 to 14).map(i =>
+      s"a silver ship sails past harbor$i beyond the quiet stone pier").mkString(" ")
+    // one word changed mid-document → near-dup of the corpus, not exact
+    val nearDup = corpusText.replace("harbor7", "harbor99")
+    val freshB = (1 to 14).map(i =>
+      s"every green valley holds meadow$i beside the old cedar grove").mkString(" ")
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val b1 = Seq(
+      (1L, freshA, ts(0)), // passes everything → admitted
+      (2L, "too short", ts(1))) // gate reject: < 50 words
+      .toDF("doc_id", "text", "ts")
+    val b2 = Seq(
+      (3L, freshA + " ", ts(2)), // in-stream exact dup of 1 (normalized)
+      (4L, corpusText.toUpperCase, ts(3)), // exact dup of the corpus
+      (5L, nearDup, ts(4)), // near-dup of the corpus → admission keep=0
+      (6L, freshB, ts(5))) // passes everything → admitted
+      .toDF("doc_id", "text", "ts")
+    b1.coalesce(1).write.mode("append").parquet(dir)
+    b2.coalesce(1).write.mode("append").parquet(dir)
+
+    val corpus = Seq((100L, corpusText)).toDF("doc_id", "text")
+    val verdicts = scala.collection.mutable.Map.empty[Long, Long]
+    val stream = spark.readStream.schema(b1.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = graft.streaming.CorpusStream.curateStream(
+      stream, () => corpus) { (v, _) =>
+      val rows = v.collect().map(r => r.getLong(0) -> r.getLong(1))
+      verdicts.synchronized { verdicts ++= rows }
+    }
+    try q.processAllAvailable() finally q.stop()
+
+    // batch twin of the same ladder over the union of both micro-batches
+    val all = b1.union(b2)
+    val gatePass = Signals.gopherRules(all, "doc_id", "text")
+      .filter(col("keep") === 1).select("doc_id")
+    val gated = all.join(gatePass, "doc_id")
+      .withColumn("fingerprint", TextStats.fingerprintCol(col("text")))
+    // exact dedup keeps the first arrival; ids here are in arrival order
+    val firstIds = gated.groupBy("fingerprint")
+      .agg(org.apache.spark.sql.functions.min("doc_id").as("doc_id"))
+      .select("doc_id")
+    val survivors = gated.join(firstIds, "doc_id")
+      .join(corpus.select(
+        TextStats.fingerprintCol(col("text")).as("fingerprint")),
+        Seq("fingerprint"), "left_anti")
+    val batch = Dedup.minhashIncremental(corpus,
+      survivors.select("doc_id", "text"), "doc_id", "text", 0.9)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    assert(verdicts.toMap == batch,
+      s"stream verdicts $verdicts must equal batch verdicts $batch")
+    assert(batch.filter(_._2 == 1L).keySet == Set(1L, 6L),
+      s"only the two fresh docs are admitted: $batch")
+    assert(batch.get(5L).contains(0L), "the corpus near-dup reaches admission and is rejected")
+    assert(!batch.contains(2L) && !batch.contains(3L) && !batch.contains(4L),
+      "gate/dedup rejects never reach the admission stage")
+  }
+
   test("funnel: strict ordering per user, stages narrow") {
     import spark.implicits._
     def ev(id: Long, u: Long, t: String, ty: String) =
