@@ -2498,17 +2498,26 @@ object SparkEntry {
         |      AS BIGINT) AS cos_micro
         |  FROM a CROSS JOIN b""".stripMargin)
 
-    /** DuckDB twin of EmbeddingKnn.bitextMineLsh: identical sign buckets on
-      * the leading 4 dims on both pools, candidates = bucket mates only.
+    /** DuckDB twin of EmbeddingKnn.bitextMineLsh: identical multi-table
+      * sign buckets (Dedup.signLshTableDims layout on both pools),
+      * candidates = distinct pairs sharing any (table, bucket).
       */
     val bitextMineLshSql: String = {
-      def bucket(v: String) = (1 to 4).map(i =>
-        s"CASE WHEN $v[$i] >= 0 THEN '1' ELSE '0' END").mkString(" || ")
+      def branches(side: String, id: String, v: String) =
+        Dedup.signLshTableDims(3, 12).map { case (t, dims) =>
+          val bucket = dims.map(i =>
+            s"CASE WHEN $v[$i] >= 0 THEN '1' ELSE '0' END").mkString(" || ")
+          s"SELECT $id, $t AS tbl, $bucket AS bucket FROM $side"
+        }.mkString("\n    UNION ALL ")
       bitextSqlFrom(
-        s"""SELECT a_id, b_id,
+        s"""SELECT cand.a_id, cand.b_id,
            |    CAST(round(list_cosine_similarity(a_vec, b_vec) * 1000000, 0)
            |      AS BIGINT) AS cos_micro
-           |  FROM a JOIN b ON (${bucket("a_vec")}) = (${bucket("b_vec")})""".stripMargin)
+           |  FROM (SELECT DISTINCT ka.a_id, kb.b_id
+           |    FROM (${branches("a", "a_id", "a_vec")}) ka
+           |    JOIN (${branches("b", "b_id", "b_vec")}) kb
+           |      ON ka.tbl = kb.tbl AND ka.bucket = kb.bucket) cand
+           |  JOIN a USING (a_id) JOIN b USING (b_id)""".stripMargin)
     }
 
     /** DuckDB twin of EmbeddingKnn.bitextRecall: mined-pair hit count of

@@ -466,25 +466,38 @@ object EmbeddingKnn {
 
   /** Bucketed bitext mining — [[bitextMine]]'s registered SCALE path (the
     * swap the exact twin's scaladoc promises): the A×B cosine matrix is
-    * replaced by a sign-LSH bucket equi-join ([[bucketExpr]] over the
-    * leading `bits` dims on both pools), so the candidate matrix is a
-    * shuffle on bucket keys — never all-pairs — and the per-bucket pair
-    * count bounds the quadratic work exactly as in [[signLsh]]. The margin
-    * tail is IDENTICAL ([[bitextMarginTail]]); neighborhood top-ks and
-    * sums are computed over the bucketed candidate set, so the criterion
-    * degrades gracefully: a mined pair stands out from its BUCKET
-    * neighborhoods. [[bitextRecall]] audits exactly that swap — how much
-    * of the exact mined set the bucketed run recovers.
+    * replaced by a MULTI-TABLE sign-LSH candidate join
+    * ([[Dedup.signLshTableDims]]' banding — a single wide sign pattern has
+    * vanishing recall, T independent narrow tables give 1-(1-p^b)^T), so
+    * candidates are a shuffle keyed on (table, bucket) — never all-pairs —
+    * deduped with one distinct, then scored exactly. The margin tail is
+    * IDENTICAL ([[bitextMarginTail]]); neighborhood top-ks and sums run
+    * over the candidate set, so the criterion degrades gracefully: a mined
+    * pair stands out from its CANDIDATE neighborhoods. [[bitextRecall]]
+    * audits exactly that swap — how much of the exact mined set the
+    * bucketed run recovers (floor spec-gated in DedupSpec).
     */
   def bitextMineLsh(emb: DataFrame, k: Int = 4,
-                    minMarginPpm: Long = 1000000L, bits: Int = 4): DataFrame = {
+                    minMarginPpm: Long = 1000000L, bitsPerTable: Int = 3,
+                    tables: Int = 12): DataFrame = {
     val a = emb.filter(col("label") % 2 === 0)
       .select(col("vec_id").as("a_id"), asDouble(col("embedding")).as("a_vec"))
-      .withColumn("bucket", bucketExpr(col("a_vec"), bits))
     val b = emb.filter(col("label") % 2 === 1)
       .select(col("vec_id").as("b_id"), asDouble(col("embedding")).as("b_vec"))
-      .withColumn("bucket", bucketExpr(col("b_vec"), bits))
-    val sims = a.join(b, "bucket")
+    def keys(vecCol: String) = explode(array(
+      Dedup.signLshTableDims(bitsPerTable, tables).map { case (t, dims) =>
+        struct(lit(t).as("tbl"),
+          concat(dims.map(i =>
+            when(element_at(col(vecCol), i) >= 0, "1").otherwise("0")): _*)
+            .as("bucket"))
+      }: _*))
+    val ka = a.select(col("a_id"), keys("a_vec").as("k"))
+      .select(col("a_id"), col("k.tbl").as("tbl"), col("k.bucket").as("bucket"))
+    val kb = b.select(col("b_id"), keys("b_vec").as("k"))
+      .select(col("b_id"), col("k.tbl").as("tbl"), col("k.bucket").as("bucket"))
+    val cand = ka.join(kb, Seq("tbl", "bucket"))
+      .select("a_id", "b_id").distinct()
+    val sims = cand.join(a, "a_id").join(b, "b_id")
       .withColumn("cos_micro",
         round(VectorOps.cosine(col("a_vec"), col("b_vec")) * 1e6, 0)
           .cast("long"))

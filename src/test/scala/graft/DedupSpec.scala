@@ -345,10 +345,11 @@ class DedupSpec extends AnyFunSuite {
       s"ANN recall under floor: ${failures.mkString(", ")}; " +
         s"all: ${floors.map { case (n, r, _) => s"$n=$r" }.mkString(", ")}")
     // the bucketed bitext swap has its own floor on mined-pair recovery
+    // (multi-table banding measures 0.95 at sf0.01, 0.9+ here)
     val br = EmbeddingKnn.bitextRecall(
       EmbeddingKnn.bitextMine(emb), EmbeddingKnn.bitextMineLsh(emb))
       .collect().head
-    assert(br.getAs[Double]("recall") >= 0.1,
+    assert(br.getAs[Double]("recall") >= 0.8,
       s"bitext bucketed-vs-exact pair recall collapsed: $br")
   }
 
