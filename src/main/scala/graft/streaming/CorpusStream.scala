@@ -86,6 +86,30 @@ object CorpusStream {
       finally graft.Caching.release()
     }.start()
 
+  /** [[admitStream]] against the STORED admission-index artifacts
+    * ([[graft.extra.Dedup.bandSignatures]] + token sets) — the form that
+    * survives stream scale: the plain admitStream re-derives both corpus
+    * artifacts from raw text EVERY micro-batch (O(corpus) per batch); this
+    * one signs only the batch and probes the stored tables, so a batch
+    * costs O(batch + candidates). The artifact thunks re-resolve per
+    * micro-batch, so a maintainer appending each admitted batch's
+    * signature/token rows (the per-batch increment is just
+    * `bandSignatures(admitted)` — spec-locked equal to a full re-sign in
+    * DedupSpec) keeps the gate judging against the freshest corpus.
+    */
+  def admitStreamIndexed(stream: DataFrame,
+                         corpusSigs: () => DataFrame,
+                         corpusToks: () => DataFrame,
+                         idCol: String = "doc_id", textCol: String = "text",
+                         threshold: Double = 0.9)
+                        (onVerdict: (DataFrame, Long) => Unit): StreamingQuery =
+    stream.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      try onVerdict(
+        graft.extra.Dedup.minhashIncrementalIndexed(
+          corpusSigs(), corpusToks(), batch, idCol, textCol, threshold), id)
+      finally graft.Caching.release()
+    }.start()
+
   /** Streaming quality gate — the ingest-time twin of the per-document
     * signal operators: every arriving document gets its
     * [[graft.extra.Signals.gopherRules]] verdict (all rule columns + keep)

@@ -296,6 +296,39 @@ class DedupSpec extends AnyFunSuite {
     assert(re == r.map { case (k, v) => k -> v._1 })
   }
 
+  test("indexed admission equals the plain form; index appends equal a full re-sign") {
+    import graft.extra.Dedup
+    val corpus = Tables.load(spark, SparkTestSession.sf0001, "documents")
+      .filter(col("doc_id") < 60)
+    val batch = Tables.load(spark, SparkTestSession.sf0001, "documents")
+      .filter(col("doc_id") >= 60 && col("doc_id") < 100)
+      .select((col("doc_id") + 10000L).as("doc_id"), col("text"))
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(x => x.getLong(0) ->
+        ((x.getLong(1), Option(x.get(2)).map(_.asInstanceOf[Long])))).toMap
+    val plain = asMap(
+      Dedup.minhashIncremental(corpus, batch, "doc_id", "text", 0.8))
+    val sigs = Dedup.bandSignatures(corpus, "doc_id", "text")
+    val toks = Dedup.tokenSetsOf(corpus, "doc_id", "text")
+    val indexed = asMap(Dedup.minhashIncrementalIndexed(
+      sigs, toks, batch, "doc_id", "text", 0.8))
+    assert(indexed == plain,
+      "stored-artifact admission must equal the per-batch re-sign form")
+    // incremental index maintenance: appending the admitted batch's
+    // signature rows equals re-signing the grown corpus from scratch
+    val admittedIds = plain.collect { case (id, (1L, _)) => id }.toSeq
+    val admitted = batch.filter(col("doc_id").isin(admittedIds: _*))
+    val appended = sigs.unionByName(
+      Dedup.bandSignatures(admitted, "doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val resigned = Dedup.bandSignatures(
+      corpus.select("doc_id", "text").unionByName(admitted.select("doc_id", "text")),
+      "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(appended == resigned,
+      "per-batch index increment must equal a full corpus re-sign")
+  }
+
   test("annRecall: identical lists score 1.0, partial overlap counts hits") {
     import graft.extra.EmbeddingKnn
     val exact = Seq((1L, 2L), (1L, 3L), (2L, 4L), (2L, 5L)).toDF("q_id", "c_id")
