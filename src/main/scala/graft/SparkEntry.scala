@@ -421,6 +421,10 @@ object SparkEntry {
     "corpus_epoch_manifest" -> ((s, d) =>
       CorpusOps.epochManifest(T(s, d, "documents"), "doc_id", "text", 1)),
 
+    // fill a fixed token budget best-first by quality (two-level cumsum)
+    "corpus_budget" -> ((s, d) =>
+      CorpusOps.budgetSelect(T(s, d, "documents"), "doc_id", "text", 20000L)),
+
     // stride-overlap context chunking (64-token chunks, stride 48)
     "doc_chunks" -> ((s, d) =>
       CorpusOps.chunkDocuments(T(s, d, "documents"), "doc_id", "text")),
@@ -904,6 +908,28 @@ object SparkEntry {
         |  CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS seq_first,
         |  CAST(floor((cum - 1) / 2048.0) AS BIGINT) AS seq_last
         |FROM r""".stripMargin,
+
+    // mirrors CorpusOps.budgetSelect; a flat single window here — the Spark
+    // side's two-level bucketed cumsum is value-identical by construction
+    // (quality is the leading sort key, buckets align with it)
+    "corpus_budget" ->
+      """WITH s AS (SELECT doc_id,
+        |    CAST(len(list_filter(string_split(lower(text), ' '), t -> t <> ''))
+        |      AS BIGINT) AS n_tokens,
+        |    coalesce(CASE WHEN length(text) > 0 THEN
+        |      round(least(CAST(len(list_filter(string_split(lower(text), ' '),
+        |          t -> t <> '')) AS DOUBLE)/100.0, 1.0)
+        |        * (1.0 - least(CAST(length(regexp_replace(lower(text),
+        |            '[a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text), 1.0)), 6)
+        |      ELSE NULL END, 0.0) AS quality
+        |  FROM documents),
+        |c AS (SELECT *,
+        |    CAST(sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens FROM s)
+        |SELECT doc_id, quality, n_tokens, cum_tokens,
+        |  CAST(CASE WHEN cum_tokens <= 20000 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS selected
+        |FROM c""".stripMargin,
 
     "corpus_split" ->
       """SELECT doc_id, lang,

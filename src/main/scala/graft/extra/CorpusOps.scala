@@ -461,6 +461,49 @@ object CorpusOps {
         floor((col("cum") - 1) / budget).as("seq_last"))
   }
 
+  /** Token-budget selection — the "cut a fixed-token training drop" step:
+    * keep the best documents by quality until the budget fills. Greedy
+    * best-first over whole documents, no overflow (a document is selected
+    * iff the running token total INCLUDING it fits the budget); order is
+    * (quality DESC, doc_id ASC), NULL quality coalesced to 0 identically
+    * on both engines.
+    *
+    * Scale shape: the running total is a TWO-LEVEL cumsum (the same
+    * pattern as [[epochManifest]] / the profiler's size-gated quantile
+    * pass) — 6-decimal quality buckets onto a fixed grid aligned with the
+    * sort order, per-bucket token totals are a grid-sized aggregate whose
+    * descending prefix sums ride a broadcast join back, and the
+    * within-bucket cumsum partitions on the bucket — no single-partition
+    * global window at any corpus size. floor(q·buckets) on the rounded
+    * quality evaluates the same IEEE doubles in any engine, so bucket
+    * boundaries cannot drift; and because quality is the LEADING sort
+    * key, (bucket DESC, quality DESC, doc_id) orders identically to the
+    * flat (quality DESC, doc_id) — the oracle's single window is
+    * value-identical by construction.
+    *
+    * @return (doc_id, quality, n_tokens, cum_tokens, selected 1/0)
+    */
+  def budgetSelect(docs: DataFrame, idCol: String, textCol: String,
+                   tokenBudget: Long, buckets: Int = 256): DataFrame = {
+    val s = TextStats.stats(docs, idCol, textCol)
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("quality"), lit(0.0)).as("quality"))
+      .withColumn("qb", floor(col("quality") * buckets).cast("int"))
+    val wb = Window.orderBy(col("qb").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off = s.groupBy("qb").agg(sum("n_tokens").as("bt"))
+      .withColumn("off", coalesce(sum("bt").over(wb), lit(0L)))
+      .select("qb", "off")
+    val wIn = Window.partitionBy("qb")
+      .orderBy(col("quality").desc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    s.join(broadcast(off), "qb")
+      .withColumn("cum_tokens", col("off") + sum("n_tokens").over(wIn))
+      .select(col("doc_id"), col("quality"), col("n_tokens"),
+        col("cum_tokens"),
+        (col("cum_tokens") <= tokenBudget).cast("long").as("selected"))
+  }
+
   /** Corpus mixing: deterministic hash-sample at `samplePct`, then a per-
     * (lang, source) quality quota — keep the top `quota` docs of each group
     * by n_chars (tie-break doc_id). This is the "domain mixture" step of

@@ -8,6 +8,36 @@ class CorpusOpsSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
+  test("budgetSelect fills the budget best-first; two-level cumsum equals flat") {
+    import graft.extra.CorpusOps
+    val docs = Tables.load(spark, SparkTestSession.sf0001, "documents")
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    val got = asMap(CorpusOps.budgetSelect(docs, "doc_id", "text", 5000L))
+    // driver reference: greedy best-first by (quality desc, doc_id)
+    val scored = graft.extra.TextStats.stats(docs, "doc_id", "text")
+      .select("doc_id", "n_tokens", "quality").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]).getOrElse(0.0)))
+      .sortBy { case (id, _, q) => (-q, id) }
+    var cum = 0L
+    val ref = scored.map { case (id, n, _) =>
+      cum += n; id -> ((cum, if (cum <= 5000L) 1L else 0L))
+    }.toMap
+    assert(got == ref, "budgetSelect must equal the greedy reference")
+    assert(got.values.exists(_._2 == 1L) && got.values.exists(_._2 == 0L),
+      "fixture budget should split the corpus")
+    // bucket-count invariance: buckets=1 degenerates to ONE flat window —
+    // the two-level path must be value-identical to it
+    val flat = asMap(CorpusOps.budgetSelect(docs, "doc_id", "text", 5000L,
+      buckets = 1))
+    assert(flat == got)
+    // partitioning invariance
+    val re = asMap(CorpusOps.budgetSelect(docs.repartition(7), "doc_id",
+      "text", 5000L))
+    assert(re == got)
+  }
+
   test("pagerankNano matches an in-memory integer reference on random graphs") {
     import graft.extra.GraphOps
     def reference(edges: Seq[(Long, Long)]): Map[Long, Long] = {
