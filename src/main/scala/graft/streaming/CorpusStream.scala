@@ -174,4 +174,33 @@ object CorpusStream {
     admitStream(vsCorpus.select(col(idCol), col(textCol)),
       corpus, idCol, textCol, threshold)(onVerdict)
   }
+
+  /** [[curateStream]] against STORED corpus artifacts — the form a
+    * long-running ingest service deploys: the anti-join reads the
+    * fingerprint table, admission probes the band-signature table and
+    * verifies against the token-set table
+    * ([[graft.extra.Dedup.bandSignatures]]/[[graft.extra.Dedup.tokenSetsOf]]),
+    * so NO stage re-derives anything corpus-sized from raw text per
+    * micro-batch. All three thunks re-resolve per batch; a maintainer
+    * appends each admitted batch's fingerprint/signature/token rows
+    * (increment ≡ full rebuild is spec-locked in DedupSpec) to keep every
+    * stage judging against the freshest corpus.
+    */
+  def curateStreamIndexed(stream: DataFrame,
+                          corpusFingerprints: () => DataFrame,
+                          corpusSigs: () => DataFrame,
+                          corpusToks: () => DataFrame,
+                          idCol: String = "doc_id", textCol: String = "text",
+                          tsCol: String = "ts", horizon: String = "1 hour",
+                          threshold: Double = 0.9)
+                         (onVerdict: (DataFrame, Long) => Unit): StreamingQuery = {
+    val gated = signalGateOn(stream, idCol, textCol,
+      passthrough = Seq(textCol, tsCol))
+      .filter(col("keep") === 1)
+      .select(col("doc_id").as(idCol), col(textCol), col(tsCol))
+    val inStream = dedupStreamOn(gated, textCol, tsCol, horizon)
+    val vsCorpus = dedupAgainstCorpus(inStream, corpusFingerprints(), textCol)
+    admitStreamIndexed(vsCorpus.select(col(idCol), col(textCol)),
+      corpusSigs, corpusToks, idCol, textCol, threshold)(onVerdict)
+  }
 }

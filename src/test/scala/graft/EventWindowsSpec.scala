@@ -243,6 +243,23 @@ class EventWindowsSpec extends AnyFunSuite {
     assert(batch.get(5L).contains(0L), "the corpus near-dup reaches admission and is rejected")
     assert(!batch.contains(2L) && !batch.contains(3L) && !batch.contains(4L),
       "gate/dedup rejects never reach the admission stage")
+
+    // the stored-artifact form of the same ladder produces the same verdicts
+    val fps = corpus.select(
+      TextStats.fingerprintCol(col("text")).as("fingerprint"))
+    val sigs = Dedup.bandSignatures(corpus, "doc_id", "text")
+    val ctoks = Dedup.tokenSetsOf(corpus, "doc_id", "text")
+    val verdicts2 = scala.collection.mutable.Map.empty[Long, Long]
+    val stream2 = spark.readStream.schema(b1.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q2 = graft.streaming.CorpusStream.curateStreamIndexed(
+      stream2, () => fps, () => sigs, () => ctoks) { (v, _) =>
+      val rows = v.collect().map(r => r.getLong(0) -> r.getLong(1))
+      verdicts2.synchronized { verdicts2 ++= rows }
+    }
+    try q2.processAllAvailable() finally q2.stop()
+    assert(verdicts2.toMap == batch,
+      s"indexed ladder verdicts $verdicts2 must equal batch verdicts $batch")
   }
 
   test("funnel: strict ordering per user, stages narrow") {
