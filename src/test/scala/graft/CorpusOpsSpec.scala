@@ -8,6 +8,37 @@ class CorpusOpsSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
+  test("epochManifest: contiguous per-shard token offsets matching epochOrder") {
+    import graft.extra.CorpusOps
+    val docs = Tables.load(spark, SparkTestSession.sf0001, "documents")
+    val m = CorpusOps.epochManifest(docs, "doc_id", "text", epoch = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(m.length == docs.count())
+    // within each shard, walking pos order: start_tok is the running token
+    // sum, and the sequence ids follow the concatenate-and-chunk formula
+    m.groupBy(_._2).foreach { case (_, rows) =>
+      var cum = 0L
+      rows.sortBy(_._3).foreach { case (_, _, _, n, start, sf, sl) =>
+        assert(start == cum, "start_tok must be the per-shard running sum")
+        assert(sf == math.floor(start / 2048.0).toLong)
+        assert(sl == math.floor((cum + n - 1) / 2048.0).toLong)
+        cum += n
+      }
+    }
+    // shard/pos agree with epochOrder's assignment for the same epoch
+    val eo = CorpusOps.epochOrder(docs, "doc_id", 1).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    m.foreach { case (id, shard, pos, _, _, _, _) =>
+      assert(eo(id) == ((shard, pos)))
+    }
+    // partitioning invariance
+    val re = CorpusOps.epochManifest(docs.repartition(7), "doc_id", "text", 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSet
+    assert(re == m.toSet)
+  }
+
   test("budgetSelect fills the budget best-first; two-level cumsum equals flat") {
     import graft.extra.CorpusOps
     val docs = Tables.load(spark, SparkTestSession.sf0001, "documents")
