@@ -511,6 +511,15 @@ object EmbeddingKnn {
     * (one row per source vector), so the join and aggregate move
     * O(sources) rows regardless of corpus size.
     *
+    * At corpus scale the EXACT side is the expensive input (it exists only
+    * for this audit): run both miners over a deterministic source-side
+    * sample first — filter pool A by
+    * [[CorpusOps.sampleBucket]]`(col("vec_id")) < pct` and pass the same
+    * sampled frame to both — the recall estimate is unbiased, the exact
+    * A×B work shrinks by the sample rate, and the md5 bucket keeps the
+    * audited slice identical across runs and engines. The registered query
+    * audits the full fixture, where exact is affordable.
+    *
     * @return (n_exact, n_approx, n_hit, recall) — recall as the
     *         integer-micro division of hits over the exact set
     */
