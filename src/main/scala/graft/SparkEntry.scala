@@ -1,6 +1,6 @@
 package graft
 
-import graft.extra.{CardSketch, CorpusOps, Dedup, EmbeddingKnn, GraphOps, Signals, TextStats}
+import graft.extra.{CardSketch, Clustering, CorpusOps, Dedup, EmbeddingKnn, GraphOps, Signals, TextStats}
 import graft.ingest.{Embedder, Profiler, TermStats}
 import graft.search.{Bm25, CombinedScorer, DistanceJoin, Matcher, Sketches}
 import graft.streaming.EventWindows
@@ -542,6 +542,17 @@ object SparkEntry {
     "corpus_domains" -> ((s, d) =>
       EmbeddingKnn.domainStats(T(s, d, "embeddings"))),
 
+    // Lloyd's k-means (8 cells × 3 iterations) — the iterative refinement
+    // the seeded-IVF quantizer skips; exact integer micro² metric, so the
+    // assignment is engine- and partitioning-exact (extra/Clustering)
+    "embed_kmeans" -> ((s, d) =>
+      Clustering.kmeansAssign(T(s, d, "embeddings"))),
+
+    // per-cluster rollup of the same fit: size, integer mean d2, tightest
+    // member — the mixture planner's topic-balance input
+    "kmeans_cells" -> ((s, d) =>
+      Clustering.kmeansSummary(T(s, d, "embeddings"))),
+
     // deterministic sampled-centroid quantizer (engine-reproducible → full
     // oracle); the KMeans-quantizer variant stays spec-covered in DedupSpec
     "knn_ivf" -> ((s, d) =>
@@ -1046,6 +1057,8 @@ object SparkEntry {
     "knn_ivf" -> O.knnIvfSql,
     "corpus_domains" -> O.corpusDomainsSql,
     "semantic_dedup" -> O.semanticDedupSql,
+    "embed_kmeans" -> O.embedKmeansSql,
+    "kmeans_cells" -> O.kmeansCellsSql,
     "knn_pq" -> O.knnPqSql,
     "knn_int8" -> O.knnInt8Sql,
     "hard_negatives" -> O.hardNegativesSql,
@@ -2615,6 +2628,54 @@ object SparkEntry {
          |  CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep,
          |  d.max_prior_sim
          |FROM own o LEFT JOIN dup d USING (vec_id)""".stripMargin
+
+    /** Shared CTE chain of the k-means oracles (embed_kmeans, kmeans_cells):
+      * DuckDB twin of extra/Clustering.kmeansAssign — micro-quantized
+      * vectors, md5-seeded init numbered 1..8, three unrolled Lloyd
+      * iterations. All-integer: d2 is an exact Σ(Δmicros)² (BIGINT), the
+      * centroid mean is a sign-split truncating `//` (DuckDB floors, Spark
+      * DIV truncates — same dsirLrExpr trick), so argmin/means carry no
+      * fp boundary. Ends with `af`, the assignment against the final
+      * centroids.
+      */
+    val kmeansCtes: String = {
+      val k = 8; val iters = 3
+      val d2 = (1 to 64).map(i => s"(e.vm[$i]-c.cv[$i])*(e.vm[$i]-c.cv[$i])")
+        .mkString(" + ")
+      val meanList = (1 to 64).map(i =>
+        s"CAST(CASE WHEN sum(vm[$i]) >= 0 THEN sum(vm[$i]) // count(*) " +
+          s"ELSE -((-sum(vm[$i])) // count(*)) END AS BIGINT)").mkString(", ")
+      def assignCte(name: String, cent: String) =
+        s"""$name AS (SELECT vec_id, cluster, d2, vm FROM (
+           |    SELECT x.*, row_number() OVER (PARTITION BY vec_id
+           |      ORDER BY d2 ASC, cluster ASC) AS rn FROM (
+           |      SELECT e.vec_id, c.cluster, $d2 AS d2, e.vm
+           |      FROM e CROSS JOIN $cent c) x) z WHERE rn = 1)""".stripMargin
+      def updateCte(name: String, asg: String) =
+        s"$name AS (SELECT cluster, [$meanList] AS cv FROM $asg GROUP BY cluster)"
+      val steps = (1 to iters).flatMap(t =>
+        Seq(assignCte(s"a$t", s"c${t - 1}"), updateCte(s"c$t", s"a$t")))
+      (Seq(
+        """e AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+          |    x -> CAST(round(x*1000000) AS BIGINT)) AS vm FROM embeddings)""".stripMargin,
+        s"""c0 AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+           |    vec_id) AS cluster, vm AS cv FROM (SELECT * FROM e
+           |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $k) z)""".stripMargin) ++
+        steps :+ assignCte("af", s"c$iters")).mkString(",\n")
+    }
+
+    val embedKmeansSql: String =
+      s"WITH $kmeansCtes\n" +
+        "SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, d2 FROM af"
+
+    val kmeansCellsSql: String =
+      s"""WITH $kmeansCtes
+         |SELECT CAST(cluster AS BIGINT) AS cluster, count(*) AS n_vecs,
+         |  CAST(sum(d2) // count(*) AS BIGINT) AS mean_d2,
+         |  min(CASE WHEN rn = 1 THEN vec_id END) AS tightest
+         |FROM (SELECT *, row_number() OVER (PARTITION BY cluster
+         |    ORDER BY d2 ASC, vec_id ASC) AS rn FROM af) t
+         |GROUP BY 1""".stripMargin
 
     val knnIvfSql: String = {
       val sq = (1 to 64).map(i => s"(e.vec[$i]-c.cvec[$i])*(e.vec[$i]-c.cvec[$i])")

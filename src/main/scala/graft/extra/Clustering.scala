@@ -1,0 +1,101 @@
+package graft.extra
+
+import graft.Caching
+import graft.functions.VectorOps
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Lloyd's k-means over the embeddings table — the iterative refinement the
+  * seeded-IVF family (EmbeddingKnn.ivfAssign) deliberately skips. Real
+  * curation pipelines run it for topic balancing and SemDeDup-style
+  * cluster-local dedup, where a few Lloyd iterations visibly tighten cells
+  * over a raw pseudo-random sample (FAISS's coarse-quantizer training is
+  * exactly this loop).
+  *
+  * Everything is exact integer arithmetic so the result is bit-identical
+  * across engines and partitionings:
+  *
+  *  - vectors are quantized once to 1e-6 micros (`array<long>`);
+  *  - the assignment metric is Σ(Δmicros)² via the native codegen
+  *    [[graft.functions.LongL2Squared]] expression — no floats, so the
+  *    argmin has no rounding boundary; ties break on cluster id;
+  *  - centroid updates are per-dimension `sum DIV count` — integer
+  *    truncating division (toward zero, mirrored in the oracle with a
+  *    sign-adjusted `//` since DuckDB's `//` floors);
+  *  - init centroids are the k vectors with the smallest
+  *    `(md5(vec_id), vec_id)` — the same content-independent seed rule as
+  *    ivfAssign, numbered 1..k in that order.
+  *
+  * Scale shape (100 TB): the quantized projection is pinned once
+  * (Caching.temp); each iteration is one broadcast of the k×dim centroid
+  * table against that pin (map-side argmin, no shuffle of the corpus) plus
+  * one (cluster, dim)-keyed aggregate with map-side combine — k·dim rows
+  * out per iteration regardless of corpus size. Empty clusters simply drop
+  * out of the groupBy (both engines agree); k only shrinks, never renames.
+  *
+  * Reference anchor: the reference has no clustering op — its nearest
+  * analogue is the R-tree cell grouping in search/index.py; this is the
+  * embedding-space generalization a training-data pipeline needs.
+  */
+object Clustering {
+
+  /** `array<float> → array<long>` micro quantization (round half-up at 1e-6,
+    * via double — identical in DuckDB as
+    * `list_transform(CAST(v AS DOUBLE[]), x -> CAST(round(x*1000000) AS BIGINT))`).
+    */
+  private def microVec(c: Column): Column =
+    transform(c, x => round(x.cast("double") * lit(1000000)).cast("long"))
+
+  /** (vec_id, cluster, d2) — final Lloyd assignment after `iters` centroid
+    * updates; `d2` is the exact integer micro² distance to the owning
+    * centroid. `iters = 0` is pure seeded assignment (the ivfAssign
+    * baseline in micro metric).
+    */
+  def kmeansAssign(emb: DataFrame, k: Int = 8, iters: Int = 3): DataFrame = {
+    val e = Caching.temp(
+      emb.select(col("vec_id"), microVec(col("embedding")).as("vm")))
+
+    // k rows → the unpartitioned row_number window is bounded by construction
+    val seedOrder = Window.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+    val init = e.orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(k)
+      .select(row_number().over(seedOrder).cast("long").as("cluster"),
+        col("vm").as("cv"))
+
+    def assign(cent: DataFrame): DataFrame = {
+      val aw = Window.partitionBy("vec_id")
+        .orderBy(col("d2").asc, col("cluster").asc)
+      e.crossJoin(broadcast(cent))
+        .withColumn("d2", VectorOps.longL2Sq(col("vm"), col("cv")))
+        .withColumn("rn", row_number().over(aw))
+        .filter(col("rn") === 1)
+        .select("vec_id", "cluster", "d2", "vm")
+    }
+
+    // per-dimension integer mean; rebuild the centroid array ordered by pos
+    def update(asg: DataFrame): DataFrame =
+      asg.select(col("cluster"), posexplode(col("vm")).as(Seq("pos", "v")))
+        .groupBy("cluster", "pos")
+        .agg(sum("v").as("s"), count(lit(1)).as("n"))
+        .withColumn("m", expr("s DIV n"))
+        .groupBy("cluster")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s("m")).as("cv"))
+
+    var cent = init
+    for (_ <- 1 to iters) cent = update(assign(cent))
+    assign(cent).select("vec_id", "cluster", "d2")
+  }
+
+  /** Per-cluster report over the final assignment: size, exact integer mean
+    * d2 (truncating), and the cluster's medoid-ish tightest member — the
+    * rollup a mixture planner reads.
+    */
+  def kmeansSummary(emb: DataFrame, k: Int = 8, iters: Int = 3): DataFrame = {
+    val a = kmeansAssign(emb, k, iters)
+    a.groupBy("cluster").agg(
+      count(lit(1)).as("n_vecs"),
+      expr("sum(d2) DIV count(1)").as("mean_d2"),
+      min(struct(col("d2"), col("vec_id"))).getField("vec_id").as("tightest"))
+  }
+}

@@ -135,6 +135,48 @@ case class Int8DotProduct(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Σ (a_i - b_i)² over two `array<long>` columns of micro-quantized
+  * coordinates — the inner loop of the k-means assignment step
+  * (extra/Clustering.kmeansAssign). All-integer on purpose: quantizing
+  * vectors to 1e-6 micros first makes squared distance EXACT integer
+  * arithmetic, so the argmin (and therefore the whole clustering) is
+  * bit-identical across engines and partitionings — no last-ulp sqrt or
+  * summation-order hazards to round away. Max magnitude is bounded:
+  * unit-scale coords are ≤ ~2e6 micros, so one term is ≤ 4e12 and a
+  * 64-dim sum ≤ ~3e14, far inside long range.
+  */
+case class LongL2Squared(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) { val d = x.getLong(i) - y.getLong(i); s += d * d; i += 1 }
+    s
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName for every local — see EuclideanDistance.doGenCode
+      val n = ctx.freshName("n"); val s = ctx.freshName("s")
+      val i = ctx.freshName("i"); val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $d = $a.getLong($i) - $b.getLong($i);
+         |  $s += $d * $d;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 /** Hamming distance between two fingerprint strings (count of differing
   * byte positions over the common length — exact for the ASCII '0'/'1'
   * bit strings SimHash emits). The `zip_with(split(a,''), split(b,''))`
@@ -194,6 +236,12 @@ object VectorOps {
   /** Hamming distance between two fingerprint strings (codegen'd). */
   def hamming(a: Column, b: Column): Column =
     column(HammingDistance(expression(a), expression(b)))
+
+  /** Exact integer Σ(a_i-b_i)² of two array<long> micro-vector columns
+    * (codegen'd) — the k-means assignment metric.
+    */
+  def longL2Sq(a: Column, b: Column): Column =
+    column(LongL2Squared(expression(a), expression(b)))
 
   /** Rectangle minimum distance between two bbox vectors
     * [x_min, y_min, x_max, y_max] — the R-tree's nearest-neighbor metric
