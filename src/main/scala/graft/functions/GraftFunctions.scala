@@ -26,7 +26,10 @@ object GraftFunctions {
     "rect_min_dist" -> (es => rectMinDistExpr(es(0), es(1))),
     // one-pass char-unigram entropy in integer micronats; ASCII case is
     // folded inside the expression (see functions/TextOps.scala)
-    "char_entropy_micro" -> (es => CharEntropyMicro(es(0)))
+    "char_entropy_micro" -> (es => CharEntropyMicro(es(0))),
+    // exact integer Σ(Δ)² over micro-quantized array<long> vectors — the
+    // k-means assignment metric (extra/Clustering)
+    "long_l2_sq" -> (es => LongL2Squared(es(0), es(1)))
   )
 
   /** Catalyst-node twin of VectorOps.rectMinDist (a builder cannot embed

@@ -21,7 +21,8 @@ class GraftFunctionsSpec extends AnyFunSuite {
         |                array(1.0D, 1.0D, 3.0D, 3.0D)) AS rov,
         |  char_entropy_micro('ab') AS ent,
         |  char_entropy_micro('aaaa') AS ent0,
-        |  char_entropy_micro('Ab') AS entU
+        |  char_entropy_micro('Ab') AS entU,
+        |  long_l2_sq(array(0L, 0L), array(3L, -4L)) AS l2
         |""".stripMargin).collect().head
     assert(r.getAs[Double]("e") == 5.0)
     assert(r.getAs[Double]("c") == 1.0)
@@ -34,6 +35,7 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("ent0") == 0L)
     // ASCII case folds inside the expression: 'Ab' ≡ 'ab'
     assert(r.getAs[Long]("entU") == 693148L)
+    assert(r.getAs[Long]("l2") == 25L)
   }
 
   test("functions run inside SQL over a table (codegen path)") {

@@ -55,16 +55,29 @@ class VectorOpsSpec extends AnyFunSuite {
         VectorOps.int8Dot(col("qa"), col("qb")).as("d1"),
         VectorOps.int8Dot(col("qb"), col("qb")).as("d2"),
         VectorOps.hamming(col("f1"), col("f2")).as("h1"),
-        VectorOps.hamming(col("f1"), col("f1")).as("h2")
+        VectorOps.hamming(col("f1"), col("f1")).as("h2"),
+        VectorOps.longL2Sq(array(lit(1L), lit(-3L)), array(lit(4L), lit(1L))).as("l1"),
+        VectorOps.longL2Sq(array(lit(2L)), array(lit(2L))).as("l2")
       ).collect()(0)
       assert(row.getDouble(0) == 5.0 && row.getDouble(1) == 5.0)
       assert(row.getDouble(2) == 0.0 && math.abs(row.getDouble(3) - 1.0) < 1e-12)
       assert(row.getLong(4) == 11L && row.getLong(5) == 25L)
       assert(row.getInt(6) == 2 && row.getInt(7) == 0)
+      assert(row.getLong(8) == 25L && row.getLong(9) == 0L)
     } finally {
       oldMode.fold(conf.unset("spark.sql.codegen.factoryMode"))(v => conf.set("spark.sql.codegen.factoryMode", v))
       oldFb.fold(conf.unset("spark.sql.codegen.fallback"))(v => conf.set("spark.sql.codegen.fallback", v))
     }
+  }
+
+  test("longL2Sq known values, negative coords, length mismatch") {
+    val df = Seq(
+      (Seq(0L, 0L), Seq(3L, 4L)),        // 9 + 16
+      (Seq(-1000000L, 2L), Seq(1000000L, 2L)), // (2e6)² — large-magnitude safe
+      (Seq(1L, 2L, 99L), Seq(1L, 2L))    // min-length semantics like euclid
+    ).toDF("a", "b")
+    val got = df.select(VectorOps.longL2Sq(col("a"), col("b"))).as[Long].collect()
+    assert(got.toSeq == Seq(25L, 4000000000000L, 0L))
   }
 
   test("codegen and interpreted agree") {
