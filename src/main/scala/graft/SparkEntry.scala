@@ -289,6 +289,13 @@ object SparkEntry {
     "dedup_paragraph" -> ((s, d) =>
       Dedup.dedupParagraphs(T(s, d, "documents"), "doc_id", "text")),
 
+    // CCNet-style boilerplate pass: remove EVERY copy of a line recurring
+    // in >= 2 docs of the same source (vs dedup_paragraph's keep-one; the
+    // fixture's duplicate clusters mostly straddle sources, so the
+    // per-source df tops out at 2 — production corpora dial minDocs up)
+    "dedup_lines" -> ((s, d) =>
+      Dedup.boilerplateLines(T(s, d, "documents"), "doc_id", "text", "source")),
+
     "dedup_minhash" -> ((s, d) =>
       Dedup.minhashLshPairs(T(s, d, "documents").filter(col("doc_id") < DocBound),
         "doc_id", "text", 0.95)),
@@ -861,6 +868,26 @@ object SparkEntry {
         |  coalesce(string_agg(para, ' ' ORDER BY para_idx)
         |    FILTER (WHERE kept = 1), '') AS clean_text
         |FROM k GROUP BY doc_id""".stripMargin,
+
+    "dedup_lines" ->
+      """WITH t AS (SELECT doc_id, source,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |n AS (SELECT doc_id, source, toks, len(toks) AS n_tokens FROM t
+        |  WHERE len(toks) > 0),
+        |l AS (SELECT doc_id, source, CAST(s // 16 AS BIGINT) AS line_idx,
+        |    array_to_string(list_slice(toks, s + 1, s + 16), ' ') AS line
+        |  FROM n CROSS JOIN unnest(range(0, n_tokens, 16)) AS u(s)),
+        |bp AS (SELECT source, md5(line) AS h FROM l
+        |  GROUP BY 1, 2 HAVING count(DISTINCT doc_id) >= 2)
+        |SELECT doc_id, count(*) AS n_lines,
+        |  CAST(sum(CASE WHEN bp.h IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS n_removed,
+        |  coalesce(string_agg(line, ' ' ORDER BY line_idx)
+        |    FILTER (WHERE bp.h IS NULL), '') AS clean_text
+        |FROM l LEFT JOIN bp ON bp.source = l.source AND bp.h = md5(l.line)
+        |GROUP BY doc_id""".stripMargin,
+
     "doc_pagerank" -> O.docPagerankSql,
     "dedup_simhash" -> O.simhashSql,
     "dedup_clusters" -> O.clustersSql,

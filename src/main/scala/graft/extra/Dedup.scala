@@ -543,4 +543,59 @@ object Dedup {
             struct(col("para_idx"), col("para"))))),
           s => s.getField("para"))).as("clean_text"))
   }
+
+  /** CCNet-style per-source boilerplate LINE removal — the third rung of
+    * the line-granularity ladder, distinct from its two neighbors:
+    * [[dedupParagraphs]] keeps exactly ONE copy of a repeated unit
+    * (cross-source, first-wins); this removes EVERY copy of a line that
+    * recurs across `minDocs`+ distinct documents of the SAME source
+    * (nav menus, cookie banners, footers — boilerplate is a property of
+    * the crawl source, so scoping df to the source keeps a quote that two
+    * different sources legitimately share). [[dedupSpans]] is the finer
+    * token-gram sweep that follows for partial overlaps.
+    *
+    * Lines are fixed `lineTokens`-token windows ([[dedupParagraphs]]'s
+    * no-newlines fixture note applies — a real corpus splits on '\n'
+    * with the identical dataflow).
+    *
+    * Plan shape at corpus scale: tokenize + window-explode shuffle-free;
+    * the boilerplate table is a (source, hash)-keyed two-phase
+    * count-distinct — map-side partials absorb a line repeated 10^9
+    * times, and its output is bounded by the distinct-line vocabulary,
+    * filtered to the boilerplate subset before the join back. The probe
+    * join is AQE-skew-splittable; the rewrite is the per-document
+    * collect_list bounded by document size.
+    *
+    * @return (doc_id, n_lines, n_removed, clean_text)
+    */
+  def boilerplateLines(df: DataFrame, idCol: String, textCol: String,
+                       srcCol: String, lineTokens: Int = 16,
+                       minDocs: Int = 2): DataFrame = {
+    val toks = filter(split(lower(col(textCol)), " "), t => t =!= "")
+    val lines = df
+      .select(col(idCol).cast("long").as("doc_id"), col(srcCol).as("source"),
+        toks.as("toks"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("start",
+        explode(sequence(lit(0L), col("n_tokens") - 1, lit(lineTokens.toLong))))
+      .select(col("doc_id"), col("source"),
+        (col("start") / lineTokens).cast("long").as("line_idx"),
+        concat_ws(" ",
+          slice(col("toks"), (col("start") + 1).cast("int"), lit(lineTokens)))
+          .as("line"))
+      .withColumn("h", md5(col("line")))
+    val bp = lines.groupBy("source", "h")
+      .agg(countDistinct("doc_id").as("df"))
+      .filter(col("df") >= minDocs)
+      .select(col("source"), col("h"), lit(1).as("bp"))
+    lines.join(bp, Seq("source", "h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(coalesce(col("bp"), lit(0))).cast("long").as("n_removed"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("bp").isNull,
+            struct(col("line_idx"), col("line"))))),
+          s => s.getField("line"))).as("clean_text"))
+  }
 }

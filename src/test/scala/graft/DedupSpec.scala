@@ -440,6 +440,28 @@ class DedupSpec extends AnyFunSuite {
     assert(got(3L) == ((3L, 1L, "q")))             // both copies dropped
   }
 
+  test("boilerplateLines removes every copy per source, keeps cross-source shares") {
+    // lineTokens=3: "c k y" is boilerplate inside src A (docs 1 and 2 →
+    // removed from BOTH, unlike dedupParagraphs' keep-one); doc 3 carries
+    // the same line in src B where it's unique → kept. Intra-doc repeats
+    // alone (doc 4) don't trigger: df counts distinct docs.
+    val df = Seq(
+      (1L, "c k y a a a", "A"),
+      (2L, "c k y b b b", "A"),
+      (3L, "c k y z z z", "B"),
+      (4L, "m m m m m m", "B")
+    ).toDF("doc_id", "text", "source")
+    val got = Dedup.boilerplateLines(df, "doc_id", "text", "source",
+        lineTokens = 3, minDocs = 2).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_lines"), r.getAs[Long]("n_removed"),
+          r.getAs[String]("clean_text")))).toMap
+    assert(got(1L) == ((2L, 1L, "a a a")))
+    assert(got(2L) == ((2L, 1L, "b b b")))
+    assert(got(3L) == ((2L, 0L, "c k y z z z")))
+    assert(got(4L) == ((2L, 0L, "m m m m m m")))
+  }
+
   test("bitextMine: planted translation pair wins with the hand-computed margin") {
     import graft.extra.EmbeddingKnn
     val r2 = (1.0 / math.sqrt(2)).toFloat
