@@ -1,6 +1,6 @@
 package graft
 
-import graft.extra.{CardSketch, Clustering, CorpusOps, Dedup, EmbeddingKnn, GraphOps, Signals, TextStats}
+import graft.extra.{CardSketch, Classifier, Clustering, CorpusOps, Dedup, EmbeddingKnn, GraphOps, Signals, TextStats}
 import graft.ingest.{Embedder, Profiler, TermStats}
 import graft.search.{Bm25, CombinedScorer, DistanceJoin, Matcher, Sketches}
 import graft.streaming.EventWindows
@@ -33,6 +33,9 @@ object SparkEntry {
     */
   private val DocBound = 300
   private val KnnQueryIds: Seq[Long] = Seq(0L, 1L, 2L, 3L, 4L)
+  // "reference corpus" whitelist for the NB quality classifier — the CCNet
+  // positive class (Wikipedia-like sources); everything else is crawl
+  private val NbRefSources = Seq("src1", "src2", "src3")
   private val Bm25Terms = Seq("spark", "query", "join", "stream")
   // the fixture's 31-term vocabulary puts every term in ~78% of documents,
   // so the scale df-cap (0.5 at a real corpus) would empty the query; the
@@ -560,6 +563,12 @@ object SparkEntry {
     "kmeans_cells" -> ((s, d) =>
       Clustering.kmeansSummary(T(s, d, "embeddings"))),
 
+    // D4-style cluster-balanced diversity sample over the k-means fit:
+    // √size quotas per cell (temperature rule in embedding space),
+    // farthest-from-centroid-first within a cell
+    "cluster_sample" -> ((s, d) =>
+      Clustering.clusterSample(T(s, d, "embeddings"))),
+
     // deterministic sampled-centroid quantizer (engine-reproducible → full
     // oracle); the KMeans-quantizer variant stays spec-covered in DedupSpec
     "knn_ivf" -> ((s, d) =>
@@ -639,6 +648,22 @@ object SparkEntry {
     // per-source unigram KL vs the corpus (mixture-design shift report)
     "source_kl" -> ((s, d) =>
       TextStats.sourceKl(T(s, d, "documents"), "text", "source")),
+
+    // CCNet-style learned quality filter, closed-form NB flavor: per-term
+    // add-1 log-odds vs a reference-source whitelist — the model artifact
+    "nb_model" -> ((s, d) =>
+      Classifier.nbModel(T(s, d, "documents"), "doc_id", "text",
+        col("source").isin(NbRefSources: _*))),
+
+    // per-document classifier scores (integer-micro Σ tf·lodds + prior)
+    "nb_quality" -> ((s, d) =>
+      Classifier.nbScore(T(s, d, "documents"), "doc_id", "text",
+        col("source").isin(NbRefSources: _*))),
+
+    // train-set confusion rollup of the same fit (gate-owner audit)
+    "nb_eval" -> ((s, d) =>
+      Classifier.nbEval(T(s, d, "documents"), "doc_id", "text",
+        col("source").isin(NbRefSources: _*))),
 
     // quality percentiles per (lang, source) and corpus-wide, grid-bounded
     "quality_norm" -> ((s, d) =>
@@ -1086,6 +1111,10 @@ object SparkEntry {
     "semantic_dedup" -> O.semanticDedupSql,
     "embed_kmeans" -> O.embedKmeansSql,
     "kmeans_cells" -> O.kmeansCellsSql,
+    "cluster_sample" -> O.clusterSampleSql,
+    "nb_model" -> O.nbModelSql,
+    "nb_quality" -> O.nbQualitySql,
+    "nb_eval" -> O.nbEvalSql,
     "knn_pq" -> O.knnPqSql,
     "knn_int8" -> O.knnInt8Sql,
     "hard_negatives" -> O.hardNegativesSql,
@@ -2694,6 +2723,88 @@ object SparkEntry {
     val embedKmeansSql: String =
       s"WITH $kmeansCtes\n" +
         "SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, d2 FROM af"
+
+    /** DuckDB twin of Clustering.clusterSample: √size integer-micro quotas
+      * over the same kmeansCtes fit, farthest-first (d2 DESC) within a cell.
+      * `//` on the all-positive quota operands matches Spark's DIV.
+      */
+    val clusterSampleSql: String =
+      s"""WITH $kmeansCtes,
+         |sizes AS (SELECT cluster, count(*) AS n_vecs,
+         |    CAST(round(sqrt(count(*)) * 1000000) AS BIGINT) AS w
+         |  FROM af GROUP BY 1),
+         |tot AS (SELECT CAST(sum(w) AS BIGINT) AS tot FROM sizes),
+         |q AS (SELECT cluster, CAST((100 * w) // tot AS BIGINT) AS quota
+         |  FROM sizes CROSS JOIN tot),
+         |r AS (SELECT af.vec_id, CAST(af.cluster AS BIGINT) AS cluster,
+         |    af.d2, q.quota,
+         |    CAST(row_number() OVER (PARTITION BY af.cluster
+         |      ORDER BY af.d2 DESC, af.vec_id ASC) AS BIGINT) AS rk
+         |  FROM af JOIN q USING (cluster))
+         |SELECT vec_id, cluster, d2, quota, rk FROM r WHERE rk <= quota""".stripMargin
+
+    /** Shared CTE chain of the NB quality-classifier oracles (nb_model,
+      * nb_quality, nb_eval): DuckDB twin of extra/Classifier — per-doc
+      * (y, term, tf), per-term class counts, 6-decimal-pinned add-1
+      * log-odds. Sums CAST to BIGINT (DuckDB sums to HUGEINT).
+      */
+    val nbCtes: String =
+      """lab AS (SELECT doc_id,
+        |    CASE WHEN source IN ('src1','src2','src3') THEN 1 ELSE 0 END AS y,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS ts
+        |  FROM documents),
+        |tfc AS (SELECT doc_id, y, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, y, unnest(ts) AS term FROM lab) u
+        |  GROUP BY 1, 2, 3),
+        |byterm AS (SELECT term,
+        |    CAST(sum(CASE WHEN y = 1 THEN tf ELSE 0 END) AS BIGINT) AS c_pos,
+        |    CAST(sum(CASE WHEN y = 0 THEN tf ELSE 0 END) AS BIGINT) AS c_neg
+        |  FROM tfc GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c_pos) AS BIGINT) AS n_pos,
+        |    CAST(sum(c_neg) AS BIGINT) AS n_neg,
+        |    CAST(count(*) AS BIGINT) AS v FROM byterm),
+        |model AS (SELECT term, c_pos, c_neg,
+        |    round(round(ln((c_pos + 1) / CAST(n_pos + v AS DOUBLE)), 6)
+        |        - round(ln((c_neg + 1) / CAST(n_neg + v AS DOUBLE)), 6), 6) AS lodds
+        |  FROM byterm CROSS JOIN tot)""".stripMargin
+
+    val nbModelSql: String =
+      s"WITH $nbCtes\nSELECT term, c_pos, c_neg, lodds FROM model"
+
+    /** nb_quality tail: integer-micro per-doc Σ tf·lodds + add-1 doc prior. */
+    val nbScoreTail: String =
+      """prior AS (SELECT CAST(round((
+        |      round(ln((d_pos + 1) / CAST(d_pos + d_neg + 2 AS DOUBLE)), 6)
+        |    - round(ln((d_neg + 1) / CAST(d_pos + d_neg + 2 AS DOUBLE)), 6))
+        |    * 1000000) AS BIGINT) AS prior_micro
+        |  FROM (SELECT CAST(sum(y) AS BIGINT) AS d_pos,
+        |      CAST(sum(1 - y) AS BIGINT) AS d_neg FROM lab)),
+        |perdoc AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_toks,
+        |    CAST(sum(CAST(round(tf * lodds * 1000000) AS BIGINT)) AS BIGINT) AS lo_micro
+        |  FROM tfc JOIN model USING (term) GROUP BY 1),
+        |scored AS (SELECT l.doc_id, CAST(l.y AS BIGINT) AS label,
+        |    coalesce(p.n_toks, 0) AS n_toks,
+        |    (coalesce(p.lo_micro, 0) + prior_micro) / 1000000.0 AS nb_score,
+        |    CAST(CASE WHEN coalesce(p.lo_micro, 0) + prior_micro > 0
+        |      THEN 1 ELSE 0 END AS BIGINT) AS pred_hq
+        |  FROM lab l LEFT JOIN perdoc p USING (doc_id) CROSS JOIN prior)""".stripMargin
+
+    val nbQualitySql: String =
+      s"WITH $nbCtes,\n$nbScoreTail\n" +
+        "SELECT doc_id, label, n_toks, nb_score, pred_hq FROM scored"
+
+    val nbEvalSql: String =
+      s"""WITH $nbCtes,
+         |$nbScoreTail
+         |SELECT tp, fp, fn, tn,
+         |  CAST(((tp + tn) * 1000000) // (tp + fp + fn + tn) AS DOUBLE)
+         |    / 1000000.0 AS accuracy
+         |FROM (SELECT
+         |    CAST(sum(CASE WHEN label = 1 AND pred_hq = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |    CAST(sum(CASE WHEN label = 0 AND pred_hq = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |    CAST(sum(CASE WHEN label = 1 AND pred_hq = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         |    CAST(sum(CASE WHEN label = 0 AND pred_hq = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+         |  FROM scored) c""".stripMargin
 
     val kmeansCellsSql: String =
       s"""WITH $kmeansCtes

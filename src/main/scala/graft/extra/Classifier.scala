@@ -1,0 +1,133 @@
+package graft.extra
+
+import graft.Caching
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Learned quality filter — the CCNet / GPT-3 / LLaMA recipe: train a cheap
+  * linear text classifier to separate a REFERENCE corpus (Wikipedia-like
+  * sources) from raw crawl, then keep crawl documents the classifier scores
+  * reference-like. fastText with an SGD loop is the usual tool; the
+  * closed-form equivalent a Spark pipeline can train in ONE aggregate pass
+  * is multinomial Naive Bayes — per-term add-1-smoothed log-odds
+  *
+  *   lodds(t) = log (c⁺(t)+1)/(N⁺+V)  −  log (c⁻(t)+1)/(N⁻+V)
+  *
+  * and a document score Σ tf(t)·lodds(t) + log-prior-odds, which is exactly
+  * a linear model over the bag-of-words (an NB-weighted fastText without
+  * the softmax). No iterations, no learning rate, deterministic.
+  *
+  * Float discipline (the [[TextStats]] LM convention): each log is
+  * 6-decimal-pinned before the subtraction, the subtraction of two pinned
+  * doubles is IEEE-exact in any engine, and per-term contributions round to
+  * integer MICROS before the summation-order-free per-document integer sum.
+  * The mean-free total stays far under 2^53 at any document length.
+  *
+  * Scale shape (100 TB): one pinned (doc_id, y, term, tf) aggregate feeds
+  * model, priors and scoring; the model table is vocabulary-sized (≪ corpus)
+  * so the score join is a broadcast; everything else is map-side-combined
+  * aggregates. Training and scoring together are two corpus passes (one
+  * tokenize+aggregate, one score join) — the same budget as tf-idf.
+  *
+  * Reference anchor: the reference has no learned filter; its nearest
+  * analogue is the hand-written readability gate
+  * (`ingest/profiling/filters.py:44` is_csv_readable). This is the learned
+  * generalization a training-data pipeline substitutes once labels exist.
+  */
+object Classifier {
+
+  private def toks(c: Column): Column =
+    filter(split(lower(c), " "), t => t =!= "")
+
+  /** Pinned (doc_id, y, term, tf) — the single corpus pass everything else
+    * reads. `positive` is any boolean Column over the input row (the label
+    * rule, e.g. a reference-source whitelist).
+    */
+  private def docTermTf(docs: DataFrame, idCol: String, textCol: String,
+                        positive: Column): DataFrame =
+    Caching.temp(
+      docs.select(col(idCol).as("doc_id"), positive.cast("int").as("y"),
+          explode(toks(col(textCol))).as("term"))
+        .groupBy("doc_id", "y", "term").agg(count(lit(1)).as("tf")))
+
+  /** 6-decimal-pinned add-1 log-likelihood ratio per term, from a
+    * (term, c_pos, c_neg) × (n_pos, n_neg, v) frame.
+    */
+  private def loddsCol: Column =
+    round(
+      round(log((col("c_pos") + lit(1)).cast("double") /
+        (col("n_pos") + col("v")).cast("double")), 6) -
+      round(log((col("c_neg") + lit(1)).cast("double") /
+        (col("n_neg") + col("v")).cast("double")), 6), 6)
+
+  private def modelOf(tf: DataFrame): DataFrame = {
+    val byTerm = tf.groupBy("term").agg(
+      sum(when(col("y") === 1, col("tf")).otherwise(lit(0L))).as("c_pos"),
+      sum(when(col("y") === 0, col("tf")).otherwise(lit(0L))).as("c_neg"))
+    val totals = byTerm.agg(sum("c_pos").as("n_pos"), sum("c_neg").as("n_neg"),
+      count(lit(1)).as("v"))
+    byTerm.crossJoin(broadcast(totals))
+      .withColumn("lodds", loddsCol)
+      .select("term", "c_pos", "c_neg", "lodds")
+  }
+
+  /** The trained model artifact: one row per vocabulary term with its class
+    * counts and pinned log-odds weight — what a serving layer broadcasts.
+    */
+  def nbModel(docs: DataFrame, idCol: String, textCol: String,
+              positive: Column): DataFrame =
+    modelOf(docTermTf(docs, idCol, textCol, positive))
+
+  /** Per-document scores: integer-micro Σ tf·lodds plus the add-1 log-prior
+    * odds. Empty documents score the prior alone (the model has no opinion).
+    *
+    * @return (doc_id, label, n_toks, nb_score, pred_hq) — label is the
+    *         training label (kept for audit), pred_hq = score > 0
+    */
+  def nbScore(docs: DataFrame, idCol: String, textCol: String,
+              positive: Column): DataFrame = {
+    val tf = docTermTf(docs, idCol, textCol, positive)
+    val model = modelOf(tf)
+    // add-1 prior from DOCUMENT counts, same pinning as the term weights
+    val prior = docs.agg(
+      sum(positive.cast("long")).as("d_pos"),
+      sum((!positive).cast("long")).as("d_neg"))
+      .withColumn("prior_micro", round(
+        (round(log((col("d_pos") + lit(1)).cast("double") /
+          (col("d_pos") + col("d_neg") + lit(2)).cast("double")), 6) -
+         round(log((col("d_neg") + lit(1)).cast("double") /
+          (col("d_pos") + col("d_neg") + lit(2)).cast("double")), 6)) * 1e6)
+        .cast("long"))
+      .select("prior_micro")
+    val perDoc = tf.join(broadcast(model), "term")
+      .groupBy("doc_id")
+      .agg(sum("tf").as("n_toks"),
+        sum(round(col("tf") * col("lodds") * 1e6).cast("long")).as("lo_micro"))
+    docs.select(col(idCol).as("doc_id"), positive.cast("long").as("label"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .crossJoin(broadcast(prior))
+      .withColumn("score_micro",
+        coalesce(col("lo_micro"), lit(0L)) + col("prior_micro"))
+      .select(col("doc_id"), col("label"),
+        coalesce(col("n_toks"), lit(0L)).as("n_toks"),
+        (col("score_micro").cast("double") / 1e6).as("nb_score"),
+        (col("score_micro") > 0).cast("long").as("pred_hq"))
+  }
+
+  /** Train-set confusion rollup — the one-row audit a gate owner reads
+    * before trusting the filter: counts per (label, prediction) cell plus
+    * micro-pinned accuracy.
+    *
+    * @return (tp, fp, fn, tn, accuracy) single row
+    */
+  def nbEval(docs: DataFrame, idCol: String, textCol: String,
+             positive: Column): DataFrame =
+    nbScore(docs, idCol, textCol, positive).agg(
+      sum(when(col("label") === 1 && col("pred_hq") === 1, 1L).otherwise(0L)).as("tp"),
+      sum(when(col("label") === 0 && col("pred_hq") === 1, 1L).otherwise(0L)).as("fp"),
+      sum(when(col("label") === 1 && col("pred_hq") === 0, 1L).otherwise(0L)).as("fn"),
+      sum(when(col("label") === 0 && col("pred_hq") === 0, 1L).otherwise(0L)).as("tn"))
+      .withColumn("accuracy",
+        expr("CAST(((tp + tn) * 1000000) DIV (tp + fp + fn + tn) AS DOUBLE)") / 1e6)
+}

@@ -98,4 +98,38 @@ object Clustering {
       expr("sum(d2) DIV count(1)").as("mean_d2"),
       min(struct(col("d2"), col("vec_id"))).getField("vec_id").as("tightest"))
   }
+
+  /** Cluster-balanced diversity sample (the D4 / SSL-prototypes pruning
+    * direction): each k-means cell gets a quota ∝ √(cell size) of a `total`
+    * budget — the [[CorpusOps.corpusMixTemperature]] α=0.5 rule applied in
+    * embedding space, so one dominant topic cannot monopolize the drop —
+    * and WITHIN a cell selection is farthest-from-centroid first (d2 DESC):
+    * near-centroid members are the cluster's redundant prototypes, the
+    * boundary members carry its diversity. Ties break on vec_id; quotas are
+    * integer `total·w DIV Σw` on IEEE-exact √·1e6 micro weights, so the
+    * selected set is engine- and partitioning-exact.
+    *
+    * Scale shape: the assignment is pinned once (it feeds both the size
+    * aggregate and the selection), quotas are a k-row broadcast, and the
+    * ranking window partitions on the cluster — no global sort, no
+    * single-partition window at any corpus size.
+    *
+    * @return (vec_id, cluster, d2, quota, rk) — the selected rows only
+    */
+  def clusterSample(emb: DataFrame, total: Int = 100, k: Int = 8,
+                    iters: Int = 3): DataFrame = {
+    val asg = Caching.temp(kmeansAssign(emb, k, iters))
+    val weighted = asg.groupBy("cluster").agg(count(lit(1)).as("n_vecs"))
+      .withColumn("w", round(sqrt(col("n_vecs").cast("double")) * 1e6).cast("long"))
+    val tot = weighted.agg(sum("w").as("tot"))
+    val quotas = weighted.crossJoin(broadcast(tot))
+      .withColumn("quota", expr(s"CAST(($total * w) DIV tot AS BIGINT)"))
+      .select("cluster", "quota")
+    val byCell = Window.partitionBy("cluster")
+      .orderBy(col("d2").desc, col("vec_id").asc)
+    asg.join(broadcast(quotas), "cluster")
+      .withColumn("rk", row_number().over(byCell).cast("long"))
+      .filter(col("rk") <= col("quota"))
+      .select("vec_id", "cluster", "d2", "quota", "rk")
+  }
 }

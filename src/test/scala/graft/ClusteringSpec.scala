@@ -98,4 +98,42 @@ class ClusteringSpec extends AnyFunSuite {
       assert(r.getAs[Long]("tightest") == want)
     }
   }
+
+  test("clusterSample: √size quotas, farthest-first within a cell") {
+    val asg = Clustering.kmeansAssign(emb, 8, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    graft.Caching.release()
+    val got = Clustering.clusterSample(emb, total = 100, k = 8, iters = 3)
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cluster"),
+        r.getAs[Long]("d2"), r.getAs[Long]("quota"), r.getAs[Long]("rk")))
+    graft.Caching.release()
+
+    // quotas match the local temperature rule on the same assignment
+    val sizes = asg.groupBy(_._2).view.mapValues(_.length).toMap
+    val w = sizes.view.mapValues(n => math.rint(math.sqrt(n.toDouble) * 1e6).toLong).toMap
+    val tot = w.values.sum
+    val wantQuota = w.view.mapValues(wc => 100L * wc / tot).toMap
+    got.groupBy(_._2).foreach { case (c, rows) =>
+      assert(rows.head._4 == wantQuota(c), s"cluster $c quota")
+      assert(rows.length == math.min(wantQuota(c), sizes(c).toLong), s"cluster $c size")
+      // selected = the quota FARTHEST members (d2 desc, vec_id tiebreak)
+      val want = asg.filter(_._2 == c).sortBy(a => (-a._3, a._1))
+        .take(wantQuota(c).toInt).map(_._1).toSet
+      assert(rows.map(_._1).toSet == want, s"cluster $c members")
+    }
+    // the sample is cluster-balanced: every non-empty cell is represented
+    assert(got.map(_._2).distinct.length == sizes.size)
+  }
+
+  test("clusterSample is partitioning-independent") {
+    def run(n: Int) = {
+      val r = Clustering.clusterSample(emb.repartition(n), 50, 8, 2).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSet
+      graft.Caching.release()
+      r
+    }
+    assert(run(1) == run(8))
+  }
 }
