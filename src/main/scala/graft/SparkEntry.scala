@@ -1,6 +1,6 @@
 package graft
 
-import graft.extra.{CardSketch, Classifier, Clustering, CorpusOps, Dedup, EmbeddingKnn, GraphOps, Signals, TextStats}
+import graft.extra.{CardSketch, Classifier, Clustering, CorpusOps, Dedup, EmbeddingKnn, GraphOps, Pca, Signals, TextStats}
 import graft.ingest.{Embedder, Profiler, TermStats}
 import graft.search.{Bm25, CombinedScorer, DistanceJoin, Matcher, Sketches}
 import graft.streaming.EventWindows
@@ -569,6 +569,13 @@ object SparkEntry {
     "cluster_sample" -> ((s, d) =>
       Clustering.clusterSample(T(s, d, "embeddings"))),
 
+    // d×d covariance of the embedding cloud (PCA/whitening input): exact
+    // integer micro moments in one map-side-combined aggregate, d² rows out
+    // regardless of corpus size; the eigen step stays driver-side
+    // (model-sized) in extra/Pca, spec-locked
+    "embed_cov" -> ((s, d) =>
+      Pca.covariance(T(s, d, "embeddings"))),
+
     // deterministic sampled-centroid quantizer (engine-reproducible → full
     // oracle); the KMeans-quantizer variant stays spec-covered in DedupSpec
     "knn_ivf" -> ((s, d) =>
@@ -1112,6 +1119,7 @@ object SparkEntry {
     "embed_kmeans" -> O.embedKmeansSql,
     "kmeans_cells" -> O.kmeansCellsSql,
     "cluster_sample" -> O.clusterSampleSql,
+    "embed_cov" -> O.embedCovSql,
     "nb_model" -> O.nbModelSql,
     "nb_quality" -> O.nbQualitySql,
     "nb_eval" -> O.nbEvalSql,
@@ -2742,6 +2750,30 @@ object SparkEntry {
          |      ORDER BY af.d2 DESC, af.vec_id ASC) AS BIGINT) AS rk
          |  FROM af JOIN q USING (cluster))
          |SELECT vec_id, cluster, d2, quota, rk FROM r WHERE rk <= quota""".stripMargin
+
+    /** DuckDB twin of Pca.covariance: micro-quantized vectors, exact
+      * integer upper-triangle moments (DuckDB sums land in HUGEINT — cast
+      * at output), the ONE pinned double expression at the end. Dimension
+      * count hardcoded at 64 like the kmeans CTEs.
+      */
+    val embedCovSql: String =
+      """WITH e AS (SELECT list_transform(CAST(embedding AS DOUBLE[]),
+        |    x -> CAST(round(x*1000000) AS BIGINT)) AS vm FROM embeddings),
+        |n AS (SELECT count(*) AS n FROM e),
+        |idx AS (SELECT unnest(range(0, 64)) AS i),
+        |sums AS (SELECT i.i AS i, sum(vm[i.i + 1]) AS sm
+        |  FROM e CROSS JOIN idx i GROUP BY 1),
+        |pairs AS (SELECT i.i AS i, j.i AS j,
+        |    sum(vm[i.i + 1] * vm[j.i + 1]) AS s
+        |  FROM e CROSS JOIN idx i CROSS JOIN idx j
+        |  WHERE j.i >= i.i GROUP BY 1, 2)
+        |SELECT CAST(p.i AS BIGINT) AS i, CAST(p.j AS BIGINT) AS j,
+        |  CAST(p.s AS BIGINT) AS s_ij,
+        |  round((CAST(p.s AS DOUBLE) / n
+        |      - (CAST(si.sm AS DOUBLE) / n) * (CAST(sj.sm AS DOUBLE) / n))
+        |    / 1000000000000.0, 9) AS cov
+        |FROM pairs p JOIN sums si ON si.i = p.i JOIN sums sj ON sj.i = p.j
+        |CROSS JOIN n""".stripMargin
 
     /** Shared CTE chain of the NB quality-classifier oracles (nb_model,
       * nb_quality, nb_eval): DuckDB twin of extra/Classifier — per-doc

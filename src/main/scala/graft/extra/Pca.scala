@@ -1,0 +1,170 @@
+package graft.extra
+
+import graft.Caching
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Embedding-matrix second-order statistics and PCA whitening — the
+  * retrieval-pipeline post-processing step (Mu & Viswanath's
+  * all-but-the-top, FAISS's OPQ/whitening pre-transforms): estimate the
+  * d×d covariance of the embedding cloud, eigendecompose it, and project /
+  * whiten vectors so dominant directions stop drowning cosine similarity.
+  *
+  * Scale split, by data size not by habit:
+  *
+  *  - the COVARIANCE is corpus-sized work → distributed: micro-quantized
+  *    vectors, upper-triangle pair products expanded per row (d(d+1)/2
+  *    terms) into ONE map-side-combined aggregate whose output is d² rows
+  *    regardless of corpus size; sums ride decimal(38,0) so no vector
+  *    count overflows (BIGINT would cap at ~9M rows of 1e6-micro values).
+  *  - the EIGENDECOMPOSITION is model-sized work (d×d, corpus-independent)
+  *    → driver-side deflated power iteration on the collected covariance;
+  *    collecting d² doubles is the same legitimacy class as collecting k
+  *    centroids. No corpus data ever reaches the driver.
+  *  - the PROJECTION is corpus-sized again → the k×d eigenbasis goes back
+  *    as a broadcast literal and each vector's scores are one codegen'd
+  *    fused dot-product chain; no shuffle at all.
+  *
+  * Engine-exactness: the covariance is exact integer moments (Σvᵢvⱼ, Σvᵢ as
+  * decimals) with ONE pinned float expression at the end — identical IEEE
+  * ops on identical integers in any engine, so `embed_cov` carries a full
+  * DuckDB oracle. The eigen step is deterministic (fixed start, fixed
+  * iteration count, double arithmetic on one machine) and spec-locked by
+  * its mathematical properties instead (orthonormality, Cv≈λv residual,
+  * descending λ, whitened unit variance).
+  *
+  * Reference anchor: the reference ships no embedding post-processing; its
+  * numeric-profile analogue is the min/max/quantile sketch family
+  * (ingest/profiling/profiler.py) — this is the multivariate completion an
+  * embedding lake needs.
+  */
+object Pca {
+
+  private def microVec(c: Column): Column =
+    transform(c, x => round(x.cast("double") * lit(1000000)).cast("long"))
+
+  /** Upper-triangle covariance report of the embedding matrix: exact
+    * integer raw moments and the pinned double covariance in original
+    * (pre-quantization) units.
+    *
+    * @return (i, j, s_ij, cov) for 0 ≤ i ≤ j < d — s_ij = Σ vmᵢ·vmⱼ
+    *         (micro²), cov = E[vᵢvⱼ] − E[vᵢ]E[vⱼ] rounded to 9 decimals
+    */
+  def covariance(emb: DataFrame): DataFrame = {
+    val e = Caching.temp(emb.select(microVec(col("embedding")).as("vm")))
+    val n = e.agg(count(lit(1)).as("n"))
+    val sums = e.select(posexplode(col("vm")).as(Seq("i", "vi")))
+      .groupBy("i").agg(sum(col("vi").cast("decimal(38,0)")).as("sm"))
+    val pairs = e.select(explode(expr(
+      """flatten(transform(vm, (vi, i) ->
+        |  transform(slice(vm, i + 1, size(vm) - i), (vj, jj) ->
+        |    struct(i AS i, i + jj AS j, vi * vj AS p))))""".stripMargin)).as("s"))
+      .select(col("s.i").as("i"), col("s.j").as("j"), col("s.p").as("p"))
+      .groupBy("i", "j").agg(sum(col("p").cast("decimal(38,0)")).as("s_ij"))
+    val si = sums.select(col("i").as("i2"), col("sm").as("sm_i"))
+    val sj = sums.select(col("i").as("j2"), col("sm").as("sm_j"))
+    pairs.join(broadcast(si), col("i") === col("i2"))
+      .join(broadcast(sj), col("j") === col("j2"))
+      .crossJoin(broadcast(n))
+      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+        col("s_ij").cast("long").as("s_ij"),
+        round((col("s_ij").cast("double") / col("n")
+          - (col("sm_i").cast("double") / col("n"))
+            * (col("sm_j").cast("double") / col("n"))) / 1e12, 9).as("cov"))
+  }
+
+  /** Driver-side cyclic Jacobi eigendecomposition of the collected
+    * covariance — for a model-sized (d×d) symmetric matrix this converges
+    * to machine precision in a handful of sweeps, where deflated power
+    * iteration stalls on near-degenerate eigenvalue pairs. Deterministic:
+    * fixed sweep count, fixed (p,q) visit order.
+    *
+    * @return (eigenvalues desc, eigenvectors row-major) — top k pairs;
+    *         ties in λ break on the first differing eigenvector component
+    *         sign convention (largest-|component| entry made positive)
+    */
+  def eigTopK(cov: Array[Array[Double]], k: Int,
+              sweeps: Int = 30): (Array[Double], Array[Array[Double]]) = {
+    val d = cov.length
+    val a = cov.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    for (_ <- 1 to sweeps; p <- 0 until d; q <- p + 1 until d) {
+      val apq = a(p)(q)
+      if (math.abs(apq) > 1e-300) {
+        val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+        val t = math.signum(theta) match {
+          case 0.0 => 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+          case s => s / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+        }
+        val c = 1.0 / math.sqrt(t * t + 1.0)
+        val s = t * c
+        for (i <- 0 until d) {
+          val aip = a(i)(p); val aiq = a(i)(q)
+          a(i)(p) = c * aip - s * aiq
+          a(i)(q) = s * aip + c * aiq
+        }
+        for (j <- 0 until d) {
+          val apj = a(p)(j); val aqj = a(q)(j)
+          a(p)(j) = c * apj - s * aqj
+          a(q)(j) = s * apj + c * aqj
+        }
+        for (i <- 0 until d) {
+          val vip = v(i)(p); val viq = v(i)(q)
+          v(i)(p) = c * vip - s * viq
+          v(i)(q) = s * vip + c * viq
+        }
+      }
+    }
+    val order = (0 until d).sortBy(i => -a(i)(i)).take(k)
+    val vals = order.map(i => a(i)(i)).toArray
+    val vecs = order.map { c =>
+      val col = Array.tabulate(d)(i => v(i)(c))
+      // sign convention: the largest-|component| entry is positive
+      val m = col.indices.maxBy(i => (math.abs(col(i)), -i))
+      if (col(m) < 0) col.map(-_) else col
+    }.toArray
+    (vals, vecs)
+  }
+
+  /** Collect the covariance (d² doubles — model-sized) into a symmetric
+    * matrix in original units.
+    */
+  def covMatrix(emb: DataFrame): Array[Array[Double]] = {
+    val rows = covariance(emb).collect()
+    val d = rows.map(_.getLong(1)).max.toInt + 1
+    val m = Array.ofDim[Double](d, d)
+    rows.foreach { r =>
+      val (i, j, c) = (r.getLong(0).toInt, r.getLong(1).toInt, r.getDouble(3))
+      m(i)(j) = c; m(j)(i) = c
+    }
+    m
+  }
+
+  /** PCA projection (optionally whitened) of every embedding onto the top-k
+    * eigenbasis: scores are centered dot products against a broadcast
+    * literal basis — one shuffle for the mean, then a pure codegen map.
+    *
+    * @return (vec_id, pc array<double> rounded 6) — whitened divides each
+    *         score by √λ (unit variance per component, the similarity-
+    *         search normalization)
+    */
+  def project(emb: DataFrame, k: Int = 4, whiten: Boolean = false): DataFrame = {
+    val (vals, vecs) = eigTopK(covMatrix(emb), k)
+    // exact mean: decimal micro sums (partition-order-free), one driver div
+    val cnt = emb.count().toDouble
+    val mean = emb.select(posexplode(microVec(col("embedding"))).as(Seq("i", "vi")))
+      .groupBy("i").agg(sum(col("vi").cast("decimal(38,0)")).as("sm"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getDecimal(1).doubleValue / cnt / 1e6)
+      .toMap
+    val comps: Seq[Column] = (0 until k).map { c =>
+      val dot = vecs(c).indices.map { i =>
+        (col("embedding")(i).cast("double") - lit(mean(i))) * lit(vecs(c)(i))
+      }.reduce(_ + _)
+      val scaled = if (whiten) dot / lit(math.sqrt(math.max(vals(c), 1e-12)))
+                   else dot
+      round(scaled, 6)
+    }
+    emb.select(col("vec_id"), array(comps: _*).as("pc"))
+  }
+}

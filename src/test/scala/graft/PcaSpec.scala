@@ -1,0 +1,98 @@
+package graft
+
+import graft.extra.Pca
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class PcaSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def emb = Tables.load(spark, SparkTestSession.sf0001, "embeddings")
+
+  private def localVecs: Array[Array[Long]] = {
+    emb.select(transform(col("embedding"),
+        x => round(x.cast("double") * lit(1000000)).cast("long")).as("vm"))
+      .collect().map(_.getSeq[Long](0).toArray)
+  }
+
+  test("covariance matches an independent local computation exactly") {
+    val vs = localVecs
+    val n = vs.length
+    val d = vs.head.length
+    val got = Pca.covariance(emb).collect()
+      .map(r => (r.getLong(0).toInt, r.getLong(1).toInt) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    graft.Caching.release()
+    assert(got.size == d * (d + 1) / 2)
+    for (i <- 0 until d; j <- i until d) {
+      val s = vs.map(v => v(i) * v(j)).sum
+      val smi = vs.map(_(i)).sum
+      val smj = vs.map(_(j)).sum
+      val cov = math.rint(((s.toDouble / n)
+        - (smi.toDouble / n) * (smj.toDouble / n)) / 1e12 * 1e9) / 1e9
+      assert(got((i, j))._1 == s, s"s_ij at ($i,$j)")
+      assert(got((i, j))._2 == cov, s"cov at ($i,$j)")
+    }
+  }
+
+  test("covariance is partitioning-independent (exact decimal sums)") {
+    def run(p: Int) = {
+      val r = Pca.covariance(emb.repartition(p)).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      graft.Caching.release()
+      r
+    }
+    assert(run(1) == run(8))
+  }
+
+  test("eigTopK: orthonormal basis, small residual, descending eigenvalues") {
+    val m = Pca.covMatrix(emb)
+    graft.Caching.release()
+    val d = m.length
+    val k = 4
+    val (vals, vecs) = Pca.eigTopK(m, k)
+    // descending, non-negative (covariance is PSD)
+    vals.sliding(2).foreach { case Array(a, b) => assert(a >= b - 1e-9) }
+    assert(vals.forall(_ >= -1e-9))
+    // orthonormality
+    for (a <- 0 until k; b <- 0 until k) {
+      val dot = (0 until d).map(i => vecs(a)(i) * vecs(b)(i)).sum
+      val want = if (a == b) 1.0 else 0.0
+      assert(math.abs(dot - want) < 1e-6, s"v${a}.v$b = $dot")
+    }
+    // eigen residual ‖Cv − λv‖ / λ small for each component
+    for (c <- 0 until k) {
+      val cv = Array.tabulate(d)(i => (0 until d).map(j => m(i)(j) * vecs(c)(j)).sum)
+      val res = math.sqrt((0 until d).map(i => {
+        val e = cv(i) - vals(c) * vecs(c)(i); e * e
+      }).sum)
+      assert(res / math.max(vals(c), 1e-12) < 1e-4, s"component $c residual $res")
+    }
+  }
+
+  test("projection variance tracks the eigenvalue; whitening normalizes it") {
+    val k = 3
+    val (vals, _) = Pca.eigTopK(Pca.covMatrix(emb), k)
+    graft.Caching.release()
+    val pcs = Pca.project(emb, k).collect().map(_.getSeq[Double](1).toArray)
+    graft.Caching.release()
+    val n = pcs.length
+    for (c <- 0 until k) {
+      val xs = pcs.map(_(c))
+      val mu = xs.sum / n
+      val variance = xs.map(x => (x - mu) * (x - mu)).sum / n
+      assert(math.abs(variance - vals(c)) / math.max(vals(c), 1e-12) < 0.01,
+        s"pc$c variance $variance vs λ ${vals(c)}")
+    }
+    val wh = Pca.project(emb, k, whiten = true).collect()
+      .map(_.getSeq[Double](1).toArray)
+    graft.Caching.release()
+    for (c <- 0 until k) {
+      val xs = wh.map(_(c))
+      val mu = xs.sum / n
+      val variance = xs.map(x => (x - mu) * (x - mu)).sum / n
+      assert(math.abs(variance - 1.0) < 0.01, s"whitened pc$c variance $variance")
+    }
+  }
+}
