@@ -115,6 +115,48 @@ object Classifier {
         (col("score_micro") > 0).cast("long").as("pred_hq"))
   }
 
+  /** The add-1 doc-prior log-odds in integer micros, collected once — the
+    * scalar a serving layer ships beside the model table.
+    */
+  def priorMicroOf(docs: DataFrame, positive: Column): Long =
+    docs.agg(
+      sum(positive.cast("long")).as("d_pos"),
+      sum((!positive).cast("long")).as("d_neg"))
+      .select(round(
+        (round(log((col("d_pos") + lit(1)).cast("double") /
+          (col("d_pos") + col("d_neg") + lit(2)).cast("double")), 6) -
+         round(log((col("d_neg") + lit(1)).cast("double") /
+          (col("d_pos") + col("d_neg") + lit(2)).cast("double")), 6)) * 1e6)
+        .cast("long"))
+      .collect()(0).getLong(0)
+
+  /** Score documents with an ALREADY-TRAINED model — the serving form: no
+    * training pass, no labels, one broadcast join of the vocabulary-sized
+    * model onto the batch's tf table. Same integer-micro arithmetic as
+    * [[nbScore]] (identical scores on identical inputs — spec-locked);
+    * terms outside the model vocabulary contribute zero evidence.
+    *
+    * @return (doc_id, n_toks, nb_score, pred_hq)
+    */
+  def scoreWith(docs: DataFrame, idCol: String, textCol: String,
+                model: DataFrame, priorMicro: Long): DataFrame = {
+    val tf = docs
+      .select(col(idCol).as("doc_id"), explode(toks(col(textCol))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val perDoc = tf.join(broadcast(model.select("term", "lodds")), "term")
+      .groupBy("doc_id")
+      .agg(sum("tf").as("n_toks"),
+        sum(round(col("tf") * col("lodds") * 1e6).cast("long")).as("lo_micro"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .withColumn("score_micro",
+        coalesce(col("lo_micro"), lit(0L)) + lit(priorMicro))
+      .select(col("doc_id"),
+        coalesce(col("n_toks"), lit(0L)).as("n_toks"),
+        (col("score_micro").cast("double") / 1e6).as("nb_score"),
+        (col("score_micro") > 0).cast("long").as("pred_hq"))
+  }
+
   /** Train-set confusion rollup — the one-row audit a gate owner reads
     * before trusting the filter: counts per (label, prediction) cell plus
     * micro-pinned accuracy.

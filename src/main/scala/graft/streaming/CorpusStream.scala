@@ -110,6 +110,26 @@ object CorpusStream {
       finally graft.Caching.release()
     }.start()
 
+  /** Streaming application of the learned quality filter
+    * ([[graft.extra.Classifier]]) — score every arriving document with a
+    * model trained on the historical corpus. `foreachBatch` because the
+    * per-document score is an aggregate over the document's terms, complete
+    * within one micro-batch (the admitStream rationale); the model thunk
+    * re-resolves per batch, so a periodically-retrained model table is
+    * picked up live with zero streaming state. Scores are byte-identical
+    * to the batch [[graft.extra.Classifier.scoreWith]] (spec-locked).
+    */
+  def nbGateStream(stream: DataFrame, model: () => DataFrame,
+                   priorMicro: Long, idCol: String = "doc_id",
+                   textCol: String = "text")
+                  (onScored: (DataFrame, Long) => Unit): StreamingQuery =
+    stream.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      try onScored(
+        graft.extra.Classifier.scoreWith(batch, idCol, textCol, model(),
+          priorMicro), id)
+      finally graft.Caching.release()
+    }.start()
+
   /** Streaming quality gate — the ingest-time twin of the per-document
     * signal operators: every arriving document gets its
     * [[graft.extra.Signals.gopherRules]] verdict (all rule columns + keep)

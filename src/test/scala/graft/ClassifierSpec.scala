@@ -78,6 +78,55 @@ class ClassifierSpec extends AnyFunSuite {
     assert(e.getAs[Long]("fp") + e.getAs[Long]("tn") == 4)
   }
 
+  test("serving form scoreWith matches the training-time scores exactly") {
+    val docs = Tables.load(spark, SparkTestSession.sf0001, "documents")
+    val p = col("source").isin("src1", "src2", "src3")
+    val trained = Classifier.nbScore(docs, "doc_id", "text", p).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(3), r.getLong(4))))
+      .toMap
+    graft.Caching.release()
+    val model = Classifier.nbModel(docs, "doc_id", "text", p)
+    val prior = Classifier.priorMicroOf(docs, p)
+    val served = Classifier.scoreWith(docs, "doc_id", "text", model, prior)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3))))
+      .toMap
+    graft.Caching.release()
+    assert(served == trained)
+  }
+
+  test("streaming NB gate scores arrivals identically to the batch operator") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("nb_gate").toString
+    val corpus = synth
+    val model = Classifier.nbModel(corpus, "doc_id", "text", pos)
+    val prior = Classifier.priorMicroOf(corpus, pos)
+    val arrivals = Seq((20L, "gold clean prose"), (21L, "junk spam noise"),
+      (22L, "")).toDF("doc_id", "text")
+    arrivals.coalesce(1).write.mode("append").parquet(dir)
+
+    val scored = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Double, Long)]
+    val stream = spark.readStream.schema(arrivals.schema).parquet(dir)
+    val q = graft.streaming.CorpusStream.nbGateStream(
+      stream, () => model, prior) { (v, _) =>
+      val rows = v.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      scored.synchronized { scored ++= rows }
+    }
+    try q.processAllAvailable() finally q.stop()
+    graft.Caching.release()
+
+    val want = Classifier.scoreWith(arrivals, "doc_id", "text", model, prior)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toSet
+    graft.Caching.release()
+    assert(scored.toSet == want)
+    // and the verdicts separate the synthetic classes
+    val byId = scored.map(x => x._1 -> x._4).toMap
+    assert(byId(20L) == 1L && byId(21L) == 0L)
+  }
+
   test("scores are partitioning-independent on the fixture corpus") {
     val docs = Tables.load(spark, SparkTestSession.sf0001, "documents")
     val p = col("source").isin("src1", "src2", "src3")
