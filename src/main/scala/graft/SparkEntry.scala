@@ -400,6 +400,11 @@ object SparkEntry {
     "corpus_stats" -> ((s, d) =>
       CorpusOps.corpusStats(T(s, d, "documents"))),
 
+    // trainer batch-shape audit: padding waste of fixed-max vs
+    // length-bucketed vs packed batching, 3 rows from one aggregate
+    "pad_audit" -> ((s, d) =>
+      CorpusOps.paddingAudit(T(s, d, "documents"), "doc_id", "text")),
+
     // mixture-planning rollup: (lang, source) + per-lang + grand totals in
     // one Expand pass, with token share of the corpus
     "corpus_rollup" -> ((s, d) =>
@@ -1430,6 +1435,27 @@ object SparkEntry {
          |GROUP BY tf.doc_id, tf.chunk_id
          |ORDER BY score DESC, tf.doc_id ASC, tf.chunk_id ASC LIMIT 20""".stripMargin
     },
+
+    // non-negative operands make DuckDB's flooring // equal Spark's
+    // truncating DIV in every slot formula
+    "pad_audit" ->
+      """WITH t AS (SELECT least(CAST(len(list_filter(
+        |      string_split(lower(text), ' '), x -> x <> '')) AS BIGINT),
+        |      256) AS n FROM documents),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n) AS BIGINT) AS used,
+        |    CAST(count(*) * 256 AS BIGINT) AS slots_fixed,
+        |    CAST(sum(((n + 31) // 32) * 32) AS BIGINT) AS slots_bucketed,
+        |    CAST(((sum(n) + 2047) // 2048) * 2048 AS BIGINT) AS slots_packed
+        |  FROM t WHERE n > 0)
+        |SELECT strategy, n_docs, used AS used_tokens, slots AS slot_tokens,
+        |  CAST(((slots - used) * 1000000) // slots AS BIGINT) AS waste_ppm
+        |FROM (
+        |  SELECT 'fixed' AS strategy, n_docs, used, slots_fixed AS slots FROM a
+        |  UNION ALL
+        |  SELECT 'bucketed', n_docs, used, slots_bucketed FROM a
+        |  UNION ALL
+        |  SELECT 'packed', n_docs, used, slots_packed FROM a) u""".stripMargin,
 
     // two-level agg mirrors the Spark plan (fingerprint first, then group);
     // integer sums cast out of HUGEINT

@@ -719,4 +719,51 @@ object CorpusOps {
         round(col("total_tokens").cast("double") / col("grand_toks"), 6))
       .drop("grand_toks")
   }
+
+  /** Trainer batch-shape audit: padding waste of the three standard
+    * batching strategies over the same (truncated) per-document token
+    * counts — the number a pipeline owner reads before choosing how to
+    * feed the corpus to the GPU:
+    *
+    *  - `fixed`    — every document padded to `maxLen` (the naive batch);
+    *  - `bucketed` — length-bucketed batching, each document padded to the
+    *                 next `bucket` boundary (the dynamic-batching middle
+    *                 ground);
+    *  - `packed`   — GPT-style concatenation into `packBudget`-token
+    *                 sequences ([[packSequences]]' semantics: documents
+    *                 chunk across sequence boundaries, so only the final
+    *                 sequence carries padding).
+    *
+    * All-integer arithmetic (truncating DIV on non-negative operands, waste
+    * in ppm), ONE map-side-combined aggregate over one corpus scan — the
+    * three strategies unpivot from the same aggregate row, so the report is
+    * 3 rows at any corpus size.
+    *
+    * @return (strategy, n_docs, used_tokens, slot_tokens, waste_ppm)
+    */
+  def paddingAudit(docs: DataFrame, idCol: String, textCol: String,
+                   maxLen: Int = 256, bucket: Int = 32,
+                   packBudget: Long = 2048): DataFrame = {
+    val nToks = size(filter(split(lower(col(textCol)), " "), t => t =!= ""))
+    val a = docs.select(least(nToks.cast("long"), lit(maxLen.toLong)).as("n"))
+      .filter(col("n") > 0)
+      .agg(count(lit(1)).as("n_docs"), sum("n").as("used"),
+        (count(lit(1)) * maxLen).as("slots_fixed"),
+        sum(expr(s"((n + ${bucket - 1}) DIV $bucket) * $bucket"))
+          .as("slots_bucketed"))
+      .withColumn("slots_packed",
+        expr(s"((used + ${packBudget - 1}) DIV $packBudget) * $packBudget"))
+    a.select(explode(array(
+        struct(lit("fixed").as("strategy"), col("n_docs"), col("used"),
+          col("slots_fixed").as("slots")),
+        struct(lit("bucketed").as("strategy"), col("n_docs"), col("used"),
+          col("slots_bucketed").as("slots")),
+        struct(lit("packed").as("strategy"), col("n_docs"), col("used"),
+          col("slots_packed").as("slots")))).as("s"))
+      .select(col("s.strategy").as("strategy"),
+        col("s.n_docs").as("n_docs"),
+        col("s.used").as("used_tokens"),
+        col("s.slots").as("slot_tokens"),
+        expr("((s.slots - s.used) * 1000000) DIV s.slots").as("waste_ppm"))
+  }
 }

@@ -501,4 +501,27 @@ class CorpusOpsSpec extends AnyFunSuite {
       assert(math.abs(p - math.rint(d.toDouble / 3.0 * 1e6) / 1e6) < 1e-9)
     }
   }
+
+  test("paddingAudit: hand-computed waste for all three strategies") {
+    import spark.implicits._
+    // token counts 3, 10, 70 with maxLen=16 (70 truncates to 16),
+    // bucket=8, packBudget=32
+    val docs = Seq(
+      (1L, Seq.fill(3)("w").mkString(" ")),
+      (2L, Seq.fill(10)("w").mkString(" ")),
+      (3L, Seq.fill(70)("w").mkString(" ")),
+      (4L, "")                              // empty: excluded everywhere
+    ).toDF("doc_id", "text")
+    val got = CorpusOps.paddingAudit(docs, "doc_id", "text",
+        maxLen = 16, bucket = 8, packBudget = 32).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    // used = 3 + 10 + 16 = 29
+    // fixed: slots = 3*16 = 48, waste = 19e6/48 = 395833
+    assert(got("fixed") == ((3L, 29L, 48L, 395833L)))
+    // bucketed: ceil8(3)=8, ceil8(10)=16, ceil8(16)=16 → 40; 11e6/40=275000
+    assert(got("bucketed") == ((3L, 29L, 40L, 275000L)))
+    // packed: ceil32(29)=32; 3e6/32 = 93750
+    assert(got("packed") == ((3L, 29L, 32L, 93750L)))
+  }
 }
