@@ -657,6 +657,11 @@ object SparkEntry {
     "lm_quality2" -> ((s, d) =>
       TextStats.lmScoreBigram(T(s, d, "documents"), "doc_id", "text")),
 
+    // phrase mining: top-20 adjacent-bigram PMI (pinned-log sum — no
+    // integer product to overflow at corpus scale)
+    "collocations" -> ((s, d) =>
+      TextStats.collocations(T(s, d, "documents"), "text")),
+
     // per-source unigram KL vs the corpus (mixture-design shift report)
     "source_kl" -> ((s, d) =>
       TextStats.sourceKl(T(s, d, "documents"), "text", "source")),
@@ -1435,6 +1440,33 @@ object SparkEntry {
          |GROUP BY tf.doc_id, tf.chunk_id
          |ORDER BY score DESC, tf.doc_id ASC, tf.chunk_id ASC LIMIT 20""".stripMargin
     },
+
+    // pinned-log PMI: every ln rounds to 6 decimals before the combination,
+    // so no engine-specific libm tail and no overflowing integer product
+    "collocations" ->
+      """WITH t AS (SELECT list_filter(string_split(lower(text), ' '),
+        |    x -> x <> '') AS ts FROM documents),
+        |uni AS (SELECT term, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest(ts) AS term FROM t) u GROUP BY 1),
+        |bi AS (SELECT bigram, CAST(count(*) AS BIGINT) AS c_ab FROM (
+        |    SELECT array_to_string(list_slice(ts, i, i + 1), ' ') AS bigram
+        |    FROM t CROSS JOIN unnest(range(1, len(ts))) AS u(i)
+        |    WHERE len(ts) >= 2) b GROUP BY 1),
+        |tot AS (SELECT (SELECT CAST(sum(c_ab) AS BIGINT) FROM bi) AS big_n,
+        |    (SELECT CAST(sum(c) AS BIGINT) FROM uni) AS tok_n)
+        |SELECT bigram, c_ab, c_a, c_b, pmi FROM (
+        |  SELECT b.bigram, b.c_ab, ua.c AS c_a, ub.c AS c_b,
+        |    round(round(ln(CAST(b.c_ab AS DOUBLE)), 6)
+        |      - round(ln(CAST(tot.big_n AS DOUBLE)), 6)
+        |      - round(ln(CAST(ua.c AS DOUBLE)), 6)
+        |      - round(ln(CAST(ub.c AS DOUBLE)), 6)
+        |      + 2.0 * round(ln(CAST(tot.tok_n AS DOUBLE)), 6), 6) AS pmi
+        |  FROM bi b
+        |  JOIN uni ua ON ua.term = split_part(b.bigram, ' ', 1)
+        |  JOIN uni ub ON ub.term = split_part(b.bigram, ' ', 2)
+        |  CROSS JOIN tot
+        |  WHERE b.c_ab >= 5) z
+        |ORDER BY pmi DESC, bigram ASC LIMIT 20""".stripMargin,
 
     // non-negative operands make DuckDB's flooring // equal Spark's
     // truncating DIV in every slot formula

@@ -500,4 +500,61 @@ object TextStats {
     */
   def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("doc_id"), fingerprintCol(col(textCol)).as("fingerprint"))
+
+  /** Collocation mining — top-k adjacent-bigram PMI, the phrase-vocabulary
+    * step of tokenizer/embedding design (word2vec's phrase pass, BPE's
+    * conceptual cousin one level up):
+    *
+    *   pmi(a,b) = ln P(ab) − ln P(a) − ln P(b)
+    *            = ln c_ab − ln B − ln c_a − ln c_b + 2·ln N
+    *
+    * with c the corpus counts, B total bigram instances, N total token
+    * instances. Written as a SUM OF PINNED LOGS (each ln rounded to 6
+    * decimals before combining, the sourceKl discipline) rather than a log
+    * of an integer product — c_ab·N² overflows any integer width at corpus
+    * scale, while the pinned-sum form is IEEE-identical in any engine at
+    * any scale.
+    *
+    * Plan: one bigram aggregate + one unigram aggregate (both map-side
+    * combined, both vocabulary-sized outputs), scalar totals broadcast, the
+    * unigram table broadcast-joined twice (vocab-sized), and a bounded
+    * top-k (`TakeOrderedAndProject`) — no corpus-sized shuffle beyond the
+    * two tf aggregates.
+    *
+    * @return (bigram, c_ab, c_a, c_b, pmi) — top `k` by (pmi DESC, bigram),
+    *         bigrams with c_ab < minCount dropped (PMI is noise on rare
+    *         pairs)
+    */
+  def collocations(df: DataFrame, textCol: String, k: Int = 20,
+                   minCount: Long = 5L): DataFrame = {
+    val t = df.select(toks(col(textCol)).as("ts"))
+    val uni = graft.Caching.temp(
+      t.select(explode(col("ts")).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("c")))
+    val bi = graft.Caching.temp(
+      t.filter(size(col("ts")) >= 2)
+        .select(explode(zip_with(
+          slice(col("ts"), lit(1), size(col("ts")) - 1),
+          slice(col("ts"), lit(2), size(col("ts")) - 1),
+          (a, b) => concat(a, lit(" "), b))).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("c_ab")))
+    val totals = bi.agg(sum("c_ab").as("big_n"))
+      .crossJoin(uni.agg(sum("c").as("tok_n")))
+    def r6(c: Column): Column = round(c, 6)
+    val ua = uni.select(col("term").as("w1"), col("c").as("c_a"))
+    val ub = uni.select(col("term").as("w2"), col("c").as("c_b"))
+    bi.filter(col("c_ab") >= minCount)
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .withColumn("w2", substring_index(col("bigram"), " ", -1))
+      .join(broadcast(ua), "w1")
+      .join(broadcast(ub), "w2")
+      .crossJoin(broadcast(totals))
+      .withColumn("pmi", r6(
+        r6(log(col("c_ab").cast("double"))) - r6(log(col("big_n").cast("double")))
+          - r6(log(col("c_a").cast("double"))) - r6(log(col("c_b").cast("double")))
+          + lit(2.0) * r6(log(col("tok_n").cast("double")))))
+      .select("bigram", "c_ab", "c_a", "c_b", "pmi")
+      .orderBy(col("pmi").desc, col("bigram").asc)
+      .limit(k)
+  }
 }

@@ -207,4 +207,28 @@ class TextStatsSpec extends AnyFunSuite {
     assert(got(("en", "web")) == ((3L, 2L, 0.333333)))
     assert(got(("es", "web")) == ((1L, 1L, 0.0)))
   }
+
+  test("collocations: planted phrase tops the PMI ranking, counts exact") {
+    // "new york" always adjacent (3×); filler words also repeat but in
+    // varying orders, so their bigrams never hit minCount
+    val docs = Seq(
+      (1L, "new york is big and busy"),
+      (2L, "i love new york a lot"),
+      (3L, "new york draws many people"),
+      (4L, "big busy lot many people draws love")
+    ).toDF("doc_id", "text")
+    val got = TextStats.collocations(docs, "text", k = 5, minCount = 3L)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    graft.Caching.release()
+    assert(got.nonEmpty && got.head._1 == "new york")
+    val (_, cab, ca, cb, pmi) = got.head
+    assert(cab == 3L && ca == 3L && cb == 3L)
+    // pinned-log mirror: B = 20 bigram instances, N = 24 tokens
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val want = r6(r6(math.log(3.0)) - r6(math.log(20.0)) - r6(math.log(3.0))
+      - r6(math.log(3.0)) + 2.0 * r6(math.log(24.0)))
+    assert(pmi == want, s"$pmi vs $want")
+  }
 }
