@@ -574,12 +574,12 @@ object SparkEntry {
     "cluster_sample" -> ((s, d) =>
       Clustering.clusterSample(T(s, d, "embeddings"))),
 
-    // d×d covariance of the embedding cloud (PCA/whitening input): exact
-    // integer micro moments in one map-side-combined aggregate, d² rows out
-    // regardless of corpus size; the eigen step stays driver-side
-    // (model-sized) in extra/Pca, spec-locked
+    // d×d covariance of the embedding cloud (PCA/whitening input): the
+    // single-pass flat-buffer Aggregator (10x the explode+hash-agg twin,
+    // CovProf A/B in PLANS.md; spec-locked bit-identical to it, so the
+    // oracle covers both); the eigen step stays driver-side (model-sized)
     "embed_cov" -> ((s, d) =>
-      Pca.covariance(T(s, d, "embeddings"))),
+      Pca.covarianceFast(T(s, d, "embeddings"))),
 
     // deterministic sampled-centroid quantizer (engine-reproducible → full
     // oracle); the KMeans-quantizer variant stays spec-covered in DedupSpec

@@ -50,6 +50,17 @@ object Pca {
     * @return (i, j, s_ij, cov) for 0 ≤ i ≤ j < d — s_ij = Σ vmᵢ·vmⱼ
     *         (micro²), cov = E[vᵢvⱼ] − E[vᵢ]E[vⱼ] rounded to 9 decimals
     */
+  /** Shared final projection — the ONE float expression both covariance
+    * paths run, so their outputs are bit-identical by construction.
+    * Expects exact integer columns (i, j, s_ij, sm_i, sm_j, n).
+    */
+  private def covProjection(moments: DataFrame): DataFrame =
+    moments.select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+      col("s_ij").cast("long").as("s_ij"),
+      round((col("s_ij").cast("double") / col("n")
+        - (col("sm_i").cast("double") / col("n"))
+          * (col("sm_j").cast("double") / col("n"))) / 1e12, 9).as("cov"))
+
   def covariance(emb: DataFrame): DataFrame = {
     val e = Caching.temp(emb.select(microVec(col("embedding")).as("vm")))
     val n = e.agg(count(lit(1)).as("n"))
@@ -63,14 +74,70 @@ object Pca {
       .groupBy("i", "j").agg(sum(col("p").cast("decimal(38,0)")).as("s_ij"))
     val si = sums.select(col("i").as("i2"), col("sm").as("sm_i"))
     val sj = sums.select(col("i").as("j2"), col("sm").as("sm_j"))
-    pairs.join(broadcast(si), col("i") === col("i2"))
-      .join(broadcast(sj), col("j") === col("j2"))
-      .crossJoin(broadcast(n))
-      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
-        col("s_ij").cast("long").as("s_ij"),
-        round((col("s_ij").cast("double") / col("n")
-          - (col("sm_i").cast("double") / col("n"))
-            * (col("sm_j").cast("double") / col("n"))) / 1e12, 9).as("cov"))
+    covProjection(
+      pairs.join(broadcast(si), col("i") === col("i2"))
+        .join(broadcast(sj), col("j") === col("j2"))
+        .crossJoin(broadcast(n))
+        .select(col("i"), col("j"), col("s_ij"), col("sm_i"), col("sm_j"),
+          col("n")))
+  }
+
+  /** Single-pass covariance — the scale path: one typed Aggregator carries
+    * a flat (d + d(d+1)/2 + 1)-long integer buffer through reduce/merge (no
+    * pair-row explosion, no hash-aggregate over 2080-key groups per
+    * partition), the one finished row (model-sized) comes back to the
+    * driver, and the SAME [[covProjection]] float expression produces the
+    * output — bit-identical to [[covariance]] (spec-locked), so the
+    * `embed_cov` oracle covers both.
+    *
+    * Overflow bound: per-buffer pair sums are Σ vmᵢ·vmⱼ ≤ rows·1e12 — a
+    * single task would need ~9M unit-scale vectors to overflow the long;
+    * partitions at sane sizes sit orders of magnitude below. The decimal
+    * path above remains the belt-and-braces twin.
+    */
+  def covarianceFast(emb: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val vecs = emb.select(microVec(col("embedding")).as("vm")).as[Seq[Long]]
+    val agg = new org.apache.spark.sql.expressions.Aggregator[
+        Seq[Long], Array[Long], Seq[Long]] {
+      def zero: Array[Long] = Array.empty
+      def reduce(b0: Array[Long], vm: Seq[Long]): Array[Long] = {
+        val d = vm.length
+        val b = if (b0.nonEmpty) b0 else new Array[Long](d + d * (d + 1) / 2 + 1)
+        val v = vm.toArray
+        var i = 0; var k = d
+        while (i < d) {
+          b(i) += v(i)
+          var j = i
+          while (j < d) { b(k) += v(i) * v(j); j += 1; k += 1 }
+          i += 1
+        }
+        b(b.length - 1) += 1
+        b
+      }
+      def merge(a: Array[Long], b: Array[Long]): Array[Long] =
+        if (a.isEmpty) b else if (b.isEmpty) a
+        else { var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a }
+      def finish(b: Array[Long]): Seq[Long] = b.toSeq
+      def bufferEncoder = implicitly[org.apache.spark.sql.Encoder[Array[Long]]]
+      def outputEncoder = implicitly[org.apache.spark.sql.Encoder[Seq[Long]]]
+    }
+    val flat = vecs.select(agg.toColumn).collect()(0)
+    // L = d + d(d+1)/2 + 1  ⇒  d = (√(8(L−1)+9) − 3) / 2
+    val d = ((math.sqrt(8.0 * (flat.length - 1) + 9).round - 3) / 2).toInt
+    val n = flat.last
+    val rows = {
+      val out = Seq.newBuilder[(Int, Int, Long, Long, Long, Long)]
+      var i = 0; var k = d
+      while (i < d) {
+        var j = i
+        while (j < d) { out += ((i, j, flat(k), flat(i), flat(j), n)); j += 1; k += 1 }
+        i += 1
+      }
+      out.result()
+    }
+    covProjection(rows.toDF("i", "j", "s_ij", "sm_i", "sm_j", "n"))
   }
 
   /** Driver-side cyclic Jacobi eigendecomposition of the collected
@@ -130,7 +197,7 @@ object Pca {
     * matrix in original units.
     */
   def covMatrix(emb: DataFrame): Array[Array[Double]] = {
-    val rows = covariance(emb).collect()
+    val rows = covarianceFast(emb).collect()
     val d = rows.map(_.getLong(1)).max.toInt + 1
     val m = Array.ofDim[Double](d, d)
     rows.foreach { r =>

@@ -35,6 +35,18 @@ class PcaSpec extends AnyFunSuite {
     }
   }
 
+  test("covarianceFast (single-pass Aggregator) equals the declarative path") {
+    val slow = Pca.covariance(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    graft.Caching.release()
+    def fast(p: Int) = Pca.covarianceFast(emb.repartition(p)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(fast(1) == slow)
+    assert(fast(8) == slow)
+  }
+
   test("covariance is partitioning-independent (exact decimal sums)") {
     def run(p: Int) = {
       val r = Pca.covariance(emb.repartition(p)).collect()
