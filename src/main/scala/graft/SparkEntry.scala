@@ -682,6 +682,12 @@ object SparkEntry {
       Classifier.nbEval(T(s, d, "documents"), "doc_id", "text",
         col("source").isin(NbRefSources: _*))),
 
+    // calibration/reliability bins of the scores (threshold-picking input);
+    // all-integer range binning, no global sort
+    "nb_calibration" -> ((s, d) =>
+      Classifier.nbCalibration(T(s, d, "documents"), "doc_id", "text",
+        col("source").isin(NbRefSources: _*))),
+
     // quality percentiles per (lang, source) and corpus-wide, grid-bounded
     "quality_norm" -> ((s, d) =>
       CorpusOps.qualityNorm(T(s, d, "documents"), "doc_id", "text")),
@@ -1133,6 +1139,7 @@ object SparkEntry {
     "nb_model" -> O.nbModelSql,
     "nb_quality" -> O.nbQualitySql,
     "nb_eval" -> O.nbEvalSql,
+    "nb_calibration" -> O.nbCalibrationSql,
     "knn_pq" -> O.knnPqSql,
     "knn_int8" -> O.knnInt8Sql,
     "hard_negatives" -> O.hardNegativesSql,
@@ -2882,6 +2889,25 @@ object SparkEntry {
     val nbQualitySql: String =
       s"WITH $nbCtes,\n$nbScoreTail\n" +
         "SELECT doc_id, label, n_toks, nb_score, pred_hq FROM scored"
+
+    /** All-integer range binning over scored micros; `//` equals DIV here
+      * because (sm − mn) and the bin width are non-negative.
+      */
+    val nbCalibrationSql: String =
+      s"""WITH $nbCtes,
+         |$nbScoreTail,
+         |sm AS (SELECT doc_id, label,
+         |    CAST(round(nb_score * 1000000) AS BIGINT) AS sm FROM scored),
+         |rg AS (SELECT CAST(min(sm) AS BIGINT) AS mn,
+         |    CAST(max(sm) AS BIGINT) AS mx FROM sm)
+         |SELECT CAST(((sm - mn) * 10) // (mx - mn + 1) AS BIGINT) AS bin,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(label) AS BIGINT) AS n_pos,
+         |  CAST(min(sm) AS DOUBLE) / 1000000.0 AS score_lo,
+         |  CAST(max(sm) AS DOUBLE) / 1000000.0 AS score_hi,
+         |  CAST((sum(label) * 1000000) // count(*) AS BIGINT) AS pos_rate_ppm
+         |FROM sm CROSS JOIN rg
+         |GROUP BY 1""".stripMargin
 
     val nbEvalSql: String =
       s"""WITH $nbCtes,

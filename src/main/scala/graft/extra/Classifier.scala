@@ -157,6 +157,35 @@ object Classifier {
         (col("score_micro") > 0).cast("long").as("pred_hq"))
   }
 
+  /** Calibration (reliability) report of the classifier scores: fixed-width
+    * bins over the observed score range, per-bin document count, positive
+    * count and positive rate — the plot a gate owner reads to pick the
+    * decision threshold (a well-calibrated filter's positive rate rises
+    * monotonically with the score).
+    *
+    * All-integer binning: the range comes from a 1-row broadcast of
+    * (min, max) score micros (the zorder range-bucket pattern), bin =
+    * ((s − mn)·bins) DIV (mx − mn + 1) — no global sort, no quantile
+    * estimate, engine-exact at any scale. `round(nb_score·1e6)` recovers
+    * the exact integer micros the score was built from.
+    *
+    * @return (bin, n_docs, n_pos, score_lo, score_hi, pos_rate_ppm) — at
+    *         most `bins` rows
+    */
+  def nbCalibration(docs: DataFrame, idCol: String, textCol: String,
+                    positive: Column, bins: Int = 10): DataFrame = {
+    val s = nbScore(docs, idCol, textCol, positive)
+      .withColumn("sm", round(col("nb_score") * 1e6).cast("long"))
+    val range = s.agg(min("sm").as("mn"), max("sm").as("mx"))
+    s.crossJoin(broadcast(range))
+      .withColumn("bin", expr(s"((sm - mn) * $bins) DIV (mx - mn + 1)"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"), sum("label").as("n_pos"),
+        (min("sm").cast("double") / 1e6).as("score_lo"),
+        (max("sm").cast("double") / 1e6).as("score_hi"))
+      .withColumn("pos_rate_ppm", expr("(n_pos * 1000000) DIV n_docs"))
+  }
+
   /** Train-set confusion rollup — the one-row audit a gate owner reads
     * before trusting the filter: counts per (label, prediction) cell plus
     * micro-pinned accuracy.

@@ -127,6 +127,29 @@ class ClassifierSpec extends AnyFunSuite {
     assert(byId(20L) == 1L && byId(21L) == 0L)
   }
 
+  test("calibration bins partition the corpus, ranges nest, counts add up") {
+    val docs = Tables.load(spark, SparkTestSession.sf0001, "documents")
+    val p = col("source").isin("src1", "src2", "src3")
+    val rows = Classifier.nbCalibration(docs, "doc_id", "text", p).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getLong(5)))
+      .sortBy(_._1)
+    graft.Caching.release()
+    val total = docs.count()
+    val nPos = docs.filter(p).count()
+    assert(rows.map(_._2).sum == total)
+    assert(rows.map(_._3).sum == nPos)
+    // bins ordered, score ranges non-overlapping and increasing
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._1 < b._1 && a._5 <= b._4, s"$a then $b")
+    case _ => ()
+    }
+    // pos_rate is exactly the integer ppm of its bin
+    rows.foreach { case (_, n, pos, _, _, ppm) =>
+      assert(ppm == pos * 1000000L / n)
+    }
+  }
+
   test("scores are partitioning-independent on the fixture corpus") {
     val docs = Tables.load(spark, SparkTestSession.sf0001, "documents")
     val p = col("source").isin("src1", "src2", "src3")
