@@ -52,7 +52,47 @@ object Clustering {
     * centroid. `iters = 0` is pure seeded assignment (the ivfAssign
     * baseline in micro metric).
     */
-  def kmeansAssign(emb: DataFrame, k: Int = 8, iters: Int = 3): DataFrame = {
+  /** Single-pass centroid-update Aggregator: element-wise integer vector
+    * sum + count per cluster in one flat buffer, finish = truncating
+    * per-dim mean (Scala `Long./` truncates toward zero exactly like
+    * Spark's DIV, so the result is bit-identical to the declarative
+    * posexplode twin — spec-locked). Replaces a d×-row explosion plus a
+    * (cluster, dim)-keyed hash aggregate with k buffer merges.
+    */
+  private class VectorSumTruncMean
+    extends org.apache.spark.sql.expressions.Aggregator[
+      Array[Long], (Array[Long], Long), Array[Long]] {
+    def zero: (Array[Long], Long) = (Array.empty, 0L)
+    def reduce(b: (Array[Long], Long), v: Array[Long]): (Array[Long], Long) = {
+      val s = if (b._1.nonEmpty) b._1 else new Array[Long](v.length)
+      var i = 0
+      while (i < v.length) { s(i) += v(i); i += 1 }
+      (s, b._2 + 1)
+    }
+    def merge(a: (Array[Long], Long), b: (Array[Long], Long)): (Array[Long], Long) =
+      if (a._1.isEmpty) b else if (b._1.isEmpty) a
+      else {
+        var i = 0
+        while (i < a._1.length) { a._1(i) += b._1(i); i += 1 }
+        (a._1, a._2 + b._2)
+      }
+    def finish(b: (Array[Long], Long)): Array[Long] =
+      if (b._2 == 0) b._1 else b._1.map(_ / b._2)
+    def bufferEncoder = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]](),
+      org.apache.spark.sql.Encoders.scalaLong)
+    def outputEncoder =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  def kmeansAssign(emb: DataFrame, k: Int = 8, iters: Int = 3): DataFrame =
+    kmeansAssignImpl(emb, k, iters, aggUpdate = true)
+
+  /** `aggUpdate=false` runs the declarative posexplode centroid update —
+    * kept as the A/B twin (KmeansProf) and the oracle-shaped reference.
+    */
+  private[graft] def kmeansAssignImpl(emb: DataFrame, k: Int, iters: Int,
+                                      aggUpdate: Boolean): DataFrame = {
     val e = Caching.temp(
       emb.select(col("vec_id"), microVec(col("embedding")).as("vm")))
 
@@ -73,7 +113,7 @@ object Clustering {
     }
 
     // per-dimension integer mean; rebuild the centroid array ordered by pos
-    def update(asg: DataFrame): DataFrame =
+    def updateDeclarative(asg: DataFrame): DataFrame =
       asg.select(col("cluster"), posexplode(col("vm")).as(Seq("pos", "v")))
         .groupBy("cluster", "pos")
         .agg(sum("v").as("s"), count(lit(1)).as("n"))
@@ -81,6 +121,14 @@ object Clustering {
         .groupBy("cluster")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s("m")).as("cv"))
+
+    def updateAgg(asg: DataFrame): DataFrame = {
+      val agg = udaf(new VectorSumTruncMean)
+      asg.groupBy("cluster").agg(agg(col("vm")).as("cv"))
+    }
+
+    def update(asg: DataFrame): DataFrame =
+      if (aggUpdate) updateAgg(asg) else updateDeclarative(asg)
 
     var cent = init
     for (_ <- 1 to iters) cent = update(assign(cent))

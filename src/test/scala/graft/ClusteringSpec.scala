@@ -126,6 +126,16 @@ class ClusteringSpec extends AnyFunSuite {
     assert(got.map(_._2).distinct.length == sizes.size)
   }
 
+  test("Aggregator centroid update is bit-identical to the declarative twin") {
+    def run(aggUpdate: Boolean) = {
+      val r = Clustering.kmeansAssignImpl(emb, 8, 3, aggUpdate).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      graft.Caching.release()
+      r
+    }
+    assert(run(true) == run(false))
+  }
+
   test("clusterSample is partitioning-independent") {
     def run(n: Int) = {
       val r = Clustering.clusterSample(emb.repartition(n), 50, 8, 2).collect()
