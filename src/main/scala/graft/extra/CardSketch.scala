@@ -69,23 +69,38 @@ object CardSketch {
     * correction: that branch needs ln() (libm-dependent cross-engine) and
     * only matters when n ≲ 2.5m, where the exact count is cheap anyway.
     */
-  def hllDistinct(values: DataFrame): DataFrame = {
-    val h = hash32("hll:", col("v"))
-    val withBucket = values
-      .withColumn("h", h)
-      .withColumn("bucket", (col("h") / lit(1L << HllW)).cast("long"))
-      .withColumn("rest", col("h") % lit(1L << HllW))
-      .withColumn("rank",
-        when(col("rest") > 0, lit(HllW) - length(bin(col("rest"))) + 1)
-          .otherwise(lit(HllW + 1)))
-    val perBucket = withBucket.groupBy("col_name", "bucket")
-      .agg(max("rank").as("max_rank"))
-    val est = perBucket.groupBy("col_name")
+  /** (bucket, rank) of one value under the shared 32-bit md5 hash — the
+    * per-row half of the HLL, reusable by the streaming cell maintainer.
+    */
+  def hllBucketRank(v: Column): (Column, Column) = {
+    val h = hash32("hll:", v)
+    val bucket = (h / lit(1L << HllW)).cast("long")
+    val rest = h % lit(1L << HllW)
+    val rank = when(rest > 0, lit(HllW) - length(bin(rest)) + 1)
+      .otherwise(lit(HllW + 1))
+    (bucket, rank)
+  }
+
+  /** Estimate from MERGEABLE cells (groupCols..., bucket, max_rank) — the
+    * read-side fold: cells from any number of partial sketches (batch
+    * shards, streamed windows) max-merge by construction before this.
+    */
+  def hllEstimate(cells: DataFrame, groupCols: Seq[String]): DataFrame =
+    cells.groupBy(groupCols.map(col): _*)
       .agg(sum(pow(lit(2.0), -col("max_rank"))).as("s"),
         count(lit(1)).as("present"))
-      .select(col("col_name"),
+      .select(groupCols.map(col) :+
         round(lit(HllAlpha * HllM.toDouble * HllM) /
-          (col("s") + (lit(HllM) - col("present"))), 2).as("approx_distinct"))
+          (col("s") + (lit(HllM) - col("present"))), 2).as("approx_distinct"): _*)
+
+  def hllDistinct(values: DataFrame): DataFrame = {
+    val (bucket, rank) = hllBucketRank(col("v"))
+    val perBucket = values
+      .withColumn("bucket", bucket)
+      .withColumn("rank", rank)
+      .groupBy("col_name", "bucket")
+      .agg(max("rank").as("max_rank"))
+    val est = hllEstimate(perBucket, Seq("col_name"))
     val exact = values.groupBy("col_name")
       .agg(countDistinct("v").as("exact_distinct"))
     est.join(exact, "col_name")

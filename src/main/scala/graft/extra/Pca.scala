@@ -215,6 +215,39 @@ object Pca {
     *         score by √λ (unit variance per component, the similarity-
     *         search normalization)
     */
+  /** All-but-the-top embedding post-processing (Mu & Viswanath, ICLR'18):
+    * subtract the corpus mean and remove the projection onto the top-k
+    * principal directions — the dominant components of text embedding
+    * clouds encode frequency artifacts, and removing them measurably
+    * improves cosine retrieval. v' = (v − μ) − Σ_c ((v−μ)·u_c) u_c, as one
+    * shuffle-free broadcast-literal expression per output dimension.
+    *
+    * @return (vec_id, corrected array<double> rounded 6)
+    */
+  def allButTheTop(emb: DataFrame, k: Int = 2): DataFrame = {
+    val (_, vecs) = eigTopK(covMatrix(emb), k)
+    val cnt = emb.count().toDouble
+    val mean = emb.select(posexplode(microVec(col("embedding"))).as(Seq("i", "vi")))
+      .groupBy("i").agg(sum(col("vi").cast("decimal(38,0)")).as("sm"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getDecimal(1).doubleValue / cnt / 1e6)
+      .toMap
+    val d = vecs(0).length
+    def centered(i: Int): Column =
+      col("embedding")(i).cast("double") - lit(mean(i))
+    // scores (v−μ)·u_c as shared sub-expressions
+    val scores: Seq[Column] = (0 until k).map { c =>
+      (0 until d).map(i => centered(i) * lit(vecs(c)(i))).reduce(_ + _)
+    }
+    val outDims: Seq[Column] = (0 until d).map { i =>
+      round(
+        (0 until k).foldLeft(centered(i)) { (acc, c) =>
+          acc - scores(c) * lit(vecs(c)(i))
+        }, 6)
+    }
+    emb.select(col("vec_id"), array(outDims: _*).as("corrected"))
+  }
+
   def project(emb: DataFrame, k: Int = 4, whiten: Boolean = false): DataFrame = {
     val (vals, vecs) = eigTopK(covMatrix(emb), k)
     // exact mean: decimal micro sums (partition-order-free), one driver div

@@ -49,4 +49,31 @@ object ProfileStream {
         round(col("vmin_raw"), 6).as("vmin"),
         round(col("vmax_raw"), 6).as("vmax"))
   }
+
+  /** Streaming cardinality-over-time: per-window MERGEABLE HLL cells —
+    * (window, col_name, bucket, max_rank), the same cells the batch
+    * [[graft.extra.CardSketch.hllDistinct]] builds, maintained as ONE
+    * watermarked streaming aggregation. The ESTIMATE deliberately stays on
+    * the read side ([[graft.extra.CardSketch.hllEstimate]] over the sink —
+    * m-row fold per window): emitting the mergeable artifact rather than
+    * the folded number is what makes windows re-mergeable downstream
+    * (day-from-hours rollups, cross-shard unions) and keeps the streaming
+    * state at O(windows × columns × m) with max-merge partials.
+    *
+    * Append mode: each window's cells emit once the watermark passes.
+    */
+  def hllCellsStream(stream: DataFrame, valueCol: String, tsCol: String,
+                     window: String = "10 minutes",
+                     horizon: String = "30 minutes"): DataFrame = {
+    val (bucket, rank) = graft.extra.CardSketch.hllBucketRank(
+      col(valueCol).cast("string"))
+    stream
+      .filter(col(valueCol).isNotNull)
+      .select(col(tsCol), lit(valueCol).as("col_name"),
+        bucket.as("bucket"), rank.as("rank"))
+      .withWatermark(tsCol, horizon)
+      .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window),
+        col("col_name"), col("bucket"))
+      .agg(max("rank").as("max_rank"))
+  }
 }

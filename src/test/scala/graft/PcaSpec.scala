@@ -83,6 +83,39 @@ class PcaSpec extends AnyFunSuite {
     }
   }
 
+  test("allButTheTop removes exactly the top components' variance") {
+    val k = 2
+    val m = Pca.covMatrix(emb)
+    graft.Caching.release()
+    val (vals, vecs) = Pca.eigTopK(m, k)
+    val corrected = Pca.allButTheTop(emb, k).collect()
+      .map(_.getSeq[Double](1).toArray)
+    graft.Caching.release()
+    val n = corrected.length
+    val d = corrected.head.length
+    // corrected cloud is centered
+    for (i <- 0 until d) {
+      val mu = corrected.map(_(i)).sum / n
+      assert(math.abs(mu) < 1e-4, s"dim $i mean $mu")
+    }
+    // variance along each REMOVED direction is ~0 (was λ_c before)
+    for (c <- 0 until k) {
+      val proj = corrected.map(v => (0 until d).map(i => v(i) * vecs(c)(i)).sum)
+      val variance = proj.map(x => x * x).sum / n
+      assert(variance < vals(c) * 1e-6 + 1e-9,
+        s"component $c residual variance $variance vs λ ${vals(c)}")
+    }
+    // total variance dropped by exactly Σ removed λ (within rounding)
+    val totalBefore = (0 until d).map(i => m(i)(i)).sum
+    val totalAfter = (0 until d).map { i =>
+      val mu = corrected.map(_(i)).sum / n
+      corrected.map(v => (v(i) - mu) * (v(i) - mu)).sum / n
+    }.sum
+    val wantDrop = vals.sum
+    assert(math.abs((totalBefore - totalAfter) - wantDrop) / wantDrop < 0.01,
+      s"dropped ${totalBefore - totalAfter} vs Σλ $wantDrop")
+  }
+
   test("projection variance tracks the eigenvalue; whitening normalizes it") {
     val k = 3
     val (vals, _) = Pca.eigTopK(Pca.covMatrix(emb), k)

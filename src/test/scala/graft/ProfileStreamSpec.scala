@@ -45,4 +45,62 @@ class ProfileStreamSpec extends AnyFunSuite {
       .map(r => r.getAs[String]("col_name") -> r.getAs[Double]("std")).toMap
     cols.foreach { c => assert(math.abs(stdS(c) - stdB(c)) < 1e-4, s"std($c)") }
   }
+
+  test("streamed HLL cells equal the batch cells; estimates fold identically") {
+    import graft.extra.CardSketch
+    val events = Tables.load(spark, SparkTestSession.sf0001, "events")
+      .select(col("ts"), col("user_id"))
+    val dir = java.nio.file.Files.createTempDirectory("hll_stream").toString
+    events.filter(col("user_id") % 2 === 0).coalesce(1)
+      .write.mode("append").parquet(dir)
+    events.filter(col("user_id") % 2 === 1).coalesce(1)
+      .write.mode("append").parquet(dir)
+
+    val stream = spark.readStream
+      .schema(spark.read.parquet(dir).schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = ProfileStream.hllCellsStream(stream, "user_id", "ts",
+        window = "10 minutes", horizon = "30 minutes")
+      // complete mode in the spec so EVERY window is visible without
+      // driving the watermark past the last event
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hll_cells").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("hll_cells")
+    // batch twin: same bucket/rank expressions, same windowing
+    val (bucket, rank) = CardSketch.hllBucketRank(col("user_id").cast("string"))
+    val batchCells = events.filter(col("user_id").isNotNull)
+      .select(window(col("ts"), "10 minutes").as("window"),
+        lit("user_id").as("col_name"), bucket.as("bucket"), rank.as("rank"))
+      .groupBy("window", "col_name", "bucket")
+      .agg(max("rank").as("max_rank"))
+    def cellSet(df: org.apache.spark.sql.DataFrame) = df.select(
+        col("window.start").cast("long"), col("col_name"), col("bucket"),
+        col("max_rank"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getInt(3))).toSet
+    assert(cellSet(streamed) == cellSet(batchCells))
+    assert(cellSet(streamed).nonEmpty)
+
+    // read-side fold gives the same estimate from either side, and windows
+    // re-merge: folding ALL windows' cells equals the whole-table sketch
+    val estS = CardSketch.hllEstimate(
+      streamed.select(col("window.start").cast("long").as("w"), col("col_name"),
+        col("bucket"), col("max_rank")), Seq("w", "col_name")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val estB = CardSketch.hllEstimate(
+      batchCells.select(col("window.start").cast("long").as("w"), col("col_name"),
+        col("bucket"), col("max_rank")), Seq("w", "col_name")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(estS == estB)
+    val merged = CardSketch.hllEstimate(
+      streamed.groupBy("col_name", "bucket").agg(max("max_rank").as("max_rank")),
+      Seq("col_name")).collect()(0).getDouble(1)
+    val whole = CardSketch.hllDistinct(
+        events.select(lit("user_id").as("col_name"),
+          col("user_id").cast("string").as("v")).filter(col("v").isNotNull))
+      .collect()(0).getDouble(1)
+    assert(merged == whole, s"merged $merged vs whole-table $whole")
+  }
 }
