@@ -1,6 +1,6 @@
 package graft
 
-import graft.extra.{CardSketch, Classifier, Clustering, CorpusOps, Dedup, EmbeddingKnn, GraphOps, Pca, Signals, TextStats}
+import graft.extra.{CardSketch, Classifier, Clustering, CorpusOps, Dedup, EmbeddingKnn, GraphOps, Pca, Salting, Signals, TextStats}
 import graft.ingest.{Embedder, Profiler, TermStats}
 import graft.search.{Bm25, CombinedScorer, DistanceJoin, Matcher, Sketches}
 import graft.streaming.EventWindows
@@ -141,6 +141,11 @@ object SparkEntry {
     "heavy_hitters" -> ((s, d) =>
       CardSketch.heavyHitters(
         TermStats.tokens(T(s, d, "documents"), "doc_id", "text"), 20)),
+
+    // join-key skew diagnosis (pairs with Salting.saltedJoin): hottest keys,
+    // their shares, and the salt factor that would level the hot key
+    "skew_audit" -> ((s, d) =>
+      Salting.skewAudit(T(s, d, "events"), "user_id")),
 
     // ---- pivot (wide conditional aggregation; §2.12 SQL surface) ----
     "q_pivot" -> ((s, d) =>
@@ -793,6 +798,26 @@ object SparkEntry {
 
     "hll_distinct" -> O.hllDistinctSql,
     "heavy_hitters" -> O.heavyHittersSql,
+
+    // all-integer skew report; non-negative operands → // equals DIV
+    "skew_audit" ->
+      """WITH c AS (SELECT user_id AS key, CAST(count(*) AS BIGINT) AS rows
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |    CAST(sum(rows) AS BIGINT) AS n_rows,
+        |    CAST(max(rows) AS BIGINT) AS max_rows FROM c),
+        |s2 AS (SELECT *, greatest(n_rows // n_keys, 1) AS mean_rows FROM s),
+        |top AS (SELECT key, rows,
+        |    CAST(row_number() OVER (ORDER BY rows DESC, key ASC) AS BIGINT)
+        |      AS rank
+        |  FROM c ORDER BY rows DESC, key ASC LIMIT 10)
+        |SELECT rank, key, rows,
+        |  CAST((rows * 1000000) // n_rows AS BIGINT) AS share_ppm,
+        |  n_keys, CAST(mean_rows AS BIGINT) AS mean_rows,
+        |  CAST((max_rows * 1000) // mean_rows AS BIGINT) AS skew_x1000,
+        |  CAST((max_rows + mean_rows - 1) // mean_rows AS BIGINT)
+        |    AS suggested_salt
+        |FROM top CROSS JOIN s2""".stripMargin,
 
     "q_pivot" ->
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,

@@ -57,4 +57,38 @@ object Salting {
         partial.tail.map { case (n, c) => c.as(n) }: _*)
     first.groupBy(col(key)).agg(finals.head, finals.tail: _*)
   }
+
+  /** Join-key skew audit — the diagnosis that decides whether [[saltedJoin]]
+    * (and with what factor) is needed at all: top-k hottest keys with their
+    * row share, plus the global shape (distinct keys, mean rows/key, hot/
+    * mean ratio, and the salt factor that would level the hottest key to
+    * the mean). One keyed count aggregate + a 1-row broadcast + a bounded
+    * top-k; all-integer output (ratio ×1000, share in ppm), so the report
+    * is engine-exact.
+    *
+    * @return top-k rows (rank, key, rows, share_ppm, n_keys, mean_rows,
+    *         skew_x1000, suggested_salt), hottest first
+    */
+  def skewAudit(df: DataFrame, key: String, topK: Int = 10): DataFrame = {
+    val counts = graft.Caching.temp(
+      df.filter(col(key).isNotNull)
+        .groupBy(col(key).as("key")).agg(count(lit(1)).as("rows")))
+    val stats = counts.agg(
+      count(lit(1)).as("n_keys"), sum("rows").as("n_rows"),
+      max("rows").as("max_rows"))
+      .withColumn("mean_rows", expr("greatest(n_rows DIV n_keys, 1)"))
+      .withColumn("skew_x1000", expr("(max_rows * 1000) DIV mean_rows"))
+      .withColumn("suggested_salt",
+        expr("(max_rows + mean_rows - 1) DIV mean_rows"))
+    counts
+      .orderBy(col("rows").desc, col("key").asc)
+      .limit(topK)
+      .crossJoin(broadcast(stats))
+      .withColumn("share_ppm", expr("(rows * 1000000) DIV n_rows"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("rows").desc, col("key").asc)).cast("long"))
+      .select("rank", "key", "rows", "share_ppm", "n_keys", "mean_rows",
+        "skew_x1000", "suggested_salt")
+  }
 }
