@@ -282,6 +282,14 @@ object SparkEntry {
       Dedup.jaccardPairs(T(s, d, "documents").filter(col("doc_id") < DocBound),
         "doc_id", "text", 0.95)),
 
+    // entity resolution on the TABULAR side: the same prefix-filtered
+    // Jaccard join links part names (record-linkage use of the dedup
+    // machinery; key bound fixes the pair space across SFs)
+    "entity_pairs" -> ((s, d) =>
+      Dedup.jaccardPairs(T(s, d, "part").filter(col("p_partkey") < DocBound),
+        "p_partkey", "p_name", 0.3)
+        .withColumnsRenamed(Map("id_a" -> "key_a", "id_b" -> "key_b"))),
+
     // order-sensitive near-dup: word 3-gram shingle sets (Broder w-shingling)
     "dedup_shingle" -> ((s, d) =>
       Dedup.shinglePairs(T(s, d, "documents").filter(col("doc_id") < DocBound),
@@ -890,6 +898,22 @@ object SparkEntry {
         | count(*) AS n_dups FROM documents GROUP BY 1""".stripMargin,
 
     "dedup_jaccard" -> O.jaccardSql,
+
+    // record linkage on part names — jaccardSql's shape over the part table
+    "entity_pairs" ->
+      s"""WITH toks AS (
+         |  SELECT DISTINCT p_partkey AS k, unnest(string_split(lower(p_name), ' ')) AS term
+         |  FROM part WHERE p_partkey < 300),
+         |t2 AS (SELECT k, term FROM toks WHERE term <> ''),
+         |sz AS (SELECT k, count(*) AS sz FROM t2 GROUP BY 1),
+         |inter AS (SELECT a.k AS key_a, b.k AS key_b, count(*) AS inter
+         |  FROM t2 a JOIN t2 b USING (term) WHERE a.k < b.k GROUP BY 1, 2)
+         |SELECT key_a, key_b,
+         |  round(CAST(inter AS DOUBLE)/(sa.sz + sb.sz - inter), 6) AS jac
+         |FROM inter
+         |JOIN sz sa ON inter.key_a = sa.k
+         |JOIN sz sb ON inter.key_b = sb.k
+         |WHERE CAST(inter AS DOUBLE)/(sa.sz + sb.sz - inter) >= 0.3""".stripMargin,
     "dedup_shingle" -> O.shingleSql,
     "dedup_minhash" -> O.minhashSql,
     "dedup_incremental" -> O.dedupIncrementalSql,
