@@ -282,6 +282,13 @@ object SparkEntry {
       Dedup.jaccardPairs(T(s, d, "documents").filter(col("doc_id") < DocBound),
         "doc_id", "text", 0.95)),
 
+    // eval-contamination audit: near-dup pairs straddling the per-doc hash
+    // split (the number splitAssignBy exists to drive to zero)
+    "split_leakage" -> ((s, d) =>
+      CorpusOps.splitLeakage(
+        T(s, d, "documents").filter(col("doc_id") < DocBound),
+        "doc_id", "text", 0.9)),
+
     // entity resolution on the TABULAR side: the same prefix-filtered
     // Jaccard join links part names (record-linkage use of the dedup
     // machinery; key bound fixes the pair space across SFs)
@@ -898,6 +905,8 @@ object SparkEntry {
         | count(*) AS n_dups FROM documents GROUP BY 1""".stripMargin,
 
     "dedup_jaccard" -> O.jaccardSql,
+
+    "split_leakage" -> O.splitLeakageSql,
 
     // record linkage on part names — jaccardSql's shape over the part table
     "entity_pairs" ->
@@ -2272,6 +2281,39 @@ object SparkEntry {
          |JOIN sz sa ON inter.id_a = sa.doc_id
          |JOIN sz sb ON inter.id_b = sb.doc_id
          |WHERE CAST(inter AS DOUBLE)/(sa.sz + sb.sz - inter) >= 0.95""".stripMargin
+
+    /** splitLeakage twin: jaccard pairs at 0.9 × the corpus_split hash
+      * rule, rolled up on the unordered split pair.
+      */
+    val splitLeakageSql: String =
+      s"""WITH toks AS (
+         |  SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS term
+         |  FROM documents WHERE doc_id < $DocBound),
+         |t2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM t2 GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |  FROM t2 a JOIN t2 b USING (term) WHERE a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (SELECT id_a, id_b FROM inter
+         |  JOIN sz sa ON inter.id_a = sa.doc_id
+         |  JOIN sz sb ON inter.id_b = sb.doc_id
+         |  WHERE CAST(inter AS DOUBLE)/(sa.sz + sb.sz - inter) >= 0.9),
+         |sp AS (SELECT doc_id,
+         |    CASE WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 100 < 80
+         |      THEN 'train'
+         |    WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 100 < 90
+         |      THEN 'val'
+         |    ELSE 'test' END AS split
+         |  FROM documents WHERE doc_id < $DocBound)
+         |SELECT least(a.split, b.split) AS split_a,
+         |  greatest(a.split, b.split) AS split_b,
+         |  CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(CASE WHEN least(a.split, b.split) = greatest(a.split, b.split)
+         |    THEN 0 ELSE count(*) END AS BIGINT) AS n_leaking
+         |FROM pairs
+         |JOIN sp a ON pairs.id_a = a.doc_id
+         |JOIN sp b ON pairs.id_b = b.doc_id
+         |GROUP BY 1, 2""".stripMargin
 
     /** DuckDB twin of CorpusOps.dedupClusters: the SAME jaccard pair set
       * (nested as a CTE), connected components via recursive-CTE

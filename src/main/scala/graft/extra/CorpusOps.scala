@@ -368,6 +368,37 @@ object CorpusOps {
         .otherwise("test").as("split"))
   }
 
+  /** Split-leakage audit — QUANTIFIES the contamination [[splitAssignBy]]
+    * exists to prevent: how many near-duplicate pairs straddle the
+    * per-document hash split's boundaries. A (train, test) row with a
+    * non-zero count is eval contamination (the test doc has a near-copy in
+    * training data); the diagonal rows are harmless within-split
+    * duplication. Pair generation is the prefix-filtered Jaccard join
+    * (bounded candidates at any corpus size); the rollup keys on the
+    * unordered split pair so (train,test) and (test,train) pool.
+    *
+    * @return (split_a, split_b, n_pairs, n_leaking) with split_a <= split_b
+    *         alphabetically; n_leaking = n_pairs off the diagonal, 0 on it
+    */
+  def splitLeakage(docs: DataFrame, idCol: String, textCol: String,
+                   threshold: Double = 0.9): DataFrame = {
+    // same md5 bucket rule as splitAssign, schema-independent (no lang col)
+    val b = sampleBucket(col(idCol))
+    val splits = docs.select(col(idCol).as("doc_id"),
+      when(b < 80, "train").when(b < 90, "val").otherwise("test").as("split"))
+    val pairs = Dedup.jaccardPairs(docs, idCol, textCol, threshold)
+    val sa = splits.select(col("doc_id").as("id_a"), col("split").as("sa"))
+    val sb = splits.select(col("doc_id").as("id_b"), col("split").as("sb"))
+    pairs.join(sa, "id_a").join(sb, "id_b")
+      .select(least(col("sa"), col("sb")).as("split_a"),
+        greatest(col("sa"), col("sb")).as("split_b"))
+      .groupBy("split_a", "split_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("n_leaking",
+        when(col("split_a") === col("split_b"), lit(0L))
+          .otherwise(col("n_pairs")))
+  }
+
   /** Group-aware (leakage-safe) split: every document sharing `groupCol`
     * (URL domain, source site, near-dup cluster id, author …) lands in the
     * SAME split. Per-doc assignment lets within-group near-duplicates

@@ -502,6 +502,38 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("splitLeakage: straddling near-dup pairs counted per split pair") {
+    import spark.implicits._
+    // pairs (2k, 2k+1) are exact duplicates; pair texts mutually disjoint
+    val docs = (0L until 40L).map { id =>
+      val p = id / 2
+      (id, s"w${p}a w${p}b w${p}c w${p}d w${p}e")
+    }.toDF("doc_id", "text")
+    val got = CorpusOps.splitLeakage(docs, "doc_id", "text", 0.9).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    graft.Caching.release()
+
+    // local mirror of the md5 split rule
+    def split(id: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val b = java.lang.Long.parseLong(
+        d.take(4).map("%02x".format(_)).mkString, 16) % 100
+      if (b < 80) "train" else if (b < 90) "val" else "test"
+    }
+    val want = (0L until 40L by 2).map { a =>
+      val (sa, sb) = (split(a), split(a + 1))
+      if (sa <= sb) (sa, sb) else (sb, sa)
+    }.groupBy(identity).map { case (k, v) =>
+      k -> ((v.size.toLong, if (k._1 == k._2) 0L else v.size.toLong))
+    }
+    assert(got == want)
+    // the fixture is guaranteed to exercise at least one off-diagonal cell
+    assert(want.keys.exists(k => k._1 != k._2),
+      "test fixture produced no straddling pair — change ids")
+  }
+
   test("paddingAudit: hand-computed waste for all three strategies") {
     import spark.implicits._
     // token counts 3, 10, 70 with maxLen=16 (70 truncates to 16),
