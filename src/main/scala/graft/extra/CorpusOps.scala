@@ -43,6 +43,69 @@ object CorpusOps {
       .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
   }
 
+  /** DataFrame-native connected components — the large-star / small-star
+    * alternation (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14): converges to min-id star labels in O(log² n)
+    * rounds, each round two keyed aggregates + co-partitioned joins and a
+    * distinct. The scale twin of the GraphX [[connectedComponents]]: no
+    * RDD/vertex caching, AQE and codegen stay in play, and the per-round
+    * shuffles are plain exchanges a 1000-executor cluster re-plans like any
+    * other query. Labels are IDENTICAL to GraphX's (both converge to the
+    * component min — spec-locked on chains, stars and the fixture pairs).
+    *
+    *  - large-star(u): every neighbor v > u connects to
+    *    m(u) = min(Γ(u) ∪ u) — hubs shatter toward the min;
+    *  - small-star(u): every neighbor v ≤ u (and u) connects to the local
+    *    min — chains flatten.
+    *
+    * Convergence check: (count, Σ xxhash64) signature of the canonical
+    * edge set — one tiny driver action per round, like the PageRank loop;
+    * lineage cut every `checkpointEvery` rounds.
+    */
+  def connectedComponentsDF(nodes: DataFrame, pairs: DataFrame,
+                            maxRounds: Int = 50,
+                            checkpointEvery: Int = 2): DataFrame = {
+    def canon(df: DataFrame): DataFrame =
+      df.select(greatest(col("a"), col("b")).as("hi"),
+          least(col("a"), col("b")).as("lo"))
+        .filter(col("hi") =!= col("lo")).distinct()
+    def signature(df: DataFrame): (Long, Long) = {
+      // bit_xor fold: order-free and overflow-free under ANSI arithmetic
+      val r = df.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(hi, lo))")).collect()(0)
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var e = canon(pairs.select(col("id_a").cast("long").as("a"),
+      col("id_b").cast("long").as("b")))
+    var sig = signature(e)
+    var round = 0
+    var converged = sig._1 == 0L
+    while (!converged && round < maxRounds) {
+      // large-star
+      val sym = e.select(col("hi").as("u"), col("lo").as("v"))
+        .union(e.select(col("lo").as("u"), col("hi").as("v")))
+      val mu = sym.groupBy("u").agg(min("v").as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      val ls = canon(sym.join(mu, "u").filter(col("v") > col("u"))
+        .select(col("v").as("a"), col("m").as("b")))
+      // small-star (edges already point hi → lo)
+      val m2 = ls.groupBy("hi").agg(min("lo").as("m"))
+      val ss = canon(
+        ls.join(m2, "hi").select(col("lo").as("a"), col("m").as("b"))
+          .union(m2.select(col("hi").as("a"), col("m").as("b"))))
+      e = if (round % checkpointEvery == checkpointEvery - 1)
+        ss.localCheckpoint(eager = false) else ss
+      val s2 = signature(e)
+      converged = s2 == sig
+      sig = s2
+      round += 1
+    }
+    nodes.select(col("id").cast("long"))
+      .join(e.select(col("hi").as("id"), col("lo").as("cluster_id")),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+  }
+
   /** Dedup clustering: near-dup pairs (from any of Dedup's generators) →
     * per-document cluster assignment plus the keep/drop decision (keep the
     * minimum doc_id of each cluster — the standard canonicalization in

@@ -502,6 +502,48 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("connectedComponentsDF equals GraphX CC on chains, stars, fixture pairs") {
+    import spark.implicits._
+    def labels(nodes: Seq[Long], pairs: Seq[(Long, Long)],
+               df: Boolean): Map[Long, Long] = {
+      val n = nodes.toDF("id")
+      val p = pairs.toDF("id_a", "id_b")
+      val r = (if (df) CorpusOps.connectedComponentsDF(n, p)
+               else CorpusOps.connectedComponents(n, p)).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      graft.Caching.release()
+      r
+    }
+    // long chain (worst case for naive propagation), a hub star with the
+    // min at a leaf, two components + singletons, and an empty edge set
+    val cases = Seq(
+      ((0L to 30L), (0L until 30L).map(i => (i, i + 1))),
+      ((0L to 10L), (1L to 10L).map(i => (5L, i)) :+ (7L, 0L)),
+      ((0L to 9L), Seq((1L, 2L), (2L, 3L), (6L, 7L), (9L, 6L))),
+      ((0L to 4L), Seq.empty[(Long, Long)])
+    )
+    cases.foreach { case (nodes, pairs) =>
+      val want = labels(nodes, pairs, df = false)
+      val got = labels(nodes, pairs, df = true)
+      assert(got == want, s"pairs=$pairs")
+      // labels are component minima
+      got.groupBy(_._2).foreach { case (lbl, members) =>
+        assert(lbl == members.keys.min)
+      }
+    }
+    // the real fixture pair set
+    val docs = Tables.load(spark, SparkTestSession.sf0001, "documents")
+    val pairs = graft.extra.Dedup.jaccardPairs(docs, "doc_id", "text", 0.95)
+    val nodes = docs.select(col("doc_id").as("id"))
+    val want = CorpusOps.connectedComponents(nodes, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.Caching.release()
+    val got = CorpusOps.connectedComponentsDF(nodes, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.Caching.release()
+    assert(got == want)
+  }
+
   test("splitLeakage: straddling near-dup pairs counted per split pair") {
     import spark.implicits._
     // pairs (2k, 2k+1) are exact duplicates; pair texts mutually disjoint
