@@ -54,6 +54,15 @@ object Bench {
           extra.TextStats.trainedMerges(
             Tables.load(spark, sfDir, "documents"), "text", 8, Some(sfDir))
           ()
+        }),
+      ("train_nb",
+        () => extra.Classifier.resetModels(spark, sfDir),
+        () => {
+          extra.Classifier.trainedModel(
+            Tables.load(spark, sfDir, "documents"), "doc_id", "text",
+            org.apache.spark.sql.functions.col("source")
+              .isin("src1", "src2", "src3"), sfDir)
+          ()
         }))
     val trained = trainSteps
       .filter { case (name, _, _) => only.forall(_.contains(name)) }

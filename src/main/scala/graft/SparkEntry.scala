@@ -690,23 +690,23 @@ object SparkEntry {
     // add-1 log-odds vs a reference-source whitelist — the model artifact
     "nb_model" -> ((s, d) =>
       Classifier.nbModel(T(s, d, "documents"), "doc_id", "text",
-        col("source").isin(NbRefSources: _*))),
+        col("source").isin(NbRefSources: _*), cacheKey = Some(d))),
 
     // per-document classifier scores (integer-micro Σ tf·lodds + prior)
     "nb_quality" -> ((s, d) =>
       Classifier.nbScore(T(s, d, "documents"), "doc_id", "text",
-        col("source").isin(NbRefSources: _*))),
+        col("source").isin(NbRefSources: _*), cacheKey = Some(d))),
 
     // train-set confusion rollup of the same fit (gate-owner audit)
     "nb_eval" -> ((s, d) =>
       Classifier.nbEval(T(s, d, "documents"), "doc_id", "text",
-        col("source").isin(NbRefSources: _*))),
+        col("source").isin(NbRefSources: _*), cacheKey = Some(d))),
 
     // calibration/reliability bins of the scores (threshold-picking input);
     // all-integer range binning, no global sort
     "nb_calibration" -> ((s, d) =>
       Classifier.nbCalibration(T(s, d, "documents"), "doc_id", "text",
-        col("source").isin(NbRefSources: _*))),
+        col("source").isin(NbRefSources: _*), cacheKey = Some(d))),
 
     // quality percentiles per (lang, source) and corpus-wide, grid-bounded
     "quality_norm" -> ((s, d) =>

@@ -72,12 +72,59 @@ object Classifier {
       .select("term", "c_pos", "c_neg", "lodds")
   }
 
+  /** Session cache for trained NB models — the model is a reusable
+    * artifact like the BPE merge table or the sketch index: four serving
+    * queries (scores, eval, calibration, the model dump itself) otherwise
+    * each repeat the training aggregation. Keyed by (applicationId, caller
+    * key); stores the vocabulary-sized model rows + the prior micros.
+    */
+  private val modelCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), (Seq[(String, Long, Long, Double)], Long)]
+
+  /** Drop memoized models whose caller key starts with `cacheKeyPrefix` —
+    * the bench uses this so a `train_nb` line times a TRUE retrain.
+    */
+  def resetModels(spark: org.apache.spark.sql.SparkSession,
+                  cacheKeyPrefix: String): Unit = {
+    val appId = spark.sparkContext.applicationId
+    modelCache.keys.filter(k => k._1 == appId && k._2.startsWith(cacheKeyPrefix))
+      .foreach(modelCache.remove)
+  }
+
+  /** Train (or fetch the memoized) model rows + prior for `cacheKey`. */
+  def trainedModel(docs: DataFrame, idCol: String, textCol: String,
+                   positive: Column, cacheKey: String)
+  : (Seq[(String, Long, Long, Double)], Long) = {
+    val k = (docs.sparkSession.sparkContext.applicationId, cacheKey)
+    modelCache.getOrElseUpdate(k, {
+      val rows = modelOf(docTermTf(docs, idCol, textCol, positive)).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSeq
+      val prior = priorMicroOf(docs, positive)
+      graft.Caching.release()
+      (rows, prior)
+    })
+  }
+
+  private def modelDf(spark: org.apache.spark.sql.SparkSession,
+                      rows: Seq[(String, Long, Long, Double)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("term", "c_pos", "c_neg", "lodds")
+  }
+
   /** The trained model artifact: one row per vocabulary term with its class
     * counts and pinned log-odds weight — what a serving layer broadcasts.
+    * With `cacheKey` the model comes from the session memo (trained at most
+    * once per key — the bpeTrain convention); values are identical either
+    * way (spec-locked).
     */
   def nbModel(docs: DataFrame, idCol: String, textCol: String,
-              positive: Column): DataFrame =
-    modelOf(docTermTf(docs, idCol, textCol, positive))
+              positive: Column, cacheKey: Option[String] = None): DataFrame =
+    cacheKey match {
+      case None => modelOf(docTermTf(docs, idCol, textCol, positive))
+      case Some(k) => modelDf(docs.sparkSession,
+        trainedModel(docs, idCol, textCol, positive, k)._1)
+    }
 
   /** Per-document scores: integer-micro Σ tf·lodds plus the add-1 log-prior
     * odds. Empty documents score the prior alone (the model has no opinion).
@@ -86,7 +133,21 @@ object Classifier {
     *         training label (kept for audit), pred_hq = score > 0
     */
   def nbScore(docs: DataFrame, idCol: String, textCol: String,
-              positive: Column): DataFrame = {
+              positive: Column, cacheKey: Option[String] = None): DataFrame =
+    cacheKey match {
+      case None => nbScoreTrain(docs, idCol, textCol, positive)
+      case Some(k) =>
+        // serving composition over the memoized artifact — identical values
+        // (scoreWith ≡ nbScore is spec-locked)
+        val (rows, prior) = trainedModel(docs, idCol, textCol, positive, k)
+        scoreWith(docs, idCol, textCol, modelDf(docs.sparkSession, rows), prior)
+          .join(docs.select(col(idCol).as("doc_id"),
+            positive.cast("long").as("label")), "doc_id")
+          .select("doc_id", "label", "n_toks", "nb_score", "pred_hq")
+    }
+
+  private def nbScoreTrain(docs: DataFrame, idCol: String, textCol: String,
+                           positive: Column): DataFrame = {
     val tf = docTermTf(docs, idCol, textCol, positive)
     val model = modelOf(tf)
     // add-1 prior from DOCUMENT counts, same pinning as the term weights
@@ -173,8 +234,9 @@ object Classifier {
     *         most `bins` rows
     */
   def nbCalibration(docs: DataFrame, idCol: String, textCol: String,
-                    positive: Column, bins: Int = 10): DataFrame = {
-    val s = nbScore(docs, idCol, textCol, positive)
+                    positive: Column, bins: Int = 10,
+                    cacheKey: Option[String] = None): DataFrame = {
+    val s = nbScore(docs, idCol, textCol, positive, cacheKey)
       .withColumn("sm", round(col("nb_score") * 1e6).cast("long"))
     val range = s.agg(min("sm").as("mn"), max("sm").as("mx"))
     s.crossJoin(broadcast(range))
@@ -193,8 +255,8 @@ object Classifier {
     * @return (tp, fp, fn, tn, accuracy) single row
     */
   def nbEval(docs: DataFrame, idCol: String, textCol: String,
-             positive: Column): DataFrame =
-    nbScore(docs, idCol, textCol, positive).agg(
+             positive: Column, cacheKey: Option[String] = None): DataFrame =
+    nbScore(docs, idCol, textCol, positive, cacheKey).agg(
       sum(when(col("label") === 1 && col("pred_hq") === 1, 1L).otherwise(0L)).as("tp"),
       sum(when(col("label") === 0 && col("pred_hq") === 1, 1L).otherwise(0L)).as("fp"),
       sum(when(col("label") === 1 && col("pred_hq") === 0, 1L).otherwise(0L)).as("fn"),

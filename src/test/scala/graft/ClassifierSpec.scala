@@ -150,6 +150,27 @@ class ClassifierSpec extends AnyFunSuite {
     }
   }
 
+  test("session-cached model path returns identical values to direct training") {
+    val docs = Tables.load(spark, SparkTestSession.sf0001, "documents")
+    val p = col("source").isin("src1", "src2", "src3")
+    val key = Some("classifier-spec-cache")
+    try {
+      def rows(df: org.apache.spark.sql.DataFrame) = {
+        val r = df.collect().map(_.toSeq).toSet
+        graft.Caching.release(); r
+      }
+      assert(rows(Classifier.nbModel(docs, "doc_id", "text", p, key)) ==
+        rows(Classifier.nbModel(docs, "doc_id", "text", p)))
+      assert(rows(Classifier.nbScore(docs, "doc_id", "text", p, key)) ==
+        rows(Classifier.nbScore(docs, "doc_id", "text", p)))
+      assert(rows(Classifier.nbEval(docs, "doc_id", "text", p, key)) ==
+        rows(Classifier.nbEval(docs, "doc_id", "text", p)))
+      assert(rows(Classifier.nbCalibration(docs, "doc_id", "text", p,
+          cacheKey = key)) ==
+        rows(Classifier.nbCalibration(docs, "doc_id", "text", p)))
+    } finally Classifier.resetModels(spark, "classifier-spec-cache")
+  }
+
   test("scores are partitioning-independent on the fixture corpus") {
     val docs = Tables.load(spark, SparkTestSession.sf0001, "documents")
     val p = col("source").isin("src1", "src2", "src3")
