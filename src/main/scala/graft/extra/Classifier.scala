@@ -40,6 +40,14 @@ object Classifier {
   private def toks(c: Column): Column =
     filter(split(lower(c), " "), t => t =!= "")
 
+  /** The label rule normalized: NULL evaluations (e.g. a NULL source
+    * against an isin whitelist) count as NEGATIVE, matching the oracle's
+    * CASE ... ELSE 0 — without this, NULL labels silently drop out of the
+    * class totals and the two engines diverge on NULL-bearing corpora.
+    */
+  private def yOf(positive: Column): Column =
+    coalesce(positive.cast("int"), lit(0))
+
   /** Pinned (doc_id, y, term, tf) — the single corpus pass everything else
     * reads. `positive` is any boolean Column over the input row (the label
     * rule, e.g. a reference-source whitelist).
@@ -47,7 +55,7 @@ object Classifier {
   private def docTermTf(docs: DataFrame, idCol: String, textCol: String,
                         positive: Column): DataFrame =
     Caching.temp(
-      docs.select(col(idCol).as("doc_id"), positive.cast("int").as("y"),
+      docs.select(col(idCol).as("doc_id"), yOf(positive).as("y"),
           explode(toks(col(textCol))).as("term"))
         .groupBy("doc_id", "y", "term").agg(count(lit(1)).as("tf")))
 
@@ -142,7 +150,7 @@ object Classifier {
         val (rows, prior) = trainedModel(docs, idCol, textCol, positive, k)
         scoreWith(docs, idCol, textCol, modelDf(docs.sparkSession, rows), prior)
           .join(docs.select(col(idCol).as("doc_id"),
-            positive.cast("long").as("label")), "doc_id")
+            yOf(positive).cast("long").as("label")), "doc_id")
           .select("doc_id", "label", "n_toks", "nb_score", "pred_hq")
     }
 
@@ -152,8 +160,8 @@ object Classifier {
     val model = modelOf(tf)
     // add-1 prior from DOCUMENT counts, same pinning as the term weights
     val prior = docs.agg(
-      sum(positive.cast("long")).as("d_pos"),
-      sum((!positive).cast("long")).as("d_neg"))
+      sum(yOf(positive).cast("long")).as("d_pos"),
+      sum((lit(1) - yOf(positive)).cast("long")).as("d_neg"))
       .withColumn("prior_micro", round(
         (round(log((col("d_pos") + lit(1)).cast("double") /
           (col("d_pos") + col("d_neg") + lit(2)).cast("double")), 6) -
@@ -165,7 +173,7 @@ object Classifier {
       .groupBy("doc_id")
       .agg(sum("tf").as("n_toks"),
         sum(round(col("tf") * col("lodds") * 1e6).cast("long")).as("lo_micro"))
-    docs.select(col(idCol).as("doc_id"), positive.cast("long").as("label"))
+    docs.select(col(idCol).as("doc_id"), yOf(positive).cast("long").as("label"))
       .join(perDoc, Seq("doc_id"), "left")
       .crossJoin(broadcast(prior))
       .withColumn("score_micro",
@@ -181,8 +189,8 @@ object Classifier {
     */
   def priorMicroOf(docs: DataFrame, positive: Column): Long =
     docs.agg(
-      sum(positive.cast("long")).as("d_pos"),
-      sum((!positive).cast("long")).as("d_neg"))
+      sum(yOf(positive).cast("long")).as("d_pos"),
+      sum((lit(1) - yOf(positive)).cast("long")).as("d_neg"))
       .select(round(
         (round(log((col("d_pos") + lit(1)).cast("double") /
           (col("d_pos") + col("d_neg") + lit(2)).cast("double")), 6) -

@@ -124,6 +124,10 @@ object Pca {
       def outputEncoder = implicitly[org.apache.spark.sql.Encoder[Seq[Long]]]
     }
     val flat = vecs.select(agg.toColumn).collect()(0)
+    if (flat.isEmpty)  // empty table: empty report, same as the declarative twin
+      return covProjection(spark.emptyDataFrame
+        .select(lit(0L).as("i"), lit(0L).as("j"), lit(0L).as("s_ij"),
+          lit(0L).as("sm_i"), lit(0L).as("sm_j"), lit(1L).as("n")).limit(0))
     // L = d + d(d+1)/2 + 1  ⇒  d = (√(8(L−1)+9) − 3) / 2
     val d = ((math.sqrt(8.0 * (flat.length - 1) + 9).round - 3) / 2).toInt
     val n = flat.last

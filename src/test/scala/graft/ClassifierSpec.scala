@@ -78,6 +78,24 @@ class ClassifierSpec extends AnyFunSuite {
     assert(e.getAs[Long]("fp") + e.getAs[Long]("tn") == 4)
   }
 
+  test("NULL label inputs count as negative (the oracle's CASE ... ELSE 0)") {
+    import spark.implicits._
+    val docs = Seq((1L, "gold clean", Some("ref")),
+      (2L, "spam junk", Some("crawl")),
+      (3L, "spam gold", None: Option[String]))
+      .toDF("doc_id", "text", "source")
+    val p = col("source") === "ref"   // NULL source → NULL, must read as 0
+    val s = Classifier.nbScore(docs, "doc_id", "text", p).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.Caching.release()
+    assert(s(3L) == 0L, "NULL-source doc must carry label 0, not NULL")
+    val e = Classifier.nbEval(docs, "doc_id", "text", p).collect()(0)
+    graft.Caching.release()
+    assert(e.getAs[Long]("tp") + e.getAs[Long]("fp") +
+      e.getAs[Long]("fn") + e.getAs[Long]("tn") == 3L,
+      "every doc lands in exactly one confusion cell")
+  }
+
   test("serving form scoreWith matches the training-time scores exactly") {
     val docs = Tables.load(spark, SparkTestSession.sf0001, "documents")
     val p = col("source").isin("src1", "src2", "src3")
