@@ -50,6 +50,68 @@ object ProfileStream {
         round(col("vmax_raw"), 6).as("vmax"))
   }
 
+  /** Streaming value-histogram cells — the quantile leg of the streaming
+    * profile (numeric stats + HLL cardinality + this): per-window counts on
+    * a FIXED [lo, hi) grid, one watermarked aggregation, mergeable by
+    * construction (counts add). The grid is caller-supplied (from the batch
+    * profile's min/max, the monitoring convention) because an unbounded
+    * stream has no knowable range; out-of-range values clamp to the edge
+    * buckets, so mass is never silently dropped. Quantile estimates stay on
+    * the read side ([[histQuantiles]]) for the same reason the HLL estimate
+    * does: emitting cells keeps windows re-mergeable downstream.
+    */
+  def histCellsStream(stream: DataFrame, valueCol: String, tsCol: String,
+                      lo: Double, hi: Double, buckets: Int = 64,
+                      window: String = "10 minutes",
+                      horizon: String = "30 minutes"): DataFrame = {
+    require(hi > lo && buckets > 0, "need hi > lo and buckets > 0")
+    val w = (hi - lo) / buckets
+    val b = least(greatest(
+      floor((col(valueCol).cast("double") - lit(lo)) / lit(w)), lit(0)),
+      lit(buckets - 1)).cast("int")
+    stream
+      .filter(col(valueCol).isNotNull)
+      .select(col(tsCol), lit(valueCol).as("col_name"), b.as("bucket"))
+      .withWatermark(tsCol, horizon)
+      .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window),
+        col("col_name"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Read-side quantile fold over histogram cells (any number of merged
+    * windows/shards): per group a ≤buckets-row cumulative pass picks the
+    * bucket holding each target rank, linear within-bucket interpolation.
+    * Resolution is one bucket width — the sketch trade, stated not hidden.
+    *
+    * @return (groupCols..., q, est) one row per group × quantile
+    */
+  def histQuantiles(cells: DataFrame, groupCols: Seq[String],
+                    qs: Seq[Double], lo: Double, hi: Double,
+                    buckets: Int = 64): DataFrame = {
+    val w = (hi - lo) / buckets
+    val byGroup = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(col("bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val tot = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+    val cum = cells
+      .withColumn("cum", sum("cnt").over(byGroup))
+      .withColumn("n", sum("cnt").over(tot))
+    qs.map { q =>
+      cum.withColumn("target", lit(q) * col("n"))
+        .filter(col("cum") >= col("target"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(groupCols.map(col): _*).orderBy(col("bucket"))))
+        .filter(col("rn") === 1)
+        .select(groupCols.map(col) :+ lit(q).as("q") :+
+          round(lit(lo) + lit(w) * (col("bucket") +
+            (col("target") - (col("cum") - col("cnt"))) / col("cnt")), 6)
+            .as("est"): _*)
+    }.reduce(_.unionByName(_))
+  }
+
   /** Streaming cardinality-over-time: per-window MERGEABLE HLL cells —
     * (window, col_name, bucket, max_rank), the same cells the batch
     * [[graft.extra.CardSketch.hllDistinct]] builds, maintained as ONE

@@ -46,6 +46,52 @@ class ProfileStreamSpec extends AnyFunSuite {
     cols.foreach { c => assert(math.abs(stdS(c) - stdB(c)) < 1e-4, s"std($c)") }
   }
 
+  test("streamed histogram cells equal batch; quantile fold within a bucket") {
+    val events = Tables.load(spark, SparkTestSession.sf0001, "events")
+      .select(col("ts"), col("value"))
+    val (lo, hi, buckets) = (0.0, 400.0, 64)  // covers the fixture's 0–328
+    val dir = java.nio.file.Files.createTempDirectory("hist_stream").toString
+    events.filter(col("value") < 50).coalesce(1).write.mode("append").parquet(dir)
+    events.filter(col("value") >= 50).coalesce(1).write.mode("append").parquet(dir)
+
+    val stream = spark.readStream
+      .schema(spark.read.parquet(dir).schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = ProfileStream.histCellsStream(stream, "value", "ts",
+        lo, hi, buckets, window = "10 minutes", horizon = "30 minutes")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hist_cells").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("hist_cells")
+    val w = (hi - lo) / buckets
+    val b = least(greatest(floor((col("value").cast("double") - lit(lo)) / lit(w)),
+      lit(0)), lit(buckets - 1)).cast("int")
+    val batchCells = events.filter(col("value").isNotNull)
+      .select(window(col("ts"), "10 minutes").as("window"),
+        lit("value").as("col_name"), b.as("bucket"))
+      .groupBy("window", "col_name", "bucket").agg(count(lit(1)).as("cnt"))
+    def cellSet(df: org.apache.spark.sql.DataFrame) = df.select(
+        col("window.start").cast("long"), col("bucket"), col("cnt"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(cellSet(streamed) == cellSet(batchCells))
+    assert(cellSet(streamed).nonEmpty)
+
+    // merged-windows quantile fold lands within one bucket width of exact
+    val merged = streamed.groupBy(lit("value").as("col_name"), col("bucket"))
+      .agg(sum("cnt").as("cnt"))
+    val est = ProfileStream.histQuantiles(merged, Seq("col_name"),
+        Seq(0.5, 0.9), lo, hi, buckets).collect()
+      .map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    val vals = events.select(col("value").cast("double")).collect()
+      .map(_.getDouble(0)).sorted
+    Seq(0.5, 0.9).foreach { qq =>
+      val exact = vals(math.min((qq * vals.length).toInt, vals.length - 1))
+      assert(math.abs(est(qq) - exact) <= w + 1e-9,
+        s"q=$qq est=${est(qq)} exact=$exact")
+    }
+  }
+
   test("streamed HLL cells equal the batch cells; estimates fold identically") {
     import graft.extra.CardSketch
     val events = Tables.load(spark, SparkTestSession.sf0001, "events")
