@@ -63,6 +63,19 @@ object Bench {
             org.apache.spark.sql.functions.col("source")
               .isin("src1", "src2", "src3"), sfDir)
           ()
+        }),
+      ("train_dedup_idx",
+        () => extra.Dedup.resetIndex(spark, sfDir),
+        () => {
+          // same corpus slice the registered dedup_incremental gate probes
+          val docs = Tables.load(spark, sfDir, "documents")
+            .filter(org.apache.spark.sql.functions.col("doc_id")
+              < SparkEntry.DocBound)
+          extra.Dedup.trainedIndex(
+            docs.filter(extra.CorpusOps.sampleBucket(
+              org.apache.spark.sql.functions.col("doc_id")) < 80),
+            "doc_id", "text", s"$sfDir#dedup_idx")
+          ()
         }))
     val trained = trainSteps
       .filter { case (name, _, _) => only.forall(_.contains(name)) }

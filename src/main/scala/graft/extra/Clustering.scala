@@ -102,14 +102,22 @@ object Clustering {
       .select(row_number().over(seedOrder).cast("long").as("cluster"),
         col("vm").as("cv"))
 
+    // Assignment is a PROJECTION argmin, not a window: the k centroids ride
+    // one broadcast row as an array<struct>, and per vector the owning
+    // cluster is array_min over (d2, cluster) structs — lexicographic
+    // struct ordering IS the (d2 asc, cluster asc) tie rule, so the output
+    // is identical to a row_number window but with ZERO exchange. The
+    // round-10 window shape hash-shuffled N×k rows per Lloyd iteration
+    // (×nlist blowup of the corpus at IVF scale); this moves nothing.
     def assign(cent: DataFrame): DataFrame = {
-      val aw = Window.partitionBy("vec_id")
-        .orderBy(col("d2").asc, col("cluster").asc)
-      e.crossJoin(broadcast(cent))
-        .withColumn("d2", VectorOps.longL2Sq(col("vm"), col("cv")))
-        .withColumn("rn", row_number().over(aw))
-        .filter(col("rn") === 1)
-        .select("vec_id", "cluster", "d2", "vm")
+      val centArr = cent.agg(collect_list(
+        struct(col("cluster"), col("cv"))).as("cents"))
+      e.crossJoin(broadcast(centArr))
+        .withColumn("best", array_min(transform(col("cents"), c =>
+          struct(VectorOps.longL2Sq(col("vm"), c("cv")).as("d2"),
+            c("cluster").as("cluster")))))
+        .select(col("vec_id"), col("best.cluster").as("cluster"),
+          col("best.d2").as("d2"), col("vm"))
     }
 
     // per-dimension integer mean; rebuild the centroid array ordered by pos

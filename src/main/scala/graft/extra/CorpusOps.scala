@@ -60,7 +60,12 @@ object CorpusOps {
     *
     * Convergence check: (count, Σ xxhash64) signature of the canonical
     * edge set — one tiny driver action per round, like the PageRank loop;
-    * lineage cut every `checkpointEvery` rounds.
+    * lineage cut every `checkpointEvery` rounds. If `maxRounds` runs out
+    * before the fixpoint the edge set need not be a star (a `hi` could
+    * still carry several `lo` labels, and labels need not be minimal), so
+    * the loop FAILS LOUDLY instead of emitting silently-wrong clusters;
+    * the closing join additionally folds min(lo) per hi, which is always
+    * safe and free at star shape (one row per hi).
     */
   def connectedComponentsDF(nodes: DataFrame, pairs: DataFrame,
                             maxRounds: Int = 50,
@@ -100,8 +105,12 @@ object CorpusOps {
       sig = s2
       round += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsDF did not converge in $maxRounds rounds " +
+          s"(edge signature still moving: $sig) — raise maxRounds")
     nodes.select(col("id").cast("long"))
-      .join(e.select(col("hi").as("id"), col("lo").as("cluster_id")),
+      .join(e.groupBy(col("hi").as("id")).agg(min("lo").as("cluster_id")),
         Seq("id"), "left")
       .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
   }

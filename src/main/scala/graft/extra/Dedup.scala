@@ -223,6 +223,47 @@ object Dedup {
   def tokenSetsOf(df: DataFrame, idCol: String, textCol: String): DataFrame =
     tokenSets(df, idCol, textCol)
 
+  /** Session cache of the admission gate's corpus index artifacts — the
+    * band-signature table + token-set table of [[bandSignatures]] /
+    * [[tokenSetsOf]], built ONCE per (session, key) and pinned hot, exactly
+    * like the sketch index ([[graft.search.Sketches.train]]) and the NB
+    * model ([[Classifier.trainedModel]]). The round-10 registered query
+    * re-derived both artifacts on every call — the cost the indexed design
+    * exists to avoid; with the memo, `train_dedup_idx` is charged once as
+    * its own bench line and `dedup_incremental` measures the steady-state
+    * per-batch probe. In production the two frames are parquet/Delta tables
+    * bucketed on (band, band_sig) and doc_id, appended per admitted batch.
+    */
+  private val indexCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), (DataFrame, DataFrame)]
+
+  /** Build (or fetch the memoized) corpus artifacts for `cacheKey`. */
+  def trainedIndex(corpus: DataFrame, idCol: String, textCol: String,
+                   cacheKey: String, numPerms: Int = 32,
+                   rowsPerBand: Int = 4): (DataFrame, DataFrame) = {
+    val k = (corpus.sparkSession.sparkContext.applicationId, cacheKey)
+    indexCache.getOrElseUpdate(k, {
+      val sigs =
+        bandSignatures(corpus, idCol, textCol, numPerms, rowsPerBand).persist()
+      val toks = tokenSetsOf(corpus, idCol, textCol).persist()
+      sigs.count(); toks.count()
+      (sigs, toks)
+    })
+  }
+
+  /** Drop memoized indexes whose key starts with `cacheKeyPrefix` — the
+    * bench uses this so a `train_dedup_idx` line times a TRUE rebuild.
+    */
+  def resetIndex(spark: org.apache.spark.sql.SparkSession,
+                 cacheKeyPrefix: String): Unit = {
+    val appId = spark.sparkContext.applicationId
+    indexCache.keys
+      .filter(k => k._1 == appId && k._2.startsWith(cacheKeyPrefix))
+      .foreach(indexCache.remove(_).foreach { case (sigs, toks) =>
+        sigs.unpersist(blocking = false); toks.unpersist(blocking = false)
+      })
+  }
+
   /** [[minhashIncremental]] against PRECOMPUTED corpus artifacts — the
     * form a streaming admission gate actually runs at scale: per batch it
     * signs and tokenizes only the BATCH, probes the stored signature

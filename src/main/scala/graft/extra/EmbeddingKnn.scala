@@ -114,8 +114,15 @@ object EmbeddingKnn {
     * [[domainStats]]: centroids are the `nlist` vectors with the smallest
     * md5(vec_id) (content-independent pseudo-random sample, reproducible in
     * any engine with md5); every vector gets its ranked centroid distances
-    * from an argmin over the broadcast centroid table — one full scan, no
-    * iterative fit. Returns (vec_id, vec, cell_id, cdist, rn) where rn = 1
+    * from ONE projection — the centroid table rides a single broadcast row
+    * as an array<struct>, each vector sorts its nlist (cdist, cell_id)
+    * structs in-row (lexicographic struct order IS the window's
+    * cdist-then-cell_id tie rule) and posexplode numbers them. No iterative
+    * fit, and — unlike the round-10 row_number window over the N×nlist
+    * cross product — ZERO exchange: the generate+filter pipeline stays in
+    * the scan stage, which is what keeps the whole IVF family (domainStats,
+    * semanticDedup, ivfSeeded, clusterSample) shuffle-free over the corpus
+    * at nlist=4096. Returns (vec_id, vec, cell_id, cdist, rn) where rn = 1
     * is the owning cell.
     */
   def ivfAssign(emb: DataFrame, nlist: Int = 16): DataFrame = {
@@ -123,11 +130,15 @@ object EmbeddingKnn {
     val cent = base
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(nlist)
       .select(col("vec_id").as("cell_id"), col("vec").as("cvec"))
-    val aw = Window.partitionBy("vec_id").orderBy(col("cdist").asc, col("cell_id").asc)
-    base.crossJoin(broadcast(cent))
-      .withColumn("cdist", round(VectorOps.euclid(col("vec"), col("cvec")), 6))
-      .withColumn("rn", row_number().over(aw))
-      .drop("cvec")
+    val centArr = cent.agg(collect_list(
+      struct(col("cell_id"), col("cvec"))).as("cents"))
+    base.crossJoin(broadcast(centArr))
+      .select(col("vec_id"), col("vec"),
+        posexplode(array_sort(transform(col("cents"), c =>
+          struct(round(VectorOps.euclid(col("vec"), c("cvec")), 6).as("cdist"),
+            c("cell_id").as("cell_id"))))).as(Seq("p", "r")))
+      .select(col("vec_id"), col("vec"), col("r.cell_id").as("cell_id"),
+        col("r.cdist").as("cdist"), (col("p") + 1).as("rn"))
   }
 
   /** Domain clustering report for corpus mixture balancing: every embedding

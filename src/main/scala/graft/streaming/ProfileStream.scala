@@ -56,9 +56,12 @@ object ProfileStream {
     * construction (counts add). The grid is caller-supplied (from the batch
     * profile's min/max, the monitoring convention) because an unbounded
     * stream has no knowable range; out-of-range values clamp to the edge
-    * buckets, so mass is never silently dropped. Quantile estimates stay on
-    * the read side ([[histQuantiles]]) for the same reason the HLL estimate
-    * does: emitting cells keeps windows re-mergeable downstream.
+    * buckets, so mass is never silently dropped. NaN is excluded like NULL
+    * (it is unordered, not out-of-range — Spark's NaN-is-largest sort would
+    * otherwise silently clamp NaN mass into the TOP cell and skew
+    * [[histQuantiles]]). Quantile estimates stay on the read side
+    * ([[histQuantiles]]) for the same reason the HLL estimate does:
+    * emitting cells keeps windows re-mergeable downstream.
     */
   def histCellsStream(stream: DataFrame, valueCol: String, tsCol: String,
                       lo: Double, hi: Double, buckets: Int = 64,
@@ -70,7 +73,7 @@ object ProfileStream {
       floor((col(valueCol).cast("double") - lit(lo)) / lit(w)), lit(0)),
       lit(buckets - 1)).cast("int")
     stream
-      .filter(col(valueCol).isNotNull)
+      .filter(col(valueCol).isNotNull && !isnan(col(valueCol).cast("double")))
       .select(col(tsCol), lit(valueCol).as("col_name"), b.as("bucket"))
       .withWatermark(tsCol, horizon)
       .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window),
