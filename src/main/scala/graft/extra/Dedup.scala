@@ -156,11 +156,7 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       threshold: Double, numPerms: Int = 32,
                       rowsPerBand: Int = 4): DataFrame = {
-    val sigs = minhashSignatures(df, idCol, textCol, numPerms)
-      .withColumn("band", (col("perm") / rowsPerBand).cast("int"))
-    val bandSigs = sigs.groupBy("doc_id", "band")
-      .agg(md5(concat_ws(",", sort_array(collect_list(
-        concat_ws(":", col("perm"), col("minhash")))))).as("band_sig"))
+    val bandSigs = bandSignatures(df, idCol, textCol, numPerms, rowsPerBand)
     val candidates = bandSigs.as("a").join(bandSigs.as("b"), Seq("band", "band_sig"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
@@ -198,7 +194,7 @@ object Dedup {
                          numPerms: Int = 32, rowsPerBand: Int = 4): DataFrame =
     minhashIncrementalIndexed(
       bandSignatures(corpus, idCol, textCol, numPerms, rowsPerBand),
-      tokenSets(corpus, idCol, textCol),
+      tokenArraysOf(corpus, idCol, textCol),
       batch, idCol, textCol, threshold, numPerms, rowsPerBand)
 
   /** The admission gate's STORED INDEX artifacts for a corpus: the banded
@@ -210,22 +206,57 @@ object Dedup {
     * (band, band_sig) and doc_id respectively.
     */
   def bandSignatures(df: DataFrame, idCol: String, textCol: String,
-                     numPerms: Int = 32, rowsPerBand: Int = 4): DataFrame =
-    minhashSignatures(df, idCol, textCol, numPerms)
-      .withColumn("band", (col("perm") / rowsPerBand).cast("int"))
-      .groupBy("doc_id", "band")
-      .agg(md5(concat_ws(",", sort_array(collect_list(
-        concat_ws(":", col("perm"), col("minhash")))))).as("band_sig"))
+                     numPerms: Int = 32, rowsPerBand: Int = 4): DataFrame = {
+    // ZERO-exchange projection form: per document the token set, its md5
+    // base hashes, the numPerms permutation minima (array_min over a
+    // lambda — `min` over a doc's tokens never needs a shuffle, the tokens
+    // all live in the row), and the band digests are all column
+    // expressions — one narrow scan per signing pass, no explode, no
+    // aggregate. Values are identical to the exploded
+    // [[minhashSignatures]]-then-regroup route (same permutation
+    // arithmetic, same lexicographic band-string order — spec-locked in
+    // DedupSpec, and the `dedup_incremental` oracle rides on it).
+    val toksCol = array_distinct(
+      filter(split(lower(col(textCol)), " "), t => t =!= ""))
+    val hs = transform(col("toks"),
+      t => conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
+    val mins = permTable(numPerms).map { case (i, a, b) =>
+      array_min(transform(col("hs"),
+        h => (lit(a) * h + lit(b)) % lit(prime))).as(s"m$i")
+    }
+    val bandExprs = (0 until numPerms / rowsPerBand).map { bnd =>
+      val parts = (bnd * rowsPerBand until (bnd + 1) * rowsPerBand)
+        .map(i => concat_ws(":", lit(i), col(s"m$i")))
+      struct(lit(bnd).as("band"),
+        md5(concat_ws(",", array_sort(array(parts: _*)))).as("band_sig"))
+    }
+    df.select(col(idCol).as("doc_id"), toksCol.as("toks"))
+      .filter(size(col("toks")) > 0) // groupBy-absence twin for empty docs
+      .withColumn("hs", hs)
+      .select(col("doc_id") +: mins: _*)
+      .select(col("doc_id"), explode(array(bandExprs: _*)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"),
+        col("b.band_sig").as("band_sig"))
+  }
 
-  /** The corpus token-set artifact (doc_id, term) — [[bandSignatures]]'
-    * verify-side companion; same append-per-admitted-batch lifecycle.
+  /** The corpus token-set artifact, one row per document with its DISTINCT
+    * token array — [[bandSignatures]]' verify-side companion; same
+    * append-per-admitted-batch lifecycle. A pure projection (no explode,
+    * no shuffle): the verify step intersects two docs' sets, and
+    * `array_intersect` does that straight off the arrays, so the row-per-
+    * (doc, term) layout the round-10 artifact used bought nothing but an
+    * extra distinct exchange and a re-aggregation per batch.
+    *
+    * @return (doc_id, toks array<string>)
     */
-  def tokenSetsOf(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    tokenSets(df, idCol, textCol)
+  def tokenArraysOf(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+      array_distinct(filter(split(lower(col(textCol)), " "), t => t =!= ""))
+        .as("toks"))
 
   /** Session cache of the admission gate's corpus index artifacts — the
-    * band-signature table + token-set table of [[bandSignatures]] /
-    * [[tokenSetsOf]], built ONCE per (session, key) and pinned hot, exactly
+    * band-signature table + token-array table of [[bandSignatures]] /
+    * [[tokenArraysOf]], built ONCE per (session, key) and pinned hot, exactly
     * like the sketch index ([[graft.search.Sketches.train]]) and the NB
     * model ([[Classifier.trainedModel]]). The round-10 registered query
     * re-derived both artifacts on every call — the cost the indexed design
@@ -243,31 +274,38 @@ object Dedup {
                    rowsPerBand: Int = 4): (DataFrame, DataFrame) = {
     val k = (corpus.sparkSession.sparkContext.applicationId, cacheKey)
     indexCache.getOrElseUpdate(k, {
-      val sigs =
-        bandSignatures(corpus, idCol, textCol, numPerms, rowsPerBand).persist()
-      val toks = tokenSetsOf(corpus, idCol, textCol).persist()
-      sigs.count(); toks.count()
+      // localCheckpoint, not persist: the artifacts embed in every probe
+      // plan, and a checkpoint's LogicalRDD keeps the per-batch ANALYSIS
+      // cost flat — with full lineage, each probe re-canonicalizes the
+      // whole build subtree on every cache lookup (measured as ~1.5s of
+      // driver time per batch on a 300-doc fixture). Production equivalent:
+      // the artifacts are parquet/Delta tables, whose scan plans are
+      // equally lineage-free.
+      val sigs = bandSignatures(corpus, idCol, textCol, numPerms, rowsPerBand)
+        .localCheckpoint()
+      val toks = tokenArraysOf(corpus, idCol, textCol).localCheckpoint()
       (sigs, toks)
     })
   }
 
   /** Drop memoized indexes whose key starts with `cacheKeyPrefix` — the
     * bench uses this so a `train_dedup_idx` line times a TRUE rebuild.
+    * Checkpoint blocks are left to Spark's ContextCleaner (explicitly
+    * unpersisting a lineage-truncated checkpoint would strand a straggling
+    * reader — the [[graft.search.Sketches.refreshDataset]] rule).
     */
   def resetIndex(spark: org.apache.spark.sql.SparkSession,
                  cacheKeyPrefix: String): Unit = {
     val appId = spark.sparkContext.applicationId
     indexCache.keys
       .filter(k => k._1 == appId && k._2.startsWith(cacheKeyPrefix))
-      .foreach(indexCache.remove(_).foreach { case (sigs, toks) =>
-        sigs.unpersist(blocking = false); toks.unpersist(blocking = false)
-      })
+      .foreach(indexCache.remove)
   }
 
   /** [[minhashIncremental]] against PRECOMPUTED corpus artifacts — the
     * form a streaming admission gate actually runs at scale: per batch it
     * signs and tokenizes only the BATCH, probes the stored signature
-    * table, and verifies candidates against the stored token sets, so the
+    * table, and verifies candidates against the stored token arrays, so the
     * cost is O(batch + candidates) — the corpus is never re-signed or
     * re-tokenized (with the thunk-per-micro-batch pattern of
     * [[graft.streaming.CorpusStream.admitStream]], the plain operator
@@ -275,28 +313,41 @@ object Dedup {
     * wrong at stream scale). Output is identical to the plain form on the
     * same data (DedupSpec).
     */
-  def minhashIncrementalIndexed(corpusSigs: DataFrame, corpusToks: DataFrame,
+  def minhashIncrementalIndexed(corpusSigs: DataFrame, corpusTokArr: DataFrame,
                                 batch: DataFrame, idCol: String,
                                 textCol: String, threshold: Double,
                                 numPerms: Int = 32,
                                 rowsPerBand: Int = 4): DataFrame = {
-    val candidates = bandSignatures(batch, idCol, textCol, numPerms, rowsPerBand)
-      .as("a")
-      .join(corpusSigs.as("b"), Seq("band", "band_sig"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .distinct()
-    // ids must be disjoint across batch and corpus, as in the plain form.
-    // Verify reads only CANDIDATE docs' tokens: semi-join the stored token
-    // table down to candidate ids before any aggregate, so the per-batch
-    // size/intersection work is O(candidates), not O(corpus) — with the
-    // token artifact bucketed on doc_id the semi-join also prunes its scan.
-    val candIds = candidates.select(col("id_a").as("doc_id"))
-      .unionByName(candidates.select(col("id_b").as("doc_id"))).distinct()
-    val toks = tokenSets(batch, idCol, textCol)
-      .unionByName(corpusToks.select(col("doc_id"), col("term")))
-      .join(candIds, Seq("doc_id"), "left_semi")
-    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val best = verifyJaccard(candidates, toks, sizes, threshold)
+    // Whole probe in ONE linear plan, two exchanges (candidate distinct +
+    // the best-match window): batch signatures are a projection
+    // ([[bandSignatures]]), the bucket probe is an equi-join into the
+    // stored signature table, and verify joins each candidate pair to the
+    // two docs' stored token ARRAYS — exact Jaccard is then
+    // size(array_intersect) in the projection (identical arithmetic to the
+    // (pair, term)-row verify: both sides are distinct sets). ids must be
+    // disjoint across batch and corpus, as in the plain form. At corpus
+    // scale the token-artifact join prunes to candidates via the join
+    // itself — candidate tables are banded-bounded (broadcastable), and
+    // the stored artifact is bucketed on doc_id, so no corpus shuffle.
+    val candidates =
+      bandSignatures(batch, idCol, textCol, numPerms, rowsPerBand)
+        .as("a")
+        .join(corpusSigs.as("b"), Seq("band", "band_sig"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .distinct()
+    val tokArr = tokenArraysOf(batch, idCol, textCol)
+      .unionByName(corpusTokArr.select(col("doc_id"), col("toks")))
+    val best = candidates
+      .join(tokArr.select(col("doc_id").as("id_a"), col("toks").as("toks_a")),
+        "id_a")
+      .join(tokArr.select(col("doc_id").as("id_b"), col("toks").as("toks_b")),
+        "id_b")
+      .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))))
+      // threshold the RAW ratio, round only for output — verifyJaccard's rule
+      .withColumn("jac_raw", col("inter").cast("double")
+        / (size(col("toks_a")) + size(col("toks_b")) - col("inter")))
+      .filter(col("jac_raw") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jac_raw"), 6).as("jac"))
       .withColumn("rn", row_number().over(
         Window.partitionBy("id_a").orderBy(col("jac").desc, col("id_b").asc)))
       .filter(col("rn") === 1)

@@ -199,7 +199,7 @@ object CorpusStream {
     * long-running ingest service deploys: the anti-join reads the
     * fingerprint table, admission probes the band-signature table and
     * verifies against the token-set table
-    * ([[graft.extra.Dedup.bandSignatures]]/[[graft.extra.Dedup.tokenSetsOf]]),
+    * ([[graft.extra.Dedup.bandSignatures]]/[[graft.extra.Dedup.tokenArraysOf]]),
     * so NO stage re-derives anything corpus-sized from raw text per
     * micro-batch. All three thunks re-resolve per batch; a maintainer
     * appends each admitted batch's fingerprint/signature/token rows

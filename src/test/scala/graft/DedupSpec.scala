@@ -309,7 +309,7 @@ class DedupSpec extends AnyFunSuite {
     val plain = asMap(
       Dedup.minhashIncremental(corpus, batch, "doc_id", "text", 0.8))
     val sigs = Dedup.bandSignatures(corpus, "doc_id", "text")
-    val toks = Dedup.tokenSetsOf(corpus, "doc_id", "text")
+    val toks = Dedup.tokenArraysOf(corpus, "doc_id", "text")
     val indexed = asMap(Dedup.minhashIncrementalIndexed(
       sigs, toks, batch, "doc_id", "text", 0.8))
     assert(indexed == plain,
@@ -489,5 +489,22 @@ class DedupSpec extends AnyFunSuite {
     got.get(3L).foreach { case (bid, _, margin) =>
       assert(bid == 11L && margin < got(1L)._3)
     }
+  }
+
+  test("projection bandSignatures equal the exploded minhashSignatures route") {
+    val docs = Tables.load(spark, SparkTestSession.sf0001, "documents")
+      .filter(col("doc_id") < 120)
+    // the exploded oracle-shaped route: per-(doc, perm) minima regrouped
+    // into band digests with the same lexicographic band-string order
+    val exploded = Dedup.minhashSignatures(docs, "doc_id", "text")
+      .withColumn("band", (col("perm") / 4).cast("int"))
+      .groupBy("doc_id", "band")
+      .agg(md5(concat_ws(",", sort_array(collect_list(
+        concat_ws(":", col("perm"), col("minhash")))))).as("band_sig"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val projected = Dedup.bandSignatures(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(projected == exploded,
+      "zero-exchange projection signing must be bit-identical to the exploded route")
   }
 }

@@ -248,7 +248,7 @@ class EventWindowsSpec extends AnyFunSuite {
     val fps = corpus.select(
       TextStats.fingerprintCol(col("text")).as("fingerprint"))
     val sigs = Dedup.bandSignatures(corpus, "doc_id", "text")
-    val ctoks = Dedup.tokenSetsOf(corpus, "doc_id", "text")
+    val ctoks = Dedup.tokenArraysOf(corpus, "doc_id", "text")
     val verdicts2 = scala.collection.mutable.Map.empty[Long, Long]
     val stream2 = spark.readStream.schema(b1.schema)
       .option("maxFilesPerTrigger", "1").parquet(dir)
