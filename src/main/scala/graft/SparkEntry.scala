@@ -2916,9 +2916,11 @@ object SparkEntry {
          |SELECT vec_id, cluster, d2, quota, rk FROM r WHERE rk <= quota""".stripMargin
 
     /** DuckDB twin of Pca.covariance: micro-quantized vectors, exact
-      * integer upper-triangle moments (DuckDB sums land in HUGEINT — cast
-      * at output), the ONE pinned double expression at the end. Dimension
-      * count hardcoded at 64 like the kmeans CTEs.
+      * integer upper-triangle moments (DuckDB sums land in HUGEINT; the raw
+      * moment stays internal on both engines — exported as BIGINT it would
+      * wrap at the corpus sizes the exact sums exist for), the ONE pinned
+      * double expression at the end. Dimension count hardcoded at 64 like
+      * the kmeans CTEs.
       */
     val embedCovSql: String =
       """WITH e AS (SELECT list_transform(CAST(embedding AS DOUBLE[]),
@@ -2932,7 +2934,6 @@ object SparkEntry {
         |  FROM e CROSS JOIN idx i CROSS JOIN idx j
         |  WHERE j.i >= i.i GROUP BY 1, 2)
         |SELECT CAST(p.i AS BIGINT) AS i, CAST(p.j AS BIGINT) AS j,
-        |  CAST(p.s AS BIGINT) AS s_ij,
         |  round((CAST(p.s AS DOUBLE) / n
         |      - (CAST(si.sm AS DOUBLE) / n) * (CAST(sj.sm AS DOUBLE) / n))
         |    / 1000000000000.0, 9) AS cov

@@ -44,19 +44,23 @@ object Pca {
     transform(c, x => round(x.cast("double") * lit(1000000)).cast("long"))
 
   /** Upper-triangle covariance report of the embedding matrix: exact
-    * integer raw moments and the pinned double covariance in original
-    * (pre-quantization) units.
+    * integer raw moments internally, the pinned double covariance in
+    * original (pre-quantization) units as output.
     *
-    * @return (i, j, s_ij, cov) for 0 ≤ i ≤ j < d — s_ij = Σ vmᵢ·vmⱼ
-    *         (micro²), cov = E[vᵢvⱼ] − E[vᵢ]E[vⱼ] rounded to 9 decimals
+    * @return (i, j, cov) for 0 ≤ i ≤ j < d — cov = E[vᵢvⱼ] − E[vᵢ]E[vⱼ]
+    *         rounded to 9 decimals. The raw moment s_ij stays INTERNAL:
+    *         exported as a long it would wrap at the very corpus sizes the
+    *         exact-decimal discipline exists for (~9.2M unit-scale vectors),
+    *         and the report's consumer (the eigen step) only needs cov.
     */
   /** Shared final projection — the ONE float expression both covariance
     * paths run, so their outputs are bit-identical by construction.
-    * Expects exact integer columns (i, j, s_ij, sm_i, sm_j, n).
+    * Expects exact integer/decimal columns (i, j, s_ij, sm_i, sm_j, n);
+    * s_ij may be decimal(38,0) or an exact integer string — either casts
+    * to the identical nearest double.
     */
   private def covProjection(moments: DataFrame): DataFrame =
     moments.select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
-      col("s_ij").cast("long").as("s_ij"),
       round((col("s_ij").cast("double") / col("n")
         - (col("sm_i").cast("double") / col("n"))
           * (col("sm_j").cast("double") / col("n"))) / 1e12, 9).as("cov"))
@@ -82,66 +86,123 @@ object Pca {
           col("n")))
   }
 
-  /** Single-pass covariance — the scale path: one typed Aggregator carries
-    * a flat (d + d(d+1)/2 + 1)-long integer buffer through reduce/merge (no
-    * pair-row explosion, no hash-aggregate over 2080-key groups per
-    * partition), the one finished row (model-sized) comes back to the
-    * driver, and the SAME [[covProjection]] float expression produces the
-    * output — bit-identical to [[covariance]] (spec-locked), so the
-    * `embed_cov` oracle covers both.
+  /** Flat-buffer moment Aggregator shared state — see [[covarianceFast]].
+    * Pair sums are 128-BIT: each d(d+1)/2 slot is a (hi, lo) long pair with
+    * value hi·CARRY + lo (CARRY = 2⁴⁰), normalized whenever |lo| crosses
+    * `normAt` (default 2⁶¹: a reduce leaves |lo| < 2⁶¹+2⁴⁰, so merging two
+    * such buffers stays under 2⁶³ before its own normalization) — a GLOBAL
+    * Σ vmᵢ·vmⱼ fits for any corpus a cluster can hold (hi ≤ rows, products
+    * are ≤ ~2⁴⁰ per row at unit scale). The earlier long-only buffer
+    * wrapped silently at ~9.2M unit-scale vectors because merge() funnels
+    * every partition's buffer into one — the bound was per-CORPUS, not
+    * per-task. Linear sums stay single longs: Σ|vmᵢ| ≤ rows·10⁶ overflows
+    * only past ~9.2·10¹² rows, orders beyond a 100 TB embedding table
+    * (~10¹¹ rows of 256-dim float32), and the decimal twin guards the day
+    * that changes.
     *
-    * Overflow bound: per-buffer pair sums are Σ vmᵢ·vmⱼ ≤ rows·1e12 — a
-    * single task would need ~9M unit-scale vectors to overflow the long;
-    * partitions at sane sizes sit orders of magnitude below. The decimal
-    * path above remains the belt-and-braces twin.
+    * Buffer layout: [0, d) linear sums · [d, d+P) pair hi · [d+P, d+2P) pair
+    * lo · last = row count, with P = d(d+1)/2. `normAt` is a constructor
+    * knob ONLY so the spec can force carries on fixture-sized data.
+    */
+  private[graft] class CovMoments(normAt: Long = 1L << 61)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        Seq[Long], Array[Long], Seq[Long]] {
+    private val Carry = 1L << 40
+    def zero: Array[Long] = Array.empty
+    def reduce(b0: Array[Long], vm: Seq[Long]): Array[Long] = {
+      val d = vm.length
+      val np = d * (d + 1) / 2
+      val b = if (b0.nonEmpty) b0 else new Array[Long](d + 2 * np + 1)
+      val v = vm.toArray
+      var i = 0; var k = 0
+      while (i < d) {
+        b(i) += v(i)
+        var j = i
+        while (j < d) {
+          val lo = d + np + k
+          b(lo) += v(i) * v(j)
+          if (b(lo) >= normAt || b(lo) <= -normAt) {
+            b(d + k) += b(lo) / Carry; b(lo) = b(lo) % Carry
+          }
+          j += 1; k += 1
+        }
+        i += 1
+      }
+      b(b.length - 1) += 1
+      b
+    }
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] =
+      if (a.isEmpty) b else if (b.isEmpty) a
+      else {
+        // buffer length = d + 2·d(d+1)/2 + 1 = (d+1)²  ⇒  d = √len − 1
+        val d = (math.sqrt(a.length.toDouble).round - 1).toInt
+        val np = d * (d + 1) / 2
+        var i = 0
+        while (i < d) { a(i) += b(i); i += 1 }
+        var k = 0
+        while (k < np) {
+          a(d + k) += b(d + k)
+          val lo = d + np + k
+          a(lo) += b(lo)
+          if (a(lo) >= normAt || a(lo) <= -normAt) {
+            a(d + k) += a(lo) / Carry; a(lo) = a(lo) % Carry
+          }
+          k += 1
+        }
+        a(a.length - 1) += b(b.length - 1)
+        a
+      }
+    def finish(b: Array[Long]): Seq[Long] = b.toSeq
+    def bufferEncoder =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    def outputEncoder =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+    /** Exact pair sum (i,j) from a finished buffer. */
+    def pairSum(flat: Seq[Long], d: Int, k: Int): BigInt = {
+      val np = d * (d + 1) / 2
+      BigInt(flat(d + k)) * Carry + BigInt(flat(d + np + k))
+    }
+  }
+
+  /** Single-pass covariance — the scale path: one typed Aggregator carries
+    * a flat integer buffer through reduce/merge (no pair-row explosion, no
+    * hash-aggregate over 2080-key groups per partition), the one finished
+    * row (model-sized) comes back to the driver, and the SAME
+    * [[covProjection]] float expression produces the output —
+    * bit-identical to [[covariance]] (spec-locked), so the `embed_cov`
+    * oracle covers both. Pair sums ride the [[CovMoments]] 128-bit (hi, lo)
+    * carry representation, so the GLOBAL Σ vmᵢ·vmⱼ is exact at any corpus
+    * size — see the class doc for the bounds.
     */
   def covarianceFast(emb: DataFrame): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val vecs = emb.select(microVec(col("embedding")).as("vm")).as[Seq[Long]]
-    val agg = new org.apache.spark.sql.expressions.Aggregator[
-        Seq[Long], Array[Long], Seq[Long]] {
-      def zero: Array[Long] = Array.empty
-      def reduce(b0: Array[Long], vm: Seq[Long]): Array[Long] = {
-        val d = vm.length
-        val b = if (b0.nonEmpty) b0 else new Array[Long](d + d * (d + 1) / 2 + 1)
-        val v = vm.toArray
-        var i = 0; var k = d
-        while (i < d) {
-          b(i) += v(i)
-          var j = i
-          while (j < d) { b(k) += v(i) * v(j); j += 1; k += 1 }
-          i += 1
-        }
-        b(b.length - 1) += 1
-        b
-      }
-      def merge(a: Array[Long], b: Array[Long]): Array[Long] =
-        if (a.isEmpty) b else if (b.isEmpty) a
-        else { var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a }
-      def finish(b: Array[Long]): Seq[Long] = b.toSeq
-      def bufferEncoder = implicitly[org.apache.spark.sql.Encoder[Array[Long]]]
-      def outputEncoder = implicitly[org.apache.spark.sql.Encoder[Seq[Long]]]
-    }
+    val agg = new CovMoments()
     val flat = vecs.select(agg.toColumn).collect()(0)
     if (flat.isEmpty)  // empty table: empty report, same as the declarative twin
       return covProjection(spark.emptyDataFrame
-        .select(lit(0L).as("i"), lit(0L).as("j"), lit(0L).as("s_ij"),
+        .select(lit(0L).as("i"), lit(0L).as("j"), lit("0").as("s_ij"),
           lit(0L).as("sm_i"), lit(0L).as("sm_j"), lit(1L).as("n")).limit(0))
-    // L = d + d(d+1)/2 + 1  ⇒  d = (√(8(L−1)+9) − 3) / 2
-    val d = ((math.sqrt(8.0 * (flat.length - 1) + 9).round - 3) / 2).toInt
+    // L = d + 2·d(d+1)/2 + 1 = d² + 2d + 1  ⇒  d = √L − 1
+    val d = (math.sqrt(flat.length.toDouble).round - 1).toInt
     val n = flat.last
     val rows = {
-      val out = Seq.newBuilder[(Int, Int, Long, Long, Long, Long)]
-      var i = 0; var k = d
+      val out = Seq.newBuilder[(Int, Int, String, Long, Long, Long)]
+      var i = 0; var k = 0
       while (i < d) {
         var j = i
-        while (j < d) { out += ((i, j, flat(k), flat(i), flat(j), n)); j += 1; k += 1 }
+        while (j < d) {
+          // exact integer moment as a STRING → decimal: never truncated
+          out += ((i, j, agg.pairSum(flat, d, k).toString, flat(i), flat(j), n))
+          j += 1; k += 1
+        }
         i += 1
       }
       out.result()
     }
-    covProjection(rows.toDF("i", "j", "s_ij", "sm_i", "sm_j", "n"))
+    covProjection(rows.toDF("i", "j", "s_ij", "sm_i", "sm_j", "n")
+      .withColumn("s_ij", col("s_ij").cast("decimal(38,0)")))
   }
 
   /** Driver-side cyclic Jacobi eigendecomposition of the collected
@@ -205,7 +266,7 @@ object Pca {
     val d = rows.map(_.getLong(1)).max.toInt + 1
     val m = Array.ofDim[Double](d, d)
     rows.foreach { r =>
-      val (i, j, c) = (r.getLong(0).toInt, r.getLong(1).toInt, r.getDouble(3))
+      val (i, j, c) = (r.getLong(0).toInt, r.getLong(1).toInt, r.getDouble(2))
       m(i)(j) = c; m(j)(i) = c
     }
     m

@@ -20,8 +20,8 @@ class PcaSpec extends AnyFunSuite {
     val n = vs.length
     val d = vs.head.length
     val got = Pca.covariance(emb).collect()
-      .map(r => (r.getLong(0).toInt, r.getLong(1).toInt) ->
-        (r.getLong(2), r.getDouble(3))).toMap
+      .map(r => (r.getLong(0).toInt, r.getLong(1).toInt) -> r.getDouble(2))
+      .toMap
     graft.Caching.release()
     assert(got.size == d * (d + 1) / 2)
     for (i <- 0 until d; j <- i until d) {
@@ -30,27 +30,52 @@ class PcaSpec extends AnyFunSuite {
       val smj = vs.map(_(j)).sum
       val cov = math.rint(((s.toDouble / n)
         - (smi.toDouble / n) * (smj.toDouble / n)) / 1e12 * 1e9) / 1e9
-      assert(got((i, j))._1 == s, s"s_ij at ($i,$j)")
-      assert(got((i, j))._2 == cov, s"cov at ($i,$j)")
+      assert(got((i, j)) == cov, s"cov at ($i,$j)")
     }
   }
 
   test("covarianceFast (single-pass Aggregator) equals the declarative path") {
     val slow = Pca.covariance(emb).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
       .toSet
     graft.Caching.release()
     def fast(p: Int) = Pca.covarianceFast(emb.repartition(p)).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
       .toSet
     assert(fast(1) == slow)
     assert(fast(8) == slow)
   }
 
+  test("CovMoments 128-bit carry: forced normalization changes nothing") {
+    // normAt=1 forces the hi/lo carry on EVERY addition — the exact pair
+    // sums must come out identical to the no-carry fixture-sized run, so
+    // the overflow-safe representation is exercised without needing 9M
+    // vectors in a unit test
+    import spark.implicits._
+    val vecs = emb.select(transform(col("embedding"),
+        x => round(x.cast("double") * lit(1000000)).cast("long")).as("vm"))
+      .as[Seq[Long]]
+    val plain = vecs.select(new Pca.CovMoments().toColumn).collect()(0)
+    val forced = vecs.select(new Pca.CovMoments(normAt = 1L).toColumn).collect()(0)
+    val d = (math.sqrt(plain.length.toDouble).round - 1).toInt
+    val helper = new Pca.CovMoments()
+    for (k <- 0 until d * (d + 1) / 2)
+      assert(helper.pairSum(plain, d, k) == helper.pairSum(forced, d, k),
+        s"pair sum $k must be carry-invariant")
+    // and against the independent local computation
+    val vs = localVecs
+    var k = 0
+    for (i <- 0 until d; j <- i until d) {
+      assert(helper.pairSum(forced, d, k) ==
+        BigInt(vs.map(v => v(i) * v(j)).sum), s"exact moment at ($i,$j)")
+      k += 1
+    }
+  }
+
   test("covariance is partitioning-independent (exact decimal sums)") {
     def run(p: Int) = {
       val r = Pca.covariance(emb.repartition(p)).collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
         .toSet
       graft.Caching.release()
       r
