@@ -307,6 +307,13 @@ object SparkEntry {
     "dedup_spans" -> ((s, d) =>
       Dedup.dedupSpans(T(s, d, "documents"), "doc_id", "text")),
 
+    // Lee et al. 2022 ExactSubstr: maximal cross-document duplicated
+    // substrings >= 12 tokens, variable length (merged coverage islands of
+    // duplicated 12-grams — exact for removal semantics, linear candidate
+    // volume). Full documents table: no pair join to bound.
+    "dedup_substrings" -> ((s, d) =>
+      Dedup.dupSubstringSpans(T(s, d, "documents"), "doc_id", "text")),
+
     // RefinedWeb-style paragraph dedup: one surviving copy per distinct
     // 32-token paragraph corpus-wide, documents rewritten in order
     "dedup_paragraph" -> ((s, d) =>
@@ -935,6 +942,31 @@ object SparkEntry {
     "dedup_minhash" -> O.minhashSql,
     "dedup_incremental" -> O.dedupIncrementalSql,
     "ann_recall" -> O.annRecallSql,
+    // Lee et al. ExactSubstr spans: duplicated 12-gram starts, merged
+    // coverage islands (overlap or abut), maximal span per island
+    "dedup_substrings" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |g AS (SELECT doc_id, i AS pos,
+        |    md5(array_to_string(list_slice(toks, i, i + 11), ' ')) AS gh
+        |  FROM t CROSS JOIN unnest(range(1, len(toks) - 12 + 2)) AS u(i)
+        |  WHERE len(toks) >= 12),
+        |dup AS (SELECT gh FROM g GROUP BY gh
+        |  HAVING count(DISTINCT doc_id) >= 2),
+        |s AS (SELECT doc_id, pos FROM g WHERE gh IN (SELECT gh FROM dup)),
+        |m AS (SELECT doc_id, pos,
+        |    max(pos + 11) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |  FROM s),
+        |i AS (SELECT doc_id, pos,
+        |    sum(CASE WHEN prev_end IS NULL OR pos > prev_end + 1
+        |      THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |  FROM m)
+        |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+        |  CAST(max(pos) + 12 - min(pos) AS BIGINT) AS span_len
+        |FROM i GROUP BY doc_id, island""".stripMargin,
     "dedup_spans" ->
       """WITH t AS (SELECT doc_id,
         |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks

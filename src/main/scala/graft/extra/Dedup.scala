@@ -587,6 +587,66 @@ object Dedup {
       sum(col("covered")).cast("long").as("n_removed"))
   }
 
+  /** Exact duplicated-substring SPANS (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better" — the ExactSubstr pass,
+    * public method description): per document, the MAXIMAL regions covered
+    * by substrings of ≥ `minLen` tokens that occur verbatim in at least one
+    * OTHER document. Variable length where [[dedupSpans]] is fixed-width:
+    * a 70-token templated block reports as ONE 70-token span.
+    *
+    * The equivalence that makes this Spark-shaped (no suffix array, no
+    * pair join): a token lies inside some cross-document duplicate of
+    * length ≥ minLen IFF it is covered by a duplicated minLen-GRAM —
+    * every longer duplicate covers each of its tokens with a duplicated
+    * minLen-window, and a duplicated minLen-gram is itself such a
+    * substring. So coverage comes from gram-duplication flags (a
+    * vocabulary-bounded document-frequency aggregate — candidate volume
+    * stays LINEAR in corpus size, where occurrence-pair designs go
+    * quadratic on boilerplate grams), and the maximal spans are the merged
+    * coverage islands (overlapping or abutting duplicated windows chain).
+    * The REMOVAL twin is exactly [[dedupSpans]] with w = minLen — its
+    * n_removed equals the span-length sum per document (spec-locked).
+    *
+    * Plan shape: tokenize shuffle-free; grams one doc-keyed window; gram
+    * DF a map-side-combined md5-keyed aggregate; the flag join is a
+    * per-occurrence semi-join; island merge one per-doc window. All
+    * partitions are document- or vocabulary-bounded.
+    *
+    * @return (doc_id, span_start, span_len) — 1-based token positions,
+    *         span_len ≥ minLen, spans disjoint and maximal per doc
+    */
+  def dupSubstringSpans(df: DataFrame, idCol: String, textCol: String,
+                        minLen: Int = 12): DataFrame = {
+    val w = minLen
+    val toks = df.select(col(idCol).as("doc_id"),
+        posexplode(filter(split(lower(col(textCol)), " "), t => t =!= ""))
+          .as(Seq("pos0", "token")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("token"))
+    val byPos = Window.partitionBy("doc_id").orderBy("pos")
+    // full-width grams only (the dedupSpans tail rule): md5 keeps the DF
+    // shuffle narrow; both engines hash, so the dup set is identical
+    val grams = toks.withColumn("gram",
+        when(lead(col("token"), w - 1).over(byPos).isNotNull,
+          concat_ws(" ", col("token") +:
+            (1 until w).map(k => lead(col("token"), k).over(byPos)): _*)))
+      .filter(col("gram").isNotNull)
+      .select(col("doc_id"), col("pos"), md5(col("gram")).as("gh"))
+    val dup = grams.groupBy("gh").agg(countDistinct("doc_id").as("dw"))
+      .filter(col("dw") >= 2).select("gh")
+    val starts = grams.join(dup, Seq("gh"), "left_semi")
+      .select("doc_id", "pos")
+    val isl = starts
+      .withColumn("prev_end", max(col("pos") + (w - 1)).over(
+        byPos.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_island", when(col("prev_end").isNull ||
+        col("pos") > col("prev_end") + 1, 1).otherwise(0))
+      .withColumn("island", sum("new_island").over(byPos))
+    isl.groupBy("doc_id", "island")
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + w - min(col("pos"))).cast("long").as("span_len"))
+      .select("doc_id", "span_start", "span_len")
+  }
+
   /** Cross-corpus PARAGRAPH dedup (the RefinedWeb/CCNet line-level pass,
     * between [[exact]] whole-document dedup and [[dedupSpans]] token-span
     * removal): the corpus keeps exactly ONE copy of every distinct

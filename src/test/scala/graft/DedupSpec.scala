@@ -491,6 +491,42 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("dupSubstringSpans: hand-computed maximal spans, intra-doc control") {
+    // minLen=3. d1/d2 share "c d e f" (4 tokens): duplicated 3-grams start
+    // at d1 pos 3,4 -> one island, span_start=3, span_len=4+3-1... merged
+    // end = 4+2=6, len=4. d3's "x y z ... x y z" repeats only WITHIN d3 ->
+    // no cross-doc duplicate, no span. d4 shares "p q r" with d1's tail ->
+    // exactly one 3-gram, span_len=3.
+    val df = Seq(
+      (1L, "a b c d e f g h p q r"),
+      (2L, "z z c d e f w w"),
+      (3L, "x y z k k k x y z"),
+      (4L, "m n p q r s")).toDF("doc_id", "text")
+    val got = Dedup.dupSubstringSpans(df, "doc_id", "text", 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(
+      (1L, 3L, 4L), (1L, 9L, 3L),
+      (2L, 3L, 4L),
+      (4L, 3L, 3L)),
+      s"got $got")
+  }
+
+  test("dupSubstringSpans coverage equals dedupSpans removal at w = minLen") {
+    // the spans report and the removal transform are twins: per doc the
+    // span-length sum must equal dedupSpans' n_removed token count
+    val docs = Tables.load(spark, SparkTestSession.sf0001, "documents")
+    val spanSum = Dedup.dupSubstringSpans(docs, "doc_id", "text", 5)
+      .groupBy("doc_id").agg(sum("span_len").as("s")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val removed = Dedup.dedupSpans(docs, "doc_id", "text", 5, 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(spanSum.nonEmpty, "fixture must contain cross-doc duplicates")
+    removed.foreach { case (id, n) =>
+      assert(spanSum.getOrElse(id, 0L) == n,
+        s"doc $id: span sum ${spanSum.getOrElse(id, 0L)} != removed $n")
+    }
+  }
+
   test("projection bandSignatures equal the exploded minhashSignatures route") {
     val docs = Tables.load(spark, SparkTestSession.sf0001, "documents")
       .filter(col("doc_id") < 120)
