@@ -329,12 +329,31 @@ object Dedup {
     // scale the token-artifact join prunes to candidates via the join
     // itself — candidate tables are banded-bounded (broadcastable), and
     // the stored artifact is bucketed on doc_id, so no corpus shuffle.
-    val candidates =
-      bandSignatures(batch, idCol, textCol, numPerms, rowsPerBand)
-        .as("a")
-        .join(corpusSigs.as("b"), Seq("band", "band_sig"))
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-        .distinct()
+    incrementalVerdicts(
+      candidateProbe(corpusSigs, batch, idCol, textCol, numPerms, rowsPerBand),
+      corpusTokArr, batch, idCol, textCol, threshold)
+  }
+
+  /** Banded candidate pairs of a batch against the stored signature table
+    * — the probe half of [[minhashIncrementalIndexed]], factored out so
+    * the monitored form can count it without re-deriving it.
+    */
+  private def candidateProbe(corpusSigs: DataFrame, batch: DataFrame,
+                             idCol: String, textCol: String,
+                             numPerms: Int, rowsPerBand: Int): DataFrame =
+    bandSignatures(batch, idCol, textCol, numPerms, rowsPerBand)
+      .as("a")
+      .join(corpusSigs.as("b"), Seq("band", "band_sig"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+
+  /** Verify + verdict half of [[minhashIncrementalIndexed]] over an
+    * already-built candidate table.
+    */
+  private def incrementalVerdicts(candidates: DataFrame,
+                                  corpusTokArr: DataFrame, batch: DataFrame,
+                                  idCol: String, textCol: String,
+                                  threshold: Double): DataFrame = {
     val tokArr = tokenArraysOf(batch, idCol, textCol)
       .unionByName(corpusTokArr.select(col("doc_id"), col("toks")))
     val best = candidates
@@ -356,6 +375,38 @@ object Dedup {
       .join(best, Seq("doc_id"), "left")
       .select(col("doc_id"), col("dup_of").isNull.cast("long").as("keep"),
         col("dup_of"), col("jac"))
+  }
+
+  /** [[minhashIncrementalIndexed]] plus the per-batch OBSERVABILITY row an
+    * operator watches when a crawl burst hits the gate: returns the
+    * verdict frame AND a one-row metrics frame
+    * (n_batch, n_candidates, n_verified_docs, n_admitted, n_rejected) —
+    * batch size, candidate pairs the bucket probe produced, distinct batch
+    * docs that needed exact verification, and the admit/reject split.
+    * Candidate table and verdicts are PINNED (query-scoped; the caller's
+    * post-batch Caching.release frees them), so the metrics cost one
+    * count over each pinned frame, never a second probe. Metrics equal
+    * the verdict frame by construction (spec-locked, EventWindowsSpec).
+    */
+  def minhashIncrementalMonitored(corpusSigs: DataFrame,
+                                  corpusTokArr: DataFrame, batch: DataFrame,
+                                  idCol: String, textCol: String,
+                                  threshold: Double, numPerms: Int = 32,
+                                  rowsPerBand: Int = 4)
+  : (DataFrame, DataFrame) = {
+    val cand = graft.Caching.temp(
+      candidateProbe(corpusSigs, batch, idCol, textCol, numPerms, rowsPerBand))
+    val verdicts = graft.Caching.temp(
+      incrementalVerdicts(cand, corpusTokArr, batch, idCol, textCol, threshold))
+    val metrics = verdicts
+      .agg(count(lit(1)).as("n_batch"),
+        coalesce(sum(col("keep")), lit(0L)).as("n_admitted"))
+      .crossJoin(broadcast(cand.agg(
+        count(lit(1)).as("n_candidates"),
+        countDistinct(col("id_a")).as("n_verified_docs"))))
+      .select(col("n_batch"), col("n_candidates"), col("n_verified_docs"),
+        col("n_admitted"), (col("n_batch") - col("n_admitted")).as("n_rejected"))
+    (verdicts, metrics)
   }
 
   /** Embedding-cosine near-duplicate pairs (a < b, cosine >= threshold).

@@ -110,6 +110,32 @@ object CorpusStream {
       finally graft.Caching.release()
     }.start()
 
+  /** [[admitStreamIndexed]] with the gate's per-batch observability row —
+    * `onBatch` receives (verdicts, metrics, batchId) where metrics is the
+    * one-row (n_batch, n_candidates, n_verified_docs, n_admitted,
+    * n_rejected) frame of
+    * [[graft.extra.Dedup.minhashIncrementalMonitored]]: the numbers an
+    * operator alarms on when a crawl burst hits the admission gate
+    * (candidate volume is the cost driver; admit rate the drift signal).
+    * Metrics are derived from the SAME pinned candidate/verdict frames the
+    * batch already computed — observability costs two counts, not a
+    * second probe.
+    */
+  def admitStreamMonitored(stream: DataFrame,
+                           corpusSigs: () => DataFrame,
+                           corpusToks: () => DataFrame,
+                           idCol: String = "doc_id", textCol: String = "text",
+                           threshold: Double = 0.9)
+                          (onBatch: (DataFrame, DataFrame, Long) => Unit)
+  : StreamingQuery =
+    stream.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      try {
+        val (v, m) = graft.extra.Dedup.minhashIncrementalMonitored(
+          corpusSigs(), corpusToks(), batch, idCol, textCol, threshold)
+        onBatch(v, m, id)
+      } finally graft.Caching.release()
+    }.start()
+
   /** Streaming application of the learned quality filter
     * ([[graft.extra.Classifier]]) — score every arriving document with a
     * model trained on the historical corpus. `foreachBatch` because the

@@ -180,6 +180,47 @@ class EventWindowsSpec extends AnyFunSuite {
         s"12 near-dups the admitted 11 once folded in: $byId")
   }
 
+  test("monitored admission gate: metrics row matches the batch verdicts") {
+    import spark.implicits._
+    import graft.extra.Dedup
+    val dir = java.nio.file.Files.createTempDirectory("doc_admit_mon").toString
+    val dup = "alpha beta gamma delta epsilon zeta eta theta"
+    val b1 = Seq((10L, dup), (11L, "totally fresh content never seen before"))
+      .toDF("doc_id", "text")
+    b1.coalesce(1).write.mode("append").parquet(dir)
+    val corpus = Seq((1L, dup), (2L, "another corpus document entirely"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.bandSignatures(corpus, "doc_id", "text")
+    val toks = Dedup.tokenArraysOf(corpus, "doc_id", "text")
+    val seen = scala.collection.mutable.ArrayBuffer
+      .empty[(Map[Long, Long], (Long, Long, Long, Long, Long))]
+    val stream = spark.readStream.schema(b1.schema).parquet(dir)
+    val q = graft.streaming.CorpusStream.admitStreamMonitored(
+      stream, () => sigs, () => toks) { (v, m, _) =>
+      val vr = v.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val mr = m.collect()(0)
+      seen.synchronized {
+        seen += ((vr, (mr.getLong(0), mr.getLong(1), mr.getLong(2),
+          mr.getLong(3), mr.getLong(4))))
+      }
+    }
+    try q.processAllAvailable() finally q.stop()
+    assert(seen.size == 1, s"one file -> one micro-batch: $seen")
+    val (verdicts, (nBatch, nCand, nVerified, nAdm, nRej)) = seen.head
+    assert(verdicts == Map(10L -> 0L, 11L -> 1L), s"verdicts: $verdicts")
+    // metrics must equal the verdict frame…
+    assert(nBatch == 2L && nAdm == 1L && nRej == 1L,
+      s"batch/admit/reject: $nBatch/$nAdm/$nRej")
+    // …and the candidate counts must equal an independent probe build
+    val cand = Dedup.bandSignatures(b1, "doc_id", "text").as("a")
+      .join(sigs.as("b"), Seq("band", "band_sig"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    assert(nCand == cand.count(), s"candidate pairs: $nCand")
+    assert(nVerified == cand.select("id_a").distinct().count()
+      && nVerified == 1L, s"verified docs: $nVerified")
+  }
+
   test("composed curation ladder: stream-admitted set equals the batch verdicts") {
     import spark.implicits._
     import graft.extra.{Dedup, Signals, TextStats}
