@@ -46,6 +46,8 @@ object Bench {
         () => {
           search.Sketches.train(spark, sfDir)
           search.CombinedScorer.datasetMetadata(spark, sfDir).count()
+          // the shared BM25 TF artifact belongs to the same index family
+          search.CombinedScorer.metaTermFreqs(spark, sfDir)
           ()
         }),
       ("train_bpe",

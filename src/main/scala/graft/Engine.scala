@@ -86,10 +86,10 @@ object Engine {
       case (f, w) =>
         (f, w, fieldText(f).toLowerCase.split(" ").filter(_.nonEmpty).distinct.toSeq)
     }
-    val metaScores = Bm25.multiField(
-        meta.filter(col("dataset_id") =!= req.queryId)
-          .withColumnRenamed("dataset_id", "doc_id"),
-        "doc_id", fieldSpecs)
+    val metaScores = Bm25.multiFieldWithTf(
+        CombinedScorer.metaTermFreqs(spark, dir)
+          .filter(col("doc_id") =!= req.queryId),
+        fieldSpecs)
       .select(col("doc_id").as("c_dataset"), col("score").as("metadata_score"))
     // pinned: consumed by candidateEdges (extra candidates) AND the final
     // combine — one BM25 pass instead of two

@@ -87,16 +87,40 @@ object Bm25 {
     */
   def multiField(docs: DataFrame, docIdCol: String,
                  fields: Seq[(String, Double, Seq[String])],
-                 topM: Int = 100, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val stackArgs = fields.map { case (f, _, _) => s"'$f', lower(`$f`)" }.mkString(", ")
-    val toks = docs
+                 topM: Int = 100, k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    multiFieldWithTf(
+      graft.Caching.temp(fieldTermFreqs(docs, docIdCol,
+        fields.map(_._1))),
+      fields, topM, k1, b)
+
+  /** The unpivoted per-field TF table (doc_id, field, term, tf) every
+    * multi-field statistic derives from — exposed so a serving layer can
+    * maintain it as a session/stored artifact (the Sketches pattern) and
+    * run [[multiFieldWithTf]] per query instead of re-tokenizing the
+    * corpus. Per-doc local, so excluding a query document from the corpus
+    * is a doc_id FILTER on this table — exactly what
+    * [[CombinedScorer.search]] does per request.
+    */
+  def fieldTermFreqs(docs: DataFrame, docIdCol: String,
+                     fieldNames: Seq[String]): DataFrame = {
+    val stackArgs = fieldNames.map(f => s"'$f', lower(`$f`)").mkString(", ")
+    docs
       .select(col(docIdCol).as("doc_id"),
-        expr(s"stack(${fields.size}, $stackArgs) as (field, text)"))
+        expr(s"stack(${fieldNames.size}, $stackArgs) as (field, text)"))
       .select(col("doc_id"), col("field"), explode(split(col("text"), " ")).as("term"))
       .filter(col("term") =!= "")
-    // pinned for the same reason as in scores(): 4 stat branches, 1 tokenize
-    val tf = graft.Caching.temp(
-      toks.groupBy("doc_id", "field", "term").agg(count(lit(1)).as("tf")))
+      .groupBy("doc_id", "field", "term").agg(count(lit(1)).as("tf"))
+  }
+
+  /** [[multiField]] over a PRECOMPUTED [[fieldTermFreqs]] table (pinned or
+    * stored by the caller — the 4 stat branches below each read it).
+    * Values are identical to the inline path by construction: every corpus
+    * statistic (dl, avgdl, df) derives from the tf rows.
+    */
+  def multiFieldWithTf(tf: DataFrame,
+                       fields: Seq[(String, Double, Seq[String])],
+                       topM: Int = 100, k1: Double = 1.2,
+                       b: Double = 0.75): DataFrame = {
     val dl = tf.groupBy("doc_id", "field").agg(sum("tf").as("dl"))
     val corpus = dl.groupBy("field")
       .agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))

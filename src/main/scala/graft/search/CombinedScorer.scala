@@ -78,6 +78,24 @@ object CombinedScorer {
       }.toDF("dataset_id", "title", "keywords", "description").cache()
     })
 
+  private val metaTfCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  /** Session-lifetime BM25 term-frequency artifact over the metadata
+    * corpus ([[Bm25.fieldTermFreqs]] on all three fields) — shared by
+    * every search variant instead of re-tokenizing the corpus per query:
+    * TF is per-doc local, so the per-request "corpus minus the query
+    * dataset" is just a doc_id filter on this table, and every derived
+    * statistic (dl, avgdl, df) is then identical to the inline build.
+    * Checkpointed like the sketch index so its plan embeds as O(1).
+    */
+  def metaTermFreqs(spark: SparkSession, dir: String): DataFrame =
+    metaTfCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
+      Bm25.fieldTermFreqs(
+        datasetMetadata(spark, dir).withColumnRenamed("dataset_id", "doc_id"),
+        "doc_id", Seq("title", "keywords", "description")).localCheckpoint()
+    })
+
   /** End-to-end similarity search for one query dataset (flagship; mirrors
     * search/combined_search.py:114-155's response shape: result id,
     * content/metadata/overall scores + the column matching payload).
@@ -101,9 +119,8 @@ object CombinedScorer {
     def terms(s: String): Seq[String] =
       s.toLowerCase.split(" ").filter(_.nonEmpty).distinct.toSeq
     val w = 1.0 / 3
-    val metaScores = Bm25.multiField(
-        meta.filter(col("dataset_id") =!= queryId).withColumnRenamed("dataset_id", "doc_id"),
-        "doc_id",
+    val metaScores = Bm25.multiFieldWithTf(
+        metaTermFreqs(spark, dir).filter(col("doc_id") =!= queryId),
         Seq(("title", w, terms(qRow.getString(0))),
             ("keywords", w, terms(qRow.getString(1))),
             ("description", w, terms(qRow.getString(2)))))

@@ -192,9 +192,13 @@ object Sketches {
       // NOT coalesce: coalesce(1) collapses the whole final aggregation
       // stage into one task (measured 4s of the build), while repartition
       // keeps it parallel and only the ~100-row result crosses the shuffle.
-      val df = all(spark, dir).repartition(1).persist()
-      df.count()
-      df
+      // localCheckpoint, not persist: the index embeds in EVERY search
+      // plan, and with full lineage (a union over dozens of shuffles) each
+      // query's analysis re-canonicalizes that whole subtree per cache
+      // lookup — measured ~2s of driver time per warm similarity_search.
+      // A checkpoint's LogicalRDD makes the index plan-size O(1), exactly
+      // what refreshDataset already does for refreshed entries.
+      all(spark, dir).repartition(1).localCheckpoint()
     })
 
   /** Drop the pinned index for (session, dir) — the explicit inverse of

@@ -169,4 +169,30 @@ class SearchSpec extends AnyFunSuite {
     assert(rows(snapshot) == after,
       "old snapshot handle must stay readable after a subsequent refresh")
   }
+
+  test("shared metadata TF artifact scores identically to the inline build") {
+    // the session artifact minus a doc_id filter must equal re-tokenizing
+    // the filtered corpus — TF is per-doc local, every derived stat
+    // (dl, avgdl, df) follows
+    val dir = SparkTestSession.sf0001
+    val meta = CombinedScorer.datasetMetadata(spark, dir)
+    val q = "customer"
+    def terms(s: String) =
+      s.toLowerCase.split(" ").filter(_.nonEmpty).distinct.toSeq
+    val qRow = meta.filter(org.apache.spark.sql.functions.col("dataset_id") === q)
+      .select("title", "keywords", "description").head()
+    val fields = Seq(
+      ("title", 1.0 / 3, terms(qRow.getString(0))),
+      ("keywords", 1.0 / 3, terms(qRow.getString(1))),
+      ("description", 1.0 / 3, terms(qRow.getString(2))))
+    import org.apache.spark.sql.functions.col
+    val inline = Bm25.multiField(
+      meta.filter(col("dataset_id") =!= q).withColumnRenamed("dataset_id", "doc_id"),
+      "doc_id", fields).collect().map(_.toSeq).toSet
+    graft.Caching.release()
+    val shared = Bm25.multiFieldWithTf(
+      CombinedScorer.metaTermFreqs(spark, dir).filter(col("doc_id") =!= q),
+      fields).collect().map(_.toSeq).toSet
+    assert(shared == inline, "artifact path must be value-identical")
+  }
 }
