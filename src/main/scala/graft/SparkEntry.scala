@@ -1837,28 +1837,72 @@ object SparkEntry {
          |  FROM $t)""".stripMargin
     }.mkString("\nUNION ALL\n")
 
+    // mean/std mirror Profiler.numericWide's exact integer-micro moments:
+    // xm = round(x·1e6) as HUGEINT, order-free exact sums, and the verbatim
+    // float tail round(sqrt((n·Σxm² − (Σxm)²)/n/(n−1))/1e6, 6) — DuckDB's
+    // own stddev_samp accumulates floats in its own order and diverged at
+    // the sf1.0 decade probe.
     val numericStatsSql: String = tables.flatMap { case (t, _, nums, _) =>
       nums.map { c =>
+        val xm = s"CAST(round(CAST($c AS DOUBLE) * 1000000) AS HUGEINT)"
         s"""SELECT '$t' AS dataset_id, '$c' AS col_name, count($c) AS n,
            | count(*)-count($c) AS n_missing, count(DISTINCT $c) AS n_distinct,
            | round(CAST(count(DISTINCT $c) AS DOUBLE)/count($c),6) AS p_distinct,
            | round(CAST(count(*)-count($c) AS DOUBLE)/count(*),6) AS p_missing,
-           | round(round(sum(CAST($c AS DOUBLE)),4)/count($c),6) AS mean,
-           | round(stddev_samp(CAST($c AS DOUBLE)),6) AS std,
+           | round(CAST(sum($xm) AS DOUBLE) / 1000000.0 / count($c), 6) AS mean,
+           | CASE WHEN count($c) > 1 THEN
+           |   round(sqrt(greatest(
+           |     (CAST(sum($xm * $xm) AS DOUBLE)
+           |       - CAST(sum($xm) AS DOUBLE) * CAST(sum($xm) AS DOUBLE) / count($c))
+           |     / (count($c) - 1), 0.0)) / 1000000.0, 6)
+           | ELSE NULL END AS std,
            | round(CAST(min($c) AS DOUBLE),6) AS vmin,
            | round(CAST(max($c) AS DOUBLE),6) AS vmax
            |FROM $t""".stripMargin
       }
     }.mkString("\nUNION ALL\n")
 
-    private val pcts = "[0.0,0.05,0.25,0.5,0.75,0.95,1.0]"
-
+    /** Explicit interpolated-quantile branch — the VERBATIM mirror of
+      * Profiler.histogramQuantiles' integer-micro position arithmetic
+      * (posm = pm·(n−1); lo/fraction by integer DIV/MOD; the one float
+      * expression v_lo + (v_hi − v_lo)·(fm/1e6), round 6). DuckDB's
+      * built-in quantile_cont computes the same quantile through its OWN
+      * float sequence, which lands a half-ulp away at decade scale — the
+      * sf1.0 fp-noise mechanism; with the formula spelled out, both
+      * engines run identical IEEE ops on identical integers at any n.
+      */
     private def quantileBranch(t: String, c: String, colType: String): String = {
       val v = if (colType == "Temporal") s"epoch($c)" else s"CAST($c AS DOUBLE)"
-      s"""SELECT '$t' AS dataset_id, '$c' AS col_name, '$colType' AS col_type,
-         | unnest(range(1,8)) AS dim,
-         | unnest(list_transform(q, x -> round(x,6))) AS v
-         |FROM (SELECT quantile_cont($v, $pcts) AS q FROM $t)""".stripMargin
+      val pvals = Profiler.sketchPs.zipWithIndex
+        .map { case (p, i) => s"(${i + 1}, ${math.round(p * 1e6)})" }
+        .mkString(", ")
+      s"""SELECT '$t' AS dataset_id, '$c' AS col_name, '$colType' AS col_type, dim, v
+         |FROM (
+         |  WITH ranked AS (SELECT $v AS val,
+         |      CAST(row_number() OVER (ORDER BY $v) - 1 AS BIGINT) AS idx,
+         |      CAST(count(*) OVER () AS BIGINT) AS n
+         |    FROM $t WHERE $c IS NOT NULL),
+         |  ps AS (SELECT * FROM (VALUES $pvals) AS p(dim, pm)),
+         |  bounds AS (SELECT dim, CAST(pm AS BIGINT) * (nn.n - 1) AS posm FROM ps
+         |    CROSS JOIN (SELECT max(n) AS n FROM ranked) nn),
+         |  sel AS (SELECT b.dim, b.posm % 1000000 AS fm,
+         |      max(CASE WHEN r.idx = b.posm // 1000000 THEN r.val END) AS v_lo,
+         |      max(CASE WHEN r.idx = b.posm // 1000000
+         |        + CASE WHEN b.posm % 1000000 > 0 THEN 1 ELSE 0 END
+         |        THEN r.val END) AS v_hi
+         |    FROM ranked r JOIN bounds b
+         |      ON r.idx = b.posm // 1000000 OR r.idx = b.posm // 1000000 + 1
+         |    GROUP BY 1, 2),
+         |  nums AS (SELECT dim,
+         |      CAST(round(v_lo * 1000000) AS HUGEINT) * (1000000 - fm)
+         |        + CAST(round(v_hi * 1000000) AS HUGEINT) * fm AS num
+         |    FROM sel)
+         |  SELECT dim, CAST((num - (num % 1000000)) // 1000000
+         |      + CASE WHEN num % 1000000 >= 500000 THEN 1
+         |             WHEN num % 1000000 <= -500000 THEN -1 ELSE 0 END
+         |    AS DOUBLE) / 1000000.0 AS v
+         |  FROM nums
+         |)""".stripMargin
     }
 
     val quantilesSql: String = tables.flatMap { case (t, _, nums, temps) =>
@@ -1930,19 +1974,21 @@ object SparkEntry {
          |ORDER BY est_count DESC, term ASC LIMIT 20""".stripMargin
     }
 
+    // built on the SAME explicit interpolation branch as profile_quantiles
+    // so the sketch vectors the distance queries compare are engine-exact
     val sketchSql: String = tables.flatMap { case (t, _, nums, temps) =>
       (nums.map((_, "Numeric")) ++ temps.map((_, "Temporal"))).map { case (c, ty) =>
-        val v = if (ty == "Temporal") s"epoch($c)" else s"CAST($c AS DOUBLE)"
-        s"""SELECT '$t' AS dataset_id, '$c' AS col_name, '$ty' AS col_type,
-           | list_transform(quantile_cont($v, $pcts), x -> round(x,6)) AS vec
-           |FROM $t""".stripMargin
+        s"""SELECT dataset_id, col_name, col_type, list(v ORDER BY dim) AS vec
+           |FROM (
+           |${quantileBranch(t, c, ty)}
+           |) GROUP BY 1, 2, 3""".stripMargin
       }
     }.mkString("\nUNION ALL\n")
 
     val sketchKnnSql: String = {
       val sq = (1 to 7).map(i => s"(q_vec[$i]-c_vec[$i])*(q_vec[$i]-c_vec[$i])")
         .mkString(" + ")
-      s"""WITH sk AS (
+      s"""WITH sk AS MATERIALIZED (
          |$sketchSql
          |),
          |q AS (SELECT col_name AS q_col, col_type, vec AS q_vec FROM sk
@@ -1950,7 +1996,7 @@ object SparkEntry {
          |c AS (SELECT dataset_id AS c_dataset, col_name AS c_col, col_type,
          |        vec AS c_vec FROM sk),
          |d AS (SELECT q_col, c_dataset, c_col, c.col_type,
-         |        round(sqrt($sq),6) AS dist
+         |        CAST(round(sqrt($sq) * 1000000) AS BIGINT) / 1000000.0 AS dist
          |      FROM c JOIN q USING (col_type)),
          |r AS (SELECT *, row_number() OVER (PARTITION BY q_col
          |        ORDER BY dist ASC, c_dataset ASC, c_col ASC) AS rank FROM d),
@@ -1980,7 +2026,7 @@ object SparkEntry {
         s"""coalesce(vec[$i], 0.0) * (('0x' || substr(md5('rp:' || CAST(t AS VARCHAR) || ':$i'), 1, 8))::BIGINT
            |      / 2147483648.0 - 1.0)""".stripMargin)
         .mkString(" + ")
-      s"""WITH sk AS (
+      s"""WITH sk AS MATERIALIZED (
          |$sketchSql
          |),
          |tb AS (SELECT dataset_id, col_name, col_type, t,
@@ -1992,7 +2038,7 @@ object SparkEntry {
          |    tb.col_name AS c_col, tb.col_type
          |  FROM tb JOIN qb USING (col_type, t, bucket)),
          |d AS (SELECT p.q_col, p.c_dataset, p.c_col, p.col_type,
-         |    round(sqrt($sq),6) AS dist
+         |    CAST(round(sqrt($sq) * 1000000) AS BIGINT) / 1000000.0 AS dist
          |  FROM pairs p
          |  JOIN (SELECT dataset_id, col_name, vec AS c_vec FROM sk) c
          |    ON c.dataset_id = p.c_dataset AND c.col_name = p.c_col
@@ -2021,7 +2067,7 @@ object SparkEntry {
     val contentEdgesSql: String = {
       val sq = (1 to 7).map(i => s"(q_vec[$i]-c_vec[$i])*(q_vec[$i]-c_vec[$i])")
         .mkString(" + ")
-      s"""WITH sk AS (
+      s"""WITH sk AS MATERIALIZED (
          |$sketchSql
          |),
          |q AS (SELECT col_name AS q_col, col_type, vec AS q_vec FROM sk
@@ -2029,7 +2075,7 @@ object SparkEntry {
          |c AS (SELECT dataset_id AS c_dataset, col_name AS c_col, col_type,
          |        vec AS c_vec FROM sk),
          |d AS (SELECT q_col, c_dataset, c_col, c.col_type,
-         |        round(sqrt($sq),6) AS dist
+         |        CAST(round(sqrt($sq) * 1000000) AS BIGINT) / 1000000.0 AS dist
          |      FROM c JOIN q USING (col_type)),
          |r AS (SELECT *, row_number() OVER (PARTITION BY q_col
          |        ORDER BY dist ASC, c_dataset ASC, c_col ASC) AS rank FROM d),
@@ -2037,14 +2083,14 @@ object SparkEntry {
          |nc AS (SELECT q_col, max(rank) AS n_cand FROM rm GROUP BY 1),
          |kth AS (SELECT rm.q_col, min(dist) AS kth FROM rm JOIN nc USING (q_col)
          |        WHERE rm.rank >= least(50, nc.n_cand) AND rm.dist > 0 GROUP BY 1),
-         |ranked AS (SELECT rm.q_col, rm.c_dataset,
+         |ranked AS MATERIALIZED (SELECT rm.q_col, rm.c_dataset,
          |        coalesce(kth.kth, 1e-12) AS kth
          |      FROM rm LEFT JOIN kth USING (q_col)
          |      WHERE rm.c_dataset <> 'customer'),
          |cids AS (SELECT DISTINCT c_dataset FROM ranked),
          |kq AS (SELECT DISTINCT q_col, kth FROM ranked),
          |edges AS (SELECT q.q_col, c.c_dataset, c.c_col, c.col_type,
-         |        round(sqrt($sq),6) AS dist
+         |        CAST(round(sqrt($sq) * 1000000) AS BIGINT) / 1000000.0 AS dist
          |      FROM c JOIN cids USING (c_dataset) JOIN q USING (col_type))
          |SELECT e.q_col, e.c_dataset, e.c_col, e.col_type, e.dist, kq.kth,
          |  round(exp(-0.01 * e.dist / kq.kth),6) AS sim
@@ -2116,7 +2162,7 @@ object SparkEntry {
       // is never filtered) — mirror of DistanceJoin.queryProjection
       val qColFilter = queryCols.fold("")(cs =>
         s" AND col_name IN (${cs.map(c => s"'$c'").mkString(", ")})")
-      s"""sk_nt AS (
+      s"""sk_nt AS MATERIALIZED (
          |$sketchSql
          |),
          |$catSketchCtes,
@@ -2126,7 +2172,7 @@ object SparkEntry {
          |c AS (SELECT dataset_id AS c_dataset, col_name AS c_col, col_type,
          |        vec AS c_vec FROM sk),
          |d AS (SELECT q_col, c_dataset, c_col, c.col_type,
-         |        round(sqrt($sq64),6) AS dist
+         |        CAST(round(sqrt($sq64) * 1000000) AS BIGINT) / 1000000.0 AS dist
          |      FROM c JOIN q USING (col_type)),
          |r AS (SELECT *, row_number() OVER (PARTITION BY q_col
          |        ORDER BY dist ASC, c_dataset ASC, c_col ASC) AS rank FROM d),
@@ -2134,16 +2180,16 @@ object SparkEntry {
          |nc AS (SELECT q_col, max(rank) AS n_cand FROM rm GROUP BY 1),
          |kth AS (SELECT rm.q_col, min(dist) AS kth FROM rm JOIN nc USING (q_col)
          |        WHERE rm.rank >= least(50, nc.n_cand) AND rm.dist > 0 GROUP BY 1),
-         |ranked AS (SELECT rm.q_col, rm.c_dataset,
+         |ranked AS MATERIALIZED (SELECT rm.q_col, rm.c_dataset,
          |        coalesce(kth.kth, 1e-12) AS kth
          |      FROM rm LEFT JOIN kth USING (q_col)
          |      WHERE rm.c_dataset <> '$queryId'),
          |cids AS ($cidsExpr),
          |kq AS (SELECT DISTINCT q_col, kth FROM ranked),
          |edges AS (SELECT q.q_col, c.c_dataset, c.c_col,
-         |        round(sqrt($sq64),6) AS dist
+         |        CAST(round(sqrt($sq64) * 1000000) AS BIGINT) / 1000000.0 AS dist
          |      FROM c JOIN cids USING (c_dataset) JOIN q USING (col_type)),
-         |wm AS (SELECT e.q_col, e.c_dataset, e.c_col,
+         |wm AS MATERIALIZED (SELECT e.q_col, e.c_dataset, e.c_col,
          |    CAST(round(round(exp(-0.01 * e.dist / kq.kth),6) * 1000000) AS BIGINT) AS wm
          |  FROM edges e JOIN kq USING (q_col))""".stripMargin
     }
@@ -2234,8 +2280,9 @@ object SparkEntry {
          |SELECT '$queryId' AS query_id, c_dataset,
          |  coalesce(content.content_score, 0.0) AS content_score,
          |  coalesce(meta_scores.metadata_score, 0.0) AS metadata_score,
-         |  round(0.5 * coalesce(content.content_score, 0.0)
-         |      + 0.5 * coalesce(meta_scores.metadata_score, 0.0), 6) AS overall_score
+         |  CAST((500000 * coalesce(CAST(round(content.content_score * 1000000) AS BIGINT), 0)
+         |      + 500000 * coalesce(CAST(round(meta_scores.metadata_score * 1000000) AS BIGINT), 0))
+         |    // 1000000 AS DOUBLE) / 1000000.0 AS overall_score
          |FROM content FULL OUTER JOIN meta_scores USING (c_dataset)
          |ORDER BY overall_score DESC, c_dataset ASC LIMIT 15""".stripMargin
     }
@@ -3291,9 +3338,9 @@ object SparkEntry {
       * string surgery that could silently no-op if this text drifts.
       */
     /** DuckDB twin of CorpusOps.qualityGate: the text_stats quality
-      * expression, quantile_cont at the drop fraction (the histogram
-      * pipeline interpolates identically on the same 6-decimal grid —
-      * profile_quantiles proves the parity), scalar cross join, filter.
+      * expression, the EXPLICIT interpolated quantile at the drop fraction
+      * (the quantileBranch integer-micro formula at pm = 100000 — mirrors
+      * Profiler.histogramQuantiles verbatim), scalar cross join, filter.
       */
     val qualityGateSql: String =
       s"""WITH q AS (SELECT doc_id,
@@ -3303,8 +3350,23 @@ object SparkEntry {
          |          / length(text), 1.0)), 6)
          |  ELSE NULL END AS quality
          |  FROM documents),
-         |thr AS (SELECT round(quantile_cont(quality, 0.1), 6) AS threshold
-         |  FROM q WHERE quality IS NOT NULL)
+         |thr0 AS (SELECT quality AS val,
+         |    CAST(row_number() OVER (ORDER BY quality) - 1 AS BIGINT) AS idx,
+         |    CAST(count(*) OVER () AS BIGINT) AS n
+         |  FROM q WHERE quality IS NOT NULL),
+         |thrb AS (SELECT CAST(100000 AS BIGINT) * (max(n) - 1) AS posm FROM thr0),
+         |thrn AS (SELECT
+         |    CAST(round(max(CASE WHEN idx = posm // 1000000 THEN val END)
+         |      * 1000000) AS HUGEINT) * (1000000 - max(posm) % 1000000)
+         |    + CAST(round(max(CASE WHEN idx = posm // 1000000
+         |        + CASE WHEN posm % 1000000 > 0 THEN 1 ELSE 0 END THEN val END)
+         |      * 1000000) AS HUGEINT) * (max(posm) % 1000000) AS num
+         |  FROM thr0 CROSS JOIN thrb
+         |  WHERE idx = posm // 1000000 OR idx = posm // 1000000 + 1),
+         |thr AS (SELECT CAST((num - (num % 1000000)) // 1000000
+         |    + CASE WHEN num % 1000000 >= 500000 THEN 1
+         |           WHEN num % 1000000 <= -500000 THEN -1 ELSE 0 END
+         |  AS DOUBLE) / 1000000.0 AS threshold FROM thrn)
          |SELECT doc_id, quality, threshold FROM q CROSS JOIN thr
          |WHERE quality >= threshold""".stripMargin
 

@@ -110,13 +110,34 @@ object Profiler {
     require(cols.nonEmpty, s"$datasetId has no numeric columns")
     val aggs = cols.flatMap { c =>
       val d = col(c).cast(DoubleType)
+      // mean/std from EXACT integer-micro moments: xm = round(x·1e6) is the
+      // same long in any engine (exact while |x| ≲ 9·10⁹ — the double's
+      // 2⁵³ integer ceiling at micro scale), Σxm and Σxm² ride decimals
+      // (order-free, no accumulation error), and the one float tail —
+      // D = n·Σxm² − (Σxm)², std = round(sqrt(D/n/(n−1))/1e6, 6) — is the
+      // identical IEEE sequence in the DuckDB oracle. The previous
+      // stddev_samp/round(sum) forms were engine-internal float
+      // accumulations whose low bits diverged at the sf1.0 decade probe
+      // (deltas ≈ 5e-6 at n = 10⁶). D ≥ 0 exactly (Cauchy–Schwarz on
+      // integers), so no clamp; n ≤ 1 yields NULL std like stddev_samp.
+      val xm = round(d * lit(1e6)).cast("decimal(19,0)")
+      val s1 = sum(xm)
+      val s2 = sum(xm * xm)
+      val n = count(d)
       Seq(
-        count(d).as(s"n__$c"),
+        n.as(s"n__$c"),
         count(when(d.isNull, 1)).as(s"miss__$c"),
-        // mean from the rounded sum: keeps boundary-exact means (2-decimal
-        // data over round counts) from rounding differently than the oracle
-        round(round(sum(d), 4) / count(d), 6).as(s"mean__$c"),
-        round(stddev_samp(d), 6).as(s"std__$c"),
+        round(s1.cast(DoubleType) / lit(1000000.0) / n, 6).as(s"mean__$c"),
+        // variance from the exact sums via DETERMINISTIC double
+        // cancellation (Σxm² − (Σxm)²/n — identical IEEE sequence in the
+        // oracle): the all-integer D = n·Σxm² − (Σxm)² form overflows
+        // 128-bit arithmetic for id-like columns already at 10⁶ rows
+        // (n·Σxm² ≈ 10⁴¹); the clamp absorbs cancellation's tiny negatives
+        when(n > 1, round(
+          sqrt(greatest(
+            (s2.cast(DoubleType) - s1.cast(DoubleType) * s1.cast(DoubleType) / n)
+              / (n - 1), lit(0.0)))
+            / lit(1000000.0), 6)).as(s"std__$c"),
         round(min(d), 6).as(s"min__$c"),
         round(max(d), 6).as(s"max__$c")
       ) ++ (if (approx) Seq(approx_count_distinct(d).as(s"dist__$c")) else Nil)
@@ -356,27 +377,51 @@ object Profiler {
         cumulativeCounts(hist, cumsumBuckets)
           .join(broadcast(totals), Seq("dataset_id", "col_name"))
       }
-    val pExpr = ps.zipWithIndex.map { case (p, i) => s"struct(${i + 1}L as dim, ${p}D as p)" }
+    // The interpolation position rides INTEGER micros: posm = pm·(n−1) with
+    // pm the percentile in millionths, lo/fraction by integer DIV/MOD. The
+    // earlier float form (pos = p·(n−1), frac = pos − floor(pos)) loses
+    // low bits at large n (0.05·999999 → frac 0.9499999999970896), and an
+    // oracle engine computing the same quantile through its own float
+    // sequence lands a half-ulp away — the first sf1.0 fp-noise mechanism.
+    // The integer arithmetic is mirrored verbatim in the DuckDB oracle, so
+    // both engines agree exactly at any n.
+    val pExpr = ps.zipWithIndex.map { case (p, i) =>
+      s"struct(${i + 1}L as dim, ${math.round(p * 1e6)}L as pm)" }
     val joined = withCum
       .select(col("*"), expr(s"explode(array(${pExpr.mkString(",")})) as pp"))
       .select(col("dataset_id"), col("col_name"), col("v"), col("cnt"),
-        col("cum"), col("n"), col("pp.dim").as("dim"), col("pp.p").as("p"))
-      .withColumn("pos", col("p") * (col("n") - 1))
-      .withColumn("lo", floor(col("pos")))
-      .withColumn("hi", ceil(col("pos")))
+        col("cum"), col("n"), col("pp.dim").as("dim"), col("pp.pm").as("pm"))
+      .withColumn("posm", col("pm") * (col("n") - 1))
+      .withColumn("lo", expr("posm DIV 1000000"))
+      .withColumn("hi", col("lo") +
+        when(expr("posm % 1000000") > 0, 1L).otherwise(0L))
       // this value's index range is [cum-cnt, cum-1]
       .filter((col("cum") - col("cnt") <= col("lo") && col("lo") <= col("cum") - 1)
         || (col("cum") - col("cnt") <= col("hi") && col("hi") <= col("cum") - 1))
+    // The interpolated value itself is ALSO integer-exact: endpoint micros
+    // mlo/mhi (exact while |v| ≲ 9·10⁹ — double's 2⁵³ ceiling at micro
+    // scale; epochs sit at ~1.7·10⁹), the weighted numerator
+    // mlo·(1e6−fm) + mhi·fm as an exact decimal, and sign-aware
+    // round-half-away to the output micro. A float
+    // round(v_lo + (v_hi−v_lo)·t, 6) lands on TRUE half-micro boundaries
+    // (e.g. the median of microsecond-precision epochs whenever
+    // lo_µs + hi_µs is odd), where Spark's half-up and DuckDB's
+    // multiply-round disagree — the last sf1.0 fp-noise source.
     joined.groupBy("dataset_id", "col_name", "dim")
       .agg(
         max(when(col("cum") - col("cnt") <= col("lo") && col("lo") <= col("cum") - 1,
           col("v"))).as("v_lo"),
         max(when(col("cum") - col("cnt") <= col("hi") && col("hi") <= col("cum") - 1,
           col("v"))).as("v_hi"),
-        first(col("pos")).as("pos"), first(col("lo")).as("flo"))
+        first(expr("posm % 1000000")).as("fm"))
+      .withColumn("num",
+        round(col("v_lo") * lit(1e6)).cast("decimal(38,0)") * (lit(1000000L) - col("fm"))
+          + round(col("v_hi") * lit(1e6)).cast("decimal(38,0)") * col("fm"))
+      .withColumn("outm", expr("(num - (num % 1000000)) div 1000000")
+        + when(expr("num % 1000000") >= 500000, 1L)
+          .when(expr("num % 1000000") <= -500000, -1L).otherwise(0L))
       .select(col("dataset_id"), col("col_name"), col("dim"),
-        round(col("v_lo") + (col("v_hi") - col("v_lo")) * (col("pos") - col("flo")), 6)
-          .as("v"))
+        (col("outm").cast("double") / lit(1000000.0)).as("v"))
   }
 
   /** Assemble 7-dim sketch vectors from long-format quantiles, typed via the

@@ -143,8 +143,13 @@ object CombinedScorer {
     // exact micro-weight matching (Matcher.contentScoresExact): argmax on
     // integer micros, uniform 1/nQueryCols applied after — identical scores
     // in any engine, which is what lets the DuckDB oracle cover this path
+    // combineExact, not combine: both inputs are 6-decimal values, and the
+    // float round(wc·c + wm·m, 6) lands on half-micro boundaries where
+    // Spark (half-up) and DuckDB (banker's) disagree — first observed at
+    // the sf1.0 decade probe. Integer micros + truncating DIV are
+    // engine-exact for any split (the lmScore discipline).
     val content = Matcher.contentScoresExact(edges, nQueryCols)
-    combine(content, metaScoresP, wContent, wMetadata, k)
+    combineExact(content, metaScoresP, math.round(wContent * 1e6), k)
       .withColumn("query_id", lit(queryId))
   }
 }

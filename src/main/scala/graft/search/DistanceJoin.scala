@@ -22,6 +22,18 @@ import org.apache.spark.sql.functions._
   */
 object DistanceJoin {
 
+  /** 6-decimal pin for LARGE-magnitude distances (epoch-scale sketch
+    * dimensions put dist near 2·10⁹): an explicit ×1e6 IEEE multiply, round
+    * to the integer micro, divide back — the same op sequence the DuckDB
+    * oracle runs. Spark's round(x, 6) rounds the double's EXACT binary
+    * expansion while DuckDB's round multiplies by 1e6 first; past ~10⁹ the
+    * two disagree by one micro whenever the product lands on a
+    * representable .5 (the last sf1.0 fp-noise source on dist/kth).
+    * Bit-exact while |x| ≲ 9·10⁹ (2⁵³ at micro scale).
+    */
+  private def round6micro(c: org.apache.spark.sql.Column) =
+    round(c * lit(1e6), 0).cast("long").cast("double") / lit(1e6)
+
   /** Per-query-column ranked candidate lists.
     *
     * @param sketch  sketch table (dataset_id, col_name, col_type, vector)
@@ -51,9 +63,9 @@ object DistanceJoin {
     // the sketch vector (content_search.py:58-70). For non-spatial types the
     // two coincide.
     val joined = cands.join(broadcast(query), "col_type")
-      .withColumn("dist", round(VectorOps.euclid(col("q_vec"), col("c_vec")), 6))
+      .withColumn("dist", round6micro(VectorOps.euclid(col("q_vec"), col("c_vec"))))
       .withColumn("sel_dist", when(col("col_type") === "Spatial",
-        round(VectorOps.rectMinDist(col("q_vec"), col("c_vec")), 6))
+        round6micro(VectorOps.rectMinDist(col("q_vec"), col("c_vec"))))
         .otherwise(col("dist")))
       .drop("q_vec", "c_vec")
     rankAndScore(joined, m, l, decay)
@@ -176,7 +188,7 @@ object DistanceJoin {
     val joined = pairs
       .join(cv, Seq("c_dataset", "c_col"))
       .join(broadcast(qv), Seq("q_col"))
-      .withColumn("dist", round(VectorOps.euclid(col("q_vec"), col("c_vec")), 6))
+      .withColumn("dist", round6micro(VectorOps.euclid(col("q_vec"), col("c_vec"))))
       .drop("q_vec", "c_vec")
     rankAndScore(joined, m, l, decay)
       .filter(col("c_dataset") =!= queryId)
@@ -206,7 +218,7 @@ object DistanceJoin {
       .select(col("dataset_id").as("c_dataset"), col("col_name").as("c_col"),
         col("col_type"), col("vector").as("c_vec"))
     candCols.join(broadcast(query), "col_type")
-      .withColumn("dist", round(VectorOps.euclid(col("q_vec"), col("c_vec")), 6))
+      .withColumn("dist", round6micro(VectorOps.euclid(col("q_vec"), col("c_vec"))))
       .drop("q_vec", "c_vec")
       .join(broadcast(kth), "q_col")
       .withColumn("sim", round(exp(-lit(decay) * col("dist") / col("kth")), 6))
