@@ -669,23 +669,32 @@ object Dedup {
   def dupSubstringSpans(df: DataFrame, idCol: String, textCol: String,
                         minLen: Int = 12): DataFrame = {
     val w = minLen
-    val toks = df.select(col(idCol).as("doc_id"),
-        posexplode(filter(split(lower(col(textCol)), " "), t => t =!= ""))
-          .as(Seq("pos0", "token")))
-      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("token"))
-    val byPos = Window.partitionBy("doc_id").orderBy("pos")
-    // full-width grams only (the dedupSpans tail rule): md5 keeps the DF
-    // shuffle narrow; both engines hash, so the dup set is identical
-    val grams = toks.withColumn("gram",
-        when(lead(col("token"), w - 1).over(byPos).isNotNull,
-          concat_ws(" ", col("token") +:
-            (1 until w).map(k => lead(col("token"), k).over(byPos)): _*)))
-      .filter(col("gram").isNotNull)
-      .select(col("doc_id"), col("pos"), md5(col("gram")).as("gh"))
+    // grams as an IN-ROW projection off the token array (the bandSignatures
+    // rule: a document's windows all live in its row) — no posexplode +
+    // lead-window pass, so the full token stream never shuffles; the only
+    // doc-keyed exchange below carries DUPLICATED gram starts, a set the
+    // dedup rate bounds. md5 keeps the DF shuffle narrow; both engines
+    // hash, so the dup set is identical. Full-width grams only (the
+    // dedupSpans tail rule): sequence is empty when size < w.
+    val toksCol = filter(split(lower(col(textCol)), " "), t => t =!= "")
+    // explode POSITIONS, hash as a top-level column: the generate and the
+    // md5(concat_ws(slice)) stay in ONE whole-stage-codegen span (a lambda
+    // inside `transform` would drop to interpreted eval — measured ~9%
+    // slower), and the per-position rows never leave the scan stage with
+    // the token array attached (only (doc_id, pos, gh) reaches the DF
+    // exchange).
+    val grams = df
+      .select(col(idCol).as("doc_id"), toksCol.as("toks"))
+      .filter(size(col("toks")) >= w) // shorter docs have no full-width gram
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(1), size(col("toks")) - (w - 1))).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        md5(concat_ws(" ", slice(col("toks"), col("pos"), lit(w)))).as("gh"))
     val dup = grams.groupBy("gh").agg(countDistinct("doc_id").as("dw"))
       .filter(col("dw") >= 2).select("gh")
     val starts = grams.join(dup, Seq("gh"), "left_semi")
       .select("doc_id", "pos")
+    val byPos = Window.partitionBy("doc_id").orderBy("pos")
     val isl = starts
       .withColumn("prev_end", max(col("pos") + (w - 1)).over(
         byPos.rowsBetween(Window.unboundedPreceding, -1)))
