@@ -111,16 +111,49 @@ object CardSketch {
   val CmsDepth = 3
   val CmsWidth = 64
 
+  /** The depth (j, bucket) probe structs of one term — the ONE hash rule
+    * every CMS surface shares (batch cells, heavy hitters, the streaming
+    * cells, the read-side estimate), so sketches built anywhere merge and
+    * probe consistently.
+    */
+  def cmsProbes(term: Column): Column =
+    array((0 until CmsDepth).map(j =>
+      struct(lit(j).as("j"),
+        (hash32(s"cm:$j:", term) % CmsWidth).as("bucket"))): _*)
+
   /** Count-min sketch cells over a (term) token stream: depth hash rows,
     * bucket_j(term) = hash32("cm:j:", term) % width, cell value = number of
     * token occurrences hashing there. Returns (j, bucket, cnt).
     */
   def cmsCells(tokens: DataFrame, termCol: String = "term"): DataFrame =
-    tokens.select(explode(array((0 until CmsDepth).map(j =>
-        struct(lit(j).as("j"),
-          (hash32(s"cm:$j:", col(termCol)) % CmsWidth).as("bucket"))): _*)).as("e"))
+    tokens.select(explode(cmsProbes(col(termCol))).as("e"))
       .groupBy(col("e.j").as("j"), col("e.bucket").as("bucket"))
       .agg(count(lit(1)).as("cnt"))
+
+  /** Read-side CMS frequency estimate for `probeTerms` over (possibly
+    * merged) cells carrying extra `groupCols` (e.g. a window start): per
+    * (group, term) the classic min over the depth rows. A probe whose
+    * depth rows are not all present estimates 0 (the term cannot have
+    * occurred in that group — every occurrence increments all depth
+    * cells). The cells side is depth×width×groups rows — broadcastable at
+    * any corpus size.
+    *
+    * @return (groupCols..., term, est_count)
+    */
+  def cmsEstimate(cells: DataFrame, probeTerms: DataFrame,
+                  groupCols: Seq[String] = Nil,
+                  termCol: String = "term"): DataFrame = {
+    val p = probeTerms.select(col(termCol).as("term"))
+      .distinct()
+      .select(col("term"), explode(cmsProbes(col("term"))).as("e"))
+      .select(col("term"), col("e.j").as("j"), col("e.bucket").as("bucket"))
+    cells.join(broadcast(p), Seq("j", "bucket"))
+      .groupBy(groupCols.map(col) :+ col("term"): _*)
+      .agg(min("cnt").as("mn"), count(lit(1)).as("nj"))
+      .select(groupCols.map(col) :+ col("term") :+
+        when(col("nj") === CmsDepth, col("mn")).otherwise(lit(0L))
+          .as("est_count"): _*)
+  }
 
   /** Top-k heavy hitters by CMS estimate over a token stream, with true
     * counts as the audit column. est = min over the depth rows of the cell
@@ -132,10 +165,8 @@ object CardSketch {
                    termCol: String = "term"): DataFrame = {
     val cells = cmsCells(tokens, termCol)
     val trueCounts = tokens.groupBy(termCol).agg(count(lit(1)).as("true_count"))
-    val probes = trueCounts.select(col(termCol), explode(array(
-        (0 until CmsDepth).map(j =>
-          struct(lit(j).as("j"),
-            (hash32(s"cm:$j:", col(termCol)) % CmsWidth).as("bucket"))): _*)).as("e"))
+    val probes = trueCounts
+      .select(col(termCol), explode(cmsProbes(col(termCol))).as("e"))
       .select(col(termCol), col("e.j").as("j"), col("e.bucket").as("bucket"))
     val est = probes.join(broadcast(cells), Seq("j", "bucket"))
       .groupBy(termCol).agg(min("cnt").as("est_count"))

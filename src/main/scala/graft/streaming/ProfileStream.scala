@@ -141,4 +141,33 @@ object ProfileStream {
         col("col_name"), col("bucket"))
       .agg(max("rank").as("max_rank"))
   }
+
+  /** Streaming count-min cells — the FREQUENCY leg that completes the
+    * streaming sketch family (numeric stats + histogram quantiles + HLL
+    * cardinality + this): per-window mergeable CMS cells
+    * (window, col_name, j, bucket, cnt) over a token/value stream, one
+    * watermarked aggregation, state bounded at
+    * O(windows × depth × width). Counts ADD, so windows re-merge into
+    * hours/days and shards union, exactly like the histogram cells; the
+    * heavy-hitter ESTIMATE stays on the read side
+    * ([[graft.extra.CardSketch.cmsEstimate]] — min over the depth rows per
+    * probe term), for the same reason the HLL estimate does. The hash rule
+    * is [[graft.extra.CardSketch.cmsProbes]] — identical to the batch
+    * sketch, so streamed and batch-built cells are one mergeable family
+    * (spec-locked cell-equal in ProfileStreamSpec).
+    *
+    * Append mode: each window's cells emit once the watermark passes.
+    */
+  def cmsCellsStream(stream: DataFrame, termCol: String, tsCol: String,
+                     window: String = "10 minutes",
+                     horizon: String = "30 minutes"): DataFrame =
+    stream
+      .filter(col(termCol).isNotNull)
+      .select(col(tsCol), lit(termCol).as("col_name"),
+        explode(graft.extra.CardSketch.cmsProbes(
+          col(termCol).cast("string"))).as("e"))
+      .withWatermark(tsCol, horizon)
+      .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window),
+        col("col_name"), col("e.j").as("j"), col("e.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
 }

@@ -149,4 +149,64 @@ class ProfileStreamSpec extends AnyFunSuite {
       .collect()(0).getDouble(1)
     assert(merged == whole, s"merged $merged vs whole-table $whole")
   }
+
+  test("streamed CMS cells equal the batch cells; merged estimate = whole-table") {
+    import graft.extra.CardSketch
+    val events = Tables.load(spark, SparkTestSession.sf0001, "events")
+      .select(col("ts"), col("event_type"))
+    val dir = java.nio.file.Files.createTempDirectory("cms_stream").toString
+    events.filter(col("event_id") % 2 === 0).coalesce(1)
+      .write.mode("append").parquet(dir)
+    events.filter(col("event_id") % 2 === 1).coalesce(1)
+      .write.mode("append").parquet(dir)
+
+    val stream = spark.readStream
+      .schema(spark.read.parquet(dir).schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = graft.streaming.ProfileStream.cmsCellsStream(
+        stream, "event_type", "ts",
+        window = "10 minutes", horizon = "30 minutes")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("cms_cells").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("cms_cells")
+    // batch twin: same probe structs, same windowing
+    val batchCells = events.filter(col("event_type").isNotNull)
+      .select(window(col("ts"), "10 minutes").as("window"),
+        lit("event_type").as("col_name"),
+        explode(CardSketch.cmsProbes(col("event_type").cast("string"))).as("e"))
+      .groupBy(col("window"), col("col_name"),
+        col("e.j").as("j"), col("e.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    def cellSet(df: org.apache.spark.sql.DataFrame) = df.select(
+        col("window.start").cast("long"), col("col_name"), col("j"),
+        col("bucket"), col("cnt"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(cellSet(streamed) == cellSet(batchCells))
+    assert(cellSet(streamed).nonEmpty)
+
+    // windows re-merge: summing every window's cells then probing equals
+    // the whole-table CMS estimate (the classic min-over-depth bound)
+    val mergedCells = streamed.groupBy("j", "bucket")
+      .agg(sum("cnt").as("cnt"))
+    val probes = events.select(col("event_type").cast("string").as("term"))
+      .filter(col("term").isNotNull).distinct()
+    val estMerged = CardSketch.cmsEstimate(mergedCells, probes).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val estWhole = CardSketch.heavyHitters(
+        events.select(col("event_type").cast("string").as("term"))
+          .filter(col("term").isNotNull), k = 100).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(estMerged == estWhole,
+      s"merged-window estimates $estMerged must equal whole-table $estWhole")
+    // CMS invariant: estimate >= true count, everywhere
+    val trueCounts = events.groupBy(col("event_type").cast("string").as("term"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    trueCounts.foreach { case (t, n) =>
+      assert(estMerged(t) >= n, s"CMS bound violated for $t")
+    }
+  }
 }
