@@ -17,6 +17,7 @@ object TrainProf {
         sys.env.getOrElse("TRAINPROF_AQE", "true"))
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    StageLog.attachIfEnabled(spark.sparkContext)
     spark.range(1000000).selectExpr("sum(id)").collect()
     def t(name: String)(f: => Unit): Unit = {
       val t0 = System.nanoTime(); f
