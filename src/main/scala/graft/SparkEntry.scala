@@ -471,6 +471,11 @@ object SparkEntry {
     "corpus_epoch_manifest" -> ((s, d) =>
       CorpusOps.epochManifest(T(s, d, "documents"), "doc_id", "text", 1)),
 
+    // curriculum schedule: unigram-LM difficulty bands (band 0 easiest),
+    // md5 shards within a band, deterministic within-shard order
+    "curriculum_shards" -> ((s, d) =>
+      CorpusOps.curriculumShards(T(s, d, "documents"), "doc_id", "text")),
+
     // fill a fixed token budget best-first by quality (two-level cumsum)
     "corpus_budget" -> ((s, d) =>
       CorpusOps.budgetSelect(T(s, d, "documents"), "doc_id", "text", 20000L)),
@@ -1071,6 +1076,39 @@ object SparkEntry {
         |  CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS bin_first,
         |  CAST(floor((cum - 1) / 2048.0) AS BIGINT) AS bin_last
         |FROM c""".stripMargin,
+
+    // mirrors CorpusOps.curriculumShards: the lm_quality CTE chain for the
+    // per-doc unigram logprob, all-integer range banding on its micros
+    // (non-negative DIV operands, so // == DIV), the epoch-manifest
+    // md5-shard idiom, per-(band, shard) row_number
+    "curriculum_shards" ->
+      """WITH tf AS (SELECT doc_id, term, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+        |      x -> x <> '')) AS term FROM documents) GROUP BY 1, 2),
+        |vocab AS (SELECT term, sum(tf) AS cnt FROM tf GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n_total,
+        |    CAST(count(*) AS DOUBLE) AS v_size FROM vocab),
+        |lp AS (SELECT term, round(ln((cnt + 1.0) / (n_total + v_size)), 6) AS lp
+        |  FROM vocab CROSS JOIN tot),
+        |perdoc AS (SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+        |    sum(CAST(round(tf.tf * lp.lp * 1000000) AS BIGINT)) AS lp_micro
+        |  FROM tf JOIN lp USING (term) GROUP BY 1),
+        |lm AS (SELECT doc_id, n_tokens,
+        |    -CAST((-lp_micro) // n_tokens AS BIGINT) AS sm
+        |  FROM perdoc WHERE n_tokens > 0),
+        |rg AS (SELECT min(sm) AS mn, max(sm) AS mx FROM lm),
+        |b AS (SELECT doc_id, n_tokens, sm,
+        |    ((mx - sm) * 4) // (mx - mn + 1) AS band,
+        |    md5('curr:' || CAST(doc_id AS VARCHAR)) AS skey
+        |  FROM lm CROSS JOIN rg),
+        |s AS (SELECT *,
+        |    CAST(('0x' || substring(skey, 1, 4))::BIGINT * 8 // 65536 AS BIGINT)
+        |      AS shard FROM b)
+        |SELECT doc_id, CAST(band AS BIGINT) AS band, shard,
+        |  CAST(row_number() OVER (PARTITION BY band, shard
+        |    ORDER BY skey, doc_id) AS BIGINT) AS pos,
+        |  n_tokens, CAST(sm AS DOUBLE) / 1000000.0 AS lm_logprob
+        |FROM s""".stripMargin,
 
     // mirrors CorpusOps.epochManifest: corpus_order's shard/key chain +
     // corpus_pack's chunk formula, cumsum partitioned by shard

@@ -607,6 +607,51 @@ object CorpusOps {
         (col("cum_tokens") <= tokenBudget).cast("long").as("selected"))
   }
 
+  /** Curriculum training schedule (Bengio et al. 2009 "Curriculum
+    * Learning"; the modern LLM data-ordering recipes sort by a language-
+    * model difficulty proxy): documents are banded easy→hard by the
+    * corpus's own unigram-LM per-token log-prob ([[TextStats.lmScore]] —
+    * higher logprob = more typical text = easier), each band splits into
+    * deterministic md5 shards, and within a (band, shard) the order is a
+    * content-independent md5 shuffle. A trainer consumes bands in
+    * ascending order (band 0 = easiest), shards within a band in
+    * parallel — the [[epochManifest]] consumption shape with a
+    * difficulty-major axis.
+    *
+    * All-integer banding (the nbCalibration range-bucket rule): logprob
+    * micros against a 1-row broadcast (min, max),
+    * band = ((mx − sm)·bands) DIV (mx − mn + 1) — non-negative operands,
+    * so Spark's DIV and the oracle's `//` agree. Empty documents carry no
+    * trainable tokens and are excluded. Scale shape: one lmScore pass
+    * (vocabulary-sized model join), a 1-row broadcast, and the only
+    * window partitions on (band, shard) — ~corpus/(bands·shards)-sized
+    * partitions, no global sort.
+    *
+    * @return (doc_id, band, shard, pos, n_tokens, lm_logprob)
+    */
+  def curriculumShards(docs: DataFrame, idCol: String, textCol: String,
+                       bands: Int = 4, numShards: Int = 8): DataFrame = {
+    require(bands > 0 && numShards > 0 && numShards <= 65536,
+      "bands > 0, numShards in (0, 65536]")
+    // pinned: the scored frame feeds the range aggregate AND the banding
+    val lm = graft.Caching.temp(
+      TextStats.lmScore(docs, idCol, textCol)
+        .filter(col("n_tokens") > 0)
+        .withColumn("sm", round(col("lm_logprob") * 1e6).cast("long")))
+    val range = lm.agg(min("sm").as("mn"), max("sm").as("mx"))
+    val order = Window.partitionBy("band", "shard")
+      .orderBy(col("skey"), col("doc_id"))
+    lm.crossJoin(broadcast(range))
+      .withColumn("band", expr(s"((mx - sm) * $bands) DIV (mx - mn + 1)"))
+      .withColumn("skey",
+        md5(concat_ws(":", lit("curr"), col("doc_id").cast("string"))))
+      .withColumn("shard",
+        (conv(substring(col("skey"), 1, 4), 16, 10).cast("long")
+          * numShards / 65536).cast("long"))
+      .withColumn("pos", row_number().over(order).cast("long"))
+      .select("doc_id", "band", "shard", "pos", "n_tokens", "lm_logprob")
+  }
+
   /** Corpus mixing: deterministic hash-sample at `samplePct`, then a per-
     * (lang, source) quality quota — keep the top `quota` docs of each group
     * by n_chars (tie-break doc_id). This is the "domain mixture" step of

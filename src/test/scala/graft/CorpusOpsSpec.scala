@@ -598,4 +598,35 @@ class CorpusOpsSpec extends AnyFunSuite {
     // packed: ceil32(29)=32; 3e6/32 = 93750
     assert(got("packed") == ((3L, 29L, 32L, 93750L)))
   }
+
+  test("curriculumShards: bands order by difficulty, schedule is deterministic") {
+    val docs = Tables.load(spark, SparkTestSession.sf0001, "documents")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      CorpusOps.curriculumShards(d, "doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getDouble(5)))
+    val got = run(docs)
+    graft.Caching.release()
+    // every non-empty doc scheduled exactly once, bands within [0, 4)
+    assert(got.map(_._1).distinct.length == got.length)
+    assert(got.map(_._2).forall(b => b >= 0 && b < 4))
+    assert(got.map(_._2).distinct.length > 1, "fixture must span bands")
+    // curriculum order: an easier band's WORST doc is no harder than a
+    // harder band's BEST doc (logprob decreases with band index)
+    val byBand = got.groupBy(_._2).view.mapValues(_.map(_._6)).toMap
+    byBand.keys.toSeq.sorted.sliding(2).foreach {
+      case Seq(a, b) =>
+        assert(byBand(a).min >= byBand(b).max,
+          s"band $a must be uniformly easier than band $b")
+      case _ =>
+    }
+    // positions are dense 1..n per (band, shard)
+    got.groupBy(t => (t._2, t._3)).foreach { case (_, rows) =>
+      assert(rows.map(_._4).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    // partitioning-independent (the engine-exact integer discipline)
+    val re = run(docs.repartition(7))
+    graft.Caching.release()
+    assert(re.toSet == got.toSet)
+  }
 }
