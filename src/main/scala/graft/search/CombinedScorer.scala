@@ -103,6 +103,10 @@ object CombinedScorer {
   def search(spark: SparkSession, dir: String, queryId: String,
              m: Int = 100, l: Int = 50, k: Int = 15,
              wContent: Double = 0.5, wMetadata: Double = 0.5): DataFrame = {
+    // the exact integer-micro combine derives wMetadata as 1e6 − wcMicro
+    // (the reference UI normalizes the split the same way)
+    require(math.abs(wContent + wMetadata - 1.0) < 1e-9,
+      s"content/metadata weights must sum to 1, got $wContent + $wMetadata")
     val sketch = Sketches.cachedAll(spark, dir)
     // query-scoped pin: the ranked lists feed candidateEdges through two
     // small broadcast sides (candidate ids, kth) whose build jobs would
