@@ -37,6 +37,25 @@ object Caching {
     p
   }
 
+  /** Pin a long-lived session ARTIFACT (sketch index, admission-gate
+    * segments, shared TF tables) with lineage truncation, so every probe
+    * plan embedding it stays O(1) to analyze regardless of how deep the
+    * build subtree was.
+    *
+    * Deployment gate (availability vs latency): when the session has a
+    * RELIABLE checkpoint dir configured (`sc.setCheckpointDir`, i.e. a
+    * cluster deployment pointing at HDFS/S3), use `checkpoint()` — blocks
+    * survive executor loss, so an artifact never becomes permanently
+    * unreadable mid-service. Without one (the single-node bench), use
+    * `localCheckpoint()` — executor-local blocks, no distributed write. On
+    * a real cluster the artifacts are parquet/Delta tables anyway; this
+    * gate covers the in-session form.
+    */
+  def pinArtifact(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint()
+    else df.localCheckpoint()
+
   /** Unpersist every frame registered on THIS thread (non-blocking). Call
     * after the query's action completes.
     */

@@ -1883,6 +1883,9 @@ object SparkEntry {
     val numericStatsSql: String = tables.flatMap { case (t, _, nums, _) =>
       nums.map { c =>
         val xm = s"CAST(round(CAST($c AS DOUBLE) * 1000000) AS HUGEINT)"
+        // Σxm² rides the same hi/lo split around 10¹⁸ as numericWide (xm² ≥ 0
+        // so // and % agree with Spark's DIV/%), recombined with the verbatim
+        // two-op double sequence — neither engine's 128-bit sum can overflow
         s"""SELECT '$t' AS dataset_id, '$c' AS col_name, count($c) AS n,
            | count(*)-count($c) AS n_missing, count(DISTINCT $c) AS n_distinct,
            | round(CAST(count(DISTINCT $c) AS DOUBLE)/count($c),6) AS p_distinct,
@@ -1890,7 +1893,8 @@ object SparkEntry {
            | round(CAST(sum($xm) AS DOUBLE) / 1000000.0 / count($c), 6) AS mean,
            | CASE WHEN count($c) > 1 THEN
            |   round(sqrt(greatest(
-           |     (CAST(sum($xm * $xm) AS DOUBLE)
+           |     (CAST(sum(($xm * $xm) // 1000000000000000000) AS DOUBLE) * 1.0e18
+           |       + CAST(sum(($xm * $xm) % 1000000000000000000) AS DOUBLE)
            |       - CAST(sum($xm) AS DOUBLE) * CAST(sum($xm) AS DOUBLE) / count($c))
            |     / (count($c) - 1), 0.0)) / 1000000.0, 6)
            | ELSE NULL END AS std,

@@ -116,6 +116,10 @@ object Clustering {
         .withColumn("best", array_min(transform(col("cents"), c =>
           struct(VectorOps.longL2Sq(col("vm"), c("cv")).as("d2"),
             c("cluster").as("cluster")))))
+        // empty-centroid guard: collect_list's agg row always EXISTS, so
+        // k=0 would otherwise emit one NULL-cluster row per vector where
+        // the old window form produced zero rows — keep that contract
+        .filter(col("best").isNotNull)
         .select(col("vec_id"), col("best.cluster").as("cluster"),
           col("best.d2").as("d2"), col("vm"))
     }

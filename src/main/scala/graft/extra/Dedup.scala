@@ -266,55 +266,107 @@ object Dedup {
     * bucketed on (band, band_sig) and doc_id, appended per admitted batch.
     */
   private val indexCache = scala.collection.concurrent.TrieMap
-    .empty[(String, String), (DataFrame, DataFrame)]
+    .empty[(String, String), Vector[(DataFrame, DataFrame)]]
+
+  /** The pair of frames a probe joins against for a memoized key: the LAZY
+    * union of the checkpointed segments. Each leaf is a lineage-free
+    * LogicalRDD, so analysis cost is O(#segments) — bounded by
+    * [[MaxSegments]] — never O(build subtree).
+    */
+  private def served(segs: Vector[(DataFrame, DataFrame)])
+  : (DataFrame, DataFrame) =
+    (segs.map(_._1).reduce(_ unionByName _),
+      segs.map(_._2).reduce(_ unionByName _))
 
   /** Build (or fetch the memoized) corpus artifacts for `cacheKey`. */
   def trainedIndex(corpus: DataFrame, idCol: String, textCol: String,
                    cacheKey: String, numPerms: Int = 32,
                    rowsPerBand: Int = 4): (DataFrame, DataFrame) = {
     val k = (corpus.sparkSession.sparkContext.applicationId, cacheKey)
-    indexCache.getOrElseUpdate(k, {
-      // localCheckpoint, not persist: the artifacts embed in every probe
-      // plan, and a checkpoint's LogicalRDD keeps the per-batch ANALYSIS
-      // cost flat — with full lineage, each probe re-canonicalizes the
-      // whole build subtree on every cache lookup (measured as ~1.5s of
+    served(indexCache.getOrElseUpdate(k, {
+      // Checkpoint (pinArtifact), not persist: the artifacts embed in every
+      // probe plan, and a checkpoint's LogicalRDD keeps the per-batch
+      // ANALYSIS cost flat — with full lineage, each probe re-canonicalizes
+      // the whole build subtree on every cache lookup (measured as ~1.5s of
       // driver time per batch on a 300-doc fixture). Production equivalent:
       // the artifacts are parquet/Delta tables, whose scan plans are
       // equally lineage-free.
-      val sigs = bandSignatures(corpus, idCol, textCol, numPerms, rowsPerBand)
-        .localCheckpoint()
-      val toks = tokenArraysOf(corpus, idCol, textCol).localCheckpoint()
-      (sigs, toks)
-    })
+      val sigs = graft.Caching.pinArtifact(
+        bandSignatures(corpus, idCol, textCol, numPerms, rowsPerBand))
+      val toks = graft.Caching.pinArtifact(
+        tokenArraysOf(corpus, idCol, textCol))
+      Vector((sigs, toks))
+    }))
   }
+
+  /** Segment-count cap for the admission index memo: an append past this
+    * folds all segments into one (the only O(corpus) step, paid once per
+    * MaxSegments appends — amortized O(corpus/MaxSegments) per batch, and
+    * it keeps every probe plan's union width bounded).
+    */
+  val MaxSegments = 32
+
+  /** Number of checkpointed segments currently memoized under `cacheKey` —
+    * observability for specs and services (0 when nothing is memoized).
+    */
+  def segmentCount(spark: org.apache.spark.sql.SparkSession,
+                   cacheKey: String): Int =
+    indexCache.get((spark.sparkContext.applicationId, cacheKey))
+      .map(_.size).getOrElse(0)
+
+  /** The raw segment list for `cacheKey` — spec observability (DedupSpec
+    * proves an append leaves the prior segments' frames untouched by
+    * reference identity, i.e. the corpus blocks were not re-materialized).
+    */
+  private[graft] def segmentsOf(spark: org.apache.spark.sql.SparkSession,
+                                cacheKey: String)
+  : Vector[(DataFrame, DataFrame)] =
+    indexCache.getOrElse(
+      (spark.sparkContext.applicationId, cacheKey), Vector.empty)
 
   /** Incremental index MAINTENANCE: fold an admitted batch's signature and
     * token-array rows into the memoized artifacts for `cacheKey` — the
     * append step the admission loop needs so the NEXT batch is judged
-    * against the grown corpus without a rebuild (the per-batch increment
-    * is just the batch's own projection rows; DedupSpec locks append ≡
-    * full re-sign). The updated frames are localCheckpoint'd before the
-    * swap so a concurrent probe never sees a half-built index, and
+    * against the grown corpus without a rebuild (DedupSpec locks append ≡
+    * full re-sign).
+    *
+    * Cost is genuinely O(admitted batch): ONLY the batch's own projection
+    * rows are materialized (checkpointed as a new SEGMENT); the memo is
+    * held as a lazy union of per-batch checkpointed segments, so the
+    * existing corpus-sized blocks are never re-read or re-written on
+    * append. Once the segment list exceeds `maxSegments` the append
+    * compacts all segments into one — amortized O(corpus/maxSegments) per
+    * batch and a bounded probe-plan width. The segment list is swapped
+    * atomically so a concurrent probe never sees a half-built index, and
     * appends for the same key serialize on a per-key lock
     * ([[graft.search.Sketches.refreshDataset]]'s read-modify-swap rule).
-    * Cost is O(admitted batch), not O(corpus). No-op (returns false) when
-    * nothing is memoized under the key — there is no index to maintain.
+    * No-op (returns false) when nothing is memoized under the key — there
+    * is no index to maintain.
     */
   def appendAdmitted(admitted: DataFrame, idCol: String, textCol: String,
                      cacheKey: String, numPerms: Int = 32,
-                     rowsPerBand: Int = 4): Boolean = {
+                     rowsPerBand: Int = 4,
+                     maxSegments: Int = MaxSegments): Boolean = {
     val k = (admitted.sparkSession.sparkContext.applicationId, cacheKey)
     val lock = indexLocks.getOrElseUpdate(k, new Object)
     lock.synchronized {
       indexCache.get(k) match {
         case None => false
-        case Some((sigs, toks)) =>
-          val newSigs = sigs.unionByName(
-            bandSignatures(admitted, idCol, textCol, numPerms, rowsPerBand))
-            .localCheckpoint()
-          val newToks = toks.unionByName(
-            tokenArraysOf(admitted, idCol, textCol)).localCheckpoint()
-          indexCache.put(k, (newSigs, newToks))
+        case Some(segs0) =>
+          // O(batch): checkpoint ONLY the increment, never the union
+          val segs = segs0 :+ ((
+            graft.Caching.pinArtifact(bandSignatures(
+              admitted, idCol, textCol, numPerms, rowsPerBand)),
+            graft.Caching.pinArtifact(
+              tokenArraysOf(admitted, idCol, textCol))))
+          val kept =
+            if (segs.size <= maxSegments) segs
+            else {
+              val (cs, ct) = served(segs)
+              Vector((graft.Caching.pinArtifact(cs),
+                graft.Caching.pinArtifact(ct)))
+            }
+          indexCache.put(k, kept)
           true
       }
     }

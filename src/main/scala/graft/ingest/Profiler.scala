@@ -120,9 +120,24 @@ object Profiler {
       // accumulations whose low bits diverged at the sf1.0 decade probe
       // (deltas ≈ 5e-6 at n = 10⁶). D ≥ 0 exactly (Cauchy–Schwarz on
       // integers), so no clamp; n ≤ 1 yields NULL std like stddev_samp.
+      // Σxm as decimal(38,0) (cast before sum): overflows only past ~10²² rows
+      // at the |x| ≲ 9·10⁹ ceiling — beyond any corpus. Σxm² CANNOT ride one
+      // decimal(38,0): xm² ≤ 8.1·10³¹, so the sum overflows at ~10⁶
+      // ceiling-magnitude rows, where Spark's non-ANSI decimal sum goes NULL
+      // silently while DuckDB's HUGEINT errors — the engines would diverge
+      // exactly where the exact-sum discipline should protect. So xm² is
+      // split hi/lo around 10¹⁸ (both parts integer-exact, q ≥ 0 so DIV/MOD
+      // agree across engines): Σhi ≤ n·8.1·10¹³ and Σlo ≤ n·10¹⁸ keep
+      // decimal(38,0) safe past 10²⁰ rows, and the recombine is the same
+      // two-op IEEE sequence in the oracle twin.
       val xm = round(d * lit(1e6)).cast("decimal(19,0)")
-      val s1 = sum(xm)
-      val s2 = sum(xm * xm)
+      val xmSql = s"CAST(round(CAST(`$c` AS DOUBLE) * 1000000) AS DECIMAL(19,0))"
+      val s1 = sum(xm.cast("decimal(38,0)"))
+      val s2hi = sum(expr(
+        s"CAST(($xmSql * $xmSql) DIV 1000000000000000000 AS DECIMAL(38,0))"))
+      val s2lo = sum(expr(
+        s"CAST(($xmSql * $xmSql) % 1000000000000000000 AS DECIMAL(38,0))"))
+      val s2d = s2hi.cast(DoubleType) * lit(1e18) + s2lo.cast(DoubleType)
       val n = count(d)
       Seq(
         n.as(s"n__$c"),
@@ -135,7 +150,7 @@ object Profiler {
         // (n·Σxm² ≈ 10⁴¹); the clamp absorbs cancellation's tiny negatives
         when(n > 1, round(
           sqrt(greatest(
-            (s2.cast(DoubleType) - s1.cast(DoubleType) * s1.cast(DoubleType) / n)
+            (s2d - s1.cast(DoubleType) * s1.cast(DoubleType) / n)
               / (n - 1), lit(0.0)))
             / lit(1000000.0), 6)).as(s"std__$c"),
         round(min(d), 6).as(s"min__$c"),

@@ -93,7 +93,8 @@ object CombinedScorer {
     metaTfCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
       Bm25.fieldTermFreqs(
         datasetMetadata(spark, dir).withColumnRenamed("dataset_id", "doc_id"),
-        "doc_id", Seq("title", "keywords", "description")).localCheckpoint()
+        "doc_id", Seq("title", "keywords", "description"))
+        .transform(graft.Caching.pinArtifact)
     })
 
   /** End-to-end similarity search for one query dataset (flagship; mirrors
@@ -103,10 +104,13 @@ object CombinedScorer {
   def search(spark: SparkSession, dir: String, queryId: String,
              m: Int = 100, l: Int = 50, k: Int = 15,
              wContent: Double = 0.5, wMetadata: Double = 0.5): DataFrame = {
-    // the exact integer-micro combine derives wMetadata as 1e6 − wcMicro
-    // (the reference UI normalizes the split the same way)
-    require(math.abs(wContent + wMetadata - 1.0) < 1e-9,
-      s"content/metadata weights must sum to 1, got $wContent + $wMetadata")
+    // Arbitrary splits are NORMALIZED to sum 1 (Engine.normalizeSplit —
+    // the reference UI does the same before use), because the exact
+    // integer-micro combine derives wMetadata as 1e6 − wcMicro; a
+    // non-positive sum falls back to the uniform 0.5/0.5 split.
+    val wcNorm =
+      if (wContent + wMetadata <= 0) 0.5
+      else wContent / (wContent + wMetadata)
     val sketch = Sketches.cachedAll(spark, dir)
     // query-scoped pin: the ranked lists feed candidateEdges through two
     // small broadcast sides (candidate ids, kth) whose build jobs would
@@ -153,7 +157,7 @@ object CombinedScorer {
     // the sf1.0 decade probe. Integer micros + truncating DIV are
     // engine-exact for any split (the lmScore discipline).
     val content = Matcher.contentScoresExact(edges, nQueryCols)
-    combineExact(content, metaScoresP, math.round(wContent * 1e6), k)
+    combineExact(content, metaScoresP, math.round(wcNorm * 1e6), k)
       .withColumn("query_id", lit(queryId))
   }
 }

@@ -192,13 +192,16 @@ object Sketches {
       // NOT coalesce: coalesce(1) collapses the whole final aggregation
       // stage into one task (measured 4s of the build), while repartition
       // keeps it parallel and only the ~100-row result crosses the shuffle.
-      // localCheckpoint, not persist: the index embeds in EVERY search
-      // plan, and with full lineage (a union over dozens of shuffles) each
-      // query's analysis re-canonicalizes that whole subtree per cache
-      // lookup — measured ~2s of driver time per warm similarity_search.
-      // A checkpoint's LogicalRDD makes the index plan-size O(1), exactly
-      // what refreshDataset already does for refreshed entries.
-      all(spark, dir).repartition(1).localCheckpoint()
+      // Checkpoint (Caching.pinArtifact), not persist: the index embeds in
+      // EVERY search plan, and with full lineage (a union over dozens of
+      // shuffles) each query's analysis re-canonicalizes that whole subtree
+      // per cache lookup — measured ~2s of driver time per warm
+      // similarity_search. A checkpoint's LogicalRDD makes the index
+      // plan-size O(1), exactly what refreshDataset already does for
+      // refreshed entries. pinArtifact picks RELIABLE checkpoint when the
+      // session has a checkpoint dir (cluster: blocks survive executor
+      // loss) and localCheckpoint otherwise (single-node bench).
+      graft.Caching.pinArtifact(all(spark, dir).repartition(1))
     })
 
   /** Drop the pinned index for (session, dir) — the explicit inverse of
@@ -252,13 +255,13 @@ object Sketches {
         .filter(org.apache.spark.sql.functions.col("dataset_id") =!= datasetId)
         .unionAll(fresh.select(old.columns.map(org.apache.spark.sql.functions.col): _*))
         .repartition(1)
-        .localCheckpoint()
-      cache.put(key, updated)
+      val updatedPinned = graft.Caching.pinArtifact(updated)
+      cache.put(key, updatedPinned)
       val oldIsCheckpoint = old.queryExecution.analyzed.collectFirst {
         case _: org.apache.spark.sql.execution.LogicalRDD => ()
       }.isDefined
       if (!oldIsCheckpoint) old.unpersist(blocking = false)
-      updated
+      updatedPinned
     }
   }
 }

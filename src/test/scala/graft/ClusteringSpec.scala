@@ -63,6 +63,14 @@ class ClusteringSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("k=0 yields an empty assignment, not NULL-cluster rows") {
+    // the broadcast-argmin projection must keep the old window form's
+    // empty-centroid contract: array_min over zero centroids is NULL and
+    // would otherwise emit one NULL row per vector
+    assert(Clustering.kmeansAssign(emb, 0, 1).count() == 0)
+    graft.Caching.release()
+  }
+
   test("objective is non-increasing across Lloyd iterations") {
     val totals = (0 to 3).map { it =>
       val t = Clustering.kmeansAssign(emb, 8, it)

@@ -555,6 +555,48 @@ class DedupSpec extends AnyFunSuite {
     val want = asMap(
       Dedup.minhashIncremental(grown, batch2, "doc_id", "text", 0.8))
     assert(got == want, "maintained index must judge like a fresh build")
+    // O(batch) shape: the append stored a NEW segment and left the corpus
+    // segment's frames untouched (reference identity — had the append
+    // re-unioned and re-checkpointed the corpus, these would be new frames)
+    val segs = Dedup.segmentsOf(spark, key)
+    assert(segs.size == 2, s"expected 2 segments after 1 append, got ${segs.size}")
+    assert((segs.head._1 eq s1) && (segs.head._2 eq t1),
+      "append must not re-materialize the pre-existing corpus segment")
+    // the increment holds exactly the admitted batch's rows (8 bands/doc)
+    val nAdm = admitted1.count()
+    assert(segs(1)._1.count() == nAdm * 8 && segs(1)._2.count() == nAdm,
+      "new segment must be exactly the admitted batch's projection rows")
+    Dedup.resetIndex(spark, key)
+  }
+
+  test("appendAdmitted: segment compaction preserves verdicts and bounds width") {
+    val docs = Tables.load(spark, SparkTestSession.sf0001, "documents")
+    val corpus = docs.filter(col("doc_id") < 60).select("doc_id", "text")
+    def slice(lo: Long, hi: Long, off: Long) =
+      docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+        .select((col("doc_id") + off).as("doc_id"), col("text"))
+    val key = "spec#compact"
+    Dedup.resetIndex(spark, key)
+    Dedup.trainedIndex(corpus, "doc_id", "text", key)
+    // maxSegments=2: the second append must trigger a fold to ONE segment
+    assert(Dedup.appendAdmitted(slice(60, 80, 10000), "doc_id", "text", key,
+      maxSegments = 2))
+    assert(Dedup.segmentCount(spark, key) == 2)
+    assert(Dedup.appendAdmitted(slice(80, 100, 20000), "doc_id", "text", key,
+      maxSegments = 2))
+    assert(Dedup.segmentCount(spark, key) == 1,
+      "append past maxSegments must compact to a single segment")
+    val (s, t) = Dedup.trainedIndex(corpus, "doc_id", "text", key)
+    val batch = slice(100, 130, 30000)
+    val grown = corpus.unionByName(slice(60, 80, 10000))
+      .unionByName(slice(80, 100, 20000))
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(x => x.getLong(0) ->
+        ((x.getLong(1), Option(x.get(2)).map(_.asInstanceOf[Long])))).toMap
+    assert(asMap(Dedup.minhashIncrementalIndexed(
+        s, t, batch, "doc_id", "text", 0.8))
+      == asMap(Dedup.minhashIncremental(grown, batch, "doc_id", "text", 0.8)),
+      "compacted index must judge like a fresh build over the grown corpus")
     Dedup.resetIndex(spark, key)
   }
 

@@ -195,4 +195,19 @@ class SearchSpec extends AnyFunSuite {
       fields).collect().map(_.toSeq).toSet
     assert(shared == inline, "artifact path must be value-identical")
   }
+
+  test("search normalizes an arbitrary content/metadata split to sum 1") {
+    val dir = SparkTestSession.sf0001
+    def rows(wc: Double, wm: Double) = {
+      val r = CombinedScorer.search(spark, dir, "customer",
+          wContent = wc, wMetadata = wm)
+        .collect().map(_.toSeq).toSet
+      graft.Caching.release()
+      r
+    }
+    // 2/2 ≡ 0.5/0.5 and 3/1 ≡ 0.75/0.25 (Engine.normalizeSplit semantics);
+    // previously non-unit splits threw IllegalArgumentException
+    assert(rows(2.0, 2.0) == rows(0.5, 0.5))
+    assert(rows(3.0, 1.0) == rows(0.75, 0.25))
+  }
 }
