@@ -14,14 +14,30 @@ object Bench {
     // JVM/codegen warmup so the first timed query isn't charged startup cost
     spark.range(1000000).selectExpr("sum(id)").collect()
     var failed = List.empty[String]
-    def timed(name: String)(f: => Unit): (String, Double) = {
+    // Per-query stage-time attribution (VERDICT r11 "What's wrong #2"): on
+    // this microVM the same query's WALL time swings 3–13× under co-tenant
+    // load, so BENCH.json also carries summed executor stage run/CPU time —
+    // work-proportional observables that survive a noisy draw and make
+    // round-over-round comparison mechanical.
+    val stageAgg = new StageLog.QueryStageAgg(spark.sparkContext)
+    // (wall sec, stage run ms, stage cpu ms) for one execution of f
+    def timed(name: String)(f: => Unit): (Double, Long, Long) = {
+      stageAgg.start(name)
       val t0 = System.nanoTime()
       try f
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name: $e"); failed ::= name
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val wall = (System.nanoTime() - t0) / 1e9
+      val (runMs, cpuMs) = stageAgg.finish()
+      (wall, runMs, cpuMs)
     }
+    // Per-metric min over the runs: min wall is the steady-state clock a
+    // quiet machine would show; min stage/cpu is the same estimator on the
+    // work-proportional axis (stage time varies only a few % run-to-run,
+    // which is the point of carrying it).
+    def minEach(runs: Seq[(Double, Long, Long)]): (Double, Long, Long) =
+      (runs.map(_._1).min, runs.map(_._2).min, runs.map(_._3).min)
     // Optional comma-separated query-name filter for local iteration
     // (SPARK_GRAFT_ONLY=doc_pagerank,bpe_pairs); the driver never sets it.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -82,9 +98,9 @@ object Bench {
     val trained = trainSteps
       .filter { case (name, _, _) => only.forall(_.contains(name)) }
       .map { case (name, reset, fn) =>
-        val times = (1 to 2).map { i =>
+        val runs = (1 to 2).map { i =>
           if (i > 1) reset()
-          val t = timed(name)(fn())._2
+          val t = timed(name)(fn())
           // build-time ephemeral pins only — the sketch/metadata index and
           // the merge-table cache are owned by Sketches/CombinedScorer/
           // TextStats, not the registry, and survive this. The last build
@@ -92,7 +108,7 @@ object Bench {
           Caching.release()
           t
         }
-        name -> times.min
+        name -> minEach(runs)
       }
     // noop sink: forces full materialization of every column (count() would
     // let Catalyst prune per-row work like hashes and scores).
@@ -101,31 +117,57 @@ object Bench {
     // steady-state throughput a warm service would see. Training is charged
     // once — its second invocation would hit the session cache by design.
     val runsPerQuery = 2
-    val results = (trained ++ SparkEntry.queries.toSeq.sortBy(_._1)
+    val queryLines = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-      val times = (1 to runsPerQuery).map { _ =>
-        val t = timed(name)(fn(spark, sfDir).write.mode("overwrite").format("noop").save())._2
-        // drop this query's ephemeral pins (TF tables etc.) before the next
-        // run: min-of-2 then measures the steady per-query cost a service
-        // pays, not a leaked-cache warm path that grows without bound.
-        Caching.release()
-        t
+        val runs = (1 to runsPerQuery).map { _ =>
+          val t = timed(name)(
+            fn(spark, sfDir).write.mode("overwrite").format("noop").save())
+          // drop this query's ephemeral pins (TF tables etc.) before the
+          // next run: min-of-2 then measures the steady per-query cost a
+          // service pays, not a leaked-cache warm path that grows unbounded.
+          Caching.release()
+          t
+        }
+        name -> minEach(runs)
       }
-      name -> times.min
-    }).toMap
-    val qs = results.map { case (k, v) =>
+    // Warm-REQUEST latency line (VERDICT r11 next #5): the second and later
+    // consecutive searches against hot session artifacts — the steady-state
+    // serving cost the r11 checkpoint work bought, locked as its own
+    // regression surface. One untimed warm call absorbs any cold artifact
+    // build; the timed runs pay only per-request work (query-scoped pins
+    // are released per request, as a service would).
+    val steadyLines =
+      if (!only.forall(_.contains("steady_search"))) Seq.empty
+      else {
+        def request(): Unit = {
+          search.CombinedScorer.search(spark, sfDir, "customer")
+            .write.mode("overwrite").format("noop").save()
+          Caching.release()
+        }
+        try request() catch { case e: Throwable =>
+          System.err.println(s"[bench] steady_search warmup: $e")
+        }
+        val runs = (1 to runsPerQuery).map(_ => timed("steady_search")(request()))
+        Seq("steady_search" -> minEach(runs))
+      }
+    val results = (trained ++ queryLines ++ steadyLines).toMap
+    def jmap(f: ((String, (Double, Long, Long))) => String): String =
+      results.map { case (k, v) => s""""$k":${f((k, v))}""" }
+        .mkString("{", ",", "}")
+    val qs = jmap { case (k, (wall, _, _)) =>
       // failed queries get a negative sentinel so the JSON can't read green
-      val t = if (failed.contains(k)) -v else v
-      s"\"" + k + "\":" + t
-    }.mkString("{", ",", "}")
+      (if (failed.contains(k)) -wall else wall).toString
+    }
+    val stage = jmap { case (_, (_, runMs, _)) => runMs.toString }
+    val cpu = jmap { case (_, (_, _, cpuMs)) => cpuMs.toString }
     val errs = failed.distinct.map(n => s"\"$n\"").mkString("[", ",", "]")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
     // A filtered (partial) run is marked in the JSON so it can never be
     // mistaken for a full-run BENCH.json.
     val onlyKey = only.map(s =>
       s""","only":${s.toSeq.sorted.map(n => s"\"$n\"").mkString("[", ",", "]")}""").getOrElse("")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"runs_per_query":$runsPerQuery,"sf":"$sfDir"$onlyKey}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stage_ms":$stage,"cpu_ms":$cpu,"errors":$errs,"runs_per_query":$runsPerQuery,"sf":"$sfDir"$onlyKey}"""
     println(json)
     // Also persist the line: the driver captures stdout's TAIL, which has
     // truncated past rounds' leading queries — the file can't be.

@@ -314,6 +314,13 @@ object SparkEntry {
     "dedup_substrings" -> ((s, d) =>
       Dedup.dupSubstringSpans(T(s, d, "documents"), "doc_id", "text")),
 
+    // Lee et al.'s canonical criterion: a 12-gram at >= 2 distinct
+    // positions OVERALL (not >= 2 docs) — also flags boilerplate repeated
+    // inside one document; supersets the cross-doc spans
+    "dedup_substrings_self" -> ((s, d) =>
+      Dedup.dupSubstringSpans(T(s, d, "documents"), "doc_id", "text",
+        selfRepeats = true)),
+
     // RefinedWeb-style paragraph dedup: one surviving copy per distinct
     // 32-token paragraph corpus-wide, documents rewritten in order
     "dedup_paragraph" -> ((s, d) =>
@@ -959,6 +966,31 @@ object SparkEntry {
         |  WHERE len(toks) >= 12),
         |dup AS (SELECT gh FROM g GROUP BY gh
         |  HAVING count(DISTINCT doc_id) >= 2),
+        |s AS (SELECT doc_id, pos FROM g WHERE gh IN (SELECT gh FROM dup)),
+        |m AS (SELECT doc_id, pos,
+        |    max(pos + 11) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |  FROM s),
+        |i AS (SELECT doc_id, pos,
+        |    sum(CASE WHEN prev_end IS NULL OR pos > prev_end + 1
+        |      THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |  FROM m)
+        |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+        |  CAST(max(pos) + 12 - min(pos) AS BIGINT) AS span_len
+        |FROM i GROUP BY doc_id, island""".stripMargin,
+    // the self-repeat twin: HAVING count(*) >= 2 — occurrences overall,
+    // within-doc repeats included (Lee et al.'s actual ExactSubstr rule)
+    "dedup_substrings_self" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |g AS (SELECT doc_id, i AS pos,
+        |    md5(array_to_string(list_slice(toks, i, i + 11), ' ')) AS gh
+        |  FROM t CROSS JOIN unnest(range(1, len(toks) - 12 + 2)) AS u(i)
+        |  WHERE len(toks) >= 12),
+        |dup AS (SELECT gh FROM g GROUP BY gh
+        |  HAVING count(*) >= 2),
         |s AS (SELECT doc_id, pos FROM g WHERE gh IN (SELECT gh FROM dup)),
         |m AS (SELECT doc_id, pos,
         |    max(pos + 11) OVER (PARTITION BY doc_id ORDER BY pos

@@ -375,6 +375,64 @@ object Dedup {
   private val indexLocks =
     scala.collection.concurrent.TrieMap.empty[(String, String), Object]
 
+  private val gramCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), Vector[DataFrame]]
+
+  /** Build (or fetch) the memoized [[gramStats]] artifact for `cacheKey` —
+    * the [[trainedIndex]] treatment for the ExactSubstr stage: built once,
+    * served as the lazy union of checkpointed segments, probed per batch by
+    * [[dupSubstringSpansIndexed]] (which SUMS segments per gh, so the
+    * multi-segment form is exact by additivity). In production this is a
+    * parquet/Delta table bucketed on gh.
+    */
+  def trainedGramIndex(corpus: DataFrame, idCol: String, textCol: String,
+                       cacheKey: String, minLen: Int = 12): DataFrame = {
+    val k = (corpus.sparkSession.sparkContext.applicationId, cacheKey)
+    gramCache.getOrElseUpdate(k, Vector(
+      graft.Caching.pinArtifact(gramStats(corpus, idCol, textCol, minLen))))
+      .reduce(_ unionByName _)
+  }
+
+  /** Fold an admitted batch's gram counts into the memoized artifact —
+    * O(admitted batch) per append, same segment discipline as
+    * [[appendAdmitted]]: only the batch's own [[gramStats]] rows are
+    * checkpointed; past `maxSegments` the segments are compacted by a
+    * per-gh SUM (exact: counts are additive over disjoint doc sets). No-op
+    * (false) when nothing is memoized under the key.
+    */
+  def appendGramAdmitted(admitted: DataFrame, idCol: String, textCol: String,
+                         cacheKey: String, minLen: Int = 12,
+                         maxSegments: Int = MaxSegments): Boolean = {
+    val k = (admitted.sparkSession.sparkContext.applicationId, cacheKey)
+    val lock = indexLocks.getOrElseUpdate(k, new Object)
+    lock.synchronized {
+      gramCache.get(k) match {
+        case None => false
+        case Some(segs0) =>
+          val segs = segs0 :+ graft.Caching.pinArtifact(
+            gramStats(admitted, idCol, textCol, minLen))
+          val kept =
+            if (segs.size <= maxSegments) segs
+            else Vector(graft.Caching.pinArtifact(
+              segs.reduce(_ unionByName _).groupBy("gh")
+                .agg(sum("n_docs").as("n_docs"), sum("n_occ").as("n_occ"))))
+          gramCache.put(k, kept)
+          true
+      }
+    }
+  }
+
+  /** Segment count of the gram artifact under `cacheKey` (0 = not built). */
+  def gramSegmentCount(spark: org.apache.spark.sql.SparkSession,
+                       cacheKey: String): Int =
+    gramCache.get((spark.sparkContext.applicationId, cacheKey))
+      .map(_.size).getOrElse(0)
+
+  private[graft] def gramSegmentsOf(spark: org.apache.spark.sql.SparkSession,
+                                    cacheKey: String): Vector[DataFrame] =
+    gramCache.getOrElse(
+      (spark.sparkContext.applicationId, cacheKey), Vector.empty)
+
   /** Drop memoized indexes whose key starts with `cacheKeyPrefix` — the
     * bench uses this so a `train_dedup_idx` line times a TRUE rebuild.
     * Checkpoint blocks are left to Spark's ContextCleaner (explicitly
@@ -387,6 +445,9 @@ object Dedup {
     indexCache.keys
       .filter(k => k._1 == appId && k._2.startsWith(cacheKeyPrefix))
       .foreach(indexCache.remove)
+    gramCache.keys
+      .filter(k => k._1 == appId && k._2.startsWith(cacheKeyPrefix))
+      .foreach(gramCache.remove)
   }
 
   /** [[minhashIncremental]] against PRECOMPUTED corpus artifacts — the
@@ -750,11 +811,58 @@ object Dedup {
     * per-occurrence semi-join; island merge one per-doc window. All
     * partitions are document- or vocabulary-bounded.
     *
+    * @param selfRepeats false (default): flag only CROSS-document
+    *        duplicates (a gram in ≥ 2 distinct docs). true: Lee et al.'s
+    *        canonical criterion — a gram at ≥ 2 distinct positions
+    *        overall, which also removes boilerplate repeated inside a
+    *        single document.
     * @return (doc_id, span_start, span_len) — 1-based token positions,
     *         span_len ≥ minLen, spans disjoint and maximal per doc
     */
+  /** Per-document full-width gram occurrences, (doc_id, pos, gh) — the
+    * shared front half of the ExactSubstr family. Grams are an IN-ROW
+    * projection off the token array (the bandSignatures rule: a document's
+    * windows all live in its row) — no posexplode + lead-window pass, so
+    * the full token stream never shuffles. Positions are exploded with the
+    * hash as a top-level column: the generate and the md5(concat_ws(slice))
+    * stay in ONE whole-stage-codegen span (a lambda inside `transform`
+    * would drop to interpreted eval — measured ~9% slower), and the
+    * per-position rows never leave the scan stage with the token array
+    * attached (only (doc_id, pos, gh) reaches any exchange). Full-width
+    * grams only (the dedupSpans tail rule): empty when size < w.
+    */
+  private def gramStream(df: DataFrame, idCol: String, textCol: String,
+                         w: Int): DataFrame = {
+    val toksCol = filter(split(lower(col(textCol)), " "), t => t =!= "")
+    df.select(col(idCol).as("doc_id"), toksCol.as("toks"))
+      .filter(size(col("toks")) >= w) // shorter docs have no full-width gram
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(1), size(col("toks")) - (w - 1))).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        md5(concat_ws(" ", slice(col("toks"), col("pos"), lit(w)))).as("gh"))
+  }
+
+  /** The stored ExactSubstr ARTIFACT for a corpus: per gram its distinct
+    * document count and total occurrence count — everything either
+    * duplication criterion ([[dupSubstringSpans]]'s cross-doc default or
+    * Lee et al.'s self-repeat rule) needs from history, in one
+    * vocabulary-bounded map-side-combined aggregate. The streaming gate
+    * probes this instead of re-gramming the corpus per micro-batch
+    * ([[dupSubstringSpansIndexed]]); counts are ADDITIVE across disjoint
+    * document sets, which is what makes the per-batch append and the
+    * segment compaction exact.
+    *
+    * @return (gh, n_docs, n_occ)
+    */
+  def gramStats(df: DataFrame, idCol: String, textCol: String,
+                minLen: Int = 12): DataFrame =
+    gramStream(df, idCol, textCol, minLen)
+      .groupBy("gh")
+      .agg(countDistinct("doc_id").as("n_docs"), count(lit(1)).as("n_occ"))
+
   def dupSubstringSpans(df: DataFrame, idCol: String, textCol: String,
-                        minLen: Int = 12): DataFrame = {
+                        minLen: Int = 12,
+                        selfRepeats: Boolean = false): DataFrame = {
     val w = minLen
     // grams as an IN-ROW projection off the token array (the bandSignatures
     // rule: a document's windows all live in its row) — no posexplode +
@@ -763,36 +871,91 @@ object Dedup {
     // dedup rate bounds. md5 keeps the DF shuffle narrow; both engines
     // hash, so the dup set is identical. Full-width grams only (the
     // dedupSpans tail rule): sequence is empty when size < w.
-    val toksCol = filter(split(lower(col(textCol)), " "), t => t =!= "")
-    // explode POSITIONS, hash as a top-level column: the generate and the
-    // md5(concat_ws(slice)) stay in ONE whole-stage-codegen span (a lambda
-    // inside `transform` would drop to interpreted eval — measured ~9%
-    // slower), and the per-position rows never leave the scan stage with
-    // the token array attached (only (doc_id, pos, gh) reaches the DF
-    // exchange).
-    val grams = df
-      .select(col(idCol).as("doc_id"), toksCol.as("toks"))
-      .filter(size(col("toks")) >= w) // shorter docs have no full-width gram
-      .select(col("doc_id"), col("toks"),
-        explode(sequence(lit(1), size(col("toks")) - (w - 1))).as("pos"))
-      .select(col("doc_id"), col("pos"),
-        md5(concat_ws(" ", slice(col("toks"), col("pos"), lit(w)))).as("gh"))
-    val dup = grams.groupBy("gh").agg(countDistinct("doc_id").as("dw"))
+    val grams = gramStream(df, idCol, textCol, w)
+    // Duplication criterion: the default flags CROSS-document repeats only
+    // (countDistinct doc_id ≥ 2 — the conservative form that never removes
+    // a string unique to one page). selfRepeats=true is Lee et al. 2022's
+    // ACTUAL ExactSubstr criterion — a gram occurring at ≥ 2 distinct
+    // positions overall, so boilerplate repeated INSIDE one document (nav
+    // blocks duplicated in-page) is flagged too. The self form is the
+    // cheaper aggregate (plain count, no per-group distinct), same
+    // vocabulary-bounded shape.
+    val dup = (if (selfRepeats)
+        grams.groupBy("gh").agg(count(lit(1)).as("dw"))
+      else grams.groupBy("gh").agg(countDistinct("doc_id").as("dw")))
       .filter(col("dw") >= 2).select("gh")
-    val starts = grams.join(dup, Seq("gh"), "left_semi")
-      .select("doc_id", "pos")
+    mergeIslands(grams.join(dup, Seq("gh"), "left_semi")
+      .select("doc_id", "pos"), w)
+  }
+
+  /** Coverage-island merge shared by the batch sweep and the indexed probe:
+    * duplicated gram starts → disjoint maximal (span_start, span_len) per
+    * doc. One doc-keyed window over DUPLICATED starts only (a set the dedup
+    * rate bounds), then a per-(doc, island) aggregate.
+    */
+  private def mergeIslands(starts: DataFrame, w: Int): DataFrame = {
     val byPos = Window.partitionBy("doc_id").orderBy("pos")
-    val isl = starts
+    starts
       .withColumn("prev_end", max(col("pos") + (w - 1)).over(
         byPos.rowsBetween(Window.unboundedPreceding, -1)))
       .withColumn("new_island", when(col("prev_end").isNull ||
         col("pos") > col("prev_end") + 1, 1).otherwise(0))
       .withColumn("island", sum("new_island").over(byPos))
-    isl.groupBy("doc_id", "island")
+      .groupBy("doc_id", "island")
       .agg(min(col("pos")).cast("long").as("span_start"),
         (max(col("pos")) + w - min(col("pos"))).cast("long").as("span_len"))
       .select("doc_id", "span_start", "span_len")
   }
+
+  /** [[dupSubstringSpans]] for a BATCH against the STORED gram artifact —
+    * the ExactSubstr stage a streaming admission ladder runs at scale: the
+    * corpus is never re-grammed; per micro-batch the cost is
+    * O(batch grams + candidate grams).
+    *
+    * Exact equivalence (spec-locked in DedupSpec): the returned spans equal
+    * `dupSubstringSpans(corpus ∪ batch, minLen, selfRepeats)` restricted to
+    * batch documents, because both criteria are sums of ADDITIVE per-side
+    * counts over disjoint doc ids — cross-doc: corpus n_docs + batch
+    * distinct docs ≥ 2; self-repeat: corpus n_occ + batch occurrences ≥ 2.
+    *
+    * Plan shape: batch grams are the zero-exchange in-row stream; the
+    * corpus-side lookup joins the stored (possibly multi-segment) artifact
+    * to the batch's DISTINCT gram hashes and sums per gh — candidate-
+    * bounded, the corpus-sized artifact is only equi-join-probed on its
+    * key; the batch-side counts are one batch-bounded aggregate; island
+    * merge is the shared per-doc window.
+    */
+  def dupSubstringSpansIndexed(corpusGrams: DataFrame, batch: DataFrame,
+                               idCol: String, textCol: String,
+                               minLen: Int = 12,
+                               selfRepeats: Boolean = false): DataFrame = {
+    val w = minLen
+    val grams = gramStream(batch, idCol, textCol, w)
+    val batchStats = grams.groupBy("gh")
+      .agg(countDistinct("doc_id").as("b_docs"), count(lit(1)).as("b_occ"))
+    // segments sum per gh (counts are additive across disjoint doc sets);
+    // the semi-join first bounds the aggregate to the batch's vocabulary
+    val corpusStats = corpusGrams
+      .join(batchStats.select("gh"), Seq("gh"), "left_semi")
+      .groupBy("gh")
+      .agg(sum("n_docs").as("c_docs"), sum("n_occ").as("c_occ"))
+    val dup = batchStats.join(corpusStats, Seq("gh"), "left")
+      .filter(if (selfRepeats)
+          col("b_occ") + coalesce(col("c_occ"), lit(0L)) >= 2
+        else col("b_docs") + coalesce(col("c_docs"), lit(0L)) >= 2)
+      .select("gh")
+    mergeIslands(grams.join(dup, Seq("gh"), "left_semi")
+      .select("doc_id", "pos"), w)
+  }
+
+  /** Per-document rollup of a span frame — the number the admission ladder
+    * thresholds on: how many tokens of the document sit inside verbatim
+    * duplicated spans. @return (doc_id, n_dup_spans, n_dup_tokens)
+    */
+  def spanStats(spans: DataFrame): DataFrame =
+    spans.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dup_spans"),
+        sum("span_len").as("n_dup_tokens"))
 
   /** Cross-corpus PARAGRAPH dedup (the RefinedWeb/CCNet line-level pass,
     * between [[exact]] whole-document dedup and [[dedupSpans]] token-span

@@ -539,7 +539,7 @@ object TextStats {
           (a, b) => concat(a, lit(" "), b))).as("bigram"))
         .groupBy("bigram").agg(count(lit(1)).as("c_ab")))
     val totals = bi.agg(sum("c_ab").as("big_n"))
-      .crossJoin(uni.agg(sum("c").as("tok_n")))
+      .crossJoin(broadcast(uni.agg(sum("c").as("tok_n"))))
     def r6(c: Column): Column = round(c, 6)
     val ua = uni.select(col("term").as("w1"), col("c").as("c_a"))
     val ub = uni.select(col("term").as("w2"), col("c").as("c_b"))

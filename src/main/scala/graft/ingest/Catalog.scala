@@ -144,27 +144,50 @@ object Catalog {
     */
   val defaultUnionChunk: Int = 256
 
+  /** Driver-pull bound for the work queues: each drain iteration collects at
+    * most this many PENDING ids (ids only — a slim string column), processes
+    * them, flips their statuses, and re-reads the queue; the loop exits when
+    * a pull comes back empty. Driver memory is therefore O(maxIdsPerPull)
+    * regardless of backlog depth — the catalogue can hold 10⁸ pending
+    * datasets without an unbounded `collect()`. The per-dataset dispatch
+    * itself is inherently driver-side (each dataset is its own parquet
+    * source whose path must reach `spark.read`), which is why the bound is
+    * on the pull, not a DataFrame-side dispatch.
+    */
+  val maxIdsPerPull: Int = 4096
+
+  private def pullPending(spark: SparkSession, catalogDir: String,
+                          statusCol: String, bound: Int): Seq[String] = {
+    import spark.implicits._
+    pending(spark, catalogDir, statusCol).select("dataset_id")
+      .sort("dataset_id").limit(bound).as[String].collect().toSeq
+  }
+
   def profilePending(spark: SparkSession, catalogDir: String, lakeDir: String,
                      sketchDir: String,
-                     unionChunk: Int = defaultUnionChunk): DataFrame = {
-    import spark.implicits._
-    val todo = pending(spark, catalogDir).select("dataset_id").as[String].collect().toSeq
-    if (todo.isEmpty)
-      return spark.read.parquet(catalogDir).select("dataset_id", "status")
-    val (ok, bad) = validatePending(spark, lakeDir, todo)(
-      df => Profiler.sketchCols(df).nonEmpty)
-    ok.grouped(unionChunk).foreach { chunk =>
-      val stream = chunk.map { case (id, df) => Profiler.sketchValueStream(df, id) }
-        .reduce(_.unionAll(_))
-      val types = chunk.flatMap { case (id, df) =>
-        Profiler.sketchCols(df).map { case (c, t) => (id, c) -> t }
-      }.toMap
-      Profiler.assembleSketchVectors(Profiler.histogramQuantiles(stream), types)
-        .write.mode(SaveMode.Overwrite)
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("dataset_id").parquet(sketchDir)
+                     unionChunk: Int = defaultUnionChunk,
+                     pullBound: Int = maxIdsPerPull): DataFrame = {
+    var todo = pullPending(spark, catalogDir, "status", pullBound)
+    while (todo.nonEmpty) {
+      val (ok, bad) = validatePending(spark, lakeDir, todo)(
+        df => Profiler.sketchCols(df).nonEmpty)
+      ok.grouped(unionChunk).foreach { chunk =>
+        val stream = chunk.map { case (id, df) => Profiler.sketchValueStream(df, id) }
+          .reduce(_.unionAll(_))
+        val types = chunk.flatMap { case (id, df) =>
+          Profiler.sketchCols(df).map { case (c, t) => (id, c) -> t }
+        }.toMap
+        Profiler.assembleSketchVectors(Profiler.histogramQuantiles(stream), types)
+          .write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("dataset_id").parquet(sketchDir)
+      }
+      applyStatuses(spark, catalogDir, "status", ok.map(_._1), bad)
+      // every pulled id flipped to done/error above, so the next pull is
+      // the next slice of the backlog; empty pull = drained
+      todo = pullPending(spark, catalogDir, "status", pullBound)
     }
-    applyStatuses(spark, catalogDir, "status", ok.map(_._1), bad)
+    spark.read.parquet(catalogDir).select("dataset_id", "status")
   }
 
   /** The second work queue (ST2, profiler_tfidf.py:9-68): for every dataset
@@ -175,35 +198,36 @@ object Catalog {
     */
   def enrichFreqsPending(spark: SparkSession, catalogDir: String, lakeDir: String,
                          freqsDir: String, k: Int = 10,
-                         unionChunk: Int = defaultUnionChunk): DataFrame = {
-    import spark.implicits._
-    val todo = pending(spark, catalogDir, "freqs_status")
-      .select("dataset_id").as[String].collect().toSeq
-    if (todo.isEmpty)
-      return spark.read.parquet(catalogDir).select("dataset_id", "freqs_status")
-    val (ok, bad) = validatePending(spark, lakeDir, todo)(_ => true)
-    // chunked like profilePending — the per-(dataset, column) TF ranking is
-    // dataset-local, so chunk boundaries cannot change any result
-    ok.grouped(unionChunk).foreach { chunk =>
-      val tokenStreams = chunk.flatMap { case (id, df) =>
-        Profiler.typedColumns(df, "Categorical").map { c =>
-          df.select(lit(id).as("dataset_id"), lit(c).as("col_name"),
-              explode(split(lower(col(c)), " ")).as("term"))
-            .filter(col("term") =!= "")
+                         unionChunk: Int = defaultUnionChunk,
+                         pullBound: Int = maxIdsPerPull): DataFrame = {
+    var todo = pullPending(spark, catalogDir, "freqs_status", pullBound)
+    while (todo.nonEmpty) {
+      val (ok, bad) = validatePending(spark, lakeDir, todo)(_ => true)
+      // chunked like profilePending — the per-(dataset, column) TF ranking is
+      // dataset-local, so chunk boundaries cannot change any result
+      ok.grouped(unionChunk).foreach { chunk =>
+        val tokenStreams = chunk.flatMap { case (id, df) =>
+          Profiler.typedColumns(df, "Categorical").map { c =>
+            df.select(lit(id).as("dataset_id"), lit(c).as("col_name"),
+                explode(split(lower(col(c)), " ")).as("term"))
+              .filter(col("term") =!= "")
+          }
+        }
+        tokenStreams.reduceOption(_.unionAll(_)).foreach { tokens =>
+          val tf = tokens.groupBy("dataset_id", "col_name", "term")
+            .agg(count(lit(1)).as("tf"))
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("dataset_id", "col_name")
+            .orderBy(col("tf").desc, col("term").asc)
+          tf.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+            .write.mode(SaveMode.Overwrite)
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("dataset_id").parquet(freqsDir)
         }
       }
-      tokenStreams.reduceOption(_.unionAll(_)).foreach { tokens =>
-        val tf = tokens.groupBy("dataset_id", "col_name", "term")
-          .agg(count(lit(1)).as("tf"))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("dataset_id", "col_name")
-          .orderBy(col("tf").desc, col("term").asc)
-        tf.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-          .write.mode(SaveMode.Overwrite)
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("dataset_id").parquet(freqsDir)
-      }
+      applyStatuses(spark, catalogDir, "freqs_status", ok.map(_._1), bad)
+      todo = pullPending(spark, catalogDir, "freqs_status", pullBound)
     }
-    applyStatuses(spark, catalogDir, "freqs_status", ok.map(_._1), bad)
+    spark.read.parquet(catalogDir).select("dataset_id", "freqs_status")
   }
 }

@@ -266,10 +266,17 @@ object CorpusStream {
     * verifies against the token-set table
     * ([[graft.extra.Dedup.bandSignatures]]/[[graft.extra.Dedup.tokenArraysOf]]),
     * so NO stage re-derives anything corpus-sized from raw text per
-    * micro-batch. All three thunks re-resolve per batch; a maintainer
-    * appends each admitted batch's fingerprint/signature/token rows
-    * (increment ≡ full rebuild is spec-locked in DedupSpec) to keep every
-    * stage judging against the freshest corpus.
+    * micro-batch. All thunks re-resolve per batch; a maintainer appends
+    * each admitted batch's fingerprint/signature/token rows (increment ≡
+    * full rebuild is spec-locked in DedupSpec) to keep every stage judging
+    * against the freshest corpus.
+    *
+    * With `corpusGrams` set (the stored [[graft.extra.Dedup.gramStats]]
+    * artifact), the ladder gains the ExactSubstr stage: each verdict row
+    * carries (n_dup_spans, n_dup_tokens) — the document's verbatim
+    * duplicated-span coverage against the corpus and the batch — probed
+    * per micro-batch in O(batch + candidates), maintained via
+    * [[graft.extra.Dedup.appendGramAdmitted]].
     */
   def curateStreamIndexed(stream: DataFrame,
                           corpusFingerprints: () => DataFrame,
@@ -277,7 +284,9 @@ object CorpusStream {
                           corpusToks: () => DataFrame,
                           idCol: String = "doc_id", textCol: String = "text",
                           tsCol: String = "ts", horizon: String = "1 hour",
-                          threshold: Double = 0.9)
+                          threshold: Double = 0.9,
+                          corpusGrams: Option[() => DataFrame] = None,
+                          minSpanLen: Int = 12)
                          (onVerdict: (DataFrame, Long) => Unit): StreamingQuery = {
     val gated = signalGateOn(stream, idCol, textCol,
       passthrough = Seq(textCol, tsCol))
@@ -285,7 +294,38 @@ object CorpusStream {
       .select(col("doc_id").as(idCol), col(textCol), col(tsCol))
     val inStream = dedupStreamOn(gated, textCol, tsCol, horizon)
     val vsCorpus = dedupAgainstCorpus(inStream, corpusFingerprints(), textCol)
-    admitStreamIndexed(vsCorpus.select(col(idCol), col(textCol)),
-      corpusSigs, corpusToks, idCol, textCol, threshold)(onVerdict)
+    val slim = vsCorpus.select(col(idCol), col(textCol))
+    corpusGrams match {
+      case None =>
+        admitStreamIndexed(slim, corpusSigs, corpusToks, idCol, textCol,
+          threshold)(onVerdict)
+      case Some(grams) =>
+        // ExactSubstr stage: verdicts gain per-doc verbatim-span coverage
+        // (n_dup_spans, n_dup_tokens — 0 when clean) probed from the STORED
+        // gram artifact ([[graft.extra.Dedup.trainedGramIndex]]), so the
+        // ladder can also gate on verbatim duplication. Still O(batch +
+        // candidates) per micro-batch: the batch is grammed once; the
+        // corpus-sized artifact is only equi-join-probed. `keep` stays the
+        // near-dup verdict — span coverage is a separate signal with its
+        // own (corpus-dependent) thresholds, handed to the caller raw.
+        // Equivalence to the batch sweep is spec-locked (DedupSpec /
+        // EventWindowsSpec).
+        slim.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+          try {
+            val b = graft.Caching.temp(batch)
+            val v = graft.extra.Dedup.minhashIncrementalIndexed(
+              corpusSigs(), corpusToks(), b, idCol, textCol, threshold)
+            val spans = graft.extra.Dedup.dupSubstringSpansIndexed(
+              grams(), b, idCol, textCol, minSpanLen)
+            val stats = graft.extra.Dedup.spanStats(spans)
+            onVerdict(
+              v.join(stats, Seq("doc_id"), "left")
+                .withColumn("n_dup_spans",
+                  coalesce(col("n_dup_spans"), lit(0L)))
+                .withColumn("n_dup_tokens",
+                  coalesce(col("n_dup_tokens"), lit(0L))), id)
+          } finally graft.Caching.release()
+        }.start()
+    }
   }
 }

@@ -95,6 +95,32 @@ class CatalogSpec extends AnyFunSuite {
     assert(skChunked == skWide, "sketch table must not depend on chunking")
   }
 
+  test("bounded driver pulls drain the whole backlog across iterations") {
+    // pullBound=1 forces one-id-at-a-time driver pulls: the drain loop must
+    // still flip every status and write every sketch, and the results must
+    // equal the single-pull pass — the bound only caps driver memory
+    val tables = Seq("nation", "region", "customer")
+    def run(bound: Int): (Map[String, String], Set[(String, String)]) = {
+      val catalogDir = Files.createTempDirectory("catP").toString + "/cat"
+      val sketchDir = Files.createTempDirectory("sketchP").toString
+      Catalog.publish(
+        Catalog.fixtureDescriptors(spark, SparkTestSession.sf0001, tables),
+        catalogDir)
+      val st = Catalog.profilePending(spark, catalogDir, SparkTestSession.sf0001,
+        sketchDir, pullBound = bound)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      val sk = spark.read.parquet(sketchDir)
+        .select("dataset_id", "col_name").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      (st, sk)
+    }
+    val (stOne, skOne) = run(1)
+    val (stAll, skAll) = run(Catalog.maxIdsPerPull)
+    assert(stOne.values.forall(_ == "done") && stOne.keySet == tables.toSet)
+    assert(stOne == stAll && skOne == skAll,
+      "drain result must not depend on the pull bound")
+  }
+
   test("catalogue CSV → pending descriptors (eodp_publisher path)") {
     val dir = Files.createTempDirectory("cat_csv")
     val csv = dir.resolve("catalogue.csv")

@@ -511,6 +511,40 @@ class DedupSpec extends AnyFunSuite {
       s"got $got")
   }
 
+  test("dupSubstringSpans selfRepeats: within-doc repeats flag, unique text does not") {
+    // same fixture as the cross-doc control. selfRepeats=true is Lee et
+    // al.'s >= 2 occurrences OVERALL: d3's "x y z" now flags (repeated
+    // inside d3 at pos 1 and 7), the cross-doc spans stay, and unique
+    // middles ("k k k", d4's "m n"/"s") still don't.
+    val df = Seq(
+      (1L, "a b c d e f g h p q r"),
+      (2L, "z z c d e f w w"),
+      (3L, "x y z k k k x y z"),
+      (4L, "m n p q r s")).toDF("doc_id", "text")
+    val got = Dedup.dupSubstringSpans(df, "doc_id", "text", 3,
+        selfRepeats = true).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(
+      (1L, 3L, 4L), (1L, 9L, 3L),
+      (2L, 3L, 4L),
+      (3L, 1L, 3L), (3L, 7L, 3L),
+      (4L, 3L, 3L)),
+      s"got $got")
+    // and the self criterion SUPERSETS the cross-doc default on real data
+    val docs = Tables.load(spark, SparkTestSession.sf0001, "documents")
+      .filter(col("doc_id") < 400)
+    val cross = Dedup.dupSubstringSpans(docs, "doc_id", "text", 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val self = Dedup.dupSubstringSpans(docs, "doc_id", "text", 5,
+      selfRepeats = true).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every cross-doc duplicated token position is covered by a self span
+    def covered(spans: Seq[(Long, Long, Long)]) =
+      spans.flatMap { case (d, s, l) => (s until s + l).map(d -> _) }.toSet
+    assert(covered(cross).subsetOf(covered(self)),
+      "self-repeat coverage must superset cross-doc coverage")
+  }
+
   test("dupSubstringSpans coverage equals dedupSpans removal at w = minLen") {
     // the spans report and the removal transform are twins: per doc the
     // span-length sum must equal dedupSpans' n_removed token count
@@ -597,6 +631,73 @@ class DedupSpec extends AnyFunSuite {
         s, t, batch, "doc_id", "text", 0.8))
       == asMap(Dedup.minhashIncremental(grown, batch, "doc_id", "text", 0.8)),
       "compacted index must judge like a fresh build over the grown corpus")
+    Dedup.resetIndex(spark, key)
+  }
+
+  test("dupSubstringSpansIndexed equals the batch sweep on corpus ∪ batch") {
+    val docs = Tables.load(spark, SparkTestSession.sf0001, "documents")
+    val corpus = docs.filter(col("doc_id") < 200).select("doc_id", "text")
+    val batch = docs.filter(col("doc_id") >= 200 && col("doc_id") < 300)
+      .select((col("doc_id") + 50000L).as("doc_id"), col("text"))
+    val batchIds = batch.select("doc_id").collect().map(_.getLong(0)).toSet
+    def spans(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    for (self <- Seq(false, true)) {
+      val got = spans(Dedup.dupSubstringSpansIndexed(
+        Dedup.gramStats(corpus, "doc_id", "text", 5),
+        batch, "doc_id", "text", 5, selfRepeats = self))
+      val want = spans(Dedup.dupSubstringSpans(
+        corpus.unionByName(batch), "doc_id", "text", 5, selfRepeats = self))
+        .filter(s => batchIds.contains(s._1))
+      assert(got == want,
+        s"selfRepeats=$self: indexed probe must equal the batch sweep " +
+          s"restricted to batch docs")
+      assert(want.nonEmpty, "fixture must exercise duplicated spans")
+    }
+  }
+
+  test("gram artifact maintenance: O(batch) appends, summing compaction") {
+    val docs = Tables.load(spark, SparkTestSession.sf0001, "documents")
+    val corpus = docs.filter(col("doc_id") < 100).select("doc_id", "text")
+    def slice(lo: Long, hi: Long, off: Long) =
+      docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+        .select((col("doc_id") + off).as("doc_id"), col("text"))
+    val key = "spec#grams"
+    Dedup.resetIndex(spark, key)
+    assert(!Dedup.appendGramAdmitted(slice(100, 120, 10000),
+      "doc_id", "text", key), "no index memoized: append is a no-op")
+    val g1 = Dedup.trainedGramIndex(corpus, "doc_id", "text", key, 5)
+    assert(Dedup.appendGramAdmitted(slice(100, 120, 10000),
+      "doc_id", "text", key, 5))
+    // O(batch) shape: corpus segment untouched (reference identity)
+    val segs = Dedup.gramSegmentsOf(spark, key)
+    assert(segs.size == 2 && (segs.head eq g1),
+      "append must store only a new batch segment")
+    // the grown artifact probes exactly like a fresh build over the union
+    val grown = corpus.unionByName(slice(100, 120, 10000))
+    val batch2 = slice(120, 160, 20000)
+    def spans(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val viaMemo = spans(Dedup.dupSubstringSpansIndexed(
+      Dedup.trainedGramIndex(grown, "doc_id", "text", key, 5),
+      batch2, "doc_id", "text", 5))
+    val viaFresh = spans(Dedup.dupSubstringSpansIndexed(
+      Dedup.gramStats(grown, "doc_id", "text", 5),
+      batch2, "doc_id", "text", 5))
+    assert(viaMemo == viaFresh && viaFresh.nonEmpty,
+      "maintained gram artifact must probe like a fresh build")
+    // compaction sums counts exactly (maxSegments=2 forces the fold)
+    assert(Dedup.appendGramAdmitted(batch2, "doc_id", "text", key, 5,
+      maxSegments = 2))
+    assert(Dedup.gramSegmentCount(spark, key) == 1,
+      "append past maxSegments must compact to one segment")
+    val compacted = Dedup.gramSegmentsOf(spark, key).head.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val fresh = Dedup.gramStats(grown.unionByName(batch2),
+      "doc_id", "text", 5).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(compacted == fresh,
+      "compacted per-gh counts must equal a from-scratch aggregate")
     Dedup.resetIndex(spark, key)
   }
 

@@ -336,6 +336,44 @@ class EventWindowsSpec extends AnyFunSuite {
     try q2.processAllAvailable() finally q2.stop()
     assert(verdicts2.toMap == batch,
       s"indexed ladder verdicts $verdicts2 must equal batch verdicts $batch")
+
+    // the ExactSubstr stage: same ladder with the stored gram artifact —
+    // verdicts unchanged, and each batch doc carries its verbatim-span
+    // coverage (vs corpus ∪ its own micro-batch, per-micro-batch batch twin)
+    val grams = Dedup.gramStats(corpus, "doc_id", "text", 12)
+    val spanCov = scala.collection.mutable.Map.empty[Long, (Long, Long, Long)]
+    val stream3 = spark.readStream.schema(b1.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val microBatches =
+      scala.collection.mutable.ArrayBuffer.empty[Seq[(Long, String)]]
+    val q3 = graft.streaming.CorpusStream.curateStreamIndexed(
+      stream3, () => fps, () => sigs, () => ctoks,
+      corpusGrams = Some(() => grams)) { (v, _) =>
+      val rows = v.select("doc_id", "keep", "n_dup_spans", "n_dup_tokens")
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      spanCov.synchronized { spanCov ++= rows }
+    }
+    try q3.processAllAvailable() finally q3.stop()
+    assert(spanCov.view.mapValues(_._1).toMap == batch,
+      "gram-stage ladder must not change the near-dup verdicts")
+    // doc 5 shares long verbatim runs with the corpus (one word changed
+    // mid-document): spans on both sides of the edit; fresh docs are clean
+    val (k5, s5, t5) = spanCov(5L)
+    assert(s5 >= 1 && t5 >= 24,
+      s"near-dup doc must show verbatim span coverage, got $spanCov")
+    assert(spanCov(1L)._3 == 0L && spanCov(6L)._3 == 0L,
+      s"fresh docs carry zero duplicated-span tokens: $spanCov")
+    // per-micro-batch equivalence: doc 5's coverage equals the batch sweep
+    // over corpus ∪ {5, 6} (its micro-batch after gating/dedup)
+    val mb = Seq((5L, nearDup), (6L, freshB)).toDF("doc_id", "text")
+    val want5 = Dedup.spanStats(Dedup.dupSubstringSpans(
+        corpus.unionByName(mb), "doc_id", "text", 12))
+      .filter(col("doc_id") === 5L).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).headOption.getOrElse((0L, 0L))
+    assert((s5, t5) == want5,
+      s"stream span stats ($s5,$t5) must equal batch twin $want5")
+    assert(k5 == 0L)
   }
 
   test("funnel: strict ordering per user, stages narrow") {

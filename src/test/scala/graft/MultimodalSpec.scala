@@ -186,6 +186,56 @@ class MultimodalSpec extends AnyFunSuite {
       one.indices.map(_ * 1000L).toSeq)
   }
 
+  test("non-JDK codec contract: H.264 payloads ride the fallback seam") {
+    // The FINAL boundary decision (COVERAGE.md): codecs the JDK lacks
+    // (H.264/VP9) are served by the fallback seam, not a hand-rolled
+    // decoder — ByteStatsWorker gives deterministic byte-level features,
+    // and a production deployment swaps a real decoder in AT THE SAME SEAM
+    // with no plan change. This locks both halves of that contract.
+    import spark.implicits._
+    // an H.264 Annex-B-shaped payload: 4-byte start codes + NAL headers
+    // (SPS 0x67, PPS 0x68, IDR 0x65) followed by opaque slice bytes
+    def nal(header: Int, n: Int) =
+      Array[Byte](0, 0, 0, 1, header.toByte) ++
+        Array.tabulate(n)(i => ((i * 37 + header) % 251).toByte)
+    val h264 = nal(0x67, 24) ++ nal(0x68, 8) ++ nal(0x65, 4096)
+    val m = Seq((1L, h264, "video"), (2L, null.asInstanceOf[Array[Byte]], "video"),
+        (3L, Array.empty[Byte], "video"))
+      .toDF("doc_id", "media", "media_type")
+    val viaFallback = Multimodal.extractFeatures(m, 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](2)).toMap
+    // deterministic, fixed-width, non-degenerate on the real payload;
+    // null/empty payloads yield the zero vector rather than failing
+    assert(viaFallback(1L).length == 16 && viaFallback(1L).exists(_ != 0f))
+    assert(viaFallback(2L).forall(_ == 0f) && viaFallback(3L).forall(_ == 0f))
+    val again = Multimodal.extractFeatures(m, 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](2)).toMap
+    assert(again == viaFallback, "fallback features must be deterministic")
+    // the seam: a custom decoder (stand-in for JavaCV/a codec process)
+    // plugs in with IDENTICAL schema and row set — only features change
+    object NalCountWorker extends Multimodal.DecodeWorker {
+      val dim = 16
+      def decode(bytes: Array[Byte]): Array[Float] = {
+        val out = new Array[Float](dim)
+        if (bytes == null || bytes.length < 5) return out
+        var i = 0
+        while (i + 4 < bytes.length) {
+          if (bytes(i) == 0 && bytes(i + 1) == 0 && bytes(i + 2) == 0 &&
+            bytes(i + 3) == 1) out((bytes(i + 4) & 0x1f) % dim) += 1f
+          i += 1
+        }
+        out
+      }
+    }
+    val viaCustom = Multimodal.extractFeatures(m, NalCountWorker)
+    assert(viaCustom.columns.toSeq ==
+      Seq("doc_id", "media_type", "features"))
+    val cust = viaCustom.collect().map(r => r.getLong(0) -> r.getSeq[Float](2)).toMap
+    assert(cust.keySet == viaFallback.keySet)
+    // SPS(7), PPS(8), IDR(5) each seen once through the seam
+    assert(cust(1L)(7) == 1f && cust(1L)(8) == 1f && cust(1L)(5) == 1f)
+  }
+
   test("resizeMeta caps the longer side, keeps payload untouched") {
     val resized = Multimodal.resizeMeta(media, 128)
     val r = resized.select(col("meta.width"), col("meta.height")).collect()
