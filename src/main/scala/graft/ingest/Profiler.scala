@@ -126,17 +126,34 @@ object Profiler {
       // ceiling-magnitude rows, where Spark's non-ANSI decimal sum goes NULL
       // silently while DuckDB's HUGEINT errors — the engines would diverge
       // exactly where the exact-sum discipline should protect. So xm² is
-      // split hi/lo around 10¹⁸ (both parts integer-exact, q ≥ 0 so DIV/MOD
-      // agree across engines): Σhi ≤ n·8.1·10¹³ and Σlo ≤ n·10¹⁸ keep
-      // decimal(38,0) safe past 10²⁰ rows, and the recombine is the same
-      // two-op IEEE sequence in the oracle twin.
+      // split hi/lo around 10¹⁸: hi = xm² DIV 1e18, lo = xm² MOD 1e18, with
+      // Σhi ≤ n·8.1·10¹³ and Σlo ≤ n·10¹⁸ keeping decimal(38,0) safe past
+      // 10²⁰ rows, and the recombine the same two-op IEEE sequence in the
+      // oracle twin (which computes the identical hi/lo on HUGEINT).
+      //
+      // The per-row split is PURE LONG arithmetic (the CovMoments carry
+      // trick), not decimal: a first decimal cut (xm² as decimal(38,0),
+      // DIV/% on it) measured 4× the whole query — BigDecimal multiply +
+      // 128-bit division per row off the codegen fast path. With
+      // a = |xm| = aH·10⁹ + aL: a² = (aH² + cH)·10¹⁸ + L where
+      // cross = 2·aH·aL = cH·10⁹ + cL and L = cL·10⁹ + aL² < 2·10¹⁸ — every
+      // intermediate fits a long (max ~1.8·10¹⁶ for cross, ~2·10¹⁸ for L),
+      // one more carry off L lands exact (hi, lo). Only the two SUMS are
+      // decimal. NULL propagates through, so count semantics are unchanged.
       val xm = round(d * lit(1e6)).cast("decimal(19,0)")
-      val xmSql = s"CAST(round(CAST(`$c` AS DOUBLE) * 1000000) AS DECIMAL(19,0))"
       val s1 = sum(xm.cast("decimal(38,0)"))
+      val aa = s"abs(CAST(round(CAST(`$c` AS DOUBLE) * 1000000) AS BIGINT))"
+      val aH = s"($aa DIV 1000000000)"
+      val aL = s"($aa % 1000000000)"
+      val cr = s"(2 * $aH * $aL)"
+      val cH = s"($cr DIV 1000000000)"
+      val cL = s"($cr % 1000000000)"
+      val Lx = s"($cL * 1000000000 + $aL * $aL)"
       val s2hi = sum(expr(
-        s"CAST(($xmSql * $xmSql) DIV 1000000000000000000 AS DECIMAL(38,0))"))
+        s"CAST($aH * $aH + $cH + ($Lx DIV 1000000000000000000)" +
+          " AS DECIMAL(38,0))"))
       val s2lo = sum(expr(
-        s"CAST(($xmSql * $xmSql) % 1000000000000000000 AS DECIMAL(38,0))"))
+        s"CAST($Lx % 1000000000000000000 AS DECIMAL(38,0))"))
       val s2d = s2hi.cast(DoubleType) * lit(1e18) + s2lo.cast(DoubleType)
       val n = count(d)
       Seq(

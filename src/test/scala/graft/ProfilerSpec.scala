@@ -46,6 +46,37 @@ class ProfilerSpec extends AnyFunSuite {
     assert(r.getAs[Double]("vmin") == 1.0 && r.getAs[Double]("vmax") == 3.0)
   }
 
+  test("second moment is exact at the magnitude ceiling (no silent overflow)") {
+    // 2000 rows near the documented |x| ≲ 9·10⁹ ceiling: xm² ≈ 8.1·10³¹
+    // each, so a single decimal(38,0) Σxm² would overflow (NULL) within
+    // ~10⁶ rows at corpus scale — this fixture locks the hi/lo long-carry
+    // split against an independent BigInt computation of the same formula
+    val vals = (0 until 2000).map(i =>
+      (if (i % 2 == 0) 1 else -1) * (8.9e9 + i * 1.7 + (i % 7) * 0.000013))
+    val df = vals.toDF("v")
+    val r = Profiler.numericStats(df, "t").collect()(0)
+    // independent: exact integer micros via BigInt, then the identical
+    // IEEE tail (hi/lo recombine, cancellation, sqrt, round 6)
+    val xms = vals.map(v => BigInt(math.round(v * 1e6)))
+    val n = xms.length.toLong
+    val s1 = xms.sum
+    // per-ROW hi/lo then sum — the engine's (and oracle's) exact sequence:
+    // Σhi·1e18 + Σlo recombines to Σxm² in VALUE but not in carries, so the
+    // double recombine must mirror the per-row split, not a total split
+    val e18 = BigInt("1000000000000000000")
+    val hi = xms.map(x => (x * x) / e18).sum
+    val lo = xms.map(x => (x * x) % e18).sum
+    val s2d = hi.toDouble * 1e18 + lo.toDouble
+    val s1d = s1.toDouble
+    val expectStd = BigDecimal(math.sqrt(math.max(
+      (s2d - s1d * s1d / n) / (n - 1), 0.0)) / 1e6)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Long]("n") == n)
+    assert(r.getAs[Double]("std") == expectStd,
+      s"std ${r.getAs[Double]("std")} != independent $expectStd")
+    assert(!r.isNullAt(r.fieldIndex("std")), "overflow must not NULL the std")
+  }
+
   test("quantileSketch produces 7-dim [min,5,25,50,75,95,max] vectors") {
     val df = (1 to 100).map(_.toDouble).toDF("v")
     val r = Profiler.quantileSketch(df, "t").collect()(0)
