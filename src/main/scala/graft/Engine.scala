@@ -66,22 +66,21 @@ object Engine {
     val queryCols =
       if (req.content.columns.isEmpty) None
       else Some(req.content.columns.keys.toSeq)
-    // query-scoped pin: the ranked lists feed candidateEdges through two
-    // small broadcast sides (candidate ids, kth) whose build jobs would
-    // each re-execute the kNN window pipeline (see graft.Caching)
-    val ranked = Caching.temp(DistanceJoin.knn(sketch, req.queryId, req.m,
-      req.l, queryCols = queryCols))
+    // request-bounded ranked list, materialized once as a LocalRelation
+    // (DistanceJoin.localRanked): its two consumers (candidate ids, kth)
+    // then broadcast without a job each
+    val ranked = DistanceJoin.localRanked(DistanceJoin.knn(sketch,
+      req.queryId, req.m, req.l, queryCols = queryCols))
 
-    val meta = CombinedScorer.datasetMetadata(spark, dir)
     // per-field query text: each selected metadata field is matched against
     // the query dataset's own value for that field (metadata_search.py:14-24),
     // with the user's normalized per-field weights (dataset_graph.py:102-112)
-    val qRow = meta.filter(col("dataset_id") === req.queryId)
-      .select("title", "keywords", "description").head()
+    val (qTitle, qKeywords, qDesc) =
+      CombinedScorer.queryMetaRow(spark, dir, req.queryId)
     val fieldText = Map(
-      "title" -> qRow.getString(0),
-      "keywords" -> qRow.getString(1),
-      "description" -> qRow.getString(2))
+      "title" -> qTitle,
+      "keywords" -> qKeywords,
+      "description" -> qDesc)
     val fieldSpecs = normalize(req.metadata.fields).toSeq.sortBy(_._1).map {
       case (f, w) =>
         (f, w, fieldText(f).toLowerCase.split(" ").filter(_.nonEmpty).distinct.toSeq)
@@ -103,7 +102,7 @@ object Engine {
     // non-uniform weights multiply the edge micros BEFORE it.
     val content =
       if (req.content.columns.isEmpty) {
-        val nQueryCols = sketch.filter(col("dataset_id") === req.queryId).count()
+        val nQueryCols = Sketches.columnCount(spark, dir, req.queryId)
         Matcher.contentScoresExact(edges, nQueryCols)
       } else {
         Matcher.contentScoresExactWeighted(edges, microWeights(req.content.columns))

@@ -78,6 +78,28 @@ object CombinedScorer {
       }.toDF("dataset_id", "title", "keywords", "description").cache()
     })
 
+  private val qRowCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String, String), (String, String, String)]
+
+  /** One query dataset's (title, keywords, description), memoized per
+    * (session, dir, dataset): every request reads its OWN metadata row to
+    * build the per-field query terms, and without the memo that is a head()
+    * JOB per request — driver latency on the warm serving path. Demand-
+    * filled (footprint = the queried working set, same discipline as
+    * [[graft.search.Sketches.columnCount]]); the backing corpus is the
+    * session-cached [[datasetMetadata]], which has no invalidation path, so
+    * a row memo on top introduces no new staleness class.
+    */
+  def queryMetaRow(spark: SparkSession, dir: String, queryId: String)
+  : (String, String, String) =
+    qRowCache.getOrElseUpdate(
+      (spark.sparkContext.applicationId, dir, queryId), {
+        val r = datasetMetadata(spark, dir)
+          .filter(col("dataset_id") === queryId)
+          .select("title", "keywords", "description").head()
+        (r.getString(0), r.getString(1), r.getString(2))
+      })
+
   private val metaTfCache =
     scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
 
@@ -112,26 +134,25 @@ object CombinedScorer {
       if (wContent + wMetadata <= 0) 0.5
       else wContent / (wContent + wMetadata)
     val sketch = Sketches.cachedAll(spark, dir)
-    // query-scoped pin: the ranked lists feed candidateEdges through two
-    // small broadcast sides (candidate ids, kth) whose build jobs would
-    // each re-execute the kNN window pipeline (see graft.Caching)
-    val ranked = graft.Caching.temp(DistanceJoin.knn(sketch, queryId, m, l))
-    val meta = datasetMetadata(spark, dir)
+    // request-bounded ranked list, materialized once as a LocalRelation
+    // (DistanceJoin.localRanked): its two consumers (candidate ids, kth)
+    // then broadcast without a job each
+    val ranked = DistanceJoin.localRanked(
+      DistanceJoin.knn(sketch, queryId, m, l))
     // Each metadata field is queried with the query dataset's OWN text for
     // that field (metadata_search.py:14-24: keywords vs keywords, title vs
     // title, description vs description), with the UI's normalized per-field
     // weights (dataset_graph.py:102-112) — uniform thirds when all three
     // fields are selected.
-    val qRow = meta.filter(col("dataset_id") === queryId)
-      .select("title", "keywords", "description").head()
+    val (qTitle, qKeywords, qDesc) = queryMetaRow(spark, dir, queryId)
     def terms(s: String): Seq[String] =
       s.toLowerCase.split(" ").filter(_.nonEmpty).distinct.toSeq
     val w = 1.0 / 3
     val metaScores = Bm25.multiFieldWithTf(
         metaTermFreqs(spark, dir).filter(col("doc_id") =!= queryId),
-        Seq(("title", w, terms(qRow.getString(0))),
-            ("keywords", w, terms(qRow.getString(1))),
-            ("description", w, terms(qRow.getString(2)))))
+        Seq(("title", w, terms(qTitle)),
+            ("keywords", w, terms(qKeywords)),
+            ("description", w, terms(qDesc))))
       .select(col("doc_id").as("c_dataset"), col("score").as("metadata_score"))
     // pinned: consumed by candidateEdges (extra candidates) AND the final
     // combine — one BM25 pass instead of two
@@ -147,7 +168,7 @@ object CombinedScorer {
     // every candidate UNnormalized, consistently.
     val edges = DistanceJoin.candidateEdges(sketch, queryId, ranked,
       extraCandidates = Some(metaScoresP.select("c_dataset")))
-    val nQueryCols = sketch.filter(col("dataset_id") === queryId).count()
+    val nQueryCols = Sketches.columnCount(spark, dir, queryId)
     // exact micro-weight matching (Matcher.contentScoresExact): argmax on
     // integer micros, uniform 1/nQueryCols applied after — identical scores
     // in any engine, which is what lets the DuckDB oracle cover this path

@@ -202,6 +202,21 @@ object DistanceJoin {
     * the ranked lists. This is a join against the sketch table restricted to
     * candidate datasets — a broadcast of candidate ids at scale.
     */
+  /** Materialize a ranked list as a LocalRelation. Ranked lists are
+    * REQUEST-bounded by construction (≤ m rows per query column — the same
+    * driver-side object the reference's TA combiner iterates,
+    * combined_search.py:44-111), so the collect is m·#query-columns rows
+    * regardless of lake scale. One collect replaces the query-scoped
+    * persist whose cached plan each consumer (the kth table, the candidate
+    * ids) re-scanned as its own broadcast-build JOB — with a LocalRelation
+    * every downstream join embeds the list as a LocalTableScan that
+    * broadcasts without a job, cutting per-request driver latency on the
+    * warm serving path.
+    */
+  def localRanked(ranked: DataFrame): DataFrame =
+    ranked.sparkSession.createDataFrame(
+      java.util.Arrays.asList(ranked.collect(): _*), ranked.schema)
+
   def candidateEdges(sketch: DataFrame, queryId: String, ranked: DataFrame,
                      decay: Double = 0.01,
                      extraCandidates: Option[DataFrame] = None,

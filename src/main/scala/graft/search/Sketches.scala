@@ -210,9 +210,33 @@ object Sketches {
     * by design. Safe on a refreshed (checkpointed) entry too: the entry is
     * removed from the cache first, so nothing can re-reference its blocks.
     */
-  def reset(spark: SparkSession, dir: String): Unit =
-    cache.remove((spark.sparkContext.applicationId, dir))
-      .foreach(_.unpersist(blocking = false))
+  def reset(spark: SparkSession, dir: String): Unit = {
+    val appId = spark.sparkContext.applicationId
+    cache.remove((appId, dir)).foreach(_.unpersist(blocking = false))
+    colCountCache.keys.filter(k => k._1 == appId && k._2 == dir)
+      .foreach(colCountCache.remove)
+  }
+
+  private val colCountCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String, String), Long]
+
+  /** Number of index rows (= profiled columns) of one dataset, memoized per
+    * (session, dir, dataset). Every search request needs its query's column
+    * count for the uniform matching weight; without the memo each request
+    * pays a count JOB over the pinned index — pure driver/scheduling
+    * latency on the warm serving path. The memo is demand-filled, so its
+    * footprint is bounded by the QUERIED working set (never #datasets — at
+    * lake scale the index has ~10^8 rows and an eager per-dataset count
+    * map would not be catalog-sized). Entries drop on [[reset]] and on
+    * [[refreshDataset]] for the refreshed dataset (a refresh can change a
+    * dataset's column set).
+    */
+  def columnCount(spark: SparkSession, dir: String, datasetId: String): Long =
+    colCountCache.getOrElseUpdate(
+      (spark.sparkContext.applicationId, dir, datasetId),
+      cachedAll(spark, dir)
+        .filter(org.apache.spark.sql.functions.col("dataset_id") === datasetId)
+        .count())
 
   def cachedNumericTemporal(spark: SparkSession, dir: String): DataFrame =
     cachedAll(spark, dir).filter(org.apache.spark.sql.functions.col("col_type")
@@ -261,6 +285,7 @@ object Sketches {
         case _: org.apache.spark.sql.execution.LogicalRDD => ()
       }.isDefined
       if (!oldIsCheckpoint) old.unpersist(blocking = false)
+      colCountCache.remove((key._1, dir, datasetId))
       updatedPinned
     }
   }
