@@ -94,6 +94,22 @@ object Bench {
               org.apache.spark.sql.functions.col("doc_id")) < 80),
             "doc_id", "text", s"$sfDir#dedup_idx")
           ()
+        }),
+      ("train_pairs",
+        () => extra.Dedup.resetPairs(spark, sfDir),
+        () => {
+          // the shared 0.95 near-dup pair artifacts (exact + LSH) probed by
+          // dedup_canonical/dedup_clusters/hard_negatives/doc_pagerank —
+          // built once here, consumers measure steady-state consumer cost
+          val docs = Tables.load(spark, sfDir, "documents")
+            .filter(org.apache.spark.sql.functions.col("doc_id")
+              < SparkEntry.DocBound)
+          // pinArtifact is eager — each call materializes its artifact
+          extra.Dedup.trainedPairs(docs, "doc_id", "text", 0.95,
+            s"$sfDir#pairs@0.95")
+          extra.Dedup.trainedPairs(docs, "doc_id", "text", 0.95,
+            s"$sfDir#pairs_lsh@0.95", lsh = true)
+          ()
         }))
     val trained = trainSteps
       .filter { case (name, _, _) => only.forall(_.contains(name)) }

@@ -52,9 +52,49 @@ object Caching {
     * gate covers the in-session form.
     */
   def pinArtifact(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-      df.checkpoint()
-    else df.localCheckpoint()
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) {
+      val out = df.checkpoint()
+      // record the reliable checkpoint's backing directory so a superseded
+      // artifact's files can be RECLAIMED: Spark's ContextCleaner only
+      // deletes reliable checkpoint files under
+      // spark.cleaner.referenceTracking.cleanCheckpoints=true (a
+      // construction-time conf this library can't set on a caller's
+      // session), so without explicit tracking every compaction/reset in a
+      // long-lived cluster session would grow the checkpoint dir unboundedly
+      // (ADVICE r12). localCheckpoint blocks need none of this — the
+      // ContextCleaner reclaims them on GC.
+      checkpointFileOf(out).foreach(f => ckptFiles.put(out, f))
+      out
+    } else df.localCheckpoint()
+
+  /** The reliable-checkpoint path backing a `checkpoint()`ed frame (None for
+    * local checkpoints or plans that aren't a checkpoint scan).
+    */
+  def checkpointFileOf(df: DataFrame): Option[String] =
+    df.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.flatMap(_.getCheckpointFile)
+
+  // identity-keyed: two pins of equal plans are distinct artifacts with
+  // distinct backing files
+  private val ckptFiles = java.util.Collections.synchronizedMap(
+    new java.util.IdentityHashMap[DataFrame, String]())
+
+  /** Delete the reliable-checkpoint files behind a SUPERSEDED artifact (the
+    * old segments after a compaction, a reset index's segments). No-op for
+    * localCheckpoint pins. Contract: the caller owns quiescence — drop only
+    * after the serving pointer has swapped to the successor, so new probes
+    * can't embed the dropped frame; a probe already EXECUTING against it can
+    * fail and retry against the successor, the same exposure as vacuuming
+    * any external table version it was reading.
+    */
+  def dropArtifact(df: DataFrame): Unit =
+    Option(ckptFiles.remove(df)).foreach { f =>
+      val sc = df.sparkSession.sparkContext
+      val p = new org.apache.hadoop.fs.Path(f)
+      try p.getFileSystem(sc.hadoopConfiguration).delete(p, true)
+      catch { case _: java.io.IOException => () } // best-effort reclaim
+    }
 
   /** Unpersist every frame registered on THIS thread (non-blocking). Call
     * after the query's action completes.

@@ -375,11 +375,14 @@ object SparkEntry {
       graft.extra.CorpusPipeline.select(T(s, d, "documents"), "doc_id", "text",
         0.5, Seq("en"))),
 
-    // pairs → canonical clusters (min-label connected components)
+    // pairs → canonical clusters (min-label connected components). The
+    // 0.95 pair table comes from the SESSION ARTIFACT (trainedPairs — built
+    // once, its own train_pairs bench line): four registered queries start
+    // from the same pairs, and a served system computes them once.
     "dedup_clusters" -> ((s, d) => {
       val docs = T(s, d, "documents").filter(col("doc_id") < DocBound)
       CorpusOps.dedupClusters(docs, "doc_id",
-        Dedup.jaccardPairs(docs, "doc_id", "text", 0.95))
+        Dedup.trainedPairs(docs, "doc_id", "text", 0.95, s"$d#pairs@0.95"))
     }),
 
     // quality-aware canonical selection: keep the best copy per near-dup
@@ -387,17 +390,21 @@ object SparkEntry {
     "dedup_canonical" -> ((s, d) => {
       val docs = T(s, d, "documents").filter(col("doc_id") < DocBound)
       CorpusOps.dedupRepresentatives(docs, "doc_id", "text",
-        Dedup.jaccardPairs(docs, "doc_id", "text", 0.95))
+        Dedup.trainedPairs(docs, "doc_id", "text", 0.95, s"$d#pairs@0.95"))
     }),
 
     // hub ranking of the near-dup candidate graph (integer-exact PageRank —
-    // GraphOps.pagerankNano); clusters GROUP the web, this ORDERS it
-    "doc_pagerank" -> ((s, d) =>
+    // GraphOps.pagerankNano); clusters GROUP the web, this ORDERS it.
+    // The LSH pair table is its own artifact: a recall-bounded SUBSET of
+    // the exact pairs whose oracle twin reproduces the LSH semantics.
+    "doc_pagerank" -> ((s, d) => {
+      val docs = T(s, d, "documents").filter(col("doc_id") < DocBound)
       GraphOps.pagerankNano(
-        Dedup.minhashLshPairs(T(s, d, "documents").filter(col("doc_id") < DocBound),
-          "doc_id", "text", 0.95).select("id_a", "id_b"),
+        Dedup.trainedPairs(docs, "doc_id", "text", 0.95,
+          s"$d#pairs_lsh@0.95", lsh = true).select("id_a", "id_b"),
         "id_a", "id_b")
-        .select(col("id").as("doc_id"), col("pr"))),
+        .select(col("id").as("doc_id"), col("pr"))
+    }),
 
     "decontaminate" -> ((s, d) =>
       CorpusOps.decontaminate(T(s, d, "documents"), "doc_id", "text")),
@@ -645,7 +652,7 @@ object SparkEntry {
     "hard_negatives" -> ((s, d) => {
       val docs = T(s, d, "documents").filter(col("doc_id") < DocBound)
       val clusters = CorpusOps.dedupClusters(docs, "doc_id",
-        Dedup.jaccardPairs(docs, "doc_id", "text", 0.95))
+        Dedup.trainedPairs(docs, "doc_id", "text", 0.95, s"$d#pairs@0.95"))
       EmbeddingKnn.hardNegatives(T(s, d, "embeddings"), clusters, KnnQueryIds, 5)
         .withColumn("rank", col("rank").cast("long"))
     }),

@@ -33,8 +33,13 @@ object StageLog {
         runMs += e.stageInfo.taskMetrics.executorRunTime
         cpuMs += e.stageInfo.taskMetrics.executorCpuTime / 1000000L
       }
-    def start(name: String): Unit = synchronized {
-      runMs = 0L; cpuMs = 0L; current.set(name)
+    def start(name: String): Unit = {
+      // drain BEFORE resetting too: stage completions from untimed work just
+      // before this block (a warmup request, a trainStep reset() rebuild)
+      // can still be in flight on the async bus and would otherwise be
+      // charged to this query's first run (ADVICE r12).
+      org.apache.spark.graft.ListenerDrain.drain(sc)
+      synchronized { runMs = 0L; cpuMs = 0L; current.set(name) }
     }
     def finish(): (Long, Long) = {
       org.apache.spark.graft.ListenerDrain.drain(sc)

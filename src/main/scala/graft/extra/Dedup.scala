@@ -363,10 +363,16 @@ object Dedup {
             if (segs.size <= maxSegments) segs
             else {
               val (cs, ct) = served(segs)
+              // the compacted segment is MATERIALIZED here (checkpoint is
+              // eager), so the old segments' reliable-checkpoint files can
+              // be reclaimed after the swap below
               Vector((graft.Caching.pinArtifact(cs),
                 graft.Caching.pinArtifact(ct)))
             }
           indexCache.put(k, kept)
+          if (kept ne segs) segs.foreach { case (s, t) =>
+            graft.Caching.dropArtifact(s); graft.Caching.dropArtifact(t)
+          }
           true
       }
     }
@@ -417,9 +423,55 @@ object Dedup {
               segs.reduce(_ unionByName _).groupBy("gh")
                 .agg(sum("n_docs").as("n_docs"), sum("n_occ").as("n_occ"))))
           gramCache.put(k, kept)
+          if (kept ne segs) segs.foreach(graft.Caching.dropArtifact)
           true
       }
     }
+  }
+
+  private val pairsCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), DataFrame]
+
+  /** Session NEAR-DUP PAIR artifact: the verified pair table
+    * ([[jaccardPairs]], or [[minhashLshPairs]] with `lsh = true`) built ONCE
+    * per (session, cacheKey) and served lineage-free — the [[trainedIndex]]
+    * treatment for the pair table itself. Four registered consumers
+    * (canonical selection, cluster labeling, the near-dup PageRank, hard
+    * negatives) each start from the same 0.95-threshold pairs; without the
+    * memo every one re-runs candidate generation + exact verify over the
+    * corpus (~80s of the r12 suite's cpu_ms was exactly this redundancy).
+    * A served system computes pairs once: the bench charges the build to
+    * its own `train_pairs` line and the consumers measure steady-state
+    * consumer-only cost. In production this is a parquet/Delta table keyed
+    * (id_a, id_b) — pair tables are append-only under corpus growth, so the
+    * artifact composes with the admission gate's per-batch discipline
+    * (a batch's new pairs are batch × (corpus ∪ batch), never a corpus
+    * re-pair — [[minhashIncrementalIndexed]]'s asymmetry).
+    *
+    * Exact and LSH variants are DISTINCT artifacts (callers pick via
+    * `lsh`): LSH pairs are a recall-bounded subset of the exact table, and
+    * the registered queries' oracle twins reproduce each generator's exact
+    * semantics, so the two must not be conflated.
+    */
+  def trainedPairs(df: DataFrame, idCol: String, textCol: String,
+                   threshold: Double, cacheKey: String,
+                   lsh: Boolean = false): DataFrame = {
+    val k = (df.sparkSession.sparkContext.applicationId, cacheKey)
+    pairsCache.getOrElseUpdate(k, graft.Caching.pinArtifact(
+      if (lsh) minhashLshPairs(df, idCol, textCol, threshold)
+      else jaccardPairs(df, idCol, textCol, threshold)))
+  }
+
+  /** Drop memoized pair artifacts whose key starts with `cacheKeyPrefix`
+    * (the bench's TRUE-rebuild discipline for its `train_pairs` line);
+    * reliable-checkpoint files are reclaimed like [[resetIndex]]'s.
+    */
+  def resetPairs(spark: org.apache.spark.sql.SparkSession,
+                 cacheKeyPrefix: String): Unit = {
+    val appId = spark.sparkContext.applicationId
+    pairsCache.keys
+      .filter(k => k._1 == appId && k._2.startsWith(cacheKeyPrefix))
+      .foreach(k => pairsCache.remove(k).foreach(graft.Caching.dropArtifact))
   }
 
   /** Segment count of the gram artifact under `cacheKey` (0 = not built). */
@@ -435,19 +487,30 @@ object Dedup {
 
   /** Drop memoized indexes whose key starts with `cacheKeyPrefix` — the
     * bench uses this so a `train_dedup_idx` line times a TRUE rebuild.
-    * Checkpoint blocks are left to Spark's ContextCleaner (explicitly
+    * LOCAL checkpoint blocks are left to Spark's ContextCleaner (explicitly
     * unpersisting a lineage-truncated checkpoint would strand a straggling
-    * reader — the [[graft.search.Sketches.refreshDataset]] rule).
+    * reader — the [[graft.search.Sketches.refreshDataset]] rule); RELIABLE
+    * checkpoint files (cluster sessions with a checkpoint dir) are deleted
+    * via [[graft.Caching.dropArtifact]] AFTER the memo entry is removed —
+    * the ContextCleaner never reclaims those without a construction-time
+    * conf, so leaving them would grow the checkpoint dir without bound
+    * (ADVICE r12). Same quiescence contract as compaction: an in-flight
+    * probe that embedded a dropped segment can fail and retry.
     */
   def resetIndex(spark: org.apache.spark.sql.SparkSession,
                  cacheKeyPrefix: String): Unit = {
     val appId = spark.sparkContext.applicationId
     indexCache.keys
       .filter(k => k._1 == appId && k._2.startsWith(cacheKeyPrefix))
-      .foreach(indexCache.remove)
+      .foreach { k =>
+        indexCache.remove(k).foreach(_.foreach { case (s, t) =>
+          graft.Caching.dropArtifact(s); graft.Caching.dropArtifact(t)
+        })
+      }
     gramCache.keys
       .filter(k => k._1 == appId && k._2.startsWith(cacheKeyPrefix))
-      .foreach(gramCache.remove)
+      .foreach(k =>
+        gramCache.remove(k).foreach(_.foreach(graft.Caching.dropArtifact)))
   }
 
   /** [[minhashIncremental]] against PRECOMPUTED corpus artifacts — the
@@ -980,7 +1043,13 @@ object Dedup {
   def dedupParagraphs(df: DataFrame, idCol: String, textCol: String,
                       paraTokens: Int = 32): DataFrame = {
     val toks = filter(split(lower(col(textCol)), " "), t => t =!= "")
-    val paras = df
+    // pinned like jaccardPairs' toks (Caching.temp, released by the query
+    // driver): the exploded+hashed unit stream feeds BOTH the
+    // first-occurrence aggregate and the probe side of the join back, and
+    // Exchange reuse can't fire across them (the aggregate side
+    // partial-aggregates before its exchange) — unpinned, the full
+    // tokenize+md5 scan of the corpus is paid twice.
+    val paras = graft.Caching.temp(df
       .select(col(idCol).cast("long").as("doc_id"), toks.as("toks"))
       .withColumn("n_tokens", size(col("toks")).cast("long"))
       .filter(col("n_tokens") > 0)
@@ -991,7 +1060,7 @@ object Dedup {
         concat_ws(" ",
           slice(col("toks"), (col("start") + 1).cast("int"), lit(paraTokens)))
           .as("para"))
-      .withColumn("h", md5(col("para")))
+      .withColumn("h", md5(col("para"))))
     val first = paras.groupBy("h")
       .agg(min(struct(col("doc_id"), col("para_idx"))).as("first"))
     paras.join(first, Seq("h"))
@@ -1034,7 +1103,9 @@ object Dedup {
                        srcCol: String, lineTokens: Int = 16,
                        minDocs: Int = 2): DataFrame = {
     val toks = filter(split(lower(col(textCol)), " "), t => t =!= "")
-    val lines = df
+    // pinned for the same double-read as [[dedupParagraphs]]' paras: the
+    // boilerplate-table aggregate and the probe join both consume this
+    val lines = graft.Caching.temp(df
       .select(col(idCol).cast("long").as("doc_id"), col(srcCol).as("source"),
         toks.as("toks"))
       .withColumn("n_tokens", size(col("toks")).cast("long"))
@@ -1046,7 +1117,7 @@ object Dedup {
         concat_ws(" ",
           slice(col("toks"), (col("start") + 1).cast("int"), lit(lineTokens)))
           .as("line"))
-      .withColumn("h", md5(col("line")))
+      .withColumn("h", md5(col("line"))))
     val bp = lines.groupBy("source", "h")
       .agg(countDistinct("doc_id").as("df"))
       .filter(col("df") >= minDocs)

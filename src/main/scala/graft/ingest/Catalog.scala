@@ -153,6 +153,15 @@ object Catalog {
     * itself is inherently driver-side (each dataset is its own parquet
     * source whose path must reach `spark.read`), which is why the bound is
     * on the pull, not a DataFrame-side dispatch.
+    *
+    * I/O amplification caveat: each drain iteration flips its pulled ids via
+    * [[applyStatuses]], which rewrites the WHOLE catalogue (plain parquet has
+    * no row-level update) — draining a backlog of B ids costs B/pullBound
+    * full catalogue rewrites, O(N·B/P) I/O. The bound therefore protects
+    * DRIVER MEMORY at any depth, but a deployment expecting deep backlogs
+    * should raise it (the pull is a slim id column; 10⁶ ids ≈ tens of MB) or
+    * keep the catalogue in a row-level-update table format (Delta/Iceberg),
+    * where the flip is a merge instead of a rewrite.
     */
   val maxIdsPerPull: Int = 4096
 

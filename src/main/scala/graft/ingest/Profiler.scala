@@ -142,7 +142,15 @@ object Profiler {
       // decimal. NULL propagates through, so count semantics are unchanged.
       val xm = round(d * lit(1e6)).cast("decimal(19,0)")
       val s1 = sum(xm.cast("decimal(38,0)"))
-      val aa = s"abs(CAST(round(CAST(`$c` AS DOUBLE) * 1000000) AS BIGINT))"
+      // Non-finite → NULL before the BIGINT cast: non-ANSI cast maps ±Inf to
+      // ±Long.MaxValue (aH ≈ 9.2e9, so aH·aH silently overflows long) while
+      // s1's decimal(19,0) cast NULLs the same row — without the guard the
+      // two sums disagree on which rows they skip and std goes silently
+      // wrong instead of merely excluding the row (ADVICE r12).
+      val xd = s"CAST(`$c` AS DOUBLE)"
+      val xf = s"(CASE WHEN isnan($xd) OR abs($xd) = CAST('Infinity' AS DOUBLE)" +
+        s" THEN NULL ELSE $xd END)"
+      val aa = s"abs(CAST(round($xf * 1000000) AS BIGINT))"
       val aH = s"($aa DIV 1000000000)"
       val aL = s"($aa % 1000000000)"
       val cr = s"(2 * $aH * $aL)"

@@ -1,0 +1,148 @@
+package graft
+
+import graft.extra.Dedup
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The CLUSTER deployment path of [[Caching.pinArtifact]]: with a reliable
+  * checkpoint dir configured (`sc.setCheckpointDir` → HDFS/S3 on a real
+  * cluster), artifacts must be `checkpoint()`ed — blocks that survive
+  * executor loss — and SUPERSEDED artifacts' files must be reclaimed
+  * (compaction, resetIndex), because Spark's ContextCleaner only deletes
+  * reliable checkpoint files under a construction-time conf this library
+  * cannot set on a caller's session (ADVICE r12: without reclaim a
+  * long-lived session grows the checkpoint dir without bound).
+  *
+  * The bench/test default (no checkpoint dir → localCheckpoint) is untouched:
+  * every other suite runs with the dir unset, and this suite restores that
+  * state in `finally`.
+  */
+class CheckpointPinSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def fs(p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def existsFile(f: String): Boolean = { val p = new Path(f); fs(p).exists(p) }
+
+  /** Run `body` with a fresh reliable checkpoint dir set, restoring the
+    * no-dir default (and deleting the dir) afterwards.
+    */
+  private def withCheckpointDir[A](body: String => A): A = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    try body(dir)
+    finally {
+      spark.sparkContext.setCheckpointDir(null)
+      val p = new Path(dir)
+      fs(p).delete(p, true)
+    }
+  }
+
+  test("pinArtifact with a checkpoint dir: reliable blocks land in the dir, " +
+    "plan is a checkpoint scan, dropArtifact reclaims the files") {
+    withCheckpointDir { dir =>
+      val df = spark.range(100).select(col("id"), (col("id") * 2).as("v"))
+      val pinned = Caching.pinArtifact(df.toDF())
+      // lineage truncated: the served plan is a LogicalRDD leaf
+      val isCkptScan = pinned.queryExecution.analyzed.collectFirst {
+        case _: org.apache.spark.sql.execution.LogicalRDD => ()
+      }.isDefined
+      assert(isCkptScan, "pinned artifact must serve a lineage-free scan")
+      val file = Caching.checkpointFileOf(pinned)
+      assert(file.isDefined, "reliable path must record a checkpoint file")
+      assert(file.get.contains(new java.io.File(dir).getName),
+        s"checkpoint file ${file.get} must live under the configured dir $dir")
+      assert(existsFile(file.get), "checkpoint blocks must exist on disk")
+      assert(pinned.count() == 100)
+      Caching.dropArtifact(pinned)
+      assert(!existsFile(file.get), "dropArtifact must delete the backing files")
+      // idempotent: a second drop is a no-op
+      Caching.dropArtifact(pinned)
+    }
+  }
+
+  test("pinArtifact without a checkpoint dir records no reclaimable file " +
+    "(localCheckpoint path — ContextCleaner owns those blocks)") {
+    assert(spark.sparkContext.getCheckpointDir.isEmpty)
+    val pinned = Caching.pinArtifact(spark.range(10).toDF())
+    assert(Caching.checkpointFileOf(pinned).isEmpty)
+    Caching.dropArtifact(pinned) // no-op, must not throw
+    assert(pinned.count() == 10)
+    pinned.unpersist()
+  }
+
+  test("admission-index compaction and resetIndex reclaim superseded " +
+    "reliable-checkpoint segments") {
+    withCheckpointDir { _ =>
+      val docs = Tables.load(spark, SparkTestSession.sf0001, "documents")
+      val corpus = docs.filter(col("doc_id") < 60).select("doc_id", "text")
+      def slice(lo: Long, hi: Long, off: Long) =
+        docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+          .select((col("doc_id") + off).as("doc_id"), col("text"))
+      val key = "spec#ckpt_reclaim"
+      Dedup.resetIndex(spark, key)
+      Dedup.trainedIndex(corpus, "doc_id", "text", key)
+      def segFiles(): Seq[String] = Dedup.segmentsOf(spark, key)
+        .flatMap { case (s, t) =>
+          Caching.checkpointFileOf(s).toSeq ++ Caching.checkpointFileOf(t).toSeq
+        }
+      val gen0 = segFiles()
+      assert(gen0.size == 2 && gen0.forall(existsFile),
+        "corpus segment must be reliably checkpointed under the dir")
+      assert(Dedup.appendAdmitted(slice(60, 80, 10000), "doc_id", "text", key,
+        maxSegments = 2))
+      val gen1 = segFiles()
+      assert(gen1.size == 4, "append stores a second checkpointed segment")
+      // second append exceeds maxSegments=2 → compaction to ONE segment;
+      // every superseded segment's files must be deleted
+      assert(Dedup.appendAdmitted(slice(80, 100, 20000), "doc_id", "text", key,
+        maxSegments = 2))
+      assert(Dedup.segmentCount(spark, key) == 1)
+      val gen2 = segFiles()
+      assert(gen2.size == 2 && gen2.forall(existsFile),
+        "compacted segment must be reliably checkpointed")
+      assert(gen1.forall(f => !existsFile(f)),
+        "compaction must reclaim every superseded segment's checkpoint files")
+      // the compacted index still serves (verdict correctness is DedupSpec's
+      // job; here the reclaim must not have touched live data)
+      val (s, t) = Dedup.trainedIndex(corpus, "doc_id", "text", key)
+      assert(Dedup.minhashIncrementalIndexed(s, t, slice(100, 120, 30000),
+        "doc_id", "text", 0.8).count() > 0)
+      Dedup.resetIndex(spark, key)
+      assert(gen2.forall(f => !existsFile(f)),
+        "resetIndex must reclaim the dropped segments' checkpoint files")
+    }
+  }
+
+  test("gram-index compaction and resetIndex reclaim superseded segments") {
+    withCheckpointDir { _ =>
+      val docs = Tables.load(spark, SparkTestSession.sf0001, "documents")
+      val corpus = docs.filter(col("doc_id") < 60).select("doc_id", "text")
+      def slice(lo: Long, hi: Long, off: Long) =
+        docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+          .select((col("doc_id") + off).as("doc_id"), col("text"))
+      val key = "spec#ckpt_gram_reclaim"
+      Dedup.resetIndex(spark, key)
+      Dedup.trainedGramIndex(corpus, "doc_id", "text", key, 5)
+      def segFiles(): Seq[String] = Dedup.gramSegmentsOf(spark, key)
+        .flatMap(Caching.checkpointFileOf)
+      assert(Dedup.appendGramAdmitted(slice(60, 80, 10000), "doc_id", "text",
+        key, 5, maxSegments = 2))
+      val gen1 = segFiles()
+      assert(gen1.size == 2 && gen1.forall(existsFile))
+      assert(Dedup.appendGramAdmitted(slice(80, 100, 20000), "doc_id", "text",
+        key, 5, maxSegments = 2))
+      assert(Dedup.gramSegmentCount(spark, key) == 1)
+      val gen2 = segFiles()
+      assert(gen2.forall(existsFile))
+      assert(gen1.forall(f => !existsFile(f)),
+        "gram compaction must reclaim superseded segments' files")
+      Dedup.resetIndex(spark, key)
+      assert(gen2.forall(f => !existsFile(f)),
+        "resetIndex must reclaim the gram segments' files")
+    }
+  }
+}
