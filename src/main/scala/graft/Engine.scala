@@ -69,8 +69,9 @@ object Engine {
     // request-bounded ranked list, materialized once as a LocalRelation
     // (DistanceJoin.localRanked): its two consumers (candidate ids, kth)
     // then broadcast without a job each
+    val qLocal = Some(Sketches.queryLocal(spark, dir, req.queryId))
     val ranked = DistanceJoin.localRanked(DistanceJoin.knn(sketch,
-      req.queryId, req.m, req.l, queryCols = queryCols))
+      req.queryId, req.m, req.l, queryCols = queryCols, localQuery = qLocal))
 
     // per-field query text: each selected metadata field is matched against
     // the query dataset's own value for that field (metadata_search.py:14-24),
@@ -85,10 +86,14 @@ object Engine {
       case (f, w) =>
         (f, w, fieldText(f).toLowerCase.split(" ").filter(_.nonEmpty).distinct.toSeq)
     }
-    val metaScores = Bm25.multiFieldWithTf(
+    // same stats-artifact serving path as CombinedScorer.search (exact
+    // integer adjustment for the excluded query dataset)
+    val (bmDl, bmCorpus, bmDfreq) =
+      CombinedScorer.metaStatsFor(spark, dir, req.queryId, fieldSpecs)
+    val metaScores = Bm25.multiFieldWithStats(
         CombinedScorer.metaTermFreqs(spark, dir)
-          .filter(col("doc_id") =!= req.queryId),
-        fieldSpecs)
+          .filter(col("doc_id") =!= req.queryId && Bm25.isQueryTerm(fieldSpecs)),
+        bmDl, bmCorpus, bmDfreq, fieldSpecs)
       .select(col("doc_id").as("c_dataset"), col("score").as("metadata_score"))
     // pinned: consumed by candidateEdges (extra candidates) AND the final
     // combine — one BM25 pass instead of two
@@ -96,7 +101,7 @@ object Engine {
 
     val edges = DistanceJoin.candidateEdges(sketch, req.queryId, ranked,
       extraCandidates = Some(metaScoresP.select("c_dataset")),
-      queryCols = queryCols)
+      queryCols = queryCols, localQuery = qLocal)
     // Exact integer-micro matching on both branches (the oracle-coverable
     // path): uniform weights apply AFTER the argmax (contentScoresExact),
     // non-uniform weights multiply the edge micros BEFORE it.

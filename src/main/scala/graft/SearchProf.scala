@@ -19,8 +19,16 @@ object SearchProf {
     @volatile var jobs = 0
     @volatile var stages = 0
     @volatile var tasks = 0
+    @volatile var traceJobs = false
     spark.sparkContext.addSparkListener(new SparkListener {
-      override def onJobStart(j: SparkListenerJobStart): Unit = jobs += 1
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
+        jobs += 1
+        if (traceJobs) {
+          val names = j.stageInfos.map(si =>
+            s"${si.name.takeWhile(_ != '\n').take(46)}(t=${si.numTasks})")
+          println(s"  [job ${j.jobId}] ${names.mkString(" | ")}")
+        }
+      }
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
         stages += 1; tasks += s.stageInfo.numTasks
       }
@@ -35,6 +43,7 @@ object SearchProf {
       Thread.sleep(300) // let listener events drain
       println(s"SEARCHPROF $name: ${sec}s jobs=$jobs stages=$stages tasks=$tasks")
     }
+    traceJobs = sys.env.contains("GRAFT_TRACE_JOBS")
     for (run <- 1 to 3; aqe <- Seq("true", "false")) {
       spark.conf.set("spark.sql.adaptive.enabled", aqe)
       t(s"similarity_search aqe=$aqe run=$run") {

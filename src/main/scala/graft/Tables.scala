@@ -13,7 +13,20 @@ object Tables {
 
   val all: Seq[String] = star ++ Seq("events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+  // Plan memo per (session, dir, table): every spark.read.parquet call runs
+  // a ~40ms schema-inference (footer) JOB before the plan even exists, and a
+  // bench/verify pass re-loads the same 10 fixture tables hundreds of times
+  // (33 such jobs in one train_index build alone, measured via StageLog).
+  // A DataFrame is an immutable plan, so sharing one per table is free;
+  // file CONTENT is still re-read per action as always.
+  private val loadCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String, String), DataFrame]
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    loadCache.getOrElseUpdate(
+      (spark.sparkContext.applicationId, dir, name), load0(spark, dir, name))
+
+  private def load0(spark: SparkSession, dir: String, name: String): DataFrame = {
     // events.ts is parquet timestamp[ns]; depending on the session config
     // Spark either refuses it or surfaces it as a nanosecond long. Normalize
     // to TimestampType (microseconds, truncated like DuckDB does) so the

@@ -124,28 +124,59 @@ object Bm25 {
     val dl = tf.groupBy("doc_id", "field").agg(sum("tf").as("dl"))
     val corpus = dl.groupBy("field")
       .agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
-    val isQueryTerm = fields.map { case (f, _, ts) =>
+    val qtf = tf.filter(isQueryTerm(fields))
+    val dfreq = qtf.groupBy("field", "term").agg(count(lit(1)).as("df"))
+    multiFieldWithStats(qtf, dl, corpus, dfreq, fields, topM, k1, b)
+  }
+
+  /** The query-term predicate over a [[fieldTermFreqs]] stream. */
+  def isQueryTerm(fields: Seq[(String, Double, Seq[String])])
+  : org.apache.spark.sql.Column =
+    fields.map { case (f, _, ts) =>
       col("field") === f && col("term").isin(ts: _*)
     }.reduce(_ || _)
-    val qtf = tf.filter(isQueryTerm)
-    val dfreq = qtf.groupBy("field", "term").agg(count(lit(1)).as("df"))
+
+  /** The scoring tail of [[multiFieldWithTf]] with every corpus statistic
+    * SUPPLIED by the caller: `qtf` already filtered to the query terms,
+    * `dl` (doc_id, field, dl), `corpus` (field, n_docs, avgdl), `dfreq`
+    * (field, term, df). A serving layer maintains those as session
+    * artifacts — they are integer-derived (dl and df are counts; avgdl is
+    * one division of exact integer sums), so a stored copy adjusted for an
+    * excluded document is BIT-IDENTICAL to the inline derivation — and
+    * passes them as LocalRelations so the three broadcasts build joblessly
+    * on the warm path ([[CombinedScorer.search]]).
+    */
+  def multiFieldWithStats(qtf: DataFrame, dl: DataFrame, corpus: DataFrame,
+                          dfreq: DataFrame,
+                          fields: Seq[(String, Double, Seq[String])],
+                          topM: Int = 100, k1: Double = 1.2,
+                          b: Double = 0.75): DataFrame = {
     val boosts = map(fields.flatMap { case (f, w, _) => Seq(lit(f), lit(w)) }: _*)
-    val perField = qtf
+    // dl is one row per (doc, field) — the same corpus-bounded size class as
+    // the already-broadcast dfreq/corpus tables (the reference holds all
+    // three as Lucene index stats) — so BROADCAST it: the shuffle join on
+    // (doc_id, field) was two exchanges + a sort per request on the warm
+    // serving path.
+    val scoredTerms = qtf
       .join(broadcast(dfreq), Seq("field", "term"))
-      .join(dl, Seq("doc_id", "field"))
+      .join(broadcast(dl), Seq("doc_id", "field"))
       .join(broadcast(corpus), "field")
       .withColumn("idf",
         log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
       .withColumn("term_score",
         col("idf") * (col("tf") * (lit(k1) + 1.0)) /
           (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
-      .groupBy("doc_id", "field")
-      .agg(sum("term_score").as("fscore"))
-      .withColumn("fscore", col("fscore") * element_at(boosts, col("field")))
+    // ONE doc-keyed aggregate builds the per-field sums directly
+    // (field-conditional sums), replacing the former (doc, field) aggregate
+    // + doc-level regroup — one exchange instead of two. The boost
+    // multiplies the per-field sum AFTER aggregation, exactly as before.
     val fieldAggs = fields.map { case (f, _, _) =>
-      coalesce(sum(when(col("field") === f, col("fscore"))), lit(0.0)).as(s"${f}_raw")
+      coalesce(sum(when(col("field") === f, col("term_score"))), lit(0.0))
+        .as(s"${f}_sum")
     }
-    val wide = perField.groupBy("doc_id").agg(fieldAggs.head, fieldAggs.tail: _*)
+    val wide = scoredTerms.groupBy("doc_id").agg(fieldAggs.head, fieldAggs.tail: _*)
+      .select(col("doc_id") +: fields.map { case (f, _, _) =>
+        (col(s"${f}_sum") * element_at(boosts, lit(f))).as(s"${f}_raw") }: _*)
       .withColumn("raw", fields.map { case (f, _, _) => col(s"${f}_raw") }.reduce(_ + _))
     val maxDf = wide.agg(max("raw").as("max_raw"))
     wide.crossJoin(broadcast(maxDf))

@@ -19,14 +19,35 @@ object CombinedScorer {
     */
   def combine(contentScores: DataFrame, metadataScores: DataFrame,
               wContent: Double = 0.5, wMetadata: Double = 0.5, k: Int = 15): DataFrame =
-    contentScores
-      .join(metadataScores, Seq("c_dataset"), "full_outer")
-      .na.fill(0.0, Seq("content_score", "metadata_score"))
+    outerScores(contentScores, metadataScores)
       .withColumn("overall_score",
         round(lit(wContent) * col("content_score")
           + lit(wMetadata) * col("metadata_score"), 6))
       .orderBy(col("overall_score").desc, col("c_dataset").asc)
       .limit(k)
+
+  /** The "all candidates from either side, missing score = 0" frame both
+    * combiners start from (combined_search.py:59-63,87-93) — as a UNION +
+    * one dataset-keyed aggregate, not a full-outer join: scores are
+    * non-negative and each side contributes at most one row per dataset,
+    * so max() recovers exactly the outer-join-with-zero-fill values, with
+    * ONE map-side-combined exchange where the join needed both sides
+    * hash-partitioned and sorted. first(ignoreNulls) picks the content
+    * side's matching payload (≤ 1 non-null per group — deterministic).
+    */
+  private def outerScores(contentScores: DataFrame,
+                          metadataScores: DataFrame): DataFrame =
+    contentScores
+      .select(col("c_dataset"), col("content_score"), col("matching"),
+        lit(0.0).as("metadata_score"))
+      .unionByName(metadataScores.select(col("c_dataset"),
+        lit(0.0).as("content_score"),
+        lit(null).cast(contentScores.schema("matching").dataType).as("matching"),
+        col("metadata_score")))
+      .groupBy("c_dataset")
+      .agg(max("content_score").as("content_score"),
+        first(col("matching"), ignoreNulls = true).as("matching"),
+        max("metadata_score").as("metadata_score"))
 
   /** [[combine]] with the integer-micro discipline for an arbitrary split:
     * `overall = ((wcMicro·c_micro + (1e6-wcMicro)·m_micro) DIV 1e6) / 1e6`.
@@ -39,9 +60,7 @@ object CombinedScorer {
   def combineExact(contentScores: DataFrame, metadataScores: DataFrame,
                    wcMicro: Long, k: Int = 15): DataFrame = {
     val wmMicro = 1000000L - wcMicro
-    contentScores
-      .join(metadataScores, Seq("c_dataset"), "full_outer")
-      .na.fill(0.0, Seq("content_score", "metadata_score"))
+    outerScores(contentScores, metadataScores)
       .withColumn("overall_score",
         expr(s"CAST(($wcMicro * CAST(round(content_score * 1e6) AS BIGINT) + " +
           s"$wmMicro * CAST(round(metadata_score * 1e6) AS BIGINT)) DIV 1000000 " +
@@ -119,6 +138,75 @@ object CombinedScorer {
         .transform(graft.Caching.pinArtifact)
     })
 
+  /** Driver-held BM25 corpus statistics over the metadata TF artifact:
+    * per-(doc, field) lengths and per-(field, term) document frequencies —
+    * the Lucene index stats the reference's ES keeps hot. Catalogue-sized
+    * by construction ([[datasetMetadata]] itself is BUILT driver-side from
+    * table schemas; dl is 3 rows per dataset, df is the metadata
+    * vocabulary), so a driver copy is the same size class as the corpus
+    * source. Memoized per (session, dir); one collect each at train time.
+    */
+  private val metaStatsCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), (Array[(String, String, Long)],
+      Map[(String, String), Long])]
+
+  def metaStats(spark: SparkSession, dir: String)
+  : (Array[(String, String, Long)], Map[(String, String), Long]) =
+    metaStatsCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
+      val tf = metaTermFreqs(spark, dir)
+      val dl = tf.groupBy("doc_id", "field")
+        .agg(sum("tf").cast("long").as("dl")).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      val df = tf.groupBy("field", "term").agg(count(lit(1)).as("df"))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+      (dl, df)
+    })
+
+  /** The query document's own (field, term) set — what its exclusion
+    * subtracts from each df. Demand-memoized like [[queryMetaRow]]. */
+  private val qTermSetCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String, String), Set[(String, String)]]
+
+  private def queryTermSet(spark: SparkSession, dir: String, queryId: String)
+  : Set[(String, String)] =
+    qTermSetCache.getOrElseUpdate(
+      (spark.sparkContext.applicationId, dir, queryId),
+      metaTermFreqs(spark, dir).filter(col("doc_id") === queryId)
+        .select("field", "term").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet)
+
+  /** Per-request BM25 stat tables for "the corpus minus the query dataset",
+    * derived from [[metaStats]] by EXACT integer adjustment (drop the query
+    * doc's dl rows; n_docs and df decrement by its membership; avgdl is one
+    * division of exact long sums — the identical double the inline
+    * aggregate produces), served as LocalRelations so each broadcast builds
+    * joblessly. Returns (dl, corpus, dfreq) for [[Bm25.multiFieldWithStats]].
+    */
+  def metaStatsFor(spark: SparkSession, dir: String, queryId: String,
+                   fields: Seq[(String, Double, Seq[String])])
+  : (DataFrame, DataFrame, DataFrame) = {
+    import spark.implicits._
+    val (dlAll, dfAll) = metaStats(spark, dir)
+    val dl = dlAll.filter(_._1 != queryId).toSeq
+    val corpus = dl.groupBy(_._2).toSeq.map { case (f, rows) =>
+      // Spark's avg over a LONG column sums exactly (doubles are exact for
+      // integer sums < 2^53) and divides once — order-free, so this driver
+      // division is bit-identical to the inline aggregate's avgdl.
+      (f, rows.size.toLong, rows.map(_._3).sum.toDouble / rows.size)
+    }
+    val qSet = queryTermSet(spark, dir, queryId)
+    val dfreq = fields.flatMap { case (f, _, ts) =>
+      ts.distinct.flatMap { t =>
+        val df = dfAll.getOrElse((f, t), 0L) - (if (qSet((f, t))) 1L else 0L)
+        if (df > 0) Some((f, t, df)) else None
+      }
+    }
+    (dl.toDF("doc_id", "field", "dl"),
+      corpus.toDF("field", "n_docs", "avgdl"),
+      dfreq.toDF("field", "term", "df"))
+  }
+
   /** End-to-end similarity search for one query dataset (flagship; mirrors
     * search/combined_search.py:114-155's response shape: result id,
     * content/metadata/overall scores + the column matching payload).
@@ -134,11 +222,14 @@ object CombinedScorer {
       if (wContent + wMetadata <= 0) 0.5
       else wContent / (wContent + wMetadata)
     val sketch = Sketches.cachedAll(spark, dir)
+    // warm-path memo: the query dataset's sketch rows as a LocalRelation, so
+    // both query-side broadcasts (kNN + candidate edges) build joblessly
+    val qLocal = Some(Sketches.queryLocal(spark, dir, queryId))
     // request-bounded ranked list, materialized once as a LocalRelation
     // (DistanceJoin.localRanked): its two consumers (candidate ids, kth)
     // then broadcast without a job each
     val ranked = DistanceJoin.localRanked(
-      DistanceJoin.knn(sketch, queryId, m, l))
+      DistanceJoin.knn(sketch, queryId, m, l, localQuery = qLocal))
     // Each metadata field is queried with the query dataset's OWN text for
     // that field (metadata_search.py:14-24: keywords vs keywords, title vs
     // title, description vs description), with the UI's normalized per-field
@@ -148,11 +239,17 @@ object CombinedScorer {
     def terms(s: String): Seq[String] =
       s.toLowerCase.split(" ").filter(_.nonEmpty).distinct.toSeq
     val w = 1.0 / 3
-    val metaScores = Bm25.multiFieldWithTf(
-        metaTermFreqs(spark, dir).filter(col("doc_id") =!= queryId),
-        Seq(("title", w, terms(qTitle)),
-            ("keywords", w, terms(qKeywords)),
-            ("description", w, terms(qDesc))))
+    val fields = Seq(("title", w, terms(qTitle)),
+        ("keywords", w, terms(qKeywords)),
+        ("description", w, terms(qDesc)))
+    // corpus stats come from the session artifact with the query dataset
+    // subtracted exactly (metaStatsFor) — the inline derivation would pay
+    // three aggregate-inside-broadcast jobs over the TF artifact per request
+    val (dl, corpus, dfreq) = metaStatsFor(spark, dir, queryId, fields)
+    val metaScores = Bm25.multiFieldWithStats(
+        metaTermFreqs(spark, dir)
+          .filter(col("doc_id") =!= queryId && Bm25.isQueryTerm(fields)),
+        dl, corpus, dfreq, fields)
       .select(col("doc_id").as("c_dataset"), col("score").as("metadata_score"))
     // pinned: consumed by candidateEdges (extra candidates) AND the final
     // combine — one BM25 pass instead of two
@@ -167,7 +264,8 @@ object CombinedScorer {
     // normalization commented out) — an internal inconsistency; we score
     // every candidate UNnormalized, consistently.
     val edges = DistanceJoin.candidateEdges(sketch, queryId, ranked,
-      extraCandidates = Some(metaScoresP.select("c_dataset")))
+      extraCandidates = Some(metaScoresP.select("c_dataset")),
+      localQuery = qLocal)
     val nQueryCols = Sketches.columnCount(spark, dir, queryId)
     // exact micro-weight matching (Matcher.contentScoresExact): argmax on
     // integer micros, uniform 1/nQueryCols applied after — identical scores

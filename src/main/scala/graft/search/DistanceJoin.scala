@@ -45,10 +45,17 @@ object DistanceJoin {
     *                UI's column selection). The index side is never filtered:
     *                the reference trains on every column and a selection only
     *                narrows which query columns search (ui/ui.py:299-312).
+    * @param localQuery the query dataset's sketch rows as a LocalRelation
+    *                ([[Sketches.queryLocal]]): with it, the query-side
+    *                broadcast builds jobless on the warm serving path
+    *                instead of paying a scan-the-index job per request.
+    *                None (ad-hoc callers) filters the index as before.
     */
   def knn(sketch: DataFrame, queryId: String, m: Int = 100, l: Int = 50,
-          decay: Double = 0.01, queryCols: Option[Seq[String]] = None): DataFrame = {
-    val query = queryProjection(sketch, queryId, queryCols)
+          decay: Double = 0.01, queryCols: Option[Seq[String]] = None,
+          localQuery: Option[DataFrame] = None): DataFrame = {
+    val query = queryProjection(localQuery.getOrElse(
+      sketch.filter(col("dataset_id") === queryId)), queryCols)
     // The index contains the query dataset's own columns too
     // (content_search.py:215-253 trains on every dataset): they occupy rank
     // positions and can BE the kth distance (a sibling column at non-zero
@@ -75,9 +82,8 @@ object DistanceJoin {
   /** The query side of a search: the query dataset's sketch rows, optionally
     * restricted to a column selection (query side ONLY — see [[knn]]).
     */
-  private def queryProjection(sketch: DataFrame, queryId: String,
+  private def queryProjection(base: DataFrame,
                               queryCols: Option[Seq[String]]): DataFrame = {
-    val base = sketch.filter(col("dataset_id") === queryId)
     val sel = queryCols.fold(base)(cs => base.filter(col("col_name").isin(cs: _*)))
     sel.select(col("col_name").as("q_col"), col("col_type"), col("vector").as("q_vec"))
   }
@@ -220,16 +226,28 @@ object DistanceJoin {
   def candidateEdges(sketch: DataFrame, queryId: String, ranked: DataFrame,
                      decay: Double = 0.01,
                      extraCandidates: Option[DataFrame] = None,
-                     queryCols: Option[Seq[String]] = None): DataFrame = {
-    val kth = ranked.select("q_col", "kth").distinct()
-    val query = queryProjection(sketch, queryId, queryCols)
+                     queryCols: Option[Seq[String]] = None,
+                     localQuery: Option[DataFrame] = None): DataFrame = {
+    // ranked is request-bounded (a LocalRelation from [[localRanked]] on the
+    // serving path): dedupe (q_col, kth) DRIVER-side and serve it back as a
+    // LocalRelation — a `.distinct()` would put an exchange inside the kth
+    // broadcast build, turning it into its own per-request Spark job, while
+    // Project-over-LocalRelation collects joblessly and the resulting
+    // LocalRelation broadcasts joblessly too.
+    val kthProj = ranked.select("q_col", "kth")
+    val kth = ranked.sparkSession.createDataFrame(
+      java.util.Arrays.asList(kthProj.collect().distinct: _*), kthProj.schema)
+    val query = queryProjection(localQuery.getOrElse(
+      sketch.filter(col("dataset_id") === queryId)), queryCols)
     val rankedIds = ranked.select(col("c_dataset").as("dataset_id"))
+    // LEFT SEMI against the candidate ids: a semi join needs no build-side
+    // distinct (the former inner-join + .distinct() paid one more exchange
+    // inside the broadcast build), and duplicates can't fan rows out
     val candIds = extraCandidates
       .map(e => rankedIds.unionAll(e.toDF("dataset_id")))
       .getOrElse(rankedIds)
       .filter(col("dataset_id") =!= queryId)
-      .distinct()
-    val candCols = sketch.join(broadcast(candIds), "dataset_id")
+    val candCols = sketch.join(broadcast(candIds), Seq("dataset_id"), "left_semi")
       .select(col("dataset_id").as("c_dataset"), col("col_name").as("c_col"),
         col("col_type"), col("vector").as("c_vec"))
     candCols.join(broadcast(query), "col_type")

@@ -215,6 +215,8 @@ object Sketches {
     cache.remove((appId, dir)).foreach(_.unpersist(blocking = false))
     colCountCache.keys.filter(k => k._1 == appId && k._2 == dir)
       .foreach(colCountCache.remove)
+    queryRowsCache.keys.filter(k => k._1 == appId && k._2 == dir)
+      .foreach(queryRowsCache.remove)
   }
 
   private val colCountCache =
@@ -237,6 +239,29 @@ object Sketches {
       cachedAll(spark, dir)
         .filter(org.apache.spark.sql.functions.col("dataset_id") === datasetId)
         .count())
+
+  private val queryRowsCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String, String), DataFrame]
+
+  /** ONE dataset's sketch rows as a LocalRelation, memoized per (session,
+    * dir, dataset) — the query side of every search. As a filter on the
+    * pinned index, each of its broadcasts (the kNN join and the
+    * candidate-edges join both consume it) pays a broadcast-BUILD job per
+    * request — pure driver/scheduling latency on the warm serving path; a
+    * LocalRelation broadcasts jobless (BroadcastExchange collects a
+    * LocalTableScan driver-side). Request-bounded by construction: one
+    * dataset's columns, the same rows the reference loads into memory per
+    * query (content_search.py:72-96). Demand-filled like [[columnCount]],
+    * and invalidated with it on [[reset]]/[[refreshDataset]].
+    */
+  def queryLocal(spark: SparkSession, dir: String, datasetId: String): DataFrame =
+    queryRowsCache.getOrElseUpdate(
+      (spark.sparkContext.applicationId, dir, datasetId), {
+        val q = cachedAll(spark, dir)
+          .filter(org.apache.spark.sql.functions.col("dataset_id") === datasetId)
+        spark.createDataFrame(
+          java.util.Arrays.asList(q.collect(): _*), q.schema)
+      })
 
   def cachedNumericTemporal(spark: SparkSession, dir: String): DataFrame =
     cachedAll(spark, dir).filter(org.apache.spark.sql.functions.col("col_type")
@@ -286,6 +311,7 @@ object Sketches {
       }.isDefined
       if (!oldIsCheckpoint) old.unpersist(blocking = false)
       colCountCache.remove((key._1, dir, datasetId))
+      queryRowsCache.remove((key._1, dir, datasetId))
       updatedPinned
     }
   }

@@ -1,0 +1,141 @@
+package graft
+
+import graft.extra.Dedup
+import graft.search.{Bm25, CombinedScorer}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Locks the round-13 warm-serving-path equivalences: every per-request
+  * shortcut (stored BM25 stats adjusted for the excluded query document,
+  * the union+aggregate combine, the memoized pair artifact) must be
+  * VALUE-IDENTICAL to the inline derivation it replaces — the shortcuts buy
+  * driver latency, never different answers.
+  */
+class ServingPathSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def asMap(df: DataFrame): Map[String, Seq[Any]] =
+    df.collect().map(r => r.getString(0) ->
+      (1 until r.length).map(r.get)).toMap
+
+  test("multiFieldWithStats over driver-adjusted stats ≡ multiFieldWithTf " +
+    "over the filtered corpus (bit-identical scores)") {
+    val docs = Seq(
+      ("d1", "alpha beta", "alpha gamma delta", "alpha alpha beta beta"),
+      ("d2", "beta gamma", "beta beta", "gamma delta epsilon"),
+      ("d3", "alpha delta", "delta", "alpha beta gamma delta"),
+      ("d4", "epsilon", "alpha epsilon", "epsilon beta"),
+      ("d5", "gamma gamma beta", "gamma", "delta delta")
+    ).toDF("doc_id", "title", "keywords", "description")
+    val fieldNames = Seq("title", "keywords", "description")
+    val tf = Bm25.fieldTermFreqs(docs, "doc_id", fieldNames)
+    // query = d3's own field text, corpus = everyone else (the search shape)
+    val queryId = "d3"
+    val fields = Seq(
+      ("title", 1.0 / 3, Seq("alpha", "delta")),
+      ("keywords", 1.0 / 3, Seq("delta")),
+      ("description", 1.0 / 3, Seq("alpha", "beta", "gamma", "delta")))
+    val corpusTf = tf.filter(col("doc_id") =!= queryId)
+    val inline = asMap(Bm25.multiFieldWithTf(corpusTf, fields))
+
+    // stored-stats route: full-corpus dl/df, adjusted for the excluded doc
+    // exactly as CombinedScorer.metaStatsFor does
+    val dlAll = tf.groupBy("doc_id", "field")
+      .agg(sum("tf").cast("long").as("dl")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val dfAll = tf.groupBy("field", "term").agg(count(lit(1)).as("df"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val qSet = tf.filter(col("doc_id") === queryId)
+      .select("field", "term").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val dl = dlAll.filter(_._1 != queryId).toSeq
+    val corpus = dl.groupBy(_._2).toSeq.map { case (f, rows) =>
+      (f, rows.size.toLong, rows.map(_._3).sum.toDouble / rows.size) }
+    val dfreq = fields.flatMap { case (f, _, ts) => ts.distinct.flatMap { t =>
+      val d = dfAll.getOrElse((f, t), 0L) - (if (qSet((f, t))) 1L else 0L)
+      if (d > 0) Some((f, t, d)) else None } }
+    val stats = asMap(Bm25.multiFieldWithStats(
+      corpusTf.filter(Bm25.isQueryTerm(fields)),
+      dl.toDF("doc_id", "field", "dl"),
+      corpus.toDF("field", "n_docs", "avgdl"),
+      dfreq.toDF("field", "term", "df"), fields))
+    assert(stats == inline,
+      "stored-stats scoring must be bit-identical to the inline derivation")
+  }
+
+  test("metaStatsFor serves LocalRelations whose values equal the inline " +
+    "aggregates on the fixture metadata corpus") {
+    val dir = SparkTestSession.sf0001
+    val queryId = "customer"
+    val (t, k, d) = CombinedScorer.queryMetaRow(spark, dir, queryId)
+    def terms(s: String) = s.toLowerCase.split(" ").filter(_.nonEmpty).distinct.toSeq
+    val fields = Seq(("title", 1.0 / 3, terms(t)),
+      ("keywords", 1.0 / 3, terms(k)), ("description", 1.0 / 3, terms(d)))
+    val tf = CombinedScorer.metaTermFreqs(spark, dir)
+      .filter(col("doc_id") =!= queryId)
+    val (dl, corpus, dfreq) = CombinedScorer.metaStatsFor(spark, dir, queryId, fields)
+    // each stat table must equal its inline twin row-for-row
+    def rows(df: DataFrame) = df.collect().map(_.toSeq).toSet
+    assert(rows(dl) == rows(tf.groupBy("doc_id", "field")
+      .agg(sum("tf").cast("long").as("dl"))))
+    assert(rows(corpus) == rows(tf.groupBy("doc_id", "field")
+      .agg(sum("tf").as("dl")).groupBy("field")
+      .agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))))
+    assert(rows(dfreq) == rows(tf.filter(Bm25.isQueryTerm(fields))
+      .groupBy("field", "term").agg(count(lit(1)).as("df"))))
+    // and the stat frames must be LocalRelations (jobless broadcasts)
+    for (f <- Seq(dl, corpus, dfreq))
+      assert(f.queryExecution.optimizedPlan.collectLeaves().forall {
+        case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => true
+        case _ => false
+      }, "per-request stat tables must be LocalRelations")
+  }
+
+  test("outerScores union+aggregate ≡ full-outer join with zero fill") {
+    val content = Seq(
+      ("A", 0.81, Seq(("qa", "ca", 0.4))),
+      ("B", 0.52, Seq.empty[(String, String, Double)]),
+      ("D", 0.11, Seq(("qb", "cd", 0.1)))
+    ).toDF("c_dataset", "content_score", "matching")
+    val meta = Seq(("B", 1.0), ("C", 0.93)).toDF("c_dataset", "metadata_score")
+    val got = CombinedScorer.combine(content, meta, 0.7, 0.3, 10)
+    val want = content.join(meta, Seq("c_dataset"), "full_outer")
+      .na.fill(0.0, Seq("content_score", "metadata_score"))
+      .withColumn("overall_score",
+        round(lit(0.7) * col("content_score") + lit(0.3) * col("metadata_score"), 6))
+      .orderBy(col("overall_score").desc, col("c_dataset").asc)
+    assert(got.select("c_dataset", "content_score", "metadata_score",
+        "overall_score").collect().map(_.toSeq).toSeq
+      == want.select("c_dataset", "content_score", "metadata_score",
+        "overall_score").collect().map(_.toSeq).toSeq)
+    // the matching payload survives for content-side rows, null for meta-only
+    val m = got.select("c_dataset", "matching").collect()
+      .map(r => r.getString(0) -> r.isNullAt(1)).toMap
+    assert(!m("A") && !m("B") && m("C"))
+  }
+
+  test("trainedPairs memoizes per key, serves identical pairs, resets cleanly") {
+    val docs = Tables.load(spark, SparkTestSession.sf0001, "documents")
+      .filter(col("doc_id") < 150)
+    val key = "spec#pairs"
+    Dedup.resetPairs(spark, key)
+    val p1 = Dedup.trainedPairs(docs, "doc_id", "text", 0.9, key)
+    val p2 = Dedup.trainedPairs(docs, "doc_id", "text", 0.9, key)
+    assert(p1 eq p2, "second call must be the memo hit, not a rebuild")
+    def pairs(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pairs(p1) == pairs(Dedup.jaccardPairs(docs, "doc_id", "text", 0.9)),
+      "memoized pairs must equal the direct operator")
+    // LSH variant is its own artifact under a different key
+    val pl = Dedup.trainedPairs(docs, "doc_id", "text", 0.9, key + "_lsh",
+      lsh = true)
+    assert(pairs(pl) == pairs(Dedup.minhashLshPairs(docs, "doc_id", "text", 0.9)))
+    Dedup.resetPairs(spark, key)
+    val p3 = Dedup.trainedPairs(docs, "doc_id", "text", 0.9, key)
+    assert(!(p3 eq p1), "reset must force a true rebuild")
+    assert(pairs(p3) == pairs(p1))
+    Dedup.resetPairs(spark, key)
+  }
+}
