@@ -59,21 +59,24 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact-Jaccard verification of candidate (id_a, id_b) pairs: intersection
-    * via the token inverted index restricted to candidates, then the raw
-    * ratio thresholded (rounding first would admit pairs just under it — the
-    * oracle thresholds raw and rounds only for output).
+  /** Exact-Jaccard verification of candidate (id_a, id_b) pairs against the
+    * per-doc UNIT-ARRAY table (doc_id, toks): two row-bounded joins fetch
+    * the pair's arrays, `array_intersect`/`size` compute the overlap off
+    * the row, then the raw ratio is thresholded (rounding first would admit
+    * pairs just under it — the oracle thresholds raw and rounds only for
+    * output). The former inverted-index form re-exploded the corpus's
+    * tokens and paid a per-pair groupBy exchange for the same count; the
+    * array form's shuffle carries only candidate rows.
     */
-  private def verifyJaccard(candidates: DataFrame, toks: DataFrame,
-                            sizes: DataFrame, threshold: Double): DataFrame =
+  private def verifyJaccard(candidates: DataFrame,
+                            arrs: DataFrame, threshold: Double): DataFrame =
     candidates
-      .join(toks.select(col("doc_id").as("id_a"), col("term")), "id_a")
-      .join(toks.select(col("doc_id").as("id_b"), col("term")), Seq("id_b", "term"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-      .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sz_a")), "id_a")
-      .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .join(arrs.select(col("doc_id").as("id_a"), col("toks").as("toks_a")), "id_a")
+      .join(arrs.select(col("doc_id").as("id_b"), col("toks").as("toks_b")), "id_b")
+      .withColumn("inter",
+        size(array_intersect(col("toks_a"), col("toks_b"))).cast("long"))
       .withColumn("jac_raw", col("inter").cast("double")
-        / (col("sz_a") + col("sz_b") - col("inter")))
+        / (size(col("toks_a")) + size(col("toks_b")) - col("inter")))
       .filter(col("jac_raw") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jac_raw"), 6).as("jac"))
 
@@ -82,12 +85,20 @@ object Dedup {
     * identical to the naive inverted-index self-join (the prefix filter is
     * lossless at the threshold), but candidates are bounded even for
     * stopword-heavy corpora.
+    *
+    * Unit sets ride IN-ROW ([[tokenArraysOf]], a pure projection — the
+    * bandSignatures rule): the former (doc_id, term) stream paid a
+    * corpus-wide distinct EXCHANGE before any real work, where
+    * `array_distinct` is per-row; sizes are `size(toks)` instead of a
+    * corpus aggregate; the exploded stream the prefix filter genuinely
+    * needs is derived off the cached arrays.
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    threshold: Double): DataFrame = {
-    val toks = tokenSets(df, idCol, textCol).cache()
-    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    verifyJaccard(jaccardCandidates(toks, sizes, threshold), toks, sizes, threshold)
+    val arrs = graft.Caching.temp(tokenArraysOf(df, idCol, textCol))
+    val toks = arrs.select(col("doc_id"), explode(col("toks")).as("term"))
+    val sizes = arrs.select(col("doc_id"), size(col("toks")).cast("long").as("sz"))
+    verifyJaccard(jaccardCandidates(toks, sizes, threshold), arrs, threshold)
   }
 
   /** Word n-gram (w-shingling, Broder '97) Jaccard near-dup pairs: the
@@ -99,15 +110,23 @@ object Dedup {
     */
   def shinglePairs(df: DataFrame, idCol: String, textCol: String,
                    w: Int = 3, threshold: Double = 0.8): DataFrame = {
-    // cached like jaccardPairs' toks: the candidate branch (dfreq + prefix
-    // window) and the two verify joins each re-read this, and the
-    // explode+distinct is the expensive part of the whole pipeline.
-    // The shingle stream is CorpusOps.gramStream — ONE tokenization shared
-    // with decontamination/repetition metrics (and their oracles).
-    val sh = CorpusOps.gramStream(df, idCol, textCol, w, distinct = true)
-      .withColumnRenamed("gram", "term").cache()
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    verifyJaccard(jaccardCandidates(sh, sizes, threshold), sh, sizes, threshold)
+    // Shingle sets ride IN-ROW like jaccardPairs' token arrays: the same
+    // grams as CorpusOps.gramStream(distinct = true) — identical tokenize +
+    // window expressions, so decontamination/repetition metrics (and their
+    // oracles) stay in lockstep — but assembled with per-row
+    // transform/array_distinct instead of the explode + corpus-wide
+    // distinct exchange. Docs shorter than w tokens have no full-width
+    // shingle and drop, exactly as gramStream filters them.
+    val tk = filter(split(lower(col(textCol)), " "), t => t =!= "")
+    val arrs = graft.Caching.temp(df
+      .select(col(idCol).as("doc_id"), tk.as("tk"))
+      .filter(size(col("tk")) >= w)
+      .select(col("doc_id"), array_distinct(transform(
+        sequence(lit(1), size(col("tk")) - w + 1),
+        i => array_join(slice(col("tk"), i, lit(w)), " "))).as("toks")))
+    val sh = arrs.select(col("doc_id"), explode(col("toks")).as("term"))
+    val sizes = arrs.select(col("doc_id"), size(col("toks")).cast("long").as("sz"))
+    verifyJaccard(jaccardCandidates(sh, sizes, threshold), arrs, threshold)
   }
 
   // MinHash machinery: base token hash from md5 (deterministic across runs and
@@ -161,10 +180,9 @@ object Dedup {
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    // verify candidates exactly (standard LSH verify step)
-    val toks = tokenSets(df, idCol, textCol).cache()
-    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    verifyJaccard(candidates, toks, sizes, threshold)
+    // verify candidates exactly (standard LSH verify step) — off the
+    // in-row token arrays, like jaccardPairs
+    verifyJaccard(candidates, tokenArraysOf(df, idCol, textCol), threshold)
   }
 
   /** Incremental near-dedup: admit a NEW batch against an accumulated
