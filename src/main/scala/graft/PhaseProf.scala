@@ -17,6 +17,7 @@ object PhaseProf {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    StageLog.attachIfEnabled(spark.sparkContext)
     spark.range(1000000).selectExpr("sum(id)").collect()
     val buckets = sys.env.get("PHASEPROF_BUCKETS").map(_.toInt)
       .getOrElse(spark.sessionState.conf.numShufflePartitions)
