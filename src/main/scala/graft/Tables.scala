@@ -26,6 +26,18 @@ object Tables {
     loadCache.getOrElseUpdate(
       (spark.sparkContext.applicationId, dir, name), load0(spark, dir, name))
 
+  /** Drop the memoized plan for one table — REQUIRED when its underlying
+    * files changed: the memo captures the file listing and schema at first
+    * load, so a mutation path that skips this serves FAILED_READ_FILE from
+    * deleted files (or silently misses new ones). `Sketches.refreshDataset`
+    * — the declared "this dataset's data changed" entry point — calls this;
+    * session-artifact resets deliberately do NOT (the lake is unchanged
+    * there, and re-listing would re-pay the ~40ms footer job per table the
+    * memo exists to avoid).
+    */
+  def invalidate(spark: SparkSession, dir: String, name: String): Unit =
+    loadCache.remove((spark.sparkContext.applicationId, dir, name))
+
   private def load0(spark: SparkSession, dir: String, name: String): DataFrame = {
     // events.ts is parquet timestamp[ns]; depending on the session config
     // Spark either refuses it or surfaces it as a nanosecond long. Normalize

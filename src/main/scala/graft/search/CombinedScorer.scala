@@ -106,8 +106,9 @@ object CombinedScorer {
     * JOB per request — driver latency on the warm serving path. Demand-
     * filled (footprint = the queried working set, same discipline as
     * [[graft.search.Sketches.columnCount]]); the backing corpus is the
-    * session-cached [[datasetMetadata]], which has no invalidation path, so
-    * a row memo on top introduces no new staleness class.
+    * session-cached [[datasetMetadata]], and both drop together via
+    * [[invalidateMetadata]] on a dataset refresh, so the row memo
+    * introduces no new staleness class.
     */
   def queryMetaRow(spark: SparkSession, dir: String, queryId: String)
   : (String, String, String) =
@@ -175,6 +176,28 @@ object CombinedScorer {
       metaTermFreqs(spark, dir).filter(col("doc_id") === queryId)
         .select("field", "term").collect()
         .map(r => (r.getString(0), r.getString(1))).toSet)
+
+  /** Drop every metadata-corpus artifact for (session, dir): the cached
+    * catalogue corpus, the BM25 TF artifact and its driver-held stats, and
+    * the per-query row/term memos on top of them. The metadata corpus is
+    * derived from table SCHEMAS (column names), and a dataset refresh can
+    * change a dataset's column set — so [[graft.search.Sketches.refreshDataset]]
+    * calls this alongside its own per-dataset memo invalidation; without it
+    * the serving path would keep scoring against the pre-refresh catalogue
+    * text for the rest of the session.
+    */
+  def invalidateMetadata(spark: SparkSession, dir: String): Unit = {
+    val appId = spark.sparkContext.applicationId
+    metaCache.keys.filter(k => k._1 == appId && k._2.startsWith(dir + "|"))
+      .foreach(k => metaCache.remove(k).foreach(_.unpersist(blocking = false)))
+    metaTfCache.keys.filter(k => k._1 == appId && k._2 == dir)
+      .foreach(k => metaTfCache.remove(k).foreach(graft.Caching.dropArtifact))
+    metaStatsCache.remove((appId, dir))
+    qRowCache.keys.filter(k => k._1 == appId && k._2 == dir)
+      .foreach(qRowCache.remove)
+    qTermSetCache.keys.filter(k => k._1 == appId && k._2 == dir)
+      .foreach(qTermSetCache.remove)
+  }
 
   /** Per-request BM25 stat tables for "the corpus minus the query dataset",
     * derived from [[metaStats]] by EXACT integer adjustment (drop the query

@@ -293,6 +293,10 @@ object Sketches {
     val key = (spark.sparkContext.applicationId, dir)
     val lock = refreshLocks.getOrElseUpdate(key, new Object)
     lock.synchronized {
+      // The load memo captures the file listing at first read; refresh is
+      // the declared "this dataset's files changed" path, so drop it first —
+      // a stale plan here serves FAILED_READ_FILE from replaced files.
+      Tables.invalidate(spark, dir, datasetId)
       val df = Tables.load(spark, dir, datasetId)
       val ntSp = forDataFrame(df, datasetId)
       val fresh =
@@ -312,6 +316,9 @@ object Sketches {
       if (!oldIsCheckpoint) old.unpersist(blocking = false)
       colCountCache.remove((key._1, dir, datasetId))
       queryRowsCache.remove((key._1, dir, datasetId))
+      // the metadata corpus is derived from table schemas, which a refresh
+      // can change — rebuild the BM25 artifacts on next use
+      CombinedScorer.invalidateMetadata(spark, dir)
       updatedPinned
     }
   }

@@ -168,6 +168,34 @@ class SearchSpec extends AnyFunSuite {
     Sketches.refreshDataset(spark, tmp, "nation")
     assert(rows(snapshot) == after,
       "old snapshot handle must stay readable after a subsequent refresh")
+
+    // a refresh that CHANGES THE COLUMN SET must propagate to the metadata
+    // corpus and its BM25 artifacts (they are derived from table schemas):
+    // pre-build the artifacts, mutate the schema, refresh, and the rebuilt
+    // metadata must carry the new column — stale-serving would keep the old
+    // catalogue text for the rest of the session
+    CombinedScorer.metaStats(spark, tmp) // force-build TF artifact + stats
+    val descBefore = CombinedScorer.queryMetaRow(spark, tmp, "customer")._3
+    assert(!descBefore.contains("freshly added"))
+    // source the rewrite from the ORIGINAL lake — reading from tmp here
+    // would make the write below consume files this test just deleted
+    val wide = Tables.load(spark, SparkTestSession.sf0001, "customer")
+      .withColumn("freshly_added", org.apache.spark.sql.functions.lit(1))
+    deleteRecursively(java.nio.file.Paths.get(tmp, "customer.parquet"))
+    wide.coalesce(1).write.parquet(s"$tmp/customer.parquet")
+    Sketches.refreshDataset(spark, tmp, "customer")
+    val descAfter = CombinedScorer.queryMetaRow(spark, tmp, "customer")._3
+    assert(descAfter.contains("freshly added"),
+      "metadata corpus must rebuild from the refreshed schema")
+    val (dlAfter, _) = CombinedScorer.metaStats(spark, tmp)
+    val custDl = dlAfter.filter(r => r._1 == "customer" && r._2 == "description")
+    assert(custDl.head._3 > 0, "BM25 stats must rebuild over the new corpus")
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (java.nio.file.Files.isDirectory(p))
+      java.nio.file.Files.list(p).forEach(deleteRecursively)
+    java.nio.file.Files.deleteIfExists(p)
   }
 
   test("shared metadata TF artifact scores identically to the inline build") {
