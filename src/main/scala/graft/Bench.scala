@@ -7,6 +7,18 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Scan-split granularity, probe-tunable: the default 128MB
+      // maxPartitionBytes reads a 30MB single-file table as 1-2 tasks,
+      // which serializes every scan-heavy pipeline on a 32-core box once
+      // the lake outgrows sf0.1 (round-13 decade probe: tokenize stages ran
+      // tasks=2 with 30 cores idle; 4MB splits on the multi-row-group sf1.0
+      // lake cut rep_metrics wall 9.9 -> 3.0s). NOT hardcoded: the driver's
+      // sf0.1 fixtures are single-row-group files where sub-file splits are
+      // all EMPTY (a row group belongs to the split holding its midpoint) —
+      // pure task-launch overhead. A real 100TB lake writes ~128MB row
+      // groups, where the default split size is already right.
+      .config("spark.sql.files.maxPartitionBytes",
+        s"${sys.env.getOrElse("SPARK_GRAFT_SPLIT_MB", "128").toInt * 1024 * 1024}")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -113,6 +125,17 @@ object Bench {
             s"$sfDir#pairs@0.95")
           extra.Dedup.trainedPairs(docs, "doc_id", "text", 0.95,
             s"$sfDir#pairs_lsh@0.95", lsh = true)
+          ()
+        }),
+      ("train_tf",
+        () => ingest.TermStats.resetTermFreqs(spark, s"$sfDir#tf"),
+        () => {
+          // the shared documents TF core probed by the TF family
+          // (tf/tfidf top-k, tfidf_knn, bm25_docs, posting_lists) — the
+          // in-session form of a maintained inverted-index TF table
+          ingest.TermStats.trainedTermFreqs(
+            Tables.load(spark, sfDir, "documents"), "doc_id", "text",
+            s"$sfDir#tf:documents")
           ()
         }))
     val trained = trainSteps

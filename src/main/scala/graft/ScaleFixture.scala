@@ -20,6 +20,22 @@ import org.apache.spark.sql.functions._
   * PLANS.md).
   */
 object ScaleFixture {
+  /** Row-group size for the scaled tables. The driver's sf0.1 fixtures are
+    * single-row-group files, and parquet cannot split below row-group
+    * granularity — so a coalesce(1) upscale with the 128MB default would
+    * leave a 50k-doc corpus readable by ~1 task, and every doc-heavy bench
+    * line at sf1.0 would measure the fixture's split count, not the plan
+    * (first probe: the tokenize stages ran tasks=2 with 30 cores idle, and
+    * the single giant hash-agg map per task added ~1.6x per-row cpu). A
+    * real corpus carries thousands of row groups; 2MB here gives the
+    * sf1.0 lake the split parallelism its scale implies while keeping the
+    * single-file-per-table layout the DuckDB oracle views expect. (The
+    * writer checks this against its in-memory buffered estimate, so the
+    * on-disk groups come out a few x smaller than the setting; 512KB
+    * yields ~15-30 groups per scaled table.)
+    */
+  val RowGroupBytes = 512 * 1024
+
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = args.lift(1).getOrElse("target/testdata/sf1.0")
@@ -39,7 +55,9 @@ object ScaleFixture {
         txt.as("text"), col("lang"), col("source"),
         length(txt).cast("long").as("n_chars"))
     }.reduce(_.unionAll(_))
-      .coalesce(1).write.mode("overwrite").parquet(s"$out/documents")
+      .coalesce(1).write.mode("overwrite")
+      .option("parquet.block.size", RowGroupBytes)
+      .parquet(s"$out/documents")
 
     val emb = Tables.load(spark, src, "embeddings")
     (0 until 4).map { k =>
@@ -51,7 +69,9 @@ object ScaleFixture {
       emb.select((col("vec_id") + lit(k * 1000000L)).as("vec_id"),
         vec.as("embedding"), col("label"))
     }.reduce(_.unionAll(_))
-      .coalesce(1).write.mode("overwrite").parquet(s"$out/embeddings")
+      .coalesce(1).write.mode("overwrite")
+      .option("parquet.block.size", RowGroupBytes)
+      .parquet(s"$out/embeddings")
 
     val ev = Tables.load(spark, src, "events")
     (0 until 10).map { k =>
@@ -60,7 +80,9 @@ object ScaleFixture {
         (col("user_id") + lit(k * 1000000L)).as("user_id"),
         col("event_type"), col("value"), col("props"))
     }.reduce(_.unionAll(_))
-      .coalesce(1).write.mode("overwrite").parquet(s"$out/events")
+      .coalesce(1).write.mode("overwrite")
+      .option("parquet.block.size", RowGroupBytes)
+      .parquet(s"$out/events")
 
     Tables.star.foreach { t =>
       spark.read.parquet(s"$src/$t.parquet")
