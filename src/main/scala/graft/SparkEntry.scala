@@ -20,6 +20,14 @@ object SparkEntry {
   private def T(s: SparkSession, d: String, name: String): DataFrame =
     Tables.load(s, d, name)
 
+  /** The shared documents TF artifact (TermStats.trainedTermFreqs) probed by
+    * the TF family (tf/tfidf top-k, tfidf_knn, bm25_docs, posting_lists) —
+    * built once per session, its own `train_tf` bench line.
+    */
+  private def TF(s: SparkSession, d: String): DataFrame =
+    TermStats.trainedTermFreqs(T(s, d, "documents"), "doc_id", "text",
+      s"$d#tf:documents")
+
   /** Flagship: full dataset-similarity search for `customer` on sf0.001
     * (danae's "Find Similar" — SURVEY.md §3.1).
     */
@@ -158,11 +166,11 @@ object SparkEntry {
 
     // ---- term stats (danae A5-A7) ----
     "tf_topk_docs" -> ((s, d) =>
-      TermStats.tfTopK(TermStats.tokens(T(s, d, "documents"), "doc_id", "text"), 10)
+      TermStats.tfTopKFromTf(TF(s, d), 10)
         .withColumn("rank", col("rank").cast("long"))),
 
     "tfidf_topk_docs" -> ((s, d) =>
-      TermStats.tfIdfTopK(TermStats.tokens(T(s, d, "documents"), "doc_id", "text"), 10)
+      TermStats.tfIdfTopKFromTf(TF(s, d), 10)
         .withColumn("rank", col("rank").cast("long"))),
 
     // ---- embedding pooling (danae A8) ----
@@ -214,7 +222,8 @@ object SparkEntry {
     }),
 
     "bm25_docs" -> ((s, d) =>
-      Bm25.scores(T(s, d, "documents"), "doc_id", "text", Bm25Terms)
+      Bm25.scores(T(s, d, "documents"), "doc_id", "text", Bm25Terms,
+          tfTable = Some(TF(s, d)))
         .orderBy(col("score").desc, col("doc_id").asc).limit(100)),
 
     "similarity_search" -> ((s, d) =>
@@ -462,7 +471,7 @@ object SparkEntry {
     // sparse TF-IDF cosine document similarity (inverted-index join)
     "tfidf_knn" -> ((s, d) =>
       TermStats.tfidfKnn(T(s, d, "documents"), "doc_id", "text", KnnQueryIds,
-          maxDfFrac = TfidfDfCap)
+          maxDfFrac = TfidfDfCap, tfTable = Some(TF(s, d)))
         .withColumn("rank", col("rank").cast("long"))),
 
     "corpus_split" -> ((s, d) =>
@@ -697,7 +706,8 @@ object SparkEntry {
 
     // materialized inverted-index build, sharded postings (ES termvector twin)
     "posting_lists" -> ((s, d) =>
-      TermStats.postingLists(T(s, d, "documents"), "doc_id", "text")),
+      TermStats.postingLists(T(s, d, "documents"), "doc_id", "text",
+        tfTable = Some(TF(s, d)))),
 
     // Morton-curve layout key for two-dimensional file clustering
     "zorder_layout" -> ((s, d) =>

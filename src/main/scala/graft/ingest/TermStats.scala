@@ -29,13 +29,51 @@ object TermStats {
   def termFreqs(tokensDf: DataFrame): DataFrame =
     tokensDf.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
 
+  private val tfCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), DataFrame]
+
+  /** Session TERM-FREQUENCY artifact: `termFreqs(tokens(df))` built ONCE per
+    * (session, cacheKey) and served lineage-free — the
+    * [[graft.extra.Dedup.trainedPairs]] treatment for the TF table. Five
+    * registered consumers (tf/tfidf top-k, the TF-IDF kNN, the BM25 document
+    * search, the posting-list export) each branch every corpus statistic
+    * (df, ttf, dl, norms) off this same (doc_id, term, tf) aggregate;
+    * without the memo each QUERY re-tokenizes the corpus (per-query pins
+    * already stopped each query doing it per BRANCH). A served system
+    * tokenizes once: this IS the inverted index's TF core — in production a
+    * parquet/Delta table maintained alongside the corpus (per-batch
+    * appends, like the admission index), here the in-session form.
+    */
+  def trainedTermFreqs(df: DataFrame, docIdCol: String, textCol: String,
+                       cacheKey: String): DataFrame = {
+    val k = (df.sparkSession.sparkContext.applicationId, cacheKey)
+    tfCache.getOrElseUpdate(k,
+      graft.Caching.pinArtifact(termFreqs(tokens(df, docIdCol, textCol))))
+  }
+
+  /** Drop memoized TF artifacts whose key starts with `cacheKeyPrefix` (the
+    * bench's TRUE-rebuild discipline for its `train_tf` line);
+    * reliable-checkpoint files are reclaimed like
+    * [[graft.extra.Dedup.resetPairs]].
+    */
+  def resetTermFreqs(spark: org.apache.spark.sql.SparkSession,
+                     cacheKeyPrefix: String): Unit = {
+    val appId = spark.sparkContext.applicationId
+    tfCache.keys
+      .filter(k => k._1 == appId && k._2.startsWith(cacheKeyPrefix))
+      .foreach(k => tfCache.remove(k).foreach(graft.Caching.dropArtifact))
+  }
+
   /** Top-k terms per document by TF, deterministic tie-break on term
     * (filters.py:156-158 keeps the top-10 list).
     */
-  def tfTopK(tokensDf: DataFrame, k: Int = 10): DataFrame = {
+  def tfTopK(tokensDf: DataFrame, k: Int = 10): DataFrame =
+    tfTopKFromTf(termFreqs(tokensDf), k)
+
+  /** [[tfTopK]] off an existing TF table (see [[trainedTermFreqs]]). */
+  def tfTopKFromTf(tf: DataFrame, k: Int = 10): DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy(col("tf").desc, col("term").asc)
-    termFreqs(tokensDf)
-      .withColumn("rank", row_number().over(w))
+    tf.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
 
@@ -59,7 +97,8 @@ object TermStats {
     */
   def tfidfKnn(df: DataFrame, docIdCol: String, textCol: String,
                queryIds: Seq[Long], k: Int = 5,
-               maxDfFrac: Double = 0.5): DataFrame = {
+               maxDfFrac: Double = 0.5,
+               tfTable: Option[DataFrame] = None): DataFrame = {
     // The TF table and the weight stream each feed several branches (df
     // counts, norms, query side, candidate side). Catalyst cannot reuse the
     // exchanges — column pruning specializes every branch's subtree — so an
@@ -68,7 +107,10 @@ object TermStats {
     // once; in production the TF table is materialized corpus metadata
     // anyway (like the sketch index). Registered with graft.Caching so the
     // caller can release the pins once the query's action completes.
-    val tf = graft.Caching.temp(termFreqs(tokens(df, docIdCol, textCol)))
+    // `tfTable` (the [[trainedTermFreqs]] artifact) skips even that one
+    // tokenize: the session already owns the pinned TF core.
+    val tf = tfTable.getOrElse(
+      graft.Caching.temp(termFreqs(tokens(df, docIdCol, textCol))))
     val nDf = tf.agg(countDistinct("doc_id").as("n_docs"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val wts = graft.Caching.temp(
@@ -93,8 +135,14 @@ object TermStats {
       .filter(col("rank") <= k)
   }
 
-  def tfIdfTopK(tokensDf: DataFrame, k: Int = 10): DataFrame = {
-    val tf = termFreqs(tokensDf)
+  def tfIdfTopK(tokensDf: DataFrame, k: Int = 10): DataFrame =
+    tfIdfTopKFromTf(termFreqs(tokensDf), k)
+
+  /** [[tfIdfTopK]] off an existing TF table (see [[trainedTermFreqs]]) —
+    * every corpus statistic (ttf, df, N) derives from the TF aggregate, so
+    * the artifact-fed form is plan-identical below the TF node.
+    */
+  def tfIdfTopKFromTf(tf: DataFrame, k: Int = 10): DataFrame = {
     val corpus = tf.groupBy("term")
       .agg(sum("tf").as("ttf"), count(lit(1)).as("df"))
     // Corpus size as a broadcast 1-row join — no driver-side action, the
@@ -129,11 +177,13 @@ object TermStats {
     * collected shard slice, never a global sort.
     */
   def postingLists(docs: DataFrame, docIdCol: String, textCol: String,
-                   nShards: Int = 4): DataFrame = {
+                   nShards: Int = 4,
+                   tfTable: Option[DataFrame] = None): DataFrame = {
     // pmod (not %) so negative doc ids still land in [0, nShards) — the
     // oracle twin mirrors this with ((doc_id % n) + n) % n, keeping the
     // cross-engine compare sign-safe (DuckDB's % keeps the dividend sign).
-    val tf = termFreqs(tokens(docs, docIdCol, textCol))
+    val tf = tfTable
+      .getOrElse(termFreqs(tokens(docs, docIdCol, textCol)))
       .withColumn("shard", pmod(col("doc_id"), lit(nShards.toLong)))
     tf.groupBy("term", "shard")
       .agg(

@@ -24,16 +24,17 @@ object Bm25 {
     * corpus is tokenized exactly once.
     */
   def scores(docs: DataFrame, docIdCol: String, textCol: String,
-             queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+             queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+             tfTable: Option[DataFrame] = None): DataFrame = {
     // persist tf: every corpus statistic (dl, avgdl, df) branches off it, and
     // without the pin Spark recomputes the tokenize+aggregate per branch —
     // 4 scans of the corpus instead of one. Caching-registered, so the query
     // driver releases it post-action: each search re-tokenizes the corpus
     // once, the steady per-query cost. A service wanting cross-search reuse
-    // should maintain the TF table as a long-lived index (like Sketches),
-    // not lean on this pin.
-    val tf = graft.Caching.temp(
-      TermStats.termFreqs(TermStats.tokens(docs, docIdCol, textCol)))
+    // passes the long-lived TF core as `tfTable`
+    // ([[graft.ingest.TermStats.trainedTermFreqs]] — like Sketches).
+    val tf = tfTable.getOrElse(graft.Caching.temp(
+      TermStats.termFreqs(TermStats.tokens(docs, docIdCol, textCol))))
     val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
     val corpus = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
     val qtf = tf.filter(col("term").isin(queryTerms: _*))

@@ -319,6 +319,8 @@ object Sketches {
       // the metadata corpus is derived from table schemas, which a refresh
       // can change — rebuild the BM25 artifacts on next use
       CombinedScorer.invalidateMetadata(spark, dir)
+      // same family: the table's TF artifact is derived from its rows
+      graft.ingest.TermStats.resetTermFreqs(spark, s"$dir#tf:$datasetId")
       updatedPinned
     }
   }

@@ -55,4 +55,40 @@ class TermStatsSpec extends AnyFunSuite {
     // a hot term never concentrates: rows are bounded per shard
     assert(!got.contains(("a", 0L)) && !got.contains(("a", 3L)))
   }
+
+  test("trainedTermFreqs: artifact-fed consumers match inline builds, " +
+    "memo serves one pinned frame, reset forces a true rebuild") {
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+      val cols = df.columns.sorted
+      df.select(cols.head, cols.tail: _*).collect()
+        .map(_.toSeq.mkString("|")).sorted.toSeq
+    }
+    val key = "termstats-spec#tf"
+    TermStats.resetTermFreqs(spark, key)
+    val tf = TermStats.trainedTermFreqs(docs, "doc_id", "text", key)
+    // memo: second call is the same pinned frame, not a rebuild
+    assert(TermStats.trainedTermFreqs(docs, "doc_id", "text", key) eq tf)
+    // artifact content ≡ the inline aggregate
+    assert(canon(tf) ==
+      canon(TermStats.termFreqs(TermStats.tokens(docs, "doc_id", "text"))))
+    // every artifact-fed consumer ≡ its inline twin
+    assert(canon(TermStats.tfTopKFromTf(tf, 2)) ==
+      canon(TermStats.tfTopK(TermStats.tokens(docs, "doc_id", "text"), 2)))
+    assert(canon(TermStats.tfIdfTopKFromTf(tf, 10)) ==
+      canon(TermStats.tfIdfTopK(TermStats.tokens(docs, "doc_id", "text"), 10)))
+    assert(canon(TermStats.postingLists(docs, "doc_id", "text", 4, Some(tf))) ==
+      canon(TermStats.postingLists(docs, "doc_id", "text", 4)))
+    assert(canon(TermStats.tfidfKnn(docs, "doc_id", "text", Seq(1L), 4,
+        1.0, Some(tf))) ==
+      canon(TermStats.tfidfKnn(docs, "doc_id", "text", Seq(1L), 4, 1.0)))
+    assert(canon(graft.search.Bm25.scores(docs, "doc_id", "text",
+        Seq("a", "c"), tfTable = Some(tf))) ==
+      canon(graft.search.Bm25.scores(docs, "doc_id", "text", Seq("a", "c"))))
+    graft.Caching.release() // the inline twins' per-query pins
+    // reset: next call is a NEW artifact (true-rebuild bench discipline)
+    TermStats.resetTermFreqs(spark, key)
+    val tf2 = TermStats.trainedTermFreqs(docs, "doc_id", "text", key)
+    assert(!(tf2 eq tf) && canon(tf2) == canon(tf))
+    TermStats.resetTermFreqs(spark, key)
+  }
 }
