@@ -30,7 +30,9 @@ object TermStats {
     tokensDf.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
 
   private val tfCache = scala.collection.concurrent.TrieMap
-    .empty[(String, String), DataFrame]
+    .empty[(String, String), Vector[DataFrame]]
+  private val tfLocks = scala.collection.concurrent.TrieMap
+    .empty[(String, String), Object]
 
   /** Session TERM-FREQUENCY artifact: `termFreqs(tokens(df))` built ONCE per
     * (session, cacheKey) and served lineage-free — the
@@ -47,9 +49,54 @@ object TermStats {
   def trainedTermFreqs(df: DataFrame, docIdCol: String, textCol: String,
                        cacheKey: String): DataFrame = {
     val k = (df.sparkSession.sparkContext.applicationId, cacheKey)
-    tfCache.getOrElseUpdate(k,
-      graft.Caching.pinArtifact(termFreqs(tokens(df, docIdCol, textCol))))
+    tfCache.getOrElseUpdate(k, Vector(
+      graft.Caching.pinArtifact(termFreqs(tokens(df, docIdCol, textCol)))))
+      .reduce(_ unionByName _)
   }
+
+  /** Fold a batch of NEW documents' term frequencies into the memoized
+    * artifact — O(batch) per append, the
+    * [[graft.extra.Dedup.appendGramAdmitted]] segment discipline: only the
+    * batch's own tokenize+aggregate rows are checkpointed; past
+    * `maxSegments` the segments are compacted into one pin (a plain union —
+    * exact because (doc_id, term) keys are disjoint across segments when
+    * appended doc ids are new, the same by-construction property the
+    * admission gate's accepted batches carry). Re-appending an EXISTING
+    * document is out of contract (its rows would double-count) — a mutated
+    * document goes through the refresh path, which drops the artifact for
+    * a rebuild. No-op (false) when nothing is memoized under the key.
+    */
+  def appendTermFreqs(batch: DataFrame, docIdCol: String, textCol: String,
+                      cacheKey: String, maxSegments: Int = 32): Boolean = {
+    val k = (batch.sparkSession.sparkContext.applicationId, cacheKey)
+    val lock = tfLocks.getOrElseUpdate(k, new Object)
+    lock.synchronized {
+      tfCache.get(k) match {
+        case None => false
+        case Some(segs0) =>
+          val segs = segs0 :+ graft.Caching.pinArtifact(
+            termFreqs(tokens(batch, docIdCol, textCol)))
+          val kept =
+            if (segs.size <= maxSegments) segs
+            else Vector(graft.Caching.pinArtifact(
+              segs.reduce(_ unionByName _)))
+          tfCache.put(k, kept)
+          if (kept ne segs) segs.foreach(graft.Caching.dropArtifact)
+          true
+      }
+    }
+  }
+
+  /** Segment count of the TF artifact under `cacheKey` (0 = not built). */
+  def tfSegmentCount(spark: org.apache.spark.sql.SparkSession,
+                     cacheKey: String): Int =
+    tfCache.get((spark.sparkContext.applicationId, cacheKey))
+      .map(_.size).getOrElse(0)
+
+  private[graft] def tfSegmentsOf(spark: org.apache.spark.sql.SparkSession,
+                                  cacheKey: String): Vector[DataFrame] =
+    tfCache.getOrElse(
+      (spark.sparkContext.applicationId, cacheKey), Vector.empty)
 
   /** Drop memoized TF artifacts whose key starts with `cacheKeyPrefix` (the
     * bench's TRUE-rebuild discipline for its `train_tf` line);
@@ -61,7 +108,8 @@ object TermStats {
     val appId = spark.sparkContext.applicationId
     tfCache.keys
       .filter(k => k._1 == appId && k._2.startsWith(cacheKeyPrefix))
-      .foreach(k => tfCache.remove(k).foreach(graft.Caching.dropArtifact))
+      .foreach(k =>
+        tfCache.remove(k).foreach(_.foreach(graft.Caching.dropArtifact)))
   }
 
   /** Top-k terms per document by TF, deterministic tie-break on term

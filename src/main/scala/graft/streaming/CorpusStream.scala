@@ -121,12 +121,20 @@ object CorpusStream {
     * This is the indexed twin of [[admitStream]]'s growing-corpus thunk
     * pattern, with per-batch cost O(batch + candidates) instead of
     * O(corpus).
+    *
+    * With `tfCacheKey` set, each batch's admitted documents are ALSO folded
+    * into that [[graft.ingest.TermStats.trainedTermFreqs]] artifact
+    * ([[graft.ingest.TermStats.appendTermFreqs]] — O(batch), same segment
+    * discipline), so the TF family's index stays in step with admissions
+    * without caller wiring. The caller builds the TF artifact once up
+    * front; an append before that build is a recorded no-op.
     */
   def admitStreamMaintained(stream: DataFrame, corpus: DataFrame,
                             cacheKey: String,
                             idCol: String = "doc_id",
                             textCol: String = "text",
-                            threshold: Double = 0.9)
+                            threshold: Double = 0.9,
+                            tfCacheKey: Option[String] = None)
                            (onVerdict: (DataFrame, Long) => Unit)
   : StreamingQuery = {
     graft.extra.Dedup.trainedIndex(corpus, idCol, textCol, cacheKey)
@@ -144,6 +152,8 @@ object CorpusStream {
           idCol)
         graft.extra.Dedup.appendAdmitted(
           admitted, idCol, textCol, cacheKey)
+        tfCacheKey.foreach(k =>
+          graft.ingest.TermStats.appendTermFreqs(admitted, idCol, textCol, k))
         onVerdict(v, id)
       } finally graft.Caching.release()
     }.start()

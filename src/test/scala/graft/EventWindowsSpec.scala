@@ -197,13 +197,25 @@ class EventWindowsSpec extends AnyFunSuite {
       .empty[(Long, Long, Option[Long])]
     val stream = spark.readStream.schema(b1.schema)
       .option("maxFilesPerTrigger", "1").parquet(dir)
+    // the gate also maintains the TF artifact for admitted docs
+    val tfKey = "spec#maintained-tf"
+    graft.ingest.TermStats.resetTermFreqs(spark, tfKey)
+    graft.ingest.TermStats.trainedTermFreqs(corpus, "doc_id", "text", tfKey)
     val q = graft.streaming.CorpusStream.admitStreamMaintained(
-      stream, corpus, key) { (v, _) =>
+      stream, corpus, key, tfCacheKey = Some(tfKey)) { (v, _) =>
       val rows = v.collect().map(r => (r.getLong(0), r.getLong(1),
         Option(r.get(2)).map(_.asInstanceOf[Long])))
       verdicts.synchronized { verdicts ++= rows }
     }
     try q.processAllAvailable() finally { q.stop(); Dedup.resetIndex(spark, key) }
+    // TF artifact now covers the seed corpus plus exactly the ADMITTED docs
+    val tfDocs = graft.ingest.TermStats
+      .trainedTermFreqs(corpus, "doc_id", "text", tfKey)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    val admittedIds = verdicts.filter(_._2 == 1L).map(_._1).toSet
+    assert(tfDocs == Set(1L) ++ admittedIds,
+      s"TF artifact must hold seed + admitted docs, got $tfDocs")
+    graft.ingest.TermStats.resetTermFreqs(spark, tfKey)
     val byId = verdicts.toSeq.map(x => x._1 -> ((x._2, x._3))).toMap
     assert(byId(10L) == ((0L, Some(1L))), s"10 dups the seed corpus: $byId")
     assert(byId(11L) == ((1L, None)), s"11 is fresh: $byId")

@@ -91,4 +91,39 @@ class TermStatsSpec extends AnyFunSuite {
     assert(!(tf2 eq tf) && canon(tf2) == canon(tf))
     TermStats.resetTermFreqs(spark, key)
   }
+
+  test("appendTermFreqs: O(batch) segment appends, grown ≡ fresh, " +
+    "compaction preserves content, prior segments untouched") {
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select("doc_id", "term", "tf").collect()
+        .map(_.toSeq.mkString("|")).sorted.toSeq
+    val key = "termstats-spec#tf-append"
+    val batchA = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val batchB = Seq((3L, "a c c")).toDF("doc_id", "text")
+    val batchC = Seq((4L, "b b")).toDF("doc_id", "text")
+    // append before any build is a no-op
+    TermStats.resetTermFreqs(spark, key)
+    assert(!TermStats.appendTermFreqs(batchB, "doc_id", "text", key))
+    TermStats.trainedTermFreqs(batchA, "doc_id", "text", key)
+    val seg0 = TermStats.tfSegmentsOf(spark, key).head
+    assert(TermStats.appendTermFreqs(batchB, "doc_id", "text", key))
+    // O(batch): the prior segment is REFERENCE-IDENTICAL (not rebuilt) and
+    // the new segment holds only the batch's own rows
+    val segs = TermStats.tfSegmentsOf(spark, key)
+    assert(segs.size == 2 && (segs.head eq seg0))
+    assert(segs(1).count() == 2) // batchB: (3,a,1), (3,c,2)
+    // grown artifact ≡ a fresh build over the full corpus
+    val grown = TermStats.trainedTermFreqs(batchA, "doc_id", "text", key)
+    assert(canon(grown) ==
+      canon(TermStats.termFreqs(TermStats.tokens(
+        batchA.unionAll(batchB), "doc_id", "text"))))
+    // past maxSegments the segments compact to ONE pin, content preserved
+    assert(TermStats.appendTermFreqs(batchC, "doc_id", "text", key,
+      maxSegments = 2))
+    assert(TermStats.tfSegmentCount(spark, key) == 1)
+    assert(canon(TermStats.trainedTermFreqs(batchA, "doc_id", "text", key)) ==
+      canon(TermStats.termFreqs(TermStats.tokens(
+        batchA.unionAll(batchB).unionAll(batchC), "doc_id", "text"))))
+    TermStats.resetTermFreqs(spark, key)
+  }
 }
