@@ -437,7 +437,7 @@ object SparkEntry {
     // unigram LM (trained on the src0-src2 slice) vs the corpus LM
     "dsir_weights" -> ((s, d) =>
       TextStats.importanceWeights(T(s, d, "documents"), "doc_id", "text",
-        col("source").isin("src0", "src1", "src2"))),
+        col("source").isin("src0", "src1", "src2"), Some(TF(s, d)))),
 
     // the full DSIR recipe: importance weights -> exp(lr)-proportional
     // sample without replacement (Efraimidis-Spirakis on md5 uniforms);
@@ -445,7 +445,7 @@ object SparkEntry {
     "dsir_resample" -> ((s, d) =>
       CorpusOps.weightedSample(
         TextStats.importanceWeights(T(s, d, "documents"), "doc_id", "text",
-          col("source").isin("src0", "src1", "src2"))
+          col("source").isin("src0", "src1", "src2"), Some(TF(s, d)))
           .filter(col("lr").isNotNull)
           .withColumn("w", round(exp(col("lr")), 6)),
         "doc_id", col("w"), 50)),
@@ -497,7 +497,8 @@ object SparkEntry {
     // curriculum schedule: unigram-LM difficulty bands (band 0 easiest),
     // md5 shards within a band, deterministic within-shard order
     "curriculum_shards" -> ((s, d) =>
-      CorpusOps.curriculumShards(T(s, d, "documents"), "doc_id", "text")),
+      CorpusOps.curriculumShards(T(s, d, "documents"), "doc_id", "text",
+        tfTable = Some(TF(s, d)))),
 
     // fill a fixed token budget best-first by quality (two-level cumsum)
     "corpus_budget" -> ((s, d) =>
@@ -715,11 +716,13 @@ object SparkEntry {
 
     // add-1 unigram LM mean-logprob scoring (the KenLM-style quality filter)
     "lm_quality" -> ((s, d) =>
-      TextStats.lmScore(T(s, d, "documents"), "doc_id", "text")),
+      TextStats.lmScore(T(s, d, "documents"), "doc_id", "text",
+        Some(TF(s, d)))),
 
     // add-1 bigram-conditional LM: word ORDER priced, not just word choice
     "lm_quality2" -> ((s, d) =>
-      TextStats.lmScoreBigram(T(s, d, "documents"), "doc_id", "text")),
+      TextStats.lmScoreBigram(T(s, d, "documents"), "doc_id", "text",
+        Some(TF(s, d)))),
 
     // phrase mining: top-20 adjacent-bigram PMI (pinned-log sum — no
     // integer product to overflow at corpus scale)
@@ -728,7 +731,8 @@ object SparkEntry {
 
     // per-source unigram KL vs the corpus (mixture-design shift report)
     "source_kl" -> ((s, d) =>
-      TextStats.sourceKl(T(s, d, "documents"), "text", "source")),
+      TextStats.sourceKl(T(s, d, "documents"), "text", "source",
+        tfVia = Some(("doc_id", TF(s, d))))),
 
     // CCNet-style learned quality filter, closed-form NB flavor: per-term
     // add-1 log-odds vs a reference-source whitelist — the model artifact

@@ -630,12 +630,13 @@ object CorpusOps {
     * @return (doc_id, band, shard, pos, n_tokens, lm_logprob)
     */
   def curriculumShards(docs: DataFrame, idCol: String, textCol: String,
-                       bands: Int = 4, numShards: Int = 8): DataFrame = {
+                       bands: Int = 4, numShards: Int = 8,
+                       tfTable: Option[DataFrame] = None): DataFrame = {
     require(bands > 0 && numShards > 0 && numShards <= 65536,
       "bands > 0, numShards in (0, 65536]")
     // pinned: the scored frame feeds the range aggregate AND the banding
     val lm = graft.Caching.temp(
-      TextStats.lmScore(docs, idCol, textCol)
+      TextStats.lmScore(docs, idCol, textCol, tfTable)
         .filter(col("n_tokens") > 0)
         .withColumn("sm", round(col("lm_logprob") * 1e6).cast("long")))
     val range = lm.agg(min("sm").as("mn"), max("sm").as("mx"))

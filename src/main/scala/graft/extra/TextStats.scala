@@ -117,15 +117,19 @@ object TextStats {
     *
     * @return (doc_id, n_tokens, lm_logprob, ppl) — NULL score for empty docs
     */
-  def lmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def lmScore(df: DataFrame, idCol: String, textCol: String,
+              tfTable: Option[DataFrame] = None): DataFrame = {
     // persisted for the same reason as TermStats.tfidfKnn: the TF table
     // feeds the vocabulary, the model join and the per-doc aggregate, and
     // column pruning blocks exchange reuse between those branches.
     // Caching-registered: the query driver releases it post-action.
-    val tf = graft.Caching.temp(
+    // `toks` ≡ TermStats.tokens (lower, split ' ', drop empties), so the
+    // session TF artifact (TermStats.trainedTermFreqs) IS this aggregate —
+    // pass it as `tfTable` to skip the corpus tokenize entirely.
+    val tf = tfTable.getOrElse(graft.Caching.temp(
       df.select(col(idCol).as("doc_id"),
           explode(toks(col(textCol))).as("term"))
-        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))))
     val vocab = tf.groupBy("term").agg(sum("tf").as("cnt"))
     val totals = vocab.agg(sum("cnt").as("n_total"),
       count(lit(1)).as("v_size"))
@@ -180,7 +184,8 @@ object TextStats {
     * @return (doc_id, n_bigrams, lm2_logprob, ppl2) — NULL score for docs
     *         with fewer than two tokens
     */
-  def lmScoreBigram(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def lmScoreBigram(df: DataFrame, idCol: String, textCol: String,
+                    tfTable: Option[DataFrame] = None): DataFrame = {
     val t = df.select(col(idCol).as("doc_id"), toks(col(textCol)).as("ts"))
     val bi = graft.Caching.temp(
       t.filter(size(col("ts")) >= 2)
@@ -192,8 +197,14 @@ object TextStats {
     val model = bi.groupBy("bigram").agg(sum("tf").as("cnt"))
       .withColumn("w1", substring_index(col("bigram"), " ", 1))
     val hist = model.groupBy("w1").agg(sum("cnt").as("hcnt"))
-    val vsize = t.select(explode(col("ts")).as("term"))
-      .agg(countDistinct("term").as("v_size"))
+    // the unigram vocabulary size: a second full corpus tokenize inline,
+    // or a distinct-terms count of the session TF artifact when provided
+    // (the bigram stream can't supply it — it loses single-token docs and
+    // under-counts last-position-only words)
+    val vsize = tfTable
+      .map(_.agg(countDistinct("term").as("v_size")))
+      .getOrElse(t.select(explode(col("ts")).as("term"))
+        .agg(countDistinct("term").as("v_size")))
     val lp = model.join(hist, "w1").crossJoin(broadcast(vsize))
       .withColumn("lp", round(log((col("cnt") + lit(1.0)) /
         (col("hcnt").cast("double") + col("v_size").cast("double"))), 6))
@@ -232,10 +243,22 @@ object TextStats {
     *
     * @return (group, n_tokens, vocab_seen, kl) one row per group
     */
-  def sourceKl(df: DataFrame, textCol: String, groupCol: String): DataFrame = {
-    val tf = graft.Caching.temp(
-      df.select(col(groupCol).as("grp"), explode(toks(col(textCol))).as("term"))
-        .groupBy("grp", "term").agg(count(lit(1)).as("cnt_g")))
+  def sourceKl(df: DataFrame, textCol: String, groupCol: String,
+               tfVia: Option[(String, DataFrame)] = None): DataFrame = {
+    // `tfVia = (idCol, artifact)`: the (grp, term) counts roll up from the
+    // session TF artifact joined to the doc→grp projection (grp is
+    // per-document), skipping the corpus tokenize — exact by additivity of
+    // counts over a partition of the documents.
+    val tf = tfVia match {
+      case Some((idCol, art)) => graft.Caching.temp(art
+        .join(df.select(col(idCol).as("doc_id"), col(groupCol).as("grp")),
+          "doc_id")
+        .groupBy("grp", "term").agg(sum("tf").as("cnt_g")))
+      case None => graft.Caching.temp(
+        df.select(col(groupCol).as("grp"),
+            explode(toks(col(textCol))).as("term"))
+          .groupBy("grp", "term").agg(count(lit(1)).as("cnt_g")))
+    }
     val vocab = tf.groupBy("term").agg(sum("cnt_g").as("cnt"))
     val totals = vocab.agg(sum("cnt").as("n_total"), count(lit(1)).as("v_size"))
     val gtot = tf.groupBy("grp").agg(sum("cnt_g").as("n_g"))
@@ -280,11 +303,21 @@ object TextStats {
     * @return (doc_id, n_tokens, lr) — lr NULL for token-less docs
     */
   def importanceWeights(df: DataFrame, idCol: String, textCol: String,
-                        isTarget: Column): DataFrame = {
-    val tf = graft.Caching.temp(
-      df.select(col(idCol).as("doc_id"), isTarget.as("is_t"),
-          explode(toks(col(textCol))).as("term"))
-        .groupBy("doc_id", "is_t", "term").agg(count(lit(1)).as("tf")))
+                        isTarget: Column,
+                        tfTable: Option[DataFrame] = None): DataFrame = {
+    // is_t is a per-DOCUMENT flag, so the (doc_id, is_t, term) aggregate is
+    // exactly the session TF artifact joined to the doc→is_t projection —
+    // the artifact path pays a doc-keyed join (AQE broadcasts it at fixture
+    // scale; doc-sized at 100 TB, so no explicit hint) instead of the
+    // corpus tokenize+explode+aggregate.
+    val tf = tfTable match {
+      case Some(art) => graft.Caching.temp(art.join(
+        df.select(col(idCol).as("doc_id"), isTarget.as("is_t")), "doc_id"))
+      case None => graft.Caching.temp(
+        df.select(col(idCol).as("doc_id"), isTarget.as("is_t"),
+            explode(toks(col(textCol))).as("term"))
+          .groupBy("doc_id", "is_t", "term").agg(count(lit(1)).as("tf")))
+    }
     def lpMicro(vocab: DataFrame, name: String): DataFrame = {
       val totals = vocab.agg(sum("cnt").as("n_total"), count(lit(1)).as("v_size"))
       vocab.crossJoin(broadcast(totals))

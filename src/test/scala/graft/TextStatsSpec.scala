@@ -231,4 +231,39 @@ class TextStatsSpec extends AnyFunSuite {
       - r6(math.log(3.0)) + 2.0 * r6(math.log(24.0)))
     assert(pmi == want, s"$pmi vs $want")
   }
+
+  test("LM family fed the session TF artifact matches the inline builds") {
+    import org.apache.spark.sql.functions.col
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+      val cols = df.columns.sorted
+      df.select(cols.head, cols.tail: _*).collect()
+        .map(_.toSeq.mkString("|")).sorted.toSeq
+    }
+    val docs = Seq(
+      (1L, "the cat sat on the mat", "a"),
+      (2L, "the dog sat", "a"),
+      (3L, "entirely different words here", "b"),
+      (4L, "", "b") // token-less doc exercises the left-join tail
+    ).toDF("doc_id", "text", "source")
+    val key = "textstats-spec#tf"
+    graft.ingest.TermStats.resetTermFreqs(spark, key)
+    val tf = graft.ingest.TermStats
+      .trainedTermFreqs(docs, "doc_id", "text", key)
+    assert(canon(TextStats.lmScore(docs, "doc_id", "text", Some(tf))) ==
+      canon(TextStats.lmScore(docs, "doc_id", "text")))
+    assert(canon(TextStats.lmScoreBigram(docs, "doc_id", "text", Some(tf))) ==
+      canon(TextStats.lmScoreBigram(docs, "doc_id", "text")))
+    assert(canon(TextStats.importanceWeights(docs, "doc_id", "text",
+        col("source") === "a", Some(tf))) ==
+      canon(TextStats.importanceWeights(docs, "doc_id", "text",
+        col("source") === "a")))
+    assert(canon(TextStats.sourceKl(docs, "text", "source",
+        tfVia = Some(("doc_id", tf)))) ==
+      canon(TextStats.sourceKl(docs, "text", "source")))
+    assert(canon(graft.extra.CorpusOps.curriculumShards(
+        docs, "doc_id", "text", tfTable = Some(tf))) ==
+      canon(graft.extra.CorpusOps.curriculumShards(docs, "doc_id", "text")))
+    graft.Caching.release()
+    graft.ingest.TermStats.resetTermFreqs(spark, key)
+  }
 }
