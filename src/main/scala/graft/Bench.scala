@@ -128,14 +128,26 @@ object Bench {
           ()
         }),
       ("train_tf",
-        () => ingest.TermStats.resetTermFreqs(spark, s"$sfDir#tf"),
+        () => ingest.TermStats.resetTermFreqs(spark, s"$sfDir#tf:documents"),
         () => {
           // the shared documents TF core probed by the TF family
-          // (tf/tfidf top-k, tfidf_knn, bm25_docs, posting_lists) — the
-          // in-session form of a maintained inverted-index TF table
+          // (tf/tfidf top-k, tfidf_knn, bm25_docs, posting_lists) and the
+          // unigram-LM family — the in-session form of a maintained
+          // inverted-index TF table
           ingest.TermStats.trainedTermFreqs(
             Tables.load(spark, sfDir, "documents"), "doc_id", "text",
             s"$sfDir#tf:documents")
+          ()
+        }),
+      ("train_passages",
+        () => ingest.TermStats.resetTermFreqs(spark, s"$sfDir#tf:passages"),
+        () => {
+          // the RAG passage index: chunk the corpus, aggregate chunk-level
+          // TF — what passage_search serves from (danae's own search
+          // serves from indexes built at ingest, not per query)
+          ingest.TermStats.trainedTermFreqs(
+            SparkEntry.passagesOf(spark, sfDir), "pid", "chunk_text",
+            s"$sfDir#tf:passages")
           ()
         }))
     val trained = trainSteps

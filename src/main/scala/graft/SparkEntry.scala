@@ -21,12 +21,27 @@ object SparkEntry {
     Tables.load(s, d, name)
 
   /** The shared documents TF artifact (TermStats.trainedTermFreqs) probed by
-    * the TF family (tf/tfidf top-k, tfidf_knn, bm25_docs, posting_lists) —
-    * built once per session, its own `train_tf` bench line.
+    * the TF family (tf/tfidf top-k, tfidf_knn, bm25_docs, posting_lists) and
+    * the unigram-LM family — built once per session, its own `train_tf`
+    * bench line.
     */
   private def TF(s: SparkSession, d: String): DataFrame =
     TermStats.trainedTermFreqs(T(s, d, "documents"), "doc_id", "text",
       s"$d#tf:documents")
+
+  /** The passage corpus (stride-overlap chunks keyed by `doc:chunk`) and
+    * its TF artifact — the RAG serving index `passage_search` scores from
+    * (danae's own search serves from indexes built at ingest, not per
+    * query); its own `train_passages` bench line.
+    */
+  private[graft] def passagesOf(s: SparkSession, d: String): DataFrame =
+    extra.CorpusOps.chunkTexts(T(s, d, "documents"), "doc_id", "text")
+      .select(concat_ws(":", col("doc_id"), col("chunk_id")).as("pid"),
+        col("chunk_text"))
+
+  private def PTF(s: SparkSession, d: String): DataFrame =
+    TermStats.trainedTermFreqs(passagesOf(s, d), "pid", "chunk_text",
+      s"$d#tf:passages")
 
   /** Flagship: full dataset-similarity search for `customer` on sf0.001
     * (danae's "Find Similar" — SURVEY.md §3.1).
@@ -511,10 +526,9 @@ object SparkEntry {
     // passage-level retrieval (RAG indexing): BM25 scores the CHUNK, not the
     // document — the pid composite keys one bm25 pass over all passages
     "passage_search" -> ((s, d) => {
-      val passages = CorpusOps.chunkTexts(T(s, d, "documents"), "doc_id", "text")
-        .select(concat_ws(":", col("doc_id"), col("chunk_id")).as("pid"),
-          col("chunk_text"))
-      Bm25.scores(passages, "pid", "chunk_text", Bm25Terms)
+      val passages = passagesOf(s, d)
+      Bm25.scores(passages, "pid", "chunk_text", Bm25Terms,
+          tfTable = Some(PTF(s, d)))
         .select(
           split(col("doc_id"), ":").getItem(0).cast("long").as("doc_id"),
           split(col("doc_id"), ":").getItem(1).cast("long").as("chunk_id"),
