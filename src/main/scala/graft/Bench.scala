@@ -140,14 +140,14 @@ object Bench {
           ()
         }),
       ("train_passages",
-        () => ingest.TermStats.resetTermFreqs(spark, s"$sfDir#tf:passages"),
+        () => ingest.TermStats.resetTermFreqs(spark, s"$sfDir#tf:documents/passages"),
         () => {
           // the RAG passage index: chunk the corpus, aggregate chunk-level
           // TF — what passage_search serves from (danae's own search
           // serves from indexes built at ingest, not per query)
           ingest.TermStats.trainedTermFreqs(
             SparkEntry.passagesOf(spark, sfDir), "pid", "chunk_text",
-            s"$sfDir#tf:passages")
+            s"$sfDir#tf:documents/passages")
           ()
         }))
     val trained = trainSteps

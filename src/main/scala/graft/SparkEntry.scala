@@ -41,7 +41,7 @@ object SparkEntry {
 
   private def PTF(s: SparkSession, d: String): DataFrame =
     TermStats.trainedTermFreqs(passagesOf(s, d), "pid", "chunk_text",
-      s"$d#tf:passages")
+      s"$d#tf:documents/passages")
 
   /** Flagship: full dataset-similarity search for `customer` on sf0.001
     * (danae's "Find Similar" — SURVEY.md §3.1).
