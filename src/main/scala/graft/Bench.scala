@@ -108,7 +108,7 @@ object Bench {
           extra.Dedup.trainedIndex(
             docs.filter(extra.CorpusOps.sampleBucket(
               org.apache.spark.sql.functions.col("doc_id")) < 80),
-            "doc_id", "text", s"$sfDir#dedup_idx")
+            "doc_id", "text", s"$sfDir#dedup_idx:documents")
           ()
         }),
       ("train_pairs",
@@ -122,9 +122,9 @@ object Bench {
               < SparkEntry.DocBound)
           // pinArtifact is eager — each call materializes its artifact
           extra.Dedup.trainedPairs(docs, "doc_id", "text", 0.95,
-            s"$sfDir#pairs@0.95")
+            s"$sfDir#pairs:documents@0.95")
           extra.Dedup.trainedPairs(docs, "doc_id", "text", 0.95,
-            s"$sfDir#pairs_lsh@0.95", lsh = true)
+            s"$sfDir#pairs_lsh:documents@0.95", lsh = true)
           ()
         }),
       ("train_tf",

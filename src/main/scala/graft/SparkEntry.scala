@@ -373,7 +373,7 @@ object SparkEntry {
       val docs = T(s, d, "documents").filter(col("doc_id") < DocBound)
       val bkt = CorpusOps.sampleBucket(col("doc_id"))
       val (sigs, toks) = Dedup.trainedIndex(docs.filter(bkt < 80),
-        "doc_id", "text", s"$d#dedup_idx")
+        "doc_id", "text", s"$d#dedup_idx:documents")
       Dedup.minhashIncrementalIndexed(sigs, toks, docs.filter(bkt >= 80),
         "doc_id", "text", 0.9)
     }),
@@ -406,7 +406,7 @@ object SparkEntry {
     "dedup_clusters" -> ((s, d) => {
       val docs = T(s, d, "documents").filter(col("doc_id") < DocBound)
       CorpusOps.dedupClusters(docs, "doc_id",
-        Dedup.trainedPairs(docs, "doc_id", "text", 0.95, s"$d#pairs@0.95"))
+        Dedup.trainedPairs(docs, "doc_id", "text", 0.95, s"$d#pairs:documents@0.95"))
     }),
 
     // quality-aware canonical selection: keep the best copy per near-dup
@@ -414,7 +414,7 @@ object SparkEntry {
     "dedup_canonical" -> ((s, d) => {
       val docs = T(s, d, "documents").filter(col("doc_id") < DocBound)
       CorpusOps.dedupRepresentatives(docs, "doc_id", "text",
-        Dedup.trainedPairs(docs, "doc_id", "text", 0.95, s"$d#pairs@0.95"))
+        Dedup.trainedPairs(docs, "doc_id", "text", 0.95, s"$d#pairs:documents@0.95"))
     }),
 
     // hub ranking of the near-dup candidate graph (integer-exact PageRank —
@@ -425,7 +425,7 @@ object SparkEntry {
       val docs = T(s, d, "documents").filter(col("doc_id") < DocBound)
       GraphOps.pagerankNano(
         Dedup.trainedPairs(docs, "doc_id", "text", 0.95,
-          s"$d#pairs_lsh@0.95", lsh = true).select("id_a", "id_b"),
+          s"$d#pairs_lsh:documents@0.95", lsh = true).select("id_a", "id_b"),
         "id_a", "id_b")
         .select(col("id").as("doc_id"), col("pr"))
     }),
@@ -676,7 +676,7 @@ object SparkEntry {
     "hard_negatives" -> ((s, d) => {
       val docs = T(s, d, "documents").filter(col("doc_id") < DocBound)
       val clusters = CorpusOps.dedupClusters(docs, "doc_id",
-        Dedup.trainedPairs(docs, "doc_id", "text", 0.95, s"$d#pairs@0.95"))
+        Dedup.trainedPairs(docs, "doc_id", "text", 0.95, s"$d#pairs:documents@0.95"))
       EmbeddingKnn.hardNegatives(T(s, d, "embeddings"), clusters, KnnQueryIds, 5)
         .withColumn("rank", col("rank").cast("long"))
     }),

@@ -94,8 +94,17 @@ object Dedup {
     * needs is derived off the cached arrays.
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                   threshold: Double): DataFrame = {
-    val arrs = graft.Caching.temp(tokenArraysOf(df, idCol, textCol))
+                   threshold: Double): DataFrame =
+    jaccardPairsFromArrs(
+      graft.Caching.temp(tokenArraysOf(df, idCol, textCol)), threshold)
+
+  /** [[jaccardPairs]] off an existing (doc_id, toks) unit-array table — the
+    * form the maintained pair artifact builds from, so the corpus is
+    * tokenized exactly once per build ([[trainedPairs]] pins the arrays and
+    * derives pairs + postings from the same pin).
+    */
+  private[graft] def jaccardPairsFromArrs(arrs: DataFrame,
+                                          threshold: Double): DataFrame = {
     val toks = arrs.select(col("doc_id"), explode(col("toks")).as("term"))
     val sizes = arrs.select(col("doc_id"), size(col("toks")).cast("long").as("sz"))
     verifyJaccard(jaccardCandidates(toks, sizes, threshold), arrs, threshold)
@@ -174,15 +183,23 @@ object Dedup {
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       threshold: Double, numPerms: Int = 32,
-                      rowsPerBand: Int = 4): DataFrame = {
-    val bandSigs = bandSignatures(df, idCol, textCol, numPerms, rowsPerBand)
+                      rowsPerBand: Int = 4): DataFrame =
+    lshVerifiedPairs(bandSignatures(df, idCol, textCol, numPerms, rowsPerBand),
+      tokenArraysOf(df, idCol, textCol), threshold)
+
+  /** LSH band-bucket candidates + exact verify off existing signature and
+    * unit-array tables — shared by [[minhashLshPairs]] and the maintained
+    * pair artifact ([[trainedPairs]] / [[appendPairs]]).
+    */
+  private def lshVerifiedPairs(bandSigs: DataFrame, arrs: DataFrame,
+                               threshold: Double): DataFrame = {
     val candidates = bandSigs.as("a").join(bandSigs.as("b"), Seq("band", "band_sig"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
     // verify candidates exactly (standard LSH verify step) — off the
     // in-row token arrays, like jaccardPairs
-    verifyJaccard(candidates, tokenArraysOf(df, idCol, textCol), threshold)
+    verifyJaccard(candidates, arrs, threshold)
   }
 
   /** Incremental near-dedup: admit a NEW batch against an accumulated
@@ -236,6 +253,17 @@ object Dedup {
     // DedupSpec, and the `dedup_incremental` oracle rides on it).
     val toksCol = array_distinct(
       filter(split(lower(col(textCol)), " "), t => t =!= ""))
+    bandSignaturesFromArrs(
+      df.select(col(idCol).as("doc_id"), toksCol.as("toks")),
+      numPerms, rowsPerBand)
+  }
+
+  /** [[bandSignatures]] off an existing (doc_id, toks) unit-array table —
+    * lets the maintained pair artifact sign a batch from the same pinned
+    * arrays its verify side uses (one tokenize per batch).
+    */
+  private def bandSignaturesFromArrs(arrs: DataFrame, numPerms: Int,
+                                     rowsPerBand: Int): DataFrame = {
     val hs = transform(col("toks"),
       t => conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
     val mins = permTable(numPerms).map { case (i, a, b) =>
@@ -248,7 +276,7 @@ object Dedup {
       struct(lit(bnd).as("band"),
         md5(concat_ws(",", array_sort(array(parts: _*)))).as("band_sig"))
     }
-    df.select(col(idCol).as("doc_id"), toksCol.as("toks"))
+    arrs
       .filter(size(col("toks")) > 0) // groupBy-absence twin for empty docs
       .withColumn("hs", hs)
       .select(col("doc_id") +: mins: _*)
@@ -447,8 +475,33 @@ object Dedup {
     }
   }
 
+  /** One segment of the maintained pair artifact: the segment's own
+    * verified pairs, its documents' unit-token arrays (the verify side of
+    * any later append), and its PROBE table — full (term, doc_id) postings
+    * for the exact variant (what a batch's prefix tokens equi-join), band
+    * signatures (doc_id, band, band_sig) for the LSH variant (what a
+    * batch's signatures bucket-join). In production each is a parquet/
+    * Delta table bucketed on its probe key.
+    */
+  private[graft] final case class PairSegment(pairs: DataFrame,
+                                              toks: DataFrame,
+                                              probe: DataFrame)
+
   private val pairsCache = scala.collection.concurrent.TrieMap
-    .empty[(String, String), DataFrame]
+    .empty[(String, String), Vector[PairSegment]]
+
+  /** Full posting list of a unit-array table — the exact variant's probe
+    * artifact: (term, doc_id), one row per distinct (doc, term).
+    */
+  private def postingsOf(arrs: DataFrame): DataFrame =
+    arrs.select(explode(col("toks")).as("term"), col("doc_id"))
+
+  /** a<b orientation for pair rows whose sides came from different tables
+    * (a cross batch×corpus candidate carries batch ids on one fixed side).
+    */
+  private def orientPairs(pairs: DataFrame): DataFrame =
+    pairs.select(least(col("id_a"), col("id_b")).as("id_a"),
+      greatest(col("id_a"), col("id_b")).as("id_b"), col("jac"))
 
   /** Session NEAR-DUP PAIR artifact: the verified pair table
     * ([[jaccardPairs]], or [[minhashLshPairs]] with `lsh = true`) built ONCE
@@ -475,10 +528,157 @@ object Dedup {
                    threshold: Double, cacheKey: String,
                    lsh: Boolean = false): DataFrame = {
     val k = (df.sparkSession.sparkContext.applicationId, cacheKey)
-    pairsCache.getOrElseUpdate(k, graft.Caching.pinArtifact(
-      if (lsh) minhashLshPairs(df, idCol, textCol, threshold)
-      else jaccardPairs(df, idCol, textCol, threshold)))
+    pairsCache.getOrElseUpdate(k, {
+      // the maintenance artifacts (unit arrays + probe table) pin WITH the
+      // pair table: an append must verify against the corpus's token sets
+      // and equi-join its probe keys without re-tokenizing the corpus —
+      // the same reason the admission index stores both frames. Pairs and
+      // probe derive from the pinned arrays, so the corpus tokenizes
+      // exactly once per build.
+      val arrs = graft.Caching.pinArtifact(
+        tokenArraysOf(df, idCol, textCol))
+      if (lsh) {
+        val sigs = graft.Caching.pinArtifact(
+          bandSignaturesFromArrs(arrs, 32, 4))
+        Vector(PairSegment(
+          graft.Caching.pinArtifact(lshVerifiedPairs(sigs, arrs, threshold)),
+          arrs, sigs))
+      } else
+        Vector(PairSegment(
+          graft.Caching.pinArtifact(jaccardPairsFromArrs(arrs, threshold)),
+          arrs, graft.Caching.pinArtifact(postingsOf(arrs))))
+    }).map(_.pairs).reduce(_ unionByName _)
   }
+
+  /** Fold an admitted batch's near-dup pairs into the memoized pair
+    * artifact under `cacheKey` — the append step that keeps the FOUR pair
+    * consumers (canonical selection, clustering, PageRank, hard negatives)
+    * reading a complete pair table as the admission gate grows the corpus,
+    * without ever re-pairing the corpus against itself. Pair tables are
+    * append-only under corpus growth: the new pairs of corpus ∪ batch are
+    * exactly (batch × corpus) ∪ (batch × batch), so the increment is
+    * candidate generation + exact verify for those two classes only —
+    * O(batch + candidates), the [[minhashIncrementalIndexed]] asymmetry
+    * applied to the pair table itself.
+    *
+    * Candidate generation per variant:
+    *  - LSH (`lsh = true`): the batch's band signatures bucket-join the
+    *    STORED signature probe (plus a batch-internal self-join). Band
+    *    signatures depend only on the document, so the grown pair set is
+    *    IDENTICAL to a fresh [[minhashLshPairs]] over corpus ∪ batch
+    *    (spec-locked in DedupSpec).
+    *  - exact: a ONE-SIDED prefix filter — the batch doc's prefix tokens
+    *    equi-join the stored FULL postings. The prefix lemma holds
+    *    one-sided against full sets under ANY per-doc token ordering
+    *    (if B misses A's first |A|-⌈t|A|⌉+1 tokens, |A∩B| < t|A| ≤
+    *    t|A∪B|), so no ordering consistency with past batches is needed —
+    *    which is what makes the append exact WITHOUT recomputing corpus
+    *    prefixes as global document frequencies drift. Prefixes are
+    *    ordered by STORED-corpus df (a candidate-bounded probe of the
+    *    postings on the batch's vocabulary), so stopwords still sort out
+    *    of prefixes; batch-internal pairs run the regular two-sided
+    *    [[jaccardCandidates]] within the batch. Verification is exact
+    *    either way, so the grown pair set equals a fresh
+    *    [[jaccardPairs]] over corpus ∪ batch (spec-locked).
+    *
+    * Same segment discipline as [[appendAdmitted]]: only the batch's own
+    * rows are checkpointed; past `maxSegments` all segments compact into
+    * one (pairs/toks/postings unions are disjoint-exact; signatures
+    * likewise). No-op (false) when nothing is memoized under the key.
+    * Caller contract: batch ids are new (the admission gate guarantees
+    * this), and `threshold`/`lsh` match the key's build — as with
+    * [[trainedPairs]], the bench keys encode both.
+    */
+  def appendPairs(admitted: DataFrame, idCol: String, textCol: String,
+                  threshold: Double, cacheKey: String,
+                  lsh: Boolean = false,
+                  maxSegments: Int = MaxSegments): Boolean = {
+    val k = (admitted.sparkSession.sparkContext.applicationId, cacheKey)
+    val lock = indexLocks.getOrElseUpdate(k, new Object)
+    lock.synchronized {
+      pairsCache.get(k) match {
+        case None => false
+        case Some(segs0) =>
+          val corpusToks = segs0.map(_.toks).reduce(_ unionByName _)
+          val corpusProbe = segs0.map(_.probe).reduce(_ unionByName _)
+          val batchArrs = graft.Caching.pinArtifact(
+            tokenArraysOf(admitted, idCol, textCol))
+          val allArrs = corpusToks.unionByName(batchArrs)
+          val (newPairs, batchProbe) =
+            if (lsh) {
+              val batchSigs = graft.Caching.pinArtifact(
+                bandSignaturesFromArrs(batchArrs, 32, 4))
+              val cross = batchSigs.as("a")
+                .join(corpusProbe.as("b"), Seq("band", "band_sig"))
+                .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+                .distinct()
+              val within = batchSigs.as("a")
+                .join(batchSigs.as("b"), Seq("band", "band_sig"))
+                .filter(col("a.doc_id") < col("b.doc_id"))
+                .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+                .distinct()
+              (graft.Caching.pinArtifact(orientPairs(verifyJaccard(
+                cross.unionByName(within), allArrs, threshold))), batchSigs)
+            } else {
+              val btoks = batchArrs.select(col("doc_id"),
+                explode(col("toks")).as("term"))
+              val bsizes = batchArrs.select(col("doc_id"),
+                size(col("toks")).cast("long").as("sz"))
+              // stored-corpus df of the batch's vocabulary only (the probe
+              // is bounded by batch vocab; terms unseen in the corpus sort
+              // FIRST — the rarest possible prefix tokens)
+              val cdf = corpusProbe
+                .join(btoks.select("term").distinct(), "term")
+                .groupBy("term").agg(count(lit(1)).as("df"))
+              val prefix = btoks.join(cdf, Seq("term"), "left")
+                .withColumn("df", coalesce(col("df"), lit(0L)))
+                .withColumn("rn", row_number().over(
+                  Window.partitionBy("doc_id")
+                    .orderBy(col("df").asc, col("term").asc)))
+                .join(bsizes, "doc_id")
+                .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+                .select("doc_id", "term")
+              val cross = prefix.as("a").join(corpusProbe.as("b"), "term")
+                .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+                .distinct()
+              val within = jaccardCandidates(btoks, bsizes, threshold)
+              (graft.Caching.pinArtifact(orientPairs(verifyJaccard(
+                cross.unionByName(within), allArrs, threshold))),
+                graft.Caching.pinArtifact(postingsOf(batchArrs)))
+            }
+          val segs = segs0 :+ PairSegment(newPairs, batchArrs, batchProbe)
+          val kept =
+            if (segs.size <= maxSegments) segs
+            else Vector(PairSegment(
+              graft.Caching.pinArtifact(
+                segs.map(_.pairs).reduce(_ unionByName _)),
+              graft.Caching.pinArtifact(
+                segs.map(_.toks).reduce(_ unionByName _)),
+              graft.Caching.pinArtifact(
+                segs.map(_.probe).reduce(_ unionByName _))))
+          pairsCache.put(k, kept)
+          if (kept ne segs) segs.foreach { s =>
+            graft.Caching.dropArtifact(s.pairs)
+            graft.Caching.dropArtifact(s.toks)
+            graft.Caching.dropArtifact(s.probe)
+          }
+          true
+      }
+    }
+  }
+
+  /** Number of segments currently memoized under a pair-artifact key —
+    * spec/service observability (0 when nothing is memoized).
+    */
+  def pairSegmentCount(spark: org.apache.spark.sql.SparkSession,
+                       cacheKey: String): Int =
+    pairsCache.get((spark.sparkContext.applicationId, cacheKey))
+      .map(_.size).getOrElse(0)
+
+  private[graft] def pairSegmentsOf(spark: org.apache.spark.sql.SparkSession,
+                                    cacheKey: String): Vector[PairSegment] =
+    pairsCache.getOrElse(
+      (spark.sparkContext.applicationId, cacheKey), Vector.empty)
 
   /** Drop memoized pair artifacts whose key starts with `cacheKeyPrefix`
     * (the bench's TRUE-rebuild discipline for its `train_pairs` line);
@@ -489,7 +689,11 @@ object Dedup {
     val appId = spark.sparkContext.applicationId
     pairsCache.keys
       .filter(k => k._1 == appId && k._2.startsWith(cacheKeyPrefix))
-      .foreach(k => pairsCache.remove(k).foreach(graft.Caching.dropArtifact))
+      .foreach(k => pairsCache.remove(k).foreach(_.foreach { s =>
+        graft.Caching.dropArtifact(s.pairs)
+        graft.Caching.dropArtifact(s.toks)
+        graft.Caching.dropArtifact(s.probe)
+      }))
   }
 
   /** Segment count of the gram artifact under `cacheKey` (0 = not built). */

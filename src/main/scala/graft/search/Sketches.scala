@@ -321,6 +321,17 @@ object Sketches {
       CombinedScorer.invalidateMetadata(spark, dir)
       // same family: the table's TF artifact is derived from its rows
       graft.ingest.TermStats.resetTermFreqs(spark, s"$dir#tf:$datasetId")
+      // ... as are the dedup-family artifacts built over the table under
+      // the `$dir#<family>:<table>` key convention: the admission index
+      // (band signatures + token arrays) and gram index under
+      // #dedup_idx:<table>, and the near-dup pair artifacts under
+      // #pairs:<table> / #pairs_lsh:<table>. A refresh rewrites the
+      // table's rows, so every derived index must rebuild on next use —
+      // serving pre-refresh pairs/signatures would silently disagree with
+      // the refreshed corpus (the TF-artifact rule, applied family-wide).
+      graft.extra.Dedup.resetIndex(spark, s"$dir#dedup_idx:$datasetId")
+      graft.extra.Dedup.resetPairs(spark, s"$dir#pairs:$datasetId")
+      graft.extra.Dedup.resetPairs(spark, s"$dir#pairs_lsh:$datasetId")
       updatedPinned
     }
   }

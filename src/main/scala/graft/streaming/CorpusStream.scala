@@ -128,13 +128,22 @@ object CorpusStream {
     * discipline), so the TF family's index stays in step with admissions
     * without caller wiring. The caller builds the TF artifact once up
     * front; an append before that build is a recorded no-op.
+    *
+    * With `pairsSpecs` set — (pairsCacheKey, threshold, lsh) per maintained
+    * pair artifact — each admitted batch's near-dup PAIRS are likewise
+    * folded in ([[graft.extra.Dedup.appendPairs]]: batch × corpus ∪
+    * batch × batch candidates only, spec-locked ≡ a fresh pair build over
+    * the grown corpus), so the pair consumers (canonical selection,
+    * clustering, PageRank, hard negatives) keep reading a COMPLETE pair
+    * table as the corpus grows. Same build-once-up-front contract.
     */
   def admitStreamMaintained(stream: DataFrame, corpus: DataFrame,
                             cacheKey: String,
                             idCol: String = "doc_id",
                             textCol: String = "text",
                             threshold: Double = 0.9,
-                            tfCacheKey: Option[String] = None)
+                            tfCacheKey: Option[String] = None,
+                            pairsSpecs: Seq[(String, Double, Boolean)] = Nil)
                            (onVerdict: (DataFrame, Long) => Unit)
   : StreamingQuery = {
     graft.extra.Dedup.trainedIndex(corpus, idCol, textCol, cacheKey)
@@ -154,6 +163,9 @@ object CorpusStream {
           admitted, idCol, textCol, cacheKey)
         tfCacheKey.foreach(k =>
           graft.ingest.TermStats.appendTermFreqs(admitted, idCol, textCol, k))
+        pairsSpecs.foreach { case (pk, pt, plsh) =>
+          graft.extra.Dedup.appendPairs(admitted, idCol, textCol, pt, pk, plsh)
+        }
         onVerdict(v, id)
       } finally graft.Caching.release()
     }.start()
