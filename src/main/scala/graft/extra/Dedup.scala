@@ -1027,48 +1027,60 @@ object Dedup {
     * spans the same way; on word grams the semantics are: gram starting at
     * position i is duplicated → tokens i..i+w-1 are covered.
     *
-    * Plan shape (all linear at corpus scale): tokenize via posexplode (no
-    * shuffle), grams from `lead` windows per document (one shuffle keyed on
-    * doc_id, partitions are document-sized), gram document-frequencies via
-    * a two-phase distinct-count aggregate keyed on gram (vocabulary-sized
-    * output, hot boilerplate grams partial-aggregate map-side), flag join
-    * back on gram (1:1 per occurrence), coverage as a `max` over a
-    * `w-1 PRECEDING` row frame in the existing per-document window
-    * partitioning, and the rewrite is a per-document collect_list — bounded
-    * by document size, never corpus size. Intra-document repeats alone do
-    * NOT trigger removal (document frequency counts distinct docs).
+    * Plan shape (all linear at corpus scale, and the token TEXT never
+    * leaves its row — the in-row discipline of [[dupSubstringSpans]],
+    * which this operator predated): grams are an in-row projection off
+    * the ordered token array (only (doc_id, pos, gh) rows reach any
+    * exchange); gram document-frequencies via a two-phase distinct-count
+    * aggregate keyed on the gram hash (vocabulary-sized output, hot
+    * boilerplate grams partial-aggregate map-side); the flag semi-join
+    * returns only DUPLICATED starts — a set the dedup rate bounds — which
+    * one doc-keyed aggregate turns into a per-doc sorted start list; the
+    * coverage and the rewrite are then per-ROW array expressions on the
+    * (doc, token-array, starts) join: covered = ∪ [s, s+w-1] (O(starts·w)
+    * ints), survivors = array_except over the position sequence (order-
+    * preserving), text = element_at gather. The former design shuffled
+    * every token through TWO doc-keyed window passes plus a corpus-wide
+    * collect_list; this one shuffles integer positions for duplicated
+    * grams only. Intra-document repeats alone do NOT trigger removal
+    * (document frequency counts distinct docs).
     *
     * @return (doc_id, clean_text, n_tokens, n_removed)
     */
   def dedupSpans(df: DataFrame, idCol: String, textCol: String,
                  w: Int = 5, minDocs: Int = 2): DataFrame = {
-    val toks = df.select(col(idCol).as("doc_id"),
-        posexplode(filter(split(lower(col(textCol)), " "), t => t =!= ""))
-          .as(Seq("pos0", "token")))
-      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("token"))
-    val byPos = Window.partitionBy("doc_id").orderBy("pos")
-    // a gram exists only where a full w tokens remain (tokens are non-empty,
-    // so a null lead means past-end; concat_ws would silently SHORTEN the
-    // tail gram and let it collide with genuine short grams)
-    val grams = toks.withColumn("gram",
-      when(lead(col("token"), w - 1).over(byPos).isNotNull,
-        concat_ws(" ", col("token") +:
-          (1 until w).map(k => lead(col("token"), k).over(byPos)): _*)))
-    val dup = grams.filter(col("gram").isNotNull)
-      .groupBy("gram").agg(countDistinct("doc_id").as("dw"))
-      .filter(col("dw") >= minDocs)
-      .select(col("gram"), lit(1).as("dup_hit"))
-    val flagged = grams.join(dup, Seq("gram"), "left")
-      .withColumn("dup_start", coalesce(col("dup_hit"), lit(0)))
-    val covered = flagged.withColumn("covered",
-      max(col("dup_start")).over(byPos.rowsBetween(-(w - 1), 0)))
-    covered.groupBy("doc_id").agg(
-      concat_ws(" ", transform(
-        array_sort(collect_list(when(col("covered") === 0,
-          struct(col("pos"), col("token"))))),
-        s => s.getField("token"))).as("clean_text"),
-      count(lit(1)).as("n_tokens"),
-      sum(col("covered")).cast("long").as("n_removed"))
+    // ORDERED token arrays (not the distinct sets of tokenArraysOf); docs
+    // with zero tokens produce no output row, as the former exploded form
+    val arrs = graft.Caching.temp(df
+      .select(col(idCol).as("doc_id"),
+        filter(split(lower(col(textCol)), " "), t => t =!= "").as("tk"))
+      .filter(size(col("tk")) >= 1))
+    // full-width grams only (a shorter tail gram would collide with
+    // genuine short grams); md5 keeps the DF shuffle narrow, as everywhere
+    // in this file — both sides of the aggregate hash, so the dup set is
+    // identical
+    val grams = arrs.filter(size(col("tk")) >= w)
+      .select(col("doc_id"), col("tk"),
+        explode(sequence(lit(1), size(col("tk")) - (w - 1))).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        md5(concat_ws(" ", slice(col("tk"), col("pos"), lit(w)))).as("gh"))
+    val dup = grams.groupBy("gh").agg(countDistinct("doc_id").as("dw"))
+      .filter(col("dw") >= minDocs).select("gh")
+    val starts = grams.join(dup, Seq("gh"), "left_semi")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("pos"))).as("starts"))
+    arrs.join(starts, Seq("doc_id"), "left")
+      .withColumn("covered",
+        when(col("starts").isNull, array().cast("array<int>"))
+          .otherwise(array_distinct(flatten(transform(col("starts"),
+            s => sequence(s, s + w - 1))))))
+      .withColumn("keep_pos",
+        array_except(sequence(lit(1), size(col("tk"))), col("covered")))
+      .select(col("doc_id"),
+        concat_ws(" ", transform(col("keep_pos"),
+          p => element_at(col("tk"), p))).as("clean_text"),
+        size(col("tk")).cast("long").as("n_tokens"),
+        size(col("covered")).cast("long").as("n_removed"))
   }
 
   /** Exact duplicated-substring SPANS (Lee et al. 2022, "Deduplicating
