@@ -1263,50 +1263,52 @@ object Dedup {
     * (the fixture text has no newlines; a corpus with real line breaks
     * would split on those instead — the dedup dataflow is identical).
     *
-    * Plan shape at corpus scale: tokenize + explode are shuffle-free;
-    * first-occurrence per paragraph hash is a MAP-SIDE-COMBINED
-    * `min(struct(doc_id, para_idx))` aggregate — NOT a window partitioned
-    * by hash, so a boilerplate paragraph occurring 10^9 times partial-
-    * aggregates on every mapper instead of landing on one hot partition.
-    * The join back on hash is distinct-paragraph-sized on the build side
-    * and AQE-skew-splittable on the probe; the rewrite is a per-document
-    * collect_list bounded by document size.
+    * Plan shape at corpus scale — unit TEXT never leaves its row (the
+    * dedupSpans in-row rule): the per-doc unit-hash ARRAY is computed and
+    * pinned in-row (one tokenize+md5 pass at cache fill; both consumers
+    * read the cached arrays), so the exploded stream any exchange carries
+    * is (doc_id, para_idx, h) — two ints and a hash. First-occurrence per
+    * hash is a MAP-SIDE-COMBINED `min(struct(doc_id, para_idx))`
+    * aggregate — NOT a window partitioned by hash, so a boilerplate
+    * paragraph occurring 10^9 times partial-aggregates on every mapper
+    * instead of landing on one hot partition. The winner semi-filter
+    * returns only KEPT unit indexes (ints), one doc-keyed aggregate
+    * sorts them, and the text rebuild is a per-ROW slice-gather off the
+    * document's own token array.
     *
     * @return (doc_id, n_paras, n_kept, clean_text)
     */
   def dedupParagraphs(df: DataFrame, idCol: String, textCol: String,
                       paraTokens: Int = 32): DataFrame = {
     val toks = filter(split(lower(col(textCol)), " "), t => t =!= "")
-    // pinned like jaccardPairs' toks (Caching.temp, released by the query
-    // driver): the exploded+hashed unit stream feeds BOTH the
-    // first-occurrence aggregate and the probe side of the join back, and
-    // Exchange reuse can't fire across them (the aggregate side
-    // partial-aggregates before its exchange) — unpinned, the full
-    // tokenize+md5 scan of the corpus is paid twice.
-    val paras = graft.Caching.temp(df
+    val arrs = graft.Caching.temp(df
       .select(col(idCol).cast("long").as("doc_id"), toks.as("toks"))
       .withColumn("n_tokens", size(col("toks")).cast("long"))
       .filter(col("n_tokens") > 0)
-      .withColumn("start",
-        explode(sequence(lit(0L), col("n_tokens") - 1, lit(paraTokens.toLong))))
-      .select(col("doc_id"),
-        (col("start") / paraTokens).cast("long").as("para_idx"),
-        concat_ws(" ",
-          slice(col("toks"), (col("start") + 1).cast("int"), lit(paraTokens)))
-          .as("para"))
-      .withColumn("h", md5(col("para"))))
-    val first = paras.groupBy("h")
-      .agg(min(struct(col("doc_id"), col("para_idx"))).as("first"))
-    paras.join(first, Seq("h"))
-      .withColumn("kept",
-        (struct(col("doc_id"), col("para_idx")) === col("first")).cast("int"))
+      .withColumn("phs", transform(
+        sequence(lit(0L), col("n_tokens") - 1, lit(paraTokens.toLong)),
+        st => md5(concat_ws(" ",
+          slice(col("toks"), (st + 1).cast("int"), lit(paraTokens)))))))
+    val units = arrs.select(col("doc_id"),
+      posexplode(col("phs")).as(Seq("para_idx", "h")))
+    val first = units.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("para_idx").cast("long").as("para_idx")))
+        .as("first"))
+    val kept = units.join(first, Seq("h"))
+      .filter(struct(col("doc_id"),
+        col("para_idx").cast("long").as("para_idx")) === col("first"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_paras"),
-        sum(col("kept")).cast("long").as("n_kept"),
-        concat_ws(" ", transform(
-          array_sort(collect_list(when(col("kept") === 1,
-            struct(col("para_idx"), col("para"))))),
-          s => s.getField("para"))).as("clean_text"))
+      .agg(sort_array(collect_list(col("para_idx"))).as("keep_idx"))
+    arrs.join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("phs")).cast("long").as("n_paras"),
+        when(col("keep_idx").isNull, lit(0L))
+          .otherwise(size(col("keep_idx")).cast("long")).as("n_kept"),
+        when(col("keep_idx").isNull, lit(""))
+          .otherwise(concat_ws(" ", transform(col("keep_idx"),
+            i => concat_ws(" ", slice(col("toks"),
+              (i * paraTokens + 1).cast("int"), lit(paraTokens))))))
+          .as("clean_text"))
   }
 
   /** CCNet-style per-source boilerplate LINE removal — the third rung of
@@ -1323,13 +1325,16 @@ object Dedup {
     * no-newlines fixture note applies — a real corpus splits on '\n'
     * with the identical dataflow).
     *
-    * Plan shape at corpus scale: tokenize + window-explode shuffle-free;
-    * the boilerplate table is a (source, hash)-keyed two-phase
-    * count-distinct — map-side partials absorb a line repeated 10^9
-    * times, and its output is bounded by the distinct-line vocabulary,
-    * filtered to the boilerplate subset before the join back. The probe
-    * join is AQE-skew-splittable; the rewrite is the per-document
-    * collect_list bounded by document size.
+    * Plan shape at corpus scale — unit TEXT never leaves its row, like
+    * [[dedupParagraphs]]: the pinned per-doc hash array feeds an exploded
+    * (doc_id, source, line_idx, h) stream; the boilerplate table is a
+    * (source, hash)-keyed two-phase count-distinct — map-side partials
+    * absorb a line repeated 10^9 times, and its output is bounded by the
+    * distinct-line vocabulary, filtered to the boilerplate subset before
+    * the probe. The semi-join returns only the REMOVED unit indexes
+    * (ints, a set the boilerplate rate bounds); the survivors come from an
+    * order-preserving array_except and the text rebuild is a per-ROW
+    * slice-gather.
     *
     * @return (doc_id, n_lines, n_removed, clean_text)
     */
@@ -1337,32 +1342,35 @@ object Dedup {
                        srcCol: String, lineTokens: Int = 16,
                        minDocs: Int = 2): DataFrame = {
     val toks = filter(split(lower(col(textCol)), " "), t => t =!= "")
-    // pinned for the same double-read as [[dedupParagraphs]]' paras: the
-    // boilerplate-table aggregate and the probe join both consume this
-    val lines = graft.Caching.temp(df
+    val arrs = graft.Caching.temp(df
       .select(col(idCol).cast("long").as("doc_id"), col(srcCol).as("source"),
         toks.as("toks"))
       .withColumn("n_tokens", size(col("toks")).cast("long"))
       .filter(col("n_tokens") > 0)
-      .withColumn("start",
-        explode(sequence(lit(0L), col("n_tokens") - 1, lit(lineTokens.toLong))))
-      .select(col("doc_id"), col("source"),
-        (col("start") / lineTokens).cast("long").as("line_idx"),
-        concat_ws(" ",
-          slice(col("toks"), (col("start") + 1).cast("int"), lit(lineTokens)))
-          .as("line"))
-      .withColumn("h", md5(col("line"))))
-    val bp = lines.groupBy("source", "h")
+      .withColumn("phs", transform(
+        sequence(lit(0L), col("n_tokens") - 1, lit(lineTokens.toLong)),
+        st => md5(concat_ws(" ",
+          slice(col("toks"), (st + 1).cast("int"), lit(lineTokens)))))))
+    val units = arrs.select(col("doc_id"), col("source"),
+      posexplode(col("phs")).as(Seq("line_idx", "h")))
+    val bp = units.groupBy("source", "h")
       .agg(countDistinct("doc_id").as("df"))
       .filter(col("df") >= minDocs)
-      .select(col("source"), col("h"), lit(1).as("bp"))
-    lines.join(bp, Seq("source", "h"), "left")
+      .select("source", "h")
+    val removed = units.join(bp, Seq("source", "h"), "left_semi")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_lines"),
-        sum(coalesce(col("bp"), lit(0))).cast("long").as("n_removed"),
-        concat_ws(" ", transform(
-          array_sort(collect_list(when(col("bp").isNull,
-            struct(col("line_idx"), col("line"))))),
-          s => s.getField("line"))).as("clean_text"))
+      .agg(sort_array(collect_list(col("line_idx"))).as("rm_idx"))
+    arrs.join(removed, Seq("doc_id"), "left")
+      .withColumn("keep_idx", array_except(
+        sequence(lit(0), size(col("phs")) - 1),
+        coalesce(col("rm_idx"), array().cast("array<int>"))))
+      .select(col("doc_id"),
+        size(col("phs")).cast("long").as("n_lines"),
+        when(col("rm_idx").isNull, lit(0L))
+          .otherwise(size(col("rm_idx")).cast("long")).as("n_removed"),
+        concat_ws(" ", transform(col("keep_idx"),
+          i => concat_ws(" ", slice(col("toks"),
+            (i * lineTokens + 1).cast("int"), lit(lineTokens)))))
+          .as("clean_text"))
   }
 }
