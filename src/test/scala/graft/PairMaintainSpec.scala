@@ -124,6 +124,30 @@ class PairMaintainSpec extends AnyFunSuite {
     Dedup.resetPairs(spark, key)
   }
 
+  test("fixture-scale: grown ≡ fresh on sf0.001 documents, both variants") {
+    // real corpus text (near-dup families planted by the fixture
+    // generator), a 3-batch growth path — the admission cadence a service
+    // actually runs, at DedupSpec's fixture scale
+    val docs = Tables.load(spark, SparkTestSession.sf0001, "documents")
+    val corpus = docs.filter(col("doc_id") < 100)
+    val b1 = docs.filter(col("doc_id") >= 100 && col("doc_id") < 125)
+    val b2 = docs.filter(col("doc_id") >= 125 && col("doc_id") < 150)
+    val all = docs.filter(col("doc_id") < 150)
+    for ((lsh, key) <- Seq((false, "pairspec-fix-exact"), (true, "pairspec-fix-lsh"))) {
+      Dedup.resetPairs(spark, key)
+      Dedup.trainedPairs(corpus, "doc_id", "text", 0.95, key, lsh = lsh)
+      assert(Dedup.appendPairs(b1, "doc_id", "text", 0.95, key, lsh = lsh))
+      assert(Dedup.appendPairs(b2, "doc_id", "text", 0.95, key, lsh = lsh))
+      val grown = pairSet(Dedup.trainedPairs(corpus, "doc_id", "text", 0.95, key, lsh = lsh))
+      val fresh = pairSet(
+        if (lsh) Dedup.minhashLshPairs(all, "doc_id", "text", 0.95)
+        else Dedup.jaccardPairs(all, "doc_id", "text", 0.95))
+      assert(fresh.nonEmpty, s"fixture must contain 0.95 near-dups (lsh=$lsh)")
+      assert(grown == fresh, s"grown != fresh at fixture scale (lsh=$lsh)")
+      Dedup.resetPairs(spark, key)
+    }
+  }
+
   test("appendPairs is a no-op without a memoized artifact") {
     assert(!Dedup.appendPairs(df(batchRows), "doc_id", "text", 0.8,
       "pairspec-unbuilt"))
