@@ -154,6 +154,40 @@ class PairMaintainSpec extends AnyFunSuite {
     assert(Dedup.pairSegmentCount(spark, "pairspec-unbuilt") == 0)
   }
 
+  test("admitStreamMaintained(pairsSpecs) folds admitted docs' pairs in") {
+    // the gate admits at 0.9 (doc 20 duplicates nothing that closely) while
+    // the PAIR artifact tracks 0.5 near-dups — so the admitted doc MUST
+    // surface as a pair with corpus doc 1 afterwards, with zero caller
+    // wiring beyond the spec tuple
+    val corpus = df(Seq(
+      1L -> doc(base),
+      2L -> doc(Seq("mu", "nu", "xi", "omicron", "pi",
+        "rho", "sigma", "tau", "upsilon", "phi"))))
+    // 7/10 overlap with doc 1 → jac 7/13 ≈ 0.538: pairs at 0.5, admitted at 0.9
+    val batch = Seq(20L -> doc(base.take(7) ++ Seq("aa", "bb", "cc")))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("pairspec-stream").toString
+    batch.coalesce(1).write.mode("append").parquet(dir)
+    val idxKey = "pairspec-stream-idx"
+    val pKey = "pairspec-stream-pairs"
+    Dedup.resetIndex(spark, idxKey)
+    Dedup.resetPairs(spark, pKey)
+    Dedup.trainedPairs(corpus, "doc_id", "text", 0.5, pKey)
+    val stream = spark.readStream.schema(batch.schema).parquet(dir)
+    val q = graft.streaming.CorpusStream.admitStreamMaintained(
+      stream, corpus, idxKey, threshold = 0.9,
+      pairsSpecs = Seq((pKey, 0.5, false))) { (_, _) => () }
+    try q.processAllAvailable() finally { q.stop(); Dedup.resetIndex(spark, idxKey) }
+    assert(Dedup.pairSegmentCount(spark, pKey) == 2,
+      "the admitted batch must have appended a pair segment")
+    val grown = pairSet(Dedup.trainedPairs(corpus, "doc_id", "text", 0.5, pKey))
+    val fresh = pairSet(Dedup.jaccardPairs(
+      corpus.unionByName(batch), "doc_id", "text", 0.5))
+    assert(grown == fresh && grown.map(t => (t._1, t._2)).contains((1L, 20L)),
+      s"maintained pairs must cover the admitted doc: $grown")
+    Dedup.resetPairs(spark, pKey)
+  }
+
   test("refreshDataset drops the refreshed table's dedup-family artifacts") {
     import graft.search.Sketches
     // isolated lake copy (the SearchSpec refresh pattern) so the shared
