@@ -1,6 +1,6 @@
 package graft.extra
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -192,14 +192,24 @@ object Dedup {
     * pair artifact ([[trainedPairs]] / [[appendPairs]]).
     */
   private def lshVerifiedPairs(bandSigs: DataFrame, arrs: DataFrame,
-                               threshold: Double): DataFrame = {
-    val candidates = bandSigs.as("a").join(bandSigs.as("b"), Seq("band", "band_sig"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .distinct()
+                               threshold: Double): DataFrame =
     // verify candidates exactly (standard LSH verify step) — off the
     // in-row token arrays, like jaccardPairs
-    verifyJaccard(candidates, arrs, threshold)
+    verifyJaccard(bandCandidates(bandSigs, bandSigs, ordered = true),
+      arrs, threshold)
+
+  /** The LSH band-bucket candidate join, shared by the self-join form
+    * ([[lshVerifiedPairs]]) and the maintained artifact's batch-probe form
+    * ([[appendPairs]]): same-bucket (band, band_sig) matches as distinct
+    * (id_a, id_b). `ordered` applies the a<b self-join filter; the
+    * batch×corpus probe skips it (the two sides' id spaces are disjoint).
+    */
+  private def bandCandidates(probe: DataFrame, index: DataFrame,
+                             ordered: Boolean): DataFrame = {
+    val j = probe.as("a").join(index.as("b"), Seq("band", "band_sig"))
+    (if (ordered) j.filter(col("a.doc_id") < col("b.doc_id")) else j)
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
   }
 
   /** Incremental near-dedup: admit a NEW batch against an accumulated
@@ -528,7 +538,13 @@ object Dedup {
                    threshold: Double, cacheKey: String,
                    lsh: Boolean = false): DataFrame = {
     val k = (df.sparkSession.sparkContext.applicationId, cacheKey)
-    pairsCache.getOrElseUpdate(k, {
+    // the build runs under the SAME per-key lock as appendPairs/resetPairs:
+    // TrieMap.getOrElseUpdate alone evaluates the builder in every
+    // concurrent first caller — each eagerly checkpointing three
+    // corpus-scale artifacts, with every losing builder's checkpoint files
+    // orphaned (resetPairs can never see them)
+    val lock = indexLocks.getOrElseUpdate(k, new Object)
+    lock.synchronized { pairsCache.getOrElseUpdate(k, {
       // the maintenance artifacts (unit arrays + probe table) pin WITH the
       // pair table: an append must verify against the corpus's token sets
       // and equi-join its probe keys without re-tokenizing the corpus —
@@ -547,7 +563,7 @@ object Dedup {
         Vector(PairSegment(
           graft.Caching.pinArtifact(jaccardPairsFromArrs(arrs, threshold)),
           arrs, graft.Caching.pinArtifact(postingsOf(arrs))))
-    }).map(_.pairs).reduce(_ unionByName _)
+    })}.map(_.pairs).reduce(_ unionByName _)
   }
 
   /** Fold an admitted batch's near-dup pairs into the memoized pair
@@ -585,9 +601,11 @@ object Dedup {
     * rows are checkpointed; past `maxSegments` all segments compact into
     * one (pairs/toks/postings unions are disjoint-exact; signatures
     * likewise). No-op (false) when nothing is memoized under the key.
-    * Caller contract: batch ids are new (the admission gate guarantees
-    * this), and `threshold`/`lsh` match the key's build — as with
-    * [[trainedPairs]], the bench keys encode both.
+    * IDEMPOTENT per document: batch docs the artifact already holds are
+    * dropped before pairing (at-least-once replays cannot fabricate
+    * self-pairs or duplicate segments), and a batch that nets no new docs
+    * appends no segment. Caller contract: `threshold`/`lsh` match the
+    * key's build — as with [[trainedPairs]], the bench keys encode both.
     */
   def appendPairs(admitted: DataFrame, idCol: String, textCol: String,
                   threshold: Double, cacheKey: String,
@@ -601,22 +619,25 @@ object Dedup {
         case Some(segs0) =>
           val corpusToks = segs0.map(_.toks).reduce(_ unionByName _)
           val corpusProbe = segs0.map(_.probe).reduce(_ unionByName _)
-          val batchArrs = graft.Caching.pinArtifact(
-            tokenArraysOf(admitted, idCol, textCol))
+          // REPLAY GUARD (at-least-once micro-batch retries re-deliver
+          // docs): drop batch docs the artifact already holds — re-pairing
+          // a present doc would fabricate (d, d) self-pairs via the cross
+          // probe and duplicate its pair rows. The anti-join probes the
+          // stored token table on its doc_id key (production: a bucketed /
+          // Delta key lookup, like every other artifact probe). An append
+          // that nets no new docs is a recorded no-op: no segment, no
+          // compaction pressure from no-op batches.
+          val freshArrs = tokenArraysOf(admitted, idCol, textCol)
+            .join(corpusToks.select("doc_id"), Seq("doc_id"), "left_anti")
+          if (freshArrs.isEmpty) true else {
+          val batchArrs = graft.Caching.pinArtifact(freshArrs)
           val allArrs = corpusToks.unionByName(batchArrs)
           val (newPairs, batchProbe) =
             if (lsh) {
               val batchSigs = graft.Caching.pinArtifact(
                 bandSignaturesFromArrs(batchArrs, 32, 4))
-              val cross = batchSigs.as("a")
-                .join(corpusProbe.as("b"), Seq("band", "band_sig"))
-                .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-                .distinct()
-              val within = batchSigs.as("a")
-                .join(batchSigs.as("b"), Seq("band", "band_sig"))
-                .filter(col("a.doc_id") < col("b.doc_id"))
-                .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-                .distinct()
+              val cross = bandCandidates(batchSigs, corpusProbe, ordered = false)
+              val within = bandCandidates(batchSigs, batchSigs, ordered = true)
               (graft.Caching.pinArtifact(orientPairs(verifyJaccard(
                 cross.unionByName(within), allArrs, threshold))), batchSigs)
             } else {
@@ -663,6 +684,7 @@ object Dedup {
             graft.Caching.dropArtifact(s.probe)
           }
           true
+          }
       }
     }
   }
@@ -687,13 +709,21 @@ object Dedup {
   def resetPairs(spark: org.apache.spark.sql.SparkSession,
                  cacheKeyPrefix: String): Unit = {
     val appId = spark.sparkContext.applicationId
+    // per-key lock, like appendPairs/trainedPairs: an unlocked reset racing
+    // a concurrent append could delete segment checkpoint files the append
+    // then re-inserts (resurrecting a dropped artifact backed by deleted
+    // files — served as read failures or stale pre-refresh pairs)
     pairsCache.keys
       .filter(k => k._1 == appId && k._2.startsWith(cacheKeyPrefix))
-      .foreach(k => pairsCache.remove(k).foreach(_.foreach { s =>
-        graft.Caching.dropArtifact(s.pairs)
-        graft.Caching.dropArtifact(s.toks)
-        graft.Caching.dropArtifact(s.probe)
-      }))
+      .foreach { k =>
+        indexLocks.getOrElseUpdate(k, new Object).synchronized {
+          pairsCache.remove(k).foreach(_.foreach { s =>
+            graft.Caching.dropArtifact(s.pairs)
+            graft.Caching.dropArtifact(s.toks)
+            graft.Caching.dropArtifact(s.probe)
+          })
+        }
+      }
   }
 
   /** Segment count of the gram artifact under `cacheKey` (0 = not built). */
@@ -722,17 +752,24 @@ object Dedup {
   def resetIndex(spark: org.apache.spark.sql.SparkSession,
                  cacheKeyPrefix: String): Unit = {
     val appId = spark.sparkContext.applicationId
+    // per-key lock against concurrent appendAdmitted/appendGramAdmitted —
+    // the resetPairs race, same fix
     indexCache.keys
       .filter(k => k._1 == appId && k._2.startsWith(cacheKeyPrefix))
       .foreach { k =>
-        indexCache.remove(k).foreach(_.foreach { case (s, t) =>
-          graft.Caching.dropArtifact(s); graft.Caching.dropArtifact(t)
-        })
+        indexLocks.getOrElseUpdate(k, new Object).synchronized {
+          indexCache.remove(k).foreach(_.foreach { case (s, t) =>
+            graft.Caching.dropArtifact(s); graft.Caching.dropArtifact(t)
+          })
+        }
       }
     gramCache.keys
       .filter(k => k._1 == appId && k._2.startsWith(cacheKeyPrefix))
-      .foreach(k =>
-        gramCache.remove(k).foreach(_.foreach(graft.Caching.dropArtifact)))
+      .foreach { k =>
+        indexLocks.getOrElseUpdate(k, new Object).synchronized {
+          gramCache.remove(k).foreach(_.foreach(graft.Caching.dropArtifact))
+        }
+      }
   }
 
   /** [[minhashIncremental]] against PRECOMPUTED corpus artifacts — the
@@ -1278,6 +1315,24 @@ object Dedup {
     *
     * @return (doc_id, n_paras, n_kept, clean_text)
     */
+  /** Per-doc fixed-width unit-hash array: md5 of each `unit`-token window
+    * of `toks` (tail window shorter; windows start at 1, 1+unit, …).
+    * Shared by [[dedupParagraphs]] and [[boilerplateLines]] so the unit
+    * boundary/tokenize rules — and their DuckDB oracle twins — cannot
+    * drift apart.
+    */
+  private def unitHashes(toks: Column, unit: Int): Column =
+    transform(
+      sequence(lit(0L), size(toks).cast("long") - 1, lit(unit.toLong)),
+      st => md5(concat_ws(" ", slice(toks, (st + 1).cast("int"), lit(unit)))))
+
+  /** Rebuild text from kept unit indexes (0-based, sorted): the per-row
+    * slice-gather both unit-dedup operators end with.
+    */
+  private def unitGather(toks: Column, keepIdx: Column, unit: Int): Column =
+    concat_ws(" ", transform(keepIdx,
+      i => concat_ws(" ", slice(toks, (i * unit + 1).cast("int"), lit(unit)))))
+
   def dedupParagraphs(df: DataFrame, idCol: String, textCol: String,
                       paraTokens: Int = 32): DataFrame = {
     val toks = filter(split(lower(col(textCol)), " "), t => t =!= "")
@@ -1285,10 +1340,7 @@ object Dedup {
       .select(col(idCol).cast("long").as("doc_id"), toks.as("toks"))
       .withColumn("n_tokens", size(col("toks")).cast("long"))
       .filter(col("n_tokens") > 0)
-      .withColumn("phs", transform(
-        sequence(lit(0L), col("n_tokens") - 1, lit(paraTokens.toLong)),
-        st => md5(concat_ws(" ",
-          slice(col("toks"), (st + 1).cast("int"), lit(paraTokens)))))))
+      .withColumn("phs", unitHashes(col("toks"), paraTokens)))
     val units = arrs.select(col("doc_id"),
       posexplode(col("phs")).as(Seq("para_idx", "h")))
     val first = units.groupBy("h")
@@ -1305,9 +1357,7 @@ object Dedup {
         when(col("keep_idx").isNull, lit(0L))
           .otherwise(size(col("keep_idx")).cast("long")).as("n_kept"),
         when(col("keep_idx").isNull, lit(""))
-          .otherwise(concat_ws(" ", transform(col("keep_idx"),
-            i => concat_ws(" ", slice(col("toks"),
-              (i * paraTokens + 1).cast("int"), lit(paraTokens))))))
+          .otherwise(unitGather(col("toks"), col("keep_idx"), paraTokens))
           .as("clean_text"))
   }
 
@@ -1347,10 +1397,7 @@ object Dedup {
         toks.as("toks"))
       .withColumn("n_tokens", size(col("toks")).cast("long"))
       .filter(col("n_tokens") > 0)
-      .withColumn("phs", transform(
-        sequence(lit(0L), col("n_tokens") - 1, lit(lineTokens.toLong)),
-        st => md5(concat_ws(" ",
-          slice(col("toks"), (st + 1).cast("int"), lit(lineTokens)))))))
+      .withColumn("phs", unitHashes(col("toks"), lineTokens)))
     val units = arrs.select(col("doc_id"), col("source"),
       posexplode(col("phs")).as(Seq("line_idx", "h")))
     val bp = units.groupBy("source", "h")
@@ -1368,9 +1415,6 @@ object Dedup {
         size(col("phs")).cast("long").as("n_lines"),
         when(col("rm_idx").isNull, lit(0L))
           .otherwise(size(col("rm_idx")).cast("long")).as("n_removed"),
-        concat_ws(" ", transform(col("keep_idx"),
-          i => concat_ws(" ", slice(col("toks"),
-            (i * lineTokens + 1).cast("int"), lit(lineTokens)))))
-          .as("clean_text"))
+        unitGather(col("toks"), col("keep_idx"), lineTokens).as("clean_text"))
   }
 }

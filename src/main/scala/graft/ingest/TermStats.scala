@@ -74,15 +74,27 @@ object TermStats {
       tfCache.get(k) match {
         case None => false
         case Some(segs0) =>
-          val segs = segs0 :+ graft.Caching.pinArtifact(
-            termFreqs(tokens(batch, docIdCol, textCol)))
-          val kept =
-            if (segs.size <= maxSegments) segs
-            else Vector(graft.Caching.pinArtifact(
-              segs.reduce(_ unionByName _)))
-          tfCache.put(k, kept)
-          if (kept ne segs) segs.foreach(graft.Caching.dropArtifact)
-          true
+          // REPLAY GUARD (the appendPairs rule): at-least-once micro-batch
+          // retries re-deliver docs, and re-appending one would DOUBLE its
+          // tf rows in the artifact — silently wrong df/ttf for every TF
+          // consumer. Probe the artifact on its doc_id key (production: a
+          // bucketed/Delta lookup) and drop already-present docs; a batch
+          // that nets no new docs appends no segment.
+          val present = segs0.reduce(_ unionByName _).select("doc_id")
+          val fresh = batch.select(col(docIdCol).as("doc_id"),
+              col(textCol).as("__text"))
+            .join(present, Seq("doc_id"), "left_anti")
+          if (fresh.isEmpty) true else {
+            val segs = segs0 :+ graft.Caching.pinArtifact(
+              termFreqs(tokens(fresh, "doc_id", "__text")))
+            val kept =
+              if (segs.size <= maxSegments) segs
+              else Vector(graft.Caching.pinArtifact(
+                segs.reduce(_ unionByName _)))
+            tfCache.put(k, kept)
+            if (kept ne segs) segs.foreach(graft.Caching.dropArtifact)
+            true
+          }
       }
     }
   }
@@ -106,10 +118,16 @@ object TermStats {
   def resetTermFreqs(spark: org.apache.spark.sql.SparkSession,
                      cacheKeyPrefix: String): Unit = {
     val appId = spark.sparkContext.applicationId
+    // per-key lock against a concurrent appendTermFreqs (the
+    // Dedup.resetPairs race, same fix): an unlocked reset could delete
+    // checkpoint files an in-flight append then re-inserts
     tfCache.keys
       .filter(k => k._1 == appId && k._2.startsWith(cacheKeyPrefix))
-      .foreach(k =>
-        tfCache.remove(k).foreach(_.foreach(graft.Caching.dropArtifact)))
+      .foreach { k =>
+        tfLocks.getOrElseUpdate(k, new Object).synchronized {
+          tfCache.remove(k).foreach(_.foreach(graft.Caching.dropArtifact))
+        }
+      }
   }
 
   /** Top-k terms per document by TF, deterministic tie-break on term

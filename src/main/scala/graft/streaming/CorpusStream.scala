@@ -159,13 +159,23 @@ object CorpusStream {
           v.filter(org.apache.spark.sql.functions.col("keep") === 1)
             .select(org.apache.spark.sql.functions.col("doc_id").as(idCol)),
           idCol)
-        graft.extra.Dedup.appendAdmitted(
-          admitted, idCol, textCol, cacheKey)
+        // Maintenance ORDER is the replay contract (foreachBatch is
+        // at-least-once): the derived artifacts (TF, pairs) append FIRST —
+        // both are idempotent per document (each drops already-present
+        // docs), so a replay re-runs them harmlessly — and the ADMISSION
+        // index appends LAST. If a batch dies mid-maintenance, the replay
+        // still sees the docs as un-admitted (the index doesn't hold them
+        // yet), re-admits them, and completes whatever appends were lost;
+        // had the index appended first, a replay would self-match every
+        // doc (keep=0), leaving the derived artifacts missing the batch
+        // forever.
         tfCacheKey.foreach(k =>
           graft.ingest.TermStats.appendTermFreqs(admitted, idCol, textCol, k))
         pairsSpecs.foreach { case (pk, pt, plsh) =>
           graft.extra.Dedup.appendPairs(admitted, idCol, textCol, pt, pk, plsh)
         }
+        graft.extra.Dedup.appendAdmitted(
+          admitted, idCol, textCol, cacheKey)
         onVerdict(v, id)
       } finally graft.Caching.release()
     }.start()

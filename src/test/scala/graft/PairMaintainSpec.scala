@@ -148,6 +148,32 @@ class PairMaintainSpec extends AnyFunSuite {
     }
   }
 
+  test("appendPairs is replay-idempotent per document") {
+    val key = "pairspec-replay"
+    Dedup.resetPairs(spark, key)
+    val corpus = df(corpusRows)
+    val batch = df(batchRows)
+    Dedup.trainedPairs(corpus, "doc_id", "text", 0.8, key)
+    assert(Dedup.appendPairs(batch, "doc_id", "text", 0.8, key))
+    val grown = pairSet(Dedup.trainedPairs(corpus, "doc_id", "text", 0.8, key))
+    val segs = Dedup.pairSegmentCount(spark, key)
+    // full replay: no new segment, no self-pairs, artifact unchanged
+    assert(Dedup.appendPairs(batch, "doc_id", "text", 0.8, key))
+    assert(Dedup.pairSegmentCount(spark, key) == segs)
+    assert(pairSet(Dedup.trainedPairs(corpus, "doc_id", "text", 0.8, key)) == grown)
+    // partial replay (one present doc + one new near-dup of it): only the
+    // new doc's pairs append, still no (d, d) self-pair
+    val partial = df(batchRows.take(1) :+ (31L -> batchRows.head._2))
+    assert(Dedup.appendPairs(partial, "doc_id", "text", 0.8, key))
+    val after = pairSet(Dedup.trainedPairs(corpus, "doc_id", "text", 0.8, key))
+    assert(after.map(t => (t._1, t._2)).contains((11L, 31L)))
+    assert(after.forall(t => t._1 != t._2), "no self-pairs ever")
+    assert(after == pairSet(Dedup.jaccardPairs(
+      corpus.unionByName(batch).unionByName(df(Seq(31L -> batchRows.head._2))),
+      "doc_id", "text", 0.8)), "grown ≡ fresh after a partial replay")
+    Dedup.resetPairs(spark, key)
+  }
+
   test("appendPairs is a no-op without a memoized artifact") {
     assert(!Dedup.appendPairs(df(batchRows), "doc_id", "text", 0.8,
       "pairspec-unbuilt"))

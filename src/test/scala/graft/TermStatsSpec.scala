@@ -124,6 +124,22 @@ class TermStatsSpec extends AnyFunSuite {
     assert(canon(TermStats.trainedTermFreqs(batchA, "doc_id", "text", key)) ==
       canon(TermStats.termFreqs(TermStats.tokens(
         batchA.unionAll(batchB).unionAll(batchC), "doc_id", "text"))))
+    // REPLAY idempotence: re-appending an already-present batch must not
+    // double its tf rows (at-least-once micro-batch retries), and a batch
+    // that nets no new docs appends no segment
+    val before = canon(TermStats.trainedTermFreqs(batchA, "doc_id", "text", key))
+    val segCount = TermStats.tfSegmentCount(spark, key)
+    assert(TermStats.appendTermFreqs(batchB, "doc_id", "text", key))
+    assert(TermStats.tfSegmentCount(spark, key) == segCount,
+      "replayed batch must not append a segment")
+    assert(canon(TermStats.trainedTermFreqs(batchA, "doc_id", "text", key))
+      == before, "replayed batch must not change the artifact")
+    // a mixed batch (one present doc, one new) appends only the new doc
+    val mixed = Seq((3L, "a c c"), (9L, "z z")).toDF("doc_id", "text")
+    assert(TermStats.appendTermFreqs(mixed, "doc_id", "text", key))
+    val afterMixed = TermStats.trainedTermFreqs(batchA, "doc_id", "text", key)
+    assert(canon(afterMixed) == (before ++ Seq("9|z|2")).sorted,
+      "only the new doc's rows may join the artifact")
     TermStats.resetTermFreqs(spark, key)
   }
 }
