@@ -440,6 +440,12 @@ object Dedup {
   private val gramCache = scala.collection.concurrent.TrieMap
     .empty[(String, String), Vector[DataFrame]]
 
+  // (appId, cacheKey, batchId) triples already folded into a gram artifact —
+  // the exactly-once ledger for appendGramAdmitted's at-least-once callers.
+  // Long-valued batch ids: footprint is #applied-batches, driver-side.
+  private val appliedGramBatches = java.util.Collections.synchronizedSet(
+    new java.util.HashSet[(String, String, Long)]())
+
   /** Build (or fetch) the memoized [[gramStats]] artifact for `cacheKey` —
     * the [[trainedIndex]] treatment for the ExactSubstr stage: built once,
     * served as the lazy union of checkpointed segments, probed per batch by
@@ -461,15 +467,26 @@ object Dedup {
     * checkpointed; past `maxSegments` the segments are compacted by a
     * per-gh SUM (exact: counts are additive over disjoint doc sets). No-op
     * (false) when nothing is memoized under the key.
+    *
+    * REPLAY contract: gram counts are ADDITIVE with no document column, so
+    * unlike the TF/pair appends this one cannot drop already-present docs —
+    * a replayed append would silently DOUBLE the batch's n_docs/n_occ.
+    * Callers in an at-least-once context (foreachBatch) pass the sink's
+    * `batchId`, which Structured Streaming keeps STABLE across retries:
+    * an (artifact, batchId) already applied is a recorded no-op — the
+    * standard exactly-once-by-batch-id idempotent-sink pattern.
     */
   def appendGramAdmitted(admitted: DataFrame, idCol: String, textCol: String,
                          cacheKey: String, minLen: Int = 12,
-                         maxSegments: Int = MaxSegments): Boolean = {
+                         maxSegments: Int = MaxSegments,
+                         batchId: Option[Long] = None): Boolean = {
     val k = (admitted.sparkSession.sparkContext.applicationId, cacheKey)
     val lock = indexLocks.getOrElseUpdate(k, new Object)
     lock.synchronized {
       gramCache.get(k) match {
         case None => false
+        case Some(_) if batchId.exists(id =>
+          appliedGramBatches.contains((k._1, k._2, id))) => true
         case Some(segs0) =>
           val segs = segs0 :+ graft.Caching.pinArtifact(
             gramStats(admitted, idCol, textCol, minLen))
@@ -480,6 +497,7 @@ object Dedup {
                 .agg(sum("n_docs").as("n_docs"), sum("n_occ").as("n_occ"))))
           gramCache.put(k, kept)
           if (kept ne segs) segs.foreach(graft.Caching.dropArtifact)
+          batchId.foreach(id => appliedGramBatches.add((k._1, k._2, id)))
           true
       }
     }
@@ -768,6 +786,10 @@ object Dedup {
       .foreach { k =>
         indexLocks.getOrElseUpdate(k, new Object).synchronized {
           gramCache.remove(k).foreach(_.foreach(graft.Caching.dropArtifact))
+          // drop the key's batch ledger with the artifact: a REBUILT
+          // artifact belongs to a new stream whose batch ids restart at 0,
+          // and a stale entry would wrongly no-op its first batches
+          appliedGramBatches.removeIf(e => e._1 == k._1 && e._2 == k._2)
         }
       }
   }

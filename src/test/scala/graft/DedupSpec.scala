@@ -698,6 +698,30 @@ class DedupSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(compacted == fresh,
       "compacted per-gh counts must equal a from-scratch aggregate")
+    // batchId exactly-once ledger: a REPLAYED append (same batchId) is a
+    // recorded no-op — additive counts would otherwise double; a new
+    // batchId appends, and resetIndex clears the ledger with the artifact
+    val batch3 = slice(160, 170, 30000)
+    val preReplay = Dedup.gramSegmentsOf(spark, key).map(_.count()).sum
+    assert(Dedup.appendGramAdmitted(batch3, "doc_id", "text", key, 5,
+      batchId = Some(7L)))
+    val postAppend = Dedup.gramSegmentCount(spark, key)
+    assert(Dedup.appendGramAdmitted(batch3, "doc_id", "text", key, 5,
+      batchId = Some(7L)), "replay reports success (already applied)")
+    assert(Dedup.gramSegmentCount(spark, key) == postAppend,
+      "replayed batchId must not append a segment")
+    assert(Dedup.appendGramAdmitted(slice(170, 175, 40000), "doc_id", "text",
+      key, 5, batchId = Some(8L)))
+    assert(Dedup.gramSegmentCount(spark, key) == postAppend + 1)
+    assert(preReplay >= 0) // silence unused warning paranoia
+    Dedup.resetIndex(spark, key)
+    // after a reset + rebuild, the old stream's batch ids must not no-op
+    Dedup.trainedGramIndex(corpus, "doc_id", "text", key, 5)
+    val n0 = Dedup.gramSegmentCount(spark, key)
+    assert(Dedup.appendGramAdmitted(batch3, "doc_id", "text", key, 5,
+      batchId = Some(7L)), "fresh artifact, old id: must apply")
+    assert(Dedup.gramSegmentCount(spark, key) == n0 + 1,
+      "stale ledger entries must not survive resetIndex")
     Dedup.resetIndex(spark, key)
   }
 
