@@ -139,6 +139,16 @@ object Bench {
             s"$sfDir#tf:documents")
           ()
         }),
+      ("train_tf2",
+        () => ingest.TermStats.resetTermFreqs(spark, s"$sfDir#tf:documents/bigrams"),
+        () => {
+          // the bigram-TF artifact (the bigram LM's scoring table; the PMI
+          // miner's corpus counts roll up from it by additivity)
+          ingest.TermStats.trainedTermFreqs(
+            Tables.load(spark, sfDir, "documents"), "doc_id", "text",
+            s"$sfDir#tf:documents/bigrams", n = 2)
+          ()
+        }),
       ("train_passages",
         () => ingest.TermStats.resetTermFreqs(spark, s"$sfDir#tf:documents/passages"),
         () => {

@@ -29,6 +29,15 @@ object SparkEntry {
     TermStats.trainedTermFreqs(T(s, d, "documents"), "doc_id", "text",
       s"$d#tf:documents")
 
+  /** The documents BIGRAM-TF artifact (train_tf2 bench line): the
+    * (doc, bigram, tf) table the bigram LM scores from and the PMI
+    * collocation miner rolls its corpus counts off — keyed under the
+    * `tf:documents` family so a documents refresh drops it with the rest.
+    */
+  private def TF2(s: SparkSession, d: String): DataFrame =
+    TermStats.trainedTermFreqs(T(s, d, "documents"), "doc_id", "text",
+      s"$d#tf:documents/bigrams", n = 2)
+
   /** The passage corpus (stride-overlap chunks keyed by `doc:chunk`) and
     * its TF artifact — the RAG serving index `passage_search` scores from
     * (danae's own search serves from indexes built at ingest, not per
@@ -736,12 +745,14 @@ object SparkEntry {
     // add-1 bigram-conditional LM: word ORDER priced, not just word choice
     "lm_quality2" -> ((s, d) =>
       TextStats.lmScoreBigram(T(s, d, "documents"), "doc_id", "text",
-        Some(TF(s, d)))),
+        Some(TF(s, d)), Some(TF2(s, d)))),
 
     // phrase mining: top-20 adjacent-bigram PMI (pinned-log sum — no
-    // integer product to overflow at corpus scale)
+    // integer product to overflow at corpus scale); corpus counts roll up
+    // from the session TF artifacts
     "collocations" -> ((s, d) =>
-      TextStats.collocations(T(s, d, "documents"), "text")),
+      TextStats.collocations(T(s, d, "documents"), "text",
+        tfTables = Some((TF(s, d), TF2(s, d))))),
 
     // per-source unigram KL vs the corpus (mixture-design shift report)
     "source_kl" -> ((s, d) =>

@@ -185,15 +185,21 @@ object TextStats {
     *         with fewer than two tokens
     */
   def lmScoreBigram(df: DataFrame, idCol: String, textCol: String,
-                    tfTable: Option[DataFrame] = None): DataFrame = {
+                    tfTable: Option[DataFrame] = None,
+                    tf2Table: Option[DataFrame] = None): DataFrame = {
     val t = df.select(col(idCol).as("doc_id"), toks(col(textCol)).as("ts"))
-    val bi = graft.Caching.temp(
-      t.filter(size(col("ts")) >= 2)
-        .select(col("doc_id"), explode(zip_with(
-          slice(col("ts"), lit(1), size(col("ts")) - 1),
-          slice(col("ts"), lit(2), size(col("ts")) - 1),
-          (a, b) => concat(a, lit(" "), b))).as("bigram"))
-        .groupBy("doc_id", "bigram").agg(count(lit(1)).as("tf")))
+    // (doc, bigram, tf): from the session BIGRAM-TF artifact when provided
+    // (TermStats.trainedTermFreqs(n = 2) — the train_tf2 line; its unit
+    // stream is THIS construction, so values are identical), else inline
+    val bi = tf2Table
+      .map(_.select(col("doc_id"), col("term").as("bigram"), col("tf")))
+      .getOrElse(graft.Caching.temp(
+        t.filter(size(col("ts")) >= 2)
+          .select(col("doc_id"), explode(zip_with(
+            slice(col("ts"), lit(1), size(col("ts")) - 1),
+            slice(col("ts"), lit(2), size(col("ts")) - 1),
+            (a, b) => concat(a, lit(" "), b))).as("bigram"))
+          .groupBy("doc_id", "bigram").agg(count(lit(1)).as("tf"))))
     val model = bi.groupBy("bigram").agg(sum("tf").as("cnt"))
       .withColumn("w1", substring_index(col("bigram"), " ", 1))
     val hist = model.groupBy("w1").agg(sum("cnt").as("hcnt"))
@@ -559,18 +565,29 @@ object TextStats {
     *         pairs)
     */
   def collocations(df: DataFrame, textCol: String, k: Int = 20,
-                   minCount: Long = 5L): DataFrame = {
+                   minCount: Long = 5L,
+                   tfTables: Option[(DataFrame, DataFrame)] = None): DataFrame = {
     val t = df.select(toks(col(textCol)).as("ts"))
-    val uni = graft.Caching.temp(
-      t.select(explode(col("ts")).as("term"))
-        .groupBy("term").agg(count(lit(1)).as("c")))
-    val bi = graft.Caching.temp(
-      t.filter(size(col("ts")) >= 2)
-        .select(explode(zip_with(
-          slice(col("ts"), lit(1), size(col("ts")) - 1),
-          slice(col("ts"), lit(2), size(col("ts")) - 1),
-          (a, b) => concat(a, lit(" "), b))).as("bigram"))
-        .groupBy("bigram").agg(count(lit(1)).as("c_ab")))
+    // corpus unigram/bigram counts: both roll up from the session TF
+    // artifacts when provided (unigram art, bigram art) — counts are
+    // additive over documents, so Σ tf per term IS the occurrence count
+    // the inline explodes compute
+    val uni = tfTables
+      .map(a => graft.Caching.temp(
+        a._1.groupBy("term").agg(sum("tf").as("c"))))
+      .getOrElse(graft.Caching.temp(
+        t.select(explode(col("ts")).as("term"))
+          .groupBy("term").agg(count(lit(1)).as("c"))))
+    val bi = tfTables
+      .map(a => graft.Caching.temp(
+        a._2.groupBy(col("term").as("bigram")).agg(sum("tf").as("c_ab"))))
+      .getOrElse(graft.Caching.temp(
+        t.filter(size(col("ts")) >= 2)
+          .select(explode(zip_with(
+            slice(col("ts"), lit(1), size(col("ts")) - 1),
+            slice(col("ts"), lit(2), size(col("ts")) - 1),
+            (a, b) => concat(a, lit(" "), b))).as("bigram"))
+          .groupBy("bigram").agg(count(lit(1)).as("c_ab"))))
     val totals = bi.agg(sum("c_ab").as("big_n"))
       .crossJoin(broadcast(uni.agg(sum("c").as("tok_n"))))
     def r6(c: Column): Column = round(c, 6)

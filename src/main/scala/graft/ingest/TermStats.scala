@@ -29,6 +29,29 @@ object TermStats {
   def termFreqs(tokensDf: DataFrame): DataFrame =
     tokensDf.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
 
+  /** Adjacent word n-gram unit stream (n = 1 → [[tokens]]; n = 2 →
+    * space-joined adjacent bigrams, the EXACT construction of
+    * [[graft.extra.TextStats.lmScoreBigram]] / `collocations` — zip of the
+    * token array against its one-shift, docs shorter than n dropped).
+    * The unit the TF-artifact family aggregates over: the same
+    * (doc_id, term) shape at every n, so one segment/append machinery
+    * serves unigram and bigram artifacts alike.
+    */
+  def unitTokens(df: DataFrame, docIdCol: String, textCol: String,
+                 n: Int): DataFrame = {
+    require(n == 1 || n == 2, s"unitTokens supports n in {1, 2}, got $n")
+    if (n == 1) tokens(df, docIdCol, textCol)
+    else {
+      val ts = filter(split(lower(col(textCol)), " "), t => t =!= "")
+      df.select(col(docIdCol).as("doc_id"), ts.as("ts"))
+        .filter(size(col("ts")) >= 2)
+        .select(col("doc_id"), explode(zip_with(
+          slice(col("ts"), lit(1), size(col("ts")) - 1),
+          slice(col("ts"), lit(2), size(col("ts")) - 1),
+          (a, b) => concat(a, lit(" "), b))).as("term"))
+    }
+  }
+
   private val tfCache = scala.collection.concurrent.TrieMap
     .empty[(String, String), Vector[DataFrame]]
   private val tfLocks = scala.collection.concurrent.TrieMap
@@ -47,11 +70,17 @@ object TermStats {
     * appends, like the admission index), here the in-session form.
     */
   def trainedTermFreqs(df: DataFrame, docIdCol: String, textCol: String,
-                       cacheKey: String): DataFrame = {
+                       cacheKey: String, n: Int = 1): DataFrame = {
     val k = (df.sparkSession.sparkContext.applicationId, cacheKey)
-    tfCache.getOrElseUpdate(k, Vector(
-      graft.Caching.pinArtifact(termFreqs(tokens(df, docIdCol, textCol)))))
-      .reduce(_ unionByName _)
+    // build under the per-key lock (the Dedup.trainedPairs rule): a bare
+    // getOrElseUpdate runs concurrent first builds twice, orphaning the
+    // losing builder's checkpoint files
+    val lock = tfLocks.getOrElseUpdate(k, new Object)
+    lock.synchronized {
+      tfCache.getOrElseUpdate(k, Vector(
+        graft.Caching.pinArtifact(
+          termFreqs(unitTokens(df, docIdCol, textCol, n)))))
+    }.reduce(_ unionByName _)
   }
 
   /** Fold a batch of NEW documents' term frequencies into the memoized
@@ -67,7 +96,8 @@ object TermStats {
     * a rebuild. No-op (false) when nothing is memoized under the key.
     */
   def appendTermFreqs(batch: DataFrame, docIdCol: String, textCol: String,
-                      cacheKey: String, maxSegments: Int = 32): Boolean = {
+                      cacheKey: String, maxSegments: Int = 32,
+                      n: Int = 1): Boolean = {
     val k = (batch.sparkSession.sparkContext.applicationId, cacheKey)
     val lock = tfLocks.getOrElseUpdate(k, new Object)
     lock.synchronized {
@@ -86,7 +116,7 @@ object TermStats {
             .join(present, Seq("doc_id"), "left_anti")
           if (fresh.isEmpty) true else {
             val segs = segs0 :+ graft.Caching.pinArtifact(
-              termFreqs(tokens(fresh, "doc_id", "__text")))
+              termFreqs(unitTokens(fresh, "doc_id", "__text", n)))
             val kept =
               if (segs.size <= maxSegments) segs
               else Vector(graft.Caching.pinArtifact(

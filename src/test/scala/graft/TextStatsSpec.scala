@@ -253,6 +253,20 @@ class TextStatsSpec extends AnyFunSuite {
       canon(TextStats.lmScore(docs, "doc_id", "text")))
     assert(canon(TextStats.lmScoreBigram(docs, "doc_id", "text", Some(tf))) ==
       canon(TextStats.lmScoreBigram(docs, "doc_id", "text")))
+    // the BIGRAM artifact (n = 2): lmScoreBigram's scoring table and
+    // collocations' corpus counts must be value-identical to the inline
+    // constructions (shared unit stream — TermStats.unitTokens)
+    val key2 = "textstats-spec#tf2"
+    graft.ingest.TermStats.resetTermFreqs(spark, key2)
+    val tf2 = graft.ingest.TermStats
+      .trainedTermFreqs(docs, "doc_id", "text", key2, n = 2)
+    assert(canon(TextStats.lmScoreBigram(docs, "doc_id", "text",
+        Some(tf), Some(tf2))) ==
+      canon(TextStats.lmScoreBigram(docs, "doc_id", "text")))
+    assert(canon(TextStats.collocations(docs, "text", minCount = 1L,
+        tfTables = Some((tf, tf2)))) ==
+      canon(TextStats.collocations(docs, "text", minCount = 1L)))
+    graft.ingest.TermStats.resetTermFreqs(spark, key2)
     assert(canon(TextStats.importanceWeights(docs, "doc_id", "text",
         col("source") === "a", Some(tf))) ==
       canon(TextStats.importanceWeights(docs, "doc_id", "text",
