@@ -354,6 +354,19 @@ object SparkEntry {
       Dedup.dupSubstringSpans(T(s, d, "documents"), "doc_id", "text",
         selfRepeats = true)),
 
+    // span-level decontamination (Lee et al. ExactSubstr cross-set): the
+    // verbatim >= 5-token spans of BENCHMARK text (the deterministic
+    // doc_id % 97 carve and the 5-gram width decontaminate itself uses)
+    // inside each training doc — which text to strip, not just which docs
+    // to drop
+    "decontaminate_spans" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      Dedup.contaminationSpans(
+        docs.filter(col("doc_id") % 97 =!= 0), "doc_id", "text",
+        Dedup.gramStats(docs.filter(col("doc_id") % 97 === 0),
+          "doc_id", "text", 5), 5)
+    }),
+
     // RefinedWeb-style paragraph dedup: one surviving copy per distinct
     // 32-token paragraph corpus-wide, documents rewritten in order
     "dedup_paragraph" -> ((s, d) =>
@@ -1024,6 +1037,31 @@ object SparkEntry {
         |  FROM m)
         |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
         |  CAST(max(pos) + 12 - min(pos) AS BIGINT) AS span_len
+        |FROM i GROUP BY doc_id, island""".stripMargin,
+    // cross-set twin: the dup set is the BENCHMARK carve's gram set; spans
+    // reported for TRAINING docs only
+    "decontaminate_spans" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |g AS (SELECT doc_id, i AS pos,
+        |    md5(array_to_string(list_slice(toks, i, i + 4), ' ')) AS gh
+        |  FROM t CROSS JOIN unnest(range(1, len(toks) - 5 + 2)) AS u(i)
+        |  WHERE len(toks) >= 5),
+        |bench AS (SELECT DISTINCT gh FROM g WHERE doc_id % 97 = 0),
+        |s AS (SELECT doc_id, pos FROM g
+        |  WHERE doc_id % 97 <> 0 AND gh IN (SELECT gh FROM bench)),
+        |m AS (SELECT doc_id, pos,
+        |    max(pos + 4) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |  FROM s),
+        |i AS (SELECT doc_id, pos,
+        |    sum(CASE WHEN prev_end IS NULL OR pos > prev_end + 1
+        |      THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |  FROM m)
+        |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+        |  CAST(max(pos) + 5 - min(pos) AS BIGINT) AS span_len
         |FROM i GROUP BY doc_id, island""".stripMargin,
     // the self-repeat twin: HAVING count(*) >= 2 — occurrences overall,
     // within-doc repeats included (Lee et al.'s actual ExactSubstr rule)

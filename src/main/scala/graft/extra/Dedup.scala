@@ -1304,6 +1304,35 @@ object Dedup {
       .select("doc_id", "pos"), w)
   }
 
+  /** Span-level benchmark decontamination — Lee et al. 2022's ExactSubstr
+    * criterion applied CROSS-SET: per training document, the maximal
+    * verbatim spans of ≥ `minLen` tokens that also occur in the BENCHMARK
+    * set. The positional form of
+    * [[graft.extra.CorpusOps.decontaminate]]'s gram-overlap count: where
+    * that flags WHICH documents leak eval text, this says WHICH TEXT —
+    * enabling surgical span removal instead of whole-document drops
+    * (the GPT-3/PaLM contamination-study form). Train-internal duplicates
+    * do NOT flag (that is [[dupSubstringSpans]]'s job): the criterion is
+    * presence in the benchmark gram set alone.
+    *
+    * Plan shape: the training side is the zero-exchange in-row gram
+    * stream; `benchGrams` is the vocabulary-bounded [[gramStats]] of the
+    * benchmark — at 100 TB a STORED artifact ([[trainedGramIndex]] keyed
+    * on the benchmark table, maintained as benchmarks are added) probed by
+    * one semi-join; spans are the shared per-doc island merge. Cost is
+    * O(train grams + matches), the corpus never pairs against itself.
+    *
+    * @return (doc_id, span_start, span_len) — positions of benchmark text
+    *         inside each contaminated training doc; clean docs absent
+    */
+  def contaminationSpans(docs: DataFrame, idCol: String, textCol: String,
+                         benchGrams: DataFrame,
+                         minLen: Int = 12): DataFrame =
+    mergeIslands(
+      gramStream(docs, idCol, textCol, minLen)
+        .join(benchGrams.select("gh"), Seq("gh"), "left_semi")
+        .select("doc_id", "pos"), minLen)
+
   /** Per-document rollup of a span frame — the number the admission ladder
     * thresholds on: how many tokens of the document sit inside verbatim
     * duplicated spans. @return (doc_id, n_dup_spans, n_dup_tokens)

@@ -725,6 +725,31 @@ class DedupSpec extends AnyFunSuite {
     Dedup.resetIndex(spark, key)
   }
 
+  test("contaminationSpans: benchmark text flags with positions, " +
+    "train-internal duplicates do not") {
+    val leak = "alpha beta gamma delta epsilon" // the 5-token benchmark run
+    val bench = Seq((100L, s"prefix words here $leak and a tail"))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      // leak at token positions 3..7 (two lead tokens, then the run)
+      (1L, s"lead tokens $leak trailing words follow"),
+      // train-internal 5-gram duplicate, absent from the benchmark: the
+      // cross-set criterion must NOT flag it (dupSubstringSpans would)
+      (2L, "one two three four five filler one two three four five"),
+      (3L, "entirely clean document with no shared runs at all")
+    ).toDF("doc_id", "text")
+    val got = Dedup.contaminationSpans(docs, "doc_id", "text",
+      Dedup.gramStats(bench, "doc_id", "text", 5), 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 3L, 5L)),
+      s"exactly the planted benchmark span must flag: ${got.toSeq}")
+    // sanity: the SELF sweep does flag doc 2's internal repeat — the two
+    // criteria are genuinely different operators
+    val self = Dedup.dupSubstringSpans(docs, "doc_id", "text", 5,
+      selfRepeats = true).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(self.contains(2L))
+  }
+
   test("projection bandSignatures equal the exploded minhashSignatures route") {
     val docs = Tables.load(spark, SparkTestSession.sf0001, "documents")
       .filter(col("doc_id") < 120)
