@@ -318,7 +318,9 @@ object CorpusStream {
                           tsCol: String = "ts", horizon: String = "1 hour",
                           threshold: Double = 0.9,
                           corpusGrams: Option[() => DataFrame] = None,
-                          minSpanLen: Int = 12)
+                          minSpanLen: Int = 12,
+                          benchGrams: Option[() => DataFrame] = None,
+                          minContamLen: Int = 5)
                          (onVerdict: (DataFrame, Long) => Unit): StreamingQuery = {
     val gated = signalGateOn(stream, idCol, textCol,
       passthrough = Seq(textCol, tsCol))
@@ -327,35 +329,54 @@ object CorpusStream {
     val inStream = dedupStreamOn(gated, textCol, tsCol, horizon)
     val vsCorpus = dedupAgainstCorpus(inStream, corpusFingerprints(), textCol)
     val slim = vsCorpus.select(col(idCol), col(textCol))
-    corpusGrams match {
-      case None =>
+    (corpusGrams, benchGrams) match {
+      case (None, None) =>
         admitStreamIndexed(slim, corpusSigs, corpusToks, idCol, textCol,
           threshold)(onVerdict)
-      case Some(grams) =>
-        // ExactSubstr stage: verdicts gain per-doc verbatim-span coverage
-        // (n_dup_spans, n_dup_tokens — 0 when clean) probed from the STORED
-        // gram artifact ([[graft.extra.Dedup.trainedGramIndex]]), so the
-        // ladder can also gate on verbatim duplication. Still O(batch +
-        // candidates) per micro-batch: the batch is grammed once; the
-        // corpus-sized artifact is only equi-join-probed. `keep` stays the
-        // near-dup verdict — span coverage is a separate signal with its
-        // own (corpus-dependent) thresholds, handed to the caller raw.
-        // Equivalence to the batch sweep is spec-locked (DedupSpec /
+      case _ =>
+        // ExactSubstr stage(s): verdicts gain per-doc verbatim-span
+        // coverage probed from STORED gram artifacts
+        // ([[graft.extra.Dedup.trainedGramIndex]]) —
+        //  - `corpusGrams`: (n_dup_spans, n_dup_tokens) vs the corpus and
+        //    the batch (the self/cross dedup criterion);
+        //  - `benchGrams`: (n_contam_spans, n_contam_tokens) vs a held-out
+        //    BENCHMARK set ([[graft.extra.Dedup.contaminationSpans]] —
+        //    eval text leaking through the stream flags with positions).
+        // Still O(batch + candidates) per micro-batch: the batch is
+        // grammed per stage; corpus-sized artifacts are only equi-join-
+        // probed. `keep` stays the near-dup verdict — span coverage is a
+        // separate signal with its own thresholds, handed to the caller
+        // raw. Equivalence to the batch sweeps is spec-locked (DedupSpec /
         // EventWindowsSpec).
         slim.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
           try {
             val b = graft.Caching.temp(batch)
-            val v = graft.extra.Dedup.minhashIncrementalIndexed(
+            var v = graft.extra.Dedup.minhashIncrementalIndexed(
               corpusSigs(), corpusToks(), b, idCol, textCol, threshold)
-            val spans = graft.extra.Dedup.dupSubstringSpansIndexed(
-              grams(), b, idCol, textCol, minSpanLen)
-            val stats = graft.extra.Dedup.spanStats(spans)
-            onVerdict(
-              v.join(stats, Seq("doc_id"), "left")
+            corpusGrams.foreach { grams =>
+              val stats = graft.extra.Dedup.spanStats(
+                graft.extra.Dedup.dupSubstringSpansIndexed(
+                  grams(), b, idCol, textCol, minSpanLen))
+              v = v.join(stats, Seq("doc_id"), "left")
                 .withColumn("n_dup_spans",
                   coalesce(col("n_dup_spans"), lit(0L)))
                 .withColumn("n_dup_tokens",
-                  coalesce(col("n_dup_tokens"), lit(0L))), id)
+                  coalesce(col("n_dup_tokens"), lit(0L)))
+            }
+            benchGrams.foreach { grams =>
+              val stats = graft.extra.Dedup.spanStats(
+                graft.extra.Dedup.contaminationSpans(
+                  b, idCol, textCol, grams(), minContamLen))
+                .select(col("doc_id"),
+                  col("n_dup_spans").as("n_contam_spans"),
+                  col("n_dup_tokens").as("n_contam_tokens"))
+              v = v.join(stats, Seq("doc_id"), "left")
+                .withColumn("n_contam_spans",
+                  coalesce(col("n_contam_spans"), lit(0L)))
+                .withColumn("n_contam_tokens",
+                  coalesce(col("n_contam_tokens"), lit(0L)))
+            }
+            onVerdict(v, id)
           } finally graft.Caching.release()
         }.start()
     }

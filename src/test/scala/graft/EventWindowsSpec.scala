@@ -386,6 +386,38 @@ class EventWindowsSpec extends AnyFunSuite {
     assert((s5, t5) == want5,
       s"stream span stats ($s5,$t5) must equal batch twin $want5")
     assert(k5 == 0L)
+
+    // the CONTAMINATION stage: a stored BENCHMARK gram artifact flags
+    // eval text leaking through the stream — doc 1 embeds a verbatim
+    // ≥5-token run of the benchmark, doc 6 is clean; verdicts unchanged
+    val bench = Seq((900L,
+      "the quick brown fox jumps over item3 near the river bank today"))
+      .toDF("doc_id", "text")
+    val benchArt = Dedup.gramStats(bench, "doc_id", "text", 5)
+    val contam = scala.collection.mutable.Map.empty[Long, (Long, Long, Long)]
+    val stream4 = spark.readStream.schema(b1.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q4 = graft.streaming.CorpusStream.curateStreamIndexed(
+      stream4, () => fps, () => sigs, () => ctoks,
+      benchGrams = Some(() => benchArt)) { (v, _) =>
+      val rows = v.select("doc_id", "keep", "n_contam_spans", "n_contam_tokens")
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      contam.synchronized { contam ++= rows }
+    }
+    try q4.processAllAvailable() finally q4.stop()
+    assert(contam.view.mapValues(_._1).toMap == batch,
+      "contamination stage must not change the near-dup verdicts")
+    assert(contam(1L)._3 >= 5L,
+      s"doc 1 carries the planted benchmark run: $contam")
+    assert(contam(6L)._3 == 0L, s"doc 6 is contamination-clean: $contam")
+    // stream stats equal the batch operator on the same micro-batch docs
+    val want1 = Dedup.spanStats(Dedup.contaminationSpans(
+        Seq((1L, freshA)).toDF("doc_id", "text"), "doc_id", "text",
+        benchArt, 5)).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).headOption.getOrElse((0L, 0L))
+    assert((contam(1L)._2, contam(1L)._3) == want1,
+      s"stream contamination stats must equal the batch twin $want1")
   }
 
   test("funnel: strict ordering per user, stages narrow") {
