@@ -440,11 +440,16 @@ object Dedup {
   private val gramCache = scala.collection.concurrent.TrieMap
     .empty[(String, String), Vector[DataFrame]]
 
-  // (appId, cacheKey, batchId) triples already folded into a gram artifact —
-  // the exactly-once ledger for appendGramAdmitted's at-least-once callers.
-  // Long-valued batch ids: footprint is #applied-batches, driver-side.
+  // (appId, cacheKey, writerId, batchId) already folded into a gram
+  // artifact — the exactly-once ledger for appendGramAdmitted's
+  // at-least-once callers. Batch ids are only unique WITHIN one streaming
+  // query's checkpoint, so the ledger scopes them by writer: without it,
+  // two ingest shards (or one stream restarted from a fresh checkpoint
+  // location, whose batch ids restart at 0) would collide on batch ids and
+  // silently drop each other's batches as false replays.
+  // Footprint is #applied-batches, driver-side.
   private val appliedGramBatches = java.util.Collections.synchronizedSet(
-    new java.util.HashSet[(String, String, Long)]())
+    new java.util.HashSet[(String, String, String, Long)]())
 
   /** Build (or fetch) the memoized [[gramStats]] artifact for `cacheKey` —
     * the [[trainedIndex]] treatment for the ExactSubstr stage: built once,
@@ -456,9 +461,15 @@ object Dedup {
   def trainedGramIndex(corpus: DataFrame, idCol: String, textCol: String,
                        cacheKey: String, minLen: Int = 12): DataFrame = {
     val k = (corpus.sparkSession.sparkContext.applicationId, cacheKey)
-    gramCache.getOrElseUpdate(k, Vector(
-      graft.Caching.pinArtifact(gramStats(corpus, idCol, textCol, minLen))))
-      .reduce(_ unionByName _)
+    // build under the per-key lock (the trainedPairs rule): a bare
+    // getOrElseUpdate runs concurrent first builds twice, orphaning the
+    // losing builder's checkpoint files
+    val lock = indexLocks.getOrElseUpdate(k, new Object)
+    lock.synchronized {
+      gramCache.getOrElseUpdate(k, Vector(
+        graft.Caching.pinArtifact(gramStats(corpus, idCol, textCol, minLen))))
+        .reduce(_ unionByName _)
+    }
   }
 
   /** Fold an admitted batch's gram counts into the memoized artifact —
@@ -473,20 +484,26 @@ object Dedup {
     * a replayed append would silently DOUBLE the batch's n_docs/n_occ.
     * Callers in an at-least-once context (foreachBatch) pass the sink's
     * `batchId`, which Structured Streaming keeps STABLE across retries:
-    * an (artifact, batchId) already applied is a recorded no-op — the
-    * standard exactly-once-by-batch-id idempotent-sink pattern.
+    * an (artifact, writer, batchId) already applied is a recorded no-op —
+    * the standard exactly-once-by-batch-id idempotent-sink pattern.
+    * `writerId` scopes the batch ids to ONE streaming query's checkpoint:
+    * each concurrent writer to the same artifact, and each restart from a
+    * NEW checkpoint location (batch ids restart at 0), must pass a
+    * distinct writerId (the query's `id` or its checkpointLocation path) —
+    * otherwise colliding batch ids silently drop real batches as replays.
     */
   def appendGramAdmitted(admitted: DataFrame, idCol: String, textCol: String,
                          cacheKey: String, minLen: Int = 12,
                          maxSegments: Int = MaxSegments,
-                         batchId: Option[Long] = None): Boolean = {
+                         batchId: Option[Long] = None,
+                         writerId: String = ""): Boolean = {
     val k = (admitted.sparkSession.sparkContext.applicationId, cacheKey)
     val lock = indexLocks.getOrElseUpdate(k, new Object)
     lock.synchronized {
       gramCache.get(k) match {
         case None => false
         case Some(_) if batchId.exists(id =>
-          appliedGramBatches.contains((k._1, k._2, id))) => true
+          appliedGramBatches.contains((k._1, k._2, writerId, id))) => true
         case Some(segs0) =>
           val segs = segs0 :+ graft.Caching.pinArtifact(
             gramStats(admitted, idCol, textCol, minLen))
@@ -497,7 +514,8 @@ object Dedup {
                 .agg(sum("n_docs").as("n_docs"), sum("n_occ").as("n_occ"))))
           gramCache.put(k, kept)
           if (kept ne segs) segs.foreach(graft.Caching.dropArtifact)
-          batchId.foreach(id => appliedGramBatches.add((k._1, k._2, id)))
+          batchId.foreach(id =>
+            appliedGramBatches.add((k._1, k._2, writerId, id)))
           true
       }
     }

@@ -191,15 +191,14 @@ object TextStats {
     // (doc, bigram, tf): from the session BIGRAM-TF artifact when provided
     // (TermStats.trainedTermFreqs(n = 2) — the train_tf2 line; its unit
     // stream is THIS construction, so values are identical), else inline
+    // inline fallback IS the artifact's construction (TermStats.unitTokens
+    // n = 2), not a copy of it — one canonical zip-shift
     val bi = tf2Table
       .map(_.select(col("doc_id"), col("term").as("bigram"), col("tf")))
       .getOrElse(graft.Caching.temp(
-        t.filter(size(col("ts")) >= 2)
-          .select(col("doc_id"), explode(zip_with(
-            slice(col("ts"), lit(1), size(col("ts")) - 1),
-            slice(col("ts"), lit(2), size(col("ts")) - 1),
-            (a, b) => concat(a, lit(" "), b))).as("bigram"))
-          .groupBy("doc_id", "bigram").agg(count(lit(1)).as("tf"))))
+        graft.ingest.TermStats.termFreqs(
+          graft.ingest.TermStats.unitTokens(df, idCol, textCol, 2))
+          .withColumnRenamed("term", "bigram")))
     val model = bi.groupBy("bigram").agg(sum("tf").as("cnt"))
       .withColumn("w1", substring_index(col("bigram"), " ", 1))
     val hist = model.groupBy("w1").agg(sum("cnt").as("hcnt"))
@@ -583,10 +582,8 @@ object TextStats {
         a._2.groupBy(col("term").as("bigram")).agg(sum("tf").as("c_ab"))))
       .getOrElse(graft.Caching.temp(
         t.filter(size(col("ts")) >= 2)
-          .select(explode(zip_with(
-            slice(col("ts"), lit(1), size(col("ts")) - 1),
-            slice(col("ts"), lit(2), size(col("ts")) - 1),
-            (a, b) => concat(a, lit(" "), b))).as("bigram"))
+          .select(explode(graft.ingest.TermStats.bigramsOf(col("ts")))
+            .as("bigram"))
           .groupBy("bigram").agg(count(lit(1)).as("c_ab"))))
     val totals = bi.agg(sum("c_ab").as("big_n"))
       .crossJoin(broadcast(uni.agg(sum("c").as("tok_n"))))

@@ -1,6 +1,6 @@
 package graft.ingest
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -45,17 +45,31 @@ object TermStats {
       val ts = filter(split(lower(col(textCol)), " "), t => t =!= "")
       df.select(col(docIdCol).as("doc_id"), ts.as("ts"))
         .filter(size(col("ts")) >= 2)
-        .select(col("doc_id"), explode(zip_with(
-          slice(col("ts"), lit(1), size(col("ts")) - 1),
-          slice(col("ts"), lit(2), size(col("ts")) - 1),
-          (a, b) => concat(a, lit(" "), b))).as("term"))
+        .select(col("doc_id"), explode(bigramsOf(col("ts"))).as("term"))
     }
   }
+
+  /** Adjacent space-joined bigrams of a token-array column — THE canonical
+    * zip-shift construction every bigram consumer shares (the n = 2 unit
+    * stream here, [[graft.extra.TextStats.lmScoreBigram]]'s fallback,
+    * `collocations`' corpus counts), so artifact-fed ≡ inline equivalence
+    * cannot drift across copies. Callers filter `size(ts) >= 2` first.
+    */
+  def bigramsOf(ts: Column): Column =
+    zip_with(
+      slice(ts, lit(1), size(ts) - 1),
+      slice(ts, lit(2), size(ts) - 1),
+      (a, b) => concat(a, lit(" "), b))
 
   private val tfCache = scala.collection.concurrent.TrieMap
     .empty[(String, String), Vector[DataFrame]]
   private val tfLocks = scala.collection.concurrent.TrieMap
     .empty[(String, String), Object]
+  // n-gram order each TF artifact was BUILT with — bound to the key so a
+  // caller cannot silently mix unit streams (a unigram append folded into a
+  // bigram artifact corrupts every bigram consumer's counts)
+  private val tfOrder = scala.collection.concurrent.TrieMap
+    .empty[(String, String), Int]
 
   /** Session TERM-FREQUENCY artifact: `termFreqs(tokens(df))` built ONCE per
     * (session, cacheKey) and served lineage-free — the
@@ -77,10 +91,18 @@ object TermStats {
     // losing builder's checkpoint files
     val lock = tfLocks.getOrElseUpdate(k, new Object)
     lock.synchronized {
-      tfCache.getOrElseUpdate(k, Vector(
-        graft.Caching.pinArtifact(
-          termFreqs(unitTokens(df, docIdCol, textCol, n)))))
-    }.reduce(_ unionByName _)
+      // the artifact's unit order is part of its identity: fetching a key
+      // built at a different n would silently serve the wrong unit stream
+      tfOrder.get(k).foreach(built => require(built == n,
+        s"TF artifact '$cacheKey' was built with n=$built, requested n=$n — " +
+          "use a distinct cacheKey per n-gram order"))
+      val segs = tfCache.getOrElseUpdate(k, {
+        tfOrder.put(k, n)
+        Vector(graft.Caching.pinArtifact(
+          termFreqs(unitTokens(df, docIdCol, textCol, n))))
+      })
+      segs.reduce(_ unionByName _)
+    }
   }
 
   /** Fold a batch of NEW documents' term frequencies into the memoized
@@ -94,16 +116,21 @@ object TermStats {
     * document is out of contract (its rows would double-count) — a mutated
     * document goes through the refresh path, which drops the artifact for
     * a rebuild. No-op (false) when nothing is memoized under the key.
+    *
+    * The n-gram order is NOT a parameter: the append always uses the order
+    * the artifact was built with (recorded by [[trainedTermFreqs]]), so a
+    * stream maintaining a bigram artifact folds bigram rows in — a
+    * caller-supplied n could silently mix unit streams.
     */
   def appendTermFreqs(batch: DataFrame, docIdCol: String, textCol: String,
-                      cacheKey: String, maxSegments: Int = 32,
-                      n: Int = 1): Boolean = {
+                      cacheKey: String, maxSegments: Int = 32): Boolean = {
     val k = (batch.sparkSession.sparkContext.applicationId, cacheKey)
     val lock = tfLocks.getOrElseUpdate(k, new Object)
     lock.synchronized {
       tfCache.get(k) match {
         case None => false
         case Some(segs0) =>
+          val n = tfOrder.getOrElse(k, 1)
           // REPLAY GUARD (the appendPairs rule): at-least-once micro-batch
           // retries re-deliver docs, and re-appending one would DOUBLE its
           // tf rows in the artifact — silently wrong df/ttf for every TF
@@ -115,15 +142,23 @@ object TermStats {
               col(textCol).as("__text"))
             .join(present, Seq("doc_id"), "left_anti")
           if (fresh.isEmpty) true else {
-            val segs = segs0 :+ graft.Caching.pinArtifact(
+            val seg = graft.Caching.pinArtifact(
               termFreqs(unitTokens(fresh, "doc_id", "__text", n)))
-            val kept =
-              if (segs.size <= maxSegments) segs
-              else Vector(graft.Caching.pinArtifact(
-                segs.reduce(_ unionByName _)))
-            tfCache.put(k, kept)
-            if (kept ne segs) segs.foreach(graft.Caching.dropArtifact)
-            true
+            // fresh DOCS can still yield zero unit rows (empty text at
+            // n=1, one-token docs at n=2); such docs never enter the
+            // artifact's doc_id set, so without this guard every replay
+            // of the batch would checkpoint another empty segment
+            if (seg.isEmpty) { graft.Caching.dropArtifact(seg); true }
+            else {
+              val segs = segs0 :+ seg
+              val kept =
+                if (segs.size <= maxSegments) segs
+                else Vector(graft.Caching.pinArtifact(
+                  segs.reduce(_ unionByName _)))
+              tfCache.put(k, kept)
+              if (kept ne segs) segs.foreach(graft.Caching.dropArtifact)
+              true
+            }
           }
       }
     }
@@ -156,6 +191,7 @@ object TermStats {
       .foreach { k =>
         tfLocks.getOrElseUpdate(k, new Object).synchronized {
           tfCache.remove(k).foreach(_.foreach(graft.Caching.dropArtifact))
+          tfOrder.remove(k)
         }
       }
   }

@@ -126,8 +126,11 @@ object CorpusStream {
     * into that [[graft.ingest.TermStats.trainedTermFreqs]] artifact
     * ([[graft.ingest.TermStats.appendTermFreqs]] — O(batch), same segment
     * discipline), so the TF family's index stays in step with admissions
-    * without caller wiring. The caller builds the TF artifact once up
-    * front; an append before that build is a recorded no-op.
+    * without caller wiring. The append follows the n-gram order the
+    * artifact was BUILT with, so a bigram (n = 2) artifact is maintained
+    * with bigram rows — the order is bound to the key, never re-specified
+    * here. The caller builds the TF artifact once up front; an append
+    * before that build is a recorded no-op.
     *
     * With `pairsSpecs` set — (pairsCacheKey, threshold, lsh) per maintained
     * pair artifact — each admitted batch's near-dup PAIRS are likewise

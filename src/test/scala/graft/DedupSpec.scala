@@ -698,22 +698,35 @@ class DedupSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(compacted == fresh,
       "compacted per-gh counts must equal a from-scratch aggregate")
-    // batchId exactly-once ledger: a REPLAYED append (same batchId) is a
-    // recorded no-op — additive counts would otherwise double; a new
-    // batchId appends, and resetIndex clears the ledger with the artifact
+    // batchId exactly-once ledger: a REPLAYED append (same writer+batchId)
+    // is a recorded no-op — additive counts would otherwise double; a new
+    // batchId appends, the SAME batchId from a DIFFERENT writer appends
+    // (per-checkpoint batch ids collide across shards), and resetIndex
+    // clears the ledger with the artifact
+    def servedGh() = Dedup.gramSegmentsOf(spark, key)
+      .reduce(_ unionByName _).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .groupBy(_._1).map { case (gh, rs) =>
+        gh -> ((rs.map(_._2._1).sum, rs.map(_._2._2).sum)) }
     val batch3 = slice(160, 170, 30000)
-    val preReplay = Dedup.gramSegmentsOf(spark, key).map(_.count()).sum
     assert(Dedup.appendGramAdmitted(batch3, "doc_id", "text", key, 5,
       batchId = Some(7L)))
     val postAppend = Dedup.gramSegmentCount(spark, key)
+    val ghAfterAppend = servedGh()
     assert(Dedup.appendGramAdmitted(batch3, "doc_id", "text", key, 5,
       batchId = Some(7L)), "replay reports success (already applied)")
     assert(Dedup.gramSegmentCount(spark, key) == postAppend,
       "replayed batchId must not append a segment")
+    assert(servedGh() == ghAfterAppend,
+      "replayed batchId must leave the served per-gh counts unchanged")
     assert(Dedup.appendGramAdmitted(slice(170, 175, 40000), "doc_id", "text",
       key, 5, batchId = Some(8L)))
     assert(Dedup.gramSegmentCount(spark, key) == postAppend + 1)
-    assert(preReplay >= 0) // silence unused warning paranoia
+    assert(Dedup.appendGramAdmitted(slice(175, 180, 50000), "doc_id", "text",
+      key, 5, batchId = Some(7L), writerId = "shardB"),
+      "same batchId from a different writer is a REAL batch, not a replay")
+    assert(Dedup.gramSegmentCount(spark, key) == postAppend + 2,
+      "a second writer's colliding batch id must still append")
     Dedup.resetIndex(spark, key)
     // after a reset + rebuild, the old stream's batch ids must not no-op
     Dedup.trainedGramIndex(corpus, "doc_id", "text", key, 5)

@@ -142,4 +142,40 @@ class TermStatsSpec extends AnyFunSuite {
       "only the new doc's rows may join the artifact")
     TermStats.resetTermFreqs(spark, key)
   }
+
+  test("TF artifact n-gram order is bound to the key: mismatched fetch " +
+    "throws, appends follow the BUILT order, zero-unit batches append " +
+    "no segment") {
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select("doc_id", "term", "tf").collect()
+        .map(_.toSeq.mkString("|")).sorted.toSeq
+    val key = "termstats-spec#tf-order"
+    val corpus = Seq((1L, "a b c"), (2L, "b c b c")).toDF("doc_id", "text")
+    TermStats.resetTermFreqs(spark, key)
+    TermStats.trainedTermFreqs(corpus, "doc_id", "text", key, n = 2)
+    // fetching the bigram artifact at n = 1 would silently serve the wrong
+    // unit stream — it must throw instead
+    val e = intercept[IllegalArgumentException] {
+      TermStats.trainedTermFreqs(corpus, "doc_id", "text", key, n = 1)
+    }
+    assert(e.getMessage.contains("n=2"))
+    // the stream-maintenance append (no n parameter) folds BIGRAM rows in:
+    // the grown artifact ≡ a fresh n = 2 build over the union
+    val batch = Seq((3L, "c a b"), (4L, "solo")).toDF("doc_id", "text")
+    assert(TermStats.appendTermFreqs(batch, "doc_id", "text", key))
+    assert(canon(TermStats.trainedTermFreqs(corpus, "doc_id", "text", key,
+        n = 2)) ==
+      canon(TermStats.termFreqs(TermStats.unitTokens(
+        corpus.unionAll(batch), "doc_id", "text", 2))),
+      "append must use the artifact's built order (bigrams), not n = 1")
+    // fresh docs with ZERO unit rows (one-token docs at n = 2) must not
+    // checkpoint an empty segment — replays would churn segments forever
+    val segCount = TermStats.tfSegmentCount(spark, key)
+    assert(TermStats.appendTermFreqs(
+      Seq((9L, "alone"), (10L, "word")).toDF("doc_id", "text"),
+      "doc_id", "text", key))
+    assert(TermStats.tfSegmentCount(spark, key) == segCount,
+      "a zero-unit batch must append no segment")
+    TermStats.resetTermFreqs(spark, key)
+  }
 }
