@@ -122,14 +122,15 @@ object CorpusStream {
     * pattern, with per-batch cost O(batch + candidates) instead of
     * O(corpus).
     *
-    * With `tfCacheKey` set, each batch's admitted documents are ALSO folded
-    * into that [[graft.ingest.TermStats.trainedTermFreqs]] artifact
+    * With `tfCacheKeys` set, each batch's admitted documents are ALSO folded
+    * into those [[graft.ingest.TermStats.trainedTermFreqs]] artifacts
     * ([[graft.ingest.TermStats.appendTermFreqs]] — O(batch), same segment
     * discipline), so the TF family's index stays in step with admissions
     * without caller wiring. The append follows the n-gram order the
     * artifact was BUILT with, so a bigram (n = 2) artifact is maintained
     * with bigram rows — the order is bound to the key, never re-specified
-    * here. The caller builds the TF artifact once up front; an append
+    * here — so one gate keeps the whole TF family (unigram + bigram) in
+    * step. The caller builds each TF artifact once up front; an append
     * before that build is a recorded no-op.
     *
     * With `pairsSpecs` set — (pairsCacheKey, threshold, lsh) per maintained
@@ -145,7 +146,7 @@ object CorpusStream {
                             idCol: String = "doc_id",
                             textCol: String = "text",
                             threshold: Double = 0.9,
-                            tfCacheKey: Option[String] = None,
+                            tfCacheKeys: Seq[String] = Nil,
                             pairsSpecs: Seq[(String, Double, Boolean)] = Nil)
                            (onVerdict: (DataFrame, Long) => Unit)
   : StreamingQuery = {
@@ -172,7 +173,7 @@ object CorpusStream {
         // had the index appended first, a replay would self-match every
         // doc (keep=0), leaving the derived artifacts missing the batch
         // forever.
-        tfCacheKey.foreach(k =>
+        tfCacheKeys.foreach(k =>
           graft.ingest.TermStats.appendTermFreqs(admitted, idCol, textCol, k))
         pairsSpecs.foreach { case (pk, pt, plsh) =>
           graft.extra.Dedup.appendPairs(admitted, idCol, textCol, pt, pk, plsh)

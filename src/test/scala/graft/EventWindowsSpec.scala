@@ -197,12 +197,17 @@ class EventWindowsSpec extends AnyFunSuite {
       .empty[(Long, Long, Option[Long])]
     val stream = spark.readStream.schema(b1.schema)
       .option("maxFilesPerTrigger", "1").parquet(dir)
-    // the gate also maintains the TF artifact for admitted docs
+    // the gate also maintains the TF FAMILY (unigram + bigram artifacts)
+    // for admitted docs — appends follow each artifact's BUILT order
     val tfKey = "spec#maintained-tf"
+    val tf2Key = "spec#maintained-tf/bigrams"
     graft.ingest.TermStats.resetTermFreqs(spark, tfKey)
+    graft.ingest.TermStats.resetTermFreqs(spark, tf2Key)
     graft.ingest.TermStats.trainedTermFreqs(corpus, "doc_id", "text", tfKey)
+    graft.ingest.TermStats.trainedTermFreqs(corpus, "doc_id", "text", tf2Key,
+      n = 2)
     val q = graft.streaming.CorpusStream.admitStreamMaintained(
-      stream, corpus, key, tfCacheKey = Some(tfKey)) { (v, _) =>
+      stream, corpus, key, tfCacheKeys = Seq(tfKey, tf2Key)) { (v, _) =>
       val rows = v.collect().map(r => (r.getLong(0), r.getLong(1),
         Option(r.get(2)).map(_.asInstanceOf[Long])))
       verdicts.synchronized { verdicts ++= rows }
@@ -215,7 +220,21 @@ class EventWindowsSpec extends AnyFunSuite {
     val admittedIds = verdicts.filter(_._2 == 1L).map(_._1).toSet
     assert(tfDocs == Set(1L) ++ admittedIds,
       s"TF artifact must hold seed + admitted docs, got $tfDocs")
+    // the bigram artifact grew with BIGRAM rows: grown ≡ a fresh n = 2
+    // build over seed + admitted
+    def canonTf(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "term", "tf").collect()
+        .map(_.toSeq.mkString("|")).sorted.toSeq
+    val admittedDocs = spark.read.parquet(dir)
+      .filter(col("doc_id").isin(admittedIds.toSeq: _*))
+      .select("doc_id", "text")
+    assert(canonTf(graft.ingest.TermStats.trainedTermFreqs(
+        corpus, "doc_id", "text", tf2Key, n = 2)) ==
+      canonTf(graft.ingest.TermStats.termFreqs(graft.ingest.TermStats
+        .unitTokens(corpus.unionByName(admittedDocs), "doc_id", "text", 2))),
+      "maintained bigram artifact must equal a fresh n = 2 build")
     graft.ingest.TermStats.resetTermFreqs(spark, tfKey)
+    graft.ingest.TermStats.resetTermFreqs(spark, tf2Key)
     val byId = verdicts.toSeq.map(x => x._1 -> ((x._2, x._3))).toMap
     assert(byId(10L) == ((0L, Some(1L))), s"10 dups the seed corpus: $byId")
     assert(byId(11L) == ((1L, None)), s"11 is fresh: $byId")
