@@ -96,6 +96,22 @@ object Caching {
       catch { case _: java.io.IOException => () } // best-effort reclaim
     }
 
+  /** Per-key-LOCKED memo fetch for session caches whose builder has side
+    * effects (checkpoint files, persisted blocks, a corpus-sized train):
+    * `TrieMap.getOrElseUpdate` alone evaluates the builder in EVERY racing
+    * thread and keeps one result, so the losers' checkpointed/persisted
+    * artifacts are orphaned and their build work wasted. One lock object
+    * per key serializes first builds; warm fetches stay on the TrieMap's
+    * lock-free read path.
+    */
+  def memoLocked[K, V](cache: scala.collection.concurrent.TrieMap[K, V],
+                       locks: scala.collection.concurrent.TrieMap[K, Object],
+                       k: K)(build: => V): V =
+    cache.get(k).getOrElse(
+      locks.getOrElseUpdate(k, new Object).synchronized {
+        cache.getOrElseUpdate(k, build)
+      })
+
   /** Unpersist every frame registered on THIS thread (non-blocking). Call
     * after the query's action completes.
     */

@@ -92,6 +92,8 @@ object Classifier {
     */
   private val modelCache = scala.collection.concurrent.TrieMap
     .empty[(String, String), (DataFrame, Long)]
+  private val modelLocks = scala.collection.concurrent.TrieMap
+    .empty[(String, String), Object]
 
   /** Drop memoized models whose caller key starts with `cacheKeyPrefix` —
     * the bench uses this so a `train_nb` line times a TRUE retrain.
@@ -109,13 +111,16 @@ object Classifier {
   def trainedModel(docs: DataFrame, idCol: String, textCol: String,
                    positive: Column, cacheKey: String): (DataFrame, Long) = {
     val k = (docs.sparkSession.sparkContext.applicationId, cacheKey)
-    modelCache.getOrElseUpdate(k, {
+    // first train under the per-key lock (graft.Caching.memoLocked): racing
+    // first builds would each run the corpus-sized train and leak the
+    // losers' persisted model blocks until GC
+    graft.Caching.memoLocked(modelCache, modelLocks, k) {
       val model = modelOf(docTermTf(docs, idCol, textCol, positive)).persist()
       model.count() // materialize under the tf pin, before release()
       val prior = priorMicroOf(docs, positive)
       graft.Caching.release()
       (model, prior)
-    })
+    }
   }
 
   /** The trained model artifact: one row per vocabulary term with its class

@@ -339,7 +339,10 @@ object Dedup {
                    cacheKey: String, numPerms: Int = 32,
                    rowsPerBand: Int = 4): (DataFrame, DataFrame) = {
     val k = (corpus.sparkSession.sparkContext.applicationId, cacheKey)
-    served(indexCache.getOrElseUpdate(k, {
+    // first build under the per-key lock (graft.Caching.memoLocked's
+    // rationale): a bare getOrElseUpdate runs concurrent first builds
+    // twice and orphans the losing builder's checkpointed artifacts
+    served(graft.Caching.memoLocked(indexCache, indexLocks, k) {
       // Checkpoint (pinArtifact), not persist: the artifacts embed in every
       // probe plan, and a checkpoint's LogicalRDD keeps the per-batch
       // ANALYSIS cost flat — with full lineage, each probe re-canonicalizes
@@ -352,7 +355,7 @@ object Dedup {
       val toks = graft.Caching.pinArtifact(
         tokenArraysOf(corpus, idCol, textCol))
       Vector((sigs, toks))
-    }))
+    })
   }
 
   /** Segment-count cap for the admission index memo: an append past this
@@ -461,15 +464,12 @@ object Dedup {
   def trainedGramIndex(corpus: DataFrame, idCol: String, textCol: String,
                        cacheKey: String, minLen: Int = 12): DataFrame = {
     val k = (corpus.sparkSession.sparkContext.applicationId, cacheKey)
-    // build under the per-key lock (the trainedPairs rule): a bare
+    // first build under the per-key lock (graft.Caching.memoLocked): a bare
     // getOrElseUpdate runs concurrent first builds twice, orphaning the
     // losing builder's checkpoint files
-    val lock = indexLocks.getOrElseUpdate(k, new Object)
-    lock.synchronized {
-      gramCache.getOrElseUpdate(k, Vector(
-        graft.Caching.pinArtifact(gramStats(corpus, idCol, textCol, minLen))))
-        .reduce(_ unionByName _)
-    }
+    graft.Caching.memoLocked(gramCache, indexLocks, k)(Vector(
+      graft.Caching.pinArtifact(gramStats(corpus, idCol, textCol, minLen))))
+      .reduce(_ unionByName _)
   }
 
   /** Fold an admitted batch's gram counts into the memoized artifact —

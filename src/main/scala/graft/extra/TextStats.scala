@@ -424,6 +424,8 @@ object TextStats {
     */
   private val mergeCache =
     scala.collection.concurrent.TrieMap.empty[(String, String), Seq[(Int, String, String, Long)]]
+  private val mergeLocks =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Object]
 
   /** Drop every memoized merge table for this session whose caller key
     * starts with `cacheKeyPrefix` — the explicit inverse of passing
@@ -479,8 +481,11 @@ object TextStats {
       merges.toList
     }
     cacheKey match {
-      case Some(k) => mergeCache.getOrElseUpdate(
-        (df.sparkSession.sparkContext.applicationId, s"$k|$textCol|$rounds"), run())
+      // per-key lock (graft.Caching.memoLocked): racing first trains would
+      // each pay the full multi-round BPE train for one kept result
+      case Some(k) => graft.Caching.memoLocked(mergeCache, mergeLocks,
+        (df.sparkSession.sparkContext.applicationId, s"$k|$textCol|$rounds"))(
+        run())
       case None => run()
     }
   }

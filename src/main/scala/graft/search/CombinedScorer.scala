@@ -77,6 +77,11 @@ object CombinedScorer {
   private val metaCache =
     scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
 
+  // first-build locks for the session artifacts below (memoLocked): their
+  // builders persist/checkpoint, so racing first builds would orphan blocks
+  private val buildLocks =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Object]
+
   /** The fixture keywords derivation, shared with the oracle-SQL generator so
     * the two corpora cannot drift.
     */
@@ -85,8 +90,8 @@ object CombinedScorer {
 
   def datasetMetadata(spark: SparkSession, dir: String,
                       tables: Seq[String] = Tables.sketchTables): DataFrame =
-    metaCache.getOrElseUpdate(
-      (spark.sparkContext.applicationId, dir + "|" + tables.mkString(",")), {
+    graft.Caching.memoLocked(metaCache, buildLocks,
+      (spark.sparkContext.applicationId, dir + "|" + tables.mkString(","))) {
       import spark.implicits._
       // schema-only reads (parquet footers); cached per session because many
       // search queries consult the same tiny catalogue corpus
@@ -95,7 +100,7 @@ object CombinedScorer {
           .mkString(" ").replace("_", " ")
         (t, t, keywordsOf(desc), desc)
       }.toDF("dataset_id", "title", "keywords", "description").cache()
-    })
+    }
 
   private val qRowCache = scala.collection.concurrent.TrieMap
     .empty[(String, String, String), (String, String, String)]
@@ -132,12 +137,13 @@ object CombinedScorer {
     * Checkpointed like the sketch index so its plan embeds as O(1).
     */
   def metaTermFreqs(spark: SparkSession, dir: String): DataFrame =
-    metaTfCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
+    graft.Caching.memoLocked(metaTfCache, buildLocks,
+      (spark.sparkContext.applicationId, dir)) {
       Bm25.fieldTermFreqs(
         datasetMetadata(spark, dir).withColumnRenamed("dataset_id", "doc_id"),
         "doc_id", Seq("title", "keywords", "description"))
         .transform(graft.Caching.pinArtifact)
-    })
+    }
 
   /** Driver-held BM25 corpus statistics over the metadata TF artifact:
     * per-(doc, field) lengths and per-(field, term) document frequencies —
@@ -153,7 +159,8 @@ object CombinedScorer {
 
   def metaStats(spark: SparkSession, dir: String)
   : (Array[(String, String, Long)], Map[(String, String), Long]) =
-    metaStatsCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
+    graft.Caching.memoLocked(metaStatsCache, buildLocks,
+      (spark.sparkContext.applicationId, dir)) {
       val tf = metaTermFreqs(spark, dir)
       val dl = tf.groupBy("doc_id", "field")
         .agg(sum("tf").cast("long").as("dl")).collect()
@@ -162,7 +169,7 @@ object CombinedScorer {
         .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
         .toMap
       (dl, df)
-    })
+    }
 
   /** The query document's own (field, term) set — what its exclusion
     * subtracts from each df. Demand-memoized like [[queryMetaRow]]. */

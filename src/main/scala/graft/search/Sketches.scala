@@ -181,7 +181,12 @@ object Sketches {
   def train(spark: SparkSession, dir: String): DataFrame = cachedAll(spark, dir)
 
   def cachedAll(spark: SparkSession, dir: String): DataFrame =
-    cache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
+    // first build under the per-(session, dir) lock — shared with
+    // refreshDataset, so a concurrent refresh can't interleave with the
+    // initial build, and racing first builds can't both run the full train
+    // and orphan a checkpointed index (graft.Caching.memoLocked)
+    graft.Caching.memoLocked(cache, refreshLocks,
+      (spark.sparkContext.applicationId, dir)) {
       // The built sketch is a union over dozens of shuffles — hundreds of
       // near-empty partitions, so every downstream scan would pay hundreds
       // of task launches. It is tiny (#datasets × #columns rows), so pin it
@@ -202,7 +207,7 @@ object Sketches {
       // session has a checkpoint dir (cluster: blocks survive executor
       // loss) and localCheckpoint otherwise (single-node bench).
       graft.Caching.pinArtifact(all(spark, dir).repartition(1))
-    })
+    }
 
   /** Drop the pinned index for (session, dir) — the explicit inverse of
     * [[train]], so a benchmark can time a TRUE rebuild (and a test can

@@ -145,4 +145,32 @@ class CheckpointPinSpec extends AnyFunSuite {
         "resetIndex must reclaim the gram segments' files")
     }
   }
+
+  test("memoLocked: racing first fetches run the builder exactly once") {
+    // the property every session-artifact cache leans on: a bare
+    // TrieMap.getOrElseUpdate would run N racing builders and orphan N-1
+    // checkpointed/persisted results
+    val cache = scala.collection.concurrent.TrieMap.empty[Int, Int]
+    val locks = scala.collection.concurrent.TrieMap.empty[Int, Object]
+    val built = new java.util.concurrent.atomic.AtomicInteger(0)
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val futures = (1 to 8).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[Int] {
+          def call(): Int = {
+            start.await()
+            Caching.memoLocked(cache, locks, 42) {
+              built.incrementAndGet(); Thread.sleep(50); 7
+            }
+          }
+        })
+      }
+      start.countDown()
+      assert(futures.map(_.get()).toSet == Set(7))
+      assert(built.get() == 1, "exactly one racing thread may build")
+      // warm fetch never re-builds
+      assert(Caching.memoLocked(cache, locks, 42)(fail("must not build")) == 7)
+    } finally pool.shutdown()
+  }
 }
