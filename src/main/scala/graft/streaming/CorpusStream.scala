@@ -140,6 +140,17 @@ object CorpusStream {
     * the grown corpus), so the pair consumers (canonical selection,
     * clustering, PageRank, hard negatives) keep reading a COMPLETE pair
     * table as the corpus grows. Same build-once-up-front contract.
+    *
+    * With `gramSpecs` set — (gramCacheKey, minLen) per maintained gram
+    * artifact — each admitted batch's [[graft.extra.Dedup.gramStats]] rows
+    * are summed in ([[graft.extra.Dedup.appendGramAdmitted]]), keeping the
+    * streaming ExactSubstr/contamination stages' stored artifact current.
+    * Gram counts are ADDITIVE (no doc key to make replays idempotent), so
+    * the append is guarded by the exactly-once ledger under
+    * (`writerId`, micro-batch id): leave writerId at its default for a
+    * single gate, and give each gate its own stable writerId when several
+    * shards feed one gram artifact or the stream is redeployed from a NEW
+    * checkpoint location (batch ids restart at 0 there).
     */
   def admitStreamMaintained(stream: DataFrame, corpus: DataFrame,
                             cacheKey: String,
@@ -147,7 +158,9 @@ object CorpusStream {
                             textCol: String = "text",
                             threshold: Double = 0.9,
                             tfCacheKeys: Seq[String] = Nil,
-                            pairsSpecs: Seq[(String, Double, Boolean)] = Nil)
+                            pairsSpecs: Seq[(String, Double, Boolean)] = Nil,
+                            gramSpecs: Seq[(String, Int)] = Nil,
+                            writerId: String = "")
                            (onVerdict: (DataFrame, Long) => Unit)
   : StreamingQuery = {
     graft.extra.Dedup.trainedIndex(corpus, idCol, textCol, cacheKey)
@@ -177,6 +190,12 @@ object CorpusStream {
           graft.ingest.TermStats.appendTermFreqs(admitted, idCol, textCol, k))
         pairsSpecs.foreach { case (pk, pt, plsh) =>
           graft.extra.Dedup.appendPairs(admitted, idCol, textCol, pt, pk, plsh)
+        }
+        // gram counts are additive, not doc-idempotent: the writer-scoped
+        // batch-id ledger makes the replay a recorded no-op instead
+        gramSpecs.foreach { case (gk, gMinLen) =>
+          graft.extra.Dedup.appendGramAdmitted(admitted, idCol, textCol, gk,
+            minLen = gMinLen, batchId = Some(id), writerId = writerId)
         }
         graft.extra.Dedup.appendAdmitted(
           admitted, idCol, textCol, cacheKey)

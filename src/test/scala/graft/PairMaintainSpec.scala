@@ -180,6 +180,37 @@ class PairMaintainSpec extends AnyFunSuite {
     assert(Dedup.pairSegmentCount(spark, "pairspec-unbuilt") == 0)
   }
 
+  test("admitStreamMaintained(gramSpecs) folds admitted docs' gram counts " +
+    "in under the writer-scoped ledger") {
+    val corpus = df(Seq(1L -> doc(base), 2L -> doc(Seq("mu", "nu", "xi",
+      "omicron", "pi", "rho", "sigma", "tau", "upsilon", "phi"))))
+    // fresh text (admitted at 0.9) that shares a 5-gram with doc 1
+    val batch = Seq(20L -> doc(base.take(5) ++ Seq("q1", "q2", "q3", "q4",
+      "q5"))).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("gramspec-stream").toString
+    batch.coalesce(1).write.mode("append").parquet(dir)
+    val idxKey = "gramspec-stream-idx"
+    val gKey = "gramspec-stream-grams"
+    Dedup.resetIndex(spark, idxKey)
+    Dedup.resetIndex(spark, gKey)
+    Dedup.trainedGramIndex(corpus, "doc_id", "text", gKey, 5)
+    val stream = spark.readStream.schema(batch.schema).parquet(dir)
+    val q = graft.streaming.CorpusStream.admitStreamMaintained(
+      stream, corpus, idxKey, threshold = 0.9,
+      gramSpecs = Seq((gKey, 5))) { (_, _) => () }
+    try q.processAllAvailable() finally { q.stop(); Dedup.resetIndex(spark, idxKey) }
+    def ghCounts(g: org.apache.spark.sql.DataFrame) = g
+      .groupBy("gh").agg(org.apache.spark.sql.functions.sum("n_docs")
+        .as("nd"), org.apache.spark.sql.functions.sum("n_occ").as("no"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(ghCounts(Dedup.trainedGramIndex(corpus, "doc_id", "text", gKey, 5))
+      == ghCounts(Dedup.gramStats(corpus.unionByName(batch),
+        "doc_id", "text", 5)),
+      "maintained gram artifact must equal a fresh build over the union")
+    Dedup.resetIndex(spark, gKey)
+  }
+
   test("admitStreamMaintained(pairsSpecs) folds admitted docs' pairs in") {
     // the gate admits at 0.9 (doc 20 duplicates nothing that closely) while
     // the PAIR artifact tracks 0.5 near-dups — so the admitted doc MUST
