@@ -103,6 +103,19 @@ object Caching {
     * artifacts are orphaned and their build work wasted. One lock object
     * per key serializes first builds; warm fetches stay on the TrieMap's
     * lock-free read path.
+    *
+    * Lock entries are SESSION-BOUNDED by design (ADVICE r13): neither this
+    * helper nor the reset paths in Dedup/TermStats/TextStats/Classifier/
+    * CombinedScorer ever remove a key's lock object. Pruning on reset
+    * would re-open the duplicate-build race this lock exists to close: a
+    * thread that fetched the old lock object before the prune and a thread
+    * that created a fresh one after it would build the same key
+    * CONCURRENTLY under different monitors, orphaning one build's
+    * checkpoint files. The cost of keeping them is one bare Object per
+    * key ever used in the session (keys are (appId, cacheKey) strings —
+    * tens of bytes each), which is dwarfed by the artifacts themselves;
+    * the same accept-as-session-bounded call covers Dedup's
+    * appliedGramBatches ledger (#applied-batches tuples).
     */
   def memoLocked[K, V](cache: scala.collection.concurrent.TrieMap[K, V],
                        locks: scala.collection.concurrent.TrieMap[K, Object],

@@ -411,6 +411,13 @@ object Dedup {
     lock.synchronized {
       indexCache.get(k) match {
         case None => false
+        // EMPTY-ADMITTED guard (ADVICE r13): a replayed micro-batch whose
+        // docs all self-matched the grown index (keep=0 across the board)
+        // hands an empty admitted set here — appending its empty segment
+        // per replay would grow the segment list and force needless
+        // compactions. A no-op append is still `true`: the index exists
+        // and is current for this batch.
+        case Some(_) if admitted.isEmpty => true
         case Some(segs0) =>
           // O(batch): checkpoint ONLY the increment, never the union
           val segs = segs0 :+ ((
@@ -504,6 +511,19 @@ object Dedup {
         case None => false
         case Some(_) if batchId.exists(id =>
           appliedGramBatches.contains((k._1, k._2, writerId, id))) => true
+        case Some(_)
+          // EMPTY-BATCH guard (ADVICE r13): a micro-batch whose admitted
+          // set nets no gram rows (all docs rejected, or a replay whose
+          // verdicts all came back keep=0) must not append an empty
+          // segment — unguarded, every such batch grows the segment list
+          // and triggers needless full per-gh compactions. The batch id is
+          // still recorded below so the replay contract holds (a re-retry
+          // of the same batch stays a no-op even if its admitted set were
+          // to differ).
+          if gramStats(admitted, idCol, textCol, minLen).isEmpty =>
+          batchId.foreach(id =>
+            appliedGramBatches.add((k._1, k._2, writerId, id)))
+          true
         case Some(segs0) =>
           val segs = segs0 :+ graft.Caching.pinArtifact(
             gramStats(admitted, idCol, textCol, minLen))
@@ -578,7 +598,14 @@ object Dedup {
     // TrieMap.getOrElseUpdate alone evaluates the builder in every
     // concurrent first caller — each eagerly checkpointing three
     // corpus-scale artifacts, with every losing builder's checkpoint files
-    // orphaned (resetPairs can never see them)
+    // orphaned (resetPairs can never see them). Warm fetches take the
+    // LOCK-FREE fast path first (the Caching.memoLocked shape): appendPairs
+    // holds the key's lock across several Spark jobs, and a consumer
+    // blocking on an artifact READ for the whole append would serialize
+    // serving behind maintenance — the segment Vector is swapped
+    // atomically, so an unlocked warm read only ever sees a complete
+    // pre- or post-append snapshot (ADVICE r13).
+    pairsCache.get(k).getOrElse {
     val lock = indexLocks.getOrElseUpdate(k, new Object)
     lock.synchronized { pairsCache.getOrElseUpdate(k, {
       // the maintenance artifacts (unit arrays + probe table) pin WITH the
@@ -599,7 +626,7 @@ object Dedup {
         Vector(PairSegment(
           graft.Caching.pinArtifact(jaccardPairsFromArrs(arrs, threshold)),
           arrs, graft.Caching.pinArtifact(postingsOf(arrs))))
-    })}.map(_.pairs).reduce(_ unionByName _)
+    })}}.map(_.pairs).reduce(_ unionByName _)
   }
 
   /** Fold an admitted batch's near-dup pairs into the memoized pair

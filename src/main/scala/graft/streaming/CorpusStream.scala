@@ -151,6 +151,21 @@ object CorpusStream {
     * single gate, and give each gate its own stable writerId when several
     * shards feed one gram artifact or the stream is redeployed from a NEW
     * checkpoint location (batch ids restart at 0 there).
+    *
+    * REPLAYED-VERDICT anomaly (ADVICE r13): if a micro-batch replays after
+    * [[graft.extra.Dedup.appendAdmitted]] succeeded but before the sink
+    * committed the batch, the re-delivered docs SELF-MATCH the admission
+    * index — `onVerdict` then re-fires for the batch with keep=0 /
+    * dup_of=self for docs that were in fact admitted on the first
+    * delivery. Every ARTIFACT stays exact (the derived appends are
+    * doc-idempotent / ledger-guarded and the index append is an
+    * empty-admitted no-op on the replay), so this is a verdict-STREAM
+    * anomaly only: treat `onVerdict` rows as at-least-once signals keyed
+    * by doc, not as the document's final admission status — the admission
+    * index (or a keep=1 row from ANY delivery) is the durable truth.
+    * Removing the anomaly entirely would take transactional
+    * verdict-vs-index commits (e.g. verdicts and index segments in one
+    * Delta transaction), which the in-session artifact form trades away.
     */
   def admitStreamMaintained(stream: DataFrame, corpus: DataFrame,
                             cacheKey: String,
