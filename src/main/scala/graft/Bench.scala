@@ -149,6 +149,18 @@ object Bench {
             s"$sfDir#tf:documents/bigrams", n = 2)
           ()
         }),
+      ("train_media",
+        () => extra.Multimodal.resetFeatures(spark, s"$sfDir#media:documents"),
+        () => {
+          // the decoded media-feature artifact: synthesize REAL encoded
+          // payloads (PNG/WAV/MJPEG-AVI, JDK encoders) and run the routed
+          // REAL decode workers once — what dedup_media and any media
+          // quality gate consume (a served pipeline decodes at ingest)
+          extra.Multimodal.trainedFeatures(
+            Tables.load(spark, sfDir, "documents"),
+            s"$sfDir#media:documents")
+          ()
+        }),
       ("train_passages",
         () => ingest.TermStats.resetTermFreqs(spark, s"$sfDir#tf:documents/passages"),
         () => {

@@ -412,6 +412,18 @@ object SparkEntry {
     "dedup_embedding_lsh" -> ((s, d) =>
       Dedup.embeddingPairsLsh(T(s, d, "embeddings"), 0.45)),
 
+    // the MULTIMODAL near-dup pass: decoded media features (REAL JDK
+    // codec decode of synthesized PNG/WAV/AVI payloads, served from the
+    // train_media session artifact) → per-modality fixed-projection
+    // embedding → sign-LSH banding + exact cosine verify. No DuckDB
+    // oracle (SQL can't decode PNG) — rows-only driver check; values are
+    // spec-locked in MultimodalSpec against the brute-force pair set.
+    "dedup_media" -> ((s, d) =>
+      graft.extra.Multimodal.mediaNearDupPairs(
+        graft.extra.Multimodal.trainedFeatures(
+          T(s, d, "documents"), s"$d#media:documents"), 0.99)
+        .orderBy("media_type", "id_a", "id_b")),
+
     // percentile-threshold quality gate: the cut is the corpus's own 10%
     // quality quantile (exact histogram quantile), not a fixed constant
     "quality_gate" -> ((s, d) =>

@@ -236,6 +236,99 @@ class MultimodalSpec extends AnyFunSuite {
     assert(cust(1L)(7) == 1f && cust(1L)(8) == 1f && cust(1L)(5) == 1f)
   }
 
+  test("synthesizeEncoded: REAL decodable payloads whose features mirror the metadata") {
+    val docs = Tables.load(spark, SparkTestSession.sf0001, "documents").limit(30)
+    val enc = Multimodal.synthesizeEncoded(docs)
+    val feats = Multimodal.extractFeaturesRouted(enc)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](2)).toMap
+    val metas = enc.collect().map { r =>
+      r.getLong(0) -> (r.getString(2), r.getStruct(3))
+    }.toMap
+    assert(metas.nonEmpty)
+    metas.foreach { case (id, (mt, meta)) =>
+      val f = feats(id)
+      mt match {
+        case "image" => // real PNG decode recovers the synthesized size
+          assert(f(0) == meta.getAs[Int]("width").toFloat, s"doc $id width")
+          assert(f(1) == meta.getAs[Int]("height").toFloat, s"doc $id height")
+          assert(f(2) > 0f && f(4) > 0f, s"doc $id channel means")
+        case "audio" => // real WAV decode recovers the synthesized duration
+          assert(math.abs(f(0) - meta.getAs[Long]("duration_ms") / 1000.0f) < 2e-3,
+            s"doc $id duration: ${f(0)}")
+          assert(f(1) == 8000f && f(3) > 0f && f(4) > 0f, s"doc $id pcm stats")
+        case "video" => // real MJPEG frame decode recovers size + both frames
+          assert(f(2) == meta.getAs[Int]("width").toFloat, s"doc $id width")
+          assert(f(1) == 2f && f(4) == 2f, s"doc $id frames decoded")
+      }
+    }
+    // deterministic under repartitioning (payload bytes identical)
+    val again = Multimodal.extractFeaturesRouted(
+      Multimodal.synthesizeEncoded(docs.repartition(5)))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](2)).toMap
+    assert(again == feats)
+  }
+
+  test("mediaNearDupPairs: planted same-token-set dups pair at cosine 1, modalities never cross") {
+    import spark.implicits._
+    // ids chosen so each planted pair lands in ONE modality (id % 3):
+    // image 0/3, audio 1/4, video 2/5; the near-dup edit is token
+    // repetition + shuffle — distinct-set invariant, like the fixture
+    val a = "quick brown fox jumps over the lazy dog near the river bank"
+    val aDup = "the lazy dog jumps over the quick brown fox near the bank river " + a
+    val other = "completely different words about spark catalyst optimizer plans and shuffles everywhere"
+    val docs = Seq(
+      0L -> a, 3L -> aDup, 6L -> other,
+      1L -> a, 4L -> aDup, 7L -> other,
+      2L -> a, 5L -> aDup, 8L -> other).toDF("doc_id", "text")
+    val feats = Multimodal.extractFeaturesRouted(Multimodal.synthesizeEncoded(docs))
+    val pairs = Multimodal.mediaNearDupPairs(feats, 0.99).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // each modality finds exactly its planted pair, at cosine 1 (identical
+    // distinct-token stats → identical payload → identical features)
+    assert(pairs.toSet == Set(
+      ("image", 0L, 3L, 1.0), ("audio", 1L, 4L, 1.0), ("video", 2L, 5L, 1.0)),
+      s"got: ${pairs.mkString(", ")}")
+  }
+
+  test("mediaNearDupPairs: LSH-banded pairs ⊆ brute force on the same embedding, high recall") {
+    val feats = Multimodal.trainedFeatures(
+      Tables.load(spark, "/root/testdata/sf0.01", "documents"),
+      "spec#media:documents")
+    val thr = 0.99
+    val lsh = Multimodal.mediaNearDupPairs(feats, thr).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)) -> r.getDouble(3)).toMap
+    val emb = Multimodal.mediaEmbedding(feats)
+    val brute = Seq("image", "audio", "video").flatMap { m =>
+      extra.Dedup.embeddingPairs(
+        emb.filter(col("media_type") === m)
+          .select(col("doc_id").as("vec_id"), col("embedding")), thr)
+        .collect().map(r => (m, r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+    }.toMap
+    assert(lsh.nonEmpty && brute.nonEmpty)
+    // soundness: every banded pair is a true pair with the SAME cosine
+    lsh.foreach { case (k, c) =>
+      assert(brute.get(k).contains(c), s"LSH pair $k not in brute force") }
+    // recall: deterministic fixed hyperplanes, so this is a fixed number
+    // for this corpus — lock a conservative floor
+    val recall = lsh.size.toDouble / brute.size
+    assert(recall >= 0.9, s"recall $recall (${lsh.size}/${brute.size})")
+  }
+
+  test("trainedFeatures is a session artifact: memoized, reset forces a true rebuild") {
+    val docs = Tables.load(spark, SparkTestSession.sf0001, "documents").limit(20)
+    Multimodal.resetFeatures(spark, "spec#media:memo")
+    val a = Multimodal.trainedFeatures(docs, "spec#media:memo")
+    val b = Multimodal.trainedFeatures(docs, "spec#media:memo")
+    assert(a eq b, "warm fetch must serve the memoized artifact")
+    val rows = a.collect().map(r => r.getLong(0) -> r.getSeq[Float](2)).toMap
+    Multimodal.resetFeatures(spark, "spec#media:memo")
+    val c = Multimodal.trainedFeatures(docs, "spec#media:memo")
+    assert(!(a eq c), "reset must drop the memo")
+    assert(c.collect().map(r => r.getLong(0) -> r.getSeq[Float](2)).toMap == rows,
+      "rebuild is value-identical (deterministic pipeline)")
+    Multimodal.resetFeatures(spark, "spec#media:memo")
+  }
+
   test("resizeMeta caps the longer side, keeps payload untouched") {
     val resized = Multimodal.resizeMeta(media, 128)
     val r = resized.select(col("meta.width"), col("meta.height")).collect()
