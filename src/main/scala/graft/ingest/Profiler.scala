@@ -100,12 +100,75 @@ object Profiler {
     )
   }
 
+  /** Per-column (|value| upper bound, total-row upper bound) read from the
+    * PARQUET FOOTERS behind `df` — the zero-scan statistics that gate the
+    * second-moment fast paths in [[numericWide]] (VERDICT r13 next #2).
+    * A column is returned only when EVERY file's every row group carries
+    * valid min/max statistics for it (plain INT32/INT64/FLOAT/DOUBLE
+    * physical types; files with NaN omit double stats, which correctly
+    * drops the column here); the row bound is the files' total row count
+    * (≥ any filtered subset — bounds only ever need to hold from above).
+    * Non-parquet or in-memory inputs return empty: every column then takes
+    * the ungated overflow-proof path, so a WRONG gate is impossible — only
+    * a missed optimization. Driver-side footer reads are the single-node
+    * form; at lake scale these same bounds come from the table catalog /
+    * metastore column stats or the previous profiling epoch.
+    */
+  def parquetGateBounds(df: DataFrame): Map[String, (Double, Long)] = {
+    import scala.jdk.CollectionConverters._
+    val files = try df.inputFiles.toSeq catch { case _: Exception => Seq.empty }
+    if (files.isEmpty) return Map.empty
+    try {
+      val conf = df.sparkSession.sparkContext.hadoopConfiguration
+      val perFile = files.map { f =>
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(f), conf))
+        try {
+          val blocks = reader.getFooter.getBlocks.asScala.toSeq
+          val rows = blocks.map(_.getRowCount).sum
+          // per column: Some(maxAbs over this file's chunks) iff every
+          // chunk has usable stats
+          val stats = blocks.flatMap(_.getColumns.asScala)
+            .groupBy(_.getPath.toDotString)
+            .map { case (name, chunks) =>
+              val maxes = chunks.map { ch =>
+                val st = ch.getStatistics
+                if (st == null || st.isEmpty || !st.hasNonNullValue) None
+                else (st.genericGetMin, st.genericGetMax) match {
+                  case (mn: java.lang.Integer, mx: java.lang.Integer) =>
+                    Some(math.max(math.abs(mn.toDouble), math.abs(mx.toDouble)))
+                  case (mn: java.lang.Long, mx: java.lang.Long) =>
+                    Some(math.max(math.abs(mn.toDouble), math.abs(mx.toDouble)))
+                  case (mn: java.lang.Float, mx: java.lang.Float) =>
+                    Some(math.max(math.abs(mn.toDouble), math.abs(mx.toDouble)))
+                  case (mn: java.lang.Double, mx: java.lang.Double) =>
+                    Some(math.max(math.abs(mn.doubleValue), math.abs(mx.doubleValue)))
+                  case _ => None // decimal/binary/etc: ungated
+                }
+              }
+              name -> (if (maxes.exists(m => m.isEmpty || m.exists(_.isNaN)))
+                None else maxes.flatten.maxOption)
+            }
+          (rows, stats)
+        } finally reader.close()
+      }
+      val totalRows = perFile.map(_._1).sum
+      val allCols = perFile.flatMap(_._2.keys).distinct
+      allCols.flatMap { c =>
+        val ms = perFile.map(_._2.getOrElse(c, None))
+        if (ms.exists(_.isEmpty)) None
+        else Some(c -> (ms.flatten.max, totalRows))
+      }.toMap
+    } catch { case _: Exception => Map.empty }
+  }
+
   /** The non-distinct half of numeric profiling: ONE wide agg (no Expand)
     * then stack to long. With approx=true, HLL distinct counts ride in the
     * same agg — the 100 TB configuration, no second pass at all.
     */
-  private def numericWide(df: DataFrame, datasetId: String,
-                          approx: Boolean): DataFrame = {
+  private def numericWide(df: DataFrame, datasetId: String, approx: Boolean,
+                          gates: Map[String, (Double, Long)]): DataFrame = {
     val cols = typedColumns(df, "Numeric")
     require(cols.nonEmpty, s"$datasetId has no numeric columns")
     val aggs = cols.flatMap { c =>
@@ -139,9 +202,9 @@ object Profiler {
       // cross = 2·aH·aL = cH·10⁹ + cL and L = cL·10⁹ + aL² < 2·10¹⁸ — every
       // intermediate fits a long (max ~1.8·10¹⁶ for cross, ~2·10¹⁸ for L),
       // one more carry off L lands exact (hi, lo). Only the two SUMS are
-      // decimal. NULL propagates through, so count semantics are unchanged.
-      val xm = round(d * lit(1e6)).cast("decimal(19,0)")
-      val s1 = sum(xm.cast("decimal(38,0)"))
+      // decimal — and the RANGE GATE below moves even those onto long sums
+      // when the footer bounds prove it safe. NULL propagates through, so
+      // count semantics are unchanged.
       // Non-finite → NULL before the BIGINT cast: non-ANSI cast maps ±Inf to
       // ±Long.MaxValue (aH ≈ 9.2e9, so aH·aH silently overflows long) while
       // s1's decimal(19,0) cast NULLs the same row — without the guard the
@@ -157,11 +220,53 @@ object Profiler {
       val cH = s"($cr DIV 1000000000)"
       val cL = s"($cr % 1000000000)"
       val Lx = s"($cL * 1000000000 + $aL * $aL)"
-      val s2hi = sum(expr(
-        s"CAST($aH * $aH + $cH + ($Lx DIV 1000000000000000000)" +
-          " AS DECIMAL(38,0))"))
-      val s2lo = sum(expr(
-        s"CAST($Lx % 1000000000000000000 AS DECIMAL(38,0))"))
+      // RANGE GATE (VERDICT r13 next #2): when the parquet footers bound
+      // this column's |xm| = |round(x·1e6)| by B and its rows by n, the
+      // moment sums can drop off the decimal aggregation buffers onto
+      // plain LONG sums — the gates below prove no partial sum can
+      // overflow (ANSI-safe), and the summed values are IDENTICAL
+      // integers to the ungated path's, so the recombine, the std tail
+      // and the DuckDB oracle are untouched (bit-identity by
+      // construction: a wrong gate is impossible, only a missed gate).
+      //   g1 (B ≤ 3.03e9): xm² fits a long — the per-row hi/lo split is a
+      //      direct square + DIV/% (3 ops instead of the 14-op carry).
+      //   g2 (B ≤ 9e15, hi-sum provably long-safe): carry ops unchanged,
+      //      but hi rides a long sum.
+      //   Both: lo < 1e18 splits at 1e9 into two long sums (each ≤ n·1e9,
+      //      long-safe for n ≤ 9e9), recombined exactly post-agg by
+      //      additivity: Σlo = (Σ lo DIV 1e9)·1e9 + Σ(lo % 1e9).
+      //   s1 (n·B ≤ 9e18): Σxm rides one signed long sum (every prefix is
+      //      bounded by n·B, so no transient overflow either).
+      // B carries +2 slack for the round() half-step and the double→micro
+      // ceil; bounds compare in doubles against 9.0e18 < 2⁶³−1 margin.
+      val gate = gates.get(c).map { case (m, rows) =>
+        (math.ceil(m * 1e6) + 2, rows.toDouble) }
+      val s1LongOk = gate.exists { case (b, n) => n * b <= 9.0e18 }
+      val g1 = gate.exists { case (b, n) => b <= 3.03e9 && n <= 9.0e9 }
+      val g2 = !g1 && gate.exists { case (b, n) =>
+        val aHm = b / 1e9 + 1
+        b <= 9.0e15 && n <= 9.0e9 && n * (aHm * aHm + 2 * aHm + 2) <= 9.0e18 }
+      val s1: Column =
+        if (s1LongOk) sum(expr(s"CAST(round($xf * 1000000) AS BIGINT)"))
+          .cast("decimal(38,0)")
+        else sum(round(d * lit(1e6)).cast("decimal(19,0)").cast("decimal(38,0)"))
+      val (s2hi, s2lo): (Column, Column) =
+        if (g1 || g2) {
+          val (hiR, loR) =
+            if (g1) {
+              val sq = s"($aa * $aa)"
+              (s"($sq DIV 1000000000000000000)", s"($sq % 1000000000000000000)")
+            } else
+              (s"($aH * $aH + $cH + ($Lx DIV 1000000000000000000))",
+                s"($Lx % 1000000000000000000)")
+          (sum(expr(hiR)).cast("decimal(38,0)"),
+            sum(expr(s"$loR DIV 1000000000")).cast("decimal(38,0)")
+              * lit(1000000000L)
+              + sum(expr(s"$loR % 1000000000")).cast("decimal(38,0)"))
+        } else (
+          sum(expr(s"CAST($aH * $aH + $cH + ($Lx DIV 1000000000000000000)" +
+            " AS DECIMAL(38,0))")),
+          sum(expr(s"CAST($Lx % 1000000000000000000 AS DECIMAL(38,0))")))
       val s2d = s2hi.cast(DoubleType) * lit(1e18) + s2lo.cast(DoubleType)
       val n = count(d)
       Seq(
@@ -214,7 +319,7 @@ object Profiler {
     * force an N-way Expand of the whole input instead.
     */
   def numericStats(df: DataFrame, datasetId: String, approx: Boolean = false): DataFrame = {
-    val stacked = numericWide(df, datasetId, approx)
+    val stacked = numericWide(df, datasetId, approx, parquetGateBounds(df))
     val withDistinct =
       if (approx) stacked
       else {
@@ -237,11 +342,15 @@ object Profiler {
   def numericStatsAll(dfs: Seq[(String, DataFrame)]): DataFrame = {
     // spread once per table; the wide-agg and distinct-stream branches read
     // the SAME exchange (ReusedExchange), so this costs one compact shuffle
-    // while un-serializing single-row-group scans (see spreadSketchCols)
-    val spread = dfs.map { case (id, df) => (id, spreadSketchCols(df)) }
-    val wides = spread.map { case (id, df) => numericWide(df, id, approx = false) }
+    // while un-serializing single-row-group scans (see spreadSketchCols).
+    // Gate bounds read the ORIGINAL frames' footers (spread output still
+    // resolves inputFiles, but the pre-projection frame is the source).
+    val spread = dfs.map { case (id, df) =>
+      (id, spreadSketchCols(df), parquetGateBounds(df)) }
+    val wides = spread.map { case (id, df, g) =>
+      numericWide(df, id, approx = false, g) }
       .reduce(_.unionAll(_))
-    val stream = spread.map { case (id, df) =>
+    val stream = spread.map { case (id, df, _) =>
       valueStream(df, typedColumns(df, "Numeric").map((_, "Numeric")))
         .select(lit(id).as("dataset_id"), col("col_name"), col("v"))
     }.reduce(_.unionAll(_))

@@ -77,6 +77,50 @@ class ProfilerSpec extends AnyFunSuite {
     assert(!r.isNullAt(r.fieldIndex("std")), "overflow must not NULL the std")
   }
 
+  test("footer range gate is result-transparent: gated parquet ≡ ungated in-memory, every tier") {
+    // columns spanning the gate tiers: g1 (|x| ≤ 3034 → direct long
+    // square), g2 (price-like and near-ceiling magnitudes → carry ops on
+    // long sums), and non-finite columns (NaN rows drop/poison footer
+    // stats → ungated; the xf guard NULLs those rows on BOTH paths).
+    // The gate must be invisible in results: identical doubles bit for
+    // bit, because the gated sums are the same integers.
+    val vals = (0 until 400).map { i =>
+      (i * 7.25 - 1400.0,                                  // g1
+        (i % 89) * 1234.56789 - 50000.0,                   // g2 (price-like)
+        (if (i % 2 == 0) 1 else -1) * (8.9e9 + i * 1.7),   // g2 (ceiling)
+        if (i % 50 == 0) Double.NaN else i * 1.5,          // NaN rows
+        if (i % 60 == 0) Double.PositiveInfinity else i * 2.5) // Inf rows
+    }
+    val df = vals.toDF("a_small", "b_mid", "c_ceiling", "d_nan", "e_inf")
+    val dir = java.nio.file.Files.createTempDirectory("gatespec").toString
+    df.write.mode("overwrite").parquet(dir)
+    val onDisk = spark.read.parquet(dir)
+    // the gate must actually ENGAGE for the finite columns on disk
+    val bounds = Profiler.parquetGateBounds(onDisk)
+    assert(bounds.contains("a_small") && bounds.contains("b_mid") &&
+      bounds.contains("c_ceiling"), s"footer bounds missing: $bounds")
+    assert(bounds("a_small")._2 == 400L)
+    assert(math.abs(bounds("a_small")._1 - 1492.75) < 1e-9) // exact footer max
+    // in-memory frame has no files → every column ungated
+    assert(Profiler.parquetGateBounds(df).isEmpty)
+    def rowsOf(d: org.apache.spark.sql.DataFrame) =
+      Profiler.numericStats(d, "t").collect()
+        .map(r => r.getAs[String]("col_name") -> r.toSeq).toMap
+    val gated = rowsOf(onDisk)
+    val ungated = rowsOf(df)
+    assert(gated.keySet == ungated.keySet)
+    def same(a: Any, b: Any): Boolean = (a, b) match {
+      case (x: Double, y: Double) => x == y || (x.isNaN && y.isNaN)
+      case _                      => a == b
+    }
+    gated.foreach { case (c, g) =>
+      assert(g.size == ungated(c).size && g.zip(ungated(c)).forall((same _).tupled),
+        s"column $c: gated $g != ungated ${ungated(c)}") }
+    // NaN/Inf rows are excluded not crashed (ANSI session): n reflects the
+    // double-typed count, std is finite
+    assert(!gated("d_nan").contains(null) || gated("d_nan") == ungated("d_nan"))
+  }
+
   test("quantileSketch produces 7-dim [min,5,25,50,75,95,max] vectors") {
     val df = (1 to 100).map(_.toDouble).toDF("v")
     val r = Profiler.quantileSketch(df, "t").collect()(0)
