@@ -245,6 +245,135 @@ class PairMaintainSpec extends AnyFunSuite {
     Dedup.resetPairs(spark, pKey)
   }
 
+  // ---- randomized append-exactness (VERDICT r13 next #4): scalacheck
+  // generates corpora/batches with unicode tokens, token repetition,
+  // overlapping (re-delivered) docs, empty batches and whole-batch
+  // replays, plus thresholds pinned EXACTLY to ceil boundaries (t·|A|
+  // integral — the prefix-lemma edge) — and asserts grown ≡ fresh for
+  // both pair variants and for the additive gram artifact under the
+  // batch-id ledger. Fixed seed: failures reproduce.
+
+  private val propVocab = Vector("alpha", "beta", "gamma", "delta", "eps",
+    "zeta", "eta", "theta", "λόγος", "日本語", "héllo", "мир", "🚀rocket",
+    "naïve", "中文词")
+
+  private def genDoc: org.scalacheck.Gen[String] = for {
+    s <- org.scalacheck.Gen.chooseNum(3, 10)
+    toks <- org.scalacheck.Gen.listOfN(s, org.scalacheck.Gen.oneOf(propVocab))
+  } yield toks.mkString(" ")
+
+  private def genDocs(ids: Range): org.scalacheck.Gen[Seq[(Long, String)]] =
+    org.scalacheck.Gen.listOfN(ids.size, genDoc)
+      .map(ds => ids.map(_.toLong).zip(ds))
+
+  private def checkProp(name: String, trials: Int,
+                        prop: org.scalacheck.Prop): Unit = {
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default
+        .withMinSuccessfulTests(trials)
+        .withInitialSeed(org.scalacheck.rng.Seed(42L)), prop)
+    assert(res.passed, s"$name: ${res.status}")
+  }
+
+  private val propKey = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  test("property: grown pair artifact ≡ fresh build — random corpora, unicode, " +
+    "overlaps, empty batches, replays, ceil-boundary thresholds, both variants") {
+    val genCase = for {
+      corpus <- genDocs(1 to 4)
+      b1 <- genDocs(11 to 13)
+      b2 <- genDocs(21 to 22)
+      // threshold: either anywhere in (0.5, 0.95) or EXACTLY k/s for a doc
+      // size s in range — the ceil(t·|A|) boundary the prefix lemma must
+      // survive (rn <= sz - ceil(t·sz) + 1 with t·sz integral)
+      t <- org.scalacheck.Gen.oneOf(
+        org.scalacheck.Gen.chooseNum(0.5, 0.95),
+        for {
+          s <- org.scalacheck.Gen.chooseNum(4, 10)
+          k <- org.scalacheck.Gen.chooseNum(2, s)
+        } yield k.toDouble / s)
+      lsh <- org.scalacheck.Gen.oneOf(false, true)
+      overlap <- org.scalacheck.Gen.oneOf(true, false) // b2 re-delivers a corpus doc
+      emptyBatch <- org.scalacheck.Gen.oneOf(true, false)
+      replayB1 <- org.scalacheck.Gen.oneOf(true, false)
+      // plant a guaranteed cross pair (batch doc = set-dup of a corpus
+      // doc under a new id) so trials can't all be vacuously pair-free
+      plant <- org.scalacheck.Gen.oneOf(true, false)
+    } yield (corpus, b1, b2, t, lsh, overlap, emptyBatch, replayB1, plant)
+    val prop = org.scalacheck.Prop.forAllNoShrink(genCase) {
+      case (corpus, b1raw, b2raw, t, lsh, overlap, emptyBatch, replayB1, plant) =>
+        val key = s"pairprop-${propKey.incrementAndGet()}"
+        try {
+          val b1 = if (plant) (11L, corpus.head._2) +: b1raw.tail else b1raw
+          val b2 = if (overlap) b2raw ++ corpus.take(1) else b2raw
+          Dedup.trainedPairs(df(corpus), "doc_id", "text", t, key, lsh)
+          assert(Dedup.appendPairs(df(b1), "doc_id", "text", t, key, lsh))
+          if (emptyBatch)
+            assert(Dedup.appendPairs(df(Seq.empty[(Long, String)]),
+              "doc_id", "text", t, key, lsh))
+          if (replayB1) // at-least-once re-delivery of the whole batch
+            assert(Dedup.appendPairs(df(b1), "doc_id", "text", t, key, lsh))
+          assert(Dedup.appendPairs(df(b2), "doc_id", "text", t, key, lsh))
+          val grown = Dedup.trainedPairs(df(corpus), "doc_id", "text", t, key, lsh)
+          // reference: first-delivery-wins distinct union (replay guard)
+          val all = (corpus ++ b1 ++ b2).distinctBy(_._1)
+          val fresh =
+            if (lsh) Dedup.minhashLshPairs(df(all), "doc_id", "text", t)
+            else Dedup.jaccardPairs(df(all), "doc_id", "text", t)
+          pairSet(grown) == pairSet(fresh)
+        } finally Dedup.resetPairs(spark, key)
+    }
+    checkProp("pair append-exactness", 8, prop)
+  }
+
+  test("property: additive gram artifact under the batch-id ledger ≡ fresh " +
+    "gram stats — replayed batch ids are no-ops, short-doc batches append nothing") {
+    def ghCountsOf(g: org.apache.spark.sql.DataFrame) = g
+      .groupBy("gh").agg(sum("n_docs").as("d"), sum("n_occ").as("o"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val genCase = for {
+      corpus <- genDocs(1 to 3)
+      b1 <- genDocs(11 to 12)
+      b2 <- genDocs(21 to 22)
+      replayIds <- org.scalacheck.Gen.someOf(Seq(0L, 1L))
+      shortBatch <- org.scalacheck.Gen.oneOf(true, false)
+    } yield (corpus, b1, b2, replayIds.toSet, shortBatch)
+    val minLen = 3
+    val prop = org.scalacheck.Prop.forAllNoShrink(genCase) {
+      case (corpus, b1, b2, replayIds, shortBatch) =>
+        val key = s"gramprop-${propKey.incrementAndGet()}"
+        try {
+          Dedup.trainedGramIndex(df(corpus), "doc_id", "text", key, minLen)
+          assert(Dedup.appendGramAdmitted(df(b1), "doc_id", "text", key,
+            minLen, batchId = Some(0L), writerId = "w"))
+          if (replayIds(0L)) // ledger: same (writer, batchId) is a no-op
+            assert(Dedup.appendGramAdmitted(df(b1), "doc_id", "text", key,
+              minLen, batchId = Some(0L), writerId = "w"))
+          if (shortBatch) { // docs below the gram window net zero rows:
+            val before = Dedup.gramSegmentCount(spark, key)
+            assert(Dedup.appendGramAdmitted(
+              df(Seq(31L -> "xx yy")), "doc_id", "text", key,
+              minLen, batchId = Some(5L), writerId = "w"))
+            assert(Dedup.gramSegmentCount(spark, key) == before,
+              "empty gram batch must not append a segment")
+          }
+          assert(Dedup.appendGramAdmitted(df(b2), "doc_id", "text", key,
+            minLen, batchId = Some(1L), writerId = "w"))
+          if (replayIds(1L))
+            assert(Dedup.appendGramAdmitted(df(b2), "doc_id", "text", key,
+              minLen, batchId = Some(1L), writerId = "w"))
+          val grown = Dedup.gramSegmentsOf(spark, key)
+            .reduce(_ unionByName _)
+          val fresh = Dedup.gramStats(
+            df(corpus ++ b1 ++ b2 ++
+              (if (shortBatch) Seq(31L -> "xx yy") else Nil)),
+            "doc_id", "text", minLen)
+          ghCountsOf(grown) == ghCountsOf(fresh)
+        } finally Dedup.resetIndex(spark, key)
+    }
+    checkProp("gram append-exactness", 6, prop)
+  }
+
   test("refreshDataset drops the refreshed table's dedup-family artifacts") {
     import graft.search.Sketches
     // isolated lake copy (the SearchSpec refresh pattern) so the shared
