@@ -146,6 +146,64 @@ class CheckpointPinSpec extends AnyFunSuite {
     }
   }
 
+  test("end-to-end: artifact lifecycle (build → appends → compaction → reset) " +
+    "leaves ZERO files under the checkpoint dir") {
+    // VERDICT r13 next #6: the ckptFiles reclaim path was proven only
+    // per-family; this is the whole-directory invariant — after every
+    // artifact family's full lifecycle, the reliable checkpoint dir holds
+    // not one regular file (empty directories are fine; HDFS/S3 have no
+    // empty-dir cost and the uuid roots are per-session).
+    withCheckpointDir { dir =>
+      import scala.jdk.CollectionConverters._
+      def allFiles(): Seq[String] = {
+        val base = java.nio.file.Paths.get(dir)
+        if (!java.nio.file.Files.exists(base)) Seq.empty
+        else {
+          val s = java.nio.file.Files.walk(base)
+          try s.iterator().asScala
+            .filter(java.nio.file.Files.isRegularFile(_))
+            .map(_.toString).toList
+          finally s.close()
+        }
+      }
+      val docs = Tables.load(spark, SparkTestSession.sf0001, "documents")
+      val corpus = docs.filter(col("doc_id") < 60).select("doc_id", "text")
+      def slice(lo: Long, hi: Long, off: Long) =
+        docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+          .select((col("doc_id") + off).as("doc_id"), col("text"))
+      val pk = "spec#ckpt_zero_pairs"
+      val tk = "spec#ckpt_zero_tf"
+      val ik = "spec#ckpt_zero_idx"
+      val mk = "spec#ckpt_zero_media"
+      // build every maintained-artifact family onto the reliable dir
+      Dedup.trainedPairs(corpus, "doc_id", "text", 0.9, pk)
+      graft.ingest.TermStats.trainedTermFreqs(corpus, "doc_id", "text", tk)
+      Dedup.trainedIndex(corpus, "doc_id", "text", ik)
+      Dedup.trainedGramIndex(corpus, "doc_id", "text", ik, 5)
+      graft.extra.Multimodal.trainedFeatures(corpus, mk)
+      // two appends past maxSegments=2 force a compaction in each family
+      for ((lo, hi, off) <- Seq((60L, 80L, 10000L), (80L, 100L, 20000L))) {
+        assert(Dedup.appendPairs(slice(lo, hi, off), "doc_id", "text", 0.9,
+          pk, maxSegments = 2))
+        assert(graft.ingest.TermStats.appendTermFreqs(slice(lo, hi, off),
+          "doc_id", "text", tk, maxSegments = 2))
+        assert(Dedup.appendAdmitted(slice(lo, hi, off), "doc_id", "text", ik,
+          maxSegments = 2))
+        assert(Dedup.appendGramAdmitted(slice(lo, hi, off), "doc_id", "text",
+          ik, 5, maxSegments = 2))
+      }
+      assert(allFiles().nonEmpty, "artifacts must have checkpointed files")
+      // full reset of every family → the dir must be file-free
+      Dedup.resetPairs(spark, pk)
+      graft.ingest.TermStats.resetTermFreqs(spark, tk)
+      Dedup.resetIndex(spark, ik)
+      graft.extra.Multimodal.resetFeatures(spark, mk)
+      val orphans = allFiles()
+      assert(orphans.isEmpty,
+        s"${orphans.size} orphan checkpoint files, e.g. ${orphans.take(3)}")
+    }
+  }
+
   test("memoLocked: racing first fetches run the builder exactly once") {
     // the property every session-artifact cache leans on: a bare
     // TrieMap.getOrElseUpdate would run N racing builders and orphan N-1
