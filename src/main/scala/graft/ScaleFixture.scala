@@ -13,11 +13,17 @@ import org.apache.spark.sql.functions._
   * source rows — any engine regenerates the identical lake, which is what
   * lets DuckDB act as the oracle over the same files.
   *
-  * Usage: runMain graft.ScaleFixture [srcDir] [outDir]
+  * Usage: runMain graft.ScaleFixture [srcDir] [outDir] [idStride]
   * Writes one staging DIRECTORY per table under outDir; the caller
   * flattens each to the single-file layout the oracle views expect
   * (`mv <t>/part-*.parquet <t>.parquet` — see tools/scale_probe notes in
   * PLANS.md).
+  *
+  * `idStride` (default 1e6) is the per-copy id offset for doc/vec/user
+  * ids (event ids use 100×). CHAINING decades requires raising it past
+  * the source's max id: the sf1.0 lake's doc ids already span ~9·10⁶, so
+  * deriving sf10 from it takes idStride ≥ 10⁷ or copies collide —
+  * `runMain graft.ScaleFixture /tmp/sf1.0 /tmp/sf10_staging 10000000`.
   */
 object ScaleFixture {
   /** Row-group size for the scaled tables. The driver's sf0.1 fixtures are
@@ -39,6 +45,7 @@ object ScaleFixture {
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = args.lift(1).getOrElse("target/testdata/sf1.0")
+    val stride = args.lift(2).map(_.toLong).getOrElse(1000000L)
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -51,7 +58,7 @@ object ScaleFixture {
       val txt =
         if (k == 0) col("text")
         else concat(col("text"), lit(s" variant$k rev${k * 7 % 5}"))
-      docs.select((col("doc_id") + lit(k * 1000000L)).as("doc_id"),
+      docs.select((col("doc_id") + lit(k * stride)).as("doc_id"),
         txt.as("text"), col("lang"), col("source"),
         length(txt).cast("long").as("n_chars"))
     }.reduce(_.unionAll(_))
@@ -66,7 +73,7 @@ object ScaleFixture {
         else transform(col("embedding"), (v, i) =>
           (v + when(pmod(i, lit(4)) === k % 4, lit(0.001f * k))
             .otherwise(lit(0.0f))).cast("float"))
-      emb.select((col("vec_id") + lit(k * 1000000L)).as("vec_id"),
+      emb.select((col("vec_id") + lit(k * stride)).as("vec_id"),
         vec.as("embedding"), col("label"))
     }.reduce(_.unionAll(_))
       .coalesce(1).write.mode("overwrite")
@@ -75,9 +82,9 @@ object ScaleFixture {
 
     val ev = Tables.load(spark, src, "events")
     (0 until 10).map { k =>
-      ev.select((col("event_id") + lit(k * 100000000L)).as("event_id"),
+      ev.select((col("event_id") + lit(k * 100 * stride)).as("event_id"),
         (col("ts") + expr(s"INTERVAL $k HOURS")).as("ts"),
-        (col("user_id") + lit(k * 1000000L)).as("user_id"),
+        (col("user_id") + lit(k * stride)).as("user_id"),
         col("event_type"), col("value"), col("props"))
     }.reduce(_.unionAll(_))
       .coalesce(1).write.mode("overwrite")

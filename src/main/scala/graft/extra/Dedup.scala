@@ -1007,6 +1007,99 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("cos_raw"), 6).as("cosine"))
   }
 
+  /** [[embeddingPairsLsh]] with an EXACT-GROUP COLLAPSE in front — for
+    * embedding spaces where many ids share bit-identical vectors (coarse
+    * quantized features, decoded-media statistics, hashed sketches). Sign
+    * LSH is blind to exact duplication: g ids with one vector land
+    * together in every table's bucket, so the row-level bucket self-join
+    * pays Σ g² candidates and re-verifies the same cosine g² times — the
+    * candidate volume grows QUADRATICALLY in corpus size for a fixed
+    * feature lattice (measured on the media path: 7M → 892M candidates
+    * for 10× rows, sf0.1 → sf1.0, while distinct vectors grew only
+    * 2552 → 6597). Collapsing to one representative per distinct vector
+    * makes the LSH+verify cost a function of the LATTICE (bounded by the
+    * feature discretization, not the corpus) and leaves only
+    * output-proportional work: within-group pairs are enumerated directly
+    * (identical vectors collide in every table, so the uncollapsed
+    * operator emits all of them too), and rep-level survivors expand to
+    * member pairs through two gid joins. Returns the IDENTICAL pair set
+    * and cosines as the uncollapsed operator (spec-locked in
+    * MultimodalSpec): bucket membership and cosine are functions of the
+    * vector alone, so rep-level collision/verify outcomes transfer to
+    * every member verbatim.
+    *
+    * 100 TB shape: the collapse is one map-side-combined aggregate on the
+    * vector (at most D partial rows leave each partition, D = distinct
+    * vectors); the member table re-joins on the vector (AQE broadcasts
+    * the D-row side when small); everything after is O(D·tables) + output
+    * size. Use when D ≪ N; with nearly-unique embeddings (real float
+    * encoders) the collapse adds a wasted shuffle — keep
+    * [[embeddingPairsLsh]] there.
+    */
+  def embeddingPairsLshCollapsed(emb: DataFrame, threshold: Double,
+                                 bitsPerTable: Int = 3, tables: Int = 12,
+                                 partitionCols: Seq[String] = Nil): DataFrame = {
+    val pc = partitionCols.map(col)
+    val e = emb.select(pc ++ Seq(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("vec")): _*)
+    // one representative id per distinct (partition, vector) group (min
+    // id: stable, and the aggregate partial-combines map-side so giant
+    // groups never shuffle). Rows partition into disjoint groups and
+    // vec_ids are globally unique, so gid alone identifies a group —
+    // the expansion joins below key on gid and carry the partition
+    // columns through the pair rows.
+    val reps = graft.Caching.temp(
+      e.groupBy(pc :+ col("vec"): _*).agg(min(col("vec_id")).as("gid")))
+    val members = graft.Caching.temp(
+      e.join(reps, partitionCols :+ "vec").select(col("vec_id"), col("gid")))
+    // rep-level LSH over distinct vectors only; the partition columns are
+    // part of every bucket key, so separate partitions (modalities,
+    // tenants) never cross-pair — equivalent to running the operator
+    // per-partition, in ONE plan
+    val tableKeys = signLshTableDims(bitsPerTable, tables).map { case (t, dims) =>
+      struct(lit(t).as("tbl"),
+        concat(dims.map(i =>
+          when(element_at(col("vec"), i) >= 0, "1").otherwise("0")): _*).as("bucket"))
+    }
+    val keyed = reps.select(pc ++ Seq(col("gid"),
+        explode(array(tableKeys: _*)).as("k")): _*)
+      .select(pc ++ Seq(col("gid"), col("k.tbl").as("tbl"),
+        col("k.bucket").as("bucket")): _*)
+    val cand = keyed.as("a").join(keyed.as("b"),
+        partitionCols ++ Seq("tbl", "bucket"))
+      .filter(col("a.gid") < col("b.gid"))
+      .select(pc ++ Seq(col("a.gid").as("gid_a"), col("b.gid").as("gid_b")): _*)
+      .distinct()
+    val repPairs = cand
+      .join(reps.select(col("gid").as("gid_a"), col("vec").as("vec_a")), "gid_a")
+      .join(reps.select(col("gid").as("gid_b"), col("vec").as("vec_b")), "gid_b")
+      .withColumn("cos_raw",
+        graft.functions.VectorOps.cosine(col("vec_a"), col("vec_b")))
+      .filter(col("cos_raw") >= threshold)
+      .select(pc ++ Seq(col("gid_a"), col("gid_b"),
+        round(col("cos_raw"), 6).as("cosine")): _*)
+    // cross-group expansion: every member pair inherits its reps' cosine
+    val cross = repPairs
+      .join(members.select(col("gid").as("gid_a"), col("vec_id").as("ma")), "gid_a")
+      .join(members.select(col("gid").as("gid_b"), col("vec_id").as("mb")), "gid_b")
+      .select(pc ++ Seq(least(col("ma"), col("mb")).as("id_a"),
+        greatest(col("ma"), col("mb")).as("id_b"), col("cosine")): _*)
+    // within-group pairs: identical vectors share every bucket, so the
+    // uncollapsed operator emits all of them; their cosine is the
+    // self-cosine of the group's vector (kept as a computed value, not
+    // lit(1.0), so zero vectors and FP edge cases match the old path)
+    val selfCos = reps.withColumn("cos_raw",
+        graft.functions.VectorOps.cosine(col("vec"), col("vec")))
+      .filter(col("cos_raw") >= threshold)
+      .select(pc ++ Seq(col("gid"), round(col("cos_raw"), 6).as("cosine")): _*)
+    val within = members.as("a").join(members.as("b"), "gid")
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .join(selfCos, "gid")
+      .select(pc ++ Seq(col("a.vec_id").as("id_a"),
+        col("b.vec_id").as("id_b"), col("cosine")): _*)
+    cross.unionByName(within)
+  }
+
   /** (doc_id, tf, h) term-frequency rows with the 60-bit md5 term hash —
     * shared by both simhash implementations.
     */

@@ -652,11 +652,21 @@ object Multimodal {
 
   /** The multimodal NEAR-DUP pass a training pipeline runs over its media
     * corpus: per modality (a modality is its own embedding space — image
-    * and audio features must never cross-pair), band the
-    * [[mediaEmbedding]] vectors through the sign-LSH prefilter and verify
-    * survivors with exact cosine ([[Dedup.embeddingPairsLsh]] — candidates
-    * come from (table, bucket) equi-joins, never all-pairs: the 100 TB
-    * shape). Returns (media_type, id_a, id_b, cosine), a < b.
+    * and audio features must never cross-pair), collapse bit-identical
+    * embeddings to group representatives, band the distinct
+    * [[mediaEmbedding]] vectors through the sign-LSH prefilter, verify
+    * survivors with exact cosine, and expand back to member pairs
+    * ([[Dedup.embeddingPairsLshCollapsed]] — candidates come from
+    * (table, bucket) equi-joins over DISTINCT vectors, never all-pairs
+    * and never per-duplicate: the 100 TB shape). The collapse is what
+    * keeps this linear-plus-output at corpus scale: decoded-media
+    * statistics live on a capped lattice, so the number of distinct
+    * vectors is bounded by the discretization while identical-vector
+    * groups grow with the corpus (sf1.0 probe: 50k rows, 6.6k distinct —
+    * the row-level bucket join would pay 892M candidates, the collapsed
+    * one 11M). Returns (media_type, id_a, id_b, cosine), a < b —
+    * pair-for-pair identical to routing through the uncollapsed
+    * [[Dedup.embeddingPairsLsh]] (spec-locked in MultimodalSpec).
     */
   def mediaNearDupPairs(features: DataFrame, threshold: Double,
                         bitsPerTable: Int = 4, tables: Int = 9): DataFrame = {
@@ -666,14 +676,13 @@ object Multimodal {
     // binaries); cached, the joins reference one in-memory relation
     val emb = graft.Caching.temp(
       mediaEmbedding(features, outDim = bitsPerTable * tables))
-    Seq("image", "audio", "video").map { m =>
-      graft.extra.Dedup.embeddingPairsLsh(
-        emb.filter(col("media_type") === m)
-          .select(col("doc_id").as("vec_id"), col("embedding")),
-        threshold, bitsPerTable, tables)
-        .select(lit(m).as("media_type"), col("id_a"), col("id_b"),
-          col("cosine"))
-    }.reduce(_ unionByName _)
+    // ONE plan for all three modalities: media_type rides every group and
+    // bucket key as a partition column, so modalities never cross-pair —
+    // equivalent to a per-modality union at a third of the stage count
+    graft.extra.Dedup.embeddingPairsLshCollapsed(
+      emb.select(col("media_type"), col("doc_id").as("vec_id"),
+        col("embedding")),
+      threshold, bitsPerTable, tables, partitionCols = Seq("media_type"))
   }
 
   /** Frame sampling for video/audio rows: one output row per sampled offset,

@@ -314,6 +314,30 @@ class MultimodalSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall $recall (${lsh.size}/${brute.size})")
   }
 
+  test("collapsed LSH ≡ uncollapsed LSH: identical pair set and cosines") {
+    // the media corpus is exactly the collision-dense shape the exact-group
+    // collapse targets (capped feature lattice → many ids share a vector);
+    // the collapsed operator must reproduce the row-level operator's
+    // output pair-for-pair, including within-group self-cosine pairs
+    val feats = Multimodal.trainedFeatures(
+      Tables.load(spark, "/root/testdata/sf0.01", "documents"),
+      "spec#media:documents")
+    val emb = Multimodal.mediaEmbedding(feats)
+    Seq("image", "audio", "video").foreach { m =>
+      val in = emb.filter(col("media_type") === m)
+        .select(col("doc_id").as("vec_id"), col("embedding"))
+      val flat = extra.Dedup.embeddingPairsLsh(in, 0.99, 4, 9)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val coll = extra.Dedup.embeddingPairsLshCollapsed(in, 0.99, 4, 9)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      assert(coll.nonEmpty, s"$m: empty pair set")
+      assert(coll == flat, s"$m: collapsed ≠ uncollapsed " +
+        s"(${coll.size} vs ${flat.size} pairs; " +
+        s"onlyCollapsed=${(coll.keySet -- flat.keySet).take(3)}, " +
+        s"onlyFlat=${(flat.keySet -- coll.keySet).take(3)})")
+    }
+  }
+
   test("trainedFeatures is a session artifact: memoized, reset forces a true rebuild") {
     val docs = Tables.load(spark, SparkTestSession.sf0001, "documents").limit(20)
     Multimodal.resetFeatures(spark, "spec#media:memo")
