@@ -2988,6 +2988,9 @@ object SparkEntry {
          |      FROM embeddings),
          |a AS (SELECT vec_id AS a_id, vec AS a_vec FROM e WHERE label % 2 = 0),
          |b AS (SELECT vec_id AS b_id, vec AS b_vec FROM e WHERE label % 2 = 1),
+         |bl AS (SELECT LEAST(12, GREATEST(3, length(bin(GREATEST(
+         |    (SELECT count(*) FROM a), (SELECT count(*) FROM b)))) - 1 - 5))
+         |  AS L),
          |s AS ($candSql),
          |r AS (SELECT *,
          |    row_number() OVER (PARTITION BY a_id
@@ -3015,15 +3018,19 @@ object SparkEntry {
         |  FROM a CROSS JOIN b""".stripMargin)
 
     /** DuckDB twin of EmbeddingKnn.bitextMineLsh: identical multi-table
-      * sign buckets (Dedup.signLshTableDims layout on both pools),
-      * candidates = distinct pairs sharing any (table, bucket).
+      * sign buckets (stride-3 anchors extended to the 12-dim max width),
+      * the identical adaptive prefix length derived from the pool counts
+      * (length(bin(n)) - 1 ≡ floor(log2 n), exact integer arithmetic on
+      * both engines), candidates = distinct pairs sharing any
+      * (table, bucket-prefix).
       */
     val bitextMineLshSql: String = {
       def branches(side: String, id: String, v: String) =
-        Dedup.signLshTableDims(3, 12).map { case (t, dims) =>
+        (0 until 12).map { t =>
+          val dims = t * 3 + 1 to t * 3 + 12
           val bucket = dims.map(i =>
             s"CASE WHEN $v[$i] >= 0 THEN '1' ELSE '0' END").mkString(" || ")
-          s"SELECT $id, $t AS tbl, $bucket AS bucket FROM $side"
+          s"SELECT $id, $t AS tbl, substring($bucket, 1, (SELECT L FROM bl)) AS bucket FROM $side"
         }.mkString("\n    UNION ALL ")
       bitextSqlFrom(
         s"""SELECT cand.a_id, cand.b_id,

@@ -490,22 +490,52 @@ object EmbeddingKnn {
     */
   def bitextMineLsh(emb: DataFrame, k: Int = 4,
                     minMarginPpm: Long = 1000000L, bitsPerTable: Int = 3,
-                    tables: Int = 12): DataFrame = {
+                    tables: Int = 12, maxBits: Int = 12,
+                    targetLog2: Int = 5): DataFrame = {
     val a = emb.filter(col("label") % 2 === 0)
       .select(col("vec_id").as("a_id"), asDouble(col("embedding")).as("a_vec"))
     val b = emb.filter(col("label") % 2 === 1)
       .select(col("vec_id").as("b_id"), asDouble(col("embedding")).as("b_vec"))
+    // ADAPTIVE band width: a fixed-width sign band makes the bucket join
+    // quadratic in pool size (candidates/table ≈ n²/2^bits — the sf10
+    // century probe's finding), so the COMPARED prefix length grows by
+    // one bit per pool doubling, holding expected bucket occupancy near
+    // 2^targetLog2: blen = clamp(floor(log2(maxPool)) - targetLog2,
+    // bitsPerTable, maxBits). floor(log2(n)) is computed as
+    // length(bin(n)) - 1 — exact integer arithmetic, so the DuckDB twin
+    // derives the identical width from the same counts (no libm). Table
+    // t anchors at dim t·bitsPerTable+1 (at the minimum width this is
+    // exactly the classic signLshTableDims layout) and extends to
+    // maxBits sign dims; adjacent tables overlap once blen >
+    // bitsPerTable — slightly correlated, still maxBits-dim-bounded. The
+    // bit supply caps at maxBits (embedding_dim ≥
+    // (tables-1)·bitsPerTable + maxBits): past pools of
+    // ~2^(maxBits+targetLog2) rows, raise maxBits/tables with the
+    // dimension budget, or expand the bit supply with a fixed Gaussian
+    // projection (the mediaEmbedding pattern) before banding.
+    require((tables - 1) * bitsPerTable + maxBits <= 64,
+      s"band layout exceeds the embedding dimension budget")
+    val blenDf = broadcast(
+      a.agg(count(lit(1)).as("na")).crossJoin(b.agg(count(lit(1)).as("nb")))
+        .select(least(lit(maxBits), greatest(lit(bitsPerTable),
+          length(bin(greatest(col("na"), col("nb")))) - 1 - targetLog2))
+          .as("blen")))
     def keys(vecCol: String) = explode(array(
-      Dedup.signLshTableDims(bitsPerTable, tables).map { case (t, dims) =>
+      (0 until tables).map { t =>
+        val dims = t * bitsPerTable + 1 to t * bitsPerTable + maxBits
         struct(lit(t).as("tbl"),
           concat(dims.map(i =>
             when(element_at(col(vecCol), i) >= 0, "1").otherwise("0")): _*)
             .as("bucket"))
       }: _*))
     val ka = a.select(col("a_id"), keys("a_vec").as("k"))
-      .select(col("a_id"), col("k.tbl").as("tbl"), col("k.bucket").as("bucket"))
+      .crossJoin(blenDf)
+      .select(col("a_id"), col("k.tbl").as("tbl"),
+        expr("substring(k.bucket, 1, blen)").as("bucket"))
     val kb = b.select(col("b_id"), keys("b_vec").as("k"))
-      .select(col("b_id"), col("k.tbl").as("tbl"), col("k.bucket").as("bucket"))
+      .crossJoin(blenDf)
+      .select(col("b_id"), col("k.tbl").as("tbl"),
+        expr("substring(k.bucket, 1, blen)").as("bucket"))
     val cand = ka.join(kb, Seq("tbl", "bucket"))
       .select("a_id", "b_id").distinct()
     val sims = cand.join(a, "a_id").join(b, "b_id")
