@@ -408,9 +408,12 @@ object SparkEntry {
     "dedup_embedding" -> ((s, d) =>
       Dedup.embeddingPairs(T(s, d, "embeddings"), 0.45)),
 
-    // the scale path: sign-LSH bucket prefilter + exact cosine verify
+    // the scale path: sign-LSH bucket prefilter + exact cosine verify;
+    // maxBits=12 turns on the adaptive band width (one more compared
+    // bit per corpus doubling — fixture-scale behavior unchanged at the
+    // 3-bit minimum, 770M → ~5M candidates at the sf10 probe scale)
     "dedup_embedding_lsh" -> ((s, d) =>
-      Dedup.embeddingPairsLsh(T(s, d, "embeddings"), 0.45)),
+      Dedup.embeddingPairsLsh(T(s, d, "embeddings"), 0.45, maxBits = 12)),
 
     // the MULTIMODAL near-dup pass: decoded media features (REAL JDK
     // codec decode of synthesized PNG/WAV/AVI payloads, served from the
@@ -3376,17 +3379,22 @@ object SparkEntry {
       leg("sign_lsh8", knnLshSql) + "\nUNION ALL\n" + leg("ivf16x4", knnIvfSql)
     }
 
-    /** DuckDB twin of Dedup.embeddingPairsLsh: identical multi-table
-      * fixed-hyperplane sign buckets (Dedup.signLshTableDims layout), exact
-      * cosine on bucket-mates.
+    /** DuckDB twin of Dedup.embeddingPairsLsh with the adaptive band:
+      * identical stride-3 table anchors extended to the 12-dim max
+      * width, the identical count-derived prefix length
+      * (length(bin(n)) - 1 ≡ floor(log2 n), exact integer arithmetic),
+      * exact cosine on bucket-mates.
       */
     val dedupEmbeddingLshSql: String = {
-      val branches = Dedup.signLshTableDims(3, 12).map { case (t, dims) =>
+      val branches = (0 until 12).map { t =>
+        val dims = t * 3 + 1 to t * 3 + 12
         val bucket = dims.map(i =>
           s"CASE WHEN vec[$i] >= 0 THEN '1' ELSE '0' END").mkString(" || ")
-        s"SELECT vec_id, $t AS tbl, $bucket AS bucket FROM e"
+        s"SELECT vec_id, $t AS tbl, substring($bucket, 1, (SELECT L FROM bl)) AS bucket FROM e"
       }.mkString("\n  UNION ALL ")
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+         |bl AS (SELECT LEAST(12, GREATEST(3,
+         |  length(bin((SELECT count(*) FROM e))) - 1 - 5)) AS L),
          |k AS (
          |  $branches),
          |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b

@@ -984,16 +984,46 @@ object Dedup {
     * measured in DedupSpec.
     */
   def embeddingPairsLsh(emb: DataFrame, threshold: Double,
-                        bitsPerTable: Int = 3, tables: Int = 12): DataFrame = {
+                        bitsPerTable: Int = 3, tables: Int = 12,
+                        maxBits: Int = -1, targetLog2: Int = 5): DataFrame = {
+    val widest = if (maxBits < 0) bitsPerTable else maxBits
     val e = emb.select(col("vec_id"),
       transform(col("embedding"), _.cast("double")).as("vec"))
-    val tableKeys = signLshTableDims(bitsPerTable, tables).map { case (t, dims) =>
-      struct(lit(t).as("tbl"),
-        concat(dims.map(i =>
-          when(element_at(col("vec"), i) >= 0, "1").otherwise("0")): _*).as("bucket"))
+    // maxBits > bitsPerTable turns on ADAPTIVE banding: a fixed-width
+    // sign band makes the bucket self-join quadratic in corpus size
+    // (Σ occupancy² with occupancy ∝ n/2^bits — the sf10 century probe
+    // measured 770M candidates for 14k true pairs), so the compared
+    // bucket becomes a PREFIX of the widest band whose length grows one
+    // bit per corpus doubling: blen = clamp(floor(log2 n) - targetLog2,
+    // bitsPerTable, maxBits), holding expected occupancy near
+    // 2^targetLog2. floor(log2 n) = length(bin(n)) - 1 — exact integer
+    // arithmetic the DuckDB twin reproduces from the same count. Table
+    // anchors keep the stride-bitsPerTable layout (the minimum width IS
+    // the classic banding; fixture-scale behavior is unchanged), widths
+    // overlap adjacent tables' dims past the stride. Recall at the band
+    // widening is a measured, graceful decay on near-dup workloads
+    // (true pairs are high-cosine: p_agree ≈ 0.97/bit at cos 0.99);
+    // low-threshold mining keeps more tables or an IVF prefilter.
+    val keyedWide = {
+      val tableKeys = (0 until tables).map { t =>
+        val dims = t * bitsPerTable + 1 to t * bitsPerTable + widest
+        struct(lit(t).as("tbl"),
+          concat(dims.map(i =>
+            when(element_at(col("vec"), i) >= 0, "1").otherwise("0")): _*).as("bucket"))
+      }
+      e.select(col("vec_id"), explode(array(tableKeys: _*)).as("k"))
+        .select(col("vec_id"), col("k.tbl").as("tbl"), col("k.bucket").as("bucket"))
     }
-    val keyed = e.select(col("vec_id"), explode(array(tableKeys: _*)).as("k"))
-      .select(col("vec_id"), col("k.tbl").as("tbl"), col("k.bucket").as("bucket"))
+    val keyed =
+      if (widest == bitsPerTable) keyedWide
+      else {
+        val blenDf = broadcast(e.agg(count(lit(1)).as("n"))
+          .select(least(lit(widest), greatest(lit(bitsPerTable),
+            length(bin(col("n"))) - 1 - targetLog2)).as("blen")))
+        keyedWide.crossJoin(blenDf)
+          .select(col("vec_id"), col("tbl"),
+            expr("substring(bucket, 1, blen)").as("bucket"))
+      }
     val cand = keyed.as("a").join(keyed.as("b"), Seq("tbl", "bucket"))
       .filter(col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
