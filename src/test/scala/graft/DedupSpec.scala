@@ -156,6 +156,46 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall $recall too low (${lsh.size}/${exact.size})")
   }
 
+  test("adaptive band width: clamp and power-of-two boundaries, adaptive ⊆ fixed") {
+    // blen = clamp(floor(log2 n) - 5, 3, 12), floor(log2 n) computed as
+    // length(bin(n)) - 1 — lock the Spark expression at the exact
+    // doubling boundaries where an engine disagreement would bite
+    // (the DuckDB side is locked by the oracle gate at two SFs)
+    val expect = Seq(1L -> 3, 63L -> 3, 64L -> 3, 255L -> 3, 256L -> 3,
+      511L -> 3, 512L -> 4, 1023L -> 4, 1024L -> 5, 4095L -> 6, 4096L -> 7,
+      8000L -> 7, 65536L -> 11, 131072L -> 12, 1000000L -> 12)
+    val got = spark.range(1).select(expect.map { case (n, _) =>
+      least(lit(12), greatest(lit(3),
+        length(bin(lit(n))) - 1 - 5)).cast("int").as(s"n$n")
+    }: _*).collect().head
+    expect.zipWithIndex.foreach { case ((n, want), i) =>
+      assert(got.getInt(i) == want, s"blen($n): got ${got.getInt(i)}, want $want")
+    }
+    // behavioral lock: the adaptive operator's pairs are a subset of the
+    // minimum-width (fixed) operator's — a longer compared prefix can
+    // only split buckets — and every emitted cosine matches
+    val emb = Tables.load(spark, SparkTestSession.sf0001, "embeddings")
+    val fixed = Dedup.embeddingPairsLsh(emb, 0.45).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val adaptive = Dedup.embeddingPairsLsh(emb, 0.45, maxBits = 12).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(adaptive.nonEmpty)
+    adaptive.foreach { case (k, v) =>
+      assert(fixed.get(k).contains(v), s"adaptive pair $k not in fixed set")
+    }
+    // at the fixture's n the width clamps to the minimum: adaptive must
+    // equal the classic banding bit-for-bit
+    assert(adaptive == fixed)
+    // force a genuinely wider prefix (targetLog2 = 0 → blen ≈ log2 n):
+    // still sound (subset with identical cosines), strictly a prefilter
+    val wide = Dedup.embeddingPairsLsh(emb, 0.45, maxBits = 12,
+        targetLog2 = 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    wide.foreach { case (k, v) =>
+      assert(fixed.get(k).contains(v), s"wide pair $k not in fixed set")
+    }
+  }
+
   test("simhash: identical docs at hamming 0, near docs close") {
     val df = Seq(
       (1L, "spark query join stream table scan"),
