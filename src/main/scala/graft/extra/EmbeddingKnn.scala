@@ -478,15 +478,19 @@ object EmbeddingKnn {
   /** Bucketed bitext mining — [[bitextMine]]'s registered SCALE path (the
     * swap the exact twin's scaladoc promises): the A×B cosine matrix is
     * replaced by a MULTI-TABLE sign-LSH candidate join
-    * ([[Dedup.signLshTableDims]]' banding — a single wide sign pattern has
+    * (stride-`bitsPerTable` anchors — a single wide sign pattern has
     * vanishing recall, T independent narrow tables give 1-(1-p^b)^T), so
     * candidates are a shuffle keyed on (table, bucket) — never all-pairs —
-    * deduped with one distinct, then scored exactly. The margin tail is
-    * IDENTICAL ([[bitextMarginTail]]); neighborhood top-ks and sums run
-    * over the candidate set, so the criterion degrades gracefully: a mined
-    * pair stands out from its CANDIDATE neighborhoods. [[bitextRecall]]
-    * audits exactly that swap — how much of the exact mined set the
-    * bucketed run recovers (floor spec-gated in DedupSpec).
+    * deduped with one distinct, then scored exactly. The compared bucket
+    * width is ADAPTIVE (one more sign bit per pool doubling, derived from
+    * the pool counts with exact integer arithmetic the DuckDB twin
+    * mirrors — see the body comment), because any FIXED band is quadratic
+    * in pool size. The margin tail is IDENTICAL ([[bitextMarginTail]]);
+    * neighborhood top-ks and sums run over the candidate set, so the
+    * criterion degrades gracefully: a mined pair stands out from its
+    * CANDIDATE neighborhoods. [[bitextRecall]] audits exactly that swap —
+    * how much of the exact mined set the bucketed run recovers (floor
+    * spec-gated in DedupSpec).
     */
   def bitextMineLsh(emb: DataFrame, k: Int = 4,
                     minMarginPpm: Long = 1000000L, bitsPerTable: Int = 3,
