@@ -3098,12 +3098,37 @@ object SparkEntry {
          |  CAST(micros // n_vecs AS DOUBLE) / 1e6 AS mean_cdist
          |FROM per CROSS JOIN tot""".stripMargin
 
-    /** DuckDB twin of EmbeddingKnn.semanticDedup: same cells, cell-local
-      * smaller-id pairs at/above the rounded-cosine bar, keep = no such
-      * pair exists.
+    /** The seeded-IVF chain with semanticDedup's COUNT-DERIVED cell
+      * budget: nlist = clamp(n DIV 64, 16, 256) — the identical integer
+      * arithmetic as the Spark side, so cells (and the kept set) agree
+      * at any SF while mean occupancy stays near the target. Centroids
+      * are the md5-order-first 256 ids ranked once and sliced to nlist.
+      */
+    val ivfOwnCtesAdaptive: String = {
+      val sq = (1 to 64).map(i => s"(e.vec[$i]-c.cvec[$i])*(e.vec[$i]-c.cvec[$i])")
+        .mkString(" + ")
+      s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+         |nl AS (SELECT LEAST(256, GREATEST(16, count(*) // 64)) AS nlist FROM e),
+         |cent AS (SELECT cell_id, cvec FROM (
+         |      SELECT vec_id AS cell_id, vec AS cvec,
+         |        row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+         |          vec_id) AS rk
+         |      FROM e) z
+         |      WHERE rk <= (SELECT nlist FROM nl)),
+         |ad AS (SELECT e.vec_id, c.cell_id, round(sqrt($sq), 6) AS cdist
+         |      FROM e CROSS JOIN cent c),
+         |own AS (SELECT vec_id, cell_id, cdist FROM (
+         |      SELECT *, row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY cdist ASC, cell_id ASC) AS rn FROM ad) z
+         |      WHERE rn = 1)""".stripMargin
+    }
+
+    /** DuckDB twin of EmbeddingKnn.semanticDedup: same count-derived
+      * cells, cell-local smaller-id pairs at/above the rounded-cosine
+      * bar, keep = no such pair exists.
       */
     val semanticDedupSql: String =
-      s"""WITH $ivfOwnCtes,
+      s"""WITH $ivfOwnCtesAdaptive,
          |dup AS (SELECT a.vec_id,
          |      max(round(list_cosine_similarity(va.vec, vb.vec), 6)) AS max_prior_sim
          |    FROM own a JOIN own b ON a.cell_id = b.cell_id AND b.vec_id < a.vec_id

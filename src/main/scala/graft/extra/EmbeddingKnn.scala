@@ -200,9 +200,21 @@ object EmbeddingKnn {
     * the pairwise work, which is the whole trick that makes semantic dedup
     * tractable at web scale (all-pairs over the corpus is quadratic;
     * all-pairs inside a cell is quadratic in the cell, and nlist scales
-    * cells down as the corpus grows). Assignment is the deterministic
-    * [[ivfAssign]] (md5-seeded centroids), so cells — and therefore the
-    * kept set — are engine-reproducible.
+    * cells down as the corpus grows). That scaling is REAL here, not
+    * aspirational: the cell count is count-derived —
+    * nlist = clamp(n DIV occupancyTarget, minNlist, maxNlist) — so mean
+    * cell occupancy holds near the target and the within-cell pair
+    * volume stays ~linear in the corpus (the sf10 century probe measured
+    * the fixed-16-cell form at 77× cpu per 10× rows; occupancy-targeted
+    * cells brought it back to ~linear). The same integer arithmetic runs
+    * in the DuckDB twin, so cells — and therefore the kept set — remain
+    * engine-reproducible at any SF. Centroids are the md5-order-first
+    * maxNlist ids (one cheap TakeOrdered at any corpus size) ranked once
+    * and sliced to nlist. maxNlist bounds the broadcast centroid array
+    * AND the per-row assignment cost (nlist distance evals/row): past
+    * ~maxNlist·occupancyTarget vectors, raise maxNlist with the per-row
+    * budget or swap the flat argmin for a hierarchical/ANN centroid
+    * assignment — the cell-local dedup downstream is unchanged.
     *
     * Keep rule: a vector is kept iff NO smaller-id vector in its cell has
     * rounded cosine ≥ `simThreshold` — the greedy keep-first-by-id pass of
@@ -213,10 +225,28 @@ object EmbeddingKnn {
     * @return (vec_id, cell_id, keep 1/0, max_prior_sim — the similarity to
     *         the closest smaller-id cell-mate at/above the bar, else NULL)
     */
-  def semanticDedup(emb: DataFrame, nlist: Int = 16,
-                    simThreshold: Double = 0.5): DataFrame = {
-    val ad = ivfAssign(emb, nlist).filter(col("rn") === 1)
-      .select(col("vec_id"), col("vec"), col("cell_id"))
+  def semanticDedup(emb: DataFrame, minNlist: Int = 16,
+                    simThreshold: Double = 0.5, maxNlist: Int = 256,
+                    occupancyTarget: Int = 64): DataFrame = {
+    val base = emb.select(col("vec_id"), asDouble(col("embedding")).as("vec"))
+    val nlistDf = broadcast(base.agg(count(lit(1)).as("n"))
+      .select(least(lit(maxNlist), greatest(lit(minNlist),
+        expr(s"n DIV $occupancyTarget"))).as("nlist")))
+    val wMd5 = Window.orderBy(md5(col("cell_id").cast("string")), col("cell_id"))
+    val cent = base
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(maxNlist)
+      .select(col("vec_id").as("cell_id"), col("vec").as("cvec"))
+      .withColumn("rk", row_number().over(wMd5)) // ≤ maxNlist rows: tiny
+      .crossJoin(nlistDf)
+      .filter(col("rk") <= col("nlist"))
+    val centArr = cent.agg(collect_list(
+      struct(col("cell_id"), col("cvec"))).as("cents"))
+    val ad = base.crossJoin(broadcast(centArr))
+      .select(col("vec_id"), col("vec"),
+        element_at(array_sort(transform(col("cents"), c =>
+          struct(round(VectorOps.euclid(col("vec"), c("cvec")), 6).as("cdist"),
+            c("cell_id").as("cell_id")))), 1).as("r"))
+      .select(col("vec_id"), col("vec"), col("r.cell_id").as("cell_id"))
     val a = ad.select(col("vec_id").as("a_id"), col("vec").as("a_vec"), col("cell_id"))
     val b = ad.select(col("vec_id").as("b_id"), col("vec").as("b_vec"), col("cell_id"))
     val dup = a.join(b, Seq("cell_id"))
