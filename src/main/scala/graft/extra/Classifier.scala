@@ -38,7 +38,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 object Classifier {
 
   private def toks(c: Column): Column =
-    filter(split(lower(c), " "), t => t =!= "")
+    graft.functions.TextTokens.lowerSpaceTokens(c)
 
   /** The label rule normalized: NULL evaluations (e.g. a NULL source
     * against an isin whitelist) count as NEGATIVE, matching the oracle's

@@ -243,7 +243,7 @@ object CorpusOps {
     */
   def gramStream(df: DataFrame, idCol: String, textCol: String, w: Int,
                  distinct: Boolean): DataFrame = {
-    val toks = filter(split(lower(col(textCol)), " "), t => t =!= "")
+    val toks = graft.functions.TextTokens.lowerSpaceTokens(col(textCol))
     val grams = df.select(col(idCol).as("doc_id"), toks.as("toks"))
       .filter(size(col("toks")) >= w)
       .select(col("doc_id"), explode(transform(
@@ -344,7 +344,7 @@ object CorpusOps {
     *         to 6; 0.0 when the doc is too short to have an n-gram.
     */
   def repetitionMetrics(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = filter(split(lower(col(textCol)), " "), t => t =!= "")
+    val toks = graft.functions.TextTokens.lowerSpaceTokens(col(textCol))
     val base = df.select(col(idCol).as("doc_id"),
         length(col(textCol)).cast("long").as("n_chars"),
         size(toks).cast("long").as("n_tokens"),
@@ -404,7 +404,7 @@ object CorpusOps {
     */
   def packSequences(docs: DataFrame, idCol: String, textCol: String,
                     budget: Long = 2048): DataFrame = {
-    val nToks = size(filter(split(lower(col(textCol)), " "), t => t =!= ""))
+    val nToks = size(graft.functions.TextTokens.lowerSpaceTokens(col(textCol)))
       .cast("long")
     val w = Window.orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, 0)
@@ -546,7 +546,7 @@ object CorpusOps {
                     epoch: Int, numShards: Int = 8,
                     budget: Long = 2048): DataFrame = {
     require(numShards > 0 && numShards <= 65536, "numShards in (0, 65536]")
-    val nToks = size(filter(split(lower(col(textCol)), " "), t => t =!= ""))
+    val nToks = size(graft.functions.TextTokens.lowerSpaceTokens(col(textCol)))
       .cast("long")
     val key = md5(concat_ws(":", lit(epoch), col(idCol).cast("string")))
     val order = Window.partitionBy("shard").orderBy(col("skey"), col("doc_id"))
@@ -747,7 +747,7 @@ object CorpusOps {
     */
   def chunkDocuments(docs: DataFrame, idCol: String, textCol: String,
                      chunkSize: Int = 64, stride: Int = 48): DataFrame = {
-    val toks = filter(split(lower(col(textCol)), " "), t => t =!= "")
+    val toks = graft.functions.TextTokens.lowerSpaceTokens(col(textCol))
     docs.select(col(idCol).as("doc_id"), toks.as("toks"),
         size(toks).cast("long").as("n_tokens"))
       .filter(col("n_tokens") > 0)
@@ -772,7 +772,7 @@ object CorpusOps {
     */
   def chunkTexts(docs: DataFrame, idCol: String, textCol: String,
                  chunkSize: Int = 64, stride: Int = 48): DataFrame = {
-    val toks = filter(split(lower(col(textCol)), " "), t => t =!= "")
+    val toks = graft.functions.TextTokens.lowerSpaceTokens(col(textCol))
     docs.select(col(idCol).as("doc_id"), toks.as("toks"),
         size(toks).cast("long").as("n_tokens"))
       .filter(col("n_tokens") > 0)
@@ -798,7 +798,7 @@ object CorpusOps {
     *         dup_rate)
     */
   def corpusStats(docs: DataFrame): DataFrame = {
-    val nToks = size(filter(split(lower(col("text")), " "), t => t =!= ""))
+    val nToks = size(graft.functions.TextTokens.lowerSpaceTokens(col("text")))
     val perFp = docs
       .groupBy(col("lang"), col("source"),
         TextStats.fingerprintCol(col("text")).as("fp"))
@@ -852,7 +852,7 @@ object CorpusOps {
   }
 
   def corpusRollup(docs: DataFrame): DataFrame = {
-    val nToks = size(filter(split(lower(col("text")), " "), t => t =!= ""))
+    val nToks = size(graft.functions.TextTokens.lowerSpaceTokens(col("text")))
       .cast("long")
     val base = docs.select(col("lang"), col("source"),
       length(col("text")).cast("long").as("chars"), nToks.as("toks"))
@@ -893,7 +893,7 @@ object CorpusOps {
   def paddingAudit(docs: DataFrame, idCol: String, textCol: String,
                    maxLen: Int = 256, bucket: Int = 32,
                    packBudget: Long = 2048): DataFrame = {
-    val nToks = size(filter(split(lower(col(textCol)), " "), t => t =!= ""))
+    val nToks = size(graft.functions.TextTokens.lowerSpaceTokens(col(textCol)))
     val a = docs.select(least(nToks.cast("long"), lit(maxLen.toLong)).as("n"))
       .filter(col("n") > 0)
       .agg(count(lit(1)).as("n_docs"), sum("n").as("used"),

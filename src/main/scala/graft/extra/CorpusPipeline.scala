@@ -127,7 +127,7 @@ object CorpusPipeline {
                      textCol: String = "text", maxDupRatio: Double = 0.8,
                      minPctGroup: Double = 0.1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toksArr = filter(split(lower(col(textCol)), " "), t => t =!= "")
+    val toksArr = graft.functions.TextTokens.lowerSpaceTokens(col(textCol))
     // dup_word_ratio exactly as CorpusOps.repetitionMetrics computes it
     val dwr = when(size(toksArr) > 0,
       round(lit(1.0) -

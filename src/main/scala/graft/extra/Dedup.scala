@@ -31,8 +31,9 @@ object Dedup {
   /** (doc_id, term) distinct token sets. */
   private def tokenSets(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("doc_id"),
-        explode(split(lower(col(textCol)), " ")).as("term"))
-      .filter(col("term") =!= "").distinct()
+        explode(graft.functions.TextTokens.lowerSpaceTokens(col(textCol)))
+          .as("term"))
+      .distinct()
 
   /** Candidate pairs for a Jaccard join at `threshold`, via prefix filtering
     * (Chaudhuri/Ganti/Kaushik "A Primitive Operator for Similarity Joins",
@@ -126,7 +127,7 @@ object Dedup {
     // transform/array_distinct instead of the explode + corpus-wide
     // distinct exchange. Docs shorter than w tokens have no full-width
     // shingle and drop, exactly as gramStream filters them.
-    val tk = filter(split(lower(col(textCol)), " "), t => t =!= "")
+    val tk = graft.functions.TextTokens.lowerSpaceTokens(col(textCol))
     val arrs = graft.Caching.temp(df
       .select(col(idCol).as("doc_id"), tk.as("tk"))
       .filter(size(col("tk")) >= w)
@@ -262,7 +263,7 @@ object Dedup {
     // arithmetic, same lexicographic band-string order — spec-locked in
     // DedupSpec, and the `dedup_incremental` oracle rides on it).
     val toksCol = array_distinct(
-      filter(split(lower(col(textCol)), " "), t => t =!= ""))
+      graft.functions.TextTokens.lowerSpaceTokens(col(textCol)))
     bandSignaturesFromArrs(
       df.select(col(idCol).as("doc_id"), toksCol.as("toks")),
       numPerms, rowsPerBand)
@@ -307,7 +308,7 @@ object Dedup {
     */
   def tokenArraysOf(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("doc_id"),
-      array_distinct(filter(split(lower(col(textCol)), " "), t => t =!= ""))
+      array_distinct(graft.functions.TextTokens.lowerSpaceTokens(col(textCol)))
         .as("toks"))
 
   /** Session cache of the admission gate's corpus index artifacts — the
@@ -1135,8 +1136,8 @@ object Dedup {
     */
   private def simhashTf(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("doc_id"),
-        explode(split(lower(col(textCol)), " ")).as("term"))
-      .filter(col("term") =!= "")
+        explode(graft.functions.TextTokens.lowerSpaceTokens(col(textCol)))
+          .as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       .withColumn("h", conv(substring(md5(col("term")), 1, 15), 16, 10).cast("long"))
 
@@ -1280,7 +1281,7 @@ object Dedup {
     // with zero tokens produce no output row, as the former exploded form
     val arrs = graft.Caching.temp(df
       .select(col(idCol).as("doc_id"),
-        filter(split(lower(col(textCol)), " "), t => t =!= "").as("tk"))
+        graft.functions.TextTokens.lowerSpaceTokens(col(textCol)).as("tk"))
       .filter(size(col("tk")) >= 1))
     // full-width grams only (a shorter tail gram would collide with
     // genuine short grams); md5 keeps the DF shuffle narrow, as everywhere
@@ -1357,7 +1358,7 @@ object Dedup {
     */
   private def gramStream(df: DataFrame, idCol: String, textCol: String,
                          w: Int): DataFrame = {
-    val toksCol = filter(split(lower(col(textCol)), " "), t => t =!= "")
+    val toksCol = graft.functions.TextTokens.lowerSpaceTokens(col(textCol))
     df.select(col(idCol).as("doc_id"), toksCol.as("toks"))
       .filter(size(col("toks")) >= w) // shorter docs have no full-width gram
       .select(col("doc_id"), col("toks"),
@@ -1554,7 +1555,7 @@ object Dedup {
 
   def dedupParagraphs(df: DataFrame, idCol: String, textCol: String,
                       paraTokens: Int = 32): DataFrame = {
-    val toks = filter(split(lower(col(textCol)), " "), t => t =!= "")
+    val toks = graft.functions.TextTokens.lowerSpaceTokens(col(textCol))
     val arrs = graft.Caching.temp(df
       .select(col(idCol).cast("long").as("doc_id"), toks.as("toks"))
       .withColumn("n_tokens", size(col("toks")).cast("long"))
@@ -1610,7 +1611,7 @@ object Dedup {
   def boilerplateLines(df: DataFrame, idCol: String, textCol: String,
                        srcCol: String, lineTokens: Int = 16,
                        minDocs: Int = 2): DataFrame = {
-    val toks = filter(split(lower(col(textCol)), " "), t => t =!= "")
+    val toks = graft.functions.TextTokens.lowerSpaceTokens(col(textCol))
     val arrs = graft.Caching.temp(df
       .select(col(idCol).cast("long").as("doc_id"), col(srcCol).as("source"),
         toks.as("toks"))

@@ -30,7 +30,7 @@ import org.apache.spark.sql.functions._
 object Signals {
 
   private def words(c: Column): Column =
-    filter(split(lower(c), " "), t => t =!= "")
+    graft.functions.TextTokens.lowerSpaceTokens(c)
 
   /** Occurrences of literal character `ch` in `t` via length difference —
     * `translate` is a codegen string op, no regex engine in the hot loop

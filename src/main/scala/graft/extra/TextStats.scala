@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
 object TextStats {
 
   private def toks(c: Column): Column =
-    filter(split(lower(c), " "), t => t =!= "")
+    graft.functions.TextTokens.lowerSpaceTokens(c)
 
   /** Per-document statistics + a composite quality score. */
   def stats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
@@ -530,12 +530,14 @@ object TextStats {
   }
 
   /** The normalize-and-hash fingerprint COLUMN (shared by the batch
-    * fingerprint table and the streaming dedup).
+    * fingerprint table and the streaming dedup). The normalization is the
+    * one-pass codegen [[graft.functions.TextNormalize]] — semantically
+    * `md5(trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]",
+    * ""), " +", " ")))`, which is what the DuckDB oracle twin runs;
+    * property-locked equal in TextStatsSpec.
     */
   def fingerprintCol(text: Column): Column =
-    md5(trim(regexp_replace(
-      regexp_replace(lower(text), "[^a-z0-9 ]", ""),
-      " +", " ")))
+    md5(graft.functions.TextNormalize.asciiNormalize(text))
 
   /** Document fingerprint: md5 of whitespace-normalized lowercase text with
     * non-alphanumerics stripped — stable under formatting jitter; the

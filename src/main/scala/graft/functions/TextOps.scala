@@ -69,6 +69,138 @@ object TextEntropy {
     GraftShim.column(CharEntropyMicro(GraftShim.expression(lowered)))
 }
 
+/** The fingerprint normalizer as ONE codegen byte pass:
+  * `trim(regexp_replace(regexp_replace(lower(s), "[^a-z0-9 ]", ""), " +", " "))`
+  * without java.util.regex on the hot path. Two reasons, both measured:
+  * (1) one pass, zero intermediate Strings — the Column formulation
+  * materializes three full copies per row; (2) java.util.regex is
+  * indirect-branch-bound (CharPredicate lambda dispatch), which this
+  * project's measurement host serializes catastrophically under thread
+  * concurrency — a pure-JVM control (no Spark) measured the SAME regex at
+  * 24 µs/row on 1 thread and 847 µs/row/thread on 32 threads (flat
+  * aggregate throughput), while table-lookup byte loops like this one
+  * scale perfectly (QProf; PLANS.md round-14). On real cluster cores the
+  * regex is merely ~10× slower than this loop, not ~30× per added thread.
+  *
+  * ASCII inputs (every byte < 0x80) take the exact byte loop: A–Z folded,
+  * [a-z0-9] kept, runs of spaces collapsed to one and trimmed, everything
+  * else dropped — provably the regex chain's output for ASCII. Any
+  * non-ASCII input falls back to the ORIGINAL construction
+  * (UTF8String.toLowerCase, then the two regexes) so locale-expanding
+  * lowercasings (U+0130 → "i" + combining dot) keep bit-identical
+  * fingerprints. Property-locked against the Column formulation in
+  * TextStatsSpec.
+  */
+object TextNormalize {
+  private val nonAlnum = java.util.regex.Pattern.compile("[^a-z0-9 ]")
+  private val spaceRuns = java.util.regex.Pattern.compile(" +")
+
+  def normalize(u: UTF8String): UTF8String = {
+    val b = u.getBytes
+    var ascii = true
+    var i = 0
+    while (ascii && i < b.length) { if (b(i) < 0) ascii = false; i += 1 }
+    if (!ascii) {
+      val lowered = u.toLowerCase.toString
+      val stripped = nonAlnum.matcher(lowered).replaceAll("")
+      return UTF8String.fromString(
+        spaceRuns.matcher(stripped).replaceAll(" ").trim)
+    }
+    val out = new Array[Byte](b.length)
+    var n = 0
+    var pendingSpace = false
+    i = 0
+    while (i < b.length) {
+      var c = b(i)
+      if (c >= 'A' && c <= 'Z') c = (c + 32).toByte
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+        if (pendingSpace && n > 0) { out(n) = ' '; n += 1 }
+        pendingSpace = false
+        out(n) = c
+        n += 1
+      } else if (c == ' ') pendingSpace = true
+      i += 1
+    }
+    UTF8String.fromBytes(java.util.Arrays.copyOf(out, n))
+  }
+
+  /** Column wrapper: the normalized fingerprint text. */
+  def asciiNormalize(text: Column): Column =
+    GraftShim.column(AsciiNormalize(GraftShim.expression(text)))
+}
+
+/** The engine's tokenizer as ONE codegen pass:
+  * `filter(split(lower(text), " "), t => t =!= "")` without java.util.regex
+  * (StringSplit compiles a Pattern) and without the interpreted
+  * higher-order ArrayFilter lambda — the two per-row costs every text
+  * operator was paying. Exact by construction at any input: lowercasing
+  * first through the SAME UTF8String.toLowerCase that Spark's `lower`
+  * uses (so locale expansions match bit-for-bit), then splitting on the
+  * 0x20 byte — which in UTF-8 can only ever BE the space character
+  * (continuation bytes have the high bit set), so byte-level splitting ≡
+  * character-level splitting — and dropping empty segments exactly as the
+  * filter did. Property-locked against the Column composition in
+  * TextStatsSpec. Same host-measured motivation as [[TextNormalize]]:
+  * regex is indirect-branch-bound and serializes under thread concurrency
+  * on this box; a byte loop scales perfectly (QProf; PLANS.md round-14).
+  */
+object TextTokens {
+  def tokensOf(u: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val b = u.toLowerCase.getBytes
+    var n = 0
+    var i = 0
+    var inTok = false
+    while (i < b.length) { // count tokens
+      if (b(i) == ' ') inTok = false
+      else if (!inTok) { inTok = true; n += 1 }
+      i += 1
+    }
+    val out = new Array[AnyRef](n)
+    var k = 0
+    i = 0
+    while (i < b.length) {
+      if (b(i) != ' ') {
+        val start = i
+        while (i < b.length && b(i) != ' ') i += 1
+        out(k) = UTF8String.fromBytes(java.util.Arrays.copyOfRange(b, start, i))
+        k += 1
+      } else i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Column wrapper: the non-empty lowercased space-split tokens. */
+  def lowerSpaceTokens(text: Column): Column =
+    GraftShim.column(LowerSpaceTokens(GraftShim.expression(text)))
+}
+
+/** One-pass lowercase space tokenizer (see [[TextTokens]]). */
+case class LowerSpaceTokens(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+    org.apache.spark.sql.types.StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    TextTokens.tokensOf(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextTokens.tokensOf($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** One-pass fingerprint normalization (see [[TextNormalize]]). */
+case class AsciiNormalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    TextNormalize.normalize(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextNormalize.normalize($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** One-pass char-unigram entropy in integer micronats (see [[TextEntropy]]).
   * Codegen is a single static call — the loop lives in compiled Scala, not
   * generated Java, so there is no method-size risk however wide the

@@ -218,8 +218,8 @@ object Catalog {
         val tokenStreams = chunk.flatMap { case (id, df) =>
           Profiler.typedColumns(df, "Categorical").map { c =>
             df.select(lit(id).as("dataset_id"), lit(c).as("col_name"),
-                explode(split(lower(col(c)), " ")).as("term"))
-              .filter(col("term") =!= "")
+                explode(graft.functions.TextTokens.lowerSpaceTokens(col(c)))
+                  .as("term"))
           }
         }
         tokenStreams.reduceOption(_.unionAll(_)).foreach { tokens =>

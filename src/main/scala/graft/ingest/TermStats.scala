@@ -19,11 +19,13 @@ object TermStats {
 
   /** (doc_id, term) token stream. Splits on single spaces and drops empties —
     * deliberately mirrors DuckDB `string_split(text, ' ')` for oracle parity.
+    * One-pass codegen tokenizer (see [[graft.functions.TextTokens]]); the
+    * empty-drop happens inside the expression, before the explode.
     */
   def tokens(df: DataFrame, docIdCol: String, textCol: String): DataFrame =
     df.select(col(docIdCol).as("doc_id"),
-        explode(split(lower(col(textCol)), " ")).as("term"))
-      .filter(col("term") =!= "")
+        explode(graft.functions.TextTokens.lowerSpaceTokens(col(textCol)))
+          .as("term"))
 
   /** Per-document term frequencies. */
   def termFreqs(tokensDf: DataFrame): DataFrame =
@@ -42,7 +44,7 @@ object TermStats {
     require(n == 1 || n == 2, s"unitTokens supports n in {1, 2}, got $n")
     if (n == 1) tokens(df, docIdCol, textCol)
     else {
-      val ts = filter(split(lower(col(textCol)), " "), t => t =!= "")
+      val ts = graft.functions.TextTokens.lowerSpaceTokens(col(textCol))
       df.select(col(docIdCol).as("doc_id"), ts.as("ts"))
         .filter(size(col("ts")) >= 2)
         .select(col("doc_id"), explode(bigramsOf(col("ts"))).as("term"))

@@ -94,9 +94,9 @@ object Sketches {
         Some(spread
           .select(explode(array(cats.map(c =>
             struct(lit(s"$t/$c").as("doc_id"),
-              split(lower(col(c)), " ").as("toks"))): _*)).as("e"))
-          .select(col("e.doc_id").as("doc_id"), explode(col("e.toks")).as("term"))
-          .filter(col("term") =!= ""))
+              graft.functions.TextTokens.lowerSpaceTokens(col(c))
+                .as("toks"))): _*)).as("e"))
+          .select(col("e.doc_id").as("doc_id"), explode(col("e.toks")).as("term")))
       }
     }.reduce(_.unionAll(_))
     val topTerms = TermStats.tfTopK(tokens, 10)

@@ -12,6 +12,77 @@ class TextStatsSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
+  test("AsciiNormalize ≡ the regex chain: random strings + unicode fallbacks") {
+    import org.apache.spark.sql.functions._
+    // the Column formulation the one-pass expression replaces (and the
+    // DuckDB oracle twin still runs)
+    def regexForm(c: org.apache.spark.sql.Column) =
+      trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", ""), " +", " "))
+    val gen = for {
+      n <- org.scalacheck.Gen.chooseNum(0, 60)
+      cs <- org.scalacheck.Gen.listOfN(n, org.scalacheck.Gen.frequency(
+        6 -> org.scalacheck.Gen.alphaNumChar,
+        3 -> org.scalacheck.Gen.const(' '),
+        2 -> org.scalacheck.Gen.oneOf('!', '.', ',', '-', '_', '"', '\'', '\t'),
+        1 -> org.scalacheck.Gen.oneOf('É', 'ü', 'ß', 'İ', 'K', '中')))
+    } yield cs.mkString + (if (cs.length % 7 == 0) "\ud83d\ude00" else "")
+    val samples = org.scalacheck.Gen.listOfN(400, gen)
+      .apply(org.scalacheck.Gen.Parameters.default,
+        org.scalacheck.rng.Seed(20260815L)).get
+    val edge = Seq("", "   ", "a", " a ", "a  b", "A-B_c", "İstanbul",
+      "Kelvin", "naïve  café", "ALL CAPS 123", "tab\there")
+    val df = (samples ++ edge).zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }.toDF("id", "t")
+    val rows = df.select(col("t"),
+        graft.functions.TextNormalize.asciiNormalize(col("t")).as("fast"),
+        regexForm(col("t")).as("ref"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getString(1) == r.getString(2),
+        s"normalize mismatch on ${r.getString(0).take(60)}: " +
+          s"'${r.getString(1)}' vs '${r.getString(2)}'")
+    }
+    // null flows through as null (UnaryExpression null-safety)
+    val n = df.limit(1).select(graft.functions.TextNormalize
+      .asciiNormalize(lit(null).cast("string"))).collect().head
+    assert(n.isNullAt(0))
+  }
+
+  test("LowerSpaceTokens ≡ filter(split(lower(c), \" \"), _ =!= \"\"): random + unicode") {
+    import org.apache.spark.sql.functions._
+    // the Column composition the one-pass expression replaces
+    def colForm(c: org.apache.spark.sql.Column) =
+      filter(split(lower(c), " "), t => t =!= "")
+    val gen = for {
+      n <- org.scalacheck.Gen.chooseNum(0, 60)
+      cs <- org.scalacheck.Gen.listOfN(n, org.scalacheck.Gen.frequency(
+        6 -> org.scalacheck.Gen.alphaNumChar,
+        3 -> org.scalacheck.Gen.const(' '),
+        2 -> org.scalacheck.Gen.oneOf('!', '.', ',', '-', '_', '"', '\'', '\t'),
+        1 -> org.scalacheck.Gen.oneOf('É', 'ü', 'ß', 'İ', 'K', '中')))
+    } yield cs.mkString + (if (cs.length % 7 == 0) "😀" else "")
+    val samples = org.scalacheck.Gen.listOfN(400, gen)
+      .apply(org.scalacheck.Gen.Parameters.default,
+        org.scalacheck.rng.Seed(20260815L)).get
+    val edge = Seq("", "   ", "a", " a ", "a  b", "  A  B  ", "İstanbul Kİ",
+      "Kelvin", "naïve  café", "ALL CAPS 123", "tab\there", "中 文 mixed")
+    val df = (samples ++ edge).zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }.toDF("id", "t")
+    val rows = df.select(col("t"),
+        graft.functions.TextTokens.lowerSpaceTokens(col("t")).as("fast"),
+        colForm(col("t")).as("ref"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2),
+        s"tokenize mismatch on '${r.getString(0).take(60)}': " +
+          s"${r.getSeq[String](1)} vs ${r.getSeq[String](2)}")
+    }
+    // null flows through as null (UnaryExpression null-safety)
+    val n = df.limit(1).select(graft.functions.TextTokens
+      .lowerSpaceTokens(lit(null).cast("string"))).collect().head
+    assert(n.isNullAt(0))
+  }
+
   test("lmScore: common-token docs outscore rare-token docs; empty doc is NULL") {
     val docs = Seq(
       (1L, "the the the the"),       // only common tokens
