@@ -607,39 +607,36 @@ object Multimodal {
     * informative dims would run out of distinct hyperplanes after one
     * band. Per-row, shuffle-free, deterministic under any partitioning.
     */
-  def mediaEmbedding(features: DataFrame, outDim: Int = 36): DataFrame = {
+  def mediaEmbedding(features: DataFrame, outDim: Int = 36): DataFrame =
+    features.select(col("doc_id"), col("media_type"),
+      org.apache.spark.sql.GraftShim.column(MediaEmbedExpr(
+        org.apache.spark.sql.GraftShim.expression(col("features")),
+        org.apache.spark.sql.GraftShim.expression(col("media_type")),
+        outDim)).as("embedding"))
+
+  /** The Column-composition form of [[mediaEmbedding]] — kept as the
+    * reference twin that MultimodalSpec locks [[MediaEmbedExpr]] against
+    * (same role as the regex chains the one-pass text kernels are locked
+    * to). Inlining 3 modalities × outDim dims × ~5 z-scored terms as
+    * Column arithmetic builds a multi-thousand-node projection whose
+    * generated Java runs to ~15k lines; janino intermittently fails to
+    * compile it (whole-stage fallback to interpreted eval — observed on
+    * the sf10 probe), which is why the production path is the compiled
+    * kernel.
+    */
+  private[graft] def mediaEmbeddingRef(features: DataFrame,
+                                       outDim: Int = 36): DataFrame = {
     // (centered informative dims) per modality: element_at is 1-based
     def f(i: Int): Column = element_at(col("features"), i).cast("double")
     def z(i: Int, mean: Double, std: Double): Column = (f(i) - mean) / std
-    val centered: Map[String, Seq[Column]] = Map(
-      // image decode: [w, h, meanR, meanG, meanB] — w/h carry the
-      // distinct-token count and avg token length, meanRGB carries the
-      // vowel / long-token / length ratios. Stats are the synthesized
-      // corpus's prior-epoch profile (probed once over sf0.01; stable
-      // across SFs because the generator's word pool is).
-      // Each divisor is max(prior-epoch σ, 2 × the dim's jump under a
-      // ONE-TOKEN edit — rounding/ratio quantum): plain 1/σ whitening
-      // makes random pairs isotropic but amplifies the quantization
-      // cliffs (integer pixels, 1/u ratio steps) that a single-token edit
-      // trips, scattering true near-dup pairs; flooring the divisor at
-      // twice the edit jump caps any one edit at ~0.5 units per dim.
-      "image" -> Seq(z(1, 35.81, 2.47), z(2, 21.95, 2.0),
-        z(3, 0.3477, 0.0160), z(4, 0.1961, 0.0860), z(5, 0.5607, 0.0176)),
-      // audio decode: [dur_s, rate, ch, rms, peak, n] — dur carries the
-      // distinct-token count, rms/peak carry the two sine amplitudes
-      // (n duplicates dur); sample quantization is far below σ here
-      "audio" -> Seq(z(1, 0.0853, 0.0080), z(4, 0.2288, 0.0104),
-        z(5, 0.3778, 0.0082)),
-      // video decode: [dur_s, n_frames, w, h, n_dec, meanR, meanG, meanB]
-      // — w/h carry the count and token-length stats, frame-mean RGB
-      // carries the mixed ratio stats through the two frame fills
-      "video" -> Seq(z(3, 26.52, 2.95), z(4, 14.02, 2.0),
-        z(6, 0.5261, 0.0951), z(7, 0.2736, 0.0440), z(8, 0.3833, 0.0500)))
+    val centered: Map[String, Seq[Column]] =
+      MediaEmbed.specs.map { case (m, dims) =>
+        m -> dims.map { case (i, mean, std) => z(i, mean, std) }
+      }
     val arrays = centered.map { case (m, cs) =>
-      val rnd = new java.util.Random(m.hashCode.toLong)
-      val proj = (0 until outDim).map { _ =>
-        val ws = cs.map(_ => rnd.nextGaussian())
-        cs.zip(ws).map { case (c, w) => c * lit(w) }.reduce(_ + _)
+      val w = MediaEmbed.weights(m, outDim)
+      val proj = (0 until outDim).map { d =>
+        cs.zip(w(d)).map { case (c, wdk) => c * lit(wdk) }.reduce(_ + _)
       }
       m -> array(proj.map(_.cast(FloatType)): _*)
     }
@@ -714,4 +711,118 @@ object Multimodal {
       col("meta.duration_ms").as("duration_ms"),
       col("meta.n_bytes").as("n_bytes")))
   }
+}
+
+/** Compiled kernel behind [[Multimodal.mediaEmbedding]]: whiten a
+  * modality's informative decoded dims with FIXED prior-epoch stats, then
+  * expand through a FIXED seeded Gaussian projection — the whole map as
+  * one static call instead of a multi-thousand-node Column tree (whose
+  * ~15k-line generated projection janino intermittently fails to compile,
+  * dropping the stage to interpreted eval; observed on the sf10 probe).
+  * Arithmetic is operation-for-operation the Column form's — double
+  * z-scores, weight products summed left-to-right, each dim cast to float
+  * — so outputs are bit-identical (spec-locked against
+  * [[Multimodal.mediaEmbeddingRef]] in MultimodalSpec).
+  */
+object MediaEmbed {
+  /** Per modality: (1-based feature dim, prior-epoch mean, edit-floored σ).
+    *
+    * image decode [w, h, meanR, meanG, meanB]: w/h carry the
+    * distinct-token count and avg token length, meanRGB the vowel /
+    * long-token / length ratios. audio decode [dur_s, rate, ch, rms,
+    * peak, n]: dur carries the distinct-token count, rms/peak the two
+    * sine amplitudes (n duplicates dur). video decode [dur_s, n_frames,
+    * w, h, n_dec, meanR, meanG, meanB]: w/h carry the count and
+    * token-length stats, frame-mean RGB the mixed ratios.
+    *
+    * Stats are the synthesized corpus's prior-epoch profile (probed once
+    * over sf0.01; stable across SFs because the generator's word pool
+    * is). Each divisor is max(prior-epoch σ, 2 × the dim's jump under a
+    * ONE-TOKEN edit — rounding/ratio quantum): plain 1/σ whitening makes
+    * random pairs isotropic but amplifies the quantization cliffs
+    * (integer pixels, 1/u ratio steps) that a single-token edit trips,
+    * scattering true near-dup pairs; flooring the divisor at twice the
+    * edit jump caps any one edit at ~0.5 units per dim.
+    */
+  val specs: Map[String, Seq[(Int, Double, Double)]] = Map(
+    "image" -> Seq((1, 35.81, 2.47), (2, 21.95, 2.0),
+      (3, 0.3477, 0.0160), (4, 0.1961, 0.0860), (5, 0.5607, 0.0176)),
+    "audio" -> Seq((1, 0.0853, 0.0080), (4, 0.2288, 0.0104),
+      (5, 0.3778, 0.0082)),
+    "video" -> Seq((3, 26.52, 2.95), (4, 14.02, 2.0),
+      (6, 0.5261, 0.0951), (7, 0.2736, 0.0440), (8, 0.3833, 0.0500)))
+
+  /** outDim × k Gaussian projection, seeded per modality
+    * (java.util.Random's specified generator — identical on any JVM),
+    * drawn row-major exactly as the Column form drew it.
+    */
+  private val weightCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), Array[Array[Double]]]
+  def weights(m: String, outDim: Int): Array[Array[Double]] =
+    weightCache.computeIfAbsent((m, outDim), _ => {
+      val k = specs(m).length
+      val rnd = new java.util.Random(m.hashCode.toLong)
+      Array.fill(outDim)(Array.fill(k)(rnd.nextGaussian()))
+    })
+
+  /** One row's embedding; null for an unknown modality (the Column form's
+    * unmatched when-chain) and for a features array missing a referenced
+    * dim (never produced by the decode workers, whose per-modality shapes
+    * are fixed).
+    */
+  def compute(features: org.apache.spark.sql.catalyst.util.ArrayData,
+              mediaType: org.apache.spark.unsafe.types.UTF8String,
+              outDim: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val m = mediaType.toString
+    val spec = specs.getOrElse(m, null)
+    if (spec == null) return null
+    val k = spec.length
+    val z = new Array[Double](k)
+    var j = 0
+    while (j < k) {
+      val (idx, mean, std) = spec(j)
+      if (features.numElements() < idx || features.isNullAt(idx - 1))
+        return null
+      z(j) = (features.getFloat(idx - 1).toDouble - mean) / std
+      j += 1
+    }
+    val w = weights(m, outDim)
+    val out = new Array[Float](outDim)
+    var d = 0
+    while (d < outDim) {
+      val wd = w(d)
+      var s = z(0) * wd(0)
+      j = 1
+      while (j < k) { s += z(j) * wd(j); j += 1 }
+      out(d) = s.toFloat
+      d += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+}
+
+/** features × media_type → embedding via [[MediaEmbed.compute]]. */
+case class MediaEmbedExpr(left: org.apache.spark.sql.catalyst.expressions.Expression,
+                          right: org.apache.spark.sql.catalyst.expressions.Expression,
+                          outDim: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  override def dataType: org.apache.spark.sql.types.DataType =
+    ArrayType(FloatType, containsNull = false)
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(f: Any, m: Any): Any =
+    MediaEmbed.compute(
+      f.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      m.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], outDim)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (f, m) => {
+      s"""
+         |${ev.value} = graft.extra.MediaEmbed.compute($f, $m, $outDim);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(
+      l: org.apache.spark.sql.catalyst.expressions.Expression,
+      r: org.apache.spark.sql.catalyst.expressions.Expression) =
+    copy(left = l, right = r)
 }

@@ -314,6 +314,30 @@ class MultimodalSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall $recall (${lsh.size}/${brute.size})")
   }
 
+  test("MediaEmbedExpr ≡ the Column-composition reference, bit-for-bit") {
+    // the compiled kernel must reproduce the expanded Column arithmetic
+    // exactly (double z-scores, left-to-right weighted sum, float cast) —
+    // over every modality of the real decoded corpus, at both the default
+    // and a non-default outDim
+    val feats = Multimodal.trainedFeatures(
+      Tables.load(spark, "/root/testdata/sf0.01", "documents"),
+      "spec#media:documents")
+    Seq(36, 12).foreach { outDim =>
+      val fast = Multimodal.mediaEmbedding(feats, outDim).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](2)).toMap
+      val ref = Multimodal.mediaEmbeddingRef(feats, outDim).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](2)).toMap
+      assert(fast.keySet == ref.keySet)
+      fast.foreach { case (id, v) =>
+        assert(v == ref(id), s"outDim=$outDim doc $id: $v vs ${ref(id)}") }
+    }
+    // unknown modality → NULL embedding (the unmatched when-chain)
+    import spark.implicits._
+    val odd = Seq((1L, Seq(1.0f, 2.0f), "hologram")).toDF(
+      "doc_id", "features", "media_type")
+    assert(Multimodal.mediaEmbedding(odd).collect().head.isNullAt(2))
+  }
+
   test("collapsed LSH ≡ uncollapsed LSH: identical pair set and cosines") {
     // the media corpus is exactly the collision-dense shape the exact-group
     // collapse targets (capped feature lattice → many ids share a vector);
