@@ -69,7 +69,7 @@ object CorpusOps {
     */
   def connectedComponentsDF(nodes: DataFrame, pairs: DataFrame,
                             maxRounds: Int = 50,
-                            checkpointEvery: Int = 2): DataFrame = {
+                            checkpointEvery: Int = 1): DataFrame = {
     def canon(df: DataFrame): DataFrame =
       df.select(greatest(col("a"), col("b")).as("hi"),
           least(col("a"), col("b")).as("lo"))
@@ -80,12 +80,21 @@ object CorpusOps {
         expr("bit_xor(xxhash64(hi, lo))")).collect()(0)
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
+    val dbg = sys.env.contains("GRAFT_CC_DEBUG")
+    // Lineage MUST be cut every round (checkpointEvery=1): one round's
+    // plan references the previous round's frame ~6 times (sym twice, the
+    // two star joins, the closing union), so an uncut round multiplies
+    // recomputation of everything beneath it by that fan-out —
+    // checkpointEvery=2 was measured at 70s for ONE such doubled round on
+    // a 173k-edge rep graph (driver-deterministic, both draws), vs ~1s
+    // with per-round cuts. The initial canon is cut for the same reason.
     var e = canon(pairs.select(col("id_a").cast("long").as("a"),
-      col("id_b").cast("long").as("b")))
+      col("id_b").cast("long").as("b"))).localCheckpoint(eager = false)
     var sig = signature(e)
     var round = 0
     var converged = sig._1 == 0L
     while (!converged && round < maxRounds) {
+      val t0 = System.nanoTime
       // large-star
       val sym = e.select(col("hi").as("u"), col("lo").as("v"))
         .union(e.select(col("lo").as("u"), col("hi").as("v")))
@@ -104,6 +113,9 @@ object CorpusOps {
       converged = s2 == sig
       sig = s2
       round += 1
+      if (dbg) System.err.println(
+        f"[ccDF] round $round: ${(System.nanoTime - t0) / 1e9}%.2fs " +
+          s"edges=${s2._1}")
     }
     if (!converged)
       throw new IllegalStateException(
