@@ -92,8 +92,11 @@ object MediaProf {
     time("rep-level LSH+verify (2nd)") { repPairs.count() }
     time("full collapsed") {
       graft.extra.Dedup.embeddingPairsLshCollapsed(in, 0.99, 4, 9).count() }
-    time("full uncollapsed") {
-      graft.extra.Dedup.embeddingPairsLsh(in, 0.99, 4, 9).count() }
+    // the row-level operator is known-quadratic in corpus size (the
+    // finding this probe established); only run it at bench scale
+    if (args.length > 1 && args(1) == "uncollapsed")
+      time("full uncollapsed") {
+        graft.extra.Dedup.embeddingPairsLsh(in, 0.99, 4, 9).count() }
 
     // stage-by-stage of the rep-level LSH
     val er = reps.select(col("gid").as("vec_id"), col("vec"))
@@ -121,6 +124,28 @@ object MediaProf {
       .filter(col("cos_raw") >= 0.99)
     time("verify") { ver.count() }
     time("verify (2nd)") { ver.count() }
+
+    // cluster-path decomposition (all modalities, the registered shape)
+    val inAll = emb.select(col("media_type"), col("doc_id").as("vec_id"),
+      col("embedding"))
+    val eAll = inAll.select(col("media_type"), col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("vec"))
+    val repsAll = graft.Caching.temp(eAll.groupBy("media_type", "vec")
+      .agg(min(col("vec_id")).as("gid")))
+    val repPairsAll = graft.extra.Dedup.embeddingPairsLshCollapsed(
+      repsAll.select(col("media_type"), col("gid").as("vec_id"),
+        col("vec").as("embedding")),
+      0.99, 4, 9, partitionCols = Seq("media_type"))
+    time("rep edges (verified, all modalities)") { repPairsAll.count() }
+    val repEdges = graft.Caching.temp(
+      repPairsAll.select(col("id_a"), col("id_b")))
+    time("rep edges pinned") { repEdges.count() }
+    time("ccDF over rep edges") {
+      graft.extra.CorpusOps.connectedComponentsDF(
+        repsAll.select(col("gid").as("id")),
+        repEdges.select(col("id_a"), col("id_b"))).count() }
+    time("full mediaNearDupClusters") {
+      graft.extra.Multimodal.mediaNearDupClusters(feats, 0.99).count() }
     spark.stop()
   }
 }

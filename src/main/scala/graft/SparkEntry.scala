@@ -427,6 +427,18 @@ object SparkEntry {
           T(s, d, "documents"), s"$d#media:documents"), 0.99)
         .orderBy("media_type", "id_a", "id_b")),
 
+    // the SCALE consumer of the same media near-dup relation: one cluster
+    // row per document (components at the lattice-bounded rep level)
+    // instead of the all-pairs expansion, whose TRUE volume is quadratic
+    // in clique sizes on duplication-dense corpora. Rows-only driver
+    // check (SQL can't decode PNG; components are iterative); spec-locked
+    // in MultimodalSpec consistent with the pair set.
+    "dedup_media_clusters" -> ((s, d) =>
+      graft.extra.Multimodal.mediaNearDupClusters(
+        graft.extra.Multimodal.trainedFeatures(
+          T(s, d, "documents"), s"$d#media:documents"), 0.99)
+        .orderBy("media_type", "doc_id")),
+
     // percentile-threshold quality gate: the cut is the corpus's own 10%
     // quality quantile (exact histogram quantile), not a fixed constant
     "quality_gate" -> ((s, d) =>

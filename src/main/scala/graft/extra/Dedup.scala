@@ -1067,9 +1067,17 @@ object Dedup {
     * encoders) the collapse adds a wasted shuffle — keep
     * [[embeddingPairsLsh]] there.
     */
-  def embeddingPairsLshCollapsed(emb: DataFrame, threshold: Double,
-                                 bitsPerTable: Int = 3, tables: Int = 12,
-                                 partitionCols: Seq[String] = Nil): DataFrame = {
+  /** The collapsed builder's shared prelude: distinct-vector groups, the
+    * member→group map, rep-level verified pairs and per-group self-cosine
+    * survival — consumed by [[embeddingPairsLshCollapsed]] (pair
+    * expansion) and [[embeddingClustersLshCollapsed]] (cluster labels).
+    */
+  private case class RepGraph(reps: DataFrame, members: DataFrame,
+                              repPairs: DataFrame, selfCos: DataFrame)
+
+  private def collapsedRepGraph(emb: DataFrame, threshold: Double,
+                                bitsPerTable: Int, tables: Int,
+                                partitionCols: Seq[String]): RepGraph = {
     val pc = partitionCols.map(col)
     val e = emb.select(pc ++ Seq(col("vec_id"),
       transform(col("embedding"), _.cast("double")).as("vec")): _*)
@@ -1109,26 +1117,89 @@ object Dedup {
       .filter(col("cos_raw") >= threshold)
       .select(pc ++ Seq(col("gid_a"), col("gid_b"),
         round(col("cos_raw"), 6).as("cosine")): _*)
-    // cross-group expansion: every member pair inherits its reps' cosine
-    val cross = repPairs
-      .join(members.select(col("gid").as("gid_a"), col("vec_id").as("ma")), "gid_a")
-      .join(members.select(col("gid").as("gid_b"), col("vec_id").as("mb")), "gid_b")
-      .select(pc ++ Seq(least(col("ma"), col("mb")).as("id_a"),
-        greatest(col("ma"), col("mb")).as("id_b"), col("cosine")): _*)
-    // within-group pairs: identical vectors share every bucket, so the
-    // uncollapsed operator emits all of them; their cosine is the
-    // self-cosine of the group's vector (kept as a computed value, not
-    // lit(1.0), so zero vectors and FP edge cases match the old path)
+    // within-group survival: identical vectors share every bucket, so the
+    // uncollapsed operator emits all within-group pairs; their cosine is
+    // the self-cosine of the group's vector (kept as a computed value, not
+    // lit(1.0), so zero vectors and FP edge cases match the row-level path)
     val selfCos = reps.withColumn("cos_raw",
         graft.functions.VectorOps.cosine(col("vec"), col("vec")))
       .filter(col("cos_raw") >= threshold)
       .select(pc ++ Seq(col("gid"), round(col("cos_raw"), 6).as("cosine")): _*)
+    RepGraph(reps, members, repPairs, selfCos)
+  }
+
+  def embeddingPairsLshCollapsed(emb: DataFrame, threshold: Double,
+                                 bitsPerTable: Int = 3, tables: Int = 12,
+                                 partitionCols: Seq[String] = Nil): DataFrame = {
+    val pc = partitionCols.map(col)
+    val g = collapsedRepGraph(emb, threshold, bitsPerTable, tables, partitionCols)
+    val members = g.members
+    // cross-group expansion: every member pair inherits its reps' cosine
+    val cross = g.repPairs
+      .join(members.select(col("gid").as("gid_a"), col("vec_id").as("ma")), "gid_a")
+      .join(members.select(col("gid").as("gid_b"), col("vec_id").as("mb")), "gid_b")
+      .select(pc ++ Seq(least(col("ma"), col("mb")).as("id_a"),
+        greatest(col("ma"), col("mb")).as("id_b"), col("cosine")): _*)
+    // within-group pairs at the reps' self-cosine
     val within = members.as("a").join(members.as("b"), "gid")
       .filter(col("a.vec_id") < col("b.vec_id"))
-      .join(selfCos, "gid")
+      .join(g.selfCos, "gid")
       .select(pc ++ Seq(col("a.vec_id").as("id_a"),
         col("b.vec_id").as("id_b"), col("cosine")): _*)
     cross.unionByName(within)
+  }
+
+  /** Cluster labels over the SAME near-dup relation as
+    * [[embeddingPairsLshCollapsed]], with O(corpus) output instead of the
+    * pair expansion: on duplication-dense corpora (capped feature
+    * lattices, quantized sketches) the TRUE pair count grows with the
+    * square of clique sizes — the sf10 media probe measured ~1e9 true
+    * pairs for 500k rows — so any all-pairs consumer is output-bound no
+    * matter how good the candidate generator is. Connected components run
+    * at the REP level (nodes and edges are lattice-bounded, never
+    * corpus-bounded), then labels transfer to members through one gid
+    * join: cluster_id = min vec_id over the member's component, exactly
+    * the label [[CorpusOps.dedupClusters]] would assign over the expanded
+    * pair set (gid IS its group's min member; components preserve
+    * connectivity under expansion — spec-locked in MultimodalSpec).
+    * Members of a group whose self-cosine fails the bar (zero vectors)
+    * are singletons, matching the pair operator's exclusion of their
+    * within-group pairs.
+    *
+    * @return (partitionCols…, vec_id, cluster_id, is_rep 1|0)
+    */
+  def embeddingClustersLshCollapsed(emb: DataFrame, threshold: Double,
+                                    bitsPerTable: Int = 3, tables: Int = 12,
+                                    partitionCols: Seq[String] = Nil): DataFrame = {
+    val pc = partitionCols.map(col)
+    val g = collapsedRepGraph(emb, threshold, bitsPerTable, tables, partitionCols)
+    // rep-level components: gids are globally unique vec_ids and rep
+    // pairs never cross partitions, so ONE component pass serves every
+    // partition; min-label = min gid = min member vec_id of the component
+    val repLabels = CorpusOps.connectedComponentsDF(
+      g.reps.select(col("gid").as("id")),
+      g.repPairs.select(col("gid_a").as("id_a"), col("gid_b").as("id_b")))
+      .select(col("id").as("gid"), col("cluster_id"))
+    val selfOk = g.selfCos.select(col("gid"), lit(1).as("self_ok"))
+    // groups with at least one rep-level edge: their members connect
+    // outward (and thereby to each other, transitively) even if the
+    // self-cosine failed, so they keep the component label
+    val edged = g.repPairs.select(col("gid_a").as("gid"))
+      .unionByName(g.repPairs.select(col("gid_b").as("gid")))
+      .distinct().withColumn("has_edge", lit(1))
+    g.members
+      .join(g.reps.select(pc :+ col("gid"): _*), "gid")
+      .join(repLabels, "gid")
+      .join(selfOk, Seq("gid"), "left")
+      .join(edged, Seq("gid"), "left")
+      .select(pc ++ Seq(col("vec_id"),
+        // a failed self-cosine (zero vector) removes the within-group
+        // pairs, so an EDGELESS such group's members are singletons —
+        // exactly what dedupClusters assigns over the expanded pair set
+        when(col("self_ok").isNull && col("has_edge").isNull,
+          col("vec_id")).otherwise(col("cluster_id")).as("cluster_id")): _*)
+      .withColumn("is_rep",
+        when(col("vec_id") === col("cluster_id"), 1L).otherwise(0L))
   }
 
   /** (doc_id, tf, h) term-frequency rows with the 60-bit md5 term hash —

@@ -682,6 +682,32 @@ object Multimodal {
       threshold, bitsPerTable, tables, partitionCols = Seq("media_type"))
   }
 
+  /** Cluster labels over [[mediaNearDupPairs]]' near-dup relation with
+    * O(corpus) output — the consumer a dedup pipeline actually feeds its
+    * drop list from. On this corpus the distinction is decisive: the
+    * capped feature lattice makes the TRUE pair count quadratic in clique
+    * sizes (~1e9 pairs at 500k rows on the sf10 probe), so the all-pairs
+    * operator is output-bound no matter the candidate generator, while the
+    * cluster operator's components run at the lattice-bounded rep level
+    * ([[graft.extra.Dedup.embeddingClustersLshCollapsed]]) and emit one
+    * row per document. Spec-locked consistent with the pair set:
+    * identical partition into clusters as connected components over the
+    * expanded pairs, canonical = min doc_id.
+    *
+    * @return (media_type, doc_id, cluster_id, is_rep 1|0)
+    */
+  def mediaNearDupClusters(features: DataFrame, threshold: Double,
+                           bitsPerTable: Int = 4, tables: Int = 9): DataFrame = {
+    val emb = graft.Caching.temp(
+      mediaEmbedding(features, outDim = bitsPerTable * tables))
+    graft.extra.Dedup.embeddingClustersLshCollapsed(
+      emb.select(col("media_type"), col("doc_id").as("vec_id"),
+        col("embedding")),
+      threshold, bitsPerTable, tables, partitionCols = Seq("media_type"))
+      .select(col("media_type"), col("vec_id").as("doc_id"),
+        col("cluster_id"), col("is_rep"))
+  }
+
   /** Frame sampling for video/audio rows: one output row per sampled offset,
     * with the (stub-)sliced payload. Pure generate — no shuffle.
     */

@@ -362,6 +362,35 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("mediaNearDupClusters ≡ connected components over the expanded pair set") {
+    // the O(n)-output cluster operator must induce the identical partition
+    // (and the identical min-id canonical labels) as clustering the
+    // all-pairs operator's output — per modality on the real decoded corpus
+    val feats = Multimodal.trainedFeatures(
+      Tables.load(spark, "/root/testdata/sf0.01", "documents"),
+      "spec#media:documents")
+    val thr = 0.99
+    val fast = Multimodal.mediaNearDupClusters(feats, thr).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    val pairs = Multimodal.mediaNearDupPairs(feats, thr)
+    val docs = Multimodal.mediaEmbedding(feats)
+      .select(col("media_type"), col("doc_id"))
+    val ref = Seq("image", "audio", "video").flatMap { m =>
+      extra.CorpusOps.dedupClusters(
+        docs.filter(col("media_type") === m), "doc_id",
+        pairs.filter(col("media_type") === m)
+          .select(col("id_a"), col("id_b")))
+        .collect().map(r => (m, r.getLong(0)) -> (r.getLong(1), r.getLong(2)))
+    }.toMap
+    assert(fast.keySet == ref.keySet)
+    assert(fast.size == docs.count())
+    val diff = fast.collect { case (k, v) if ref(k) != v => (k, v, ref(k)) }
+    assert(diff.isEmpty, s"first diffs: ${diff.take(5)}")
+    // sanity: clustering is non-trivial on this corpus (real dup groups)
+    assert(fast.values.map(_._1).toSet.size < fast.size)
+  }
+
   test("trainedFeatures is a session artifact: memoized, reset forces a true rebuild") {
     val docs = Tables.load(spark, SparkTestSession.sf0001, "documents").limit(20)
     Multimodal.resetFeatures(spark, "spec#media:memo")
