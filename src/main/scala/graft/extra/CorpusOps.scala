@@ -254,15 +254,17 @@ object CorpusOps {
     * here reaches every gram-based operator AND their oracles at once.
     */
   def gramStream(df: DataFrame, idCol: String, textCol: String, w: Int,
-                 distinct: Boolean): DataFrame = {
-    val toks = graft.functions.TextTokens.lowerSpaceTokens(col(textCol))
-    val grams = df.select(col(idCol).as("doc_id"), toks.as("toks"))
-      .filter(size(col("toks")) >= w)
-      .select(col("doc_id"), explode(transform(
-        sequence(lit(1), size(col("toks")) - w + 1),
-        i => array_join(slice(col("toks"), i, lit(w)), " "))).as("gram"))
-    if (distinct) grams.distinct() else grams
-  }
+                 distinct: Boolean): DataFrame =
+    // one-pass codegen kernel: the transform(sequence, slice+array_join)
+    // composition ran the lambda body interpreted per gram (Slice/ArrayJoin
+    // eval — the sf10 corpus_build probe's top stacks); identical strings,
+    // docs shorter than w tokens yield an empty array ≡ the old pre-filter.
+    // distinct = per-doc IN-ROW dedupe before the explode: rows are
+    // (doc_id, gram), so it equals the old corpus-wide DISTINCT exchange
+    // row-for-row while shuffling nothing
+    df.select(col(idCol).as("doc_id"),
+      explode(graft.functions.TextGrams.lowerSpaceGrams(
+        col(textCol), w, distinct)).as("gram"))
 
   /** Distinct word w-grams per document: (doc_id, gram). */
   def wordGrams(df: DataFrame, idCol: String, textCol: String, w: Int): DataFrame =
@@ -334,48 +336,43 @@ object CorpusOps {
     * determinism): (doc_id, top_cnt, top_len) where top_len is the gram's
     * character length.
     */
-  private def topGram(df: DataFrame, idCol: String, textCol: String,
-                      n: Int): DataFrame =
-    gramStream(df, idCol, textCol, n, distinct = false)
-      .groupBy("doc_id", "gram").agg(count(lit(1)).as("cnt"))
-      .withColumn("rn", row_number().over(Window.partitionBy("doc_id")
-        .orderBy(col("cnt").desc, col("gram").asc)))
-      .filter(col("rn") === 1)
-      .select(col("doc_id"), col("cnt").as("top_cnt"),
-        length(col("gram")).as("top_len"))
-
   /** Gopher-style repetition metrics (Rae et al. 2021, Table A1): the
     * duplicate-word ratio (1 - distinct/total tokens) and, for n ∈ {2,3},
     * the fraction of characters contained in the doc's most frequent word
     * n-gram (count × gram length / total chars). High values mark the
-    * boilerplate/looping documents every corpus filter drops. Wide one-pass
-    * token aggregate plus two (doc, gram) aggregates — all shuffles are
-    * keyed on doc_id, no cross-document data movement, linear at any scale.
+    * boilerplate/looping documents every corpus filter drops.
+    *
+    * ONE per-row projection, zero exchange: a document's top n-gram is a
+    * per-document statistic ([[graft.functions.TextGrams.topGramOf]] —
+    * same (count DESC, gram ASC) winner the former corpus-sized
+    * (doc, gram) aggregate + per-doc window selected, spec-locked equal),
+    * so at 100 TB this is a mapper, not two gram shuffles. The former
+    * aggregate form's left-join miss (doc shorter than n tokens) is the
+    * kernel's NULL struct → coalesce 0, as before.
     *
     * @return (doc_id, dup_word_ratio, top2_frac, top3_frac) — ratios rounded
     *         to 6; 0.0 when the doc is too short to have an n-gram.
     */
   def repetitionMetrics(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = graft.functions.TextTokens.lowerSpaceTokens(col(textCol))
-    val base = df.select(col(idCol).as("doc_id"),
+    def topChars(n: Int): Column = {
+      val tg = graft.functions.TextGrams.topGramStats(col(textCol), n)
+      coalesce(tg.getField("top_cnt") * tg.getField("top_len"), lit(0L))
+    }
+    df.select(col(idCol).as("doc_id"),
         length(col(textCol)).cast("long").as("n_chars"),
         size(toks).cast("long").as("n_tokens"),
-        size(array_distinct(toks)).cast("long").as("n_distinct"))
-    def frac(top: DataFrame, name: String): (DataFrame, Column) =
-      (top.select(col("doc_id"),
-        (col("top_cnt") * col("top_len")).as(s"${name}_chars")), col(s"${name}_chars"))
-    val (t2, c2) = frac(topGram(df, idCol, textCol, 2), "t2")
-    val (t3, c3) = frac(topGram(df, idCol, textCol, 3), "t3")
-    base.join(t2, Seq("doc_id"), "left").join(t3, Seq("doc_id"), "left")
+        size(array_distinct(toks)).cast("long").as("n_distinct"),
+        topChars(2).as("t2_chars"), topChars(3).as("t3_chars"))
       .select(col("doc_id"),
         when(col("n_tokens") > 0,
           round(lit(1.0) - col("n_distinct").cast("double") / col("n_tokens"), 6))
           .otherwise(0.0).as("dup_word_ratio"),
         when(col("n_chars") > 0,
-          round(coalesce(c2, lit(0L)).cast("double") / col("n_chars"), 6))
+          round(col("t2_chars").cast("double") / col("n_chars"), 6))
           .otherwise(0.0).as("top2_frac"),
         when(col("n_chars") > 0,
-          round(coalesce(c3, lit(0L)).cast("double") / col("n_chars"), 6))
+          round(col("t3_chars").cast("double") / col("n_chars"), 6))
           .otherwise(0.0).as("top3_frac"))
   }
 

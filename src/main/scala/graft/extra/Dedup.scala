@@ -127,13 +127,10 @@ object Dedup {
     // transform/array_distinct instead of the explode + corpus-wide
     // distinct exchange. Docs shorter than w tokens have no full-width
     // shingle and drop, exactly as gramStream filters them.
-    val tk = graft.functions.TextTokens.lowerSpaceTokens(col(textCol))
     val arrs = graft.Caching.temp(df
-      .select(col(idCol).as("doc_id"), tk.as("tk"))
-      .filter(size(col("tk")) >= w)
-      .select(col("doc_id"), array_distinct(transform(
-        sequence(lit(1), size(col("tk")) - w + 1),
-        i => array_join(slice(col("tk"), i, lit(w)), " "))).as("toks")))
+      .select(col(idCol).as("doc_id"), graft.functions.TextGrams
+        .lowerSpaceGrams(col(textCol), w, distinct = true).as("toks"))
+      .filter(size(col("toks")) >= 1))
     val sh = arrs.select(col("doc_id"), explode(col("toks")).as("term"))
     val sizes = arrs.select(col("doc_id"), size(col("toks")).cast("long").as("sz"))
     verifyJaccard(jaccardCandidates(sh, sizes, threshold), arrs, threshold)

@@ -174,6 +174,168 @@ object TextTokens {
     GraftShim.column(LowerSpaceTokens(GraftShim.expression(text)))
 }
 
+/** The engine's word w-gram stream as ONE codegen pass:
+  * `transform(sequence(1, n-w+1), i => array_join(slice(toks, i, w), " "))`
+  * over [[TextTokens.lowerSpaceTokens]] — without the per-gram interpreted
+  * eval the Column form pays. `transform`'s lambda body NEVER enters
+  * whole-stage codegen (LambdaFunction evals interpreted), so every gram
+  * ran Slice.nullSafeEval (an ArrayDataIndexedSeq allocation + boxed copy)
+  * plus ArrayJoin.eval — sampled as the top executor stacks of the sf10
+  * corpus_build probe, 503s cpu for repetitionMetrics alone. This kernel
+  * lowercases once (same UTF8String.toLowerCase), records token byte
+  * offsets, and builds each gram with one byte copy — output strings are
+  * byte-identical to the Column form's (single 0x20 between tokens,
+  * multi-space gaps collapsed by tokenization), property-locked in
+  * TextStatsSpec. Docs with fewer than w tokens yield an EMPTY array —
+  * under the explode every consumer applies, identical to the Column
+  * form's size(toks) >= w pre-filter.
+  */
+object TextGrams {
+  /** All w-grams of `u`'s lowercased space-split tokens, in order. */
+  private def rawGrams(u: UTF8String, w: Int): Array[AnyRef] = {
+    val b = u.toLowerCase.getBytes
+    var n = 0
+    var i = 0
+    var inTok = false
+    while (i < b.length) { // count tokens
+      if (b(i) == ' ') inTok = false
+      else if (!inTok) { inTok = true; n += 1 }
+      i += 1
+    }
+    if (n < w) return Array.empty[AnyRef]
+    val starts = new Array[Int](n)
+    val ends = new Array[Int](n)
+    var k = 0
+    i = 0
+    while (i < b.length) {
+      if (b(i) != ' ') {
+        val s = i
+        while (i < b.length && b(i) != ' ') i += 1
+        starts(k) = s; ends(k) = i; k += 1
+      } else i += 1
+    }
+    val m = n - w + 1
+    val out = new Array[AnyRef](m)
+    var g = 0
+    while (g < m) {
+      var len = w - 1 // the w-1 joining spaces
+      var j = g
+      while (j < g + w) { len += ends(j) - starts(j); j += 1 }
+      val gb = new Array[Byte](len)
+      var p = 0
+      j = g
+      while (j < g + w) {
+        if (j > g) { gb(p) = ' '; p += 1 }
+        val tl = ends(j) - starts(j)
+        System.arraycopy(b, starts(j), gb, p, tl)
+        p += tl
+        j += 1
+      }
+      out(g) = UTF8String.fromBytes(gb)
+      g += 1
+    }
+    out
+  }
+
+  def gramsOf(u: UTF8String, w: Int,
+              distinct: Boolean): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val all = rawGrams(u, w)
+    val out = if (!distinct || all.length <= 1) all
+    else { // first-occurrence order, like array_distinct
+      val seen = new java.util.HashSet[AnyRef](all.length * 2)
+      val buf = new Array[AnyRef](all.length)
+      var k = 0
+      var i = 0
+      while (i < all.length) {
+        if (seen.add(all(i))) { buf(k) = all(i); k += 1 }
+        i += 1
+      }
+      if (k == all.length) all else java.util.Arrays.copyOf(buf, k)
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** The per-document top w-gram IN-ROW — `(count, char-length)` of the
+    * most frequent gram, ties broken by binary-ascending gram exactly as
+    * `ORDER BY cnt DESC, gram ASC` does — replacing the corpus-sized
+    * (doc, gram) aggregate + per-doc window the Gopher repetition metrics
+    * paid: at 100 TB the top gram of a document is a per-row statistic,
+    * not a shuffle. NULL struct when the doc has fewer than w tokens
+    * (the left-join miss of the aggregate form).
+    */
+  def topGramOf(u: UTF8String, w: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val all = rawGrams(u, w)
+    if (all.length == 0) return null
+    val counts = new java.util.HashMap[AnyRef, Int](all.length * 2)
+    var i = 0
+    while (i < all.length) {
+      counts.merge(all(i), 1, Integer.sum _)
+      i += 1
+    }
+    var bestGram: UTF8String = null
+    var bestCnt = 0
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val g = e.getKey.asInstanceOf[UTF8String]
+      val c = e.getValue.intValue()
+      if (c > bestCnt || (c == bestCnt && g.compareTo(bestGram) < 0)) {
+        bestGram = g; bestCnt = c
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bestCnt.toLong, bestGram.numChars()))
+  }
+
+  /** Column wrapper: the space-joined word w-grams of the lowercased
+    * space-split tokens (empty array when the doc has fewer than w).
+    */
+  def lowerSpaceGrams(text: Column, w: Int, distinct: Boolean = false): Column =
+    GraftShim.column(LowerSpaceGrams(GraftShim.expression(text), w, distinct))
+
+  /** Column wrapper: struct(top_cnt, top_len) of the doc's top w-gram. */
+  def topGramStats(text: Column, w: Int): Column =
+    GraftShim.column(TopGramStats(GraftShim.expression(text), w))
+}
+
+/** One-pass word w-gram stream (see [[TextGrams]]). */
+case class LowerSpaceGrams(child: Expression, w: Int, distinct: Boolean)
+    extends UnaryExpression {
+  require(w >= 1, s"gram width must be >= 1, got $w")
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+    org.apache.spark.sql.types.StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    TextGrams.gramsOf(input.asInstanceOf[UTF8String], w, distinct)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextGrams.gramsOf($c, $w, $distinct)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Per-row top w-gram statistics (see [[TextGrams.topGramOf]]). */
+case class TopGramStats(child: Expression, w: Int) extends UnaryExpression {
+  require(w >= 1, s"gram width must be >= 1, got $w")
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("top_cnt",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("top_len",
+      org.apache.spark.sql.types.IntegerType, nullable = false)))
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    TextGrams.topGramOf(input.asInstanceOf[UTF8String], w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.functions.TextGrams.topGramOf($c, $w);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** One-pass lowercase space tokenizer (see [[TextTokens]]). */
 case class LowerSpaceTokens(child: Expression) extends UnaryExpression {
   override def dataType: DataType = org.apache.spark.sql.types.ArrayType(

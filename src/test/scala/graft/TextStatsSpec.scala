@@ -83,6 +83,94 @@ class TextStatsSpec extends AnyFunSuite {
     assert(n.isNullAt(0))
   }
 
+  test("LowerSpaceGrams ≡ transform(sequence, slice+array_join) at w ∈ {1,2,3,5}") {
+    import org.apache.spark.sql.functions._
+    // the Column composition the one-pass expression replaces; docs
+    // shorter than w get NULL here (filtered pre-explode in the old
+    // consumers) vs the kernel's empty array — equal under explode
+    def colForm(c: org.apache.spark.sql.Column, w: Int) = {
+      val toks = graft.functions.TextTokens.lowerSpaceTokens(c)
+      when(size(toks) >= w, transform(
+        sequence(lit(1), size(toks) - w + 1),
+        i => array_join(slice(toks, i, lit(w)), " ")))
+        .otherwise(array())
+    }
+    val gen = for {
+      n <- org.scalacheck.Gen.chooseNum(0, 60)
+      cs <- org.scalacheck.Gen.listOfN(n, org.scalacheck.Gen.frequency(
+        6 -> org.scalacheck.Gen.alphaNumChar,
+        3 -> org.scalacheck.Gen.const(' '),
+        1 -> org.scalacheck.Gen.oneOf('É', 'ü', 'İ', '中')))
+    } yield cs.mkString
+    val samples = org.scalacheck.Gen.listOfN(300, gen)
+      .apply(org.scalacheck.Gen.Parameters.default,
+        org.scalacheck.rng.Seed(20260815L)).get
+    val edge = Seq("", "   ", "a", "a b", "a  b   c", " x y z w ",
+      "İk Kİ mixed", "a a a a a a")
+    val df = (samples ++ edge).zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }.toDF("id", "t")
+    Seq(1, 2, 3, 5).foreach { w =>
+      val rows = df.select(col("t"),
+          graft.functions.TextGrams.lowerSpaceGrams(col("t"), w).as("fast"),
+          colForm(col("t"), w).as("ref"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.getSeq[String](1) == r.getSeq[String](2),
+          s"w=$w mismatch on '${r.getString(0).take(50)}': " +
+            s"${r.getSeq[String](1)} vs ${r.getSeq[String](2)}")
+      }
+    }
+    val n = df.limit(1).select(graft.functions.TextGrams
+      .lowerSpaceGrams(lit(null).cast("string"), 2)).collect().head
+    assert(n.isNullAt(0))
+    // in-kernel distinct ≡ array_distinct over the full stream
+    Seq(1, 2, 3).foreach { w =>
+      df.select(
+          graft.functions.TextGrams.lowerSpaceGrams(col("t"), w,
+            distinct = true).as("fast"),
+          array_distinct(graft.functions.TextGrams
+            .lowerSpaceGrams(col("t"), w)).as("ref"))
+        .collect().foreach { r =>
+          assert(r.getSeq[String](0) == r.getSeq[String](1), s"w=$w distinct") }
+    }
+  }
+
+  test("TopGramStats ≡ the (doc, gram) aggregate + window winner") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val gen = for {
+      n <- org.scalacheck.Gen.chooseNum(0, 40)
+      cs <- org.scalacheck.Gen.listOfN(n, org.scalacheck.Gen.frequency(
+        4 -> org.scalacheck.Gen.oneOf('a', 'b', 'c'), // tiny alphabet → ties
+        2 -> org.scalacheck.Gen.const(' ')))
+    } yield cs.mkString
+    val samples = org.scalacheck.Gen.listOfN(300, gen)
+      .apply(org.scalacheck.Gen.Parameters.default,
+        org.scalacheck.rng.Seed(20260815L)).get
+    val edge = Seq("", "a", "a b a b a", "x y x y", "z z z",
+      "b a b a b", "one two one two three")
+    val df = (samples ++ edge).zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }.toDF("doc_id", "t")
+    Seq(2, 3).foreach { w =>
+      val tg = graft.functions.TextGrams.topGramStats(col("t"), w)
+      val fast = df.select(col("doc_id"), tg.getField("top_cnt").as("c"),
+          tg.getField("top_len").as("l")).collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some((r.getLong(1), r.getInt(2))))).toMap
+      // the former aggregate form: corpus-sized (doc, gram) count + window
+      val ref = graft.extra.CorpusOps.gramStream(df, "doc_id", "t", w,
+          distinct = false)
+        .groupBy("doc_id", "gram").agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(Window.partitionBy("doc_id")
+          .orderBy(col("cnt").desc, col("gram").asc)))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("cnt"), length(col("gram")).as("len"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+      fast.foreach { case (id, v) =>
+        assert(v == ref.get(id), s"w=$w doc $id: $v vs ${ref.get(id)}") }
+    }
+  }
+
   test("lmScore: common-token docs outscore rare-token docs; empty doc is NULL") {
     val docs = Seq(
       (1L, "the the the the"),       // only common tokens
