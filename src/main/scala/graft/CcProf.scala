@@ -41,6 +41,12 @@ object CcProf {
       graft.extra.CorpusOps.connectedComponentsDF(nodes, repEdges).count() }
     time("graphx cc") {
       graft.extra.CorpusOps.connectedComponents(nodes, repEdges).count() }
+    time("ccAuto") {
+      graft.extra.CorpusOps.connectedComponentsAuto(nodes, repEdges).count() }
+    time("full clusters op (1st)") {
+      graft.extra.Multimodal.mediaNearDupClusters(feats, 0.99).count() }
+    time("full clusters op (2nd)") {
+      graft.extra.Multimodal.mediaNearDupClusters(feats, 0.99).count() }
     spark.stop()
   }
 }

@@ -127,6 +127,77 @@ object CorpusOps {
       .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
   }
 
+  /** [[connectedComponentsDF]] with a driver union-find fast path for
+    * BOUNDED graphs: when both node and edge counts fit `maxDriverRows`,
+    * collect and label on the driver (union-find with path compression,
+    * then min-id per component — the identical labels both distributed
+    * algorithms converge to, spec-locked), else run the distributed loop.
+    *
+    * The gate exists for graphs whose size is bounded by something other
+    * than the corpus — the media rep graph is bounded by the feature
+    * LATTICE (11k nodes / 173k edges at sf10, flat in the corpus), so its
+    * component pass is driver-trivial at any SF while the star loop pays
+    * ~7 Spark rounds of fixed job overhead (measured 5-7s at bench scale
+    * for a graph that union-finds in microseconds). Corpus-bounded graphs
+    * blow the budget and take the distributed path unchanged — the same
+    * documented-bound-plus-fallback contract as CombinedScorer.metaStats.
+    */
+  def connectedComponentsAuto(nodes: DataFrame, pairs: DataFrame,
+                              maxDriverRows: Long = 2000000L): DataFrame = {
+    val spark = nodes.sparkSession
+    val probe = boundedCollect(nodes, pairs, maxDriverRows)
+    if (probe.isEmpty) return connectedComponentsDF(nodes, pairs)
+    val (ids, edges) = probe.get
+    val labelOf = unionFindLabels(ids, edges)
+    import spark.implicits._
+    ids.map(id => (id, labelOf.get(id))).toSeq.toDF("id", "cluster_id")
+  }
+
+  /** (node ids, edges) if BOTH fit `maxDriverRows`, else None — two
+    * limit-probed collect jobs, no separate count jobs.
+    */
+  private[extra] def boundedCollect(nodes: DataFrame, pairs: DataFrame,
+      maxDriverRows: Long): Option[(Array[Long], Array[(Long, Long)])] = {
+    val lim = (math.min(maxDriverRows, Int.MaxValue - 1L) + 1L).toInt
+    val n = nodes.select(col("id").cast("long")).limit(lim).collect()
+    if (n.length >= lim) return None
+    val e = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .limit(lim).collect()
+    if (e.length >= lim) return None
+    Some((n.map(_.getLong(0)), e.map(r => (r.getLong(0), r.getLong(1)))))
+  }
+
+  /** Driver union-find with path compression; returns id → component-min
+    * label for every id in `ids` ∪ edge endpoints.
+    */
+  private[extra] def unionFindLabels(ids: Array[Long],
+      edges: Array[(Long, Long)]): java.util.HashMap[Long, Long] = {
+    val parent = new java.util.HashMap[Long, Long](ids.length * 2)
+    ids.foreach(id => parent.put(id, id))
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x // path compression
+      while (parent.get(c) != r) { val nx = parent.get(c); parent.put(c, r); c = nx }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      if (!parent.containsKey(a)) parent.put(a, a)
+      if (!parent.containsKey(b)) parent.put(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+    }
+    val minOf = new java.util.HashMap[Long, Long]()
+    parent.keySet().forEach { id =>
+      val r = find(id)
+      val cur = minOf.getOrDefault(r, Long.MaxValue)
+      if (id < cur) minOf.put(r, id)
+    }
+    val labels = new java.util.HashMap[Long, Long](parent.size() * 2)
+    parent.keySet().forEach { id => labels.put(id, minOf.get(find(id))) }
+    labels
+  }
+
   /** Dedup clustering: near-dup pairs (from any of Dedup's generators) →
     * per-document cluster assignment plus the keep/drop decision (keep the
     * minimum doc_id of each cluster — the standard canonicalization in

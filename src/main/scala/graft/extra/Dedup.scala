@@ -1170,25 +1170,48 @@ object Dedup {
                                     partitionCols: Seq[String] = Nil): DataFrame = {
     val pc = partitionCols.map(col)
     val g = collapsedRepGraph(emb, threshold, bitsPerTable, tables, partitionCols)
-    // rep-level components: gids are globally unique vec_ids and rep
-    // pairs never cross partitions, so ONE component pass serves every
-    // partition; min-label = min gid = min member vec_id of the component
-    val repLabels = CorpusOps.connectedComponentsDF(
-      g.reps.select(col("gid").as("id")),
-      g.repPairs.select(col("gid_a").as("id_a"), col("gid_b").as("id_b")))
-      .select(col("id").as("gid"), col("cluster_id"))
+    // pin the verified rep edges: this operator references them from
+    // several separate actions/branches — unpinned, each re-ran the LSH
+    // bucket join + cosine verify
+    val repPairs = graft.Caching.temp(
+      g.repPairs.select(col("gid_a"), col("gid_b")))
     val selfOk = g.selfCos.select(col("gid"), lit(1).as("self_ok"))
-    // groups with at least one rep-level edge: their members connect
-    // outward (and thereby to each other, transitively) even if the
-    // self-cosine failed, so they keep the component label
-    val edged = g.repPairs.select(col("gid_a").as("gid"))
-      .unionByName(g.repPairs.select(col("gid_b").as("gid")))
-      .distinct().withColumn("has_edge", lit(1))
+    // Rep-level components: gids are globally unique vec_ids and rep
+    // pairs never cross partitions, so ONE component pass serves every
+    // partition; min-label = min gid = min member vec_id of the component.
+    // The rep graph is LATTICE-bounded (distinct vectors, not rows), so a
+    // bounded driver union-find almost always applies — labels AND the
+    // has-any-edge flag come out of one collected edge list, two small
+    // jobs and one broadcastable (gid, cluster_id, has_edge) frame. Past
+    // the budget (a genuinely corpus-shaped graph): the distributed star
+    // loop plus the DF-side edge flag, identical labels by CorpusOpsSpec.
+    val spark = emb.sparkSession
+    val repMeta: DataFrame = CorpusOps.boundedCollect(
+      g.reps.select(col("gid").as("id")),
+      repPairs.select(col("gid_a").as("id_a"), col("gid_b").as("id_b")),
+      maxDriverRows = 2000000L) match {
+      case Some((ids, edges)) =>
+        val labelOf = CorpusOps.unionFindLabels(ids, edges)
+        val edgedIds = new java.util.HashSet[Long](edges.length * 2)
+        edges.foreach { case (a, b) => edgedIds.add(a); edgedIds.add(b) }
+        import spark.implicits._
+        ids.map(id => (id, labelOf.get(id),
+          if (edgedIds.contains(id)) Some(1) else None)).toSeq
+          .toDF("gid", "cluster_id", "has_edge")
+      case None =>
+        val labels = CorpusOps.connectedComponentsDF(
+          g.reps.select(col("gid").as("id")),
+          repPairs.select(col("gid_a").as("id_a"), col("gid_b").as("id_b")))
+          .select(col("id").as("gid"), col("cluster_id"))
+        val edged = repPairs.select(col("gid_a").as("gid"))
+          .unionByName(repPairs.select(col("gid_b").as("gid")))
+          .distinct().withColumn("has_edge", lit(1))
+        labels.join(edged, Seq("gid"), "left")
+    }
     g.members
       .join(g.reps.select(pc :+ col("gid"): _*), "gid")
-      .join(repLabels, "gid")
+      .join(repMeta, "gid")
       .join(selfOk, Seq("gid"), "left")
-      .join(edged, Seq("gid"), "left")
       .select(pc ++ Seq(col("vec_id"),
         // a failed self-cosine (zero vector) removes the within-group
         // pairs, so an EDGELESS such group's members are singletons —

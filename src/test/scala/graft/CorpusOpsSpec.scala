@@ -544,6 +544,30 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("connectedComponentsAuto: driver union-find ≡ distributed, both gate sides") {
+    import spark.implicits._
+    val cases = Seq(
+      ((0L to 30L), (0L until 30L).map(i => (i, i + 1))),       // chain
+      ((0L to 10L), (1L to 10L).map(i => (5L, i)) :+ (7L, 0L)), // star, min at leaf
+      ((0L to 9L), Seq((1L, 2L), (2L, 3L), (6L, 7L), (9L, 6L))),
+      ((0L to 4L), Seq.empty[(Long, Long)])                      // singletons only
+    )
+    cases.foreach { case (nodes, pairs) =>
+      val n = nodes.toDF("id"); val p = pairs.toDF("id_a", "id_b")
+      val want = CorpusOps.connectedComponentsDF(n, p).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      graft.Caching.release()
+      // driver path (budget huge) and forced distributed path (budget 1)
+      val fast = CorpusOps.connectedComponentsAuto(n, p).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val slow = CorpusOps.connectedComponentsAuto(n, p, maxDriverRows = 1L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      graft.Caching.release()
+      assert(fast == want, s"driver path, pairs=$pairs")
+      assert(slow == want, s"forced distributed path, pairs=$pairs")
+    }
+  }
+
   test("splitLeakage: straddling near-dup pairs counted per split pair") {
     import spark.implicits._
     // pairs (2k, 2k+1) are exact duplicates; pair texts mutually disjoint
