@@ -43,12 +43,14 @@ object TermStats {
                  n: Int): DataFrame = {
     require(n == 1 || n == 2, s"unitTokens supports n in {1, 2}, got $n")
     if (n == 1) tokens(df, docIdCol, textCol)
-    else {
-      val ts = graft.functions.TextTokens.lowerSpaceTokens(col(textCol))
-      df.select(col(docIdCol).as("doc_id"), ts.as("ts"))
-        .filter(size(col("ts")) >= 2)
-        .select(col("doc_id"), explode(bigramsOf(col("ts"))).as("term"))
-    }
+    else
+      // one-pass kernel: byte-identical rows to
+      // explode(bigramsOf(lowerSpaceTokens(text))) behind the old
+      // size >= 2 pre-filter (kernel yields an empty array there) —
+      // TermStatsSpec locks kernel ≡ the canonical zip-shift construction
+      df.select(col(docIdCol).as("doc_id"),
+        explode(graft.functions.TextGrams.lowerSpaceGrams(col(textCol), 2))
+          .as("term"))
   }
 
   /** Adjacent space-joined bigrams of a token-array column — THE canonical

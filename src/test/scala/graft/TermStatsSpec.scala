@@ -19,6 +19,24 @@ class TermStatsSpec extends AnyFunSuite {
     assert(t.filter($"term" === "").count() == 0)
   }
 
+  test("unitTokens(n=2) kernel ≡ the canonical zip-shift bigramsOf stream") {
+    import org.apache.spark.sql.functions._
+    val texts = Seq("", "a", "a b", "A  B c", " x y  z ", "a a a",
+      "İk Kİ step", "one two three four").zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }.toDF("doc_id", "text")
+    val fast = TermStats.unitTokens(texts, "doc_id", "text", n = 2)
+      .groupBy("doc_id", "term").count().collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val ts = graft.functions.TextTokens.lowerSpaceTokens(col("text"))
+    val ref = texts.select(col("doc_id"), ts.as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .select(col("doc_id"), explode(TermStats.bigramsOf(col("ts"))).as("term"))
+      .groupBy("doc_id", "term").count().collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(fast == ref)
+    assert(fast.nonEmpty)
+  }
+
   test("tfTopK ranks by tf desc then term asc") {
     val top = TermStats.tfTopK(TermStats.tokens(docs, "doc_id", "text"), 2)
       .orderBy("doc_id", "rank").collect()
