@@ -509,29 +509,34 @@ object Dedup {
         case None => false
         case Some(_) if batchId.exists(id =>
           appliedGramBatches.contains((k._1, k._2, writerId, id))) => true
-        case Some(_)
-          // EMPTY-BATCH guard (ADVICE r13): a micro-batch whose admitted
-          // set nets no gram rows (all docs rejected, or a replay whose
-          // verdicts all came back keep=0) must not append an empty
-          // segment — unguarded, every such batch grows the segment list
-          // and triggers needless full per-gh compactions. The batch id is
-          // still recorded below so the replay contract holds (a re-retry
-          // of the same batch stays a no-op even if its admitted set were
-          // to differ).
-          if gramStats(admitted, idCol, textCol, minLen).isEmpty =>
-          batchId.foreach(id =>
-            appliedGramBatches.add((k._1, k._2, writerId, id)))
-          true
         case Some(segs0) =>
-          val segs = segs0 :+ graft.Caching.pinArtifact(
+          // ONE aggregation pass: pin the batch segment first, check
+          // emptiness on the PINNED artifact (a cache-backed count, not a
+          // second run of the groupBy), and drop it again if empty —
+          // the former pattern-guard form ran the full gram aggregation
+          // twice per non-empty batch, both under this lock.
+          val seg = graft.Caching.pinArtifact(
             gramStats(admitted, idCol, textCol, minLen))
-          val kept =
-            if (segs.size <= maxSegments) segs
-            else Vector(graft.Caching.pinArtifact(
-              segs.reduce(_ unionByName _).groupBy("gh")
-                .agg(sum("n_docs").as("n_docs"), sum("n_occ").as("n_occ"))))
-          gramCache.put(k, kept)
-          if (kept ne segs) segs.foreach(graft.Caching.dropArtifact)
+          if (seg.isEmpty) {
+            // EMPTY-BATCH guard (ADVICE r13): a micro-batch whose admitted
+            // set nets no gram rows (all docs rejected, or a replay whose
+            // verdicts all came back keep=0) must not append an empty
+            // segment — unguarded, every such batch grows the segment list
+            // and triggers needless full per-gh compactions. The batch id
+            // is still recorded so the replay contract holds (a re-retry
+            // of the same batch stays a no-op even if its admitted set
+            // were to differ).
+            graft.Caching.dropArtifact(seg)
+          } else {
+            val segs = segs0 :+ seg
+            val kept =
+              if (segs.size <= maxSegments) segs
+              else Vector(graft.Caching.pinArtifact(
+                segs.reduce(_ unionByName _).groupBy("gh")
+                  .agg(sum("n_docs").as("n_docs"), sum("n_occ").as("n_occ"))))
+            gramCache.put(k, kept)
+            if (kept ne segs) segs.foreach(graft.Caching.dropArtifact)
+          }
           batchId.foreach(id =>
             appliedGramBatches.add((k._1, k._2, writerId, id)))
           true
@@ -1007,7 +1012,14 @@ object Dedup {
         val dims = t * bitsPerTable + 1 to t * bitsPerTable + widest
         struct(lit(t).as("tbl"),
           concat(dims.map(i =>
-            when(element_at(col("vec"), i) >= 0, "1").otherwise("0")): _*).as("bucket"))
+            // the size guard keeps out-of-range dims unread (ANSI
+            // element_at throws; non-ANSI would silently pad) — the
+            // compared prefix below never extends past the REAL bit
+            // supply, so the '0' filler is never part of a bucket key
+            // on the adaptive path
+            when(lit(i) <= size(col("vec")),
+              when(element_at(col("vec"), i) >= 0, "1").otherwise("0"))
+              .otherwise("0")): _*).as("bucket"))
       }
       e.select(col("vec_id"), explode(array(tableKeys: _*)).as("k"))
         .select(col("vec_id"), col("k.tbl").as("tbl"), col("k.bucket").as("bucket"))
@@ -1015,9 +1027,21 @@ object Dedup {
     val keyed =
       if (widest == bitsPerTable) keyedWide
       else {
-        val blenDf = broadcast(e.agg(count(lit(1)).as("n"))
-          .select(least(lit(widest), greatest(lit(bitsPerTable),
-            length(bin(col("n"))) - 1 - targetLog2)).as("blen")))
+        // blen is additionally capped by the corpus's actual embedding
+        // width: the last table's bit supply is dim - (tables-1)·stride,
+        // and widening the compared prefix past it would compare the
+        // constant filler — occupancy would stop halving per bit and the
+        // quadratic candidate growth the adaptive band exists to prevent
+        // would silently return. At the registered 64-dim embeddings the
+        // cap is 31 ≥ maxBits = 12, so the DuckDB twin's count-only
+        // formula stays the identical arithmetic.
+        val blenDf = broadcast(
+          e.agg(count(lit(1)).as("n"), min(size(col("vec"))).as("dim"))
+            .select(greatest(lit(bitsPerTable), least(
+              lit(widest),
+              col("dim") - (tables - 1) * bitsPerTable,
+              greatest(lit(bitsPerTable),
+                length(bin(col("n"))) - 1 - targetLog2))).as("blen")))
         keyedWide.crossJoin(blenDf)
           .select(col("vec_id"), col("tbl"),
             expr("substring(bucket, 1, blen)").as("bucket"))

@@ -549,17 +549,30 @@ object EmbeddingKnn {
     // projection (the mediaEmbedding pattern) before banding.
     require((tables - 1) * bitsPerTable + maxBits <= 64,
       s"band layout exceeds the embedding dimension budget")
+    // blen is capped by the pools' ACTUAL embedding width too (last
+    // table's bit supply = dim - (tables-1)·stride): comparing past it
+    // would compare constant filler bits and quietly stop halving bucket
+    // occupancy per added bit. 64-dim pools cap at 31 ≥ maxBits = 12, so
+    // the DuckDB twin's count-only formula remains identical arithmetic.
     val blenDf = broadcast(
-      a.agg(count(lit(1)).as("na")).crossJoin(b.agg(count(lit(1)).as("nb")))
-        .select(least(lit(maxBits), greatest(lit(bitsPerTable),
-          length(bin(greatest(col("na"), col("nb")))) - 1 - targetLog2))
+      a.agg(count(lit(1)).as("na"), min(size(col("a_vec"))).as("da"))
+        .crossJoin(b.agg(count(lit(1)).as("nb"), min(size(col("b_vec"))).as("db")))
+        .select(greatest(lit(bitsPerTable), least(
+          lit(maxBits),
+          least(col("da"), col("db")) - (tables - 1) * bitsPerTable,
+          greatest(lit(bitsPerTable),
+            length(bin(greatest(col("na"), col("nb")))) - 1 - targetLog2)))
           .as("blen")))
     def keys(vecCol: String) = explode(array(
       (0 until tables).map { t =>
         val dims = t * bitsPerTable + 1 to t * bitsPerTable + maxBits
         struct(lit(t).as("tbl"),
           concat(dims.map(i =>
-            when(element_at(col(vecCol), i) >= 0, "1").otherwise("0")): _*)
+            // unread past the vector's end (ANSI element_at throws); the
+            // compared prefix never reaches the filler
+            when(lit(i) <= size(col(vecCol)),
+              when(element_at(col(vecCol), i) >= 0, "1").otherwise("0"))
+              .otherwise("0")): _*)
             .as("bucket"))
       }: _*))
     val ka = a.select(col("a_id"), keys("a_vec").as("k"))

@@ -112,7 +112,11 @@ object Multimodal {
             Row(id, wav, "audio", Row(null, null, nS / 8L, wav.length.toLong))
           case _ =>
             val w = 16 + 2 * math.min(7, u / 4)
-            val h = 8 + 2 * math.round(math.min(5.0f, (al - 3) * 2))
+            // floor at 2: al < 1.25 (near-all 1-char tokens, or the empty
+            // doc where al = 0) would otherwise drive h ≤ 0 and
+            // BufferedImage throws — the image branch's own floor is 4
+            val h = math.max(2,
+              8 + 2 * math.round(math.min(5.0f, (al - 3) * 2)))
             val avi = encodeAviMjpeg(w, h,
               Seq(packRgb(vr, lr, al / 8), packRgb(uf, vr, lr)))
             Row(id, avi, "video", Row(w, h, 80L, avi.length.toLong))

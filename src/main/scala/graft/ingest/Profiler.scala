@@ -113,9 +113,23 @@ object Profiler {
     * a missed optimization. Driver-side footer reads are the single-node
     * form; at lake scale these same bounds come from the table catalog /
     * metastore column stats or the previous profiling epoch.
+    *
+    * Footer bounds are only valid for frames that are ROW/VALUE SUBSETS
+    * of the scanned files, so the gate additionally requires the analyzed
+    * plan to be a Project/Filter chain over ONE relation (a union
+    * re-reading the same file doubles rows past the footer row count; a
+    * row-multiplying join or explode likewise; both return empty here and
+    * stay ungated), and drops any column whose name is (re)defined by an
+    * Alias along the chain (an expression aliased to a physical column's
+    * name would inherit that column's bound while carrying different
+    * values).
     */
   def parquetGateBounds(df: DataFrame): Map[String, (Double, Long)] = {
     import scala.jdk.CollectionConverters._
+    val tainted = subsetSafeTaint(df) match {
+      case None => return Map.empty // not a pure subset of one relation
+      case Some(t) => t
+    }
     val files = try df.inputFiles.toSeq catch { case _: Exception => Seq.empty }
     if (files.isEmpty) return Map.empty
     try {
@@ -157,10 +171,34 @@ object Profiler {
       val allCols = perFile.flatMap(_._2.keys).distinct
       allCols.flatMap { c =>
         val ms = perFile.map(_._2.getOrElse(c, None))
-        if (ms.exists(_.isEmpty)) None
+        if (ms.exists(_.isEmpty) || tainted.contains(c)) None
         else Some(c -> (ms.flatten.max, totalRows))
       }.toMap
     } catch { case _: Exception => Map.empty }
+  }
+
+  /** Some(alias-tainted column names) iff `df`'s analyzed plan is a pure
+    * Project/Filter/alias chain over exactly ONE leaf relation — the shape
+    * for which parquet footer bounds are sound (filters and projections
+    * only drop rows/columns; attribute values pass through unchanged).
+    * None for anything row-multiplying or value-changing at the plan level
+    * (union, join, generate, aggregate, window, …). Columns named by an
+    * Alias anywhere in the chain are tainted: their values are computed,
+    * whatever the physical column of the same name holds.
+    */
+  private def subsetSafeTaint(df: DataFrame): Option[Set[String]] = {
+    import org.apache.spark.sql.catalyst.plans.logical
+    def walk(p: logical.LogicalPlan): Option[Set[String]] = p match {
+      case pr: logical.Project =>
+        walk(pr.child).map(_ ++ pr.projectList.collect {
+          case a: org.apache.spark.sql.catalyst.expressions.Alias => a.name
+        })
+      case f: logical.Filter => walk(f.child)
+      case s: logical.SubqueryAlias => walk(s.child)
+      case l: logical.LeafNode => Some(Set.empty)
+      case _ => None
+    }
+    try walk(df.queryExecution.analyzed) catch { case _: Exception => None }
   }
 
   /** The non-distinct half of numeric profiling: ONE wide agg (no Expand)

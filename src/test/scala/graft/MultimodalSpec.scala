@@ -314,6 +314,31 @@ class MultimodalSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall $recall (${lsh.size}/${brute.size})")
   }
 
+  test("synthesizeEncoded survives degenerate texts in every modality") {
+    import spark.implicits._
+    // empty text, whitespace-only, all-1-char tokens (avg token length
+    // far below the shape mappings' centers) — in each doc_id % 3 branch;
+    // the video height mapping used to go ≤ 0 here and BufferedImage
+    // throws on non-positive dimensions
+    val degenerate = (0L until 9L).map { id =>
+      (id, id / 3 match {
+        case 0 => ""
+        case 1 => "   "
+        case _ => "a b c d e"
+      })
+    }.toDF("doc_id", "text")
+    val media = Multimodal.synthesizeEncoded(degenerate).collect()
+    assert(media.length == 9)
+    media.foreach { r =>
+      assert(r.getAs[Array[Byte]]("media").nonEmpty, s"doc ${r.getLong(0)}") }
+    // and the decode workers read them back
+    val feats = Multimodal.extractFeaturesRouted(
+      Multimodal.synthesizeEncoded(degenerate)).collect()
+    assert(feats.length == 9)
+    feats.foreach { r =>
+      assert(r.getSeq[Float](2).nonEmpty, s"doc ${r.getLong(0)}") }
+  }
+
   test("MediaEmbedExpr ≡ the Column-composition reference, bit-for-bit") {
     // the compiled kernel must reproduce the expanded Column arithmetic
     // exactly (double z-scores, left-to-right weighted sum, float cast) —

@@ -121,6 +121,38 @@ class ProfilerSpec extends AnyFunSuite {
     assert(!gated("d_nan").contains(null) || gated("d_nan") == ungated("d_nan"))
   }
 
+  test("footer range gate refuses non-subset frames and alias-shadowed columns") {
+    import org.apache.spark.sql.functions.col
+    // footer bounds only hold for row/value subsets of the scanned files:
+    // a self-union doubles rows past the footer row count (inputFiles
+    // dedupes), a computed column aliased to a physical column's name
+    // carries different values under that column's bound — both must stay
+    // UNGATED (empty map / column dropped), while plain filters and
+    // projections keep the gate.
+    val df = (0 until 100).map(i => (i * 1.5, i * 2.5)).toDF("x", "y")
+    val dir = java.nio.file.Files.createTempDirectory("gatesafe").toString
+    df.write.mode("overwrite").parquet(dir)
+    val onDisk = spark.read.parquet(dir)
+    assert(Profiler.parquetGateBounds(onDisk).contains("x"))
+    // filter/project subset: still gated
+    assert(Profiler.parquetGateBounds(
+      onDisk.filter(col("x") > 10).select("x")).contains("x"))
+    // self-union: rows double but inputFiles dedupe → refuse entirely
+    assert(Profiler.parquetGateBounds(onDisk.union(onDisk)).isEmpty)
+    // row-multiplying join: refuse
+    assert(Profiler.parquetGateBounds(
+      onDisk.crossJoin(onDisk.select(col("y").as("y2")))).isEmpty)
+    // expression aliased to the physical name: that column ungated,
+    // untouched sibling still gated
+    val shadow = Profiler.parquetGateBounds(
+      onDisk.withColumn("x", col("x") * 1e6))
+    assert(!shadow.contains("x") && shadow.contains("y"), s"$shadow")
+    // rename (alias of another attribute): tainted by name
+    val renamed = Profiler.parquetGateBounds(
+      onDisk.select(col("y").as("x")))
+    assert(!renamed.contains("x"), s"$renamed")
+  }
+
   test("quantileSketch produces 7-dim [min,5,25,50,75,95,max] vectors") {
     val df = (1 to 100).map(_.toDouble).toDF("v")
     val r = Profiler.quantileSketch(df, "t").collect()(0)
