@@ -206,7 +206,10 @@ object CorpusOps {
     * @return (doc_id, cluster_id, is_rep 1|0)
     */
   def dedupClusters(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
-    connectedComponents(docs.select(col(idCol).as("id")), pairs)
+    // Auto: driver union-find under the budget (near-dup pair tables are
+    // usually far smaller than the corpus), the DF-native star loop past
+    // it — labels identical to the GraphX form either way (spec-locked)
+    connectedComponentsAuto(docs.select(col(idCol).as("id")), pairs)
       .select(col("id").as("doc_id"), col("cluster_id"),
         when(col("id") === col("cluster_id"), 1L).otherwise(0L).as("is_rep"))
 
