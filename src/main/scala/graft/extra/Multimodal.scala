@@ -579,8 +579,56 @@ object Multimodal {
   def trainedFeatures(docs: DataFrame, cacheKey: String): DataFrame = {
     val k = (docs.sparkSession.sparkContext.applicationId, cacheKey)
     graft.Caching.memoLocked(featCache, featLocks, k)(
-      graft.Caching.pinArtifact(extractFeaturesRouted(synthesizeEncoded(docs))))
+      Vector(graft.Caching.pinArtifact(
+        extractFeaturesRouted(synthesizeEncoded(docs)))))
+      .reduce(_ unionByName _)
   }
+
+  /** Fold a batch of NEW documents' decoded features into the memoized
+    * artifact — O(batch) per append (only the batch's media is
+    * synthesized and decoded; decode-at-ingest is exactly what a
+    * streaming media pipeline runs), the same segment discipline as the
+    * TF artifacts: a doc-idempotent replay guard (features are a
+    * deterministic function of the document, so re-delivered docs are
+    * dropped rather than duplicated — at-least-once retries cannot grow
+    * the table), an empty-batch guard (no empty segments on all-replay
+    * batches), and a union compaction past `maxSegments` (exact: doc_id
+    * keys are disjoint across segments after the guard). No-op (false)
+    * when nothing is memoized under the key.
+    */
+  def appendFeatures(batch: DataFrame, cacheKey: String,
+                     maxSegments: Int = 32): Boolean = {
+    val k = (batch.sparkSession.sparkContext.applicationId, cacheKey)
+    val lock = featLocks.getOrElseUpdate(k, new Object)
+    lock.synchronized {
+      featCache.get(k) match {
+        case None => false
+        case Some(segs0) =>
+          val present = segs0.reduce(_ unionByName _).select("doc_id")
+          val fresh = batch.select(col("doc_id"), col("text"))
+            .join(present, Seq("doc_id"), "left_anti")
+          val seg = graft.Caching.pinArtifact(
+            extractFeaturesRouted(synthesizeEncoded(fresh)))
+          if (seg.isEmpty) { graft.Caching.dropArtifact(seg); true }
+          else {
+            val segs = segs0 :+ seg
+            val kept =
+              if (segs.size <= maxSegments) segs
+              else Vector(graft.Caching.pinArtifact(
+                segs.reduce(_ unionByName _)))
+            featCache.put(k, kept)
+            if (kept ne segs) segs.foreach(graft.Caching.dropArtifact)
+            true
+          }
+      }
+    }
+  }
+
+  /** Segment count of the feature artifact under `cacheKey` (0 = unbuilt). */
+  def featureSegmentCount(spark: org.apache.spark.sql.SparkSession,
+                          cacheKey: String): Int =
+    featCache.get((spark.sparkContext.applicationId, cacheKey))
+      .map(_.size).getOrElse(0)
 
   /** Drop the memoized feature artifact under `cacheKey` (reclaiming its
     * reliable-checkpoint files), so a benchmark can time a TRUE rebuild.
@@ -589,12 +637,12 @@ object Multimodal {
                     cacheKey: String): Unit = {
     val k = (spark.sparkContext.applicationId, cacheKey)
     featLocks.getOrElseUpdate(k, new Object).synchronized {
-      featCache.remove(k).foreach(graft.Caching.dropArtifact)
+      featCache.remove(k).foreach(_.foreach(graft.Caching.dropArtifact))
     }
   }
 
   private val featCache = scala.collection.concurrent.TrieMap
-    .empty[(String, String), DataFrame]
+    .empty[(String, String), Vector[DataFrame]]
   private val featLocks = scala.collection.concurrent.TrieMap
     .empty[(String, String), Object]
 

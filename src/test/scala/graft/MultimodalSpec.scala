@@ -416,6 +416,50 @@ class MultimodalSpec extends AnyFunSuite {
     assert(fast.values.map(_._1).toSet.size < fast.size)
   }
 
+  test("appendFeatures: grown ≡ fresh, replay no-op, compaction exact, untrained no-op") {
+    import spark.implicits._
+    val docs = Tables.load(spark, SparkTestSession.sf0001, "documents")
+      .select("doc_id", "text").orderBy("doc_id").limit(30).cache()
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).sorted
+    val (baseIds, b1Ids, b2Ids) =
+      (ids.take(20).toSet, ids.slice(20, 25).toSet, ids.drop(25).toSet)
+    def part(s: Set[Long]) = docs.filter(col("doc_id").isin(s.toSeq: _*))
+    def rowsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getSeq[Float](2))).toMap
+    // untrained key: append is a no-op signal
+    Multimodal.resetFeatures(spark, "spec#media:append")
+    assert(!Multimodal.appendFeatures(part(b1Ids), "spec#media:append"))
+    // build on the base, append two batches — the second overlapping b1
+    // (an at-least-once replay): served table ≡ one fresh full build
+    Multimodal.trainedFeatures(part(baseIds), "spec#media:append")
+    assert(Multimodal.appendFeatures(part(b1Ids), "spec#media:append"))
+    assert(Multimodal.appendFeatures(part(b1Ids ++ b2Ids), "spec#media:append"))
+    val grown = rowsOf(Multimodal.trainedFeatures(
+      part(baseIds), "spec#media:append")) // key hit: docs arg unused
+    Multimodal.resetFeatures(spark, "spec#media:fresh")
+    val fresh = rowsOf(Multimodal.trainedFeatures(docs, "spec#media:fresh"))
+    assert(grown == fresh, s"grown ${grown.size} vs fresh ${fresh.size}")
+    // full replay: segment count and served rows unchanged
+    val segsBefore = Multimodal.featureSegmentCount(spark, "spec#media:append")
+    assert(Multimodal.appendFeatures(docs, "spec#media:append"))
+    assert(Multimodal.featureSegmentCount(spark, "spec#media:append") == segsBefore)
+    assert(rowsOf(Multimodal.trainedFeatures(
+      part(baseIds), "spec#media:append")) == fresh)
+    // forced compaction (maxSegments = 1) is exact
+    Multimodal.resetFeatures(spark, "spec#media:compact")
+    Multimodal.trainedFeatures(part(baseIds), "spec#media:compact")
+    assert(Multimodal.appendFeatures(part(b1Ids), "spec#media:compact",
+      maxSegments = 1))
+    assert(Multimodal.appendFeatures(part(b2Ids), "spec#media:compact",
+      maxSegments = 1))
+    assert(Multimodal.featureSegmentCount(spark, "spec#media:compact") == 1)
+    assert(rowsOf(Multimodal.trainedFeatures(
+      part(baseIds), "spec#media:compact")) == fresh)
+    Multimodal.resetFeatures(spark, "spec#media:append")
+    Multimodal.resetFeatures(spark, "spec#media:fresh")
+    Multimodal.resetFeatures(spark, "spec#media:compact")
+  }
+
   test("trainedFeatures is a session artifact: memoized, reset forces a true rebuild") {
     val docs = Tables.load(spark, SparkTestSession.sf0001, "documents").limit(20)
     Multimodal.resetFeatures(spark, "spec#media:memo")
