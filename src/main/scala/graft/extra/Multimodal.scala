@@ -597,7 +597,8 @@ object Multimodal {
     * when nothing is memoized under the key.
     */
   def appendFeatures(batch: DataFrame, cacheKey: String,
-                     maxSegments: Int = 32): Boolean = {
+                     maxSegments: Int = 32, idCol: String = "doc_id",
+                     textCol: String = "text"): Boolean = {
     val k = (batch.sparkSession.sparkContext.applicationId, cacheKey)
     val lock = featLocks.getOrElseUpdate(k, new Object)
     lock.synchronized {
@@ -605,7 +606,8 @@ object Multimodal {
         case None => false
         case Some(segs0) =>
           val present = segs0.reduce(_ unionByName _).select("doc_id")
-          val fresh = batch.select(col("doc_id"), col("text"))
+          val fresh = batch.select(col(idCol).as("doc_id"),
+              col(textCol).as("text"))
             .join(present, Seq("doc_id"), "left_anti")
           val seg = graft.Caching.pinArtifact(
             extractFeaturesRouted(synthesizeEncoded(fresh)))

@@ -175,6 +175,7 @@ object CorpusStream {
                             tfCacheKeys: Seq[String] = Nil,
                             pairsSpecs: Seq[(String, Double, Boolean)] = Nil,
                             gramSpecs: Seq[(String, Int)] = Nil,
+                            featureCacheKeys: Seq[String] = Nil,
                             writerId: String = "")
                            (onVerdict: (DataFrame, Long) => Unit)
   : StreamingQuery = {
@@ -206,6 +207,12 @@ object CorpusStream {
         pairsSpecs.foreach { case (pk, pt, plsh) =>
           graft.extra.Dedup.appendPairs(admitted, idCol, textCol, pt, pk, plsh)
         }
+        // decoded media features are doc-idempotent like TF/pairs
+        // (deterministic per document; re-delivered docs drop), so they
+        // ride the same pre-index maintenance slot
+        featureCacheKeys.foreach(k =>
+          graft.extra.Multimodal.appendFeatures(admitted, k,
+            idCol = idCol, textCol = textCol))
         // gram counts are additive, not doc-idempotent: the writer-scoped
         // batch-id ledger makes the replay a recorded no-op instead
         gramSpecs.foreach { case (gk, gMinLen) =>

@@ -211,6 +211,36 @@ class PairMaintainSpec extends AnyFunSuite {
     Dedup.resetIndex(spark, gKey)
   }
 
+  test("admitStreamMaintained(featureCacheKeys) folds admitted docs' " +
+    "decoded media features in") {
+    val corpus = df(Seq(1L -> doc(base), 2L -> doc(Seq("mu", "nu", "xi",
+      "omicron", "pi", "rho", "sigma", "tau", "upsilon", "phi"))))
+    val batch = Seq(20L -> doc(Seq("q1", "q2", "q3", "q4", "q5",
+      "q6", "q7", "q8", "q9", "q0"))).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("featspec-stream").toString
+    batch.coalesce(1).write.mode("append").parquet(dir)
+    val idxKey = "featspec-stream-idx"
+    val fKey = "featspec-stream-feats"
+    Dedup.resetIndex(spark, idxKey)
+    graft.extra.Multimodal.resetFeatures(spark, fKey)
+    graft.extra.Multimodal.trainedFeatures(corpus, fKey)
+    val stream = spark.readStream.schema(batch.schema).parquet(dir)
+    val q = graft.streaming.CorpusStream.admitStreamMaintained(
+      stream, corpus, idxKey, threshold = 0.9,
+      featureCacheKeys = Seq(fKey)) { (_, _) => () }
+    try q.processAllAvailable() finally { q.stop(); Dedup.resetIndex(spark, idxKey) }
+    def featRows(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getSeq[Float](2)))).toMap
+    val grown = featRows(graft.extra.Multimodal.trainedFeatures(corpus, fKey))
+    graft.extra.Multimodal.resetFeatures(spark, "featspec-fresh")
+    val fresh = featRows(graft.extra.Multimodal.trainedFeatures(
+      corpus.unionByName(batch), "featspec-fresh"))
+    assert(grown == fresh && grown.contains(20L),
+      s"maintained features must cover the admitted doc: ${grown.keySet}")
+    graft.extra.Multimodal.resetFeatures(spark, fKey)
+    graft.extra.Multimodal.resetFeatures(spark, "featspec-fresh")
+  }
+
   test("admitStreamMaintained(pairsSpecs) folds admitted docs' pairs in") {
     // the gate admits at 0.9 (doc 20 duplicates nothing that closely) while
     // the PAIR artifact tracks 0.5 near-dups — so the admitted doc MUST
