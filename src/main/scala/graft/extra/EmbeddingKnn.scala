@@ -479,6 +479,18 @@ object EmbeddingKnn {
     * [[bitextMineLsh]]: direction top-ks, neighborhood sums, the
     * truncating integer margin, forward best-by-margin. Input is any
     * (a_id, b_id, cos_micro) candidate matrix — exact or bucketed.
+    *
+    * The BRANCHING shape (fwd/bwd as aggregate+join, not windowed sums) is
+    * deliberate and measured, not an accident to "simplify": each branch
+    * reads only ONE of the rank columns, so column pruning deletes the
+    * other Window from that branch's plan and the rank filter becomes a
+    * map-side WindowGroupLimit — each neighborhood sum touches ~k rows per
+    * id, never the full matrix. The tempting linear rewrite (fwd_sum /
+    * bwd_sum as full-partition windowed sums over the rank windows'
+    * partitioning) defeats BOTH optimizations — every candidate row flows
+    * through five Window passes and two extra full-matrix exchanges;
+    * measured 2.7→7.5s summed stage time on the sf0.1 exact miner
+    * (round-14 continuation A/B) for flat wall.
     */
   private def bitextMarginTail(sims: DataFrame, k: Int,
                                minMarginPpm: Long): DataFrame = {
