@@ -198,4 +198,101 @@ class ProfilerSpec extends AnyFunSuite {
     assert(r.getAs[Double]("x_max") == 3.25)
     assert(r.getAs[Double]("y_min") == 2.0 && r.getAs[Double]("y_max") == 4.0)
   }
+
+  // ---- randomized range-gate boundary property ------------------------
+  // The fixed-tier gate spec above pins one magnitude per tier; this
+  // property samples footer-max magnitudes STRADDLING the g1/g2/s1 tier
+  // boundaries (±few micro units around 3.03e9 and 9e15, plus row counts
+  // around the n·B ≈ 9e18 s1-long flip), with negatives and nulls, and
+  // asserts for every draw:
+  //   (1) transparency — numericStats over the gated on-disk frame equals
+  //       the ungated in-memory frame on every output column, and
+  //   (2) ground truth — both equal an independent BigInt mirror of the
+  //       documented micro-moment sequence (round→BIGINT micros, per-row
+  //       hi/lo split of xm² at 1e18, double recombine, the exact IEEE
+  //       cancellation tail), so a bug shared by both engine paths can't
+  //       self-certify.
+  // Values are generated as integer micros (v = xm/1e6) so the reference
+  // is exact; the mirror re-derives each row's effective micro through the
+  // engine's own round(v·1e6) sequence, which absorbs the double ulp at
+  // the 9e15 end. Fixed seed: failures reproduce.
+
+  private def scale6(d: Double): Double =
+    java.math.BigDecimal.valueOf(d)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+
+  test("property: footer range gate is result-transparent and ground-true " +
+    "across random boundary-straddling magnitudes, negatives and nulls") {
+    import org.scalacheck.{Gen, Prop}
+    val genCase = for {
+      // max-|micro| magnitude per tier, straddling the gate boundaries
+      (m, bigN) <- Gen.oneOf(
+        Gen.chooseNum(10L, 3000000000L).map((_, false)),          // g1 deep
+        Gen.chooseNum(3029999995L, 3030000010L).map((_, false)),  // g1/g2 edge
+        Gen.chooseNum(3100000000L, 1000000000000L).map((_, false)), // g2
+        Gen.chooseNum(8999999000000000L, 9000000000000000L)       // g2/ungated
+          .map((_, false)),
+        // n·B ≈ 9e18: the s1-long flip needs ~1000 rows at B ≈ 9e15
+        Gen.chooseNum(8999999000000000L, 9000000000000000L).map((_, true)))
+      n <- if (bigN) Gen.chooseNum(900, 1100) else Gen.chooseNum(5, 50)
+      micros <- Gen.listOfN(n, Gen.chooseNum(-m, m))
+      nullAt <- Gen.listOfN(n, Gen.frequency(9 -> false, 1 -> true))
+    } yield {
+      // head row pins the footer max EXACTLY at the drawn boundary and is
+      // never null; second row keeps n ≥ 2 non-null so std is defined
+      val vals = (m :: micros.tail).zip(false :: false :: nullAt.drop(2))
+        .map { case (xm, isNull) =>
+          if (isNull) None else Some(xm.toDouble / 1e6) }
+      vals
+    }
+    val prop = Prop.forAllNoShrink(genCase) { vals =>
+      val df = vals.toDF("v")
+      val dir = java.nio.file.Files.createTempDirectory("gateprop").toString
+      df.coalesce(2).write.mode("overwrite").parquet(dir)
+      val onDisk = spark.read.parquet(dir)
+      // finite doubles without NaN always carry footer stats
+      assert(Profiler.parquetGateBounds(onDisk).contains("v"))
+      def rowOf(d: org.apache.spark.sql.DataFrame) =
+        Profiler.numericStats(d, "t").collect()(0)
+      val gated = rowOf(onDisk)
+      val ungated = rowOf(df)
+      assert(gated.toSeq == ungated.toSeq,
+        s"gate not transparent:\n  gated   $gated\n  ungated $ungated")
+      // independent mirror of the engine's documented sequence
+      val finite = vals.flatten
+      val xms = finite.map { v =>
+        BigInt(java.math.BigDecimal.valueOf(v * 1e6)
+          .setScale(0, java.math.RoundingMode.HALF_UP)
+          .doubleValue.toLong)
+      }
+      val nn = xms.size.toLong
+      val e18 = BigInt("1000000000000000000")
+      val s1 = xms.sum
+      val s2d = xms.map(x => (x * x) / e18).sum.toDouble * 1e18 +
+        xms.map(x => (x * x) % e18).sum.toDouble
+      val s1d = s1.toDouble
+      val expect = Map[String, Any](
+        "n" -> nn,
+        "n_missing" -> (vals.size - nn),
+        "n_distinct" -> finite.distinct.size.toLong,
+        "mean" -> scale6(s1d / 1000000.0 / nn),
+        "std" -> scale6(math.sqrt(
+          math.max((s2d - s1d * s1d / nn) / (nn - 1), 0.0)) / 1e6),
+        "vmin" -> scale6(finite.min),
+        "vmax" -> scale6(finite.max))
+      expect.forall { case (k, e) =>
+        val got = gated.get(gated.fieldIndex(k))
+        val ok = got == e
+        if (!ok) System.err.println(
+          s"gateprop mismatch on $k: engine $got, reference $e " +
+            s"(n=${vals.size}, maxMicro=${xms.map(_.abs).max})")
+        ok
+      }
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default
+        .withMinSuccessfulTests(6)
+        .withInitialSeed(org.scalacheck.rng.Seed(42L)), prop)
+    assert(res.passed, s"gate boundary property: ${res.status}")
+  }
 }
