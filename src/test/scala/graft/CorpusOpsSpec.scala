@@ -568,6 +568,61 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("property: components on random graphs — driver union-find and " +
+    "distributed loop both equal an independent min-propagation reference") {
+    import spark.implicits._
+    import org.scalacheck.{Gen, Prop}
+    // random topologies the fixed cases don't reach: cycles, duplicate
+    // edges, self-loops, non-contiguous ids, dense blobs. The reference is
+    // a third implementation (naive min-label propagation to fixpoint), so
+    // agreement between the two engine paths can't self-certify.
+    def refLabels(ids: Seq[Long], edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val lbl = scala.collection.mutable.Map.empty[Long, Long]
+      ids.foreach(i => lbl(i) = i)
+      var changed = true
+      while (changed) {
+        changed = false
+        edges.foreach { case (a, b) =>
+          val m = math.min(lbl(a), lbl(b))
+          if (lbl(a) != m) { lbl(a) = m; changed = true }
+          if (lbl(b) != m) { lbl(b) = m; changed = true }
+        }
+      }
+      ids.map(i => i -> lbl(i)).toMap
+    }
+    val genCase = for {
+      nIds <- Gen.chooseNum(1, 36)
+      ids <- Gen.listOfN(nIds, Gen.chooseNum(0L, 999L)).map(_.distinct)
+      nEdges <- Gen.chooseNum(0, 50)
+      picks <- Gen.listOfN(nEdges,
+        Gen.zip(Gen.chooseNum(0, nIds - 1), Gen.chooseNum(0, nIds - 1)))
+      dupEdges <- Gen.oneOf(true, false) // re-deliver half the edge list
+    } yield {
+      val edges = picks.map { case (i, j) =>
+        (ids(i % ids.size), ids(j % ids.size)) } // incl. self-loops
+      (ids, if (dupEdges) edges ++ edges.take(edges.size / 2) else edges)
+    }
+    val prop = Prop.forAllNoShrink(genCase) { case (ids, edges) =>
+      val n = ids.toDF("id")
+      val p = edges.toDF("id_a", "id_b")
+      val want = refLabels(ids, edges)
+      val fast = CorpusOps.connectedComponentsAuto(n, p).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val slow = CorpusOps.connectedComponentsDF(n, p).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      graft.Caching.release()
+      val ok = fast == want && slow == want
+      if (!ok) System.err.println(
+        s"cc mismatch: ids=$ids edges=$edges\n want=$want\n fast=$fast\n slow=$slow")
+      ok
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default
+        .withMinSuccessfulTests(6)
+        .withInitialSeed(org.scalacheck.rng.Seed(42L)), prop)
+    assert(res.passed, s"components property: ${res.status}")
+  }
+
   test("splitLeakage: straddling near-dup pairs counted per split pair") {
     import spark.implicits._
     // pairs (2k, 2k+1) are exact duplicates; pair texts mutually disjoint
