@@ -421,11 +421,17 @@ object SparkEntry {
     // embedding → sign-LSH banding + exact cosine verify. No DuckDB
     // oracle (SQL can't decode PNG) — rows-only driver check; values are
     // spec-locked in MultimodalSpec against the brute-force pair set.
+    // No output orderBy: the pair RELATION is the result (both driver
+    // checks are order-insensitive — rows-only here, and the hash compare
+    // sorts rows itself), while a global sort of the quadratic pair
+    // expansion is a full extra exchange and was the precise OOM point of
+    // the sf10 in-suite probe (32 concurrent sort tasks over ~1e9 rows in
+    // one heap). A consumer wanting ordered pairs sorts its own (smaller)
+    // slice.
     "dedup_media" -> ((s, d) =>
       graft.extra.Multimodal.mediaNearDupPairs(
         graft.extra.Multimodal.trainedFeatures(
-          T(s, d, "documents"), s"$d#media:documents"), 0.99)
-        .orderBy("media_type", "id_a", "id_b")),
+          T(s, d, "documents"), s"$d#media:documents"), 0.99)),
 
     // the SCALE consumer of the same media near-dup relation: one cluster
     // row per document (components at the lattice-bounded rep level)
@@ -433,11 +439,12 @@ object SparkEntry {
     // in clique sizes on duplication-dense corpora. Rows-only driver
     // check (SQL can't decode PNG; components are iterative); spec-locked
     // in MultimodalSpec consistent with the pair set.
+    // (same no-cosmetic-sort rationale as dedup_media: one row per
+    // document is still corpus-sized at lake scale)
     "dedup_media_clusters" -> ((s, d) =>
       graft.extra.Multimodal.mediaNearDupClusters(
         graft.extra.Multimodal.trainedFeatures(
-          T(s, d, "documents"), s"$d#media:documents"), 0.99)
-        .orderBy("media_type", "doc_id")),
+          T(s, d, "documents"), s"$d#media:documents"), 0.99)),
 
     // percentile-threshold quality gate: the cut is the corpus's own 10%
     // quality quantile (exact histogram quantile), not a fixed constant
