@@ -439,4 +439,94 @@ class TextStatsSpec extends AnyFunSuite {
     graft.Caching.release()
     graft.ingest.TermStats.resetTermFreqs(spark, key)
   }
+
+  // ---- randomized BPE merge-loop property -------------------------------
+  // trainedMerges' loop is integer + string arithmetic whose corners (tie
+  // ordering, the single-pass resume-after replacement on chained overlaps
+  // like "aaaa", multi-byte tokens) are pinned by one fixed case above;
+  // this property draws random corpora (repeated-char words, case
+  // folding, accents, CJK, an astral emoji) and checks the engine loop
+  // against an independent in-memory mirror. The mirror shares ONLY the
+  // word extraction (tokenize + count — not under test here); the merge
+  // loop itself is reimplemented: codepoint char split, pair counts
+  // weighted by word frequency, argmax by (count desc, l asc, r asc) in
+  // UTF-8 BYTE order (Spark string order — UTF-16 order would diverge on
+  // the emoji), literal leftmost resume-after replacement.
+
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+    var i = 0
+    while (i < x.length && i < y.length) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  private def refMerges(wordTable: Map[String, Long],
+                        rounds: Int): Seq[(Int, String, String, Long)] = {
+    def spaced(w: String): String =
+      w.codePoints().toArray
+        .map(cp => new String(Character.toChars(cp)))
+        .mkString(" ", " ", " ")
+    var words: Seq[(String, Long)] =
+      wordTable.toSeq.map { case (w, c) => (spaced(w), c) }
+    val out = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
+    for (r <- 1 to rounds) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      words.foreach { case (ws, c) =>
+        val t = ws.trim.split(" ")
+        if (t.length >= 2) t.sliding(2).foreach { p =>
+          counts((p(0), p(1))) = counts.getOrElse((p(0), p(1)), 0L) + c
+        }
+      }
+      if (counts.nonEmpty) {
+        val ((l, rr), cnt) = counts.toSeq.sortWith { case ((ka, ca), (kb, cb)) =>
+          if (ca != cb) ca > cb
+          else if (ka._1 != kb._1) utf8Lt(ka._1, kb._1)
+          else utf8Lt(ka._2, kb._2)
+        }.head
+        out += ((r, l, rr, cnt))
+        words = words.map { case (ws, c) => (ws.replace(s" $l $rr ", s" $l$rr "), c) }
+      }
+    }
+    out.toList
+  }
+
+  test("property: BPE merge table ≡ independent in-memory mirror on random " +
+    "corpora (repeated chars, case folding, multi-byte and astral tokens)") {
+    import org.scalacheck.{Gen, Prop}
+    val vocab = Vector("aa", "ab", "aab", "Aa", "BAB", "aaaa", "aaaaa",
+      "ça", "ÇA", "日本語", "héllo", "🚀🚀", "a🚀a", "xyz", "zyx", "b")
+    val genCase = for {
+      nDocs <- Gen.chooseNum(1, 6)
+      docs <- Gen.listOfN(nDocs, for {
+        s <- Gen.chooseNum(1, 8)
+        toks <- Gen.listOfN(s, Gen.oneOf(vocab))
+      } yield toks.mkString(" "))
+      rounds <- Gen.chooseNum(2, 5)
+    } yield (docs, rounds)
+    val prop = Prop.forAllNoShrink(genCase) { case (docTexts, rounds) =>
+      import org.apache.spark.sql.functions._
+      val docs = docTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      // shared word extraction (tokenization is property-locked elsewhere)
+      val wordTable = docs
+        .select(explode(graft.functions.TextTokens.lowerSpaceTokens(col("text"))).as("w"))
+        .groupBy("w").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val got = TextStats.trainedMerges(docs, "text", rounds, None)
+      val want = refMerges(wordTable, rounds)
+      val ok = got == want
+      if (!ok) System.err.println(
+        s"bpe mismatch: docs=$docTexts rounds=$rounds\n got=$got\n want=$want")
+      ok
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default
+        .withMinSuccessfulTests(6)
+        .withInitialSeed(org.scalacheck.rng.Seed(42L)), prop)
+    assert(res.passed, s"bpe merge property: ${res.status}")
+  }
 }
