@@ -772,6 +772,58 @@ object Dedup {
     * (the bench's TRUE-rebuild discipline for its `train_pairs` line);
     * reliable-checkpoint files are reclaimed like [[resetIndex]]'s.
     */
+  /** Persist the pair artifact under `cacheKey` to `path` — the
+    * parquet/Delta form [[trainedPairs]]'s scaladoc promises, and the
+    * restart story the in-session memo lacks: a maintained pair table that
+    * took hours of appends reloads with [[loadPairs]] instead of
+    * re-pairing the corpus. All three maintenance tables are written
+    * (pairs + the unit arrays + the probe table — an append must verify
+    * and bucket/prefix-join exactly as before the restart), each compacted
+    * on write (unions are disjoint-exact, the compaction argument). The
+    * exact/LSH caller contract is unchanged: keys encode variant and
+    * threshold, as with [[trainedPairs]]/[[appendPairs]]. Returns false
+    * when nothing is memoized under the key.
+    */
+  def savePairs(spark: org.apache.spark.sql.SparkSession,
+                cacheKey: String, path: String): Boolean = {
+    val k = (spark.sparkContext.applicationId, cacheKey)
+    indexLocks.getOrElseUpdate(k, new Object).synchronized {
+      pairsCache.get(k) match {
+        case None => false
+        case Some(segs) =>
+          segs.map(_.pairs).reduce(_ unionByName _)
+            .write.mode("overwrite").parquet(s"$path/pairs")
+          segs.map(_.toks).reduce(_ unionByName _)
+            .write.mode("overwrite").parquet(s"$path/toks")
+          segs.map(_.probe).reduce(_ unionByName _)
+            .write.mode("overwrite").parquet(s"$path/probe")
+          true
+      }
+    }
+  }
+
+  /** Restore a [[savePairs]] artifact under `cacheKey` as ONE pinned
+    * segment (decoupled from the files), serving consumers and accepting
+    * [[appendPairs]] exactly as the pre-restart artifact did. Refuses to
+    * shadow a live in-session artifact — reset first if replacement is
+    * intended.
+    */
+  def loadPairs(spark: org.apache.spark.sql.SparkSession,
+                path: String, cacheKey: String): DataFrame = {
+    val k = (spark.sparkContext.applicationId, cacheKey)
+    indexLocks.getOrElseUpdate(k, new Object).synchronized {
+      require(!pairsCache.contains(k),
+        s"pair artifact '$cacheKey' already live in this session — reset " +
+          "it before loading a snapshot over it")
+      val seg = PairSegment(
+        graft.Caching.pinArtifact(spark.read.parquet(s"$path/pairs")),
+        graft.Caching.pinArtifact(spark.read.parquet(s"$path/toks")),
+        graft.Caching.pinArtifact(spark.read.parquet(s"$path/probe")))
+      pairsCache.put(k, Vector(seg))
+      seg.pairs
+    }
+  }
+
   def resetPairs(spark: org.apache.spark.sql.SparkSession,
                  cacheKeyPrefix: String): Unit = {
     val appId = spark.sparkContext.applicationId

@@ -168,6 +168,58 @@ object TermStats {
     }
   }
 
+  /** Persist the TF artifact under `cacheKey` to `path` — the parquet
+    * form [[trainedTermFreqs]]'s scaladoc promises at lake scale, and the
+    * restart story the in-session memo lacks: a service that dies after
+    * building (or maintaining) a TF table reloads it with
+    * [[loadTermFreqs]] instead of re-tokenizing the corpus. Segments are
+    * compacted on write (one table at `path/tf`, exact by key
+    * disjointness); the n-gram order rides a one-row `path/meta` table so
+    * a load can re-bind it. The in-session artifact is untouched.
+    * Returns false when nothing is memoized under the key.
+    */
+  def saveTermFreqs(spark: org.apache.spark.sql.SparkSession,
+                    cacheKey: String, path: String): Boolean = {
+    val k = (spark.sparkContext.applicationId, cacheKey)
+    val lock = tfLocks.getOrElseUpdate(k, new Object)
+    lock.synchronized {
+      tfCache.get(k) match {
+        case None => false
+        case Some(segs) =>
+          import spark.implicits._
+          segs.reduce(_ unionByName _)
+            .write.mode("overwrite").parquet(s"$path/tf")
+          Seq(tfOrder.getOrElse(k, 1)).toDF("n")
+            .write.mode("overwrite").parquet(s"$path/meta")
+          true
+      }
+    }
+  }
+
+  /** Restore a [[saveTermFreqs]] artifact under `cacheKey` — the loaded
+    * table becomes ONE pinned segment (decoupled from the files, which may
+    * be overwritten by a later save), consumers serve from it, and
+    * [[appendTermFreqs]] keeps maintaining it at the saved n-gram order.
+    * Refuses to shadow an existing in-session artifact: a half-maintained
+    * memo silently replaced by an older snapshot is the restart bug this
+    * API exists to prevent — reset first if replacement is intended.
+    */
+  def loadTermFreqs(spark: org.apache.spark.sql.SparkSession,
+                    path: String, cacheKey: String): DataFrame = {
+    val k = (spark.sparkContext.applicationId, cacheKey)
+    val lock = tfLocks.getOrElseUpdate(k, new Object)
+    lock.synchronized {
+      require(!tfCache.contains(k),
+        s"TF artifact '$cacheKey' already live in this session — reset it " +
+          "before loading a snapshot over it")
+      val n = spark.read.parquet(s"$path/meta").head().getInt(0)
+      val seg = graft.Caching.pinArtifact(spark.read.parquet(s"$path/tf"))
+      tfOrder.put(k, n)
+      tfCache.put(k, Vector(seg))
+      seg
+    }
+  }
+
   /** Segment count of the TF artifact under `cacheKey` (0 = not built). */
   def tfSegmentCount(spark: org.apache.spark.sql.SparkSession,
                      cacheKey: String): Int =

@@ -1,0 +1,136 @@
+package graft
+
+import graft.extra.Dedup
+import graft.ingest.TermStats
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The artifact RESTART story ([[TermStats.saveTermFreqs]]/`loadTermFreqs`,
+  * [[Dedup.savePairs]]/`loadPairs`): a maintained session artifact written
+  * to parquet and reloaded in a (simulated) fresh session must serve the
+  * identical table AND keep accepting O(batch) appends exactly as the
+  * pre-restart artifact did — the appends-after-load case is the one a
+  * naive snapshot (pairs only, no probe/toks state) would silently break.
+  */
+class ArtifactPersistenceSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def doc(toks: Seq[String]) = toks.mkString(" ")
+  private val base = Seq("alpha", "beta", "gamma", "delta", "epsilon",
+    "zeta", "eta", "theta", "iota", "kappa")
+  private val corpusRows = Seq(
+    1L -> doc(base),
+    2L -> doc(base.reverse),
+    3L -> doc(base.take(9) :+ "lambda"),
+    4L -> doc(Seq("mu", "nu", "xi", "omicron", "pi",
+      "rho", "sigma", "tau", "upsilon", "phi")))
+  private val b1Rows = Seq(
+    11L -> doc(Seq("mu", "nu", "xi", "omicron", "pi",
+      "rho", "sigma", "tau", "upsilon", "phi")),
+    12L -> doc(Seq("chi", "psi", "omega", "one", "two",
+      "three", "four", "five", "six", "seven")))
+  private val b2Rows = Seq(
+    21L -> doc(base.take(9) :+ "pi"),
+    22L -> doc(Seq("chi", "psi", "omega", "one", "two",
+      "three", "four", "five", "six", "seven")))
+  private def df(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def tfSet(d: org.apache.spark.sql.DataFrame) =
+    d.select("doc_id", "term", "tf").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+
+  private def pairSet(p: org.apache.spark.sql.DataFrame) =
+    p.select("id_a", "id_b", "jac").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  test("TF artifact: save → load serves the identical table; appends keep " +
+    "working after the load; n-gram order survives the round-trip") {
+    for (n <- Seq(1, 2)) {
+      val key = s"persist-tf-n$n"
+      val path = tmp("tfsave")
+      TermStats.resetTermFreqs(spark, key)
+      TermStats.trainedTermFreqs(df(corpusRows), "doc_id", "text", key, n = n)
+      assert(TermStats.appendTermFreqs(df(b1Rows), "doc_id", "text", key))
+      val before = tfSet(
+        TermStats.trainedTermFreqs(df(corpusRows), "doc_id", "text", key, n = n))
+      assert(TermStats.saveTermFreqs(spark, key, path))
+      // simulated restart: the in-session artifact is gone
+      TermStats.resetTermFreqs(spark, key)
+      assert(TermStats.tfSegmentCount(spark, key) == 0)
+      val loaded = tfSet(TermStats.loadTermFreqs(spark, path, key))
+      assert(loaded == before, s"n=$n: loaded table differs from saved")
+      // maintenance continues at the SAVED n-gram order
+      assert(TermStats.appendTermFreqs(df(b2Rows), "doc_id", "text", key))
+      val grown = tfSet(
+        TermStats.trainedTermFreqs(df(corpusRows), "doc_id", "text", key, n = n))
+      TermStats.resetTermFreqs(spark, s"persist-tf-fresh-n$n")
+      val fresh = tfSet(TermStats.trainedTermFreqs(
+        df(corpusRows ++ b1Rows ++ b2Rows), "doc_id", "text",
+        s"persist-tf-fresh-n$n", n = n))
+      assert(grown == fresh, s"n=$n: post-load append diverged from fresh")
+      TermStats.resetTermFreqs(spark, key)
+      TermStats.resetTermFreqs(spark, s"persist-tf-fresh-n$n")
+    }
+  }
+
+  test("TF artifact: save of an unbuilt key is false; load refuses to " +
+    "shadow a live artifact") {
+    val key = "persist-tf-guards"
+    TermStats.resetTermFreqs(spark, key)
+    assert(!TermStats.saveTermFreqs(spark, key, tmp("tfguard")))
+    val path = tmp("tfguard2")
+    TermStats.trainedTermFreqs(df(corpusRows), "doc_id", "text", key)
+    assert(TermStats.saveTermFreqs(spark, key, path))
+    intercept[IllegalArgumentException] {
+      TermStats.loadTermFreqs(spark, path, key)
+    }
+    TermStats.resetTermFreqs(spark, key)
+  }
+
+  test("pair artifact: save → load serves identical pairs and accepts " +
+    "appends — exact (prefix-probe) and LSH (signature-probe) variants") {
+    for (lsh <- Seq(false, true)) {
+      val key = s"persist-pairs-$lsh"
+      val path = tmp("pairsave")
+      Dedup.resetPairs(spark, key)
+      val corpus = df(corpusRows)
+      Dedup.trainedPairs(corpus, "doc_id", "text", 0.8, key, lsh)
+      assert(Dedup.appendPairs(df(b1Rows), "doc_id", "text", 0.8, key, lsh))
+      val before = pairSet(
+        Dedup.trainedPairs(corpus, "doc_id", "text", 0.8, key, lsh))
+      assert(Dedup.savePairs(spark, key, path))
+      Dedup.resetPairs(spark, key)
+      assert(Dedup.pairSegmentCount(spark, key) == 0)
+      val loaded = pairSet(Dedup.loadPairs(spark, path, key))
+      assert(loaded == before, s"lsh=$lsh: loaded pairs differ from saved")
+      // the probe/toks state came back too: an append after the restart
+      // produces exactly the fresh-build pair set over the grown corpus
+      assert(Dedup.appendPairs(df(b2Rows), "doc_id", "text", 0.8, key, lsh))
+      val grown = pairSet(
+        Dedup.trainedPairs(corpus, "doc_id", "text", 0.8, key, lsh))
+      val all = df(corpusRows ++ b1Rows ++ b2Rows)
+      val fresh = pairSet(
+        if (lsh) Dedup.minhashLshPairs(all, "doc_id", "text", 0.8)
+        else Dedup.jaccardPairs(all, "doc_id", "text", 0.8))
+      assert(grown == fresh, s"lsh=$lsh: post-load append diverged from fresh")
+      Dedup.resetPairs(spark, key)
+    }
+  }
+
+  test("pair artifact: save of an unbuilt key is false; load refuses to " +
+    "shadow a live artifact") {
+    val key = "persist-pairs-guards"
+    Dedup.resetPairs(spark, key)
+    assert(!Dedup.savePairs(spark, key, tmp("pairguard")))
+    val path = tmp("pairguard2")
+    Dedup.trainedPairs(df(corpusRows), "doc_id", "text", 0.8, key)
+    assert(Dedup.savePairs(spark, key, path))
+    intercept[IllegalArgumentException] {
+      Dedup.loadPairs(spark, path, key)
+    }
+    Dedup.resetPairs(spark, key)
+  }
+}
