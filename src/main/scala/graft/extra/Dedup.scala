@@ -772,6 +772,100 @@ object Dedup {
     * (the bench's TRUE-rebuild discipline for its `train_pairs` line);
     * reliable-checkpoint files are reclaimed like [[resetIndex]]'s.
     */
+  /** Persist the admission index under `cacheKey` to `path` — both
+    * maintenance tables (band signatures + unit-token arrays), compacted
+    * on write. Same restart rationale as [[savePairs]]. Returns false when
+    * nothing is memoized under the key.
+    */
+  def saveIndex(spark: org.apache.spark.sql.SparkSession,
+                cacheKey: String, path: String): Boolean = {
+    val k = (spark.sparkContext.applicationId, cacheKey)
+    indexLocks.getOrElseUpdate(k, new Object).synchronized {
+      indexCache.get(k) match {
+        case None => false
+        case Some(segs) =>
+          segs.map(_._1).reduce(_ unionByName _)
+            .write.mode("overwrite").parquet(s"$path/sigs")
+          segs.map(_._2).reduce(_ unionByName _)
+            .write.mode("overwrite").parquet(s"$path/toks")
+          true
+      }
+    }
+  }
+
+  /** Restore a [[saveIndex]] snapshot under `cacheKey` as one pinned
+    * segment; probes and [[appendAdmitted]] work exactly as before the
+    * restart. Returns the served (signatures, token arrays) like
+    * [[trainedIndex]]. Refuses to shadow a live artifact.
+    */
+  def loadIndex(spark: org.apache.spark.sql.SparkSession,
+                path: String, cacheKey: String): (DataFrame, DataFrame) = {
+    val k = (spark.sparkContext.applicationId, cacheKey)
+    indexLocks.getOrElseUpdate(k, new Object).synchronized {
+      require(!indexCache.contains(k),
+        s"admission index '$cacheKey' already live in this session — reset " +
+          "it before loading a snapshot over it")
+      val seg = (
+        graft.Caching.pinArtifact(spark.read.parquet(s"$path/sigs")),
+        graft.Caching.pinArtifact(spark.read.parquet(s"$path/toks")))
+      indexCache.put(k, Vector(seg))
+      seg
+    }
+  }
+
+  /** Persist the additive gram artifact under `cacheKey` to `path` — the
+    * per-gh summed counts PLUS the exactly-once ledger: gram counts have
+    * no document column, so a restarted at-least-once stream re-delivering
+    * an already-folded batch would silently DOUBLE its counts unless the
+    * applied (writer, batchId) set survives the restart with the table.
+    * Returns false when nothing is memoized under the key.
+    */
+  def saveGramIndex(spark: org.apache.spark.sql.SparkSession,
+                    cacheKey: String, path: String): Boolean = {
+    val k = (spark.sparkContext.applicationId, cacheKey)
+    indexLocks.getOrElseUpdate(k, new Object).synchronized {
+      gramCache.get(k) match {
+        case None => false
+        case Some(segs) =>
+          import spark.implicits._
+          segs.reduce(_ unionByName _).groupBy("gh")
+            .agg(sum("n_docs").as("n_docs"), sum("n_occ").as("n_occ"))
+            .write.mode("overwrite").parquet(s"$path/grams")
+          val applied = appliedGramBatches.synchronized {
+            import scala.jdk.CollectionConverters._
+            appliedGramBatches.asScala.toSeq
+              .collect { case (a, ck, w, b) if a == k._1 && ck == k._2 =>
+                (w, b) }
+          }
+          applied.toDF("writer", "batch_id")
+            .write.mode("overwrite").parquet(s"$path/ledger")
+          true
+      }
+    }
+  }
+
+  /** Restore a [[saveGramIndex]] snapshot under `cacheKey`: the summed
+    * counts become one pinned segment and the ledger re-arms the replay
+    * guard, so a stream resuming from its pre-crash checkpoint cannot
+    * double-fold batches it already applied. Refuses to shadow a live
+    * artifact.
+    */
+  def loadGramIndex(spark: org.apache.spark.sql.SparkSession,
+                    path: String, cacheKey: String): DataFrame = {
+    val k = (spark.sparkContext.applicationId, cacheKey)
+    indexLocks.getOrElseUpdate(k, new Object).synchronized {
+      require(!gramCache.contains(k),
+        s"gram artifact '$cacheKey' already live in this session — reset " +
+          "it before loading a snapshot over it")
+      val seg = graft.Caching.pinArtifact(spark.read.parquet(s"$path/grams"))
+      gramCache.put(k, Vector(seg))
+      spark.read.parquet(s"$path/ledger").collect().foreach { r =>
+        appliedGramBatches.add((k._1, k._2, r.getString(0), r.getLong(1)))
+      }
+      seg
+    }
+  }
+
   /** Persist the pair artifact under `cacheKey` to `path` — the
     * parquet/Delta form [[trainedPairs]]'s scaladoc promises, and the
     * restart story the in-session memo lacks: a maintained pair table that

@@ -626,6 +626,45 @@ object Multimodal {
     }
   }
 
+  /** Persist the decoded media-feature artifact under `cacheKey` to
+    * `path`, compacted on write (doc_id-disjoint union) — the restart
+    * path: decode-at-ingest output is expensive (real codec work per
+    * document), so a restarted service reloads it with [[loadFeatures]]
+    * instead of re-decoding the corpus. Returns false when nothing is
+    * memoized under the key.
+    */
+  def saveFeatures(spark: org.apache.spark.sql.SparkSession,
+                   cacheKey: String, path: String): Boolean = {
+    val k = (spark.sparkContext.applicationId, cacheKey)
+    featLocks.getOrElseUpdate(k, new Object).synchronized {
+      featCache.get(k) match {
+        case None => false
+        case Some(segs) =>
+          segs.reduce(_ unionByName _)
+            .write.mode("overwrite").parquet(s"$path/features")
+          true
+      }
+    }
+  }
+
+  /** Restore a [[saveFeatures]] snapshot under `cacheKey` as one pinned
+    * segment; [[trainedFeatures]] serves it and [[appendFeatures]] keeps
+    * maintaining it. Refuses to shadow a live artifact.
+    */
+  def loadFeatures(spark: org.apache.spark.sql.SparkSession,
+                   path: String, cacheKey: String): DataFrame = {
+    val k = (spark.sparkContext.applicationId, cacheKey)
+    featLocks.getOrElseUpdate(k, new Object).synchronized {
+      require(!featCache.contains(k),
+        s"feature artifact '$cacheKey' already live in this session — " +
+          "reset it before loading a snapshot over it")
+      val seg = graft.Caching.pinArtifact(
+        spark.read.parquet(s"$path/features"))
+      featCache.put(k, Vector(seg))
+      seg
+    }
+  }
+
   /** Segment count of the feature artifact under `cacheKey` (0 = unbuilt). */
   def featureSegmentCount(spark: org.apache.spark.sql.SparkSession,
                           cacheKey: String): Int =

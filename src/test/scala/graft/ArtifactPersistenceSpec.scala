@@ -120,6 +120,84 @@ class ArtifactPersistenceSpec extends AnyFunSuite {
     }
   }
 
+  private def rowSet(d: org.apache.spark.sql.DataFrame) =
+    d.collect().map(_.toSeq).toSet
+
+  test("admission index: save → load restores both maintenance tables and " +
+    "keeps accepting appends") {
+    val key = "persist-idx"
+    val path = tmp("idxsave")
+    Dedup.resetIndex(spark, key)
+    Dedup.trainedIndex(df(corpusRows), "doc_id", "text", key)
+    assert(Dedup.appendAdmitted(df(b1Rows), "doc_id", "text", key))
+    val (sig0, tok0) = Dedup.trainedIndex(df(corpusRows), "doc_id", "text", key)
+    val (sigBefore, tokBefore) = (rowSet(sig0), rowSet(tok0))
+    assert(Dedup.saveIndex(spark, key, path))
+    Dedup.resetIndex(spark, key)
+    val (sig1, tok1) = Dedup.loadIndex(spark, path, key)
+    assert(rowSet(sig1) == sigBefore && rowSet(tok1) == tokBefore)
+    // maintenance continues: the appended docs join the served index
+    assert(Dedup.appendAdmitted(df(b2Rows), "doc_id", "text", key))
+    val (_, tok2) = Dedup.trainedIndex(df(corpusRows), "doc_id", "text", key)
+    val ids = tok2.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(b2Rows.map(_._1).toSet.subsetOf(ids), s"post-load append lost docs: $ids")
+    Dedup.resetIndex(spark, key)
+  }
+
+  test("gram artifact: the exactly-once ledger survives the restart — a " +
+    "pre-crash batch replay stays a no-op, a new batch still folds in") {
+    val key = "persist-grams"
+    val path = tmp("gramsave")
+    Dedup.resetIndex(spark, key)
+    val corpus = df(corpusRows)
+    // minLen below the fixture's doc length so grams exist
+    Dedup.trainedGramIndex(corpus, "doc_id", "text", key, minLen = 3)
+    assert(Dedup.appendGramAdmitted(df(b1Rows), "doc_id", "text", key,
+      minLen = 3, batchId = Some(7L), writerId = "w"))
+    def served = Dedup.trainedGramIndex(corpus, "doc_id", "text", key, minLen = 3)
+      .groupBy("gh").sum("n_docs", "n_occ").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val before = served
+    assert(Dedup.saveGramIndex(spark, key, path))
+    Dedup.resetIndex(spark, key) // wipes the in-session ledger too
+    val loaded = Dedup.loadGramIndex(spark, path, key)
+    assert(loaded.count() > 0)
+    assert(served == before, "loaded gram counts differ from saved")
+    // REPLAY of the pre-crash batch: without the persisted ledger this
+    // would double batch 7's additive counts
+    assert(Dedup.appendGramAdmitted(df(b1Rows), "doc_id", "text", key,
+      minLen = 3, batchId = Some(7L), writerId = "w"))
+    assert(served == before, "replayed batch 7 double-counted after restart")
+    // a genuinely new batch still folds in ≡ fresh stats over the union
+    assert(Dedup.appendGramAdmitted(df(b2Rows), "doc_id", "text", key,
+      minLen = 3, batchId = Some(8L), writerId = "w"))
+    val fresh = Dedup.gramStats(df(corpusRows ++ b1Rows ++ b2Rows),
+      "doc_id", "text", minLen = 3).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(served == fresh, "post-load append diverged from fresh gram stats")
+    Dedup.resetIndex(spark, key)
+  }
+
+  test("media-feature artifact: save → load serves identical features and " +
+    "keeps accepting appends") {
+    val key = "persist-feats"
+    val path = tmp("featsave")
+    graft.extra.Multimodal.resetFeatures(spark, key)
+    graft.extra.Multimodal.trainedFeatures(df(corpusRows), key)
+    val before = rowSet(graft.extra.Multimodal.trainedFeatures(df(corpusRows), key))
+    assert(graft.extra.Multimodal.saveFeatures(spark, key, path))
+    graft.extra.Multimodal.resetFeatures(spark, key)
+    assert(rowSet(graft.extra.Multimodal.loadFeatures(spark, path, key)) == before)
+    assert(graft.extra.Multimodal.appendFeatures(df(b1Rows), key))
+    val grown = rowSet(graft.extra.Multimodal.trainedFeatures(df(corpusRows), key))
+    graft.extra.Multimodal.resetFeatures(spark, "persist-feats-fresh")
+    val fresh = rowSet(graft.extra.Multimodal.trainedFeatures(
+      df(corpusRows ++ b1Rows), "persist-feats-fresh"))
+    assert(grown == fresh, "post-load feature append diverged from fresh")
+    graft.extra.Multimodal.resetFeatures(spark, key)
+    graft.extra.Multimodal.resetFeatures(spark, "persist-feats-fresh")
+  }
+
   test("pair artifact: save of an unbuilt key is false; load refuses to " +
     "shadow a live artifact") {
     val key = "persist-pairs-guards"
