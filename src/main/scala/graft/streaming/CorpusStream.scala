@@ -166,6 +166,19 @@ object CorpusStream {
     * Removing the anomaly entirely would take transactional
     * verdict-vs-index commits (e.g. verdicts and index segments in one
     * Delta transaction), which the in-session artifact form trades away.
+    *
+    * RESTART recipe: every maintained family has a persisted form — save
+    * periodically ([[graft.extra.Dedup.saveIndex]]/`savePairs`/
+    * `saveGramIndex`, [[graft.ingest.TermStats.saveTermFreqs]],
+    * [[graft.extra.Multimodal.saveFeatures]]), and on driver restart LOAD
+    * each under its old cacheKey (`loadIndex` etc.) BEFORE starting this
+    * gate, then resume the stream from its unchanged checkpoint location.
+    * Replay safety composes: micro-batches after the snapshot re-deliver,
+    * and the doc-idempotent appends drop their docs while the gram
+    * ledger — persisted with the counts — no-ops their batch ids. Keep
+    * `writerId` stable across the restart (same checkpoint ⇒ same batch-id
+    * sequence); a redeploy from a NEW checkpoint needs a new writerId as
+    * above.
     */
   def admitStreamMaintained(stream: DataFrame, corpus: DataFrame,
                             cacheKey: String,
