@@ -215,7 +215,8 @@ object Bench {
     // build; the timed runs pay only per-request work (query-scoped pins
     // are released per request, as a service would).
     val steadyLines =
-      if (!only.forall(_.contains("steady_search"))) Seq.empty
+      if (!only.forall(o => o.contains("steady_search") ||
+        o.contains("steady_search_mt"))) Seq.empty
       else {
         // Serving-session latency conf, scoped to the steady-state section:
         // AQE's parallelism-first coalescing keeps ~32 post-shuffle
@@ -239,9 +240,40 @@ object Bench {
           System.err.println(s"[bench] steady_search warmup: $e")
         }
         val runs = (1 to runsPerQuery).map(_ => timed("steady_search")(request()))
+        // steady_search_mt: the MULTI-USER serving shape — 8 concurrent
+        // request threads, 2 requests each (every sketch table once per
+        // thread-pair), against the same hot session artifacts. danae is a
+        // service; single-request latency alone hides scheduler/driver
+        // contention and any shared-cache races (correctness under this
+        // exact shape is spec-locked in ServingPathSpec). Wall for the
+        // 16-request batch: throughput = 16 / value. One untimed batch
+        // absorbs the per-dataset warm memos (queryLocal, columnCount).
+        val qids = Tables.sketchTables
+        def mtBatch(): Unit = {
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+          try {
+            val futs = (0 until 16).map { i =>
+              val id = qids(i % qids.size)
+              pool.submit(new java.util.concurrent.Callable[Unit] {
+                def call(): Unit =
+                  try {
+                    search.CombinedScorer.search(spark, sfDir, id)
+                      .write.mode("overwrite").format("noop").save()
+                  } finally Caching.release()
+              })
+            }
+            futs.foreach(_.get())
+          } finally pool.shutdownNow()
+        }
+        try mtBatch() catch { case e: Throwable =>
+          System.err.println(s"[bench] steady_search_mt warmup: $e")
+        }
+        val mtRuns = (1 to runsPerQuery).map(_ =>
+          timed("steady_search_mt")(mtBatch()))
         spark.conf.set(
           "spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
-        Seq("steady_search" -> minEach(runs))
+        Seq("steady_search" -> minEach(runs),
+          "steady_search_mt" -> minEach(mtRuns))
       }
     val results = (trained ++ queryLines ++ steadyLines).toMap
     def jmap(f: ((String, (Double, Long, Long))) => String): String =

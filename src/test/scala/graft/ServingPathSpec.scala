@@ -161,4 +161,35 @@ class ServingPathSpec extends AnyFunSuite {
     assert(pairs(p3) == pairs(p1))
     Dedup.resetPairs(spark, key)
   }
+
+  test("concurrent serving: 8 simultaneous requests ≡ the sequential " +
+    "answers (per-thread pin registries, shared warm artifacts)") {
+    val dir = SparkTestSession.sf0001
+    val ids = Tables.sketchTables
+    // canonical per-request answer: deterministic row order (combineExact
+    // breaks overall-score ties on c_dataset) with the matching payload
+    // canonicalized (its within-row entry order is an argmax artifact)
+    def run(id: String): Seq[String] =
+      CombinedScorer.search(spark, dir, id, k = 10)
+        .withColumn("matching", sort_array(col("matching")))
+        .collect().map(_.mkString("|")).toSeq
+    // one warm request builds every shared session artifact up front so the
+    // concurrent batch exercises the steady serving path, not racing builds
+    // (those have their own memoLocked spec in CheckpointPinSpec)
+    run(ids.head); graft.Caching.release()
+    val sequential = ids.map(id => id -> run(id)).toMap
+    graft.Caching.release()
+    import java.util.concurrent.{Callable, Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(ids.size)
+    try {
+      val futs = ids.map(id => id -> pool.submit(new Callable[Seq[String]] {
+        def call(): Seq[String] =
+          try run(id) finally graft.Caching.release()
+      }))
+      futs.foreach { case (id, f) =>
+        assert(f.get(180, TimeUnit.SECONDS) == sequential(id),
+          s"concurrent result for $id diverged from sequential")
+      }
+    } finally pool.shutdownNow()
+  }
 }
