@@ -208,6 +208,58 @@ object Bench {
         }
         name -> minEach(runs)
       }
+    // reload_artifacts: the RESTART latency of the maintained-artifact
+    // family — snapshot the seven warm artifacts (admission index, exact +
+    // LSH pair tables, unigram/bigram/passage TF, media features) untimed,
+    // then time a simulated restart: drop the live artifacts and restore
+    // every family from its parquet snapshot (loads pin eagerly, so the
+    // line charges the full swap a restarted service pays before serving;
+    // values are spec-identical to the trained artifacts —
+    // ArtifactPersistenceSpec). Skipped when the train lines were filtered
+    // out (nothing warm to snapshot).
+    val reloadLines: Seq[(String, (Double, Long, Long))] =
+      if (!only.forall(_.contains("reload_artifacts"))) Seq.empty
+      else {
+        val idxKey = s"$sfDir#dedup_idx:documents"
+        val pairsKey = s"$sfDir#pairs:documents@0.95"
+        val pairsLshKey = s"$sfDir#pairs_lsh:documents@0.95"
+        val tfKeys = Seq(s"$sfDir#tf:documents",
+          s"$sfDir#tf:documents/bigrams", s"$sfDir#tf:documents/passages")
+        val mediaKey = s"$sfDir#media:documents"
+        val snap = java.nio.file.Files
+          .createTempDirectory("graft-snap").toString
+        val saved =
+          extra.Dedup.saveIndex(spark, idxKey, s"$snap/idx") &&
+          extra.Dedup.savePairs(spark, pairsKey, s"$snap/pairs") &&
+          extra.Dedup.savePairs(spark, pairsLshKey, s"$snap/pairs_lsh") &&
+          tfKeys.zipWithIndex.forall { case (k, i) =>
+            ingest.TermStats.saveTermFreqs(spark, k, s"$snap/tf$i") } &&
+          extra.Multimodal.saveFeatures(spark, mediaKey, s"$snap/media")
+        if (!saved) {
+          System.err.println(
+            "[bench] reload_artifacts skipped: artifacts not warm")
+          Seq.empty
+        } else {
+          def restart(): Unit = {
+            extra.Dedup.resetIndex(spark, idxKey)
+            extra.Dedup.resetPairs(spark, s"$sfDir#pairs")
+            ingest.TermStats.resetTermFreqs(spark, s"$sfDir#tf:documents")
+            extra.Multimodal.resetFeatures(spark, mediaKey)
+            extra.Dedup.loadIndex(spark, s"$snap/idx", idxKey)
+            extra.Dedup.loadPairs(spark, s"$snap/pairs", pairsKey)
+            extra.Dedup.loadPairs(spark, s"$snap/pairs_lsh", pairsLshKey)
+            tfKeys.zipWithIndex.foreach { case (k, i) =>
+              ingest.TermStats.loadTermFreqs(spark, s"$snap/tf$i", k) }
+            extra.Multimodal.loadFeatures(spark, s"$snap/media", mediaKey)
+          }
+          val runs = (1 to runsPerQuery).map { _ =>
+            val t = timed("reload_artifacts")(restart())
+            Caching.release()
+            t
+          }
+          Seq("reload_artifacts" -> minEach(runs))
+        }
+      }
     // Warm-REQUEST latency line (VERDICT r11 next #5): the second and later
     // consecutive searches against hot session artifacts — the steady-state
     // serving cost the r11 checkpoint work bought, locked as its own
@@ -275,7 +327,8 @@ object Bench {
         Seq("steady_search" -> minEach(runs),
           "steady_search_mt" -> minEach(mtRuns))
       }
-    val results = (trained ++ queryLines ++ steadyLines).toMap
+    val results =
+      (trained ++ queryLines ++ reloadLines ++ steadyLines).toMap
     def jmap(f: ((String, (Double, Long, Long))) => String): String =
       results.map { case (k, v) => s""""$k":${f((k, v))}""" }
         .mkString("{", ",", "}")
