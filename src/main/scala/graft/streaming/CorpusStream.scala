@@ -201,10 +201,13 @@ object CorpusStream {
         // the caller's action
         val v = graft.Caching.temp(graft.extra.Dedup.minhashIncrementalIndexed(
           sigs, toks, batch, idCol, textCol, threshold))
-        val admitted = batch.join(
+        // pinned too: up to five maintenance appends consume the admitted
+        // set below, and each one's eager pin would otherwise re-run the
+        // batch-scan + verdict join per family
+        val admitted = graft.Caching.temp(batch.join(
           v.filter(org.apache.spark.sql.functions.col("keep") === 1)
             .select(org.apache.spark.sql.functions.col("doc_id").as(idCol)),
-          idCol)
+          idCol))
         // Maintenance ORDER is the replay contract (foreachBatch is
         // at-least-once): the derived artifacts (TF, pairs) append FIRST —
         // both are idempotent per document (each drops already-present
