@@ -192,4 +192,48 @@ class ServingPathSpec extends AnyFunSuite {
       }
     } finally pool.shutdownNow()
   }
+
+  test("serving during an index refresh: concurrent searches equal the " +
+    "sequential answers when the refreshed data is unchanged") {
+    val dir = SparkTestSession.sf0001
+    val ids = Tables.sketchTables
+    def run(id: String): Seq[String] =
+      CombinedScorer.search(spark, dir, id, k = 10)
+        .withColumn("matching", sort_array(col("matching")))
+        .collect().map(_.mkString("|")).toSeq
+    run(ids.head); graft.Caching.release()
+    val sequential = ids.map(id => id -> run(id)).toMap
+    graft.Caching.release()
+    // refreshDataset on UNCHANGED files is refresh ≡ rebuild (SearchSpec),
+    // so every search racing the swap must return the same rows whether it
+    // reads the pre- or post-refresh index — the atomic cache.put plus the
+    // pinned old frame staying readable are what this locks.
+    import java.util.concurrent.{Callable, Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(5)
+    try {
+      val refresher = pool.submit(new Callable[Unit] {
+        def call(): Unit =
+          try Seq("customer", "orders").foreach { t =>
+            graft.search.Sketches.refreshDataset(spark, dir, t)
+          } finally graft.Caching.release()
+      })
+      val searches = (0 until 12).map { i =>
+        val id = ids(i % ids.size)
+        id -> pool.submit(new Callable[Seq[String]] {
+          def call(): Seq[String] =
+            try run(id) finally graft.Caching.release()
+        })
+      }
+      searches.foreach { case (id, f) =>
+        assert(f.get(300, TimeUnit.SECONDS) == sequential(id),
+          s"search for $id racing the refresh diverged")
+      }
+      refresher.get(300, TimeUnit.SECONDS)
+    } finally pool.shutdownNow()
+    // and the post-refresh steady state still serves the same answers
+    ids.foreach { id =>
+      assert(run(id) == sequential(id), s"post-refresh answer for $id moved")
+    }
+    graft.Caching.release()
+  }
 }
