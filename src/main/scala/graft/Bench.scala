@@ -337,19 +337,20 @@ object Bench {
       if (!only.forall(o => o.contains("steady_search") ||
         o.contains("steady_search_mt"))) Seq.empty
       else {
-        // Serving-session latency conf, scoped to the steady-state section:
-        // AQE's parallelism-first coalescing keeps ~32 post-shuffle
-        // partitions even for the request path's handful-of-rows exchanges
-        // (~100ms of task-launch overhead per such stage). A dedicated
-        // serving session coalesces for SIZE instead — request-scale
-        // shuffles collapse to 1 partition; lake-scale batch queries keep
-        // the default (the rest of the bench runs untouched, before this).
-        spark.conf.set(
-          "spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
-        // (AQE itself stays ON: with it off every exchange runs the full 32
-        // static shuffle partitions — measured 64s summed stage time per
-        // request vs 0.7s with AQE+size-first coalescing. The ~60ms-per-job
-        // driver round-trip of AQE's per-stage jobs is the cheaper tax.)
+        // Serving-session latency conf, scoped to the steady-state section
+        // (the rest of the bench runs untouched, before this). The request
+        // path's exchanges hold O(request) rows, so the adaptive machinery
+        // only adds driver round-trips here: AQE ON + size-first coalescing
+        // ran 17 jobs/request at ~1.2s; AQE OFF with 32 STATIC partitions
+        // is far worse (64s summed stage time — 32 task launches per tiny
+        // exchange); but AQE OFF with shuffle.partitions=2 is the dedicated
+        // serving sweet spot — 10 jobs/request, ~0.8s single-request wall,
+        // ~half the cpu (ServeProf A/B, min-of-2 each). Results are
+        // conf-independent (exact integer scoring; ServingPathSpec locks
+        // the equality). A real deployment runs batch and serving on
+        // SEPARATE sessions with exactly this split.
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.shuffle.partitions", "2")
         def request(): Unit = {
           search.CombinedScorer.search(spark, sfDir, "customer")
             .write.mode("overwrite").format("noop").save()
@@ -389,8 +390,8 @@ object Bench {
         }
         val mtRuns = (1 to runsPerQuery).map(_ =>
           timed("steady_search_mt")(mtBatch()))
-        spark.conf.set(
-          "spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.shuffle.partitions", cpus)
         Seq("steady_search" -> minEach(runs),
           "steady_search_mt" -> minEach(mtRuns))
       }

@@ -162,17 +162,19 @@ class ServingPathSpec extends AnyFunSuite {
     Dedup.resetPairs(spark, key)
   }
 
+  // canonical per-request answer: deterministic row order (combineExact
+  // breaks overall-score ties on c_dataset) with the matching payload
+  // canonicalized (its within-row entry order is an argmax artifact)
+  private def canonSearch(dir: String)(id: String): Seq[String] =
+    CombinedScorer.search(spark, dir, id, k = 10)
+      .withColumn("matching", sort_array(col("matching")))
+      .collect().map(_.mkString("|")).toSeq
+
   test("concurrent serving: 8 simultaneous requests ≡ the sequential " +
     "answers (per-thread pin registries, shared warm artifacts)") {
     val dir = SparkTestSession.sf0001
     val ids = Tables.sketchTables
-    // canonical per-request answer: deterministic row order (combineExact
-    // breaks overall-score ties on c_dataset) with the matching payload
-    // canonicalized (its within-row entry order is an argmax artifact)
-    def run(id: String): Seq[String] =
-      CombinedScorer.search(spark, dir, id, k = 10)
-        .withColumn("matching", sort_array(col("matching")))
-        .collect().map(_.mkString("|")).toSeq
+    val run = canonSearch(dir) _
     // one warm request builds every shared session artifact up front so the
     // concurrent batch exercises the steady serving path, not racing builds
     // (those have their own memoLocked spec in CheckpointPinSpec)
@@ -197,10 +199,7 @@ class ServingPathSpec extends AnyFunSuite {
     "sequential answers when the refreshed data is unchanged") {
     val dir = SparkTestSession.sf0001
     val ids = Tables.sketchTables
-    def run(id: String): Seq[String] =
-      CombinedScorer.search(spark, dir, id, k = 10)
-        .withColumn("matching", sort_array(col("matching")))
-        .collect().map(_.mkString("|")).toSeq
+    val run = canonSearch(dir) _
     run(ids.head); graft.Caching.release()
     val sequential = ids.map(id => id -> run(id)).toMap
     graft.Caching.release()
@@ -235,5 +234,29 @@ class ServingPathSpec extends AnyFunSuite {
       assert(run(id) == sequential(id), s"post-refresh answer for $id moved")
     }
     graft.Caching.release()
+  }
+
+  test("serving answers are conf-independent: AQE off + 2 static shuffle " +
+    "partitions (the dedicated serving conf) ≡ the default conf") {
+    val dir = SparkTestSession.sf0001
+    val ids = Tables.sketchTables
+    val run = canonSearch(dir) _
+    run(ids.head); graft.Caching.release()
+    val baseline = ids.map(id => id -> run(id)).toMap
+    graft.Caching.release()
+    val aqe0 = spark.conf.get("spark.sql.adaptive.enabled")
+    val parts0 = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.shuffle.partitions", "2")
+      ids.foreach { id =>
+        assert(run(id) == baseline(id),
+          s"serving-conf answer for $id diverged from the default conf")
+      }
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe0)
+      spark.conf.set("spark.sql.shuffle.partitions", parts0)
+      graft.Caching.release()
+    }
   }
 }
