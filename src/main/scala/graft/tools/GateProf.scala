@@ -3,14 +3,17 @@ package graft.tools
 import org.apache.spark.sql.functions.col
 
 /** Per-family cost isolator for the streaming admission gate: drains the
-  * same 4-micro-batch file stream through admitStreamMaintained with the
+  * same 1,000-doc file stream through admitStreamMaintained with the
   * maintenance families enabled one at a time, so the probe/TF/pairs/gram
-  * shares of the per-batch cost are visible. Usage:
-  * runMain graft.tools.GateProf [sfDir]
+  * shares of the per-batch cost are visible; then drains the SAME 1,000
+  * docs as 1/2/4 micro-batches with the full family to show the fixed
+  * per-batch cost amortizing with batch size. Usage:
+  * runMain graft.tools.GateProf [sfDir] [nBatches]
   */
 object GateProf {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val nBatches = if (args.length > 1) args(1).toInt else 4
     val spark = Prof.session("gateprof")
     val docs = graft.Tables.load(spark, sfDir, "documents")
     val seed = docs.filter(col("doc_id") < 300)
@@ -19,11 +22,15 @@ object GateProf {
     val incoming = docs
       .filter(col("doc_id") >= 300 && col("doc_id") < 1300)
       .select("doc_id", "text")
-    val dir = java.nio.file.Files.createTempDirectory("gateprof").toString
-    (0 until 4).foreach { i =>
-      incoming.filter(col("doc_id") % 4 === i)
-        .coalesce(1).write.mode("append").parquet(dir)
+    def stage(n: Int): String = {
+      val d = java.nio.file.Files.createTempDirectory(s"gateprof$n").toString
+      (0 until n).foreach { i =>
+        incoming.filter(col("doc_id") % n === i)
+          .coalesce(1).write.mode("append").parquet(d)
+      }
+      d
     }
+    val dir = stage(nBatches)
     val base = s"$sfDir#gateprof"
     def reset(): Unit = {
       graft.extra.Dedup.resetIndex(spark, base)
@@ -31,7 +38,7 @@ object GateProf {
       graft.ingest.TermStats.resetTermFreqs(spark, base)
     }
     def drain(label: String, tf: Boolean, pairs: Boolean,
-              gram: Boolean): Unit = {
+              gram: Boolean, streamDir: String = dir): Unit = {
       reset()
       graft.extra.Dedup.trainedIndex(seed, "doc_id", "text", s"$base:idx")
       if (gram) graft.extra.Dedup.trainedGramIndex(
@@ -46,7 +53,7 @@ object GateProf {
         seed, "doc_id", "text", 0.95, s"$base:pairs")
       Prof.time(label) {
         val stream = spark.readStream.schema(incoming.schema)
-          .option("maxFilesPerTrigger", "1").parquet(dir)
+          .option("maxFilesPerTrigger", "1").parquet(streamDir)
         val q = graft.streaming.CorpusStream.admitStreamMaintained(
           stream, seed, s"$base:idx", threshold = 0.95,
           tfCacheKeys =
@@ -66,6 +73,14 @@ object GateProf {
     drain("probe+pairs", tf = false, pairs = true, gram = false)
     drain("probe+gram", tf = false, pairs = false, gram = true)
     drain("full", tf = true, pairs = true, gram = true)
+    // amortization sweep: same 1,000 docs, full family, varying batch count
+    for (n <- Seq(1, 2, 4)) {
+      val d = stage(n)
+      drain(s"full n=$n (a)", tf = true, pairs = true, gram = true,
+        streamDir = d)
+      drain(s"full n=$n (b)", tf = true, pairs = true, gram = true,
+        streamDir = d)
+    }
     reset()
     spark.stop()
   }
