@@ -318,6 +318,15 @@ object Bench {
             gramSpecs = Seq((gramKey, 20))) { (_, _) => () }
           try q.processAllAvailable() finally q.stop()
         }
+        // Ingest-session conf, scoped like the steady section's serving
+        // conf: the gate's per-batch frames are batch-sized, so 32-way
+        // exchanges just multiply tiny shuffle files — GateProf's
+        // stack-sampled hotspot was FileOutputStream.open0 across hundreds
+        // of map tasks. AQE off + 4 static partitions: 4-batch drain
+        // 20.7 → 13.2s wall, 135 → 38.5s cpu (A/B, repeats within 1s).
+        // Values are partitioning-independent (the grown ≡ fresh specs).
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
         val runs = (1 to runsPerQuery).map { _ =>
           resetGate(); seedGate()
           val t = timed("stream_admit")(drain())
@@ -325,6 +334,8 @@ object Bench {
           t
         }
         resetGate()
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.shuffle.partitions", cpus)
         Seq("stream_admit" -> minEach(runs))
       }
     // Warm-REQUEST latency line (VERDICT r11 next #5): the second and later

@@ -11,6 +11,31 @@ import org.apache.spark.sql.functions.col
   * runMain graft.tools.GateProf [sfDir] [nBatches]
   */
 object GateProf {
+  /** Sample EVERY live thread's top frames for ~secs (RUNNABLE only),
+    * bucketing janino/codegen, JIT-adjacent, Spark task and driver work —
+    * unlike Prof.sampler this sees compilation threads, not just
+    * executor tasks.
+    */
+  private def allThreadSampler(secs: Int, top: Int = 12): Thread = {
+    import scala.jdk.CollectionConverters._
+    val t = new Thread(() => {
+      val counts = scala.collection.mutable.Map.empty[String, Int]
+      (1 to secs * 10).foreach { _ =>
+        Thread.getAllStackTraces.asScala.foreach { case (th, st) =>
+          if (th.getState == Thread.State.RUNNABLE && st.nonEmpty &&
+            th.getName != "gateprof-sampler") {
+            val hot = s"[${th.getName.take(24)}] ${st.take(3).mkString(" <- ")}"
+            counts(hot) = counts.getOrElse(hot, 0) + 1
+          }
+        }
+        Thread.sleep(100)
+      }
+      counts.toSeq.sortBy(-_._2).take(top).foreach { case (f, c) =>
+        println(s"== HOT[$c] $f") }
+    }, "gateprof-sampler")
+    t.setDaemon(true); t.start(); t
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val nBatches = if (args.length > 1) args(1).toInt else 4
@@ -73,14 +98,33 @@ object GateProf {
     drain("probe+pairs", tf = false, pairs = true, gram = false)
     drain("probe+gram", tf = false, pairs = false, gram = true)
     drain("full", tf = true, pairs = true, gram = true)
-    // amortization sweep: same 1,000 docs, full family, varying batch count
-    for (n <- Seq(1, 2, 4)) {
+    // amortization sweep: same 1,000 docs, full family, varying batch
+    // count — under the default batch conf AND the small-static-partition
+    // ingest conf (the stack-sampled hotspot is shuffle-FILE creation from
+    // hundreds of tiny 32-partition map tasks per micro-batch)
+    for (ingestConf <- Seq(false, true); n <- Seq(1, 2, 4)) {
+      if (ingestConf) {
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+      } else {
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+      }
+      val tag = if (ingestConf) " ingest-conf" else ""
       val d = stage(n)
-      drain(s"full n=$n (a)", tf = true, pairs = true, gram = true,
+      drain(s"full n=$n$tag (a)", tf = true, pairs = true, gram = true,
         streamDir = d)
-      drain(s"full n=$n (b)", tf = true, pairs = true, gram = true,
+      // GRAFT_SAMPLE=1: stack-sample ALL threads during the (b) drain, to
+      // attribute the per-batch fixed cpu (task work vs codegen/JIT vs
+      // driver planning)
+      val smp = if (sys.env.contains("GRAFT_SAMPLE"))
+        Some(allThreadSampler(20)) else None
+      drain(s"full n=$n$tag (b)", tf = true, pairs = true, gram = true,
         streamDir = d)
+      smp.foreach(_.join(3000))
     }
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
     reset()
     spark.stop()
   }
