@@ -432,4 +432,42 @@ class PairMaintainSpec extends AnyFunSuite {
     assert(Dedup.segmentCount(spark, s"$tmp#dedup_idx:documents") == 0)
     Sketches.reset(spark, tmp)
   }
+
+  test("maintenance is conf-independent: artifacts built+appended under " +
+    "the ingest conf (AQE off, 4 static shuffle partitions) ≡ default") {
+    val corpus = df(corpusRows)
+    val batch = df(batchRows)
+    def grownUnder(key: String): (Set[(Long, Long, Double)],
+      Set[(Long, String, Long)]) = {
+      Dedup.resetPairs(spark, key)
+      graft.ingest.TermStats.resetTermFreqs(spark, key)
+      Dedup.trainedPairs(corpus, "doc_id", "text", 0.8, s"$key:pairs")
+      graft.ingest.TermStats.trainedTermFreqs(corpus, "doc_id", "text",
+        s"$key:tf")
+      assert(Dedup.appendPairs(batch, "doc_id", "text", 0.8, s"$key:pairs"))
+      assert(graft.ingest.TermStats.appendTermFreqs(batch, "doc_id", "text",
+        s"$key:tf"))
+      val pairs = pairSet(
+        Dedup.trainedPairs(corpus, "doc_id", "text", 0.8, s"$key:pairs"))
+      val tf = graft.ingest.TermStats.trainedTermFreqs(corpus, "doc_id",
+          "text", s"$key:tf")
+        .select("doc_id", "term", "tf").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      Dedup.resetPairs(spark, key)
+      graft.ingest.TermStats.resetTermFreqs(spark, key)
+      (pairs, tf)
+    }
+    val default = grownUnder("confspec-default")
+    val aqe0 = spark.conf.get("spark.sql.adaptive.enabled")
+    val parts0 = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      assert(grownUnder("confspec-ingest") == default,
+        "ingest-conf artifacts diverged from the default conf")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe0)
+      spark.conf.set("spark.sql.shuffle.partitions", parts0)
+    }
+  }
 }
