@@ -267,10 +267,11 @@ object Bench {
     // then TF + bigram-TF + pair + gram artifact appends for the admitted
     // set. Seed artifact builds are untimed (a service builds them once);
     // the timed section is gate start → batches drained → stop, so
-    // docs/s = 1000 / value. Per-BATCH cost at this scale is mostly the
-    // fixed driver/job overhead of the five family appends (~15-25 jobs a
-    // batch) — the per-doc work amortizes it at real crawl batch sizes, so
-    // the line sizes batches at 500 docs, not 250. Own key namespace: the
+    // docs/s = 1000 / value. Per-BATCH cost at this scale is a fixed
+    // ~4.8s (GateProf 1/2/4-batch sweep: linear in batch COUNT), sampled
+    // to shuffle-file creation across the five families' tiny exchanges —
+    // hence the scoped ingest conf below and 500-doc batches, with real
+    // crawl batch sizes amortizing the remainder. Own key namespace: the
     // standard artifacts are untouched.
     val streamLines: Seq[(String, (Double, Long, Long))] =
       if (!only.forall(_.contains("stream_admit"))) Seq.empty
