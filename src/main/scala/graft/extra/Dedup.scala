@@ -784,10 +784,9 @@ object Dedup {
       indexCache.get(k) match {
         case None => false
         case Some(segs) =>
-          segs.map(_._1).reduce(_ unionByName _)
-            .write.mode("overwrite").parquet(s"$path/sigs")
-          segs.map(_._2).reduce(_ unionByName _)
-            .write.mode("overwrite").parquet(s"$path/toks")
+          graft.Snapshots.write(spark, path, Seq(
+            "sigs" -> segs.map(_._1).reduce(_ unionByName _),
+            "toks" -> segs.map(_._2).reduce(_ unionByName _)))
           true
       }
     }
@@ -805,9 +804,10 @@ object Dedup {
       require(!indexCache.contains(k),
         s"admission index '$cacheKey' already live in this session — reset " +
           "it before loading a snapshot over it")
+      val base = graft.Snapshots.resolveDir(spark, path)
       val seg = (
-        graft.Caching.pinArtifact(spark.read.parquet(s"$path/sigs")),
-        graft.Caching.pinArtifact(spark.read.parquet(s"$path/toks")))
+        graft.Caching.pinArtifact(spark.read.parquet(s"$base/sigs")),
+        graft.Caching.pinArtifact(spark.read.parquet(s"$base/toks")))
       indexCache.put(k, Vector(seg))
       seg
     }
@@ -828,17 +828,18 @@ object Dedup {
         case None => false
         case Some(segs) =>
           import spark.implicits._
-          segs.reduce(_ unionByName _).groupBy("gh")
-            .agg(sum("n_docs").as("n_docs"), sum("n_occ").as("n_occ"))
-            .write.mode("overwrite").parquet(s"$path/grams")
           val applied = appliedGramBatches.synchronized {
             import scala.jdk.CollectionConverters._
             appliedGramBatches.asScala.toSeq
               .collect { case (a, ck, w, b) if a == k._1 && ck == k._2 =>
                 (w, b) }
           }
-          applied.toDF("writer", "batch_id")
-            .write.mode("overwrite").parquet(s"$path/ledger")
+          // counts and ledger are one atomic snapshot: restoring counts
+          // without their ledger re-arms replays as double-folds
+          graft.Snapshots.write(spark, path, Seq(
+            "grams" -> segs.reduce(_ unionByName _).groupBy("gh")
+              .agg(sum("n_docs").as("n_docs"), sum("n_occ").as("n_occ")),
+            "ledger" -> applied.toDF("writer", "batch_id")))
           true
       }
     }
@@ -857,9 +858,10 @@ object Dedup {
       require(!gramCache.contains(k),
         s"gram artifact '$cacheKey' already live in this session — reset " +
           "it before loading a snapshot over it")
-      val seg = graft.Caching.pinArtifact(spark.read.parquet(s"$path/grams"))
+      val base = graft.Snapshots.resolveDir(spark, path)
+      val seg = graft.Caching.pinArtifact(spark.read.parquet(s"$base/grams"))
       gramCache.put(k, Vector(seg))
-      spark.read.parquet(s"$path/ledger").collect().foreach { r =>
+      spark.read.parquet(s"$base/ledger").collect().foreach { r =>
         appliedGramBatches.add((k._1, k._2, r.getString(0), r.getLong(1)))
       }
       seg
@@ -885,12 +887,13 @@ object Dedup {
       pairsCache.get(k) match {
         case None => false
         case Some(segs) =>
-          segs.map(_.pairs).reduce(_ unionByName _)
-            .write.mode("overwrite").parquet(s"$path/pairs")
-          segs.map(_.toks).reduce(_ unionByName _)
-            .write.mode("overwrite").parquet(s"$path/toks")
-          segs.map(_.probe).reduce(_ unionByName _)
-            .write.mode("overwrite").parquet(s"$path/probe")
+          // three maintenance tables, ONE atomic snapshot version: mixed
+          // part versions would verify candidates against one corpus state
+          // and bucket/prefix-probe against another
+          graft.Snapshots.write(spark, path, Seq(
+            "pairs" -> segs.map(_.pairs).reduce(_ unionByName _),
+            "toks" -> segs.map(_.toks).reduce(_ unionByName _),
+            "probe" -> segs.map(_.probe).reduce(_ unionByName _)))
           true
       }
     }
@@ -909,10 +912,11 @@ object Dedup {
       require(!pairsCache.contains(k),
         s"pair artifact '$cacheKey' already live in this session — reset " +
           "it before loading a snapshot over it")
+      val base = graft.Snapshots.resolveDir(spark, path)
       val seg = PairSegment(
-        graft.Caching.pinArtifact(spark.read.parquet(s"$path/pairs")),
-        graft.Caching.pinArtifact(spark.read.parquet(s"$path/toks")),
-        graft.Caching.pinArtifact(spark.read.parquet(s"$path/probe")))
+        graft.Caching.pinArtifact(spark.read.parquet(s"$base/pairs")),
+        graft.Caching.pinArtifact(spark.read.parquet(s"$base/toks")),
+        graft.Caching.pinArtifact(spark.read.parquet(s"$base/probe")))
       pairsCache.put(k, Vector(seg))
       seg.pairs
     }

@@ -640,8 +640,8 @@ object Multimodal {
       featCache.get(k) match {
         case None => false
         case Some(segs) =>
-          segs.reduce(_ unionByName _)
-            .write.mode("overwrite").parquet(s"$path/features")
+          graft.Snapshots.write(spark, path, Seq(
+            "features" -> segs.reduce(_ unionByName _)))
           true
       }
     }
@@ -658,8 +658,8 @@ object Multimodal {
       require(!featCache.contains(k),
         s"feature artifact '$cacheKey' already live in this session — " +
           "reset it before loading a snapshot over it")
-      val seg = graft.Caching.pinArtifact(
-        spark.read.parquet(s"$path/features"))
+      val seg = graft.Caching.pinArtifact(spark.read.parquet(
+        s"${graft.Snapshots.resolveDir(spark, path)}/features"))
       featCache.put(k, Vector(seg))
       seg
     }

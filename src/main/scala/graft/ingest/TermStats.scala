@@ -187,10 +187,9 @@ object TermStats {
         case None => false
         case Some(segs) =>
           import spark.implicits._
-          segs.reduce(_ unionByName _)
-            .write.mode("overwrite").parquet(s"$path/tf")
-          Seq(tfOrder.getOrElse(k, 1)).toDF("n")
-            .write.mode("overwrite").parquet(s"$path/meta")
+          graft.Snapshots.write(spark, path, Seq(
+            "tf" -> segs.reduce(_ unionByName _),
+            "meta" -> Seq(tfOrder.getOrElse(k, 1)).toDF("n")))
           true
       }
     }
@@ -212,8 +211,9 @@ object TermStats {
       require(!tfCache.contains(k),
         s"TF artifact '$cacheKey' already live in this session — reset it " +
           "before loading a snapshot over it")
-      val n = spark.read.parquet(s"$path/meta").head().getInt(0)
-      val seg = graft.Caching.pinArtifact(spark.read.parquet(s"$path/tf"))
+      val base = graft.Snapshots.resolveDir(spark, path)
+      val n = spark.read.parquet(s"$base/meta").head().getInt(0)
+      val seg = graft.Caching.pinArtifact(spark.read.parquet(s"$base/tf"))
       tfOrder.put(k, n)
       tfCache.put(k, Vector(seg))
       seg

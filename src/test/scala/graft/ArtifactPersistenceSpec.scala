@@ -211,4 +211,60 @@ class ArtifactPersistenceSpec extends AnyFunSuite {
     }
     Dedup.resetPairs(spark, key)
   }
+
+  test("snapshots are crash-safe: a save that dies mid-write leaves the " +
+    "committed version intact; re-saves supersede and prune") {
+    val key = "persist-crash"
+    val path = tmp("crashsave")
+    TermStats.resetTermFreqs(spark, key)
+    TermStats.trainedTermFreqs(df(corpusRows), "doc_id", "text", key)
+    val v1 = tfSet(TermStats.trainedTermFreqs(
+      df(corpusRows), "doc_id", "text", key))
+    assert(TermStats.saveTermFreqs(spark, key, path))
+    // simulate a save that crashed mid-write: a HIGHER version directory
+    // with a plausible part but NO _DONE flag and NO marker flip
+    val partial = new java.io.File(path, "v99")
+    assert(partial.mkdirs())
+    spark.range(3).toDF("junk").write.parquet(s"$path/v99/tf")
+    TermStats.resetTermFreqs(spark, key)
+    assert(tfSet(TermStats.loadTermFreqs(spark, path, key)) == v1,
+      "load after a crashed save must serve the committed snapshot")
+    // a lost marker falls back to the highest COMPLETE version, still v1's
+    TermStats.resetTermFreqs(spark, key)
+    assert(new java.io.File(path, "_LATEST").delete())
+    assert(tfSet(TermStats.loadTermFreqs(spark, path, key)) == v1,
+      "marker-less resolution must pick the complete version, not v99")
+    // grow the artifact and re-save: the new snapshot wins and old
+    // versions (and the crashed partial) are pruned
+    assert(TermStats.appendTermFreqs(df(b1Rows), "doc_id", "text", key))
+    val v2 = tfSet(TermStats.trainedTermFreqs(
+      df(corpusRows), "doc_id", "text", key))
+    assert(v2 != v1)
+    assert(TermStats.saveTermFreqs(spark, key, path))
+    TermStats.resetTermFreqs(spark, key)
+    assert(tfSet(TermStats.loadTermFreqs(spark, path, key)) == v2,
+      "re-save must serve the superseding snapshot")
+    val versions = new java.io.File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+    assert(versions.length == 1,
+      s"superseded/crashed versions must be pruned, saw ${versions.toSeq}")
+    TermStats.resetTermFreqs(spark, key)
+  }
+
+  test("legacy un-versioned snapshot layout stays readable") {
+    val key = "persist-legacy"
+    val path = tmp("legacysave")
+    TermStats.resetTermFreqs(spark, key)
+    TermStats.trainedTermFreqs(df(corpusRows), "doc_id", "text", key)
+    val want = tfSet(TermStats.trainedTermFreqs(
+      df(corpusRows), "doc_id", "text", key))
+    // write the pre-versioning layout by hand: parts directly under root
+    TermStats.tfSegmentsOf(spark, key).reduce(_ unionByName _)
+      .write.parquet(s"$path/tf")
+    import spark.implicits._
+    Seq(1).toDF("n").write.parquet(s"$path/meta")
+    TermStats.resetTermFreqs(spark, key)
+    assert(tfSet(TermStats.loadTermFreqs(spark, path, key)) == want)
+    TermStats.resetTermFreqs(spark, key)
+  }
 }
