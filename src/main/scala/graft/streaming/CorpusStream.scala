@@ -167,19 +167,72 @@ object CorpusStream {
     * verdict-vs-index commits (e.g. verdicts and index segments in one
     * Delta transaction), which the in-session artifact form trades away.
     *
-    * RESTART recipe: every maintained family has a persisted form — save
-    * periodically ([[graft.extra.Dedup.saveIndex]]/`savePairs`/
-    * `saveGramIndex`, [[graft.ingest.TermStats.saveTermFreqs]],
-    * [[graft.extra.Multimodal.saveFeatures]]), and on driver restart LOAD
-    * each under its old cacheKey (`loadIndex` etc.) BEFORE starting this
-    * gate, then resume the stream from its unchanged checkpoint location.
-    * Replay safety composes: micro-batches after the snapshot re-deliver,
-    * and the doc-idempotent appends drop their docs while the gram
-    * ledger — persisted with the counts — no-ops their batch ids. Keep
-    * `writerId` stable across the restart (same checkpoint ⇒ same batch-id
-    * sequence); a redeploy from a NEW checkpoint needs a new writerId as
-    * above.
+    * RESTART recipe, two calls: pass `snapshotEvery = Some((n, root))` and
+    * the gate persists EVERY maintained family to `root` after each n-th
+    * batch's maintenance completes, via the crash-safe versioned protocol
+    * ([[graft.Snapshots]] — a crash mid-snapshot leaves the previous one
+    * committed, never a mixed or destroyed one); on driver restart call
+    * [[loadMaintained]] with the same root and key arguments BEFORE
+    * starting the gate, then resume the stream from its unchanged
+    * checkpoint location. (The per-family save/load calls —
+    * [[graft.extra.Dedup.saveIndex]]/`savePairs`/`saveGramIndex`,
+    * [[graft.ingest.TermStats.saveTermFreqs]],
+    * [[graft.extra.Multimodal.saveFeatures]] and their loads — remain the
+    * manual form for custom cadences.) Replay safety composes:
+    * micro-batches after the snapshot re-deliver, and the doc-idempotent
+    * appends drop their docs while the gram ledger — persisted atomically
+    * WITH the counts — no-ops their batch ids. Keep `writerId` stable
+    * across the restart (same checkpoint ⇒ same batch-id sequence); a
+    * redeploy from a NEW checkpoint needs a new writerId as above.
     */
+  /** Per-family snapshot subdirectory under a gate snapshot `root` —
+    * shared by the gate's periodic saves and [[loadMaintained]], so the
+    * restart recipe never re-derives the mapping by hand. Cache keys can
+    * hold path separators and '#', hence the hash.
+    */
+  private def snapDir(root: String, kind: String, key: String): String =
+    s"$root/$kind/${java.lang.Integer.toHexString(key.hashCode)}"
+
+  /** Restore every maintained family of an [[admitStreamMaintained]] gate
+    * from the snapshot `root` its `snapshotEvery` option wrote — call
+    * BEFORE restarting the gate from its unchanged stream checkpoint, with
+    * the SAME key arguments. Families without a snapshot yet (a gate that
+    * crashed before its first snapshot batch) are skipped: the gate then
+    * rebuilds them from `corpus` exactly as on first start, and the
+    * at-least-once replays from the checkpoint re-fold whatever the
+    * snapshot missed (doc-idempotent appends + the gram ledger, which
+    * travels inside the gram snapshot).
+    */
+  def loadMaintained(spark: org.apache.spark.sql.SparkSession, root: String,
+                     cacheKey: String,
+                     tfCacheKeys: Seq[String] = Nil,
+                     pairsSpecs: Seq[(String, Double, Boolean)] = Nil,
+                     gramSpecs: Seq[(String, Int)] = Nil,
+                     featureCacheKeys: Seq[String] = Nil): Unit = {
+    def has(p: String): Boolean = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
+    }
+    val idx = snapDir(root, "idx", cacheKey)
+    if (has(idx)) graft.extra.Dedup.loadIndex(spark, idx, cacheKey)
+    tfCacheKeys.foreach { k =>
+      val p = snapDir(root, "tf", k)
+      if (has(p)) graft.ingest.TermStats.loadTermFreqs(spark, p, k)
+    }
+    pairsSpecs.foreach { case (pk, _, _) =>
+      val p = snapDir(root, "pairs", pk)
+      if (has(p)) graft.extra.Dedup.loadPairs(spark, p, pk)
+    }
+    gramSpecs.foreach { case (gk, _) =>
+      val p = snapDir(root, "gram", gk)
+      if (has(p)) graft.extra.Dedup.loadGramIndex(spark, p, gk)
+    }
+    featureCacheKeys.foreach { k =>
+      val p = snapDir(root, "feat", k)
+      if (has(p)) graft.extra.Multimodal.loadFeatures(spark, p, k)
+    }
+  }
+
   def admitStreamMaintained(stream: DataFrame, corpus: DataFrame,
                             cacheKey: String,
                             idCol: String = "doc_id",
@@ -189,10 +242,39 @@ object CorpusStream {
                             pairsSpecs: Seq[(String, Double, Boolean)] = Nil,
                             gramSpecs: Seq[(String, Int)] = Nil,
                             featureCacheKeys: Seq[String] = Nil,
-                            writerId: String = "")
+                            writerId: String = "",
+                            snapshotEvery: Option[(Int, String)] = None)
                            (onVerdict: (DataFrame, Long) => Unit)
   : StreamingQuery = {
     graft.extra.Dedup.trainedIndex(corpus, idCol, textCol, cacheKey)
+    // Periodic durable snapshots (the RESTART recipe's save step, run by
+    // the gate itself): every n-th batch, persist EVERY maintained family
+    // under `root/<family>/<key-hash>` via the crash-safe versioned
+    // protocol ([[graft.Snapshots]]) AFTER the batch's maintenance
+    // completes — so a snapshot never captures a half-maintained batch,
+    // and a crash mid-snapshot leaves the previous one committed. The
+    // Nth-batch latency spike is the amortized cost of bounded replay
+    // after a restart; size n to the acceptable re-ingest window.
+    val doSnapshot: Long => Unit = snapshotEvery match {
+      case None => _ => ()
+      case Some((n, root)) =>
+        require(n > 0, s"snapshotEvery interval must be positive, got $n")
+        id => if ((id + 1) % n == 0) {
+          val spark = corpus.sparkSession
+          graft.extra.Dedup.saveIndex(spark, cacheKey,
+            snapDir(root, "idx", cacheKey))
+          tfCacheKeys.foreach(k => graft.ingest.TermStats
+            .saveTermFreqs(spark, k, snapDir(root, "tf", k)))
+          pairsSpecs.foreach { case (pk, _, _) =>
+            graft.extra.Dedup.savePairs(spark, pk,
+              snapDir(root, "pairs", pk)) }
+          gramSpecs.foreach { case (gk, _) =>
+            graft.extra.Dedup.saveGramIndex(spark, gk,
+              snapDir(root, "gram", gk)) }
+          featureCacheKeys.foreach(k => graft.extra.Multimodal
+            .saveFeatures(spark, k, snapDir(root, "feat", k)))
+        }
+    }
     stream.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
       try {
         val (sigs, toks) =
@@ -237,6 +319,7 @@ object CorpusStream {
         }
         graft.extra.Dedup.appendAdmitted(
           admitted, idCol, textCol, cacheKey)
+        doSnapshot(id)
         onVerdict(v, id)
       } finally graft.Caching.release()
     }.start()

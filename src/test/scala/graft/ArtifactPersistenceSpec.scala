@@ -251,6 +251,64 @@ class ArtifactPersistenceSpec extends AnyFunSuite {
     TermStats.resetTermFreqs(spark, key)
   }
 
+  test("gate auto-snapshot + loadMaintained: a restarted session restores " +
+    "every maintained family and keeps appending") {
+    val corpus = df(corpusRows)
+    // two micro-batches (maxFilesPerTrigger=1): snapshotEvery=2 fires once,
+    // after batch 1's maintenance — covering BOTH batches
+    val streamDir = tmp("gatesnap-stream")
+    df(b1Rows).coalesce(1).write.mode("append").parquet(streamDir)
+    df(b2Rows).coalesce(1).write.mode("append").parquet(streamDir)
+    val snapRoot = tmp("gatesnap-root")
+    val (idxKey, tfKey, pKey) =
+      ("gatesnap-idx", "gatesnap-tf", "gatesnap-pairs")
+    val gKey = "gatesnap-grams"
+    def resetAll(): Unit = {
+      Dedup.resetIndex(spark, "gatesnap") // idx + gram prefixes
+      Dedup.resetPairs(spark, "gatesnap")
+      TermStats.resetTermFreqs(spark, "gatesnap")
+    }
+    resetAll()
+    Dedup.trainedGramIndex(corpus, "doc_id", "text", gKey, 5)
+    TermStats.trainedTermFreqs(corpus, "doc_id", "text", tfKey)
+    Dedup.trainedPairs(corpus, "doc_id", "text", 0.8, pKey)
+    val stream = spark.readStream.schema(df(b1Rows).schema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir)
+    val q = graft.streaming.CorpusStream.admitStreamMaintained(
+      stream, corpus, idxKey, threshold = 0.9,
+      tfCacheKeys = Seq(tfKey), pairsSpecs = Seq((pKey, 0.8, false)),
+      gramSpecs = Seq((gKey, 5)),
+      snapshotEvery = Some((2, snapRoot))) { (_, _) => () }
+    try q.processAllAvailable() finally q.stop()
+    val tfWant = tfSet(TermStats.trainedTermFreqs(
+      corpus, "doc_id", "text", tfKey))
+    val pairsWant = pairSet(Dedup.trainedPairs(
+      corpus, "doc_id", "text", 0.8, pKey))
+    def gramCounts() = Dedup.trainedGramIndex(corpus, "doc_id", "text",
+        gKey, 5).groupBy("gh")
+      .agg(org.apache.spark.sql.functions.sum("n_docs").as("nd"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val gramsWant = gramCounts()
+    // simulated restart: session artifacts gone, restore from the root
+    resetAll()
+    graft.streaming.CorpusStream.loadMaintained(spark, snapRoot, idxKey,
+      tfCacheKeys = Seq(tfKey), pairsSpecs = Seq((pKey, 0.8, false)),
+      gramSpecs = Seq((gKey, 5)))
+    assert(tfSet(TermStats.trainedTermFreqs(
+      corpus, "doc_id", "text", tfKey)) == tfWant)
+    assert(pairSet(Dedup.trainedPairs(
+      corpus, "doc_id", "text", 0.8, pKey)) == pairsWant)
+    assert(gramCounts() == gramsWant)
+    // maintenance continues on the restored artifacts
+    val extra = Seq(31L -> doc(Seq("new", "words", "entirely", "fresh",
+      "tokens", "here", "seven", "eight", "nine", "ten")))
+      .toDF("doc_id", "text")
+    assert(TermStats.appendTermFreqs(extra, "doc_id", "text", tfKey))
+    assert(tfSet(TermStats.trainedTermFreqs(
+      corpus, "doc_id", "text", tfKey)).exists(_._1 == 31L))
+    resetAll()
+  }
+
   test("legacy un-versioned snapshot layout stays readable") {
     val key = "persist-legacy"
     val path = tmp("legacysave")
