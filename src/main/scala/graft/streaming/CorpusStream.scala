@@ -188,10 +188,14 @@ object CorpusStream {
   /** Per-family snapshot subdirectory under a gate snapshot `root` —
     * shared by the gate's periodic saves and [[loadMaintained]], so the
     * restart recipe never re-derives the mapping by hand. Cache keys can
-    * hold path separators and '#', hence the hash.
+    * hold path separators and '#', so the directory name is a sanitized
+    * tail of the key (readable) plus its full-key hash (collision guard —
+    * two keys sharing a 40-char tail still map apart).
     */
-  private def snapDir(root: String, kind: String, key: String): String =
-    s"$root/$kind/${java.lang.Integer.toHexString(key.hashCode)}"
+  private def snapDir(root: String, kind: String, key: String): String = {
+    val tail = key.takeRight(40).replaceAll("[^A-Za-z0-9._-]", "_")
+    s"$root/$kind/$tail-${java.lang.Integer.toHexString(key.hashCode)}"
+  }
 
   /** Restore every maintained family of an [[admitStreamMaintained]] gate
     * from the snapshot `root` its `snapshotEvery` option wrote — call
