@@ -368,10 +368,15 @@ object Bench {
             .write.mode("overwrite").format("noop").save()
           Caching.release()
         }
+        // each steady line honors its own exact-name filter (like every
+        // other section) — the shared serving-conf scope is all they share
+        val runSingle = only.forall(_.contains("steady_search"))
+        val runMt = only.forall(_.contains("steady_search_mt"))
         try request() catch { case e: Throwable =>
           System.err.println(s"[bench] steady_search warmup: $e")
         }
-        val runs = (1 to runsPerQuery).map(_ => timed("steady_search")(request()))
+        val runs = if (!runSingle) Seq.empty else
+          (1 to runsPerQuery).map(_ => timed("steady_search")(request()))
         // steady_search_mt: the MULTI-USER serving shape — 8 concurrent
         // request threads, 2 requests each (every sketch table once per
         // thread-pair), against the same hot session artifacts. danae is a
@@ -397,15 +402,19 @@ object Bench {
             futs.foreach(_.get())
           } finally pool.shutdownNow()
         }
-        try mtBatch() catch { case e: Throwable =>
-          System.err.println(s"[bench] steady_search_mt warmup: $e")
-        }
-        val mtRuns = (1 to runsPerQuery).map(_ =>
-          timed("steady_search_mt")(mtBatch()))
+        val mtRuns =
+          if (!runMt) Seq.empty
+          else {
+            try mtBatch() catch { case e: Throwable =>
+              System.err.println(s"[bench] steady_search_mt warmup: $e")
+            }
+            (1 to runsPerQuery).map(_ => timed("steady_search_mt")(mtBatch()))
+          }
         spark.conf.set("spark.sql.adaptive.enabled", "true")
         spark.conf.set("spark.sql.shuffle.partitions", cpus)
-        Seq("steady_search" -> minEach(runs),
-          "steady_search_mt" -> minEach(mtRuns))
+        (if (runs.nonEmpty) Seq("steady_search" -> minEach(runs)) else Nil) ++
+          (if (mtRuns.nonEmpty)
+            Seq("steady_search_mt" -> minEach(mtRuns)) else Nil)
       }
     val results =
       (trained ++ queryLines ++ reloadLines ++ streamLines ++

@@ -85,9 +85,25 @@ object Snapshots {
 
   /** Resolve the directory holding the committed snapshot's parts:
     * the `_LATEST` version if usable, else the highest `_DONE` version,
-    * else `root` itself (legacy un-versioned layout).
+    * else `root` itself for a LEGACY un-versioned layout (no `v<N>`
+    * directories at all). A root whose only version directories are
+    * UNCOMMITTED (a first save that crashed mid-write) is neither — that
+    * root holds no readable snapshot, and falling back to it would turn
+    * the documented skip-and-rebuild path into an AnalysisException on a
+    * part path that never existed; it throws instead, and existence-gated
+    * callers ([[committed]]) never get here.
     */
-  def resolveDir(spark: SparkSession, root: String): String = {
+  def resolveDir(spark: SparkSession, root: String): String =
+    resolveDirOpt(spark, root).getOrElse(throw new IllegalStateException(
+      s"snapshot root '$root' has version directories but no committed " +
+        "version — the only save into it crashed before commit"))
+
+  /** [[resolveDir]] that signals "nothing committed here" as None instead
+    * of throwing. None ⇔ the root has version directories but none with a
+    * `_DONE` flag; a root with no version directories resolves to itself
+    * (legacy layout — the caller's existence check vouches for it).
+    */
+  def resolveDirOpt(spark: SparkSession, root: String): Option[String] = {
     val rootP = new Path(root)
     val fs = fsOf(spark, rootP)
     def complete(p: Path) = fs.exists(new Path(p, Done))
@@ -104,9 +120,22 @@ object Snapshots {
           fs.exists(p) && complete(p)) Some(p.toString)
         else None
       }
-    fromMarker.getOrElse {
-      val done = versionsOf(fs, rootP).filter(v => complete(v._2))
-      if (done.nonEmpty) done.maxBy(_._1)._2.toString else root
+    fromMarker.orElse {
+      val versions = versionsOf(fs, rootP)
+      val done = versions.filter(v => complete(v._2))
+      if (done.nonEmpty) Some(done.maxBy(_._1)._2.toString)
+      else if (versions.nonEmpty) None // versioned root, nothing committed
+      else Some(root) // legacy layout: parts directly under root
     }
+  }
+
+  /** True iff `root` holds a loadable snapshot: a committed version, or a
+    * legacy layout (root exists with no version directories). The
+    * existence gate for skip-if-never-snapshotted restart paths.
+    */
+  def committed(spark: SparkSession, root: String): Boolean = {
+    val rootP = new Path(root)
+    if (!fsOf(spark, rootP).exists(rootP)) false
+    else resolveDirOpt(spark, root).isDefined
   }
 }

@@ -170,20 +170,32 @@ object CorpusStream {
     * RESTART recipe, two calls: pass `snapshotEvery = Some((n, root))` and
     * the gate persists EVERY maintained family to `root` after each n-th
     * batch's maintenance completes, via the crash-safe versioned protocol
-    * ([[graft.Snapshots]] — a crash mid-snapshot leaves the previous one
-    * committed, never a mixed or destroyed one); on driver restart call
-    * [[loadMaintained]] with the same root and key arguments BEFORE
-    * starting the gate, then resume the stream from its unchanged
-    * checkpoint location. (The per-family save/load calls —
-    * [[graft.extra.Dedup.saveIndex]]/`savePairs`/`saveGramIndex`,
+    * ([[graft.Snapshots]] — a crash mid-snapshot leaves each family's
+    * previous version committed, never a mixed or destroyed one; family
+    * order puts the admission index LAST, see the snapshot block below);
+    * on driver restart call [[loadMaintained]] with the same root and key
+    * arguments BEFORE starting the gate. (The per-family save/load
+    * calls — [[graft.extra.Dedup.saveIndex]]/`savePairs`/`saveGramIndex`,
     * [[graft.ingest.TermStats.saveTermFreqs]],
     * [[graft.extra.Multimodal.saveFeatures]] and their loads — remain the
-    * manual form for custom cadences.) Replay safety composes:
-    * micro-batches after the snapshot re-deliver, and the doc-idempotent
-    * appends drop their docs while the gram ledger — persisted atomically
-    * WITH the counts — no-ops their batch ids. Keep `writerId` stable
-    * across the restart (same checkpoint ⇒ same batch-id sequence); a
-    * redeploy from a NEW checkpoint needs a new writerId as above.
+    * manual form for custom cadences.)
+    *
+    * What the stream must then re-deliver depends on n. With `n = 1`
+    * (snapshot every batch — the LOSSLESS mode) resuming from the
+    * unchanged checkpoint location suffices: only the in-flight batch
+    * replays, and its maintenance is recovered by the replay. With
+    * `n > 1`, batches since the last snapshot were already COMMITTED to
+    * the stream checkpoint — Structured Streaming will NOT re-deliver
+    * them, so their maintenance would be silently lost; the recipe there
+    * is to RE-SUBMIT the source data from (at least) the last snapshot
+    * point — conservatively, any superset — which is SAFE because the
+    * gate is idempotent under over-submission: docs already in the
+    * restored index self-match (keep=0, no appends), docs the snapshot
+    * missed re-admit and rebuild every family, and the gram ledger —
+    * persisted atomically WITH its counts — no-ops batch ids it already
+    * folded. Keep `writerId` stable when resuming the same checkpoint
+    * (same batch-id sequence); a redeploy from a NEW checkpoint location
+    * (the re-submission path) needs a new writerId as above.
     */
   /** Per-family snapshot subdirectory under a gate snapshot `root` —
     * shared by the gate's periodic saves and [[loadMaintained]], so the
@@ -213,10 +225,11 @@ object CorpusStream {
                      pairsSpecs: Seq[(String, Double, Boolean)] = Nil,
                      gramSpecs: Seq[(String, Int)] = Nil,
                      featureCacheKeys: Seq[String] = Nil): Unit = {
-    def has(p: String): Boolean = {
-      val hp = new org.apache.hadoop.fs.Path(p)
-      hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
-    }
+    // committed(), not bare existence: a family root whose only save
+    // crashed mid-write (version dirs, nothing committed) is "no snapshot
+    // yet" and must take the documented skip-and-rebuild path, not fail
+    // the whole restore on a partial directory
+    def has(p: String): Boolean = graft.Snapshots.committed(spark, p)
     val idx = snapDir(root, "idx", cacheKey)
     if (has(idx)) graft.extra.Dedup.loadIndex(spark, idx, cacheKey)
     tfCacheKeys.foreach { k =>
@@ -253,30 +266,45 @@ object CorpusStream {
     graft.extra.Dedup.trainedIndex(corpus, idCol, textCol, cacheKey)
     // Periodic durable snapshots (the RESTART recipe's save step, run by
     // the gate itself): every n-th batch, persist EVERY maintained family
-    // under `root/<family>/<key-hash>` via the crash-safe versioned
+    // under `root/<family>/<key-dir>` via the crash-safe versioned
     // protocol ([[graft.Snapshots]]) AFTER the batch's maintenance
     // completes — so a snapshot never captures a half-maintained batch,
-    // and a crash mid-snapshot leaves the previous one committed. The
-    // Nth-batch latency spike is the amortized cost of bounded replay
-    // after a restart; size n to the acceptable re-ingest window.
+    // and a crash mid-snapshot leaves each family's previous version
+    // committed. Family ORDER mirrors the append order's replay contract:
+    // derived families first, the ADMISSION INDEX LAST — a crash between
+    // family saves then leaves an index snapshot OLDER than (or equal to)
+    // every derived snapshot, so replayed/re-submitted docs re-admit and
+    // the doc-idempotent derived appends drop what their newer snapshots
+    // already hold (and the gram ledger, committed atomically WITH its
+    // counts, no-ops its applied batch ids). The inverted order would be
+    // the self-match hole: a NEWER index makes the replayed batch's docs
+    // keep=0, so the derived families would miss them forever.
+    // Each save must succeed: a configured family that is not live in the
+    // session (wrong cacheKey) would otherwise silently never persist
+    // while the others do — fail the batch instead, which surfaces at the
+    // stream as a retried-then-failing batch an operator can see.
     val doSnapshot: Long => Unit = snapshotEvery match {
       case None => _ => ()
       case Some((n, root)) =>
         require(n > 0, s"snapshotEvery interval must be positive, got $n")
         id => if ((id + 1) % n == 0) {
           val spark = corpus.sparkSession
-          graft.extra.Dedup.saveIndex(spark, cacheKey,
-            snapDir(root, "idx", cacheKey))
-          tfCacheKeys.foreach(k => graft.ingest.TermStats
-            .saveTermFreqs(spark, k, snapDir(root, "tf", k)))
+          def must(ok: Boolean, what: String): Unit = require(ok,
+            s"snapshotEvery: $what is not live in this session — check " +
+              "the gate's cache keys")
+          tfCacheKeys.foreach(k => must(graft.ingest.TermStats
+            .saveTermFreqs(spark, k, snapDir(root, "tf", k)), s"TF '$k'"))
           pairsSpecs.foreach { case (pk, _, _) =>
-            graft.extra.Dedup.savePairs(spark, pk,
-              snapDir(root, "pairs", pk)) }
+            must(graft.extra.Dedup.savePairs(spark, pk,
+              snapDir(root, "pairs", pk)), s"pair artifact '$pk'") }
           gramSpecs.foreach { case (gk, _) =>
-            graft.extra.Dedup.saveGramIndex(spark, gk,
-              snapDir(root, "gram", gk)) }
-          featureCacheKeys.foreach(k => graft.extra.Multimodal
-            .saveFeatures(spark, k, snapDir(root, "feat", k)))
+            must(graft.extra.Dedup.saveGramIndex(spark, gk,
+              snapDir(root, "gram", gk)), s"gram artifact '$gk'") }
+          featureCacheKeys.foreach(k => must(graft.extra.Multimodal
+            .saveFeatures(spark, k, snapDir(root, "feat", k)),
+            s"feature artifact '$k'"))
+          must(graft.extra.Dedup.saveIndex(spark, cacheKey,
+            snapDir(root, "idx", cacheKey)), s"admission index '$cacheKey'")
         }
     }
     stream.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>

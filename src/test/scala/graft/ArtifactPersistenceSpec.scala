@@ -309,6 +309,25 @@ class ArtifactPersistenceSpec extends AnyFunSuite {
     resetAll()
   }
 
+  test("a root whose ONLY save crashed mid-write reads as no-snapshot, " +
+    "not as a legacy layout") {
+    val root = tmp("crashonly")
+    // simulate: first save died after creating a version dir, before _DONE
+    new java.io.File(root, "v1").mkdirs()
+    spark.range(2).toDF("junk").write.parquet(s"$root/v1/tf")
+    assert(!graft.Snapshots.committed(spark, root),
+      "uncommitted-only root must not count as a loadable snapshot")
+    intercept[IllegalStateException] {
+      graft.Snapshots.resolveDir(spark, root)
+    }
+    // loadMaintained takes the documented skip path instead of failing
+    TermStats.resetTermFreqs(spark, "crashonly-tf")
+    graft.streaming.CorpusStream.loadMaintained(spark, root, "crashonly-idx",
+      tfCacheKeys = Seq("crashonly-tf"))
+    assert(TermStats.tfSegmentCount(spark, "crashonly-tf") == 0,
+      "nothing must be loaded from an uncommitted root")
+  }
+
   test("legacy un-versioned snapshot layout stays readable") {
     val key = "persist-legacy"
     val path = tmp("legacysave")
