@@ -209,8 +209,9 @@ object Bench {
         name -> minEach(runs)
       }
     // reload_artifacts: the RESTART latency of the maintained-artifact
-    // family — snapshot the seven warm artifacts (admission index, exact +
-    // LSH pair tables, unigram/bigram/passage TF, media features) untimed,
+    // family — snapshot the eight warm artifacts (the serving sketch
+    // index, admission index, exact + LSH pair tables, unigram/bigram/
+    // passage TF, media features) untimed,
     // then time a simulated restart: drop the live artifacts and restore
     // every family from its parquet snapshot (loads pin eagerly, so the
     // line charges the full swap a restarted service pays before serving;
@@ -229,6 +230,7 @@ object Bench {
         val snap = java.nio.file.Files
           .createTempDirectory("graft-snap").toString
         val saved =
+          search.Sketches.save(spark, sfDir, s"$snap/sketch") &&
           extra.Dedup.saveIndex(spark, idxKey, s"$snap/idx") &&
           extra.Dedup.savePairs(spark, pairsKey, s"$snap/pairs") &&
           extra.Dedup.savePairs(spark, pairsLshKey, s"$snap/pairs_lsh") &&
@@ -241,10 +243,12 @@ object Bench {
           Seq.empty
         } else {
           def restart(): Unit = {
+            search.Sketches.reset(spark, sfDir)
             extra.Dedup.resetIndex(spark, idxKey)
             extra.Dedup.resetPairs(spark, s"$sfDir#pairs")
             ingest.TermStats.resetTermFreqs(spark, s"$sfDir#tf:documents")
             extra.Multimodal.resetFeatures(spark, mediaKey)
+            search.Sketches.load(spark, s"$snap/sketch", sfDir)
             extra.Dedup.loadIndex(spark, s"$snap/idx", idxKey)
             extra.Dedup.loadPairs(spark, s"$snap/pairs", pairsKey)
             extra.Dedup.loadPairs(spark, s"$snap/pairs_lsh", pairsLshKey)

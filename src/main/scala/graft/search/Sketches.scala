@@ -209,6 +209,47 @@ object Sketches {
       graft.Caching.pinArtifact(all(spark, dir).repartition(1))
     }
 
+  /** Persist the pinned sketch index for (session, dir) to `path` via the
+    * crash-safe snapshot protocol ([[graft.Snapshots]]) — the SERVING-side
+    * restart story: at lake scale the index is a full-lake profile (the
+    * expensive "train"), so a restarted serving session must [[load]] it,
+    * not re-profile the lake. Returns false when no index is live. Shares
+    * the (session, dir) lock with train/refresh, so a snapshot can't
+    * capture a half-spliced refresh.
+    */
+  def save(spark: SparkSession, dir: String, path: String): Boolean = {
+    val k = (spark.sparkContext.applicationId, dir)
+    refreshLocks.getOrElseUpdate(k, new Object).synchronized {
+      cache.get(k) match {
+        case None => false
+        case Some(df) =>
+          graft.Snapshots.write(spark, path, Seq("sketch" -> df))
+          true
+      }
+    }
+  }
+
+  /** Restore a [[save]] snapshot as the pinned index for (session, dir):
+    * serving proceeds exactly as after [[train]] (same pin discipline,
+    * single partition, O(1) plan embedding), and [[refreshDataset]] keeps
+    * maintaining the loaded index. Refuses to shadow a live index — reset
+    * first if replacement is intended.
+    */
+  def load(spark: SparkSession, path: String, dir: String): DataFrame = {
+    val k = (spark.sparkContext.applicationId, dir)
+    refreshLocks.getOrElseUpdate(k, new Object).synchronized {
+      require(!cache.contains(k),
+        s"sketch index for '$dir' already live in this session — reset it " +
+          "before loading a snapshot over it")
+      val pinned = graft.Caching.pinArtifact(
+        spark.read.parquet(
+          s"${graft.Snapshots.resolveDir(spark, path)}/sketch")
+          .repartition(1))
+      cache.put(k, pinned)
+      pinned
+    }
+  }
+
   /** Drop the pinned index for (session, dir) — the explicit inverse of
     * [[train]], so a benchmark can time a TRUE rebuild (and a test can
     * force a cold path) instead of the memo hit a second [[train]] call is

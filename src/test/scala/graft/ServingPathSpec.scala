@@ -236,6 +236,41 @@ class ServingPathSpec extends AnyFunSuite {
     graft.Caching.release()
   }
 
+  test("sketch-index save → reset → load serves identical search answers " +
+    "and still accepts refreshDataset") {
+    val dir = SparkTestSession.sf0001
+    val ids = Tables.sketchTables
+    val run = canonSearch(dir) _
+    run(ids.head); graft.Caching.release()
+    val baseline = ids.map(id => id -> run(id)).toMap
+    graft.Caching.release()
+    val path = java.nio.file.Files
+      .createTempDirectory("sketchsave").toString
+    assert(graft.search.Sketches.save(spark, dir, path))
+    // simulated serving restart: the trained index is gone, the snapshot
+    // restores it without re-profiling the lake
+    graft.search.Sketches.reset(spark, dir)
+    intercept[IllegalArgumentException] {
+      // loading over a live index must refuse — train first, then load
+      graft.search.Sketches.train(spark, dir)
+      graft.search.Sketches.load(spark, path, dir)
+    }
+    graft.search.Sketches.reset(spark, dir)
+    graft.search.Sketches.load(spark, path, dir)
+    ids.foreach { id =>
+      assert(run(id) == baseline(id),
+        s"post-load answer for $id diverged from the trained index")
+    }
+    graft.Caching.release()
+    // the loaded index keeps accepting incremental maintenance
+    graft.search.Sketches.refreshDataset(spark, dir, "customer")
+    ids.foreach { id =>
+      assert(run(id) == baseline(id),
+        s"refresh on the loaded index moved the answer for $id")
+    }
+    graft.Caching.release()
+  }
+
   test("serving answers are conf-independent: AQE off + 2 static shuffle " +
     "partitions (the dedicated serving conf) ≡ the default conf") {
     val dir = SparkTestSession.sf0001
