@@ -408,6 +408,18 @@ object SparkEntry {
     "dedup_embedding" -> ((s, d) =>
       Dedup.embeddingPairs(T(s, d, "embeddings"), 0.45)),
 
+    // semantic benchmark decontamination: every 10th vector plays the
+    // benchmark set, the rest the training corpus — corpus rows within
+    // cosine 0.45 of ANY benchmark row are the drop list, each with its
+    // strongest benchmark match (deterministic: rounded-cosine rank, tie
+    // on the smaller bench id)
+    "decontaminate_semantic" -> ((s, d) => {
+      val e = T(s, d, "embeddings")
+      Dedup.decontaminateSemantic(
+        e.filter(col("vec_id") % 10 =!= 0),
+        e.filter(col("vec_id") % 10 === 0), 0.45)
+    }),
+
     // the scale path: sign-LSH bucket prefilter + exact cosine verify;
     // maxBits=12 turns on the adaptive band width (one more compared
     // bit per corpus doubling — fixture-scale behavior unchanged at the
@@ -1408,6 +1420,20 @@ object SparkEntry {
         | round(list_cosine_similarity(a.vec, b.vec),6) AS cosine
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.vec, b.vec) >= 0.45""".stripMargin,
+
+    "decontaminate_semantic" ->
+      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec
+        |           FROM embeddings WHERE vec_id % 10 <> 0),
+        |     b AS (SELECT vec_id AS bench_id, CAST(embedding AS DOUBLE[]) AS vec
+        |           FROM embeddings WHERE vec_id % 10 = 0),
+        |     m AS (SELECT c.vec_id, b.bench_id,
+        |             round(list_cosine_similarity(c.vec, b.vec),6) AS cosine
+        |           FROM c JOIN b ON list_cosine_similarity(c.vec, b.vec) >= 0.45)
+        |SELECT vec_id, bench_id, cosine FROM (
+        |  SELECT m.*, row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY cosine DESC, bench_id ASC) AS rn
+        |  FROM m
+        |) WHERE rn = 1""".stripMargin,
 
     "knn_cosine" -> O.knnCosineSql,
     "label_transfer" -> O.labelTransferSql,

@@ -1116,6 +1116,36 @@ object Dedup {
         round(col("cos_raw"), 6).as("cosine"))
   }
 
+  /** Semantic benchmark decontamination — the embedding-space analogue of
+    * the n-gram decontamination in [[graft.extra.CorpusOps]]: corpus
+    * vectors whose cosine vs ANY benchmark vector ≥ `threshold` form the
+    * drop list, each row carrying its strongest benchmark match (ranked
+    * on the ROUNDED cosine so the winner is engine-deterministic; ties
+    * break on the smaller benchmark id). Brute-force A×B is the exact
+    * fixture-scale form; at lake scale the candidate join swaps to the
+    * cross-set banded sign-LSH shape of [[embeddingPairsLsh]] /
+    * bitext-mining (bucket equi-joins, never all-pairs) with the same
+    * exact-cosine verify.
+    */
+  def decontaminateSemantic(corpus: DataFrame, bench: DataFrame,
+                            threshold: Double): DataFrame = {
+    val c = corpus.select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("vec"))
+    val b = bench.select(col("vec_id").as("bench_id"),
+      transform(col("embedding"), _.cast("double")).as("bvec"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id")
+      .orderBy(col("cosine").desc, col("bench_id").asc)
+    c.join(b)
+      .withColumn("cos_raw",
+        graft.functions.VectorOps.cosine(col("vec"), col("bvec")))
+      .filter(col("cos_raw") >= threshold)
+      .withColumn("cosine", round(col("cos_raw"), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("bench_id"), col("cosine"))
+  }
+
   /** The (table, bucket) layout of the multi-table sign LSH: table t keys on
     * the sign pattern of dimensions [t*bits+1 .. t*bits+bits]. Shared with
     * the oracle generator.
