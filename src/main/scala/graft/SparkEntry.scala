@@ -420,6 +420,15 @@ object SparkEntry {
         e.filter(col("vec_id") % 10 === 0), 0.45)
     }),
 
+    // the scale path: cross-set banded sign-LSH candidates (corpus keys ⋈
+    // benchmark keys on (table, bucket)) + exact cosine verify
+    "decontaminate_semantic_lsh" -> ((s, d) => {
+      val e = T(s, d, "embeddings")
+      Dedup.decontaminateSemanticLsh(
+        e.filter(col("vec_id") % 10 =!= 0),
+        e.filter(col("vec_id") % 10 === 0), 0.45)
+    }),
+
     // the scale path: sign-LSH bucket prefilter + exact cosine verify;
     // maxBits=12 turns on the adaptive band width (one more compared
     // bit per corpus doubling — fixture-scale behavior unchanged at the
@@ -1434,6 +1443,8 @@ object SparkEntry {
         |    PARTITION BY vec_id ORDER BY cosine DESC, bench_id ASC) AS rn
         |  FROM m
         |) WHERE rn = 1""".stripMargin,
+
+    "decontaminate_semantic_lsh" -> O.decontaminateSemanticLshSql,
 
     "knn_cosine" -> O.knnCosineSql,
     "label_transfer" -> O.labelTransferSql,
@@ -3455,6 +3466,42 @@ object SparkEntry {
       * (length(bin(n)) - 1 ≡ floor(log2 n), exact integer arithmetic),
       * exact cosine on bucket-mates.
       */
+    /** Cross-set banded sign-LSH mirror of Dedup.decontaminateSemanticLsh:
+      * same fixed 3-bit × 12-table keying on BOTH sets (DuckDB's
+      * out-of-range vec[i] is NULL → the CASE's ELSE '0', matching the
+      * Spark side's size guard), candidate equi-join, exact-cosine verify
+      * and the identical deterministic winner rank.
+      */
+    val decontaminateSemanticLshSql: String = {
+      def branches(src: String, idAs: String) = (0 until 12).map { t =>
+        val dims = t * 3 + 1 to t * 3 + 3
+        val bucket = dims.map(i =>
+          s"CASE WHEN vec[$i] >= 0 THEN '1' ELSE '0' END").mkString(" || ")
+        s"SELECT $idAs, $t AS tbl, $bucket AS bucket FROM $src"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec
+         |           FROM embeddings WHERE vec_id % 10 <> 0),
+         |     b AS (SELECT vec_id AS bench_id, CAST(embedding AS DOUBLE[]) AS vec
+         |           FROM embeddings WHERE vec_id % 10 = 0),
+         |kc AS (
+         |  ${branches("c", "vec_id")}),
+         |kb AS (
+         |  ${branches("b", "bench_id")}),
+         |cand AS (SELECT DISTINCT kc.vec_id, kb.bench_id
+         |  FROM kc JOIN kb USING (tbl, bucket)),
+         |m AS (SELECT cand.vec_id, cand.bench_id,
+         |        round(list_cosine_similarity(cv.vec, bv.vec),6) AS cosine
+         |      FROM cand
+         |      JOIN c cv ON cand.vec_id = cv.vec_id
+         |      JOIN b bv ON cand.bench_id = bv.bench_id
+         |      WHERE list_cosine_similarity(cv.vec, bv.vec) >= 0.45)
+         |SELECT vec_id, bench_id, cosine FROM (
+         |  SELECT m.*, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY cosine DESC, bench_id ASC) AS rn
+         |  FROM m
+         |) WHERE rn = 1""".stripMargin
+    }
+
     val dedupEmbeddingLshSql: String = {
       val branches = (0 until 12).map { t =>
         val dims = t * 3 + 1 to t * 3 + 12

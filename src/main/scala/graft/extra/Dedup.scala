@@ -1146,6 +1146,52 @@ object Dedup {
       .select(col("vec_id"), col("bench_id"), col("cosine"))
   }
 
+  /** [[decontaminateSemantic]]'s scale path, instantiated: the cross-set
+    * banded sign-LSH — both sets key into the same multi-table sign
+    * buckets, candidates come from the corpus-keys ⋈ benchmark-keys
+    * equi-join (shuffle keyed on (table, bucket), never A×B), exact
+    * cosine verifies survivors, and the winner rank is the brute-force
+    * variant's (rounded cosine, then smaller bench id) over the LSH
+    * candidate set. Fixed deterministic bands (dimension signs) so the
+    * DuckDB twin reproduces the candidate set exactly; the adaptive
+    * prefix-width knob of [[embeddingPairsLsh]] composes identically when
+    * a corpus decade makes fixed-width buckets quadratic.
+    */
+  def decontaminateSemanticLsh(corpus: DataFrame, bench: DataFrame,
+                               threshold: Double, bitsPerTable: Int = 3,
+                               tables: Int = 12): DataFrame = {
+    val c = corpus.select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("vec"))
+    val b = bench.select(col("vec_id").as("bench_id"),
+      transform(col("embedding"), _.cast("double")).as("bvec"))
+    def keyed(df: DataFrame, idc: String, vecc: String): DataFrame = {
+      val tableKeys = (0 until tables).map { t =>
+        val dims = t * bitsPerTable + 1 to t * bitsPerTable + bitsPerTable
+        struct(lit(t).as("tbl"),
+          concat(dims.map(i =>
+            when(lit(i) <= size(col(vecc)),
+              when(element_at(col(vecc), i) >= 0, "1").otherwise("0"))
+              .otherwise("0")): _*).as("bucket"))
+      }
+      df.select(col(idc), explode(array(tableKeys: _*)).as("k"))
+        .select(col(idc), col("k.tbl").as("tbl"), col("k.bucket").as("bucket"))
+    }
+    val cand = keyed(c, "vec_id", "vec")
+      .join(keyed(b, "bench_id", "bvec"), Seq("tbl", "bucket"))
+      .select("vec_id", "bench_id").distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id")
+      .orderBy(col("cosine").desc, col("bench_id").asc)
+    cand.join(c, "vec_id").join(b, "bench_id")
+      .withColumn("cos_raw",
+        graft.functions.VectorOps.cosine(col("vec"), col("bvec")))
+      .filter(col("cos_raw") >= threshold)
+      .withColumn("cosine", round(col("cos_raw"), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("bench_id"), col("cosine"))
+  }
+
   /** The (table, bucket) layout of the multi-table sign LSH: table t keys on
     * the sign pattern of dimensions [t*bits+1 .. t*bits+bits]. Shared with
     * the oracle generator.
