@@ -1,6 +1,17 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Best-effort recursive delete of a bench-scoped temp directory (the
+    * snapshot / stream-source dirs are consumed within their section —
+    * loads pin eagerly — so leaving them accumulated parquet across runs).
+    */
+  private def rmTree(dir: String): Unit = {
+    def rec(f: java.io.File): Unit = {
+      val cs = f.listFiles(); if (cs != null) cs.foreach(rec); f.delete(); ()
+    }
+    try rec(new java.io.File(dir)) catch { case _: Throwable => () }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -256,11 +267,16 @@ object Bench {
               ingest.TermStats.loadTermFreqs(spark, s"$snap/tf$i", k) }
             extra.Multimodal.loadFeatures(spark, s"$snap/media", mediaKey)
           }
-          val runs = (1 to runsPerQuery).map { _ =>
-            val t = timed("reload_artifacts")(restart())
-            Caching.release()
-            t
-          }
+          val runs =
+            try (1 to runsPerQuery).map { _ =>
+              val t = timed("reload_artifacts")(restart())
+              Caching.release()
+              t
+            }
+            // loads pin eagerly (reliable checkpoint), so the snapshot
+            // files are dead weight once the section ends — reclaim them
+            // instead of accumulating a graft-snap dir per bench run
+            finally rmTree(snap)
           Seq("reload_artifacts" -> minEach(runs))
         }
       }
@@ -332,15 +348,21 @@ object Bench {
         // Values are partitioning-independent (the grown ≡ fresh specs).
         spark.conf.set("spark.sql.adaptive.enabled", "false")
         spark.conf.set("spark.sql.shuffle.partitions", "4")
-        val runs = (1 to runsPerQuery).map { _ =>
-          resetGate(); seedGate()
-          val t = timed("stream_admit")(drain())
-          Caching.release()
-          t
-        }
-        resetGate()
-        spark.conf.set("spark.sql.adaptive.enabled", "true")
-        spark.conf.set("spark.sql.shuffle.partitions", cpus)
+        // finally-scoped: an exception inside a timed drain must not leak
+        // the ingest conf into the rest of the run, nor the stream dir /
+        // gate artifacts onto disk
+        val runs =
+          try (1 to runsPerQuery).map { _ =>
+            resetGate(); seedGate()
+            val t = timed("stream_admit")(drain())
+            Caching.release()
+            t
+          } finally {
+            resetGate()
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
+            spark.conf.set("spark.sql.shuffle.partitions", cpus)
+            rmTree(streamDir)
+          }
         Seq("stream_admit" -> minEach(runs))
       }
     // Warm-REQUEST latency line (VERDICT r11 next #5): the second and later
@@ -376,6 +398,9 @@ object Bench {
         // other section) — the shared serving-conf scope is all they share
         val runSingle = only.forall(_.contains("steady_search"))
         val runMt = only.forall(_.contains("steady_search_mt"))
+        // finally-scoped (below): an exception inside a timed request must
+        // not leak the serving conf into the rest of the run
+        val (runs, mtRuns) = try {
         try request() catch { case e: Throwable =>
           System.err.println(s"[bench] steady_search warmup: $e")
         }
@@ -414,8 +439,11 @@ object Bench {
             }
             (1 to runsPerQuery).map(_ => timed("steady_search_mt")(mtBatch()))
           }
-        spark.conf.set("spark.sql.adaptive.enabled", "true")
-        spark.conf.set("spark.sql.shuffle.partitions", cpus)
+        (runs, mtRuns)
+        } finally {
+          spark.conf.set("spark.sql.adaptive.enabled", "true")
+          spark.conf.set("spark.sql.shuffle.partitions", cpus)
+        }
         (if (runs.nonEmpty) Seq("steady_search" -> minEach(runs)) else Nil) ++
           (if (mtRuns.nonEmpty)
             Seq("steady_search_mt" -> minEach(mtRuns)) else Nil)

@@ -77,9 +77,24 @@ object Snapshots {
     try out.write(s"v$next".getBytes("UTF-8")) finally out.close()
     val marker = new Path(rootP, Marker)
     if (fs.exists(marker)) fs.delete(marker, false)
-    fs.rename(tmp, marker)
+    // a failed rename is not a failed save — resolution falls back to the
+    // highest _DONE version, which is exactly v<next> — but it must not be
+    // SILENT: every later load pays the fallback listing, and a reader
+    // seeing no marker can't tell a commit-window race from a broken fs
+    if (!fs.rename(tmp, marker))
+      System.err.println(
+        s"[snapshots] marker rename failed at $root (v$next still " +
+          "resolvable via its _DONE flag); leaving tmp for inspection")
     existing.foreach { case (_, p) =>
       try fs.delete(p, true) catch { case _: Exception => () }
+    }
+    // prune stale tmp marker files from earlier saves whose rename failed
+    // or crashed mid-commit (this save's marker is already in place)
+    if (fs.exists(rootP)) fs.listStatus(rootP).foreach { st =>
+      val n = st.getPath.getName
+      if (!st.isDirectory && n.startsWith(s"$Marker.") && n.endsWith(".tmp")
+        && n != s"$Marker.v$next.tmp")
+        try fs.delete(st.getPath, false) catch { case _: Exception => () }
     }
   }
 

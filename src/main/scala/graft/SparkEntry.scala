@@ -439,9 +439,11 @@ object SparkEntry {
     // the MULTIMODAL near-dup pass: decoded media features (REAL JDK
     // codec decode of synthesized PNG/WAV/AVI payloads, served from the
     // train_media session artifact) → per-modality fixed-projection
-    // embedding → sign-LSH banding + exact cosine verify. No DuckDB
-    // oracle (SQL can't decode PNG) — rows-only driver check; values are
-    // spec-locked in MultimodalSpec against the brute-force pair set.
+    // embedding → sign-LSH banding + exact cosine verify. The decode step
+    // is spec-locked (MultimodalSpec: real JDK codecs vs per-modality brute
+    // force — SQL can't run a codec); everything AFTER decode is
+    // hash-checked by a DuckDB twin over the Verify-dumped feature fixture
+    // (O.dedupMediaSql).
     // No output orderBy: the pair RELATION is the result (both driver
     // checks are order-insensitive — rows-only here, and the hash compare
     // sorts rows itself), while a global sort of the quadratic pair
@@ -457,9 +459,10 @@ object SparkEntry {
     // the SCALE consumer of the same media near-dup relation: one cluster
     // row per document (components at the lattice-bounded rep level)
     // instead of the all-pairs expansion, whose TRUE volume is quadratic
-    // in clique sizes on duplication-dense corpora. Rows-only driver
-    // check (SQL can't decode PNG; components are iterative); spec-locked
-    // in MultimodalSpec consistent with the pair set.
+    // in clique sizes on duplication-dense corpora. Hash-checked by a
+    // DuckDB twin (O.dedupMediaClustersSql: recursive-CTE components at
+    // the rep level over the dumped feature fixture); decode itself stays
+    // spec-locked in MultimodalSpec.
     // (same no-cosmetic-sort rationale as dedup_media: one row per
     // document is still corpus-sized at lake scale)
     "dedup_media_clusters" -> ((s, d) =>
@@ -1467,6 +1470,13 @@ object SparkEntry {
     "knn_int8" -> O.knnInt8Sql,
     "hard_negatives" -> O.hardNegativesSql,
     "dedup_embedding_lsh" -> O.dedupEmbeddingLshSql,
+
+    // the media family: decode stays spec-locked (SQL can't run codecs);
+    // everything after it — MediaEmbed projection, exact-group collapse,
+    // sign-LSH banding, cosine verify, rep-level components — is reproduced
+    // independently from the Verify-dumped feature fixture
+    "dedup_media" -> O.dedupMediaSql,
+    "dedup_media_clusters" -> O.dedupMediaClustersSql,
 
     // NULLIF/CASE guards mirror the Spark side's when(n>0, ...) for
     // degenerate documents (empty / whitespace-only)
@@ -3523,6 +3533,113 @@ object SparkEntry {
          |JOIN e eb ON cand.id_b = eb.vec_id
          |WHERE list_cosine_similarity(ea.vec, eb.vec) >= 0.45""".stripMargin
     }
+
+    /** The media family's DuckDB twins. SQL cannot run a PNG/WAV/AVI codec,
+      * so the DECODE boundary stays spec-locked (MultimodalSpec: real JDK
+      * codecs vs per-modality brute force) — but everything AFTER decode is
+      * pure deterministic arithmetic, reproduced here independently from
+      * the feature fixture [[graft.Verify]] dumps each run
+      * ([[graft.extra.Multimodal.featuresFixturePath]]): the whitening +
+      * fixed Gaussian projection of [[graft.extra.MediaEmbed]] (means/σ and
+      * the seeded java.util.Random weights inlined as double literals —
+      * shortest-round-trip printing, so DuckDB parses the identical bits;
+      * same z-score/multiply/left-to-right-sum order, each dim cast to
+      * REAL exactly like the kernel's .toFloat), the exact-group collapse
+      * (distinct (modality, vector) → min doc_id rep), the 9-table × 4-bit
+      * sign-LSH banding of Dedup.signLshTableDims, exact-cosine verify at
+      * 0.99, and the within-group/cross-group pair expansion — turning the
+      * suite's two rows-only lines into hash-checked rows.
+      */
+    private val mediaEmbeddingCase: String = {
+      val outDim = 4 * 9 // bitsPerTable × tables = mediaNearDupPairs' outDim
+      val arms = Seq("image", "audio", "video").map { m =>
+        val spec = graft.extra.MediaEmbed.specs(m)
+        val w = graft.extra.MediaEmbed.weights(m, outDim)
+        val dims = (0 until outDim).map { d =>
+          val terms = spec.zipWithIndex.map { case ((i, mean, std), j) =>
+            s"(f[$i] - $mean) / $std * (${w(d)(j)})"
+          }.mkString(" + ")
+          s"CAST($terms AS REAL)"
+        }
+        s"WHEN '$m' THEN ${dims.mkString("[", ", ", "]")}"
+      }
+      s"CASE media_type ${arms.mkString(" ")} END"
+    }
+
+    /** Shared CTE prelude of both media twins: feature fixture → embedding
+      * → distinct-vector groups (gid = min doc_id; doc ids are globally
+      * unique so gid alone keys a group) → sign-LSH banding over group
+      * vectors (modality rides every bucket key: modalities never
+      * cross-pair) → rep-level verified pairs `rp` and per-group
+      * self-cosine survival `sc` — the SQL mirror of
+      * Dedup.collapsedRepGraph.
+      */
+    private val mediaRepGraphCtes: String = {
+      val branches = graft.extra.Dedup.signLshTableDims(4, 9).map { case (t, dims) =>
+        val bucket = dims.map(i =>
+          s"CASE WHEN vec[$i] >= 0 THEN '1' ELSE '0' END").mkString(" || ")
+        s"SELECT media_type, gid, $t AS tbl, $bucket AS bucket FROM g"
+      }.mkString("\n  UNION ALL ")
+      s"""f AS (SELECT doc_id, media_type, CAST(features AS DOUBLE[]) AS f
+         |  FROM read_parquet('${graft.extra.Multimodal.featuresFixturePath}/*.parquet')),
+         |e AS (SELECT doc_id, media_type,
+         |        CAST($mediaEmbeddingCase AS DOUBLE[]) AS vec FROM f),
+         |g AS (SELECT media_type, vec, min(doc_id) AS gid FROM e GROUP BY 1, 2),
+         |mem AS (SELECT e.doc_id, e.media_type, g.gid
+         |  FROM e JOIN g ON e.media_type = g.media_type AND e.vec = g.vec),
+         |k AS (
+         |  $branches),
+         |cand AS (SELECT DISTINCT a.media_type, a.gid AS gid_a, b.gid AS gid_b
+         |  FROM k a JOIN k b ON a.media_type = b.media_type
+         |   AND a.tbl = b.tbl AND a.bucket = b.bucket AND a.gid < b.gid),
+         |rp AS (SELECT cand.media_type, gid_a, gid_b,
+         |         round(list_cosine_similarity(x.vec, y.vec), 6) AS cosine
+         |       FROM cand JOIN g x ON cand.gid_a = x.gid
+         |                 JOIN g y ON cand.gid_b = y.gid
+         |       WHERE list_cosine_similarity(x.vec, y.vec) >= 0.99),
+         |sc AS (SELECT media_type, gid,
+         |         round(list_cosine_similarity(vec, vec), 6) AS cosine
+         |       FROM g WHERE list_cosine_similarity(vec, vec) >= 0.99)""".stripMargin
+    }
+
+    val dedupMediaSql: String =
+      s"""WITH $mediaRepGraphCtes
+         |SELECT rp.media_type,
+         |  LEAST(ma.doc_id, mb.doc_id) AS id_a,
+         |  GREATEST(ma.doc_id, mb.doc_id) AS id_b, rp.cosine
+         |FROM rp JOIN mem ma ON rp.gid_a = ma.gid
+         |        JOIN mem mb ON rp.gid_b = mb.gid
+         |UNION ALL
+         |SELECT sc.media_type, a.doc_id AS id_a, b.doc_id AS id_b, sc.cosine
+         |FROM mem a JOIN mem b ON a.gid = b.gid AND a.doc_id < b.doc_id
+         |JOIN sc ON sc.gid = a.gid""".stripMargin
+
+    /** Components run at the REP level exactly like the Scala operator
+      * (lattice-bounded, never corpus-bounded): min-label propagation as a
+      * recursive CTE over the bidirectional rep edges, then labels transfer
+      * to members through the gid join; a group whose self-cosine failed
+      * the bar AND has no edges degrades its members to singletons —
+      * mirroring embeddingClustersLshCollapsed's zero-vector rule.
+      */
+    val dedupMediaClustersSql: String =
+      s"""WITH RECURSIVE $mediaRepGraphCtes,
+         |ed AS (SELECT gid_a AS src, gid_b AS dst FROM rp
+         |       UNION ALL SELECT gid_b, gid_a FROM rp),
+         |reach(gid, lbl) AS (
+         |  SELECT gid, gid FROM g
+         |  UNION
+         |  SELECT ed.dst, reach.lbl FROM reach JOIN ed ON reach.gid = ed.src),
+         |cc AS (SELECT gid, min(lbl) AS cluster_id FROM reach GROUP BY gid),
+         |edged AS (SELECT DISTINCT src AS gid FROM ed)
+         |SELECT media_type, doc_id, cluster_id,
+         |  CAST(CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END AS BIGINT) AS is_rep
+         |FROM (
+         |  SELECT mem.media_type, mem.doc_id,
+         |    CASE WHEN sc.gid IS NULL AND edged.gid IS NULL THEN mem.doc_id
+         |         ELSE cc.cluster_id END AS cluster_id
+         |  FROM mem JOIN cc ON mem.gid = cc.gid
+         |  LEFT JOIN sc ON mem.gid = sc.gid
+         |  LEFT JOIN edged ON mem.gid = edged.gid)""".stripMargin
 
     val langIdSql: String = {
       def hits(markers: Seq[String]) =

@@ -28,6 +28,18 @@ object Verify {
       }
       finally Caching.release() // free this query's ephemeral pins
     }
+    // the media family's DuckDB twins read the decoded feature table from a
+    // fixture dump (SQL cannot decode PNG/WAV/AVI; everything after decode —
+    // projection, banding, cosine, components — is reproduced independently
+    // in SQL). Written whenever the media queries are in scope, from the
+    // same memoized artifact those queries served from.
+    val mediaQ = Set("dedup_media", "dedup_media_clusters")
+    if (only.isEmpty || only.exists(mediaQ))
+      try graft.extra.Multimodal.dumpFeaturesFixture(
+        Tables.load(spark, sfDir, "documents"), s"$sfDir#media:documents")
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] features fixture dump failed: ${e.getMessage}")
+      }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -687,6 +687,28 @@ object Multimodal {
   private val featLocks = scala.collection.concurrent.TrieMap
     .empty[(String, String), Object]
 
+  /** Absolute path of the decoded-feature FIXTURE the media family's DuckDB
+    * oracle twins read. Resolved ONCE per JVM from the working directory, so
+    * the Verify-time dump and the oracle SQL emitted by the same process
+    * always agree on the location regardless of where the driver launched
+    * us. The decode step itself stays spec-locked (SQL cannot run a PNG/WAV
+    * /AVI codec); dumping its output lets DuckDB independently re-run
+    * everything AFTER decode — whitening + fixed projection ([[MediaEmbed]]),
+    * sign-LSH banding, exact cosine, and rep-level component labels.
+    */
+  val featuresFixturePath: String =
+    new java.io.File("fixtures/media_features").getAbsolutePath
+
+  /** Dump the decoded feature artifact for `docs` to
+    * [[featuresFixturePath]] — called by [[graft.Verify]] only (the oracle
+    * twins' input; bench runs never write it). Serves from the same
+    * memoized artifact the registered queries built, so the dump costs one
+    * parquet write, not a re-decode.
+    */
+  def dumpFeaturesFixture(docs: DataFrame, cacheKey: String): Unit =
+    trainedFeatures(docs, cacheKey)
+      .coalesce(1).write.mode("overwrite").parquet(featuresFixturePath)
+
   /** Modality-aware near-dup EMBEDDING over the decoded feature table:
     * center each modality's informative decoded dims with FIXED whitening
     * stats (at production scale these come from the PREVIOUS profiling

@@ -201,12 +201,19 @@ object CorpusStream {
     * shared by the gate's periodic saves and [[loadMaintained]], so the
     * restart recipe never re-derives the mapping by hand. Cache keys can
     * hold path separators and '#', so the directory name is a sanitized
-    * tail of the key (readable) plus its full-key hash (collision guard —
-    * two keys sharing a 40-char tail still map apart).
+    * tail of the key (readable) plus a SHA-256 prefix of the full key
+    * (collision guard — two keys sharing a 40-char sanitized tail must
+    * still map apart, or a restore would cross-load one family's parquet
+    * into another's artifact; 48 bits of cryptographic hash make that
+    * effectively impossible, where the 32-bit String.hashCode it replaces
+    * collides for trivially constructible key pairs).
     */
   private def snapDir(root: String, kind: String, key: String): String = {
     val tail = key.takeRight(40).replaceAll("[^A-Za-z0-9._-]", "_")
-    s"$root/$kind/$tail-${java.lang.Integer.toHexString(key.hashCode)}"
+    val sha = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(key.getBytes("UTF-8"))
+      .take(6).map(b => f"$b%02x").mkString
+    s"$root/$kind/$tail-$sha"
   }
 
   /** Restore every maintained family of an [[admitStreamMaintained]] gate

@@ -47,8 +47,10 @@ object GateProf {
     val incoming = docs
       .filter(col("doc_id") >= 300 && col("doc_id") < 1300)
       .select("doc_id", "text")
+    val staged = scala.collection.mutable.Buffer.empty[String]
     def stage(n: Int): String = {
       val d = java.nio.file.Files.createTempDirectory(s"gateprof$n").toString
+      staged += d
       (0 until n).foreach { i =>
         incoming.filter(col("doc_id") % n === i)
           .coalesce(1).write.mode("append").parquet(d)
@@ -126,6 +128,13 @@ object GateProf {
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.shuffle.partitions", "32")
     reset()
+    // reclaim the staged micro-batch dirs (one per sweep point)
+    staged.foreach { d =>
+      def rec(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rec); f.delete(); ()
+      }
+      try rec(new java.io.File(d)) catch { case _: Throwable => () }
+    }
     spark.stop()
   }
 }

@@ -198,6 +198,49 @@ class ArtifactPersistenceSpec extends AnyFunSuite {
     graft.extra.Multimodal.resetFeatures(spark, "persist-feats-fresh")
   }
 
+  test("read-vs-prune window: a frame returned by load stays consumable " +
+    "after later saves prune the version it was read from") {
+    // Snapshots.write prunes prior committed versions on each save, and the
+    // per-key lock serializes save/load CALLS — not the lifetime of the
+    // returned frames. The loads are safe anyway because every load path
+    // pins via Caching.pinArtifact, whose checkpoint()/localCheckpoint()
+    // are EAGER: the parquet bytes are materialized before load returns,
+    // so a subsequent prune deletes files nothing will read again. This
+    // spec is the regression tripwire for that property — a lazy load
+    // would throw FAILED_READ_FILE at the final collect below.
+    val key = "persist-prune-window"
+    val path = tmp("prunewin")
+    TermStats.resetTermFreqs(spark, key)
+    TermStats.trainedTermFreqs(df(corpusRows), "doc_id", "text", key)
+    val expect = tfSet(
+      TermStats.trainedTermFreqs(df(corpusRows), "doc_id", "text", key))
+    assert(TermStats.saveTermFreqs(spark, key, path)) // v1
+    TermStats.resetTermFreqs(spark, key)
+    val loaded = TermStats.loadTermFreqs(spark, path, key) // reads v1
+    assert(TermStats.saveTermFreqs(spark, key, path)) // v2: prunes v1
+    assert(TermStats.saveTermFreqs(spark, key, path)) // v3: prunes v2
+    assert(tfSet(loaded) == expect,
+      "loaded frame unreadable or changed after its version was pruned")
+    TermStats.resetTermFreqs(spark, key)
+
+    // same window through the media-feature family (a second, independent
+    // load path — both must pin before returning)
+    val fkey = "persist-prune-window-feats"
+    val fpath = tmp("prunewinf")
+    graft.extra.Multimodal.resetFeatures(spark, fkey)
+    graft.extra.Multimodal.trainedFeatures(df(corpusRows), fkey)
+    val fexpect = rowSet(
+      graft.extra.Multimodal.trainedFeatures(df(corpusRows), fkey))
+    assert(graft.extra.Multimodal.saveFeatures(spark, fkey, fpath))
+    graft.extra.Multimodal.resetFeatures(spark, fkey)
+    val floaded = graft.extra.Multimodal.loadFeatures(spark, fpath, fkey)
+    assert(graft.extra.Multimodal.saveFeatures(spark, fkey, fpath))
+    assert(graft.extra.Multimodal.saveFeatures(spark, fkey, fpath))
+    assert(rowSet(floaded) == fexpect,
+      "loaded feature frame unreadable after its version was pruned")
+    graft.extra.Multimodal.resetFeatures(spark, fkey)
+  }
+
   test("pair artifact: save of an unbuilt key is false; load refuses to " +
     "shadow a live artifact") {
     val key = "persist-pairs-guards"
@@ -376,6 +419,22 @@ class ArtifactPersistenceSpec extends AnyFunSuite {
         s"crash state '$label' resolved to $got (acceptable: $acceptable)")
       // and never an exception / partial read — readPart above proves it
     }
+  }
+
+  test("stale tmp marker files from a crashed commit are pruned by the " +
+    "next successful save") {
+    val root = tmp("tmpprune")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate an earlier commit that crashed between marker create and
+    // rename — the stale tmp must not accumulate forever
+    val stale = new org.apache.hadoop.fs.Path(root, "_LATEST.v7.tmp")
+    val out = fs.create(stale, true)
+    out.write("v7".getBytes("UTF-8")); out.close()
+    Snapshots.write(spark, root, Seq("part" -> spark.range(3).toDF("id")))
+    assert(!fs.exists(stale), "stale tmp marker not pruned by save")
+    val resolved = Snapshots.resolveDir(spark, root)
+    assert(spark.read.parquet(s"$resolved/part").count() == 3)
   }
 
   test("legacy un-versioned snapshot layout stays readable") {
