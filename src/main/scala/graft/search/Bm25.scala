@@ -137,6 +137,100 @@ object Bm25 {
       col("field") === f && col("term").isin(ts: _*)
     }.reduce(_ || _)
 
+  /** [[multiFieldWithStats]] with the corpus statistics supplied as DRIVER
+    * values and the normalization tail computed driver-side — the warm
+    * serving path. Statistics lookups become literal MAP expressions
+    * compiled into the scan instead of broadcast joins (on this runtime a
+    * broadcast build is a Spark JOB even over a LocalRelation —
+    * tools/BcProbe — and the warm request path is driver-latency-bound, so
+    * every removed broadcast is one fewer DAGScheduler round-trip), and the
+    * per-doc aggregate is the ONE job this function runs: `wide` is
+    * collected (model-sized — one row per dataset matching a query term;
+    * the caller gates this path behind the same driver budget as the
+    * stats themselves) and the boost/max-normalization/round/rank tail
+    * runs in driver code that mirrors the Spark expressions
+    * operation-for-operation — double multiply and left-to-right add in
+    * field order, HALF_UP on BigDecimal.valueOf exactly like Round's
+    * DoubleType codegen, max over doubles (order-free), sort by
+    * (score desc, doc_id asc). ServingPathSpec locks the equality against
+    * [[multiFieldWithStats]]. Returns a LocalRelation, so every consumer
+    * (the candidate-id filter, the final combine) embeds it without
+    * further jobs.
+    */
+  def multiFieldServed(qtf: DataFrame,
+                       dl: Seq[(String, String, Long)],
+                       corpus: Seq[(String, Long, Double)],
+                       dfreq: Seq[(String, String, Long)],
+                       fields: Seq[(String, Double, Seq[String])],
+                       topM: Int = 100, k1: Double = 1.2,
+                       b: Double = 0.75): DataFrame = {
+    val spark = qtf.sparkSession
+    val sep = " " // never in a field name; terms are space-split
+    def pairMap(rows: Seq[(String, String, Long)]) =
+      if (rows.isEmpty) map()
+      else map(rows.flatMap { case (a, c, v) =>
+        Seq(lit(a + sep + c), lit(v)) }: _*)
+    val dfreqM = pairMap(dfreq)
+    val dlM = pairMap(dl)
+    val ndocsM =
+      if (corpus.isEmpty) map()
+      else map(corpus.flatMap { case (f, n, _) => Seq(lit(f), lit(n)) }: _*)
+    val avgdlM =
+      if (corpus.isEmpty) map()
+      else map(corpus.flatMap { case (f, _, a) => Seq(lit(f), lit(a)) }: _*)
+    val scoredTerms = qtf
+      .withColumn("df",
+        element_at(dfreqM, concat(col("field"), lit(sep), col("term"))))
+      .withColumn("dl",
+        element_at(dlM, concat(col("doc_id"), lit(sep), col("field"))))
+      .withColumn("n_docs", element_at(ndocsM, col("field")))
+      .withColumn("avgdl", element_at(avgdlM, col("field")))
+      // a lookup miss (null) drops the row — the literal-map mirror of the
+      // former INNER joins on (field, term), (doc_id, field), (field)
+      .filter(col("df").isNotNull && col("dl").isNotNull &&
+        col("n_docs").isNotNull && col("avgdl").isNotNull)
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("term_score",
+        col("idf") * (col("tf") * (lit(k1) + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
+    val fieldAggs = fields.map { case (f, _, _) =>
+      coalesce(sum(when(col("field") === f, col("term_score"))), lit(0.0))
+        .as(s"${f}_sum")
+    }
+    val sums = scoredTerms.groupBy("doc_id")
+      .agg(fieldAggs.head, fieldAggs.tail: _*)
+      .collect() // the one per-request job; model-sized by the budget gate
+    // driver tail ≡ the Spark tail of multiFieldWithStats
+    def round6(x: Double): Double =
+      if (x.isNaN || x.isInfinite) x
+      else java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val scored = sums.map { r =>
+      val raws = fields.zipWithIndex.map { case ((f, w, _), i) =>
+        r.getDouble(i + 1) * w // f_sum * boost, field order
+      }
+      val raw = raws.reduce(_ + _) // left-to-right, like the Column reduce
+      (r.getString(0), raws, raw)
+    }
+    val maxRaw = if (scored.isEmpty) 0.0 else scored.map(_._3).max
+    val out = scored.map { case (id, raws, raw) =>
+      org.apache.spark.sql.Row.fromSeq(
+        id +: raws.map(x => round6(x / maxRaw)) :+ round6(raw / maxRaw))
+    }.sortBy { r =>
+      (-r.getDouble(fields.size + 1), r.getString(0))
+    }.take(topM)
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.StringType) +:
+        fields.map { case (f, _, _) =>
+          org.apache.spark.sql.types.StructField(s"${f}_score",
+            org.apache.spark.sql.types.DoubleType) } :+
+        org.apache.spark.sql.types.StructField("score",
+          org.apache.spark.sql.types.DoubleType))
+    spark.createDataFrame(java.util.Arrays.asList(out: _*), schema)
+  }
+
   /** The scoring tail of [[multiFieldWithTf]] with every corpus statistic
     * SUPPLIED by the caller: `qtf` already filtered to the query terms,
     * `dl` (doc_id, field, dl), `corpus` (field, n_docs, avgdl), `dfreq`

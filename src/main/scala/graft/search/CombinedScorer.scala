@@ -269,6 +269,24 @@ object CombinedScorer {
         .groupBy("field", "term").agg(count(lit(1)).as("df"))
       return (dl, corpus, dfreq)
     }
+    val (dl, corpus, dfreq) = metaStatsLocal(spark, dir, queryId, fields)
+      .get // driverStatsFit already held above
+    (dl.toDF("doc_id", "field", "dl"),
+      corpus.toDF("field", "n_docs", "avgdl"),
+      dfreq.toDF("field", "term", "df"))
+  }
+
+  /** The driver-values core of [[metaStatsFor]]: the same exact-integer
+    * adjusted stat tables as plain Scala collections, for
+    * [[Bm25.multiFieldServed]]'s literal-map lookups (no DataFrames, no
+    * broadcast-build jobs). None past the driver budget — callers fall
+    * back to the DF-backed path.
+    */
+  def metaStatsLocal(spark: SparkSession, dir: String, queryId: String,
+                     fields: Seq[(String, Double, Seq[String])])
+  : Option[(Seq[(String, String, Long)], Seq[(String, Long, Double)],
+      Seq[(String, String, Long)])] = {
+    if (!driverStatsFit(spark, dir)) return None
     val (dlAll, dfAll) = metaStats(spark, dir)
     val dl = dlAll.filter(_._1 != queryId).toSeq
     val corpus = dl.groupBy(_._2).toSeq.map { case (f, rows) =>
@@ -284,9 +302,7 @@ object CombinedScorer {
         if (df > 0) Some((f, t, df)) else None
       }
     }
-    (dl.toDF("doc_id", "field", "dl"),
-      corpus.toDF("field", "n_docs", "avgdl"),
-      dfreq.toDF("field", "term", "df"))
+    Some((dl, corpus, dfreq))
   }
 
   /** End-to-end similarity search for one query dataset (flagship; mirrors
@@ -325,17 +341,31 @@ object CombinedScorer {
         ("keywords", w, terms(qKeywords)),
         ("description", w, terms(qDesc)))
     // corpus stats come from the session artifact with the query dataset
-    // subtracted exactly (metaStatsFor) — the inline derivation would pay
+    // subtracted exactly (metaStatsLocal) — the inline derivation would pay
     // three aggregate-inside-broadcast jobs over the TF artifact per request
-    val (dl, corpus, dfreq) = metaStatsFor(spark, dir, queryId, fields)
-    val metaScores = Bm25.multiFieldWithStats(
-        metaTermFreqs(spark, dir)
-          .filter(col("doc_id") =!= queryId && Bm25.isQueryTerm(fields)),
-        dl, corpus, dfreq, fields)
-      .select(col("doc_id").as("c_dataset"), col("score").as("metadata_score"))
-    // pinned: consumed by candidateEdges (extra candidates) AND the final
-    // combine — one BM25 pass instead of two
-    val metaScoresP = graft.Caching.temp(metaScores)
+    val qtfReq = metaTermFreqs(spark, dir)
+      .filter(col("doc_id") =!= queryId && Bm25.isQueryTerm(fields))
+    // served path (inside the driver budget): literal-map stats + a driver
+    // normalization tail — ONE Spark job for the whole metadata side, and
+    // the result is a LocalRelation both consumers embed joblessly, with
+    // the candidate ids riding to candidateEdges as literals. Past the
+    // budget: the DF-backed path (same values, per-request broadcast jobs).
+    val (metaScoresP, metaIdsLocal) =
+      metaStatsLocal(spark, dir, queryId, fields) match {
+        case Some((dlL, corpusL, dfreqL)) =>
+          val served = Bm25.multiFieldServed(qtfReq, dlL, corpusL, dfreqL, fields)
+            .select(col("doc_id").as("c_dataset"),
+              col("score").as("metadata_score"))
+          (served, Some(served.collect().map(_.getString(0)).toSeq))
+        case None =>
+          val (dl, corpus, dfreq) = metaStatsFor(spark, dir, queryId, fields)
+          // pinned: consumed by candidateEdges (extra candidates) AND the
+          // final combine — one BM25 pass instead of two
+          (graft.Caching.temp(Bm25.multiFieldWithStats(qtfReq,
+              dl, corpus, dfreq, fields)
+            .select(col("doc_id").as("c_dataset"),
+              col("score").as("metadata_score"))), None)
+      }
     // Complete the bipartite edges for every discovered candidate — content
     // AND metadata hits — mirroring the reference's random access
     // (content_search.py:358-405; combined_search.py:87-93 computes content
@@ -346,8 +376,10 @@ object CombinedScorer {
     // normalization commented out) — an internal inconsistency; we score
     // every candidate UNnormalized, consistently.
     val edges = DistanceJoin.candidateEdges(sketch, queryId, ranked,
-      extraCandidates = Some(metaScoresP.select("c_dataset")),
-      localQuery = qLocal)
+      extraCandidates =
+        if (metaIdsLocal.isDefined) None
+        else Some(metaScoresP.select("c_dataset")),
+      localQuery = qLocal, extraCandidateIds = metaIdsLocal)
     val nQueryCols = Sketches.columnCount(spark, dir, queryId)
     // exact micro-weight matching (Matcher.contentScoresExact): argmax on
     // integer micros, uniform 1/nQueryCols applied after — identical scores

@@ -227,33 +227,54 @@ object DistanceJoin {
                      decay: Double = 0.01,
                      extraCandidates: Option[DataFrame] = None,
                      queryCols: Option[Seq[String]] = None,
-                     localQuery: Option[DataFrame] = None): DataFrame = {
-    // ranked is request-bounded (a LocalRelation from [[localRanked]] on the
-    // serving path): dedupe (q_col, kth) DRIVER-side and serve it back as a
-    // LocalRelation — a `.distinct()` would put an exchange inside the kth
-    // broadcast build, turning it into its own per-request Spark job, while
-    // Project-over-LocalRelation collects joblessly and the resulting
-    // LocalRelation broadcasts joblessly too.
-    val kthProj = ranked.select("q_col", "kth")
-    val kth = ranked.sparkSession.createDataFrame(
-      java.util.Arrays.asList(kthProj.collect().distinct: _*), kthProj.schema)
+                     localQuery: Option[DataFrame] = None,
+                     extraCandidateIds: Option[Seq[String]] = None): DataFrame = {
+    // ranked is request-bounded (a LocalRelation from [[localRanked]] on
+    // the serving path), so the per-q_col kth is DRIVER-resident: serve it
+    // as a literal MAP lookup compiled into the edge stream instead of a
+    // broadcast join — a broadcast build is a Spark JOB even over a
+    // LocalRelation on this runtime (tools/BcProbe), and the request path
+    // is driver-latency-bound. The isNotNull filter replicates the former
+    // INNER join: edges whose q_col never made a ranked list drop.
+    val kthRows = ranked.select("q_col", "kth").collect().distinct
+    val kthM =
+      if (kthRows.isEmpty) map()
+      else map(kthRows.flatMap(r =>
+        Seq(lit(r.getString(0)), lit(r.getDouble(1)))).toSeq: _*)
     val query = queryProjection(localQuery.getOrElse(
       sketch.filter(col("dataset_id") === queryId)), queryCols)
-    val rankedIds = ranked.select(col("c_dataset").as("dataset_id"))
-    // LEFT SEMI against the candidate ids: a semi join needs no build-side
-    // distinct (the former inner-join + .distinct() paid one more exchange
-    // inside the broadcast build), and duplicates can't fan rows out
-    val candIds = extraCandidates
-      .map(e => rankedIds.unionAll(e.toDF("dataset_id")))
-      .getOrElse(rankedIds)
-      .filter(col("dataset_id") =!= queryId)
-    val candCols = sketch.join(broadcast(candIds), Seq("dataset_id"), "left_semi")
-      .select(col("dataset_id").as("c_dataset"), col("col_name").as("c_col"),
-        col("col_type"), col("vector").as("c_vec"))
+    val candCols = extraCandidateIds match {
+      case Some(extraIds) =>
+        // serving path: ranked is a LocalRelation (jobless collect) and the
+        // extra (metadata) candidates arrived as driver values, so the
+        // whole candidate id set compiles into the sketch scan as an isin
+        // predicate — no broadcast exchange, no per-request job
+        val ids = (ranked.select("c_dataset").collect().map(_.getString(0))
+          ++ extraIds).distinct.filterNot(_ == queryId).toSeq
+        sketch.filter(col("dataset_id").isin(ids: _*))
+          .select(col("dataset_id").as("c_dataset"),
+            col("col_name").as("c_col"), col("col_type"),
+            col("vector").as("c_vec"))
+      case None =>
+        val rankedIds = ranked.select(col("c_dataset").as("dataset_id"))
+        // LEFT SEMI against the candidate ids: a semi join needs no
+        // build-side distinct (the former inner-join + .distinct() paid one
+        // more exchange inside the broadcast build), and duplicates can't
+        // fan rows out
+        val candIds = extraCandidates
+          .map(e => rankedIds.unionAll(e.toDF("dataset_id")))
+          .getOrElse(rankedIds)
+          .filter(col("dataset_id") =!= queryId)
+        sketch.join(broadcast(candIds), Seq("dataset_id"), "left_semi")
+          .select(col("dataset_id").as("c_dataset"),
+            col("col_name").as("c_col"), col("col_type"),
+            col("vector").as("c_vec"))
+    }
     candCols.join(broadcast(query), "col_type")
       .withColumn("dist", round6micro(VectorOps.euclid(col("q_vec"), col("c_vec"))))
       .drop("q_vec", "c_vec")
-      .join(broadcast(kth), "q_col")
+      .withColumn("kth", element_at(kthM, col("q_col")))
+      .filter(col("kth").isNotNull)
       .withColumn("sim", round(exp(-lit(decay) * col("dist") / col("kth")), 6))
   }
 

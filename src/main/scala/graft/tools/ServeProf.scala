@@ -14,8 +14,16 @@ object ServeProf {
     val spark = Prof.session("serveprof")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     @volatile var jobs = 0
+    val sites = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    @volatile var trace = false
     spark.sparkContext.addSparkListener(new SparkListener {
-      override def onJobStart(j: SparkListenerJobStart): Unit = jobs += 1
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
+        jobs += 1
+        if (trace) sites.add(
+          j.stageInfos.map(_.name).mkString("; ") +
+            " | stages=" + j.stageInfos.size)
+      }
     })
     val ids = graft.Tables.sketchTables
     def request(id: String): Unit = {
@@ -46,6 +54,19 @@ object ServeProf {
       spark.conf.set(
         "spark.sql.adaptive.coalescePartitions.parallelismFirst", pf.toString)
       s"aqe=$aqe parts=$parts pf=$pf"
+    }
+    // per-job attribution of ONE warm request under the serving conf
+    conf(aqe = false, parts = 2, pf = false)
+    request("customer") // absorb any residual cold memo
+    sites.clear(); jobs = 0; trace = true
+    Prof.time("attributed single")(request("customer"))
+    trace = false
+    println(s"   jobs=$jobs")
+    sites.forEach(s => println(s"   JOB $s"))
+    if (sys.env.contains("GRAFT_EXPLAIN")) {
+      graft.search.CombinedScorer.search(spark, sfDir, "customer")
+        .explain("formatted")
+      graft.Caching.release()
     }
     for ((a, p, f) <- Seq((true, 32, false), (false, 2, false),
       (false, 4, false), (false, 1, false), (true, 32, false))) {

@@ -65,6 +65,84 @@ class ServingPathSpec extends AnyFunSuite {
       "stored-stats scoring must be bit-identical to the inline derivation")
   }
 
+  test("multiFieldServed (literal-map stats + driver tail) ≡ " +
+    "multiFieldWithStats, and returns a LocalRelation") {
+    val docs = Seq(
+      ("d1", "alpha beta", "alpha gamma delta", "alpha alpha beta beta"),
+      ("d2", "beta gamma", "beta beta", "gamma delta epsilon"),
+      ("d3", "alpha delta", "delta", "alpha beta gamma delta"),
+      ("d4", "epsilon", "alpha epsilon", "epsilon beta"),
+      ("d5", "gamma gamma beta", "gamma", "delta delta")
+    ).toDF("doc_id", "title", "keywords", "description")
+    val fieldNames = Seq("title", "keywords", "description")
+    val tf = Bm25.fieldTermFreqs(docs, "doc_id", fieldNames)
+    for (queryId <- Seq("d1", "d3", "d5")) {
+      val (qt, qk, qd) = docs.filter(col("doc_id") === queryId)
+        .select("title", "keywords", "description").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).head
+      def terms(s: String) =
+        s.toLowerCase.split(" ").filter(_.nonEmpty).distinct.toSeq
+      val fields = Seq(("title", 1.0 / 3, terms(qt)),
+        ("keywords", 1.0 / 3, terms(qk)), ("description", 1.0 / 3, terms(qd)))
+      val corpusTf = tf.filter(col("doc_id") =!= queryId)
+      val dlAll = tf.groupBy("doc_id", "field")
+        .agg(sum("tf").cast("long").as("dl")).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      val dfAll = tf.groupBy("field", "term").agg(count(lit(1)).as("df"))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val qSet = tf.filter(col("doc_id") === queryId)
+        .select("field", "term").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      val dl = dlAll.filter(_._1 != queryId).toSeq
+      val corpus = dl.groupBy(_._2).toSeq.map { case (f, rows) =>
+        (f, rows.size.toLong, rows.map(_._3).sum.toDouble / rows.size) }
+      val dfreq = fields.flatMap { case (f, _, ts) => ts.distinct.flatMap { t =>
+        val d = dfAll.getOrElse((f, t), 0L) - (if (qSet((f, t))) 1L else 0L)
+        if (d > 0) Some((f, t, d)) else None } }
+      val qtf = corpusTf.filter(Bm25.isQueryTerm(fields))
+      val viaStats = Bm25.multiFieldWithStats(qtf,
+        dl.toDF("doc_id", "field", "dl"),
+        corpus.toDF("field", "n_docs", "avgdl"),
+        dfreq.toDF("field", "term", "df"), fields)
+      val served = Bm25.multiFieldServed(qtf, dl, corpus, dfreq, fields)
+      assert(served.columns.toSeq == viaStats.columns.toSeq)
+      // ORDERED equality: the driver tail must reproduce the Spark tail's
+      // (score desc, doc_id asc) ranking bit-for-bit, not just the set
+      assert(served.collect().map(_.toSeq).toSeq ==
+        viaStats.collect().map(_.toSeq).toSeq,
+        s"served BM25 diverged from the stats path for query $queryId")
+      assert(served.queryExecution.optimizedPlan.collectLeaves().forall {
+        case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => true
+        case _ => false
+      }, "multiFieldServed must return a LocalRelation")
+    }
+  }
+
+  test("candidateEdges via driver candidate ids ≡ the DF semi-join path") {
+    val dir = SparkTestSession.sf0001
+    val queryId = "customer"
+    val sketch = graft.search.Sketches.cachedAll(spark, dir)
+    val qLocal = Some(graft.search.Sketches.queryLocal(spark, dir, queryId))
+    val ranked = graft.search.DistanceJoin.localRanked(
+      graft.search.DistanceJoin.knn(sketch, queryId, 100, 50,
+        localQuery = qLocal))
+    val extraIds = Seq("orders", "supplier") // stand-in metadata candidates
+    val viaDf = graft.search.DistanceJoin.candidateEdges(sketch, queryId,
+      ranked, extraCandidates = Some(extraIds.toDF("dataset_id")),
+      localQuery = qLocal)
+    val viaIds = graft.search.DistanceJoin.candidateEdges(sketch, queryId,
+      ranked, extraCandidateIds = Some(extraIds), localQuery = qLocal)
+    def keyed(df: DataFrame) = df.collect().map { r =>
+      (r.getAs[String]("c_dataset"), r.getAs[String]("c_col"),
+        r.getAs[String]("q_col")) ->
+        (r.getAs[Double]("dist"), r.getAs[Double]("kth"),
+          r.getAs[Double]("sim"))
+    }.toMap
+    assert(keyed(viaIds) == keyed(viaDf),
+      "driver-id candidate path diverged from the DF semi-join path")
+    graft.Caching.release()
+  }
+
   test("metaStatsFor serves LocalRelations whose values equal the inline " +
     "aggregates on the fixture metadata corpus") {
     val dir = SparkTestSession.sf0001
