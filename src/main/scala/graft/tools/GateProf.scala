@@ -39,13 +39,18 @@ object GateProf {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val nBatches = if (args.length > 1) args(1).toInt else 4
+    // incoming-doc count (default the bench's 1,000): the amortization
+    // claim needs a LARGE single batch too — run at sf1.0 with 10000 to
+    // measure the per-doc cost when the fixed per-batch cost is split
+    // over 10× the docs (VERDICT r14 next #3)
+    val nDocs = if (args.length > 2) args(2).toLong else 1000L
     val spark = Prof.session("gateprof")
     val docs = graft.Tables.load(spark, sfDir, "documents")
     val seed = docs.filter(col("doc_id") < 300)
       .filter(graft.extra.CorpusOps.sampleBucket(col("doc_id")) < 80)
       .select("doc_id", "text")
     val incoming = docs
-      .filter(col("doc_id") >= 300 && col("doc_id") < 1300)
+      .filter(col("doc_id") >= 300 && col("doc_id") < 300 + nDocs)
       .select("doc_id", "text")
     val staged = scala.collection.mutable.Buffer.empty[String]
     def stage(n: Int): String = {
@@ -95,16 +100,24 @@ object GateProf {
       graft.Caching.release()
     }
     drain("warmup (full)", tf = true, pairs = true, gram = true)
-    drain("probe only", tf = false, pairs = false, gram = false)
-    drain("probe+tf", tf = true, pairs = false, gram = false)
-    drain("probe+pairs", tf = false, pairs = true, gram = false)
-    drain("probe+gram", tf = false, pairs = false, gram = true)
-    drain("full", tf = true, pairs = true, gram = true)
-    // amortization sweep: same 1,000 docs, full family, varying batch
-    // count — under the default batch conf AND the small-static-partition
-    // ingest conf (the stack-sampled hotspot is shuffle-FILE creation from
-    // hundreds of tiny 32-partition map tasks per micro-batch)
-    for (ingestConf <- Seq(false, true); n <- Seq(1, 2, 4)) {
+    if (args.length <= 2) {
+      drain("probe only", tf = false, pairs = false, gram = false)
+      drain("probe+tf", tf = true, pairs = false, gram = false)
+      drain("probe+pairs", tf = false, pairs = true, gram = false)
+      drain("probe+gram", tf = false, pairs = false, gram = true)
+      drain("full", tf = true, pairs = true, gram = true)
+    }
+    // amortization sweep: same docs, full family, varying batch count —
+    // under the default batch conf AND the small-static-partition ingest
+    // conf (the stack-sampled hotspot is shuffle-FILE creation from
+    // hundreds of tiny 32-partition map tasks per micro-batch). A
+    // non-default nDocs runs the ingest-conf single-batch point only (the
+    // large-batch amortization probe).
+    val sweep =
+      if (args.length <= 2) Seq((false, 1), (false, 2), (false, 4),
+        (true, 1), (true, 2), (true, 4))
+      else Seq((true, 1))
+    for ((ingestConf, n) <- sweep) {
       if (ingestConf) {
         spark.conf.set("spark.sql.adaptive.enabled", "false")
         spark.conf.set("spark.sql.shuffle.partitions", "4")
