@@ -204,7 +204,11 @@ object Bench {
     // (the same query swings 3x run-to-run), and min-of-2 measures the
     // steady-state throughput a warm service would see. Training is charged
     // once — its second invocation would hit the session cache by design.
-    val runsPerQuery = 2
+    // min-of-N runs; the driver always gets the default 2. SPARK_GRAFT_RUNS=1
+    // is for the decade/century probes, where a full double pass at sf10
+    // costs an hour for no adjudication value (the probe's axis is "does
+    // the suite hold together + per-family scale factors", not draw noise).
+    val runsPerQuery = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt
     val queryLines = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>

@@ -87,21 +87,36 @@ object Engine {
         (f, w, fieldText(f).toLowerCase.split(" ").filter(_.nonEmpty).distinct.toSeq)
     }
     // same stats-artifact serving path as CombinedScorer.search (exact
-    // integer adjustment for the excluded query dataset)
-    val (bmDl, bmCorpus, bmDfreq) =
-      CombinedScorer.metaStatsFor(spark, dir, req.queryId, fieldSpecs)
-    val metaScores = Bm25.multiFieldWithStats(
-        CombinedScorer.metaTermFreqs(spark, dir)
-          .filter(col("doc_id") =!= req.queryId && Bm25.isQueryTerm(fieldSpecs)),
-        bmDl, bmCorpus, bmDfreq, fieldSpecs)
-      .select(col("doc_id").as("c_dataset"), col("score").as("metadata_score"))
-    // pinned: consumed by candidateEdges (extra candidates) AND the final
-    // combine — one BM25 pass instead of two
-    val metaScoresP = Caching.temp(metaScores)
+    // integer adjustment for the excluded query dataset): literal-map stats
+    // + driver tail inside the budget (LocalRelation, candidate ids as
+    // literals — the fused 5-job request shape), DF path past it
+    val qtfReq = CombinedScorer.metaTermFreqs(spark, dir)
+      .filter(col("doc_id") =!= req.queryId && Bm25.isQueryTerm(fieldSpecs))
+    val (metaScoresP, metaIdsLocal) =
+      CombinedScorer.metaStatsLocal(spark, dir, req.queryId, fieldSpecs) match {
+        case Some((dlL, corpusL, dfreqL)) =>
+          val served = Bm25.multiFieldServed(qtfReq, dlL, corpusL, dfreqL,
+              fieldSpecs)
+            .select(col("doc_id").as("c_dataset"),
+              col("score").as("metadata_score"))
+          (served, Some(served.collect().map(_.getString(0)).toSeq))
+        case None =>
+          val (bmDl, bmCorpus, bmDfreq) =
+            CombinedScorer.metaStatsFor(spark, dir, req.queryId, fieldSpecs)
+          // pinned: consumed by candidateEdges (extra candidates) AND the
+          // final combine — one BM25 pass instead of two
+          (Caching.temp(Bm25.multiFieldWithStats(qtfReq,
+              bmDl, bmCorpus, bmDfreq, fieldSpecs)
+            .select(col("doc_id").as("c_dataset"),
+              col("score").as("metadata_score"))), None)
+      }
 
     val edges = DistanceJoin.candidateEdges(sketch, req.queryId, ranked,
-      extraCandidates = Some(metaScoresP.select("c_dataset")),
-      queryCols = queryCols, localQuery = qLocal)
+      extraCandidates =
+        if (metaIdsLocal.isDefined) None
+        else Some(metaScoresP.select("c_dataset")),
+      queryCols = queryCols, localQuery = qLocal,
+      extraCandidateIds = metaIdsLocal)
     // Exact integer-micro matching on both branches (the oracle-coverable
     // path): uniform weights apply AFTER the argmax (contentScoresExact),
     // non-uniform weights multiply the edge micros BEFORE it.
