@@ -69,7 +69,7 @@ object DistanceJoin {
     // (index.py:37-43) — while SCORING (dist/kth/sim) is always euclidean on
     // the sketch vector (content_search.py:58-70). For non-spatial types the
     // two coincide.
-    val joined = cands.join(broadcast(query), "col_type")
+    val joined = joinQuery(cands, query, localQuery.isDefined)
       .withColumn("dist", round6micro(VectorOps.euclid(col("q_vec"), col("c_vec"))))
       .withColumn("sel_dist", when(col("col_type") === "Spatial",
         round6micro(VectorOps.rectMinDist(col("q_vec"), col("c_vec"))))
@@ -86,6 +86,37 @@ object DistanceJoin {
                               queryCols: Option[Seq[String]]): DataFrame = {
     val sel = queryCols.fold(base)(cs => base.filter(col("col_name").isin(cs: _*)))
     sel.select(col("col_name").as("q_col"), col("col_type"), col("vector").as("q_vec"))
+  }
+
+  /** The per-type many-to-many pairing of candidate columns with query
+    * columns. Batch path (`local = false`): a broadcast hash join on
+    * col_type. Warm serving path (`local = true`, the query projection is a
+    * LocalRelation): the query rows are embedded as an exploded LITERAL —
+    * col_type → array<struct<q_col, q_vec>> — because on this runtime a
+    * broadcast build is a Spark JOB even over a LocalRelation
+    * (tools/BcProbe), and the request path is driver-latency-bound.
+    * explode(element_at(map, col_type)) yields no rows for a type with no
+    * query columns — exactly the inner join's drop — and the same
+    * (q_col, q_vec) values pair with each candidate row, so every
+    * downstream distance/rank/kth value is bit-identical (oracle-locked).
+    */
+  private def joinQuery(cands: DataFrame, query: DataFrame,
+                        local: Boolean): DataFrame = {
+    lazy val rows = query.collect() // LocalRelation when local: jobless
+    if (!local || rows.isEmpty) cands.join(broadcast(query), "col_type")
+    else {
+      val arms = rows.groupBy(_.getString(1)).toSeq.map { case (ct, rs) =>
+        lit(ct) -> array(rs.map { r =>
+          struct(lit(r.getString(0)).as("q_col"),
+            typedLit(r.getSeq[Double](2).toSeq).as("q_vec"))
+        }: _*)
+      }
+      val qmap = map(arms.flatMap { case (k, v) => Seq(k, v) }: _*)
+      cands.withColumn("__q", explode(element_at(qmap, col("col_type"))))
+        .withColumn("q_col", col("__q.q_col"))
+        .withColumn("q_vec", col("__q.q_vec"))
+        .drop("__q")
+    }
   }
 
   /** Shared tail of both kNN paths: rank per query column, kth-distance
@@ -270,7 +301,7 @@ object DistanceJoin {
             col("col_name").as("c_col"), col("col_type"),
             col("vector").as("c_vec"))
     }
-    candCols.join(broadcast(query), "col_type")
+    joinQuery(candCols, query, localQuery.isDefined)
       .withColumn("dist", round6micro(VectorOps.euclid(col("q_vec"), col("c_vec"))))
       .drop("q_vec", "c_vec")
       .withColumn("kth", element_at(kthM, col("q_col")))
