@@ -1107,7 +1107,7 @@ object Dedup {
     */
   def embeddingPairs(emb: DataFrame, threshold: Double): DataFrame = {
     val e = emb.select(col("vec_id"),
-      transform(col("embedding"), _.cast("double")).as("vec"))
+      col("embedding").cast("array<double>").as("vec"))
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .withColumn("cos_raw",
         graft.functions.VectorOps.cosine(col("a.vec"), col("b.vec")))
@@ -1130,13 +1130,21 @@ object Dedup {
   def decontaminateSemantic(corpus: DataFrame, bench: DataFrame,
                             threshold: Double): DataFrame = {
     val c = corpus.select(col("vec_id"),
-      transform(col("embedding"), _.cast("double")).as("vec"))
+      col("embedding").cast("array<double>").as("vec"))
     val b = bench.select(col("vec_id").as("bench_id"),
-      transform(col("embedding"), _.cast("double")).as("bvec"))
+      col("embedding").cast("array<double>").as("bvec"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("vec_id")
       .orderBy(col("cosine").desc, col("bench_id").asc)
-    c.join(b)
+    // broadcast the BENCHMARK side explicitly: a benchmark suite is small
+    // by construction, so this cross product is O(corpus × bench) pipelined
+    // flops with ZERO shuffles of corpus-scale data — scan-bound, linear in
+    // the corpus, embarrassingly parallel. At the decontamination operating
+    // point (cos 0.45) this IS the scale path: a sign-LSH band has
+    // T/2^bits ≥ 1 expected collisions per RANDOM pair there (see
+    // decontaminateSemanticLsh), so no banding can generate fewer
+    // candidates than this product evaluates directly.
+    c.join(broadcast(b))
       .withColumn("cos_raw",
         graft.functions.VectorOps.cosine(col("vec"), col("bvec")))
       .filter(col("cos_raw") >= threshold)
@@ -1149,44 +1157,87 @@ object Dedup {
   /** [[decontaminateSemantic]]'s scale path, instantiated: the cross-set
     * banded sign-LSH — both sets key into the same multi-table sign
     * buckets, candidates come from the corpus-keys ⋈ benchmark-keys
-    * equi-join (shuffle keyed on (table, bucket), never A×B), exact
-    * cosine verifies survivors, and the winner rank is the brute-force
-    * variant's (rounded cosine, then smaller bench id) over the LSH
-    * candidate set. Fixed deterministic bands (dimension signs) so the
-    * DuckDB twin reproduces the candidate set exactly; the adaptive
-    * prefix-width knob of [[embeddingPairsLsh]] composes identically when
-    * a corpus decade makes fixed-width buckets quadratic.
+    * equi-join (never A×B), exact cosine verifies survivors, and the
+    * winner rank is the brute-force variant's (rounded cosine, then
+    * smaller bench id) over the LSH candidate set. Fixed deterministic
+    * bands (dimension signs) so the DuckDB twin reproduces the candidate
+    * set exactly.
+    *
+    * Scale shape (reworked after the r15 sf10 full-suite probe measured
+    * the original 5× SLOWER than brute at 200k×20k): candidates are never
+    * MATERIALIZED. The first version did candidates.distinct() then two
+    * id re-joins — three corpus-candidate-scale shuffles over ~675M rows
+    * at sf10, losing to brute force's pure pipelined flops. Now the band
+    * keys CARRY their vectors, the benchmark side (small by construction:
+    * a benchmark suite) broadcasts, and the cosine verify + threshold
+    * filter run INSIDE the bucket join — pipelined, nothing
+    * candidate-scale ever shuffles; only verified matches (output-sized)
+    * reach the winner window. The distinct() is dropped outright: a pair
+    * colliding in several tables yields duplicate verified rows with
+    * IDENTICAL (vec_id, bench_id, cosine), and row_number's rn=1 emits
+    * one row with the same values whichever duplicate wins — the DuckDB
+    * twin (which does dedupe its candidate set) stays row-identical.
+    * Width stays at 3×12 deliberately: at a LOW operating threshold
+    * (cos 0.45, p_agree ≈ 0.65/bit) the adaptive prefix widening that
+    * saves high-threshold near-dup mining would collapse recall
+    * (12 bits ⇒ ~6%); the volume problem was materialization, not band
+    * occupancy. sf10 isolated: 81 → a few seconds (PLANS r15).
+    *
+    * HONEST OPERATING ENVELOPE (r15 sf10 probe): sign-LSH banding only
+    * GENERATES FEWER candidates than the broadcast cross product when
+    * T/2^bits ≪ 1 relative to the random-pair agreement rate — at
+    * cos 0.45 a random isotropic pair collides in a 3-bit table with
+    * p ≈ 1/8, so 12 tables expect ~1.5 collisions per pair and the band
+    * join EVALUATES MORE than brute's n·m cosines. The banded form wins
+    * when the operating threshold is high (near-exact contamination,
+    * cos ≳ 0.9: p_agree ≈ 0.97/bit keeps recall while random pairs
+    * collide at 1/8 per table); for low-threshold decontamination against
+    * a small benchmark set, [[decontaminateSemantic]]'s broadcast product
+    * (O(n·m) pipelined flops, zero corpus-scale shuffles) is the scale
+    * path. Both stay registered and oracle-locked.
     */
   def decontaminateSemanticLsh(corpus: DataFrame, bench: DataFrame,
                                threshold: Double, bitsPerTable: Int = 3,
                                tables: Int = 12): DataFrame = {
     val c = corpus.select(col("vec_id"),
-      transform(col("embedding"), _.cast("double")).as("vec"))
+      col("embedding").cast("array<double>").as("vec"))
     val b = bench.select(col("vec_id").as("bench_id"),
-      transform(col("embedding"), _.cast("double")).as("bvec"))
+      col("embedding").cast("array<double>").as("bvec"))
+    // The full sign STRING is computed once per row in its own projection
+    // and each band's bucket is a substring of it — NOT one concat-of-CASEs
+    // per band: with the verify fused into the join stage (no exchanges to
+    // split whole-stage codegen), the per-band form generated a doConsume
+    // past the JVM's 8 KB DontCompileHugeMethods limit, and the stage ran
+    // INTERPRETED forever — measured 56s vs 5.8s with the limit lifted at
+    // sf1.0; the substring form keeps the method JIT-compilable with no
+    // JVM-flag dependence. CollapseProject keeps the signs alias intact
+    // (non-cheap, referenced 12×), so it really is one evaluation per row.
+    // Bucket values are character-identical to the per-band concat.
     def keyed(df: DataFrame, idc: String, vecc: String): DataFrame = {
+      val signs = concat((1 to bitsPerTable * tables).map(i =>
+        when(lit(i) <= size(col(vecc)),
+          when(element_at(col(vecc), i) >= 0, "1").otherwise("0"))
+          .otherwise("0")): _*)
       val tableKeys = (0 until tables).map { t =>
-        val dims = t * bitsPerTable + 1 to t * bitsPerTable + bitsPerTable
         struct(lit(t).as("tbl"),
-          concat(dims.map(i =>
-            when(lit(i) <= size(col(vecc)),
-              when(element_at(col(vecc), i) >= 0, "1").otherwise("0"))
-              .otherwise("0")): _*).as("bucket"))
+          substring(col("__signs"), t * bitsPerTable + 1, bitsPerTable)
+            .as("bucket"))
       }
-      df.select(col(idc), explode(array(tableKeys: _*)).as("k"))
-        .select(col(idc), col("k.tbl").as("tbl"), col("k.bucket").as("bucket"))
+      df.select(col(idc), col(vecc), signs.as("__signs"))
+        .select(col(idc), col(vecc), explode(array(tableKeys: _*)).as("k"))
+        .select(col(idc), col(vecc),
+          col("k.tbl").as("tbl"), col("k.bucket").as("bucket"))
     }
-    val cand = keyed(c, "vec_id", "vec")
-      .join(keyed(b, "bench_id", "bvec"), Seq("tbl", "bucket"))
-      .select("vec_id", "bench_id").distinct()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("vec_id")
       .orderBy(col("cosine").desc, col("bench_id").asc)
-    cand.join(c, "vec_id").join(b, "bench_id")
+    keyed(c, "vec_id", "vec")
+      .join(broadcast(keyed(b, "bench_id", "bvec")), Seq("tbl", "bucket"))
       .withColumn("cos_raw",
         graft.functions.VectorOps.cosine(col("vec"), col("bvec")))
       .filter(col("cos_raw") >= threshold)
-      .withColumn("cosine", round(col("cos_raw"), 6))
+      .select(col("vec_id"), col("bench_id"),
+        round(col("cos_raw"), 6).as("cosine"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("bench_id"), col("cosine"))
@@ -1217,7 +1268,7 @@ object Dedup {
                         maxBits: Int = -1, targetLog2: Int = 5): DataFrame = {
     val widest = if (maxBits < 0) bitsPerTable else maxBits
     val e = emb.select(col("vec_id"),
-      transform(col("embedding"), _.cast("double")).as("vec"))
+      col("embedding").cast("array<double>").as("vec"))
     // maxBits > bitsPerTable turns on ADAPTIVE banding: a fixed-width
     // sign band makes the bucket self-join quadratic in corpus size
     // (Σ occupancy² with occupancy ∝ n/2^bits — the sf10 century probe
@@ -1327,7 +1378,7 @@ object Dedup {
                                 partitionCols: Seq[String]): RepGraph = {
     val pc = partitionCols.map(col)
     val e = emb.select(pc ++ Seq(col("vec_id"),
-      transform(col("embedding"), _.cast("double")).as("vec")): _*)
+      col("embedding").cast("array<double>").as("vec")): _*)
     // one representative id per distinct (partition, vector) group (min
     // id: stable, and the aggregate partial-combines map-side so giant
     // groups never shuffle). Rows partition into disjoint groups and
