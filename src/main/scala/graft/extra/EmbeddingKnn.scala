@@ -469,7 +469,7 @@ object EmbeddingKnn {
       .select(col("vec_id").as("b_id"), asDouble(col("embedding")).as("b_vec"))
     val sims = a.crossJoin(broadcast(b))
       .withColumn("cos_micro",
-        round(VectorOps.cosine(col("a_vec"), col("b_vec")) * 1e6, 0)
+        VectorOps.round0(VectorOps.cosine(col("a_vec"), col("b_vec")) * 1e6)
           .cast("long"))
       .select("a_id", "b_id", "cos_micro")
     bitextMarginTail(sims, k, minMarginPpm)
@@ -599,7 +599,7 @@ object EmbeddingKnn {
       .select("a_id", "b_id").distinct()
     val sims = cand.join(a, "a_id").join(b, "b_id")
       .withColumn("cos_micro",
-        round(VectorOps.cosine(col("a_vec"), col("b_vec")) * 1e6, 0)
+        VectorOps.round0(VectorOps.cosine(col("a_vec"), col("b_vec")) * 1e6)
           .cast("long"))
       .select("a_id", "b_id", "cos_micro")
     bitextMarginTail(sims, k, minMarginPpm)

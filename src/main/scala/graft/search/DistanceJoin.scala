@@ -32,7 +32,7 @@ object DistanceJoin {
     * Bit-exact while |x| ≲ 9·10⁹ (2⁵³ at micro scale).
     */
   private def round6micro(c: org.apache.spark.sql.Column) =
-    round(c * lit(1e6), 0).cast("long").cast("double") / lit(1e6)
+    VectorOps.round0(c * lit(1e6)).cast("long").cast("double") / lit(1e6)
 
   /** Per-query-column ranked candidate lists.
     *

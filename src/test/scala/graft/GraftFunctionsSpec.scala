@@ -6,6 +6,33 @@ import org.scalatest.funsuite.AnyFunSuite
 class GraftFunctionsSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
 
+  test("Round0HalfUp ≡ Spark round(_, 0) on adversarial and random doubles") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val halves = (-6 to 5).map(_ + 0.5) // exact .5 boundaries, both signs
+    val nearHalves = (halves ++ halves.map(-_)).flatMap(h =>
+      Seq(Math.nextDown(h), Math.nextUp(h)))
+    val big = Seq(math.pow(2, 52), -math.pow(2, 52),
+      math.pow(2, 53) + 2, 9.000000123e9, -9.000000123e9)
+    val special = Seq(0.0, -0.0, 1e-300, -1e-300,
+      Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity)
+    val rnd = new scala.util.Random(151)
+    val randoms = Seq.fill(4000)((rnd.nextDouble() - 0.5) * 4e6) ++
+      Seq.fill(1000)(rnd.nextGaussian()) // micro-scale + unit-scale
+    val xs = (halves ++ nearHalves ++ big ++ special ++ randoms).toDF("x")
+    val out = xs.select(col("x"),
+        round(col("x"), 0).as("viaBigDecimal"),
+        graft.functions.VectorOps.round0(col("x")).as("viaNative"))
+      .collect()
+    out.foreach { r =>
+      val a = r.getDouble(1); val b = r.getDouble(2)
+      assert(java.lang.Double.doubleToLongBits(a) ==
+        java.lang.Double.doubleToLongBits(b),
+        s"round0 diverged on x=${r.getDouble(0)}: round=$a native=$b " +
+          s"(nulls: ${r.isNullAt(1)}/${r.isNullAt(2)})")
+    }
+  }
+
   test("registered SQL functions match the Column-API expressions") {
     GraftFunctions.registerAll(spark)
     val r = spark.sql(
