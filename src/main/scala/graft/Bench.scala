@@ -32,6 +32,13 @@ object Bench {
         s"${sys.env.getOrElse("SPARK_GRAFT_SPLIT_MB", "128").toInt * 1024 * 1024}")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Single-JVM probe robustness: the brute audit lines at sf10 push
+      // sorter allocation hard enough that a full-GC pause can exceed the
+      // default 120s network timeout, and local-mode "executor lost" on a
+      // GC pause aborts the line spuriously (observed once on a 64g
+      // isolated bitext_recall draw; both 96g full-suite passes were
+      // clean). A cluster deployment sizes executor heaps instead.
+      .config("spark.network.timeout", "600s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     StageLog.attachIfEnabled(spark.sparkContext) // GRAFT_STAGES=1 diagnostics
