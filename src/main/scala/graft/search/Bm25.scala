@@ -146,16 +146,30 @@ object Bm25 {
     * every removed broadcast is one fewer DAGScheduler round-trip), and the
     * per-doc aggregate is the ONE job this function runs: `wide` is
     * collected (model-sized — one row per dataset matching a query term;
-    * the caller gates this path behind the same driver budget as the
-    * stats themselves) and the boost/max-normalization/round/rank tail
+    * the caller gates this path on the dl-entry budget described below)
+    * and the boost/max-normalization/round/rank tail
     * runs in driver code that mirrors the Spark expressions
     * operation-for-operation — double multiply and left-to-right add in
     * field order, HALF_UP on BigDecimal.valueOf exactly like Round's
     * DoubleType codegen, max over doubles (order-free), sort by
-    * (score desc, doc_id asc). ServingPathSpec locks the equality against
-    * [[multiFieldWithStats]]. Returns a LocalRelation, so every consumer
-    * (the candidate-id filter, the final combine) embeds it without
-    * further jobs.
+    * (score desc, doc_id asc — java.lang.Double.compare, so a NaN score
+    * sorts FIRST exactly like Spark's desc NaN-greatest ordering; Scala's
+    * tuple sort on the negated double would have put it last).
+    * ServingPathSpec locks the equality against [[multiFieldWithStats]].
+    * Returns a LocalRelation, so every consumer (the candidate-id filter,
+    * the final combine) embeds it without further jobs.
+    *
+    * SCALE ENVELOPE: each stat table compiles to ONE map `Literal`
+    * (typedlit — a single ArrayBasedMapData node, never a CreateMap with
+    * 2N lit children, which would hand the analyzer millions of expression
+    * nodes at catalogue scale). But Spark's GetMapValue over a literal map
+    * is still a per-row LINEAR key scan, and `dl` is catalogue-sized (3
+    * rows per dataset) — per-row lookup cost O(datasets). That is why
+    * callers gate this path on DL MAP ENTRIES
+    * (`spark.graft.metaStats.maxServedDlEntries`,
+    * [[CombinedScorer.metaStatsLocal]]) — a much tighter bound than the
+    * driver-copy budget — and fall back to the DF-broadcast stats
+    * ([[multiFieldWithStats]], hash-join lookups) in between.
     */
   def multiFieldServed(qtf: DataFrame,
                        dl: Seq[(String, String, Long)],
@@ -165,19 +179,13 @@ object Bm25 {
                        topM: Int = 100, k1: Double = 1.2,
                        b: Double = 0.75): DataFrame = {
     val spark = qtf.sparkSession
-    val sep = " " // never in a field name; terms are space-split
+    val sep = "\u0000" // NUL: never in a field name; terms are space-split
     def pairMap(rows: Seq[(String, String, Long)]) =
-      if (rows.isEmpty) map()
-      else map(rows.flatMap { case (a, c, v) =>
-        Seq(lit(a + sep + c), lit(v)) }: _*)
+      typedlit(rows.map { case (a, c, v) => (a + sep + c) -> v }.toMap)
     val dfreqM = pairMap(dfreq)
     val dlM = pairMap(dl)
-    val ndocsM =
-      if (corpus.isEmpty) map()
-      else map(corpus.flatMap { case (f, n, _) => Seq(lit(f), lit(n)) }: _*)
-    val avgdlM =
-      if (corpus.isEmpty) map()
-      else map(corpus.flatMap { case (f, _, a) => Seq(lit(f), lit(a)) }: _*)
+    val ndocsM = typedlit(corpus.map { case (f, n, _) => f -> n }.toMap)
+    val avgdlM = typedlit(corpus.map { case (f, _, a) => f -> a }.toMap)
     val scoredTerms = qtf
       .withColumn("df",
         element_at(dfreqM, concat(col("field"), lit(sep), col("term"))))
@@ -214,12 +222,23 @@ object Bm25 {
       (r.getString(0), raws, raw)
     }
     val maxRaw = if (scored.isEmpty) 0.0 else scored.map(_._3).max
+    // (score desc, doc_id asc) via Double.compare — NaN sorts GREATEST, so
+    // descending puts it first, exactly Spark's orderBy(desc) ordering; the
+    // former tuple sort on the negated double would have put NaN LAST
+    // (ADVICE r15). Unreachable with positive boosts (maxRaw > 0), but the
+    // tail must mirror the Spark tail unconditionally, not per-config.
+    val byScoreDescId = new Ordering[org.apache.spark.sql.Row] {
+      def compare(a: org.apache.spark.sql.Row,
+                  b: org.apache.spark.sql.Row): Int = {
+        val c = java.lang.Double.compare(
+          b.getDouble(fields.size + 1), a.getDouble(fields.size + 1))
+        if (c != 0) c else a.getString(0).compareTo(b.getString(0))
+      }
+    }
     val out = scored.map { case (id, raws, raw) =>
       org.apache.spark.sql.Row.fromSeq(
         id +: raws.map(x => round6(x / maxRaw)) :+ round6(raw / maxRaw))
-    }.sortBy { r =>
-      (-r.getDouble(fields.size + 1), r.getString(0))
-    }.take(topM)
+    }.sorted(byScoreDescId).take(topM)
     val schema = org.apache.spark.sql.types.StructType(
       org.apache.spark.sql.types.StructField("doc_id",
         org.apache.spark.sql.types.StringType) +:

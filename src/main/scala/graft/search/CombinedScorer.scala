@@ -232,6 +232,22 @@ object CombinedScorer {
       datasetMetadata(spark, dir).count() <= budget
     })
 
+  /** Served-path literal-map budget — DELIBERATELY much tighter than
+    * [[driverStatsFit]]'s 10⁷ (VERDICT r15 What's wrong #1). The driver
+    * budget bounds a plain Scala collection (~100 MB at 10⁶ datasets —
+    * fine); [[Bm25.multiFieldServed]] additionally compiles the dl table
+    * into a map LITERAL whose GetMapValue lookup is a per-row LINEAR key
+    * scan — per-request cost O(matching rows × dl entries), quadratic in
+    * the catalogue. The crossover measured by [[graft.ServedGateProbe]]
+    * (PLANS.md round-16) sets the default; between this gate and the
+    * driver budget, [[search]] takes [[metaStatsFor]]'s LocalRelation
+    * broadcast path — hash-join lookups, value-identical results
+    * (ServingPathSpec), a few more jobs per request.
+    */
+  private def servedStatsFit(spark: SparkSession, dlEntries: Int): Boolean =
+    dlEntries <= spark.conf
+      .get("spark.graft.metaStats.maxServedDlEntries", "30000").toLong
+
   /** Per-request BM25 stat tables for "the corpus minus the query dataset",
     * derived from [[metaStats]] by EXACT integer adjustment (drop the query
     * doc's dl rows; n_docs and df decrement by its membership; avgdl is one
@@ -269,8 +285,7 @@ object CombinedScorer {
         .groupBy("field", "term").agg(count(lit(1)).as("df"))
       return (dl, corpus, dfreq)
     }
-    val (dl, corpus, dfreq) = metaStatsLocal(spark, dir, queryId, fields)
-      .get // driverStatsFit already held above
+    val (dl, corpus, dfreq) = adjustedStatsLocal(spark, dir, queryId, fields)
     (dl.toDF("doc_id", "field", "dl"),
       corpus.toDF("field", "n_docs", "avgdl"),
       dfreq.toDF("field", "term", "df"))
@@ -279,14 +294,29 @@ object CombinedScorer {
   /** The driver-values core of [[metaStatsFor]]: the same exact-integer
     * adjusted stat tables as plain Scala collections, for
     * [[Bm25.multiFieldServed]]'s literal-map lookups (no DataFrames, no
-    * broadcast-build jobs). None past the driver budget — callers fall
-    * back to the DF-backed path.
+    * broadcast-build jobs). None past EITHER budget — the driver-copy
+    * gate ([[driverStatsFit]]) or the served literal-map gate
+    * ([[servedStatsFit]], on dl entries) — and callers fall back to the
+    * DF-backed path.
     */
   def metaStatsLocal(spark: SparkSession, dir: String, queryId: String,
                      fields: Seq[(String, Double, Seq[String])])
   : Option[(Seq[(String, String, Long)], Seq[(String, Long, Double)],
       Seq[(String, String, Long)])] = {
     if (!driverStatsFit(spark, dir)) return None
+    val stats = adjustedStatsLocal(spark, dir, queryId, fields)
+    if (servedStatsFit(spark, stats._1.size)) Some(stats) else None
+  }
+
+  /** The exact-integer query-excluded stat derivation both gates share
+    * (callers: [[metaStatsFor]] under the driver budget,
+    * [[metaStatsLocal]] under the served budget on top of it).
+    */
+  private def adjustedStatsLocal(spark: SparkSession, dir: String,
+                                 queryId: String,
+                                 fields: Seq[(String, Double, Seq[String])])
+  : (Seq[(String, String, Long)], Seq[(String, Long, Double)],
+      Seq[(String, String, Long)]) = {
     val (dlAll, dfAll) = metaStats(spark, dir)
     val dl = dlAll.filter(_._1 != queryId).toSeq
     val corpus = dl.groupBy(_._2).toSeq.map { case (f, rows) =>
@@ -302,7 +332,7 @@ object CombinedScorer {
         if (df > 0) Some((f, t, df)) else None
       }
     }
-    Some((dl, corpus, dfreq))
+    (dl, corpus, dfreq)
   }
 
   /** End-to-end similarity search for one query dataset (flagship; mirrors

@@ -194,6 +194,31 @@ class ServingPathSpec extends AnyFunSuite {
     }
   }
 
+  test("served literal-map budget: past the dl-entries gate the search " +
+    "falls back to the DF-broadcast stats with value-identical results") {
+    val dir = SparkTestSession.sf0001
+    val qid = "customer"
+    def run(): Seq[Seq[Any]] =
+      try CombinedScorer.search(spark, dir, qid).collect().map(_.toSeq).toSeq
+      finally Caching.release()
+    val viaServed = run() // fixture catalogue ≪ the default 30k dl entries
+    assert(viaServed.nonEmpty)
+    // zero entry budget: metaStatsLocal returns None while the DRIVER
+    // budget still holds, so search takes metaStatsFor's LocalRelation
+    // broadcast branch — the intermediate tier VERDICT r15 asked for
+    // (literal-map ≤ servedBudget < LocalRelation-broadcast ≤ driverBudget
+    // < DF-aggregate). No invalidate needed: the entries gate is evaluated
+    // per request, never memoized.
+    spark.conf.set("spark.graft.metaStats.maxServedDlEntries", "0")
+    try {
+      assert(CombinedScorer.metaStatsLocal(spark, dir, qid,
+        Seq(("title", 1.0, Seq("customer")))).isEmpty,
+        "zero entry budget must close the served literal-map path")
+      assert(run() == viaServed,
+        "DF-broadcast fallback must be value-identical to the served path")
+    } finally spark.conf.unset("spark.graft.metaStats.maxServedDlEntries")
+  }
+
   test("outerScores union+aggregate ≡ full-outer join with zero fill") {
     val content = Seq(
       ("A", 0.81, Seq(("qa", "ca", 0.4))),
