@@ -478,14 +478,28 @@ object Bench {
     val onlyKey = only.map(s =>
       s""","only":${s.toSeq.sorted.map(n => s"\"$n\"").mkString("[", ",", "]")}""").getOrElse("")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stage_ms":$stage,"cpu_ms":$cpu,"errors":$errs,"runs_per_query":$runsPerQuery,"sf":"$sfDir"$onlyKey}"""
+    // Truncation-proof emission (VERDICT r15 What's wrong #4): the driver
+    // captures only stdout's TAIL (~2 KB), and the full line is ~10 KB at
+    // 143 queries — so BENCH_r{N}.json kept landing head-truncated with
+    // "parsed": null. Emit a COMPACT summary line (headline total + the
+    // top-20 slowest queries, well under the capture window) both BEFORE
+    // the full line (head-capture insurance) and as the LAST line of
+    // stdout (tail-capture insurance); the complete per-query map always
+    // survives in the BENCH.json file write below.
+    val top = results.toSeq.sortBy(-_._2._1).take(20).map { case (k, v) =>
+      s""""$k":${(if (failed.contains(k)) -v._1 else v._1)}"""
+    }.mkString("{", ",", "}")
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"top_queries":$top,"errors":$errs,"runs_per_query":$runsPerQuery,"sf":"$sfDir"$onlyKey,"full":"BENCH.json"}"""
+    println(compact)
     println(json)
-    // Also persist the line: the driver captures stdout's TAIL, which has
-    // truncated past rounds' leading queries — the file can't be.
+    // Also persist the full line: the stdout capture can't be trusted with
+    // it, the file can't truncate.
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")),
         (json + "\n").getBytes("UTF-8"))
     } catch { case e: Throwable => System.err.println(s"[bench] write: $e") }
+    println(compact)
     spark.stop()
   }
 }

@@ -3550,7 +3550,7 @@ object SparkEntry {
       * 0.99, and the within-group/cross-group pair expansion — turning the
       * suite's two rows-only lines into hash-checked rows.
       */
-    private val mediaEmbeddingCase: String = {
+    private def mediaEmbeddingCase: String = {
       val outDim = 4 * 9 // bitsPerTable × tables = mediaNearDupPairs' outDim
       val arms = Seq("image", "audio", "video").map { m =>
         val spec = graft.extra.MediaEmbed.specs(m)
@@ -3574,7 +3574,7 @@ object SparkEntry {
       * self-cosine survival `sc` — the SQL mirror of
       * Dedup.collapsedRepGraph.
       */
-    private val mediaRepGraphCtes: String = {
+    private def mediaRepGraphCtes: String = {
       val branches = graft.extra.Dedup.signLshTableDims(4, 9).map { case (t, dims) =>
         val bucket = dims.map(i =>
           s"CASE WHEN vec[$i] >= 0 THEN '1' ELSE '0' END").mkString(" || ")
@@ -3602,7 +3602,11 @@ object SparkEntry {
          |       FROM g WHERE list_cosine_similarity(vec, vec) >= 0.99)""".stripMargin
     }
 
-    val dedupMediaSql: String =
+    // defs, not vals: they embed Multimodal.featuresFixturePath, which
+    // Verify pins under its outDir at startup — resolving at CALL time
+    // keeps the emitted SQL and the dump location agreeing even if object
+    // O initialized before the pin
+    def dedupMediaSql: String =
       s"""WITH $mediaRepGraphCtes
          |SELECT rp.media_type,
          |  LEAST(ma.doc_id, mb.doc_id) AS id_a,
@@ -3621,7 +3625,7 @@ object SparkEntry {
       * the bar AND has no edges degrades its members to singletons —
       * mirroring embeddingClustersLshCollapsed's zero-vector rule.
       */
-    val dedupMediaClustersSql: String =
+    def dedupMediaClustersSql: String =
       s"""WITH RECURSIVE $mediaRepGraphCtes,
          |ed AS (SELECT gid_a AS src, gid_b AS dst FROM rp
          |       UNION ALL SELECT gid_b, gid_a FROM rp),

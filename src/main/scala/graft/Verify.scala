@@ -9,6 +9,11 @@ object Verify {
     // optional extra args: run only these queries (local iteration aid; the
     // driver always passes exactly two args and gets the full dump)
     val only = args.drop(2).toSet
+    // run-scoped media-feature fixture (ADVICE r15): the dump and the
+    // oracle SQL emitted below both resolve <outDir>/media_features, so
+    // concurrent Verify runs can't clobber each other's fixture and the
+    // dump lands inside this run's own output directory
+    graft.extra.Multimodal.setFeaturesFixtureDir(s"$outDir/media_features")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

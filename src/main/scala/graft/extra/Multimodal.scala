@@ -688,16 +688,27 @@ object Multimodal {
     .empty[(String, String), Object]
 
   /** Absolute path of the decoded-feature FIXTURE the media family's DuckDB
-    * oracle twins read. Resolved ONCE per JVM from the working directory, so
-    * the Verify-time dump and the oracle SQL emitted by the same process
-    * always agree on the location regardless of where the driver launched
-    * us. The decode step itself stays spec-locked (SQL cannot run a PNG/WAV
+    * oracle twins read. [[graft.Verify]] pins it UNDER ITS OWN outDir
+    * before dumping or emitting oracle SQL (ADVICE r15: the former shared
+    * working-directory location let two concurrent Verify runs clobber
+    * each other's fixture between dump and DuckDB compare, and left the
+    * dump outside the run's outDir); the working-directory default only
+    * serves ad-hoc sessions that never called [[setFeaturesFixtureDir]].
+    * The decode step itself stays spec-locked (SQL cannot run a PNG/WAV
     * /AVI codec); dumping its output lets DuckDB independently re-run
     * everything AFTER decode — whitening + fixed projection ([[MediaEmbed]]),
     * sign-LSH banding, exact cosine, and rep-level component labels.
     */
-  val featuresFixturePath: String =
-    new java.io.File("fixtures/media_features").getAbsolutePath
+  @volatile private var featuresFixtureDir: String = "fixtures/media_features"
+
+  /** Pin the fixture location for this JVM (Verify: `<outDir>/media_features`
+    * — called before any dump or oracle-SQL emission, so both resolve the
+    * same run-scoped directory).
+    */
+  def setFeaturesFixtureDir(dir: String): Unit = featuresFixtureDir = dir
+
+  def featuresFixturePath: String =
+    new java.io.File(featuresFixtureDir).getAbsolutePath
 
   /** Dump the decoded feature artifact for `docs` to
     * [[featuresFixturePath]] — called by [[graft.Verify]] only (the oracle

@@ -216,6 +216,16 @@ object CorpusStream {
     s"$root/$kind/$tail-$sha"
   }
 
+  /** The pre-round-16 directory name for the same family (32-bit
+    * String.hashCode suffix). Saves never write it anymore; loads fall
+    * back to it so snapshot roots written before the SHA rename still
+    * restore instead of silently rebuilding from scratch (ADVICE r15).
+    */
+  private def snapDirLegacy(root: String, kind: String, key: String): String = {
+    val tail = key.takeRight(40).replaceAll("[^A-Za-z0-9._-]", "_")
+    s"$root/$kind/$tail-${Integer.toHexString(key.hashCode)}"
+  }
+
   /** Restore every maintained family of an [[admitStreamMaintained]] gate
     * from the snapshot `root` its `snapshotEvery` option wrote — call
     * BEFORE restarting the gate from its unchanged stream checkpoint, with
@@ -237,23 +247,29 @@ object CorpusStream {
     // yet" and must take the documented skip-and-rebuild path, not fail
     // the whole restore on a partial directory
     def has(p: String): Boolean = graft.Snapshots.committed(spark, p)
-    val idx = snapDir(root, "idx", cacheKey)
-    if (has(idx)) graft.extra.Dedup.loadIndex(spark, idx, cacheKey)
+    // resolve CURRENT name first, then the legacy hashCode-suffixed name
+    // (snapshots saved before the SHA rename — ADVICE r15); None = no
+    // committed snapshot under either, the documented skip-and-rebuild
+    def resolve(kind: String, key: String): Option[String] =
+      Seq(snapDir(root, kind, key), snapDirLegacy(root, kind, key))
+        .find(has)
+    resolve("idx", cacheKey)
+      .foreach(p => graft.extra.Dedup.loadIndex(spark, p, cacheKey))
     tfCacheKeys.foreach { k =>
-      val p = snapDir(root, "tf", k)
-      if (has(p)) graft.ingest.TermStats.loadTermFreqs(spark, p, k)
+      resolve("tf", k)
+        .foreach(p => graft.ingest.TermStats.loadTermFreqs(spark, p, k))
     }
     pairsSpecs.foreach { case (pk, _, _) =>
-      val p = snapDir(root, "pairs", pk)
-      if (has(p)) graft.extra.Dedup.loadPairs(spark, p, pk)
+      resolve("pairs", pk)
+        .foreach(p => graft.extra.Dedup.loadPairs(spark, p, pk))
     }
     gramSpecs.foreach { case (gk, _) =>
-      val p = snapDir(root, "gram", gk)
-      if (has(p)) graft.extra.Dedup.loadGramIndex(spark, p, gk)
+      resolve("gram", gk)
+        .foreach(p => graft.extra.Dedup.loadGramIndex(spark, p, gk))
     }
     featureCacheKeys.foreach { k =>
-      val p = snapDir(root, "feat", k)
-      if (has(p)) graft.extra.Multimodal.loadFeatures(spark, p, k)
+      resolve("feat", k)
+        .foreach(p => graft.extra.Multimodal.loadFeatures(spark, p, k))
     }
   }
 

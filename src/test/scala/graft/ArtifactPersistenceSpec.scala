@@ -352,6 +352,31 @@ class ArtifactPersistenceSpec extends AnyFunSuite {
     resetAll()
   }
 
+  test("loadMaintained falls back to the legacy hashCode-suffixed " +
+    "snapshot directory name (pre-SHA saves still restore)") {
+    val root = tmp("legacysnap")
+    val key = "legacy-tf"
+    val corpus = df(corpusRows)
+    TermStats.resetTermFreqs(spark, key)
+    TermStats.trainedTermFreqs(corpus, "doc_id", "text", key)
+    val want = tfSet(TermStats.trainedTermFreqs(corpus, "doc_id", "text", key))
+    // a snapshot saved under the PRE-round-16 directory name (32-bit
+    // String.hashCode suffix instead of the SHA-256 prefix)
+    val tail = key.takeRight(40).replaceAll("[^A-Za-z0-9._-]", "_")
+    val legacy = s"$root/tf/$tail-${Integer.toHexString(key.hashCode)}"
+    assert(TermStats.saveTermFreqs(spark, key, legacy))
+    // simulated restart: the current-name directory does not exist, so the
+    // resolver must find the legacy one instead of silently rebuilding
+    TermStats.resetTermFreqs(spark, key)
+    graft.streaming.CorpusStream.loadMaintained(spark, root, "legacy-idx",
+      tfCacheKeys = Seq(key))
+    assert(TermStats.tfSegmentCount(spark, key) > 0,
+      "legacy-named snapshot must restore, not silently rebuild")
+    assert(tfSet(TermStats.trainedTermFreqs(
+      corpus, "doc_id", "text", key)) == want)
+    TermStats.resetTermFreqs(spark, key)
+  }
+
   test("a root whose ONLY save crashed mid-write reads as no-snapshot, " +
     "not as a legacy layout") {
     val root = tmp("crashonly")
