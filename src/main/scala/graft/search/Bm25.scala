@@ -159,14 +159,15 @@ object Bm25 {
     * Returns a LocalRelation, so every consumer (the candidate-id filter,
     * the final combine) embeds it without further jobs.
     *
-    * SCALE ENVELOPE: each stat table compiles to ONE map `Literal`
-    * (typedlit — a single ArrayBasedMapData node, never a CreateMap with
-    * 2N lit children, which would hand the analyzer millions of expression
-    * nodes at catalogue scale). But Spark's GetMapValue over a literal map
-    * is still a per-row LINEAR key scan, and `dl` is catalogue-sized (3
-    * rows per dataset) — per-row lookup cost O(datasets). That is why
-    * callers gate this path on DL MAP ENTRIES
-    * (`spark.graft.metaStats.maxServedDlEntries`,
+    * SCALE ENVELOPE: each stat lookup is an O(1)
+    * [[graft.functions.LiteralMapLookup]] hash probe (NOT `element_at` on
+    * a map Literal — Spark's GetMapValue over a literal ArrayBasedMapData
+    * is a per-row LINEAR key scan, and `dl` is catalogue-sized: the
+    * linear form measured 16.6× slower than broadcast joins at 300k
+    * entries, the hash form 1.08× — ServedGateProbe, PLANS r16). What
+    * remains per request is building and shipping the hash tables with
+    * the plan, linear in dl entries — so callers still gate this path on
+    * DL MAP ENTRIES (`spark.graft.metaStats.maxServedDlEntries`,
     * [[CombinedScorer.metaStatsLocal]]) — a much tighter bound than the
     * driver-copy budget — and fall back to the DF-broadcast stats
     * ([[multiFieldWithStats]], hash-join lookups) in between.
@@ -180,19 +181,20 @@ object Bm25 {
                        b: Double = 0.75): DataFrame = {
     val spark = qtf.sparkSession
     val sep = "\u0000" // NUL: never in a field name; terms are space-split
+    import graft.functions.MapLookup.{doubleLookup, longLookup}
     def pairMap(rows: Seq[(String, String, Long)]) =
-      typedlit(rows.map { case (a, c, v) => (a + sep + c) -> v }.toMap)
+      rows.map { case (a, c, v) => (a + sep + c) -> v }.toMap
     val dfreqM = pairMap(dfreq)
     val dlM = pairMap(dl)
-    val ndocsM = typedlit(corpus.map { case (f, n, _) => f -> n }.toMap)
-    val avgdlM = typedlit(corpus.map { case (f, _, a) => f -> a }.toMap)
+    val ndocsM = corpus.map { case (f, n, _) => f -> n }.toMap
+    val avgdlM = corpus.map { case (f, _, a) => f -> a }.toMap
     val scoredTerms = qtf
       .withColumn("df",
-        element_at(dfreqM, concat(col("field"), lit(sep), col("term"))))
+        longLookup(concat(col("field"), lit(sep), col("term")), dfreqM))
       .withColumn("dl",
-        element_at(dlM, concat(col("doc_id"), lit(sep), col("field"))))
-      .withColumn("n_docs", element_at(ndocsM, col("field")))
-      .withColumn("avgdl", element_at(avgdlM, col("field")))
+        longLookup(concat(col("doc_id"), lit(sep), col("field")), dlM))
+      .withColumn("n_docs", longLookup(col("field"), ndocsM))
+      .withColumn("avgdl", doubleLookup(col("field"), avgdlM))
       // a lookup miss (null) drops the row — the literal-map mirror of the
       // former INNER joins on (field, term), (doc_id, field), (field)
       .filter(col("df").isNotNull && col("dl").isNotNull &&

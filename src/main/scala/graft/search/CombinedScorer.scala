@@ -232,21 +232,25 @@ object CombinedScorer {
       datasetMetadata(spark, dir).count() <= budget
     })
 
-  /** Served-path literal-map budget — DELIBERATELY much tighter than
+  /** Served-path stats budget — DELIBERATELY much tighter than
     * [[driverStatsFit]]'s 10⁷ (VERDICT r15 What's wrong #1). The driver
     * budget bounds a plain Scala collection (~100 MB at 10⁶ datasets —
     * fine); [[Bm25.multiFieldServed]] additionally compiles the dl table
-    * into a map LITERAL whose GetMapValue lookup is a per-row LINEAR key
-    * scan — per-request cost O(matching rows × dl entries), quadratic in
-    * the catalogue. The crossover measured by [[graft.ServedGateProbe]]
-    * (PLANS.md round-16) sets the default; between this gate and the
-    * driver budget, [[search]] takes [[metaStatsFor]]'s LocalRelation
-    * broadcast path — hash-join lookups, value-identical results
-    * (ServingPathSpec), a few more jobs per request.
+    * into per-request expression state: an O(1)
+    * [[graft.functions.LiteralMapLookup]] hash table built and shipped
+    * with each request's plan. Past a few hundred thousand entries the
+    * per-request build/ship cost overtakes the broadcast-join stats —
+    * ServedGateProbe measured served/DF = 0.79 at 30k entries, 0.96 at
+    * 90k, 1.08 at 300k, 1.71 at 900k (PLANS.md round-16; before the hash
+    * expression the map-LITERAL linear scan hit 16.6× at 300k). The
+    * default sits safely inside the measured parity region; between this
+    * gate and the driver budget, [[search]] takes [[metaStatsFor]]'s
+    * LocalRelation broadcast path — hash-join lookups, value-identical
+    * results (ServingPathSpec), a few more jobs per request.
     */
   private def servedStatsFit(spark: SparkSession, dlEntries: Int): Boolean =
     dlEntries <= spark.conf
-      .get("spark.graft.metaStats.maxServedDlEntries", "30000").toLong
+      .get("spark.graft.metaStats.maxServedDlEntries", "100000").toLong
 
   /** Per-request BM25 stat tables for "the corpus minus the query dataset",
     * derived from [[metaStats]] by EXACT integer adjustment (drop the query

@@ -33,6 +33,36 @@ class GraftFunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("LiteralMapLookup ≡ element_at on a map literal (codegen + " +
+    "interpreted, null on miss, null key)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val entries = (0 until 5000).map(i => s"k$i" -> i.toLong * 7).toMap
+    val avg = (0 until 50).map(i => s"f$i" -> i / 3.0).toMap
+    val keys = ((0 until 6000 by 3).map(i => s"k$i") :+ "absent")
+      .toDF("k").withColumn("k", when(col("k") === "k999", lit(null))
+        .otherwise(col("k"))) // one NULL key in the stream
+    val viaLit = keys.select(col("k"),
+      element_at(typedlit(entries), col("k")).as("v")).collect()
+      .map(r => (if (r.isNullAt(0)) null else r.getString(0)) ->
+        (if (r.isNullAt(1)) null else r.getLong(1))).toSeq
+    def run(codegen: String): Seq[(String, Any)] = {
+      spark.conf.set("spark.sql.codegen.factoryMode", codegen)
+      try keys.select(col("k"),
+        graft.functions.MapLookup.longLookup(col("k"), entries).as("v"))
+        .collect()
+        .map(r => (if (r.isNullAt(0)) null else r.getString(0)) ->
+          (if (r.isNullAt(1)) null else r.getLong(1))).toSeq
+      finally spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+    assert(run("CODEGEN_ONLY") == viaLit, "codegen lookup diverged")
+    assert(run("NO_CODEGEN") == viaLit, "interpreted lookup diverged")
+    // the Double shape (avgdl) — spot value + miss
+    val d = Seq("f9", "nope").toDF("k").select(
+      graft.functions.MapLookup.doubleLookup(col("k"), avg).as("v")).collect()
+    assert(d(0).getDouble(0) == 3.0 && d(1).isNullAt(0))
+  }
+
   test("registered SQL functions match the Column-API expressions") {
     GraftFunctions.registerAll(spark)
     val r = spark.sql(
