@@ -73,6 +73,12 @@ object SparkEntry {
   // so the scale df-cap (0.5 at a real corpus) would empty the query; the
   // cap semantics are spec-tested on a synthetic corpus instead
   private val TfidfDfCap = 1.0
+  // blocklist gate fixture: phrases spanning token boundaries (substring,
+  // not token, semantics), one term a prefix of another (exercises the
+  // Aho-Corasick fail/output closure), one zero-hit phrase
+  private val BlocklistTerms = Seq(
+    "merge", "merge batch", "slow scan", "hash value", "big join",
+    "lorem ipsum", "customer")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- classic relational coverage (free in Spark; §2.3/§2.4/§2.5/§2.6) ----
@@ -798,6 +804,17 @@ object SparkEntry {
     // declared-vs-predicted language confusion matrix (mixture QA)
     "lang_confusion" -> ((s, d) =>
       Signals.langConfusion(T(s, d, "documents"), "doc_id", "text")),
+
+    // C4-style blocklist gate: distinct banned-phrase hits per doc via ONE
+    // Aho-Corasick pass (O(bytes), blocklist-size-independent)
+    "quality_blocklist" -> ((s, d) =>
+      Signals.blocklist(T(s, d, "documents"), "doc_id", "text",
+        BlocklistTerms)),
+
+    // content-defined chunking dedup: shift-invariant shared-chunk counts
+    // (md5-window cut rule both engines can replay)
+    "dedup_cdc" -> ((s, d) =>
+      extra.CdcDedup.stats(T(s, d, "documents"), "doc_id", "text", w = 8)),
 
     // materialized inverted-index build, sharded postings (ES termvector twin)
     "posting_lists" -> ((s, d) =>
@@ -1539,6 +1556,14 @@ object SparkEntry {
 
     // generated from the same alphabet constant as the Scala side
     "char_entropy" -> Signals.charEntropySqlFor("documents", "doc_id", "text"),
+
+    // generated from the same term-list constant as the Scala side
+    "quality_blocklist" ->
+      Signals.blocklistSqlFor("documents", "doc_id", "text", BlocklistTerms),
+
+    // the md5-window cut rule replayed verbatim over every position
+    "dedup_cdc" ->
+      extra.CdcDedup.statsSqlFor("documents", "doc_id", "text", w = 8),
 
     "token_fertility" ->
       """WITH s AS (SELECT lang,

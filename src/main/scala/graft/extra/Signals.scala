@@ -257,4 +257,71 @@ object Signals {
       .withColumn("ttr", when(col("n_tokens") > 0,
         round(col("vocab_size").cast("double") / col("n_tokens"), 6)))
       .orderBy("source")
+
+  // ---------------------------------------------------------------------
+  // Blocklist filter (C4-style banned word/phrase gate)
+  // ---------------------------------------------------------------------
+
+  /** Per-document blocklist gate: how many DISTINCT blocklist terms occur
+    * as case-insensitive substrings, and the keep flag (no hits). The C4
+    * "contains a banned word" rule (Raffel et al. 2020 §2.2) generalized
+    * to phrases.
+    *
+    * Scale path: ONE Aho–Corasick pass per document
+    * ([[graft.functions.AcAutomaton]]) — O(bytes + matches) per row,
+    * independent of blocklist size; the automaton ships with the plan, so
+    * the whole gate is a shuffle-free column expression riding the first
+    * corpus scan. The naive per-term `contains` composition
+    * ([[blocklistNaive]]) is O(terms × bytes) per row — kept as the
+    * property twin and the A/B baseline, never the default.
+    *
+    * @return (doc_id, n_terms_hit, keep) — BIGINTs for engine-exact compare
+    */
+  def blocklist(df: DataFrame, idCol: String, textCol: String,
+                terms: Seq[String]): DataFrame = {
+    val hits = graft.functions.Blocklist.hits(col(textCol), terms)
+    df.select(col(idCol),
+      hits.cast("long").as("n_terms_hit"),
+      when(hits === 0, 1L).otherwise(0L).as("keep"))
+  }
+
+  /** O(terms × bytes) relational twin of [[blocklist]] — per-term
+    * `Contains` scans; value-identical by the case-fold argument in
+    * [[graft.functions.AcAutomaton]]'s scaladoc (locked in SignalsSpec).
+    * The sum tree is BALANCED: a left-fold `reduce(_ + _)` nests `Add`
+    * 1-per-term deep and overflows the analyzer stack near ~1k terms
+    * (measured: StackOverflowError in ColumnNodeToExpressionConverter at
+    * 1024 terms) — a second, independent way the per-term composition
+    * fails to scale with blocklist size.
+    */
+  def blocklistNaive(df: DataFrame, idCol: String, textCol: String,
+                     terms: Seq[String]): DataFrame = {
+    def bal(xs: Seq[Column]): Column =
+      if (xs.sizeIs == 1) xs.head
+      else { val (a, b) = xs.splitAt(xs.size / 2); bal(a) + bal(b) }
+    val hits =
+      if (terms.isEmpty) lit(0L)
+      else bal(terms.map(t =>
+        when(lower(col(textCol)).contains(lit(t.toLowerCase)), 1L)
+          .otherwise(0L)))
+    df.select(col(idCol),
+      hits.as("n_terms_hit"),
+      when(hits === 0, 1L).otherwise(0L).as("keep"))
+  }
+
+  /** DuckDB twin of [[blocklist]]: `position(term IN lower(text))` per
+    * term — an engine-independent statement of the same distinct-term
+    * presence semantics.
+    */
+  def blocklistSqlFor(table: String, idCol: String, textCol: String,
+                      terms: Seq[String]): String = {
+    def esc(t: String) = t.toLowerCase.replace("'", "''")
+    val hit = terms
+      .map(t => s"(CASE WHEN position('${esc(t)}' IN lower($textCol)) > 0 THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""SELECT $idCol,
+       |  CAST($hit AS BIGINT) AS n_terms_hit,
+       |  CAST(CASE WHEN $hit = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM $table""".stripMargin
+  }
 }

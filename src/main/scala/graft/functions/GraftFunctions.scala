@@ -29,8 +29,34 @@ object GraftFunctions {
     "char_entropy_micro" -> (es => CharEntropyMicro(es(0))),
     // exact integer Σ(Δ)² over micro-quantized array<long> vectors — the
     // k-means assignment metric (extra/Clustering)
-    "long_l2_sq" -> (es => LongL2Squared(es(0), es(1)))
+    "long_l2_sq" -> (es => LongL2Squared(es(0), es(1))),
+    // CDC chunk-hash array; window width must be an int literal
+    "cdc_chunks" -> (es => CdcChunkHashes(es(0), foldInt(es(1), "cdc_chunks window"))),
+    // distinct blocklist-term hits; terms must be a foldable string array
+    // (e.g. array('merge batch', 'lorem ipsum'))
+    "blocklist_hits" -> (es => BlocklistHits(es(0), foldStrings(es(1), "blocklist_hits terms")))
   )
+
+  private def foldInt(e: Expression, what: String): Int = {
+    require(e.foldable, s"$what must be a literal")
+    e.eval() match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(
+        s"$what must be an integer literal, got $other")
+    }
+  }
+
+  private def foldStrings(e: Expression, what: String): Seq[String] = {
+    require(e.foldable, s"$what must be a literal array of strings")
+    e.eval() match {
+      case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+        a.toArray[org.apache.spark.unsafe.types.UTF8String](
+          org.apache.spark.sql.types.StringType).map(_.toString).toSeq
+      case other => throw new IllegalArgumentException(
+        s"$what must be an array-of-strings literal, got $other")
+    }
+  }
 
   /** Catalyst-node twin of VectorOps.rectMinDist (a builder cannot embed
     * Column-layer nodes — they stay unresolved inside SQL plans): MINDIST

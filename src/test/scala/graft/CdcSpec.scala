@@ -1,0 +1,104 @@
+package graft
+
+import graft.extra.CdcDedup
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Content-defined chunking: the cut rule and chunk hashes are recomputed
+  * here INDEPENDENTLY (code-point slices + java MD5 over a plain String,
+  * no shared code with [[graft.functions.CdcChunks]]'s byte-offset walk),
+  * then the shift-invariance property and the dedup aggregation are checked
+  * on constructed corpora.
+  */
+class CdcSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val W = 8
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+
+  /** Independent reimplementation over code points. */
+  private def refChunks(text: String): Seq[String] = {
+    val cps = text.codePoints().toArray
+    def slice(a: Int, b: Int): String = new String(cps, a, b - a)
+    val n = cps.length
+    val cuts = (W to n).filter(i => md5hex(slice(i - W, i)).charAt(0) == '0')
+    val bounds = (0 +: cuts) :+ n
+    bounds.sliding(2).collect {
+      case Seq(a, b) if b > a => md5hex(slice(a, b))
+    }.toSeq
+  }
+
+  private def engineChunks(text: String): Seq[String] = {
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    df.select(graft.functions.CdcOps.chunkHashes(
+        org.apache.spark.sql.functions.col("text"), W).as("c"))
+      .collect().head.getSeq[String](0)
+  }
+
+  test("chunkHashes ≡ independent code-point reimplementation — random " +
+    "ASCII and multibyte docs, incl. shorter-than-window and empty") {
+    val rnd = new scala.util.Random(77)
+    val alphabet = "abcdefgh é中😀 " // incl. a surrogate pair
+    val texts = Seq("", "short", "exactly8") ++ (0 until 120).map(_ =>
+      (0 until rnd.nextInt(400)).map(_ =>
+        alphabet(rnd.nextInt(alphabet.length))).mkString)
+    for (t <- texts) {
+      // build via String to keep surrogate pairs intact
+      assert(engineChunks(t) == refChunks(t), s"mismatch on ${t.take(40)}")
+    }
+  }
+
+  test("chunks reassemble the document: hash list = md5 of consecutive " +
+    "slices covering the text exactly once") {
+    val t = "the quick brown fox jumps over the lazy dog " * 12
+    val got = engineChunks(t)
+    assert(got.nonEmpty && got == refChunks(t))
+    // sub-window doc is one whole-text chunk
+    assert(engineChunks("tiny") == Seq(md5hex("tiny")))
+  }
+
+  test("shift invariance: chunks strictly inside a common suffix survive a " +
+    "prefix insertion (the property offset-based shingling lacks)") {
+    val y = "value table part hash merge batch window spark order data " * 8
+    val a = y
+    val b = "inserted header text " + y
+    // expected shared chunks, derived from the reference cut rule: chunks
+    // of `a` whose start cut is ≥ W into the suffix (window fully inside y)
+    val cutsA = (W to a.length)
+      .filter(i => md5hex(a.substring(i - W, i)).charAt(0) == '0')
+    val interior = {
+      val bounds = (0 +: cutsA) :+ a.length
+      bounds.sliding(2).collect {
+        case Seq(s, e) if s >= W && e > s => md5hex(a.substring(s, e))
+      }.toSet
+    }
+    assert(interior.nonEmpty, "fixture too short to have interior chunks")
+    val ca = engineChunks(a).toSet
+    val cb = engineChunks(b).toSet
+    assert(interior.subsetOf(ca) && interior.subsetOf(cb))
+  }
+
+  test("stats: duplicated docs share all chunks, a disjoint-alphabet doc " +
+    "shares none; partitioning-invariant") {
+    val rnd = new scala.util.Random(13)
+    def soup(alpha: String, n: Int) =
+      (0 until n).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    val shared = soup("abcdefg ", 300)
+    val df = Seq(
+      (1L, shared), (2L, shared),          // exact twins
+      (3L, soup("xyzuvw ", 300))           // disjoint alphabet
+    ).toDF("doc_id", "text")
+    def key(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+    val got = key(CdcDedup.stats(df, "doc_id", "text", W))
+    val n1 = refChunks(shared).size.toLong
+    assert(got(0) == ((1L, n1, n1)) && got(1) == ((2L, n1, n1)))
+    assert(got(2)._3 == 0L)
+    assert(got == key(CdcDedup.stats(df.repartition(7), "doc_id", "text", W)))
+  }
+}

@@ -95,6 +95,28 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("l2") == 25L)
   }
 
+  test("blocklist_hits and cdc_chunks run from SQL with literal parameters") {
+    GraftFunctions.registerAll(spark)
+    val r = spark.sql(
+      """SELECT
+        |  blocklist_hits('one merge batch here',
+        |                 array('merge', 'merge batch', 'zz')) AS bh,
+        |  blocklist_hits('clean text', array('merge')) AS bz,
+        |  cdc_chunks('tiny', 8) AS ct
+        |""".stripMargin).collect().head
+    assert(r.getAs[Int]("bh") == 2)
+    assert(r.getAs[Int]("bz") == 0)
+    val md5tiny = java.security.MessageDigest.getInstance("MD5")
+      .digest("tiny".getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    assert(r.getSeq[String](r.fieldIndex("ct")) == Seq(md5tiny))
+    // non-literal parameters are rejected at plan time
+    val err = intercept[Exception] {
+      spark.sql("SELECT cdc_chunks('x', length('abc') + id) FROM range(1)")
+        .collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("literal"))
+  }
+
   test("functions run inside SQL over a table (codegen path)") {
     GraftFunctions.registerAll(spark)
     val emb = Tables.load(spark, SparkTestSession.sf0001, "embeddings")

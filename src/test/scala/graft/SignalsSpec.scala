@@ -139,4 +139,52 @@ class SignalsSpec extends AnyFunSuite {
     assert(got("s2").getAs[Long]("hapax_count") == 4L)
     assert(got("s2").getAs[Double]("ttr") == 1.0)
   }
+
+  // ---------------------------------------------------------------------
+  // blocklist (Aho-Corasick gate)
+  // ---------------------------------------------------------------------
+
+  private def rowsOf(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+
+  test("blocklist: hand-checked hits, distinct semantics, prefix terms, keep") {
+    val terms = Seq("merge", "merge batch", "ba", "zz top")
+    val df = Seq(
+      (1L, "one merge batch then another merge here"), // merge, merge batch, ba
+      (2L, "nothing of note"),                         // no hits
+      (3L, "ba bab ba"),                               // ba once despite 3 occurrences
+      (4L, "MERGE Batch upper-cased")                  // case-insensitive
+    ).toDF("doc_id", "text")
+    val got = rowsOf(Signals.blocklist(df, "doc_id", "text", terms))
+    assert(got == Seq((1L, 3L, 0L), (2L, 0L, 1L), (3L, 1L, 0L), (4L, 3L, 0L)))
+  }
+
+  test("blocklist: AC pass ≡ per-term contains composition — random docs, " +
+    "overlapping/prefix/multibyte terms, 0/1/multi-partition") {
+    val terms = Seq("ab", "aba", "ba b", "é中", "Éb", "zz")
+    val rnd = new scala.util.Random(4242)
+    val alphabet = "ab éB中 "
+    val docs = (0L until 300L).map { i =>
+      (i, (0 until rnd.nextInt(60)).map(_ =>
+        alphabet(rnd.nextInt(alphabet.length))).mkString)
+    }
+    val df = docs.toDF("doc_id", "text")
+    val ac = rowsOf(Signals.blocklist(df.repartition(5), "doc_id", "text", terms))
+    val naive = rowsOf(Signals.blocklistNaive(df, "doc_id", "text", terms))
+    assert(ac == naive)
+    // the random corpus must actually exercise the matcher
+    assert(ac.map(_._2).sum > 0, "fixture produced zero hits — widen it")
+    assert(ac.exists(_._3 == 1L), "fixture produced zero keeps — widen it")
+  }
+
+  test("blocklist: null text row yields null hits row; empty terms keep all") {
+    val df = Seq((1L, "some text"), (2L, null)).toDF("doc_id", "text")
+    val got = Signals.blocklist(df, "doc_id", "text", Seq("zz"))
+      .collect().map(r => (r.getLong(0), r.isNullAt(1))).sortBy(_._1).toSeq
+    assert(got == Seq((1L, false), (2L, true)))
+    val all = rowsOf(Signals.blocklist(
+      Seq((1L, "anything")).toDF("doc_id", "text"), "doc_id", "text", Nil))
+    assert(all == Seq((1L, 0L, 1L)))
+  }
 }
