@@ -816,6 +816,12 @@ object SparkEntry {
     "dedup_cdc" -> ((s, d) =>
       extra.CdcDedup.stats(T(s, d, "documents"), "doc_id", "text", w = 8)),
 
+    // near-dup candidate pairs from shared cold chunks (stop-chunk cap
+    // bounds the pair join at ≤ C(hotCap,2) per chunk)
+    "dedup_cdc_pairs" -> ((s, d) =>
+      extra.CdcDedup.pairs(T(s, d, "documents"), "doc_id", "text",
+        w = 8, hotCap = 8, minShared = 3)),
+
     // materialized inverted-index build, sharded postings (ES termvector twin)
     "posting_lists" -> ((s, d) =>
       TermStats.postingLists(T(s, d, "documents"), "doc_id", "text",
@@ -1564,6 +1570,10 @@ object SparkEntry {
     // the md5-window cut rule replayed verbatim over every position
     "dedup_cdc" ->
       extra.CdcDedup.statsSqlFor("documents", "doc_id", "text", w = 8),
+
+    "dedup_cdc_pairs" ->
+      extra.CdcDedup.pairsSqlFor("documents", "doc_id", "text",
+        w = 8, hotCap = 8, minShared = 3),
 
     "token_fertility" ->
       """WITH s AS (SELECT lang,

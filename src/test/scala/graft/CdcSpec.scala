@@ -101,4 +101,50 @@ class CdcSpec extends AnyFunSuite {
     assert(got(2)._3 == 0L)
     assert(got == key(CdcDedup.stats(df.repartition(7), "doc_id", "text", W)))
   }
+
+  test("pairs: near-dup twins pair up on shared cold chunks; a chunk in " +
+    "more than hotCap docs is a stop-chunk and generates no pairs") {
+    val rnd = new scala.util.Random(29)
+    def soup(alpha: String, n: Int) =
+      (0 until n).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    val y = soup("abcdefg ", 400)
+    val boiler = soup("mnopqr ", 400) // boilerplate shared by ALL docs below
+    val df = Seq(
+      (1L, y),                                  // original
+      (2L, "an inserted header " + y),          // shifted near-dup of 1
+      (3L, boiler + soup("stuvwx ", 200)),      // boilerplate carriers...
+      (4L, boiler + soup("stuvwx ", 200)),
+      (5L, boiler + soup("stuvwx ", 200))
+    ).toDF("doc_id", "text")
+    // hotCap=2: boiler chunks live in docs 3,4,5 (nd=3 > 2) → stop-chunks;
+    // y's interior chunks live in docs 1,2 (nd=2) → pair evidence
+    val got = CdcDedup.pairs(df, "doc_id", "text", W, hotCap = 2,
+        minShared = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(p => (p._1, p._2)).toSeq
+    assert(got.map(p => (p._1, p._2)) == Seq((1L, 2L)),
+      s"expected only the (1,2) twin pair, got $got")
+    // shared count ≥ interior chunks of y (cold by construction, derived
+    // from the reference cut rule — same derivation as the shift test),
+    // minus any hash that happens to also occur in another doc (e.g. an
+    // all-space chunk shared across alphabets would be hot, not cold)
+    val cuts = (W to y.length)
+      .filter(i => md5hex(y.substring(i - W, i)).charAt(0) == '0')
+    val interior = {
+      val bounds = (0 +: cuts) :+ y.length
+      bounds.sliding(2).collect {
+        case Seq(s, e) if s >= W && e > s => md5hex(y.substring(s, e))
+      }.toSet
+    }
+    val others = df.collect().filter(_.getLong(0) >= 3L)
+      .flatMap(r => refChunks(r.getString(1))).toSet
+    val interiorCold = interior -- others
+    assert(interiorCold.size >= 3, "fixture too weak — widen y")
+    assert(got.head._3 >= interiorCold.size.toLong)
+    // suppressing the cap admits boilerplate pairs among 3,4,5
+    val uncapped = CdcDedup.pairs(df, "doc_id", "text", W, hotCap = 99,
+        minShared = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(Set((3L, 4L), (3L, 5L), (4L, 5L)).subsetOf(uncapped))
+  }
 }
