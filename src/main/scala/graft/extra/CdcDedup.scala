@@ -67,6 +67,14 @@ object CdcDedup {
     * O(cold chunks × hotCap²) — never the quadratic blowup an uncapped
     * self-join on a boilerplate chunk would produce at corpus scale.
     *
+    * Fixture note: ScaleFixture's sf1.0+ lakes clone every document ~10×
+    * per decade, so EVERY chunk crosses hotCap and the result is empty
+    * there — by design, and DuckDB agrees (the oracle stays hash-equal).
+    * A corpus whose every chunk is boilerplate-frequency has no signal a
+    * bounded pair miner should emit; [[stats]] is the right lens at that
+    * duplication level. At the driver gates the fixture yields 29 pairs
+    * (sf0.01) / 233 (sf0.1), planted near-dups surfacing on top.
+    *
     * @return (doc_a, doc_b, shared) with doc_a < doc_b, shared ≥ minShared
     */
   def pairs(df: DataFrame, idCol: String, textCol: String, w: Int = 8,
@@ -161,12 +169,12 @@ object CdcDedup {
        |  GROUP BY d.doc_id),
        |chunks AS (
        |  SELECT doc_id,
-       |    md5(substr(text,
+       |    substr(md5(substr(text,
        |      CAST(CASE WHEN j = 1 THEN 0 ELSE cs[CAST(j AS INT) - 1] END AS INT) + 1,
        |      CAST((CASE WHEN j = CAST(len(cs) AS BIGINT) + 1 THEN n
        |            ELSE cs[CAST(j AS INT)] END)
        |        - (CASE WHEN j = 1 THEN 0
-       |           ELSE cs[CAST(j AS INT) - 1] END) AS INT))) AS h
+       |           ELSE cs[CAST(j AS INT) - 1] END) AS INT))), 1, 16) AS h
        |  FROM cl, UNNEST(range(1, CAST(len(cs) AS BIGINT) + 2)) AS t(j)
        |  WHERE (CASE WHEN j = CAST(len(cs) AS BIGINT) + 1 THEN n
        |         ELSE cs[CAST(j AS INT)] END)

@@ -41,12 +41,94 @@ object CdcChunks {
       java.security.MessageDigest.getInstance("MD5")
   }
 
+  // -------------------------------------------------------------------
+  // Single-block MD5 fast path for the boundary test. A w-code-point
+  // window is ≤ 4w UTF-8 bytes (≤ 32 at w=8) — always one 64-byte MD5
+  // block — and the cut rule reads only the FIRST hex nibble, i.e. the
+  // high nibble of output byte 0 = bits 4-7 of the A register. So the
+  // per-position cost collapses from a MessageDigest update+digest
+  // (object call overhead + padding bookkeeping + a byte[16] allocation
+  // PER CHARACTER of corpus) to 64 unrolled rounds on four ints with a
+  // reused block buffer. Bit-exactness with java.security MD5 is
+  // property-locked in CdcSpec over all lengths 0..55; the round
+  // constants are generated from the RFC 1321 definition
+  // (K[i] = floor(abs(sin(i+1)) * 2^32)) rather than transcribed.
+  // -------------------------------------------------------------------
+
+  private val K: Array[Int] = Array.tabulate(64)(i =>
+    ((StrictMath.abs(StrictMath.sin(i + 1.0)) * 4294967296.0).toLong
+      & 0xFFFFFFFFL).toInt)
+  private val S: Array[Int] = {
+    val r = Array(Array(7, 12, 17, 22), Array(5, 9, 14, 20),
+      Array(4, 11, 16, 23), Array(6, 10, 15, 21))
+    Array.tabulate(64)(i => r(i / 16)(i & 3))
+  }
+  private val blockLocal = new ThreadLocal[Array[Int]] {
+    override def initialValue(): Array[Int] = new Array[Int](16)
+  }
+
+  /** First output word (bytes 0-3, little-endian) of MD5 over
+    * `bytes[off, off+len)`; `len` ≤ 55 (single block). Package-visible
+    * for the CdcSpec bit-exactness lock.
+    */
+  private[graft] def md5FirstWord(bytes: Array[Byte], off: Int,
+                                  len: Int): Int = {
+    val m = blockLocal.get()
+    java.util.Arrays.fill(m, 0)
+    var i = 0
+    while (i < len) {
+      m(i >> 2) |= (bytes(off + i) & 0xFF) << ((i & 3) << 3)
+      i += 1
+    }
+    m(len >> 2) |= 0x80 << ((len & 3) << 3)
+    m(14) = len << 3
+    var a = 0x67452301
+    var b = 0xefcdab89
+    var c = 0x98badcfe
+    var d = 0x10325476
+    i = 0
+    while (i < 16) {
+      val f = (b & c) | (~b & d)
+      val t = d; d = c; c = b
+      b += Integer.rotateLeft(a + f + K(i) + m(i), S(i)); a = t
+      i += 1
+    }
+    while (i < 32) {
+      val f = (d & b) | (~d & c)
+      val t = d; d = c; c = b
+      b += Integer.rotateLeft(a + f + K(i) + m((5 * i + 1) & 15), S(i)); a = t
+      i += 1
+    }
+    while (i < 48) {
+      val f = b ^ c ^ d
+      val t = d; d = c; c = b
+      b += Integer.rotateLeft(a + f + K(i) + m((3 * i + 5) & 15), S(i)); a = t
+      i += 1
+    }
+    while (i < 64) {
+      val f = c ^ (b | ~d)
+      val t = d; d = c; c = b
+      b += Integer.rotateLeft(a + f + K(i) + m((7 * i) & 15), S(i)); a = t
+      i += 1
+    }
+    0x67452301 + a
+  }
+
   private val HEX = "0123456789abcdef".toCharArray
 
-  private def hex(d: Array[Byte]): UTF8String = {
-    val out = new Array[Byte](d.length * 2)
+  /** Chunk ids are the FIRST 16 hex chars (64 bits) of the chunk md5 —
+    * `substr(md5(chunk), 1, 16)` on the DuckDB side. Half the shuffle
+    * and sort-key bytes of the full digest; 64 bits keeps chunk-id
+    * collisions out of reach for any single-corpus run (birthday bound
+    * ~10⁻⁴ at 10⁹ distinct chunks), and BOTH engines truncate the same
+    * md5, so parity is untouched. (A production engine would use
+    * xxhash64 outright; md5-prefix is the engine-independent compromise
+    * the oracle can replay.)
+    */
+  private def hex16(d: Array[Byte]): UTF8String = {
+    val out = new Array[Byte](16)
     var i = 0
-    while (i < d.length) {
+    while (i < 8) {
       out(2 * i) = HEX((d(i) >> 4) & 0xF).toByte
       out(2 * i + 1) = HEX(d(i) & 0xF).toByte
       i += 1
@@ -82,18 +164,25 @@ object CdcChunks {
     var prev = 0 // code-point index after the last cut
     var p = w
     while (p <= n) {
-      md.update(b, offs(p - w), offs(p) - offs(p - w))
-      val dig = md.digest() // resets
-      if ((dig(0) & 0xF0) == 0) { // first hex nibble '0' → cut after p
+      // first hex nibble '0' ⇔ high nibble of digest byte 0 ⇔ bits 4-7
+      // of the little-endian A word — the single-block fast path (a
+      // > 55-byte window, only reachable at w > 13 on 4-byte code
+      // points, takes the MessageDigest path instead)
+      val wOff = offs(p - w)
+      val wLen = offs(p) - wOff
+      val cut =
+        if (wLen <= 55) (md5FirstWord(b, wOff, wLen) & 0xF0) == 0
+        else { md.update(b, wOff, wLen); (md.digest()(0) & 0xF0) == 0 }
+      if (cut) {
         md.update(b, offs(prev), offs(p) - offs(prev))
-        out += hex(md.digest())
+        out += hex16(md.digest()) // digest() resets
         prev = p
       }
       p += 1
     }
     if (prev < n) {
       md.update(b, offs(prev), offs(n) - offs(prev))
-      out += hex(md.digest())
+      out += hex16(md.digest())
     }
     new GenericArrayData(out.toArray)
   }

@@ -28,7 +28,7 @@ class CdcSpec extends AnyFunSuite {
     val cuts = (W to n).filter(i => md5hex(slice(i - W, i)).charAt(0) == '0')
     val bounds = (0 +: cuts) :+ n
     bounds.sliding(2).collect {
-      case Seq(a, b) if b > a => md5hex(slice(a, b))
+      case Seq(a, b) if b > a => md5hex(slice(a, b)).take(16)
     }.toSeq
   }
 
@@ -37,6 +37,23 @@ class CdcSpec extends AnyFunSuite {
     df.select(graft.functions.CdcOps.chunkHashes(
         org.apache.spark.sql.functions.col("text"), W).as("c"))
       .collect().head.getSeq[String](0)
+  }
+
+  test("single-block MD5 fast path is bit-exact with java.security MD5 " +
+    "over EVERY length 0..55 × random bytes (locks the generated round " +
+    "constants and the padding/length encoding)") {
+    val rnd = new scala.util.Random(55)
+    val jdk = java.security.MessageDigest.getInstance("MD5")
+    for (len <- 0 to 55; _ <- 0 until 40) {
+      val pad = rnd.nextInt(4)
+      val buf = new Array[Byte](pad + len + rnd.nextInt(4))
+      rnd.nextBytes(buf)
+      val fast = graft.functions.CdcChunks.md5FirstWord(buf, pad, len)
+      val dig = jdk.digest(java.util.Arrays.copyOfRange(buf, pad, pad + len))
+      val ref = (dig(0) & 0xFF) | ((dig(1) & 0xFF) << 8) |
+        ((dig(2) & 0xFF) << 16) | ((dig(3) & 0xFF) << 24)
+      assert(fast == ref, s"len=$len off=$pad")
+    }
   }
 
   test("chunkHashes ≡ independent code-point reimplementation — random " +
@@ -58,7 +75,7 @@ class CdcSpec extends AnyFunSuite {
     val got = engineChunks(t)
     assert(got.nonEmpty && got == refChunks(t))
     // sub-window doc is one whole-text chunk
-    assert(engineChunks("tiny") == Seq(md5hex("tiny")))
+    assert(engineChunks("tiny") == Seq(md5hex("tiny").take(16)))
   }
 
   test("shift invariance: chunks strictly inside a common suffix survive a " +
@@ -73,7 +90,7 @@ class CdcSpec extends AnyFunSuite {
     val interior = {
       val bounds = (0 +: cutsA) :+ a.length
       bounds.sliding(2).collect {
-        case Seq(s, e) if s >= W && e > s => md5hex(a.substring(s, e))
+        case Seq(s, e) if s >= W && e > s => md5hex(a.substring(s, e)).take(16)
       }.toSet
     }
     assert(interior.nonEmpty, "fixture too short to have interior chunks")
@@ -133,7 +150,7 @@ class CdcSpec extends AnyFunSuite {
     val interior = {
       val bounds = (0 +: cuts) :+ y.length
       bounds.sliding(2).collect {
-        case Seq(s, e) if s >= W && e > s => md5hex(y.substring(s, e))
+        case Seq(s, e) if s >= W && e > s => md5hex(y.substring(s, e)).take(16)
       }.toSet
     }
     val others = df.collect().filter(_.getLong(0) >= 3L)

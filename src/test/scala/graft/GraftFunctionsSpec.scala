@@ -108,7 +108,7 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(r.getAs[Int]("bz") == 0)
     val md5tiny = java.security.MessageDigest.getInstance("MD5")
       .digest("tiny".getBytes("UTF-8")).map(b => f"$b%02x").mkString
-    assert(r.getSeq[String](r.fieldIndex("ct")) == Seq(md5tiny))
+    assert(r.getSeq[String](r.fieldIndex("ct")) == Seq(md5tiny.take(16)))
     // non-literal parameters are rejected at plan time
     val err = intercept[Exception] {
       spark.sql("SELECT cdc_chunks('x', length('abc') + id) FROM range(1)")
