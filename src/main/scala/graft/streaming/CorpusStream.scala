@@ -439,21 +439,43 @@ object CorpusStream {
     */
   def signalGateStream(spark: SparkSession, dir: String, schema: StructType,
                        idCol: String = "doc_id",
-                       textCol: String = "text"): DataFrame =
-    signalGateOn(spark.readStream.schema(schema).parquet(dir), idCol, textCol)
+                       textCol: String = "text",
+                       blocklistTerms: Seq[String] = Nil): DataFrame =
+    signalGateOn(spark.readStream.schema(schema).parquet(dir), idCol, textCol,
+      blocklistTerms = blocklistTerms)
 
   /** DataFrame-composable body of [[signalGateStream]]; `passthrough`
     * columns survive the gate projection (the ladder threads text + ts
-    * through it).
+    * through it). With `blocklistTerms` set, the C4-style banned-phrase
+    * gate ([[graft.extra.Signals.blocklist]]) joins the admission
+    * conjunction: `blocklist_hits` is emitted per document and `keep`
+    * additionally requires zero hits. Like every other signal here it is
+    * a stateless per-row expression (one Aho–Corasick pass, the automaton
+    * rides the plan), so the stream stays shuffle-free, watermark-free,
+    * and row-for-row equal to the batch composition.
     */
   def signalGateOn(stream: DataFrame, idCol: String = "doc_id",
                    textCol: String = "text",
-                   passthrough: Seq[String] = Nil): DataFrame =
-    graft.extra.Signals.gopherRules(
-      stream.withColumn("entropy_micro",
-        when(length(col(textCol)) > 0,
-          graft.functions.TextEntropy.charEntropyMicro(lower(col(textCol))))),
-      idCol, textCol, passthrough = "entropy_micro" +: passthrough)
+                   passthrough: Seq[String] = Nil,
+                   blocklistTerms: Seq[String] = Nil): DataFrame = {
+    val base = stream.withColumn("entropy_micro",
+      when(length(col(textCol)) > 0,
+        graft.functions.TextEntropy.charEntropyMicro(lower(col(textCol)))))
+    if (blocklistTerms.isEmpty)
+      graft.extra.Signals.gopherRules(base, idCol, textCol,
+        passthrough = "entropy_micro" +: passthrough)
+    else
+      graft.extra.Signals.gopherRules(
+          base.withColumn("blocklist_hits",
+            graft.functions.Blocklist.hits(col(textCol), blocklistTerms)
+              .cast("long")),
+          idCol, textCol,
+          passthrough = Seq("entropy_micro", "blocklist_hits") ++ passthrough)
+        // NULL text → NULL hits → keep 0 (conservative reject, same as the
+        // batch operator's keep semantics)
+        .withColumn("keep",
+          when(col("blocklist_hits") === 0, col("keep")).otherwise(lit(0)))
+  }
 
   /** The FULL streaming curation ladder as one query — the composition the
     * per-stage operators promise: signal gate (drop documents failing the

@@ -119,6 +119,39 @@ class EventWindowsSpec extends AnyFunSuite {
       "entropy present for text, NULL for the empty doc")
   }
 
+  test("streaming signal gate with a blocklist: banned phrase flips keep " +
+    "to 0 on an otherwise-clean doc; stream ≡ batch composition") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("doc_stream_bl").toString
+    val clean = (Seq.fill(24)("the quick") :+ "dogs jump").mkString(" ")
+    val banned = clean + " lorem ipsum filler"
+    val docs = Seq((1L, clean), (2L, banned), (3L, "the cat sat"))
+      .toDF("doc_id", "text")
+    docs.coalesce(1).write.mode("append").parquet(dir)
+    val terms = Seq("lorem ipsum", "unused phrase")
+
+    val q = graft.streaming.CorpusStream
+      .signalGateStream(spark, dir, docs.schema, blocklistTerms = terms)
+      .writeStream.outputMode("append").format("memory").queryName("doc_bl")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("doc_bl").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getAs[Long]("blocklist_hits"), r.getAs[Int]("keep")))).toMap
+    // doc 1 clean → keep; doc 2 passes every Gopher rule but hits the
+    // blocklist → rejected BY the blocklist; doc 3 fails Gopher anyway
+    assert(got(1L) == ((0L, 1)))
+    assert(got(2L) == ((1L, 0)))
+    assert(got(3L) == ((0L, 0)))
+    // row-for-row equality with the batch composition
+    val batch = graft.streaming.CorpusStream
+      .signalGateOn(docs, blocklistTerms = terms)
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    val full = spark.table("doc_bl").collect()
+      .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(full == batch)
+  }
+
   test("stream-static anti-join drops docs already fingerprinted in the corpus") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("doc_stream2").toString
