@@ -21,9 +21,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * list and ships to executors inside the serialized expression / codegen
   * references array — same distribution story as
   * [[LiteralMapLookup]]'s hash table: it IS the broadcast, no shuffle, no
-  * join. Memory is nodes × 256 × 4 B for the goto-complete DFA (a 10k-term
-  * blocklist of short phrases is a few MB — a driver/executor constant,
-  * not a per-row or per-corpus cost).
+  * join. Memory is nodes × (|pattern alphabet|+1) × 4 B for the
+  * goto-complete DFA over the compressed alphabet (see
+  * [[AcAutomaton.build]]) — a 10k-phrase lowercase-ASCII blocklist is
+  * ~150k nodes × ~30 ints ≈ 18 MB, a driver/executor constant, not a
+  * per-row or per-corpus cost.
   *
   * Matching is byte-level over UTF-8, which is exactly character-level
   * matching: a UTF-8 lead byte can never appear as a continuation byte, so
@@ -46,15 +48,16 @@ final class AcAutomaton(termsLower: Array[String]) extends Serializable {
     * `lower(text)` — one pass, O(bytes + matches).
     */
   def distinctHits(text: UTF8String): Int = {
-    val next = built._1
-    val hits = built._2
+    val cls = built.cls
+    val next = built.next
+    val hits = built.hits
     val b = text.toLowerCase.getBytes
     val seen = new Array[Boolean](nTerms)
     var found = 0
     var s = 0
     var i = 0
     while (i < b.length && found < nTerms) {
-      s = next(s)(b(i) & 0xFF)
+      s = next(s)(cls(b(i) & 0xFF))
       val h = hits(s)
       if (h != null) {
         var j = 0
@@ -72,24 +75,44 @@ final class AcAutomaton(termsLower: Array[String]) extends Serializable {
 object AcAutomaton {
   import scala.collection.mutable.ArrayBuffer
 
-  /** Trie → BFS fail links → goto-complete DFA with fail-closed output
-    * sets. Returns (next, hits): `next(state)(byte)` total, `hits(state)`
-    * the sorted term ids ending at `state` or null.
+  /** `cls` maps a byte to its alphabet class; `next(state)(class)` is the
+    * goto-complete transition; `hits(state)` the sorted term ids whose
+    * occurrence ends at `state`, null if none.
     */
-  private[functions] def build(termsLower: Array[String])
-      : (Array[Array[Int]], Array[Array[Int]]) = {
+  private[functions] final case class Dfa(cls: Array[Int],
+                                          next: Array[Array[Int]],
+                                          hits: Array[Array[Int]])
+
+  /** Trie → BFS fail links → goto-complete DFA with fail-closed output
+    * sets, over a COMPRESSED alphabet: only bytes that occur in some
+    * pattern get their own class; every other byte shares class 0, whose
+    * transition from every state is the root (no pattern edge anywhere
+    * carries it, so the fail chain always bottoms out). A transition row
+    * is therefore |distinct pattern bytes|+1 ints, not 256 — ~30 for a
+    * lowercase-ASCII phrase list — which keeps a 10k-phrase automaton in
+    * the tens-of-MB class (nodes × row × 4 B) instead of 150 MB, and the
+    * hot row much likelier to sit in cache. Matching pays one extra
+    * 256-int class-table load per byte (L1-resident).
+    */
+  private[functions] def build(termsLower: Array[String]): Dfa = {
     val pats = termsLower.map(t => UTF8String.fromString(t).getBytes)
     require(pats.forall(_.nonEmpty), "blocklist terms must be non-empty")
-    val nxt = ArrayBuffer(Array.fill(256)(-1))
+    val cls = new Array[Int](256) // 0 = "not in any pattern"
+    var nCls = 1
+    for (p <- pats; b <- p) {
+      val c = b & 0xFF
+      if (cls(c) == 0) { cls(c) = nCls; nCls += 1 }
+    }
+    val nxt = ArrayBuffer(Array.fill(nCls)(-1))
     val out = ArrayBuffer(ArrayBuffer.empty[Int])
     var tid = 0
     while (tid < pats.length) {
       var s = 0
       for (b <- pats(tid)) {
-        val c = b & 0xFF
+        val c = cls(b & 0xFF)
         if (nxt(s)(c) == -1) {
           nxt(s)(c) = nxt.length
-          nxt += Array.fill(256)(-1)
+          nxt += Array.fill(nCls)(-1)
           out += ArrayBuffer.empty[Int]
         }
         s = nxt(s)(c)
@@ -102,7 +125,7 @@ object AcAutomaton {
     val fail = new Array[Int](nxt.length)
     val queue = new java.util.ArrayDeque[Int]()
     var c = 0
-    while (c < 256) {
+    while (c < nCls) {
       if (nxt(0)(c) == -1) nxt(0)(c) = 0
       else { fail(nxt(0)(c)) = 0; queue.add(nxt(0)(c)) }
       c += 1
@@ -111,14 +134,15 @@ object AcAutomaton {
       val s = queue.poll()
       out(s) ++= out(fail(s)) // merged output set
       var c2 = 0
-      while (c2 < 256) {
+      while (c2 < nCls) {
         val t = nxt(s)(c2)
         if (t == -1) nxt(s)(c2) = nxt(fail(s))(c2)
         else { fail(t) = nxt(fail(s))(c2); queue.add(t) }
         c2 += 1
       }
     }
-    (nxt.toArray, out.map(o => if (o.isEmpty) null else o.toArray.sorted.distinct).toArray)
+    Dfa(cls, nxt.toArray,
+      out.map(o => if (o.isEmpty) null else o.toArray.sorted.distinct).toArray)
   }
 }
 
