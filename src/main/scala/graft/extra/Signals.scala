@@ -302,7 +302,8 @@ object Signals {
     val hits =
       if (terms.isEmpty) lit(0L)
       else bal(terms.map(t =>
-        when(lower(col(textCol)).contains(lit(t.toLowerCase)), 1L)
+        when(lower(col(textCol))
+            .contains(lit(graft.functions.Blocklist.fold(t))), 1L)
           .otherwise(0L)))
     df.select(col(idCol),
       hits.as("n_terms_hit"),
@@ -315,7 +316,8 @@ object Signals {
     */
   def blocklistSqlFor(table: String, idCol: String, textCol: String,
                       terms: Seq[String]): String = {
-    def esc(t: String) = t.toLowerCase.replace("'", "''")
+    def esc(t: String) =
+      graft.functions.Blocklist.fold(t).replace("'", "''")
     val hit = terms
       .map(t => s"(CASE WHEN position('${esc(t)}' IN lower($textCol)) > 0 THEN 1 ELSE 0 END)")
       .mkString(" + ")

@@ -157,7 +157,7 @@ case class BlocklistHits(child: Expression, terms: Seq[String])
   override def nullable: Boolean = true
 
   @transient private lazy val automaton =
-    new AcAutomaton(terms.map(_.toLowerCase).toArray)
+    new AcAutomaton(terms.map(Blocklist.fold).toArray)
 
   override protected def nullSafeEval(input: Any): Any =
     automaton.distinctHits(input.asInstanceOf[UTF8String])
@@ -174,6 +174,14 @@ case class BlocklistHits(child: Expression, terms: Seq[String])
 }
 
 object Blocklist {
+  /** Locale-independent term case-fold — the SAME `UTF8String.toLowerCase`
+    * the text side goes through, so term and text folding can never
+    * diverge (Java's `String.toLowerCase` is default-locale-sensitive:
+    * under tr/az locales `"I"` folds to dotless `ı` while Spark's `lower`
+    * yields `i`).
+    */
+  def fold(t: String): String = UTF8String.fromString(t).toLowerCase.toString
+
   /** Column wrapper: distinct blocklist terms present in `text`
     * (case-insensitive substring semantics).
     */
