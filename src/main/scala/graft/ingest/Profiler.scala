@@ -361,9 +361,19 @@ object Profiler {
     val withDistinct =
       if (approx) stacked
       else {
-        val dist = valueStream(df, typedColumns(df, "Numeric").map((_, "Numeric")))
+        // distinct on (cid INT, v) — the corpus-sized distinct shuffle
+        // carries a 4-byte key instead of the column-name string, and the
+        // hash-agg compares ints (round 17, guide §2.3). 1:1 id mapping,
+        // so the per-column counts are identical.
+        val cols = typedColumns(df, "Numeric").zipWithIndex
+          .map { case (c, i) => (c, "Numeric", i) }
+        val names = map(cols.flatMap { case (c, _, i) =>
+          Seq(lit(i), lit(c)) }: _*)
+        val dist = valueStreamById(df, cols)
           .distinct()
-          .groupBy("col_name").agg(count(lit(1)).as("n_distinct"))
+          .groupBy("cid").agg(count(lit(1)).as("n_distinct"))
+          .select(element_at(names, col("cid")).as("col_name"),
+            col("n_distinct"))
         // one row per column — broadcast (see numericStatsAll)
         stacked.join(broadcast(dist), Seq("col_name"), "left")
           .na.fill(0L, Seq("n_distinct"))
@@ -388,12 +398,27 @@ object Profiler {
     val wides = spread.map { case (id, df, g) =>
       numericWide(df, id, approx = false, g) }
       .reduce(_.unionAll(_))
-    val stream = spread.map { case (id, df, _) =>
-      valueStream(df, typedColumns(df, "Numeric").map((_, "Numeric")))
-        .select(lit(id).as("dataset_id"), col("col_name"), col("v"))
+    // distinct on (cid INT, v): one dense id per (dataset, numeric column)
+    // across ALL tables — the corpus-sized distinct shuffle carries a
+    // 4-byte key instead of two strings, and the hash-agg compares ints
+    // (round 17, guide §2.3); names re-attach on the ~#columns result.
+    val colIds = {
+      var next = -1
+      spread.map { case (id, df, _) =>
+        (id, typedColumns(df, "Numeric").map { c => next += 1; (c, next) })
+      }
+    }
+    val stream = spread.zip(colIds).map { case ((_, df, _), (_, cols)) =>
+      valueStreamById(df, cols.map { case (c, i) => (c, "Numeric", i) })
     }.reduce(_.unionAll(_))
+    val names = colIds.flatMap { case (id, cols) =>
+      cols.map { case (c, i) => (i, id, c) } }
+    val dsMap = map(names.flatMap { case (i, d, _) => Seq(lit(i), lit(d)) }: _*)
+    val colMap = map(names.flatMap { case (i, _, c) => Seq(lit(i), lit(c)) }: _*)
     val dist = stream.distinct()
-      .groupBy("dataset_id", "col_name").agg(count(lit(1)).as("n_distinct"))
+      .groupBy("cid").agg(count(lit(1)).as("n_distinct"))
+      .select(element_at(dsMap, col("cid")).as("dataset_id"),
+        element_at(colMap, col("cid")).as("col_name"), col("n_distinct"))
     // dist is one row per profiled COLUMN — broadcast it; without the hint
     // Catalyst's post-shuffle size estimate plans a sort-merge join and
     // re-shuffles the wide stats on (dataset_id, col_name)
@@ -421,6 +446,25 @@ object Profiler {
   def sketchValueStream(df: DataFrame, datasetId: String): DataFrame =
     valueStream(df, sketchCols(df))
       .select(lit(datasetId).as("dataset_id"), col("col_name"), col("v"))
+
+  /** (cid, v) stream of `cols` under caller-assigned dense INT ids — the
+    * hot-path twin of [[valueStream]] (round 17, guide §2.3): the exploded
+    * per-value row carries a 4-byte key instead of the column-name string,
+    * so the corpus-sized histogram/distinct aggregations downstream hash
+    * and compare ints (the sampled hot frame was UTF8String.getBytes inside
+    * the agg fast-map) and the shuffles carry fewer bytes per row. Values
+    * are identical to [[valueStream]]'s for the 1:1 id mapping.
+    * cols: (column name, danae type, cid).
+    */
+  def valueStreamById(df: DataFrame, cols: Seq[(String, String, Int)]): DataFrame = {
+    val entries = cols.map { case (c, t, id) =>
+      val d = if (t == "Temporal") s"cast(cast(`$c` as timestamp) as double)"
+              else s"cast(`$c` as double)"
+      s"struct($id as cid, $d as v)"
+    }
+    df.select(expr(s"explode(array(${entries.mkString(",")})) as e"))
+      .select(col("e.cid").as("cid"), col("e.v")).filter(col("v").isNotNull)
+  }
 
   /** Project a dataset down to its sketchable columns and spread the rows
     * across the cluster. Single-row-group (or single-file, unsplittable)
@@ -479,11 +523,23 @@ object Profiler {
     * bucket) — asserted by ProfilerSpec, including over cached input.
     */
   def cumulativeCounts(hist: DataFrame, buckets: Int): DataFrame =
+    cumulativeCountsKeyed(hist, buckets, Seq("dataset_id", "col_name"))
+
+  /** [[cumulativeCounts]] generic over the column-identity key set — the
+    * round-17 hot-path form keys the histogram by a dense INT `cid`
+    * instead of two strings: the per-row hash/sort work of the
+    * corpus-sized aggregation and the cumulative sort then runs on 4-byte
+    * keys (guide §2.3, narrower types), with names re-attached on the
+    * ~#columns-sized result. Values are identical — the key mapping is
+    * 1:1, and bucket boundaries never affect the cumsum result.
+    */
+  private def cumulativeCountsKeyed(hist: DataFrame, buckets: Int,
+                                    keys: Seq[String]): DataFrame =
     if (buckets <= 1) {
-      val byCol = Window.partitionBy("dataset_id", "col_name").orderBy("v")
+      val byCol = Window.partitionBy(keys.map(col): _*).orderBy("v")
       hist.withColumn("cum",
         sum("cnt").over(byCol.rowsBetween(Window.unboundedPreceding, 0)))
-    } else bucketedCumulative(hist, buckets).drop("n")
+    } else bucketedCumulative(hist, buckets, keys).drop("n")
 
   /** The `buckets > 1` cumsum, carrying each column's total `n` through to
     * the output so the caller's interpolation needs no second totals pass
@@ -505,7 +561,8 @@ object Profiler {
     * outlier. A column too small to be sampled lands in one bucket — the
     * single-window shape that is already fine at that size.
     */
-  private def bucketedCumulative(hist0: DataFrame, buckets: Int): DataFrame = {
+  private def bucketedCumulative(hist0: DataFrame, buckets: Int,
+                                 keys: Seq[String]): DataFrame = {
     // Pin the histogram ONCE: three subtrees consume it (the md5 sample
     // behind the boundaries, the bucketed local cumsum, and the per-bucket
     // totals), and the corpus-scale groupBy upstream must not recompute per
@@ -530,53 +587,70 @@ object Profiler {
     // never calls in here, so the bench-suite plans are unchanged.
     hist.count()
     val sampled = hist.filter(
-      conv(substring(md5(concat_ws("|", col("dataset_id"), col("col_name"),
-        col("v"))), 1, 4), 16, 10).cast("long") < 256)
+      conv(substring(md5(concat_ws("|",
+        keys.map(col) :+ col("v"): _*)), 1, 4), 16, 10).cast("long") < 256)
     val tiled = sampled.withColumn("tile", ntile(buckets).over(
-      Window.partitionBy("dataset_id", "col_name").orderBy("v")))
-    val bounds = tiled.groupBy("dataset_id", "col_name", "tile")
+      Window.partitionBy(keys.map(col): _*).orderBy("v")))
+    val bounds = tiled.groupBy((keys :+ "tile").map(col): _*)
       .agg(max("v").as("bv"))
       .filter(col("tile") < buckets) // the last tile's max is no boundary
-      .groupBy("dataset_id", "col_name")
+      .groupBy(keys.map(col): _*)
       .agg(array_sort(collect_list("bv")).as("bounds"))
     val bucketed = hist
-      .join(broadcast(bounds), Seq("dataset_id", "col_name"), "left")
+      .join(broadcast(bounds), keys, "left")
       .withColumn("pid",
         size(filter(coalesce(col("bounds"), array()), b => b < col("v"))))
       .drop("bounds")
     // Per-bucket totals come from a pre-window aggregate over the pinned
     // rows; the column total n is then one more frame over the SAME tiny
     // (#columns × buckets) table — no separate corpus-scale stats pass.
-    val wCol = Window.partitionBy("dataset_id", "col_name")
+    val wCol = Window.partitionBy(keys.map(col): _*)
     val offsets = bucketed
-      .groupBy("dataset_id", "col_name", "pid").agg(sum("cnt").as("ptotal"))
+      .groupBy((keys :+ "pid").map(col): _*).agg(sum("cnt").as("ptotal"))
       .withColumn("offset", coalesce(
         sum("ptotal").over(wCol.orderBy("pid")
           .rowsBetween(Window.unboundedPreceding, -1)),
         lit(0L)))
       .withColumn("n", sum("ptotal").over(
         wCol.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-      .select("dataset_id", "col_name", "pid", "offset", "n")
-    val local = Window.partitionBy("dataset_id", "col_name", "pid").orderBy("v")
+      .select((keys ++ Seq("pid", "offset", "n")).map(col): _*)
+    val local = Window.partitionBy((keys :+ "pid").map(col): _*).orderBy("v")
     bucketed.withColumn("lcum",
       sum("cnt").over(local.rowsBetween(Window.unboundedPreceding, 0)))
-      .join(broadcast(offsets), Seq("dataset_id", "col_name", "pid"))
+      .join(broadcast(offsets), keys :+ "pid")
       .withColumn("cum", col("lcum") + col("offset"))
       .drop("pid", "lcum")
   }
 
   def histogramQuantiles(stream: DataFrame, ps: Seq[Double] = sketchPs,
-                         cumsumBuckets: Int = 1): DataFrame = {
-    val hist = stream.groupBy("dataset_id", "col_name", "v")
+                         cumsumBuckets: Int = 1): DataFrame =
+    histogramQuantilesKeyed(stream, ps, cumsumBuckets,
+      Seq("dataset_id", "col_name"))
+
+  /** [[histogramQuantiles]] over a dense-INT-keyed (cid, v) stream — the
+    * hot-path form (see [[cumulativeCountsKeyed]]): the corpus-sized
+    * histogram aggregation and cumulative sort hash/compare one int
+    * instead of two strings per row. Same values per key by construction
+    * (the cid ↔ (dataset, column) mapping is 1:1 and driver-known).
+    * Returns (cid, dim, v).
+    */
+  def histogramQuantilesById(stream: DataFrame, ps: Seq[Double] = sketchPs,
+                             cumsumBuckets: Int = 1): DataFrame =
+    histogramQuantilesKeyed(stream, ps, cumsumBuckets, Seq("cid"))
+
+  private def histogramQuantilesKeyed(stream: DataFrame, ps: Seq[Double],
+                                      cumsumBuckets: Int,
+                                      keys: Seq[String]): DataFrame = {
+    val hist = stream.groupBy((keys :+ "v").map(col): _*)
       .agg(count(lit(1)).as("cnt"))
     val withCum =
-      if (cumsumBuckets > 1) bucketedCumulative(hist, cumsumBuckets)
+      if (cumsumBuckets > 1) bucketedCumulative(hist, cumsumBuckets, keys)
       else {
         // total n per column via a tiny agg + broadcast join (a second
         // whole-partition window would buffer every hist row again)
-        val totals = hist.groupBy("dataset_id", "col_name").agg(sum("cnt").as("n"))
-        cumulativeCounts(hist, cumsumBuckets)
-          .join(broadcast(totals), Seq("dataset_id", "col_name"))
+        val totals = hist.groupBy(keys.map(col): _*).agg(sum("cnt").as("n"))
+        cumulativeCountsKeyed(hist, cumsumBuckets, keys)
+          .join(broadcast(totals), keys)
       }
     // The interpolation position rides INTEGER micros: posm = pm·(n−1) with
     // pm the percentile in millionths, lo/fraction by integer DIV/MOD. The
@@ -590,8 +664,8 @@ object Profiler {
       s"struct(${i + 1}L as dim, ${math.round(p * 1e6)}L as pm)" }
     val joined = withCum
       .select(col("*"), expr(s"explode(array(${pExpr.mkString(",")})) as pp"))
-      .select(col("dataset_id"), col("col_name"), col("v"), col("cnt"),
-        col("cum"), col("n"), col("pp.dim").as("dim"), col("pp.pm").as("pm"))
+      .select(keys.map(col) ++ Seq(col("v"), col("cnt"),
+        col("cum"), col("n"), col("pp.dim").as("dim"), col("pp.pm").as("pm")): _*)
       .withColumn("posm", col("pm") * (col("n") - 1))
       .withColumn("lo", expr("posm DIV 1000000"))
       .withColumn("hi", col("lo") +
@@ -608,7 +682,7 @@ object Profiler {
     // (e.g. the median of microsecond-precision epochs whenever
     // lo_µs + hi_µs is odd), where Spark's half-up and DuckDB's
     // multiply-round disagree — the last sf1.0 fp-noise source.
-    joined.groupBy("dataset_id", "col_name", "dim")
+    joined.groupBy((keys :+ "dim").map(col): _*)
       .agg(
         max(when(col("cum") - col("cnt") <= col("lo") && col("lo") <= col("cum") - 1,
           col("v"))).as("v_lo"),
@@ -621,8 +695,8 @@ object Profiler {
       .withColumn("outm", expr("(num - (num % 1000000)) div 1000000")
         + when(expr("num % 1000000") >= 500000, 1L)
           .when(expr("num % 1000000") <= -500000, -1L).otherwise(0L))
-      .select(col("dataset_id"), col("col_name"), col("dim"),
-        (col("outm").cast("double") / lit(1000000.0)).as("v"))
+      .select(keys.map(col) ++ Seq(col("dim"),
+        (col("outm").cast("double") / lit(1000000.0)).as("v")): _*)
   }
 
   /** Assemble 7-dim sketch vectors from long-format quantiles, typed via the
@@ -642,6 +716,27 @@ object Profiler {
         col("vector"))
   }
 
+  /** [[assembleSketchVectors]] over [[histogramQuantilesById]] output:
+    * vectors assemble per cid, then names/types re-attach from the
+    * driver-known id mapping via literal maps — the result is ~#columns
+    * rows, so the per-row map lookups are free. Output schema and values
+    * match [[assembleSketchVectors]] exactly.
+    */
+  def assembleSketchVectorsById(quantiles: DataFrame,
+                                info: Map[Int, (String, String, String)]): DataFrame = {
+    def m(f: ((String, String, String)) => String) =
+      map(info.toSeq.flatMap { case (id, t) => Seq(lit(id), lit(f(t))) }: _*)
+    quantiles
+      .groupBy("cid")
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"), col("v")))),
+        s => s.getField("v")).as("vector"))
+      .select(element_at(m(_._1), col("cid")).as("dataset_id"),
+        element_at(m(_._2), col("cid")).as("col_name"),
+        element_at(m(_._3), col("cid")).as("col_type"),
+        col("vector"))
+  }
+
   /** Sketchable columns with their danae types, schema order. */
   def sketchCols(df: DataFrame): Seq[(String, String)] =
     typedColumns(df, "Numeric").map((_, "Numeric")) ++
@@ -658,9 +753,10 @@ object Profiler {
   def quantileSketch(df: DataFrame, datasetId: String): DataFrame = {
     val cols = sketchCols(df)
     require(cols.nonEmpty, s"$datasetId has no sketchable columns")
-    assembleSketchVectors(
-      histogramQuantiles(sketchValueStream(df, datasetId)),
-      cols.map { case (c, t) => (datasetId, c) -> t }.toMap)
+    val withIds = cols.zipWithIndex.map { case ((c, t), i) => (c, t, i) }
+    assembleSketchVectorsById(
+      histogramQuantilesById(valueStreamById(df, withIds)),
+      withIds.map { case (c, t, i) => i -> ((datasetId, c, t)) }.toMap)
   }
 
   /** Spatial bounding-box sketch [x_min, y_min, x_max, y_max]

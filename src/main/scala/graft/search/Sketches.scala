@@ -56,15 +56,28 @@ object Sketches {
     // the shuffle carries just the profiled columns, the agg parallelism
     // gain is #cores/table (needless for well-rowgrouped data, harmless:
     // one compact exchange)
-    val stream = loaded.map { case (t, df) =>
-      Profiler.sketchValueStream(Profiler.spreadSketchCols(df), t)
+    // Dense INT column ids through the corpus-sized histogram pipeline
+    // (round 17, guide §2.3): the per-value rows and the histogram
+    // aggregation/cumsum keys are a 4-byte cid instead of two strings —
+    // the sampled hot frame of the build was UTF8String hashing inside the
+    // agg fast-map. Names/types re-attach on the ~#columns result
+    // (assembleSketchVectorsById); values are identical (1:1 mapping).
+    val colIds = {
+      var next = -1
+      loaded.map { case (t, df) =>
+        (t, Profiler.sketchCols(df).map { case (c, ty) =>
+          next += 1; (c, ty, next) })
+      }
+    }
+    val stream = loaded.zip(colIds).map { case ((_, df), (_, cols)) =>
+      Profiler.valueStreamById(Profiler.spreadSketchCols(df), cols)
     }.reduce(_.unionAll(_))
-    val types = loaded.flatMap { case (t, df) =>
-      Profiler.sketchCols(df).map { case (c, ty) => (t, c) -> ty }
+    val info = colIds.flatMap { case (t, cols) =>
+      cols.map { case (c, ty, i) => i -> ((t, c, ty)) }
     }.toMap
-    Profiler.assembleSketchVectors(
-      Profiler.histogramQuantiles(stream, cumsumBuckets = buckets),
-      types)
+    Profiler.assembleSketchVectorsById(
+      Profiler.histogramQuantilesById(stream, cumsumBuckets = buckets),
+      info)
   }
 
   /** Categorical sketches: per string column, top-10 TF terms of the cell
