@@ -9,11 +9,13 @@ object Verify {
     // optional extra args: run only these queries (local iteration aid; the
     // driver always passes exactly two args and gets the full dump)
     val only = args.drop(2).toSet
-    // run-scoped media-feature fixture (ADVICE r15): the dump and the
-    // oracle SQL emitted below both resolve <outDir>/media_features, so
-    // concurrent Verify runs can't clobber each other's fixture and the
-    // dump lands inside this run's own output directory
-    graft.extra.Multimodal.setFeaturesFixtureDir(s"$outDir/media_features")
+    // run-scoped media-feature fixture (ADVICE r15 + VERDICT r16 #1): a
+    // SIBLING of outDir, not inside it — the driver enumerates parquet
+    // dirs under outDir as query outputs, and the array-valued fixture
+    // read as a phantom 134th query crashed its pandas sort. The sibling
+    // stays unique per run (no concurrent-run clobbering) and the emitted
+    // oracle SQL resolves the same absolute path at call time.
+    graft.extra.Multimodal.setFeaturesFixtureDir(s"$outDir.fixtures/media_features")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -60,6 +62,16 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // outDir-hygiene tripwire (VERDICT r16 #2): the driver scans every
+    // directory under outDir as a query output, so a stray non-query dump
+    // here reads as a phantom failing query. Fail loudly at dump time
+    // instead of at the driver's compare.
+    val stray = Option(new java.io.File(outDir).listFiles()).toSeq.flatten
+      .filter(_.isDirectory).map(_.getName)
+      .filterNot(SparkEntry.queries.keySet)
+    require(stray.isEmpty,
+      s"non-query directories in Verify outDir (driver reads them as " +
+        s"query outputs): ${stray.mkString(", ")}")
     spark.stop()
   }
 }
