@@ -1678,7 +1678,12 @@ object Dedup {
     // full-width grams only (a shorter tail gram would collide with
     // genuine short grams); md5 keeps the DF shuffle narrow, as everywhere
     // in this file — both sides of the aggregate hash, so the dup set is
-    // identical
+    // identical. NOT pinned: the dup-flag aggregate and the starts probe
+    // both derive it, but recomputing the w=5 md5 off the PINNED token
+    // arrays beat caching the positions-sized (doc_id, pos, gh) stream in
+    // an interleaved A/B (round 17: stage 2.4s recompute vs 3.3s pinned) —
+    // the cache write+read of ~1 row/token costs more than the second
+    // cheap-gram pass.
     val grams = arrs.filter(size(col("tk")) >= w)
       .select(col("doc_id"), col("tk"),
         explode(sequence(lit(1), size(col("tk")) - (w - 1))).as("pos"))
@@ -1787,7 +1792,10 @@ object Dedup {
     // doc-keyed exchange below carries DUPLICATED gram starts, a set the
     // dedup rate bounds. md5 keeps the DF shuffle narrow; both engines
     // hash, so the dup set is identical. Full-width grams only (the
-    // dedupSpans tail rule): sequence is empty when size < w.
+    // dedupSpans tail rule): sequence is empty when size < w. NOT pinned
+    // (round-17 A/B): caching the positions-sized gram stream for its two
+    // consumers measured level-to-slightly-worse than recomputing it —
+    // same finding as dedupSpans.
     val grams = gramStream(df, idCol, textCol, w)
     // Duplication criterion: the default flags CROSS-document repeats only
     // (countDistinct doc_id ≥ 2 — the conservative form that never removes

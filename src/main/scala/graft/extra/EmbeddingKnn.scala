@@ -624,13 +624,27 @@ object EmbeddingKnn {
     *         integer-micro division of hits over the exact set
     */
   def bitextRecall(exact: DataFrame, approx: DataFrame): DataFrame =
-    exact.select(col("a_id"), col("b_id"))
-      .join(approx.select(col("a_id"), col("b_id"), lit(1L).as("hit")),
-        Seq("a_id", "b_id"), "left")
-      .crossJoin(broadcast(approx.agg(count(lit(1)).as("n_approx"))))
-      .groupBy("n_approx")
-      .agg(count(lit(1)).as("n_exact"),
-        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+    // Single-consumption shape (round 17): the former left-join +
+    // broadcast-count form consumed `approx` TWICE (probe side + the count
+    // agg inside the broadcast build), so the whole bucketed-miner
+    // pipeline behind it EXECUTED twice per audit — and the audit plan
+    // embedded it twice (the 101-Exchange bitext_recall plan; driver
+    // planning time scaled with it). A union + one (a_id, b_id)-keyed
+    // aggregate reads each miner once: per side a pair appears at most
+    // once (one row per source vector), so max() recovers the membership
+    // flags and the global sums are exactly the old counts —
+    // n_hit = |exact ∩ approx| via sum(e·x). The empty-exact guard
+    // reproduces the old shape's zero-row output (its groupBy collapsed
+    // on an empty joined frame); DIV-by-zero is unreachable past it.
+    exact.select(col("a_id"), col("b_id"),
+        lit(1L).as("e"), lit(0L).as("x"))
+      .unionAll(approx.select(col("a_id"), col("b_id"),
+        lit(0L).as("e"), lit(1L).as("x")))
+      .groupBy("a_id", "b_id")
+      .agg(max("e").as("e"), max("x").as("x"))
+      .agg(sum("e").as("n_exact"), sum("x").as("n_approx"),
+        sum(col("e") * col("x")).as("n_hit"))
+      .filter(col("n_exact") > 0)
       .select(col("n_exact"), col("n_approx"), col("n_hit"),
         expr("CAST((n_hit * 1000000) DIV n_exact AS DOUBLE) / 1e6").as("recall"))
 }

@@ -355,22 +355,53 @@ object CorpusStream {
         // had the index appended first, a replay would self-match every
         // doc (keep=0), leaving the derived artifacts missing the batch
         // forever.
-        tfCacheKeys.foreach(k =>
-          graft.ingest.TermStats.appendTermFreqs(admitted, idCol, textCol, k))
-        pairsSpecs.foreach { case (pk, pt, plsh) =>
-          graft.extra.Dedup.appendPairs(admitted, idCol, textCol, pt, pk, plsh)
-        }
-        // decoded media features are doc-idempotent like TF/pairs
-        // (deterministic per document; re-delivered docs drop), so they
-        // ride the same pre-index maintenance slot
-        featureCacheKeys.foreach(k =>
-          graft.extra.Multimodal.appendFeatures(admitted, k,
-            idCol = idCol, textCol = textCol))
-        // gram counts are additive, not doc-idempotent: the writer-scoped
-        // batch-id ledger makes the replay a recorded no-op instead
-        gramSpecs.foreach { case (gk, gMinLen) =>
-          graft.extra.Dedup.appendGramAdmitted(admitted, idCol, textCol, gk,
-            minLen = gMinLen, batchId = Some(id), writerId = writerId)
+        // Materialize the admitted pin ONCE before the appends fan out:
+        // concurrent first consumers would otherwise race to fill the lazy
+        // persist, each re-running the batch-scan + verdict join.
+        admitted.count()
+        // The derived-family appends below are INDEPENDENT of one another:
+        // each owns its artifact under its own per-key lock, consumes only
+        // the pinned `admitted` frame, and is doc-idempotent (TF, pairs,
+        // features) or batch-ledgered (gram). Their per-batch cost is
+        // dominated by fixed action latency over tiny frames (GateProf),
+        // so they run as CONCURRENT jobs from a small pool (guide §2.6 —
+        // the scheduler back-fills one family's tail with the next's
+        // tasks) instead of ~5 sequential action round-trips. The replay
+        // contract only orders DERIVED-before-INDEX; joining the pool
+        // before the admission-index append preserves it exactly.
+        val derived: Seq[() => Unit] =
+          tfCacheKeys.map(k => () => {
+            graft.ingest.TermStats.appendTermFreqs(admitted, idCol, textCol, k)
+            ()
+          }) ++
+          pairsSpecs.map { case (pk, pt, plsh) => () => {
+            graft.extra.Dedup.appendPairs(admitted, idCol, textCol, pt, pk, plsh)
+            ()
+          } } ++
+          // decoded media features are doc-idempotent like TF/pairs
+          // (deterministic per document; re-delivered docs drop), so they
+          // ride the same pre-index maintenance slot
+          featureCacheKeys.map(k => () => {
+            graft.extra.Multimodal.appendFeatures(admitted, k,
+              idCol = idCol, textCol = textCol)
+            ()
+          }) ++
+          // gram counts are additive, not doc-idempotent: the writer-scoped
+          // batch-id ledger makes the replay a recorded no-op instead
+          gramSpecs.map { case (gk, gMinLen) => () => {
+            graft.extra.Dedup.appendGramAdmitted(admitted, idCol, textCol, gk,
+              minLen = gMinLen, batchId = Some(id), writerId = writerId)
+            ()
+          } }
+        if (derived.size <= 1) derived.foreach(_())
+        else {
+          val pool = java.util.concurrent.Executors
+            .newFixedThreadPool(math.min(4, derived.size))
+          try derived.map(t =>
+            pool.submit(new java.util.concurrent.Callable[Unit] {
+              def call(): Unit = t()
+            })).foreach(_.get())
+          finally pool.shutdownNow()
         }
         graft.extra.Dedup.appendAdmitted(
           admitted, idCol, textCol, cacheKey)

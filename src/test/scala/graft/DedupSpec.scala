@@ -819,4 +819,27 @@ class DedupSpec extends AnyFunSuite {
     assert(projected == exploded,
       "zero-exchange projection signing must be bit-identical to the exploded route")
   }
+
+  test("bitextRecall single-pass shape: counts, hit algebra and edge cases") {
+    import graft.extra.EmbeddingKnn
+    // the round-17 rewrite reads each miner ONCE (union + keyed agg); this
+    // locks its value algebra against the former join+broadcast-count form
+    def pairs(ps: (Long, Long)*) = ps.toSeq.toDF("a_id", "b_id")
+    val exact = pairs((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L))
+    val approx = pairs((1L, 10L), (3L, 30L), (5L, 50L))
+    val r = EmbeddingKnn.bitextRecall(exact, approx).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("n_exact") == 4L)
+    assert(r.head.getAs[Long]("n_approx") == 3L)
+    assert(r.head.getAs[Long]("n_hit") == 2L)
+    assert(r.head.getAs[Double]("recall") == 0.5)
+    // empty exact set: the audit emits NO row (the pre-rewrite shape's
+    // groupBy over an empty joined frame)
+    assert(EmbeddingKnn.bitextRecall(pairs(), approx).collect().isEmpty)
+    // empty approx set: one row, zero hits, recall 0
+    val r2 = EmbeddingKnn.bitextRecall(exact, pairs()).collect()
+    assert(r2.length == 1 && r2.head.getAs[Long]("n_approx") == 0L &&
+      r2.head.getAs[Long]("n_hit") == 0L &&
+      r2.head.getAs[Double]("recall") == 0.0)
+  }
 }
