@@ -299,12 +299,18 @@ object Signals {
     def bal(xs: Seq[Column]): Column =
       if (xs.sizeIs == 1) xs.head
       else { val (a, b) = xs.splitAt(xs.size / 2); bal(a) + bal(b) }
-    val hits =
+    val sum =
       if (terms.isEmpty) lit(0L)
       else bal(terms.map(t =>
         when(lower(col(textCol))
             .contains(lit(graft.functions.Blocklist.fold(t))), 1L)
           .otherwise(0L)))
+    // NULL text propagates (ADVICE r16): the AC operator yields
+    // (n_terms_hit = NULL, keep = 0) for a NULL row — the bare
+    // when/otherwise sum would read it as 0 hits and KEEP it, silently
+    // diverging from the operator this twin exists to certify.
+    val hits = when(col(textCol).isNull, lit(null).cast("long"))
+      .otherwise(sum)
     df.select(col(idCol),
       hits.as("n_terms_hit"),
       when(hits === 0, 1L).otherwise(0L).as("keep"))
@@ -318,12 +324,20 @@ object Signals {
                       terms: Seq[String]): String = {
     def esc(t: String) =
       graft.functions.Blocklist.fold(t).replace("'", "''")
-    val hit = terms
-      .map(t => s"(CASE WHEN position('${esc(t)}' IN lower($textCol)) > 0 THEN 1 ELSE 0 END)")
-      .mkString(" + ")
+    // empty term list emits a literal 0 (ADVICE r16): mkString over Nil
+    // produced 'CAST( AS BIGINT)' — invalid SQL — while the Scala side
+    // explicitly supports Nil ("empty terms keep all")
+    val hit =
+      if (terms.isEmpty) "0"
+      else terms
+        .map(t => s"(CASE WHEN position('${esc(t)}' IN lower($textCol)) > 0 THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+    // NULL text propagates like the AC operator (NULL hits, keep = 0) —
+    // see blocklistNaive
     s"""SELECT $idCol,
-       |  CAST($hit AS BIGINT) AS n_terms_hit,
-       |  CAST(CASE WHEN $hit = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |  CAST(CASE WHEN $textCol IS NULL THEN NULL ELSE $hit END AS BIGINT) AS n_terms_hit,
+       |  CAST(CASE WHEN $textCol IS NULL THEN 0
+       |            WHEN $hit = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
        |FROM $table""".stripMargin
   }
 }

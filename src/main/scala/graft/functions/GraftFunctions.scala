@@ -52,7 +52,13 @@ object GraftFunctions {
     e.eval() match {
       case a: org.apache.spark.sql.catalyst.util.ArrayData =>
         a.toArray[org.apache.spark.unsafe.types.UTF8String](
-          org.apache.spark.sql.types.StringType).map(_.toString).toSeq
+          org.apache.spark.sql.types.StringType).map { u =>
+          // a NULL array element would NPE on .toString below (ADVICE r16);
+          // give it the same clean plan-time error as the other shapes
+          if (u == null) throw new IllegalArgumentException(
+            s"$what must be an array-of-strings literal with no NULL elements")
+          u.toString
+        }.toSeq
       case other => throw new IllegalArgumentException(
         s"$what must be an array-of-strings literal, got $other")
     }

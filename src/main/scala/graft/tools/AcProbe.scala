@@ -21,16 +21,23 @@ object AcProbe {
     println(s"PROBE docs=${docs.count()}")
 
     // deterministic phrase blocklist over the fixture vocabulary: random
-    // two-word bigrams (mostly absent — the worst case for the naive form,
-    // which must scan the whole doc per term to conclude "no hit")
+    // three-word phrases (mostly absent — the worst case for the naive
+    // form, which must scan the whole doc per term to conclude "no hit").
+    // Drawn UNTIL counts.max distinct phrases exist (ADVICE r16: a fixed
+    // draw count left ~10% collisions at 4096, silently under-filling the
+    // larger blocklists the printed labels claimed).
     val vocab = Seq("key", "agg", "row", "scan", "slow", "fast", "table",
       "value", "part", "hash", "merge", "batch", "window", "spark", "order",
       "data", "column", "join", "small", "line", "customer", "query", "big",
       "filter", "group", "the")
     val rnd = new scala.util.Random(99)
-    val allTerms = (0 until counts.max).map(_ =>
-      s"${vocab(rnd.nextInt(vocab.length))} ${vocab(rnd.nextInt(vocab.length))} ${vocab(rnd.nextInt(vocab.length))}")
-      .distinct
+    val allTerms = {
+      val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+      while (seen.size < counts.max)
+        seen += s"${vocab(rnd.nextInt(vocab.length))} ${vocab(rnd.nextInt(vocab.length))} ${vocab(rnd.nextInt(vocab.length))}"
+      seen.toSeq
+    }
+    require(allTerms.size >= counts.max, "term generation under-filled")
 
     def agg(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
       val r = df.agg(sum("n_terms_hit"), sum("keep")).collect().head

@@ -187,4 +187,32 @@ class SignalsSpec extends AnyFunSuite {
       Seq((1L, "anything")).toDF("doc_id", "text"), "doc_id", "text", Nil))
     assert(all == Seq((1L, 0L, 1L)))
   }
+
+  test("blocklist: NULL text and empty-terms rows agree across all three " +
+    "implementations (AC operator, naive twin, DuckDB SQL twin)") {
+    // ADVICE r16: the twins read a NULL row as (0 hits, keep = 1) while the
+    // AC operator yields (NULL, keep = 0) — latent until a NULL-bearing
+    // corpus. All three must now agree row for row.
+    val df = Seq((1L, "merge batch here"), (2L, null), (3L, "clean row"))
+      .toDF("doc_id", "text")
+    val terms = Seq("merge", "zz top")
+    def shape(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    val ac = shape(Signals.blocklist(df, "doc_id", "text", terms))
+    val nv = shape(Signals.blocklistNaive(df, "doc_id", "text", terms))
+    assert(ac == nv, s"AC $ac vs naive $nv")
+    assert(ac == Seq((1L, 1L, 0L), (2L, -1L, 0L), (3L, 0L, 1L)))
+    // the SQL twin replicates the same NULL propagation: run it through
+    // Spark SQL (position/lower/CASE semantics shared with DuckDB)
+    df.createOrReplaceTempView("bl_null_docs")
+    val sql = shape(spark.sql(
+      Signals.blocklistSqlFor("bl_null_docs", "doc_id", "text", terms)))
+    assert(sql == ac, s"SQL twin $sql vs AC $ac")
+    // empty-terms SQL must be valid and keep NULL-propagation semantics
+    val sqlEmpty = shape(spark.sql(
+      Signals.blocklistSqlFor("bl_null_docs", "doc_id", "text", Nil)))
+    assert(sqlEmpty == Seq((1L, 0L, 1L), (2L, -1L, 0L), (3L, 0L, 1L)))
+  }
 }
