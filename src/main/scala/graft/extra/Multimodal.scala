@@ -578,9 +578,28 @@ object Multimodal {
     */
   def trainedFeatures(docs: DataFrame, cacheKey: String): DataFrame = {
     val k = (docs.sparkSession.sparkContext.applicationId, cacheKey)
+    // Spread the (doc_id, text) projection before the synth+decode pass
+    // (round 17, the spreadSketchCols rationale — but gated on SCAN
+    // PARALLELISM, not bytes): a single-row-group corpus scans as ONE
+    // task, and this pipeline is otherwise shuffle-free — so the REAL
+    // per-row codec work (encode + PNG/WAV/AVI decode, the most expensive
+    // per-row stage in the suite) was running on one core (stage-logged:
+    // a 1-task 6.4s localCheckpoint at sf0.1). A byte gate is the wrong
+    // shape here because codec cost per byte dwarfs the profiler's
+    // explode: even a 600 KB file is seconds of single-core decode. A
+    // well-partitioned lake scan (parallelism ≥ half the session's) stays
+    // unshuffled. The exchange carries two slim columns; values are
+    // per-row deterministic, so the artifact is partitioning-identical.
+    // The append path stays unspread: its batches are already
+    // exchange-bound (GateProf), not scan-bound.
+    val slim = docs.select(col("doc_id"), col("text"))
+    val want = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val spread =
+      if (slim.rdd.getNumPartitions * 2 >= want) slim
+      else slim.repartition(want)
     graft.Caching.memoLocked(featCache, featLocks, k)(
       Vector(graft.Caching.pinArtifact(
-        extractFeaturesRouted(synthesizeEncoded(docs)))))
+        extractFeaturesRouted(synthesizeEncoded(spread)))))
       .reduce(_ unionByName _)
   }
 
