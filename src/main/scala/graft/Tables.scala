@@ -63,4 +63,24 @@ object Tables {
 
   /** Tables used for the column-sketch pipeline (star schema + events). */
   val sketchTables: Seq[String] = star :+ "events"
+
+  /** Spread `df` across the session parallelism when its current plan
+    * yields fewer than half that many partitions — for shuffle-free
+    * per-row-HEAVY pipelines (codec decode, multi-gate scoring, banding
+    * key generation, A×B cosine streams) over single-row-group inputs,
+    * which otherwise run the whole pipeline on ONE core (guide §2: an
+    * unsplittable file caps the scan, and everything fused behind it, at
+    * one task; round-17 stage logs showed 2–7s single-task stages in
+    * corpus_build/bitext_mine/train_media at sf0.1). Identity when the
+    * source is already parallel (a well-laid-out lake), so no extra
+    * exchange appears at scale. Gate on PARALLELISM, not bytes: per-row
+    * cost at these call sites dwarfs any size estimate (a 600 KB
+    * single-file corpus is seconds of single-core work). Callers pass a
+    * near-scan frame projected to the columns they need, so the exchange
+    * carries only those.
+    */
+  def spreadForCpu(df: DataFrame): DataFrame = {
+    val want = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions * 2 >= want) df else df.repartition(want)
+  }
 }

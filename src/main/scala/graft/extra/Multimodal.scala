@@ -592,11 +592,8 @@ object Multimodal {
     // per-row deterministic, so the artifact is partitioning-identical.
     // The append path stays unspread: its batches are already
     // exchange-bound (GateProf), not scan-bound.
-    val slim = docs.select(col("doc_id"), col("text"))
-    val want = docs.sparkSession.sessionState.conf.numShufflePartitions
-    val spread =
-      if (slim.rdd.getNumPartitions * 2 >= want) slim
-      else slim.repartition(want)
+    val spread = graft.Tables.spreadForCpu(
+      docs.select(col("doc_id"), col("text")))
     graft.Caching.memoLocked(featCache, featLocks, k)(
       Vector(graft.Caching.pinArtifact(
         extractFeaturesRouted(synthesizeEncoded(spread)))))
