@@ -21,10 +21,21 @@ object NtProf {
     for (run <- 1 to 3) {
       val g0 = gcMs
       val smp = if (run == 2) Some(Prof.sampler(60)) else None
-      Prof.time(s"valueStream+hist run=$run") {
+      Prof.time(s"valueStream+hist(spread) run=$run") {
         val loaded = Tables.sketchTables.map(t => t -> Tables.load(spark, dir, t))
         val stream = loaded.map { case (tb, df) =>
           Profiler.sketchValueStream(Profiler.spreadSketchCols(df), tb)
+        }.reduce(_.unionAll(_))
+        stream.groupBy("dataset_id", "col_name", "v")
+          .agg(count(lit(1)).as("cnt"))
+          .write.mode("overwrite").format("noop").save()
+      }
+      Prof.time(s"valueStream+hist(no spread) run=$run") {
+        // A/B: columnar-scan-fused explode+agg straight off the parquet
+        // tasks vs the repartitioned form above
+        val loaded = Tables.sketchTables.map(t => t -> Tables.load(spark, dir, t))
+        val stream = loaded.map { case (tb, df) =>
+          Profiler.sketchValueStream(df, tb)
         }.reduce(_.unionAll(_))
         stream.groupBy("dataset_id", "col_name", "v")
           .agg(count(lit(1)).as("cnt"))
