@@ -206,7 +206,8 @@ object Profiler {
     * same agg — the 100 TB configuration, no second pass at all.
     */
   private def numericWide(df: DataFrame, datasetId: String, approx: Boolean,
-                          gates: Map[String, (Double, Long)]): DataFrame = {
+                          gates: Map[String, (Double, Long)],
+                          cids: Map[String, Int] = Map.empty): DataFrame = {
     val cols = typedColumns(df, "Numeric")
     require(cols.nonEmpty, s"$datasetId has no numeric columns")
     val aggs = cols.flatMap { c =>
@@ -326,11 +327,21 @@ object Profiler {
       ) ++ (if (approx) Seq(approx_count_distinct(d).as(s"dist__$c")) else Nil)
     }
     val wide = df.agg(aggs.head, aggs.tail: _*)
+    // When the caller assigned dense INT cids, ride them through the stack
+    // as literals: the distinct-count join downstream is then cid-on-cid,
+    // so nothing the optimizer pushes across it can reference the
+    // name-lookup maps (round 18: the (dataset_id, col_name) join keys let
+    // inferred equality/isnotnull predicates sink BELOW the distinct
+    // aggregate as per-row element_at(map, cid) scans over the corpus-sized
+    // value stream — all vacuously true; see plans/r18/*_before.txt).
+    val withCid = cids.nonEmpty
     val stackArgs = cols.map { c =>
       val base = s"'$c', `n__$c`, `miss__$c`, `mean__$c`, `std__$c`, `min__$c`, `max__$c`"
-      if (approx) s"$base, `dist__$c`" else base
+      val tail = if (approx) s"$base, `dist__$c`" else base
+      if (withCid) s"${cids(c)}, $tail" else tail
     }.mkString(", ")
-    val outCols = "(col_name, n, n_missing, mean, std, vmin, vmax" +
+    val outCols = (if (withCid) "(cid, col_name" else "(col_name") +
+      ", n, n_missing, mean, std, vmin, vmax" +
       (if (approx) ", n_distinct)" else ")")
     wide.select(lit(datasetId).as("dataset_id"),
       expr(s"stack(${cols.size}, $stackArgs) as $outCols"))
@@ -357,25 +368,24 @@ object Profiler {
     * force an N-way Expand of the whole input instead.
     */
   def numericStats(df: DataFrame, datasetId: String, approx: Boolean = false): DataFrame = {
-    val stacked = numericWide(df, datasetId, approx, parquetGateBounds(df))
     val withDistinct =
-      if (approx) stacked
+      if (approx) numericWide(df, datasetId, approx, parquetGateBounds(df))
       else {
         // distinct on (cid INT, v) — the corpus-sized distinct shuffle
         // carries a 4-byte key instead of the column-name string, and the
         // hash-agg compares ints (round 17, guide §2.3). 1:1 id mapping,
-        // so the per-column counts are identical.
+        // so the per-column counts are identical. The join is cid-on-cid
+        // (round 18): the wide side carries the cid as a stack literal, so
+        // no name-map expression can be pushed into the value stream.
         val cols = typedColumns(df, "Numeric").zipWithIndex
-          .map { case (c, i) => (c, "Numeric", i) }
-        val names = map(cols.flatMap { case (c, _, i) =>
-          Seq(lit(i), lit(c)) }: _*)
-        val dist = valueStreamById(df, cols)
+        val stacked = numericWide(df, datasetId, approx,
+          parquetGateBounds(df), cols.toMap)
+        val dist = valueStreamById(df,
+            cols.map { case (c, i) => (c, "Numeric", i) })
           .distinct()
           .groupBy("cid").agg(count(lit(1)).as("n_distinct"))
-          .select(element_at(names, col("cid")).as("col_name"),
-            col("n_distinct"))
         // one row per column — broadcast (see numericStatsAll)
-        stacked.join(broadcast(dist), Seq("col_name"), "left")
+        stacked.join(broadcast(dist), Seq("cid"), "left")
           .na.fill(0L, Seq("n_distinct"))
       }
     numericFinish(withDistinct)
@@ -395,35 +405,36 @@ object Profiler {
     // resolves inputFiles, but the pre-projection frame is the source).
     val spread = dfs.map { case (id, df) =>
       (id, spreadSketchCols(df), parquetGateBounds(df)) }
-    val wides = spread.map { case (id, df, g) =>
-      numericWide(df, id, approx = false, g) }
-      .reduce(_.unionAll(_))
     // distinct on (cid INT, v): one dense id per (dataset, numeric column)
     // across ALL tables — the corpus-sized distinct shuffle carries a
     // 4-byte key instead of two strings, and the hash-agg compares ints
-    // (round 17, guide §2.3); names re-attach on the ~#columns result.
+    // (round 17, guide §2.3).
     val colIds = {
       var next = -1
       spread.map { case (id, df, _) =>
         (id, typedColumns(df, "Numeric").map { c => next += 1; (c, next) })
       }
     }
+    // the wide side carries each column's cid as a stack literal, so the
+    // dist join below is cid-on-cid: joining on the re-attached
+    // (dataset_id, col_name) instead let Catalyst sink inferred
+    // equality/isnotnull predicates below the distinct aggregate as ~12
+    // vacuously-true element_at(map, cid) scans PER EXPLODED VALUE ROW
+    // (round 18 fix — guide §4, keep wide expressions off the per-row path;
+    // see plans/r18/profile_numeric_stats_before.txt:364).
+    val wides = spread.zip(colIds).map { case ((id, df, g), (_, cols)) =>
+      numericWide(df, id, approx = false, g, cols.toMap) }
+      .reduce(_.unionAll(_))
     val stream = spread.zip(colIds).map { case ((_, df, _), (_, cols)) =>
       valueStreamById(df, cols.map { case (c, i) => (c, "Numeric", i) })
     }.reduce(_.unionAll(_))
-    val names = colIds.flatMap { case (id, cols) =>
-      cols.map { case (c, i) => (i, id, c) } }
-    val dsMap = map(names.flatMap { case (i, d, _) => Seq(lit(i), lit(d)) }: _*)
-    val colMap = map(names.flatMap { case (i, _, c) => Seq(lit(i), lit(c)) }: _*)
     val dist = stream.distinct()
       .groupBy("cid").agg(count(lit(1)).as("n_distinct"))
-      .select(element_at(dsMap, col("cid")).as("dataset_id"),
-        element_at(colMap, col("cid")).as("col_name"), col("n_distinct"))
     // dist is one row per profiled COLUMN — broadcast it; without the hint
     // Catalyst's post-shuffle size estimate plans a sort-merge join and
-    // re-shuffles the wide stats on (dataset_id, col_name)
+    // re-shuffles the wide stats
     numericFinish(
-      wides.join(broadcast(dist), Seq("dataset_id", "col_name"), "left")
+      wides.join(broadcast(dist), Seq("cid"), "left")
         .na.fill(0L, Seq("n_distinct")))
   }
 
