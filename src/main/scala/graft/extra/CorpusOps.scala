@@ -477,26 +477,58 @@ object CorpusOps {
   /** GPT-style sequence packing map: documents are concatenated in
     * deterministic doc_id order and chunked into fixed token budgets; each
     * doc's row says which training chunk(s) it lands in (docs straddle
-    * budget boundaries, as concatenate-and-chunk training does). One global
-    * cumulative window — single-partition like the quantile cumsum; at
-    * corpus scale switch to the standard two-level cumsum (range-partition
-    * by doc_id, per-range subtotals, broadcast prefix offsets) with
-    * identical output.
+    * budget boundaries, as concatenate-and-chunk training does).
+    *
+    * Scale shape (round 18, guide §2): the global running total is
+    * SIZE-ADAPTIVE like the profiler's quantile cumsum. Under 64 MB of
+    * compressed (id, text) bytes — the Catalyst estimate, no action — it
+    * is one global cumulative window, the cheapest plan at fixture size.
+    * Past the gate it is [[graft.ingest.Profiler.bucketedCumulative]]:
+    * content-derived bucket boundaries (md5-sampled doc_id quantiles, so
+    * both consuming subtrees agree under any physical plan), local cumsum
+    * per bucket, per-bucket subtotals prefix-summed and broadcast back —
+    * no task ever holds more than ~corpus/parallelism rows, where the
+    * single-partition window would stream every document through one task.
+    * Output is IDENTICAL for any bucket count (bucket order follows
+    * doc_id order and equal ids share a bucket) — asserted by
+    * CorpusOpsSpec on both paths.
     *
     * @return (doc_id, n_tokens, start_tok, bin_first, bin_last)
     */
   def packSequences(docs: DataFrame, idCol: String, textCol: String,
                     budget: Long = 2048): DataFrame = {
+    val bytes = docs.select(col(idCol), col(textCol))
+      .queryExecution.optimizedPlan.stats.sizeInBytes
+    val buckets =
+      if (bytes < (64L << 20)) 1
+      else docs.sparkSession.sessionState.conf.numShufflePartitions
+    packSequencesBucketed(docs, idCol, textCol, budget, buckets)
+  }
+
+  /** [[packSequences]] with the cumsum strategy pinned — the testable form
+    * (CorpusOpsSpec proves both paths byte-identical on the fixture).
+    */
+  private[graft] def packSequencesBucketed(docs: DataFrame, idCol: String,
+                                           textCol: String, budget: Long,
+                                           buckets: Int): DataFrame = {
     val nToks = size(graft.functions.TextTokens.lowerSpaceTokens(col(textCol)))
       .cast("long")
-    val w = Window.orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    docs.select(col(idCol).as("doc_id"), nToks.as("n_tokens"))
-      .withColumn("cum", sum("n_tokens").over(w))
-      .select(col("doc_id"), col("n_tokens"),
-        (col("cum") - col("n_tokens")).as("start_tok"),
-        floor((col("cum") - col("n_tokens")) / budget).as("bin_first"),
-        floor((col("cum") - 1) / budget).as("bin_last"))
+    val base = docs.select(col(idCol).as("doc_id"), nToks.as("n_tokens"))
+    val withCum =
+      if (buckets <= 1) {
+        val w = Window.orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        base.withColumn("cum", sum("n_tokens").over(w))
+      } else
+        graft.ingest.Profiler.bucketedCumulative(
+          base.select(lit(0).as("g"), col("doc_id").as("v"),
+            col("n_tokens").as("cnt")), buckets, Seq("g"))
+          .select(col("v").as("doc_id"), col("cnt").as("n_tokens"),
+            col("cum"))
+    withCum.select(col("doc_id"), col("n_tokens"),
+      (col("cum") - col("n_tokens")).as("start_tok"),
+      floor((col("cum") - col("n_tokens")) / budget).as("bin_first"),
+      floor((col("cum") - 1) / budget).as("bin_last"))
   }
 
   /** Deterministic md5-derived sampling hash in [0, 100): the cross-engine

@@ -572,8 +572,8 @@ object Profiler {
     * outlier. A column too small to be sampled lands in one bucket — the
     * single-window shape that is already fine at that size.
     */
-  private def bucketedCumulative(hist0: DataFrame, buckets: Int,
-                                 keys: Seq[String]): DataFrame = {
+  private[graft] def bucketedCumulative(hist0: DataFrame, buckets: Int,
+                                        keys: Seq[String]): DataFrame = {
     // Pin the histogram ONCE: three subtrees consume it (the md5 sample
     // behind the boundaries, the bucketed local cumsum, and the per-bucket
     // totals), and the corpus-scale groupBy upstream must not recompute per

@@ -708,4 +708,29 @@ class CorpusOpsSpec extends AnyFunSuite {
     graft.Caching.release()
     assert(re.toSet == got.toSet)
   }
+
+  test("packSequences: two-level bucketed cumsum equals the global window") {
+    val docs = Tables.load(spark, SparkTestSession.sf0001, "documents")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    // the public gate picks the single window at fixture size
+    val gated = rows(CorpusOps.packSequences(docs, "doc_id", "text"))
+    val flat = rows(
+      CorpusOps.packSequencesBucketed(docs, "doc_id", "text", 2048L, 1))
+    val bucketed = rows(
+      CorpusOps.packSequencesBucketed(docs, "doc_id", "text", 2048L, 8))
+    graft.Caching.release()
+    assert(gated == flat, "gate must not change the result")
+    assert(bucketed == flat,
+      "bucketed cumsum must be value-identical to the global window")
+    // sanity: the map is a real packing — contiguous, budget-chunked
+    val sorted = flat.toSeq.sortBy(_._1)
+    var cum = 0L
+    sorted.foreach { case (_, n, start, bf, bl) =>
+      assert(start == cum)
+      assert(bf == start / 2048L && bl == (cum + n - 1) / 2048L)
+      cum += n
+    }
+  }
 }
