@@ -417,12 +417,17 @@ object Dedup {
         // and is current for this batch.
         case Some(_) if admitted.isEmpty => true
         case Some(segs0) =>
-          // O(batch): checkpoint ONLY the increment, never the union
-          val segs = segs0 :+ ((
-            graft.Caching.pinArtifact(bandSignatures(
-              admitted, idCol, textCol, numPerms, rowsPerBand)),
-            graft.Caching.pinArtifact(
-              tokenArraysOf(admitted, idCol, textCol))))
+          // O(batch): checkpoint ONLY the increment, never the union. The
+          // two segment pins are independent projections of the (pinned,
+          // already-materialized) admitted frame — overlap them (guide
+          // §2.6) so the admission-index append pays one checkpoint
+          // latency, not two back-to-back driver round-trips per batch.
+          val sigFut = java.util.concurrent.CompletableFuture.supplyAsync(
+            () => graft.Caching.pinArtifact(bandSignatures(
+              admitted, idCol, textCol, numPerms, rowsPerBand)))
+          val toksPin = graft.Caching.pinArtifact(
+            tokenArraysOf(admitted, idCol, textCol))
+          val segs = segs0 :+ ((sigFut.join(), toksPin))
           val kept =
             if (segs.size <= maxSegments) segs
             else {
@@ -693,10 +698,16 @@ object Dedup {
           // Delta key lookup, like every other artifact probe). An append
           // that nets no new docs is a recorded no-op: no segment, no
           // compaction pressure from no-op batches.
-          val freshArrs = tokenArraysOf(admitted, idCol, textCol)
-            .join(corpusToks.select("doc_id"), Seq("doc_id"), "left_anti")
-          if (freshArrs.isEmpty) true else {
-          val batchArrs = graft.Caching.pinArtifact(freshArrs)
+          // ONE pass (the appendGramAdmitted r13 pattern, round 18): pin
+          // first, check emptiness on the PINNED artifact — the former
+          // `freshArrs.isEmpty` pre-check ran the batch tokenize +
+          // anti-join once for the probe and again for the checkpoint on
+          // every non-replay batch, both under this lock.
+          val batchArrs = graft.Caching.pinArtifact(
+            tokenArraysOf(admitted, idCol, textCol)
+              .join(corpusToks.select("doc_id"), Seq("doc_id"), "left_anti"))
+          if (batchArrs.isEmpty) { graft.Caching.dropArtifact(batchArrs); true }
+          else {
           val allArrs = corpusToks.unionByName(batchArrs)
           val (newPairs, batchProbe) =
             if (lsh) {
@@ -729,9 +740,16 @@ object Dedup {
                 .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
                 .distinct()
               val within = jaccardCandidates(btoks, bsizes, threshold)
+              // the probe-postings pin is a cheap projection of the
+              // already-materialized batchArrs pin, independent of the
+              // verify pipeline — overlap the two checkpoints (guide §2.6)
+              // so the append's critical path pays the verify job only
+              val postFut = java.util.concurrent.CompletableFuture
+                .supplyAsync(() =>
+                  graft.Caching.pinArtifact(postingsOf(batchArrs)))
               (graft.Caching.pinArtifact(orientPairs(verifyJaccard(
                 cross.unionByName(within), allArrs, threshold))),
-                graft.Caching.pinArtifact(postingsOf(batchArrs)))
+                postFut.join())
             }
           val segs = segs0 :+ PairSegment(newPairs, batchArrs, batchProbe)
           val kept =

@@ -145,24 +145,26 @@ object TermStats {
           val fresh = batch.select(col(docIdCol).as("doc_id"),
               col(textCol).as("__text"))
             .join(present, Seq("doc_id"), "left_anti")
-          if (fresh.isEmpty) true else {
-            val seg = graft.Caching.pinArtifact(
-              termFreqs(unitTokens(fresh, "doc_id", "__text", n)))
-            // fresh DOCS can still yield zero unit rows (empty text at
-            // n=1, one-token docs at n=2); such docs never enter the
-            // artifact's doc_id set, so without this guard every replay
-            // of the batch would checkpoint another empty segment
-            if (seg.isEmpty) { graft.Caching.dropArtifact(seg); true }
-            else {
-              val segs = segs0 :+ seg
-              val kept =
-                if (segs.size <= maxSegments) segs
-                else Vector(graft.Caching.pinArtifact(
-                  segs.reduce(_ unionByName _)))
-              tfCache.put(k, kept)
-              if (kept ne segs) segs.foreach(graft.Caching.dropArtifact)
-              true
-            }
+          // ONE pass (the appendGramAdmitted r13 pattern, round 18): pin
+          // the segment first and check emptiness on the PINNED artifact —
+          // the former `fresh.isEmpty` pre-check ran the tokenize+anti-join
+          // once for the probe and again for the checkpoint, both under
+          // this lock, on every non-replay batch. An all-replay batch (and
+          // a fresh batch netting zero unit rows — empty text at n=1,
+          // one-token docs at n=2) yields an empty segment, dropped here so
+          // replays never grow the segment list.
+          val seg = graft.Caching.pinArtifact(
+            termFreqs(unitTokens(fresh, "doc_id", "__text", n)))
+          if (seg.isEmpty) { graft.Caching.dropArtifact(seg); true }
+          else {
+            val segs = segs0 :+ seg
+            val kept =
+              if (segs.size <= maxSegments) segs
+              else Vector(graft.Caching.pinArtifact(
+                segs.reduce(_ unionByName _)))
+            tfCache.put(k, kept)
+            if (kept ne segs) segs.foreach(graft.Caching.dropArtifact)
+            true
           }
       }
     }
