@@ -29,5 +29,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // AQE may re-partition cached-plan output (round 18, guide §2): pinned
+  // grid-sized frames (Caching.temp) otherwise materialize at
+  // shuffle.partitions (= cores) near-empty partitions and every consumer
+  // stage launches that many tasks — the 32-core anti-scaling of the
+  // pin-heavy paths. Coalescing only merges SMALL partitions, so at lake
+  // scale (partitions >= advisory size) the conf is inert; values are
+  // partitioning-independent (spec-enforced across the suite).
+  "-Dspark.sql.optimizer.canChangeCachedPlanOutputPartitioning=true",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

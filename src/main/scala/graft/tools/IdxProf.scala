@@ -25,7 +25,17 @@ object IdxProf {
     pass("cold")
     val smp = Prof.sampler(15)
     pass("steady")
-    smp.join(2000)
+    smp.join(20000)
+    // phase split of sketches.train (round 18): numericTemporal vs
+    // categorical, timed to the noop sink, twice each
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
+    for (run <- 1 to 2) {
+      Prof.time(s"numericTemporal run=$run")(
+        noop(graft.search.Sketches.numericTemporal(spark, dir)))
+      Prof.time(s"categorical run=$run")(
+        noop(graft.search.Sketches.categorical(spark, dir)))
+    }
     spark.stop()
   }
 }
