@@ -80,6 +80,25 @@ object Tables {
     * carries only those.
     */
   def spreadForCpu(df: DataFrame): DataFrame = {
+    // The parallelism probe is df.rdd.getNumPartitions, which forces
+    // physical planning — and under AQE, on a plan containing exchanges,
+    // EAGERLY MATERIALIZES the upstream query stages, so a shuffled input
+    // would execute those stages twice (ADVICE r17). Enforce the
+    // near-scan contract instead of trusting the comment: reject plans
+    // with shuffle-introducing operators.
+    val offenders = df.queryExecution.optimizedPlan.collect {
+      case n @ (_: org.apache.spark.sql.catalyst.plans.logical.Join |
+                _: org.apache.spark.sql.catalyst.plans.logical.Aggregate |
+                _: org.apache.spark.sql.catalyst.plans.logical.Window |
+                _: org.apache.spark.sql.catalyst.plans.logical.Sort |
+                _: org.apache.spark.sql.catalyst.plans.logical
+                  .RepartitionOperation) => n.nodeName
+    }
+    require(offenders.isEmpty,
+      s"spreadForCpu expects a near-scan (shuffle-free) frame; got " +
+        s"operators ${offenders.mkString(", ")} — the .rdd parallelism " +
+        "probe would materialize those stages eagerly and the consumer " +
+        "would run them twice")
     val want = df.sparkSession.sessionState.conf.numShufflePartitions
     if (df.rdd.getNumPartitions * 2 >= want) df else df.repartition(want)
   }

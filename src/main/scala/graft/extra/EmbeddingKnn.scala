@@ -620,6 +620,15 @@ object EmbeddingKnn {
     * audited slice identical across runs and engines. The registered query
     * audits the full fixture, where exact is affordable.
     *
+    * PRECONDITION (ADVICE r17): each input must carry DISTINCT
+    * (a_id, b_id) pairs — the union + max() membership recovery below (and
+    * the unchanged DuckDB oracle twin, which still counts raw rows) equals
+    * the old join+count form only then. Both registered miners guarantee
+    * it via their rk === 1 best-match tails; a future caller with
+    * duplicate pairs would silently diverge from the oracle.
+    *
+    * @param exact  exact miner pairs, one row per (a_id, b_id)
+    * @param approx approximate miner pairs, one row per (a_id, b_id)
     * @return (n_exact, n_approx, n_hit, recall) — recall as the
     *         integer-micro division of hits over the exact set
     */

@@ -704,12 +704,16 @@ object Multimodal {
     .empty[(String, String), Object]
 
   /** Absolute path of the decoded-feature FIXTURE the media family's DuckDB
-    * oracle twins read. [[graft.Verify]] pins it UNDER ITS OWN outDir
-    * before dumping or emitting oracle SQL (ADVICE r15: the former shared
+    * oracle twins read. [[graft.Verify]] pins it to the run-scoped SIBLING
+    * directory `<outDir>.fixtures/media_features` — deliberately OUTSIDE
+    * outDir, which holds declared-query dumps only (r17: a fixture inside
+    * outDir was scanned by the driver as a phantom 134th query; Verify now
+    * `require`s every outDir entry to be a SparkEntry.queries key) — before
+    * dumping or emitting oracle SQL (ADVICE r15: the former shared
     * working-directory location let two concurrent Verify runs clobber
-    * each other's fixture between dump and DuckDB compare, and left the
-    * dump outside the run's outDir); the working-directory default only
-    * serves ad-hoc sessions that never called [[setFeaturesFixtureDir]].
+    * each other's fixture between dump and DuckDB compare); the
+    * working-directory default only serves ad-hoc sessions that never
+    * called [[setFeaturesFixtureDir]].
     * The decode step itself stays spec-locked (SQL cannot run a PNG/WAV
     * /AVI codec); dumping its output lets DuckDB independently re-run
     * everything AFTER decode — whitening + fixed projection ([[MediaEmbed]]),

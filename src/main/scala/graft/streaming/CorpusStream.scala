@@ -397,11 +397,27 @@ object CorpusStream {
         else {
           val pool = java.util.concurrent.Executors
             .newFixedThreadPool(math.min(4, derived.size))
-          try derived.map(t =>
+          val futs = derived.map(t =>
             pool.submit(new java.util.concurrent.Callable[Unit] {
               def call(): Unit = t()
-            })).foreach(_.get())
-          finally pool.shutdownNow()
+            }))
+          try futs.foreach { f =>
+            // unwrap so the stream surfaces the ORIGINAL family failure,
+            // not the ExecutionException envelope (ADVICE r17)
+            try f.get()
+            catch {
+              case e: java.util.concurrent.ExecutionException =>
+                throw Option(e.getCause).getOrElse(e)
+            }
+          } finally {
+            // Cancel-then-AWAIT before leaving: the outer finally releases
+            // the admitted pin, and an orphaned sibling append still
+            // running would lazily recompute the batch-scan + verdict join
+            // from scratch (ADVICE r17). Idempotence keeps a replay
+            // correct either way — this bounds the failure path's cost.
+            pool.shutdownNow()
+            pool.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS)
+          }
         }
         graft.extra.Dedup.appendAdmitted(
           admitted, idCol, textCol, cacheKey)

@@ -31,6 +31,13 @@ object AcProbe {
       "data", "column", "join", "small", "line", "customer", "query", "big",
       "filter", "group", "the")
     val rnd = new scala.util.Random(99)
+    // counts is a CLI arg: the draw-until-distinct loop below can only
+    // terminate if the requested blocklist fits the reachable phrase space
+    // (ADVICE r17 — without this require the loop spins forever and the
+    // under-fill require after it is unreachable)
+    require(counts.max <= vocab.size.toLong * vocab.size * vocab.size,
+      s"counts.max=${counts.max} exceeds the ${vocab.size}^3 distinct " +
+        "3-word phrases this vocab can produce")
     val allTerms = {
       val seen = scala.collection.mutable.LinkedHashSet.empty[String]
       while (seen.size < counts.max)
