@@ -447,15 +447,98 @@ object TextStats {
     * [[bpeEncode]] over the same corpus.
     */
   def trainedMerges(df: DataFrame, textCol: String, rounds: Int = 8,
-                    cacheKey: Option[String] = None): Seq[(Int, String, String, Long)] = {
-    def run(): Seq[(Int, String, String, Long)] = {
-      val spaced = concat(lit(" "),
-        concat_ws(" ", expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))")),
-        lit(" "))
-      var words = graft.Caching.temp(
-        df.select(explode(toks(col(textCol))).as("word"))
-          .groupBy("word").agg(count(lit(1)).as("wcnt"))
-          .select(spaced.as("ws"), col("wcnt")))
+                    cacheKey: Option[String] = None): Seq[(Int, String, String, Long)] =
+    cacheKey match {
+      // per-key lock (graft.Caching.memoLocked): racing first trains would
+      // each pay the full multi-round BPE train for one kept result
+      case Some(k) => graft.Caching.memoLocked(mergeCache, mergeLocks,
+        (df.sparkSession.sparkContext.applicationId, s"$k|$textCol|$rounds"))(
+        trainedMergesRun(df, textCol, rounds, None))
+      case None => trainedMergesRun(df, textCol, rounds, None)
+    }
+
+  /** How many distinct words the greedy loop may pull to the driver: the
+    * word-frequency state is VOCABULARY-sized (never corpus-sized), and
+    * under this cap the `rounds` sequential argmax actions collapse into
+    * ONE collect + a driver loop that reproduces the distributed rounds
+    * bit for bit (see [[trainedMergesRun]]). ~1M spaced words ≈ tens of MB
+    * — the multiFieldServed driver-copy budget class. A 100 TB corpus's
+    * vocabulary blows past it and trains distributed, where the driver
+    * only ever sees `rounds` argmax rows.
+    */
+  private val MaxDriverVocab = 1L << 20
+
+  /** The training loop body. `forceLocal` pins the strategy for the
+    * equivalence spec (None = gate on the distinct-word count).
+    */
+  private[graft] def trainedMergesRun(df: DataFrame, textCol: String,
+                                      rounds: Int,
+                                      forceLocal: Option[Boolean])
+  : Seq[(Int, String, String, Long)] = {
+    val spaced = concat(lit(" "),
+      concat_ws(" ", expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))")),
+      lit(" "))
+    var words = graft.Caching.temp(
+      df.select(explode(toks(col(textCol))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("wcnt"))
+        .select(spaced.as("ws"), col("wcnt")))
+    // the count() doubles as the pin's eager fill — the distributed loop's
+    // first argmax would have paid this scan anyway
+    val nWords = words.count()
+    val local = forceLocal.getOrElse(nWords <= MaxDriverVocab)
+    if (local) {
+      // Driver-side greedy loop over the collected vocabulary (round 18,
+      // guide §2.6: the 8 sequential corpus-agg argmax ACTIONS were pure
+      // per-round job latency — the state they iterate is vocabulary-sized
+      // and fits the driver under the gate). Equivalence with the
+      // distributed rounds is EXACT by construction, property-locked in
+      // TextStatsSpec over random-unicode corpora on both paths:
+      //  - pair counts: integer sums over the same (ws, wcnt) rows;
+      //  - argmax tie-break (cnt desc, l asc, r asc): Spark string asc is
+      //    UTF8String.compareTo = unsigned UTF-8 byte order, mirrored here
+      //    with Arrays.compareUnsigned over getBytes(UTF_8) — Scala's
+      //    String ordering (UTF-16 code units) would diverge on
+      //    supplementary-plane tokens;
+      //  - the merge is Java String.replace: literal, leftmost,
+      //    non-overlapping, resume-after-match — the same semantics as
+      //    Spark's replace (UTF8String.replace) and the DuckDB oracle's,
+      //    as already relied on by the oracle twin.
+      val rows = words.select("ws", "wcnt").collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      def byteLt(a: String, b: String): Boolean =
+        java.util.Arrays.compareUnsigned(
+          a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          b.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
+      var state = rows
+      val merges = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
+      for (r <- 1 to rounds) {
+        val cnt = scala.collection.mutable.HashMap.empty[(String, String), Long]
+        state.foreach { case (ws, wc) =>
+          val t = ws.trim.split(" ")
+          var i = 0
+          while (i < t.length - 1) {
+            val k = (t(i), t(i + 1))
+            cnt.update(k, cnt.getOrElse(k, 0L) + wc)
+            i += 1
+          }
+        }
+        if (cnt.nonEmpty) {
+          val ((l, rr), c) = cnt.reduceLeft { (a, b) =>
+            val ((al, ar), ac) = a; val ((bl, br), bc) = b
+            if (bc > ac) b
+            else if (bc < ac) a
+            else if (byteLt(bl, al)) b
+            else if (byteLt(al, bl)) a
+            else if (byteLt(br, ar)) b else a
+          }
+          merges += ((r, l, rr, c))
+          state = state.map { case (ws, wc) =>
+            (ws.replace(s" $l $rr ", s" $l$rr "), wc)
+          }
+        }
+      }
+      merges.toList
+    } else {
       val merges = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
       for (r <- 1 to rounds) {
         val pairs = words
@@ -479,14 +562,6 @@ object TextStats {
         }
       }
       merges.toList
-    }
-    cacheKey match {
-      // per-key lock (graft.Caching.memoLocked): racing first trains would
-      // each pay the full multi-round BPE train for one kept result
-      case Some(k) => graft.Caching.memoLocked(mergeCache, mergeLocks,
-        (df.sparkSession.sparkContext.applicationId, s"$k|$textCol|$rounds"))(
-        run())
-      case None => run()
     }
   }
 

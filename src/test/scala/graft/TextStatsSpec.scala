@@ -517,10 +517,17 @@ class TextStatsSpec extends AnyFunSuite {
         .groupBy("w").count()
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       val got = TextStats.trainedMerges(docs, "text", rounds, None)
+      // both strategies must equal the mirror: the public gate picks the
+      // driver-local loop at this vocab size (round 18), the forced arm
+      // pins the distributed rounds it replaced
+      val gotDist = TextStats.trainedMergesRun(docs, "text", rounds,
+        forceLocal = Some(false))
+      graft.Caching.release()
       val want = refMerges(wordTable, rounds)
-      val ok = got == want
+      val ok = got == want && gotDist == want
       if (!ok) System.err.println(
-        s"bpe mismatch: docs=$docTexts rounds=$rounds\n got=$got\n want=$want")
+        s"bpe mismatch: docs=$docTexts rounds=$rounds\n got=$got\n " +
+          s"dist=$gotDist\n want=$want")
       ok
     }
     val res = org.scalacheck.Test.check(
