@@ -673,7 +673,21 @@ object Profiler {
     // both engines agree exactly at any n.
     val pExpr = ps.zipWithIndex.map { case (p, i) =>
       s"struct(${i + 1}L as dim, ${math.round(p * 1e6)}L as pm)" }
+    // Pre-explode pruning (round 18, guide §2.3 — don't generate rows you
+    // immediately drop): the explode below multiplies the distinct-value
+    // histogram by |ps| and the bracketing filter then keeps only ~2 rows
+    // per (column, percentile). Keep a histogram row only if its index
+    // range [cum-cnt, cum-1] intersects [lo_k, lo_k+1] for SOME percentile
+    // k (a superset of the exact lo/hi test, since hi ∈ {lo, lo+1}), so
+    // the per-dim explode+filter runs over the grid-sized survivor set.
+    // Identical output: filter∘explode ≡ explode∘prefilter on the kept set.
+    val preKeep = ps.map { p =>
+      val pm = math.round(p * 1e6)
+      s"(((${pm}L * (n - 1)) DIV 1000000) <= cum - 1 AND " +
+        s"((${pm}L * (n - 1)) DIV 1000000) + 1 >= cum - cnt)"
+    }.mkString(" OR ")
     val joined = withCum
+      .filter(expr(preKeep))
       .select(col("*"), expr(s"explode(array(${pExpr.mkString(",")})) as pp"))
       .select(keys.map(col) ++ Seq(col("v"), col("cnt"),
         col("cum"), col("n"), col("pp.dim").as("dim"), col("pp.pm").as("pm")): _*)
