@@ -79,6 +79,10 @@ object QhProbe {
       Prof.time(s"old explode-first rep=$rep")(noop(oldShape()))
       Prof.time(s"new prefilter rep=$rep")(noop(newShape()))
     }
+    println("===== old explode-first plan =====")
+    oldShape().explain("formatted")
+    println("===== new prefilter plan =====")
+    newShape().explain("formatted")
     spark.stop()
   }
 }
